@@ -1,38 +1,633 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry in ``queries()`` is an operator from SURVEY.md §2 (reference:
+SameerDataEngineer01/Wistia-Video-Analytics-project) re-expressed with the
+engine in ``wistia_video_analytics_project_spark`` and bound to the driver
+testdata tables per FIXTURES.md §B. ``oracle_sql()`` carries the ANSI-SQL
+equivalent for the DuckDB gate.
+
+Conventions (SURVEY.md §7.3 / FIXTURES.md):
+- session timezone UTC (set at query time via ``configure_runtime``)
+- every computed column aliased identically in Spark and SQL
+- deterministic orderings wherever ``limit``/dedup is involved
+- money/double aggregates rounded on both sides
+- DuckDB integer sums wrapped in CAST(... AS BIGINT) (DuckDB widens to
+  HUGEINT; Spark stays BIGINT)
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wistia_video_analytics_project_spark import schemas
+from wistia_video_analytics_project_spark.operators import (
+    analytics,
+    conform,
+    dedup,
+    quality,
+    similarity,
+    text,
+)
+from wistia_video_analytics_project_spark.session import configure_runtime
+from wistia_video_analytics_project_spark.sources import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §3.4 / A-series — aggregate analytics over the event stream
+# ---------------------------------------------------------------------------
+
+
+def q_daily_plays_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: "Daily Plays Trend" (PDF p.34) on the events table —
+    filter play-type events, per-date counts + value sum (A1/A2, P6)."""
+    events = _t(spark, sf_dir, "events")
+    plays = events.filter(F.col("event_type") == "view")
+    return analytics.daily_trend(
+        plays,
+        F.to_date("ts"),
+        {
+            "plays": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 2),
+        },
+        date_name="event_date",
+    )
+
+
+def q_fact_engagement_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core fact build (A1-A3, `notebool-03.py:226-234`): multi-key
+    groupBy with count / domain-constant rate / null-safe sum / avg."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id"), F.to_date("ts").alias("date"))
+        .agg(
+            F.count(F.lit(1)).alias("play_count"),
+            F.round(F.count(F.lit(1)) / 10.0, 2).alias("play_rate"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias(
+                "total_watch_time_seconds"
+            ),
+            # avg of 2-decimal inputs lands exactly on .xx5 ties, where
+            # double round() differs between engines — snap to DECIMAL(18,6)
+            # first so both sides round HALF_UP identically.
+            F.round(
+                F.avg(F.coalesce(F.col("value"), F.lit(0.0))).cast("decimal(18,6)"), 2
+            )
+            .cast("double")
+            .alias("avg_percent_watched"),
+        )
+    )
+
+
+def q_engagement_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the reference's DAX measure set (PDF p.33) over the built fact."""
+    fact = q_fact_engagement_build(spark, sf_dir)
+    return analytics.engagement_kpis(
+        fact,
+        play_col="play_count",
+        pct_col="avg_percent_watched",
+        watch_col="total_watch_time_seconds",
+        visitor_col="user_id",
+    )
+
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregate — the batch form of the streaming
+    tier's windowed fact build (SURVEY.md §2.9)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "n_events", "total_value")
+    )
+
+
+def q_rollup_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup superset of the reporting slices (SURVEY.md §2.4 note)."""
+    events = _t(spark, sf_dir, "events")
+    return analytics.rollup_report(
+        events.withColumn("event_date", F.to_date("ts")),
+        ["event_type", "event_date"],
+        {"n_events": F.count(F.lit(1)), "total_value": F.round(F.sum("value"), 2)},
+    )
+
+
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ``from_json`` over the string payload column (§2.8 json)."""
+    events = _t(spark, sf_dir, "events")
+    parsed = conform.parse_json_column(events, "props", schemas.EVENT_PROPS, out="p")
+    return parsed.groupBy(F.col("p.k").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dim conformance (P1-P5, §2.8 scalar funcs)
+# ---------------------------------------------------------------------------
+
+
+def q_dim_media_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim build shape on `part`: select/rename + when-chain classification
+    + URL derivation + distinct (`notebool-03.py:133-145`)."""
+    part = _t(spark, sf_dir, "part")
+    lowered = F.lower(F.coalesce(F.col("p_type"), F.lit("")))
+    channel = (
+        F.when(lowered.contains("promo"), F.lit("Promo"))
+        .when(lowered.contains("economy"), F.lit("Budget"))
+        .when(lowered.contains("large"), F.lit("Premium"))
+        .otherwise(F.lit("Standard"))
+    )
+    return conform.select_rename(
+        part,
+        {
+            "media_id": F.col("p_partkey").cast("string"),
+            "title": "p_name",
+            "channel": channel,
+            "url": conform.media_url(F.col("p_partkey").cast("string")),
+        },
+    ).distinct()
+
+
+def q_dim_visitor_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim build shape on `customer`: rename + null-defaulting + distinct
+    (`notebool-03.py:170-175`)."""
+    customer = _t(spark, sf_dir, "customer")
+    return conform.select_rename(
+        customer,
+        {
+            "visitor_id": F.col("c_custkey").cast("string"),
+            "name": "c_name",
+            "segment": F.coalesce(F.col("c_mktsegment"), F.lit("Unknown")),
+        },
+    ).distinct()
+
+
+def q_pk_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 deterministic PK repair: blank/null key -> content-hash surrogate
+    (replaces `monotonically_increasing_id`, SURVEY.md §7.3). Nulls are
+    synthesized (source='src0') so the repair branch is exercised."""
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "source_key",
+        F.when(F.col("source") == "src0", F.lit(None).cast("string")).otherwise(
+            F.col("source")
+        ),
+    )
+    repaired = conform.repair_key(docs, "source_key", "doc", ["text"])
+    return repaired.select("doc_id", "source_key")
+
+
+# ---------------------------------------------------------------------------
+# Quality operators Q1/Q3/Q4/Q5
+# ---------------------------------------------------------------------------
+
+
+def q_null_empty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: single-pass null/blank audit (`notebool-03.py:262-277`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return quality.null_empty_audit(docs, ["doc_id", "text", "lang"]).withColumnRenamed(
+        "column", "col_name"
+    )
+
+
+def q_keep_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: deterministic keep-first dedup on (user_id, event_type), first =
+    earliest (ts, event_id) (`notebool-03.py:308-317` with the
+    orderBy(lit(1)) nondeterminism fixed)."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    return quality.dedup_keep_first(
+        events, ["user_id", "event_type"], order_by=["ts", "event_id"]
+    )
+
+
+def q_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: duplicate key groups (`notebool-03.py:311-314`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return quality.duplicate_groups(li, ["l_orderkey"])
+
+
+def q_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: rows + exact distinct keys in one pass (`notebool-03.py:335-346`)."""
+    orders = _t(spark, sf_dir, "orders")
+    return quality.quality_report(orders, ["o_orderkey", "o_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# Joins J1-J3 + top-k L3 + windows W2-W4
+# ---------------------------------------------------------------------------
+
+
+def q_plays_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + "Plays by Channel": fact ⋈ broadcast dim, grouped measures."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    enriched = analytics.enrich(
+        li, part, on=li.l_partkey == part.p_partkey, how="inner"
+    )
+    return analytics.measure_by(
+        enriched,
+        ["p_brand"],
+        {
+            "plays": F.count(F.lit(1)),
+            "revenue": F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ),
+        },
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: anti-join referential audit — dims with no fact rows."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: semi-join ("orders with engagement") + grouped count."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    with_items = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return analytics.measure_by(
+        with_items, ["o_orderpriority"], {"order_count": F.count(F.lit(1))}
+    )
+
+
+def q_top10_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: "Top 10 Videos by Plays" — deterministic top-k (tiebreak on key).
+    Planned as TakeOrderedAndProject, never a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("plays"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+    return analytics.top_k(
+        per_part, 10, [F.desc("plays"), F.asc("l_partkey")]
+    )
+
+
+def q_rank_in_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: top-3 per group via rank window (unique tiebreaker included)."""
+    part = _t(spark, sf_dir, "part")
+    return analytics.rank_in_group(
+        part.select("p_brand", "p_partkey", "p_retailprice"),
+        partition_by=["p_brand"],
+        order=[F.desc("p_retailprice"), F.asc("p_partkey")],
+        keep=3,
+        rank_name="rnk",
+    )
+
+
+def q_trailing_7day_plays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: 7-row trailing window over the (small, pre-aggregated) daily
+    trend — "Daily Plays Trend" with a smoothed line."""
+    events = _t(spark, sf_dir, "events")
+    daily = analytics.daily_trend(
+        events.filter(F.col("event_type") == "view"),
+        F.to_date("ts"),
+        {"plays": F.count(F.lit(1))},
+        date_name="event_date",
+    )
+    return analytics.trailing_window(
+        daily, "event_date", "plays", preceding=6, out_name="plays_7d"
+    )
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: first-touch detection, aggregated to (date, status) counts."""
+    events = _t(spark, sf_dir, "events")
+    visits = events.select(
+        "user_id", F.to_date("ts").alias("event_date")
+    ).distinct()
+    labeled = analytics.new_vs_returning(visits, "user_id", "event_date")
+    return analytics.measure_by(
+        labeled, ["event_date", "visitor_status"], {"visitors": F.count(F.lit(1))}
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped gold queries (bench headliners)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide-aggregate scan (A1-A3 at bench
+    scale; one shuffle, map-side partial aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10.
+    customer/orders sides filter-push before the join."""
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    )
+    rev = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return analytics.top_k(rev, 10, [F.desc("revenue"), F.asc("o_orderkey")]).select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority", "revenue"
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join through supplier→nation→region with
+    broadcast dims, grouped revenue per nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_daily_plays_trend(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    core = {
+        "daily_plays_trend": q_daily_plays_trend,
+        "fact_engagement_build": q_fact_engagement_build,
+        "engagement_kpis": q_engagement_kpis,
+        "tumbling_hourly": q_tumbling_hourly,
+        "rollup_type_daily": q_rollup_type_daily,
+        "json_props_extract": q_json_props_extract,
+        "dim_media_conform": q_dim_media_conform,
+        "dim_visitor_conform": q_dim_visitor_conform,
+        "pk_repair": q_pk_repair,
+        "null_empty_audit": q_null_empty_audit,
+        "keep_first_dedup": q_keep_first_dedup,
+        "duplicate_audit": q_duplicate_audit,
+        "uniqueness_report": q_uniqueness_report,
+        "plays_by_channel": q_plays_by_channel,
+        "customers_without_orders": q_customers_without_orders,
+        "order_priority_counts": q_order_priority_counts,
+        "top10_media": q_top10_media,
+        "rank_in_channel": q_rank_in_channel,
+        "trailing_7day_plays": q_trailing_7day_plays,
+        "new_vs_returning": q_new_vs_returning,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+    }
+    core.update(dedup.queries())
+    core.update(text.queries())
+    core.update(similarity.queries())
+    return core
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "daily_plays_trend": """
+            SELECT CAST(ts AS DATE) AS event_date,
+                   count(*) AS plays,
+                   round(sum(value), 2) AS total_value
+            FROM events WHERE event_type = 'view'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "fact_engagement_build": """
+            SELECT user_id, CAST(ts AS DATE) AS date,
+                   count(*) AS play_count,
+                   round(count(*) / 10.0, 2) AS play_rate,
+                   round(sum(coalesce(value, 0.0)), 2) AS total_watch_time_seconds,
+                   CAST(round(CAST(avg(coalesce(value, 0.0)) AS DECIMAL(18,6)), 2) AS DOUBLE)
+                     AS avg_percent_watched
+            FROM events WHERE event_type = 'view'
+            GROUP BY 1, 2
+        """,
+        "engagement_kpis": """
+            WITH fact AS (
+              SELECT user_id, CAST(ts AS DATE) AS date,
+                     count(*) AS play_count,
+                     round(sum(coalesce(value, 0.0)), 2) AS total_watch_time_seconds,
+                     CAST(round(CAST(avg(coalesce(value, 0.0)) AS DECIMAL(18,6)), 2) AS DOUBLE)
+                       AS avg_percent_watched
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT CAST(sum(play_count) AS BIGINT) AS total_plays,
+                   CAST(round(CAST(avg(avg_percent_watched) AS DECIMAL(18,6)), 2) AS DOUBLE)
+                     AS avg_completion,
+                   round(sum(total_watch_time_seconds) / 3600.0, 2) AS total_watch_hours,
+                   round(sum(play_count) / CAST(count(DISTINCT user_id) AS DOUBLE), 4)
+                     AS engagement_rate
+            FROM fact
+        """,
+        "tumbling_hourly": """
+            SELECT date_trunc('hour', ts) AS hour_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "rollup_type_daily": """
+            SELECT event_type, CAST(ts AS DATE) AS event_date,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        """,
+        "json_props_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "dim_media_conform": """
+            SELECT DISTINCT
+                   CAST(p_partkey AS VARCHAR) AS media_id,
+                   p_name AS title,
+                   CASE WHEN contains(lower(coalesce(p_type, '')), 'promo') THEN 'Promo'
+                        WHEN contains(lower(coalesce(p_type, '')), 'economy') THEN 'Budget'
+                        WHEN contains(lower(coalesce(p_type, '')), 'large') THEN 'Premium'
+                        ELSE 'Standard' END AS channel,
+                   concat('https://fast.wistia.net/embed/iframe/',
+                          CAST(p_partkey AS VARCHAR)) AS url
+            FROM part
+        """,
+        "dim_visitor_conform": """
+            SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS visitor_id,
+                   c_name AS name,
+                   coalesce(c_mktsegment, 'Unknown') AS segment
+            FROM customer
+        """,
+        "pk_repair": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     CASE WHEN source = 'src0' THEN NULL ELSE source END AS source_key
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN source_key IS NULL OR trim(source_key) = ''
+                        THEN concat('doc_', sha256(concat_ws(chr(31), coalesce(CAST(text AS VARCHAR), ''))))
+                        ELSE source_key END AS source_key
+            FROM d
+        """,
+        "null_empty_audit": """
+            WITH t AS (
+              SELECT count(*) AS total_count,
+                     CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                     CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+                     CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                     CAST(sum(CASE WHEN trim(lang) = '' THEN 1 ELSE 0 END) AS BIGINT) AS e2
+              FROM documents)
+            SELECT 'doc_id' AS col_name, n0 AS null_count,
+                   CAST(0 AS BIGINT) AS empty_count, total_count FROM t
+            UNION ALL
+            SELECT 'text', n1, e1, total_count FROM t
+            UNION ALL
+            SELECT 'lang', n2, e2, total_count FROM t
+        """,
+        "keep_first_dedup": """
+            SELECT event_id, user_id, event_type, ts FROM (
+              SELECT event_id, user_id, event_type, ts,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts ASC NULLS LAST,
+                                                 event_id ASC NULLS LAST) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "duplicate_audit": """
+            SELECT l_orderkey, count(*) AS dup_count
+            FROM lineitem GROUP BY 1 HAVING count(*) > 1
+        """,
+        "uniqueness_report": """
+            SELECT count(*) AS row_count,
+                   count(DISTINCT o_orderkey) AS distinct_o_orderkey,
+                   count(DISTINCT o_custkey) AS distinct_o_custkey
+            FROM orders
+        """,
+        "plays_by_channel": """
+            SELECT p_brand, count(*) AS plays,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            GROUP BY 1
+        """,
+        "top10_media": """
+            SELECT l_partkey, count(*) AS plays,
+                   round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY 1
+            ORDER BY plays DESC, l_partkey ASC LIMIT 10
+        """,
+        "rank_in_channel": """
+            SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     rank() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+              FROM part) WHERE rnk <= 3
+        """,
+        "trailing_7day_plays": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS event_date, count(*) AS plays
+              FROM events WHERE event_type = 'view' GROUP BY 1)
+            SELECT event_date, plays,
+                   CAST(sum(plays) OVER (ORDER BY event_date
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS plays_7d
+            FROM daily ORDER BY event_date
+        """,
+        "new_vs_returning": """
+            WITH visits AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date FROM events),
+            labeled AS (
+              SELECT event_date,
+                     CASE WHEN event_date = min(event_date) OVER (PARTITION BY user_id)
+                          THEN 'new' ELSE 'returning' END AS visitor_status
+              FROM visits)
+            SELECT event_date, visitor_status, count(*) AS visitors
+            FROM labeled GROUP BY 1, 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   round(avg(l_extendedprice), 2) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                   o_orderpriority, revenue FROM (
+              SELECT o_orderkey, o_orderdate, o_orderpriority,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY 1, 2, 3)
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        """,
+    }
+    sql.update(dedup.oracle_sql())
+    sql.update(text.oracle_sql())
+    sql.update(similarity.oracle_sql())
+    return sql

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark: headline engine queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock seconds across the headline set (lower is
+better). Each query is executed to completion (collect), mirroring the
+driver's correctness runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: representative cross-section: core fact build + joins + windows +
+#: top-k + dedup ladder + text + similarity
+HEADLINE = [
+    "daily_plays_trend",
+    "fact_engagement_build",
+    "engagement_kpis",
+    "pricing_summary",
+    "plays_by_channel",
+    "shipping_priority",
+    "local_supplier_volume",
+    "top10_media",
+    "rank_in_channel",
+    "new_vs_returning",
+    "keep_first_dedup",
+    "rollup_type_daily",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_profile",
+    "text_quality",
+    "ann_brute_force",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from wistia_video_analytics_project_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    # warm the JVM + file metadata cache with one tiny action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

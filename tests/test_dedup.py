@@ -1,0 +1,77 @@
+"""Dedup extensions: exact, jaccard, minhash recall, simhash behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wistia_video_analytics_project_spark.operators import dedup
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_exact_dedup_finds_synthesized_copies(spark, docs):
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
+    groups = dedup.exact_dedup_groups(doubled)
+    n_docs = docs.count()
+    assert groups.count() == n_docs  # every doc now has exactly one copy
+    assert groups.filter(F.col("n_copies") != 2).count() == 0
+    flagged = dedup.exact_dedup(doubled)
+    assert flagged.filter("is_canonical").count() == n_docs
+    # canonical is the min id, i.e. the original
+    assert flagged.filter("is_canonical AND doc_id >= 10000").count() == 0
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "doc_id long, text string")
+    got = dedup.shingles(df, n=3).collect()
+    assert all(r.doc_id == 2 for r in got)
+    assert sorted(r.shingle for r in got) == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """Every strongly-similar pair (exact jaccard >= 0.3) must be recalled
+    by the 8x4-banded MinHash at threshold 0.1."""
+    exact = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert exact, "testdata should contain planted near-duplicates"
+    approx = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.1).collect()
+    }
+    missed = exact - approx
+    assert not missed, f"minhash missed strong pairs: {missed}"
+
+
+def test_minhash_estimate_close_to_exact(spark, docs):
+    exact = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    est = {
+        (r.doc_id_a, r.doc_id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.1).collect()
+    }
+    for pair, j in exact.items():
+        assert pair in est
+        assert abs(est[pair] - j) < 0.35  # 32-slot estimator tolerance
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words entirely unrelated content here")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert sh[1] == sh[2]
+    pairs = {(r.doc_id_a, r.doc_id_b): r.hamming
+             for r in dedup.simhash_pairs(df, max_hamming=0).collect()}
+    assert pairs == {(1, 2): 0}

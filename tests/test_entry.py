@@ -1,0 +1,31 @@
+"""Smoke: the driver contract surface."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_queries_registry_well_formed(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 30
+    # every oracle key has a query
+    assert set(oracles) <= set(qs)
+    # oracle-less queries are the documented approximate ones
+    assert set(qs) - set(oracles) == {
+        "dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
+    }
+
+
+def test_each_query_runs_at_smoke_sf(spark):
+    from conftest import SF_SMOKE
+
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_SMOKE)
+        assert df.columns, name
+        df.limit(1).collect()

@@ -1,0 +1,67 @@
+"""Quality operators Q1-Q5: audits, dedup determinism, uniqueness."""
+
+from __future__ import annotations
+
+import pytest
+
+from wistia_video_analytics_project_spark.operators import quality
+
+
+def test_null_empty_audit_counts(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, None), ("", 2.0), ("  ", 3.0)],
+        "s string, v double",
+    )
+    got = {r.column: r for r in quality.null_empty_audit(df).collect()}
+    assert got["s"].null_count == 1
+    assert got["s"].empty_count == 2  # "" and "  "
+    assert got["v"].null_count == 1 and got["v"].empty_count == 0
+    assert got["s"].total_count == 4
+
+
+def test_dedup_keep_first_deterministic(spark):
+    rows = [("k", 3, "c"), ("k", 1, "a"), ("k", 2, "b"), ("j", 9, "z")]
+    df = spark.createDataFrame(rows, "key string, ord int, payload string")
+    out = quality.dedup_keep_first(df, ["key"], order_by=["ord"])
+    got = {r.key: r.payload for r in out.collect()}
+    assert got == {"k": "a", "j": "z"}
+    # repartition shouldn't change the winner (determinism)
+    out2 = quality.dedup_keep_first(df.repartition(7), ["key"], order_by=["ord"])
+    assert {r.key: r.payload for r in out2.collect()} == got
+
+
+def test_dedup_idempotent(spark):
+    df = spark.createDataFrame(
+        [("k", i, f"p{i}") for i in range(5)] + [("j", 0, "q")],
+        "key string, ord int, payload string",
+    )
+    once = quality.dedup_keep_first(df, ["key"], order_by=["ord"])
+    twice = quality.dedup_keep_first(once, ["key"], order_by=["ord"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == 2
+
+
+def test_duplicate_groups_and_assert_unique(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "key string, v int"
+    )
+    dupes = quality.duplicate_groups(df, ["key"]).collect()
+    assert len(dupes) == 1 and dupes[0].key == "a" and dupes[0].dup_count == 2
+    with pytest.raises(ValueError, match="uniqueness violated"):
+        quality.assert_unique(df, ["key"])
+    quality.assert_unique(df.filter("v = 1"), ["key"])  # no raise
+
+
+def test_quality_report(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "key string, v int"
+    )
+    r = quality.quality_report(df, ["key", "v"]).collect()[0]
+    assert r.row_count == 3 and r.distinct_key == 2 and r.distinct_v == 2
+
+
+def test_referential_orphans(spark):
+    fact = spark.createDataFrame([("m1",), ("mX",)], "media_id string")
+    dim = spark.createDataFrame([("m1",)], "media_id string")
+    got = quality.referential_orphans(fact, dim, "media_id", "media_id").collect()
+    assert [r.media_id for r in got] == ["mX"]

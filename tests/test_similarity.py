@@ -1,0 +1,64 @@
+"""Similarity search: brute-force correctness + LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wistia_video_analytics_project_spark.operators import similarity
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_cosine_matches_python(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [2.0, 0.0, 1.0]
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    got = df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    dot = sum(x * y for x, y in zip(a, b))
+    want = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+    assert abs(got - want) < 1e-12
+
+
+def test_brute_force_topk_shape(spark, emb):
+    queries = emb.filter("vec_id < 3")
+    out = similarity.brute_force_topk(queries, emb, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        sims = [r.cosine_sim for r in sorted(rows, key=lambda r: r.rnk)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_ann_lsh_recall(spark, emb):
+    """SRP-LSH top-5 must recover a decent fraction of true top-5 and the
+    true top-1 for most queries (16-bit sigs, 2 bands on random-ish data)."""
+    queries = emb.filter("vec_id < 10")
+    brute = similarity.brute_force_topk(queries, emb, k=5).collect()
+    ann = similarity.ann_lsh_topk(queries, emb, dim=similarity.EMB_DIM, k=5).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in ann:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / 5 for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.3, f"mean recall too low: {recalls}"
+
+
+def test_srp_signatures_deterministic(spark, emb):
+    s1 = {r.vec_id: r.sig for r in
+          similarity.srp_signatures(emb, similarity.EMB_DIM).collect()}
+    s2 = {r.vec_id: r.sig for r in
+          similarity.srp_signatures(emb.repartition(5), similarity.EMB_DIM).collect()}
+    assert s1 == s2

@@ -1,0 +1,195 @@
+"""Gold analytics layer: joins, aggregate KPIs, windows, top-k, rollups.
+
+The reference serves these from Power BI over the star schema (DAX
+measures, PDF guide p.33-34; SURVEY.md §2.3-2.6, §3.4). Here each query
+shape is a named, generic operator over DataFrames so the same functions
+serve the Wistia star schema and any event/fact table.
+
+Scale posture baked in:
+
+- Dimension joins take an explicit ``broadcast`` hint (dims are orders of
+  magnitude smaller than facts; J1 note, SURVEY.md §2.3).
+- Top-k is ``orderBy().limit()`` — Spark plans TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows, never a full sort).
+- Ranking/trend windows partition before ordering, so no global sort on
+  the fact; the only global window (:func:`trailing_window` over dates)
+  operates on an already-aggregated tiny frame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3)
+# ---------------------------------------------------------------------------
+
+
+def enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1: fact ⋈ dim equi-join, dimension broadcast by default."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how=how)
+
+
+def orphans(fact: DataFrame, dim: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J2: fact keys with no dimension row (referential-integrity audit)."""
+    return fact.join(F.broadcast(dim), on=on, how="left_anti")
+
+
+def with_engagement(dim: DataFrame, fact: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J3: dimension rows that have at least one fact row (left semi)."""
+    return dim.join(fact, on=on, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Aggregate KPIs (A7 — the DAX measure set, PDF p.33)
+# ---------------------------------------------------------------------------
+
+
+def engagement_kpis(
+    fact: DataFrame,
+    play_col: str = "play_count",
+    pct_col: str = "avg_percent_watched",
+    watch_col: str = "total_watch_time_seconds",
+    visitor_col: str = "visitor_id",
+) -> DataFrame:
+    """The reference's whole DAX measure set in one scan:
+
+    Total Plays, Avg Completion, Total Watch Hours, Engagement Rate
+    (= plays / distinct visitors) — PDF p.33 Step 11.3.
+    """
+    return fact.agg(
+        F.sum(play_col).alias("total_plays"),
+        # DECIMAL(18,6) snap before rounding: avg of 2-decimal inputs can
+        # tie at .xx5, where double round() is engine-dependent
+        F.round(F.avg(pct_col).cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("avg_completion"),
+        F.round(F.sum(watch_col) / 3600.0, 2).alias("total_watch_hours"),
+        F.round(
+            F.sum(play_col) / F.countDistinct(F.col(visitor_col)).cast("double"), 4
+        ).alias("engagement_rate"),
+    )
+
+
+def measure_by(
+    df: DataFrame, group_cols: Sequence[str], measures: Mapping[str, Column]
+) -> DataFrame:
+    """Generic grouped-measure builder ("Videos by Channel", "Plays by
+    Channel", PDF p.34): groupBy + named aggregate expressions."""
+    return df.groupBy(*group_cols).agg(
+        *[m.alias(name) for name, m in measures.items()]
+    )
+
+
+def daily_trend(
+    df: DataFrame,
+    date_col: Column | str,
+    measures: Mapping[str, Column],
+    date_name: str = "date",
+) -> DataFrame:
+    """"Daily Plays Trend" (PDF p.34): per-date measures, date-ordered."""
+    d = F.col(date_col) if isinstance(date_col, str) else date_col
+    return (
+        df.groupBy(d.alias(date_name))
+        .agg(*[m.alias(name) for name, m in measures.items()])
+        .orderBy(date_name)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k / sorts (L3)
+# ---------------------------------------------------------------------------
+
+
+def top_k(df: DataFrame, k: int, order: Sequence[Column]) -> DataFrame:
+    """L3: deterministic top-k — caller MUST include a unique tiebreaker in
+    ``order`` (ties would otherwise make limit() nondeterministic).
+    Planned as TakeOrderedAndProject: no global sort."""
+    return df.orderBy(*order).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W4)
+# ---------------------------------------------------------------------------
+
+
+def rank_in_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order: Sequence[Column],
+    keep: int | None = None,
+    rank_name: str = "rank",
+    dense: bool = False,
+) -> DataFrame:
+    """W2: ranking within groups ("Top 10 Videos by Plays" per channel).
+    ``keep=k`` retains the top k rows per group."""
+    fn = F.dense_rank() if dense else F.rank()
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    out = df.withColumn(rank_name, fn.over(w))
+    return out.filter(F.col(rank_name) <= keep) if keep is not None else out
+
+
+def trailing_window(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    preceding: int = 6,
+    out_name: str = "trailing_sum",
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """W3: trailing rows-window aggregate (7-day trend line). Without
+    ``partition_by`` this is a single-partition window — correct only on
+    already-aggregated small frames (e.g. one row per date), which is its
+    intended use."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_col)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    return df.withColumn(out_name, F.sum(value_col).over(w))
+
+
+def new_vs_returning(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    label_name: str = "visitor_status",
+) -> DataFrame:
+    """W4: first-touch detection — a row is "new" on the entity's first
+    date, "returning" after (PDF p.34 "New vs Returning Visitors")."""
+    w = Window.partitionBy(entity_col)
+    first_date = F.min(date_col).over(w)
+    return df.withColumn(
+        label_name,
+        F.when(F.col(date_col) == first_date, F.lit("new")).otherwise(F.lit("returning")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollups (superset of the reference's reporting slices, SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+def rollup_report(
+    df: DataFrame, group_cols: Sequence[str], measures: Mapping[str, Column]
+) -> DataFrame:
+    """Hierarchical subtotals + grand total via ``rollup``. Partial
+    (map-side) aggregation applies at every grouping-set level."""
+    return df.rollup(*group_cols).agg(*[m.alias(n) for n, m in measures.items()])
+
+
+def cube_report(
+    df: DataFrame, group_cols: Sequence[str], measures: Mapping[str, Column]
+) -> DataFrame:
+    """All grouping-set combinations via ``cube``."""
+    return df.cube(*group_cols).agg(*[m.alias(n) for n, m in measures.items()])

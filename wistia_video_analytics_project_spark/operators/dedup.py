@@ -1,0 +1,432 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The reference deduplicates only on exact keys via a row_number window
+(`wistia-Databricks notebool-03.py:308-317` — see ``quality.
+dedup_keep_first``). A training-data pipeline at 100 TB needs content
+dedup too (BASELINE.json north star); this module adds the standard
+ladder, all as DataFrame compositions (no Python in the hot path):
+
+- **exact**      — md5 content fingerprint + hash groupBy. One shuffle on
+  a 128-bit key; scales linearly.
+- **n-gram Jaccard** — exact pairwise similarity via a shingle self-join.
+  Quadratic in the worst case — the *oracle/verification* path.
+- **MinHash + LSH** — 32 minhash slots, banded into 8×4; only documents
+  sharing a band bucket become candidate pairs. The scale path: cost is
+  O(docs × shingles) for signatures + a bucket-equi-join; no all-pairs.
+- **SimHash**    — 64-bit fingerprint; near-dups = small Hamming distance,
+  candidates via 16-bit band join, verified with ``bit_count(xor)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure_runtime
+from ..sources import load_table
+from .text import fingerprint, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flag one canonical row (min id) per identical normalized text.
+
+    Single shuffle on the md5 fingerprint. The window's partitioning is
+    the same key, so no extra exchange.
+    """
+    fp = docs.withColumn("fingerprint", fingerprint(text_col))
+    w = Window.partitionBy("fingerprint")
+    return fp.withColumn(
+        "is_canonical", F.col(id_col) == F.min(id_col).over(w)
+    ).select(id_col, "fingerprint", "is_canonical")
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate content groups: fingerprint, copy count, kept id."""
+    fp = docs.withColumn("fingerprint", fingerprint(text_col))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with ``sequence``/``slice``/``concat_ws`` array built-ins —
+    stays inside whole-stage codegen (no UDF).
+    """
+    toks = tokens(text_col)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"transform(sequence(0, size(__toks) - {n}), "
+            f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.withColumn("__toks", toks)
+        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT pairwise n-gram Jaccard via shingle self-join.
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    before the self-join — the standard stop-shingle guard against hot-key
+    blowup at scale (changes results slightly; leave ``None`` for oracle
+    parity). At 100 TB prefer :func:`minhash_lsh_candidates` and use this
+    only to verify candidate pairs.
+    """
+    sh = shingles(docs, text_col, id_col, n)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "left_semi")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_MINHASH = 32
+N_BANDS = 8  # 8 bands x 4 rows
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, sig array<bigint>[32]): per-seed min of xxhash64(shingle).
+
+    One explode + one groupBy — linear in total shingle count. xxhash64 is
+    a seeded JVM-side hash, deterministic across runs and cluster layouts.
+    """
+    sh = shingles(docs, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"mh{s}")
+        for s in range(N_MINHASH)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*mins)
+    return per_doc.select(
+        "doc_id", F.array(*[f"mh{s}" for s in range(N_MINHASH)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs from banded signatures: docs sharing any band bucket.
+
+    Explode to (band_id, band_hash, doc_id), self-join on the bucket — a
+    plain equi-join shuffle, no all-pairs comparison anywhere.
+    """
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.xxhash64(
+                *[F.col("sig").getItem(i * rows_per_band + j) for j in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for i in range(N_BANDS)
+    ]
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "b.band_id", "b.band_hash")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with MinHash-estimated Jaccard >= threshold.
+
+    est_jaccard = fraction of matching signature slots (the classic
+    unbiased estimator). Candidates come from LSH banding only, so the
+    whole pipeline is explode + 2 equi-joins — the 100 TB path.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, n)
+    cand = minhash_lsh_candidates(sigs)
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sa.sig"),
+            F.col("sb.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(matches.cast("double") / N_MINHASH, 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document over term frequencies.
+
+    Explode tokens -> per-bit signed sums -> sign bits packed into one
+    BIGINT. 64 conditional-sum aggregates over one exploded frame: a
+    single shuffle on doc_id, all JVM-side.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    packed = None
+    for j in range(SIMHASH_BITS):
+        term = F.shiftleft(
+            F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j
+        )
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return per_doc.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidates via 4x16-bit band join (a pair within Hamming<=3 of a
+    64-bit hash must agree on at least one 16-bit quarter; wider distances
+    trade recall), verified exactly with bit_count(xor).
+    """
+    sh = simhash(docs, text_col, id_col)
+    bands = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+        )
+        for i in range(4)
+    ]
+    exploded = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract bindings
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ (documents shifted by 1e6) — synthesizes exact dups so
+    the exact-dedup operators have real duplicate groups to find."""
+    docs = _docs(spark, sf_dir)
+    return docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_docs_with_dups(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1, n=3)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.1, n=3)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # minhash/simhash use engine-internal xxhash64 — not reproducible
+        # in ANSI SQL; driver records rows-only checks, pytest verifies
+        # recall against the exact-jaccard oracle (tests/test_dedup.py).
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+    }
+
+
+_DUPS_CTE = """
+    docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+"""
+
+_SHINGLE_CTE = """
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             concat_ws(' ', tok,
+                       lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i),
+                       lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)) AS shingle,
+             lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t3
+      FROM tok),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE t3 IS NOT NULL)
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_exact": f"""
+            WITH {_DUPS_CTE},
+            fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+              FROM docs2)
+            SELECT doc_id, fingerprint,
+                   doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+            FROM fp
+        """,
+        "dedup_exact_groups": f"""
+            WITH {_DUPS_CTE},
+            fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+              FROM docs2)
+            SELECT fingerprint, count(*) AS n_copies,
+                   min(doc_id) AS keep_doc_id
+            FROM fp GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLE_CTE},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_id_a, doc_id_b,
+                   round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_id_a = sa.doc_id
+            JOIN sizes sb ON doc_id_b = sb.doc_id
+            WHERE round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) >= 0.1
+        """,
+    }

@@ -1,0 +1,128 @@
+"""Data-quality operators Q1-Q5 (SURVEY.md §2.11).
+
+The reference's distinctive surface: runtime data-quality checks inline in
+the pipeline (`wistia-Databricks notebool-03.py:262-346`). Differences by
+design:
+
+- Audits RETURN metric DataFrames (one aggregation pass via conditional
+  aggregates) instead of printing; the reference issues ≥20 separate
+  ``.count()`` actions, recomputing lineage each time (SURVEY.md §3.3).
+- Keep-first dedup takes an explicit deterministic ordering; the
+  reference's ``row_number().over(partitionBy(keys).orderBy(lit(1)))``
+  (`notebool-03.py:315`) is nondeterministic under shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .conform import null_or_empty
+
+
+def null_empty_audit(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Q1: per-column null / blank counts in ONE aggregation pass.
+
+    Returns one row per audited column: (column, null_count, empty_count,
+    total_count). Reference: `notebool-03.py:262-277` (one filter+count
+    action per column — O(cols) full scans; ours is a single scan with
+    conditional sums, which at 100 TB is the difference between 1 and N
+    passes over the table).
+    """
+    cols = list(cols or df.columns)
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("total_count")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        if dtypes.get(c) == "string":
+            aggs.append(
+                F.sum((F.trim(F.col(c)) == "").cast("long")).alias(f"__empty_{c}")
+            )
+        else:
+            aggs.append(F.lit(0).cast("long").alias(f"__empty_{c}"))
+    row = df.agg(*aggs)
+    # unpivot driver-side metadata (fixed small width), one row per column
+    stacked = row.selectExpr(
+        "total_count",
+        "stack({n}, {args}) as (column, null_count, empty_count)".format(
+            n=len(cols),
+            args=", ".join(f"'{c}', __null_{c}, __empty_{c}" for c in cols),
+        ),
+    )
+    return stacked.select("column", "null_count", "empty_count", "total_count")
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[str] | None = None
+) -> DataFrame:
+    """Q3: keep exactly one row per key group (`notebool-03.py:308-317`).
+
+    ``order_by`` gives the deterministic "first" (ascending, nulls last);
+    when omitted, all non-key columns in schema order are the tiebreaker —
+    still deterministic, unlike the reference's ``orderBy(lit(1))``.
+
+    Scale note: expressed as ``row_number`` over ``partitionBy(keys)`` —
+    a single hash-shuffle on the dedup keys; when it directly follows an
+    aggregation on the same keys Catalyst reuses that partitioning.
+    """
+    order_cols = [c for c in (order_by or []) if c in df.columns]
+    if not order_cols:
+        order_cols = [c for c in df.columns if c not in keys] or list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Q4 input: key groups appearing more than once
+    (`notebool-03.py:311-314, 326-328`: ``groupBy(keys).count().
+    filter("count > 1")``)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def assert_unique(df: DataFrame, keys: Sequence[str]) -> None:
+    """Q4: post-dedup uniqueness assertion (`notebool-03.py:325-329`).
+    Raises ``ValueError`` when any key group has >1 row."""
+    dupes = duplicate_groups(df, keys).limit(5).collect()
+    if dupes:
+        raise ValueError(
+            f"uniqueness violated on keys {list(keys)}: sample duplicate groups {dupes}"
+        )
+
+
+def quality_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Q5: final quality report — row count + exact distinct keys
+    (`notebool-03.py:335-346`) in one pass. At 100 TB the exact
+    count-distinct becomes the dominant cost; see
+    :func:`quality_report_approx`."""
+    aggs = [F.count(F.lit(1)).alias("row_count")] + [
+        F.countDistinct(F.col(k)).alias(f"distinct_{k}") for k in key_cols
+    ]
+    return df.agg(*aggs)
+
+
+def quality_report_approx(df: DataFrame, key_cols: Sequence[str], rsd: float = 0.01) -> DataFrame:
+    """Q5 at scale: HyperLogLog++ distinct counts (no exact-distinct
+    shuffle; SURVEY.md §4.3)."""
+    aggs = [F.count(F.lit(1)).alias("row_count")] + [
+        F.approx_count_distinct(F.col(k), rsd).alias(f"distinct_{k}") for k in key_cols
+    ]
+    return df.agg(*aggs)
+
+
+def referential_orphans(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str) -> DataFrame:
+    """J2 audit: fact rows whose key has no dimension row (left anti join).
+    The reference avoids orphans by PK-repair construction
+    (`notebool-03.py:149-154, 208-213`); this operator verifies it."""
+    return fact.join(dim, fact[fact_key] == dim[dim_key], "left_anti")

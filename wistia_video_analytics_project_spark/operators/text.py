@@ -1,0 +1,267 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Extensions beyond the reference surface (BASELINE.json north star):
+language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting. All hot-path expressions are built-in
+``pyspark.sql.functions`` — JVM-side, codegen'd, no Python in the loop —
+so they scan at parquet speed on a 100 TB corpus.
+
+Each operator has a ``queries()`` entry + matching DuckDB ``oracle_sql()``
+(registered from ``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_runtime
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Column-level building blocks
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 of normalized text).
+    Used as the exact-dedup hash key — reproducible across engines and
+    cluster layouts (unlike ``monotonically_increasing_id``-style ids)."""
+    return F.md5(normalized_text(text))
+
+
+def _occurrences(padded: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of ``needle`` via length delta —
+    pure string built-ins, identical semantics in DuckDB."""
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+#: tiny per-language stopword marker lists for the n-gram/stopword
+#: language heuristic (word-boundary matching via space padding).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " a "],
+    "es": [" el ", " la ", " de "],
+    "fr": [" le ", " les ", " des "],
+    "de": [" der ", " und ", " die "],
+}
+
+
+def lang_hits(text: Column | str, lang: str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    total = F.lit(0).cast("bigint")
+    for m in LANG_MARKERS[lang]:
+        total = total + _occurrences(padded, m)
+    return total
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Argmax over marker-hit counts; 'und' when nothing matches.
+    A deterministic heuristic stand-in for a real LID model — the Spark
+    plumbing (single-scan, codegen'd scoring of N languages) is the part
+    that must hold at 100 TB."""
+    hits = {lang: lang_hits(text, lang) for lang in LANG_MARKERS}
+    best = None
+    # fixed language order => deterministic tie-break (first max wins)
+    expr = F.lit("und")
+    best = F.lit(0).cast("bigint")
+    for lang in LANG_MARKERS:  # insertion order
+        h = hits[lang]
+        is_better = h > best
+        expr = F.when(is_better, F.lit(lang)).otherwise(expr)
+        best = F.when(is_better, h).otherwise(best)
+    return expr
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(c, "[^.,;:!?]", ""))
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score: length saturation + alphabetic ratio
+    + punctuation sanity. Same shape as common pretraining-corpus filters
+    (length/punct/stopword ratios)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c).cast("double")
+    len_component = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_ratio = punct_count(c) / F.greatest(F.length(c), F.lit(1))
+    punct_component = F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))
+    return F.round(
+        0.3 * len_component + 0.4 * alpha_ratio(c) + 0.3 * punct_component, 4
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level operators
+# ---------------------------------------------------------------------------
+
+
+def profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document text statistics in one codegen'd scan."""
+    c = F.col(text_col)
+    return docs.select(
+        id_col,
+        token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars_raw"),
+        punct_count(c).alias("n_punct"),
+        F.round(alpha_ratio(c), 4).alias("alpha_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.lower(c), "[^a-z ]", "")).cast("double")
+            / F.greatest(token_count(c), F.lit(1)),
+            4,
+        ).alias("avg_token_span"),
+    )
+
+
+def with_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("lang_guess", lang_guess(text_col))
+
+
+def with_quality(docs: DataFrame, text_col: str = "text", threshold: float = 0.5) -> DataFrame:
+    return docs.withColumn("quality_score", quality_score(text_col)).withColumn(
+        "is_low_quality", F.col("quality_score") < threshold
+    )
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("fingerprint", fingerprint(text_col))
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract bindings (documents table, FIXTURES.md §B)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = with_lang(_docs(spark, sf_dir))
+    return labeled.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "quality_score", "is_low_quality"
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "text_profile": q_text_profile,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+    }
+
+
+_PROFILE_SQL = """
+    SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_raw,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+           round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 / greatest(length(text), 1), 4) AS alpha_ratio,
+           round(CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+                 / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1), 4)
+             AS avg_token_span
+    FROM documents
+"""
+
+
+def _marker_hits_sql(lang: str) -> str:
+    terms = [
+        "CAST((length(p) - length(replace(p, '{m}', ''))) / {n} AS BIGINT)".format(
+            m=m, n=len(m)
+        )
+        for m in LANG_MARKERS[lang]
+    ]
+    return " + ".join(terms)
+
+
+def _lang_guess_sql() -> str:
+    # mirrors lang_guess(): iterate languages in fixed order, strict > keeps
+    # the first language on ties
+    langs = list(LANG_MARKERS)
+    hit_cols = ", ".join(f"{_marker_hits_sql(l)} AS h_{l}" for l in langs)
+    guess = "'und'"
+    best = "CAST(0 AS BIGINT)"
+    for l in langs:
+        guess = f"CASE WHEN h_{l} > {best} THEN '{l}' ELSE {guess} END"
+        best = f"CASE WHEN h_{l} > {best} THEN h_{l} ELSE {best} END"
+    return f"""
+        WITH padded AS (
+          SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents),
+        hits AS (SELECT doc_id, {hit_cols} FROM padded)
+        SELECT {guess} AS lang_guess, count(*) AS n_docs FROM hits GROUP BY 1
+    """
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "text_profile": _PROFILE_SQL,
+        "text_lang_id": _lang_guess_sql(),
+        "text_quality": """
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_tok,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       / greatest(length(text), 1) AS punct_ratio,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       / greatest(length(text), 1) AS alpha_ratio
+              FROM documents)
+            SELECT doc_id,
+                   round(0.3 * least(n_tok / 100.0, 1.0)
+                         + 0.4 * alpha_ratio
+                         + 0.3 * (1.0 - least(punct_ratio * 10.0, 1.0)), 4) AS quality_score,
+                   round(0.3 * least(n_tok / 100.0, 1.0)
+                         + 0.4 * alpha_ratio
+                         + 0.3 * (1.0 - least(punct_ratio * 10.0, 1.0)), 4) < 0.5
+                     AS is_low_quality
+            FROM s
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+    }

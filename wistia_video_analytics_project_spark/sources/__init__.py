@@ -1,0 +1,6 @@
+"""Sources: schema-enforced readers, REST ingestion, watermark store.
+
+Covers S1-S5 and S9-S10 from SURVEY.md §2.1.
+"""
+
+from .readers import load_table, load_tables, read_json, read_parquet  # noqa: F401
