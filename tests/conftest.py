@@ -5,7 +5,16 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_ROOT)
+
+# Spark's Python workers are separate processes: anything they unpickle by
+# reference (e.g. mapInPandas closures defined in test modules) must be
+# importable there too.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in [_REPO_ROOT, _TESTS_DIR, os.environ.get("PYTHONPATH")] if p
+)
 
 from wistia_video_analytics_project_spark.session import get_spark
 

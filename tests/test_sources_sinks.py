@@ -1,0 +1,151 @@
+"""Sources (REST ingester, watermark) and sinks (parquet/json)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from wistia_video_analytics_project_spark import sinks
+from wistia_video_analytics_project_spark.sources import readers
+from wistia_video_analytics_project_spark.sources.rest import (
+    RestIngester,
+    fetch_distributed,
+)
+from wistia_video_analytics_project_spark.sources.watermark import WatermarkStore
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("visitor_key", T.StringType()),
+        T.StructField("country", T.StringType()),
+    ]
+)
+
+
+def make_fake_transport(pages, fail_statuses=()):
+    """pages: list of payloads per page (1-indexed). fail_statuses: queue
+    of statuses to emit before succeeding."""
+    calls = []
+    queue = list(fail_statuses)
+
+    def transport(url, params):
+        calls.append((url, dict(params)))
+        if queue:
+            return queue.pop(0), None
+        page = params.get("page", 1)
+        if page <= len(pages):
+            return 200, pages[page - 1]
+        return 200, []
+
+    transport.calls = calls
+    return transport
+
+
+def test_rest_pagination_stops_on_short_page():
+    pages = [[{"visitor_key": f"v{i}", "country": "US"} for i in range(3)], []]
+    ing = RestIngester("http://x", transport=make_fake_transport(pages), per_page=3)
+    got = list(ing.fetch_pages("visitors"))
+    assert len(got) == 3
+    # short/empty page 2 ends pagination: exactly 2 calls
+    assert len(ing.transport.calls) == 2
+
+
+def test_rest_429_backoff_then_success():
+    sleeps = []
+    pages = [[{"visitor_key": "v", "country": "US"}]]
+    ing = RestIngester(
+        "http://x",
+        transport=make_fake_transport(pages, fail_statuses=[429, 429]),
+        backoff_base_s=5.0,
+        sleeper=sleeps.append,
+    )
+    got = list(ing.fetch_pages("visitors"))
+    assert len(got) == 1
+    assert sleeps == [5.0, 10.0]  # 2^0*5, 2^1*5  (notebool-02.py:113-114)
+
+
+def test_rest_404_returns_none_and_500_raises():
+    ing = RestIngester("http://x", transport=make_fake_transport([], [404]))
+    assert ing.fetch_one("media/gone") is None
+    ing2 = RestIngester("http://x", transport=make_fake_transport([], [500]))
+    with pytest.raises(IOError, match="status 500"):
+        ing2.fetch_one("media/broken")
+
+
+def test_rest_since_param_passed():
+    tr = make_fake_transport([[]])
+    ing = RestIngester("http://x", transport=tr)
+    list(ing.fetch_pages("visitors", since="2024-01-01T00:00:00"))
+    assert tr.calls[0][1]["since"] == "2024-01-01T00:00:00"
+
+
+def test_rest_fetch_rows_dataframe(spark):
+    pages = [[{"visitor_key": "v1", "country": "US", "extra": "ignored"}]]
+    ing = RestIngester("http://x", transport=make_fake_transport(pages))
+    df = ing.fetch_rows(spark, "visitors", SCHEMA)
+    assert df.collect()[0].visitor_key == "v1"
+    assert df.columns == ["visitor_key", "country"]
+
+
+def test_fetch_distributed(spark):
+    def make():
+        pages = [[{"visitor_key": "a", "country": "US"},
+                  {"visitor_key": "b", "country": "DE"}]]
+        return RestIngester("http://x", transport=make_fake_transport(pages))
+
+    df = fetch_distributed(spark, make, ["visitors/m1", "visitors/m2"], SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 4  # 2 paths x 2 records
+    assert {r.country for r in rows} == {"US", "DE"}
+
+
+def test_watermark_roundtrip_and_default(tmp_path):
+    store = WatermarkStore(str(tmp_path / "meta" / "last_run.json"))
+    now = dt.datetime(2024, 6, 1)
+    assert store.read(now=now) == now - dt.timedelta(days=7)
+    store.write(dt.datetime(2024, 5, 31, 2, 0))
+    assert store.read() == dt.datetime(2024, 5, 31, 2, 0)
+    # corrupt file falls back to lookback
+    with open(store.path, "w") as f:
+        f.write("{broken")
+    assert store.read(now=now) == now - dt.timedelta(days=7)
+
+
+def test_parquet_sink_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01"), ("b", "2024-01-02")], "k string, date string"
+    )
+    out = str(tmp_path / "fact")
+    sinks.write_parquet(df, out, partition_by=["date"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("date=")
+    ) == ["date=2024-01-01", "date=2024-01-02"]
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("m1", 7)], "media_id string, n int")
+    out = str(tmp_path / "raw")
+    sinks.write_json(df, out)
+    lines = [
+        line
+        for f in os.listdir(out)
+        if f.endswith(".json")
+        for line in open(os.path.join(out, f)).read().splitlines()
+        if line
+    ]
+    assert [json.loads(l) for l in lines] == [{"media_id": "m1", "n": 7}]
+
+
+def test_read_json_with_schema(spark, tmp_path):
+    p = tmp_path / "m.json"
+    p.write_text('{"hashed_id": "m1", "name": "t", "created": 1700000000}')
+    from wistia_video_analytics_project_spark import schemas
+
+    df = readers.read_json(spark, str(p), schemas.RAW_MEDIA)
+    r = df.collect()[0]
+    assert (r.hashed_id, r.created) == ("m1", 1700000000)

@@ -1,0 +1,109 @@
+"""Streaming tier: windowed fact build, stream dedup, foreachBatch merge.
+
+File source (parquet written to tmp) -> memory/foreachBatch sink with
+processAllAvailable() drives each job synchronously (pyspark_guide
+pattern)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from wistia_video_analytics_project_spark.streaming import (
+    dedup_stream,
+    foreach_batch_upsert,
+    run_to_memory_sink,
+    windowed_engagement,
+)
+from wistia_video_analytics_project_spark.streaming.jobs import run_foreach_batch
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def event_dir(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (t, 1, "view", 10.0),
+        (t + dt.timedelta(minutes=5), 1, "view", 30.0),
+        (t + dt.timedelta(minutes=7), 1, "click", 99.0),  # filtered out
+        (t + dt.timedelta(days=1), 1, "view", 20.0),
+        (t + dt.timedelta(days=1, hours=1), 2, "view", 40.0),
+    ]
+    path = str(tmp_path / "events")
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(path)
+    return path
+
+
+def test_windowed_engagement(spark, event_dir):
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(event_dir)
+    # watermark must be short enough that day-2 events push it past the
+    # end of the day-1 window, or append mode emits nothing
+    agg = windowed_engagement(stream, window_duration="1 day", watermark="1 hour")
+    run_to_memory_sink(agg, "win_out")
+    rows = {
+        (str(r.date), r.user_id): r
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    # append mode emits only windows the final watermark passed; day 1
+    # closes once day-2 events advance the watermark beyond its end
+    r = rows[("2024-01-01", 1)]
+    assert r.play_count == 2  # clicks excluded
+    assert r.total_watch_time_seconds == 40.0
+    assert r.avg_percent_watched == 20.0
+    assert ("2024-01-02", 1) not in rows  # still open at end of input
+
+
+def test_dedup_stream_keeps_first_arrival(spark, tmp_path):
+    """"First" in streaming dedup = first ARRIVAL: make arrival order
+    explicit with one file per micro-batch (maxFilesPerTrigger=1)."""
+    import os
+    import time
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    path = tmp_path / "dups"
+    path.mkdir()
+    batches = [
+        [(t, 1, "view", 1.0)],  # arrives first -> kept
+        [(t + dt.timedelta(minutes=1), 1, "view", 2.0),  # dup key -> dropped
+         (t + dt.timedelta(minutes=2), 2, "view", 3.0)],
+    ]
+    for i, rows in enumerate(batches):
+        f = str(path / f"b{i}")
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(f)
+        mtime = time.time() - 100 + i * 10  # strictly increasing arrival order
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (mtime, mtime))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(path))
+    )
+    out = dedup_stream(stream, keys=["user_id", "event_type"], watermark="1 hour")
+    run_to_memory_sink(out, "dedup_out")
+    got = spark.sql("SELECT user_id, value FROM dedup_out ORDER BY user_id").collect()
+    assert [(r.user_id, r.value) for r in got] == [(1, 1.0), (2, 3.0)]
+
+
+def test_foreach_batch_upsert(spark, event_dir):
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(event_dir)
+    target: dict[tuple, tuple] = {}
+    plain = stream.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    run_foreach_batch(plain, foreach_batch_upsert(target, key_cols=["user_id", "ts"]))
+    assert len(target) == 4  # 4 view events, keyed by (user, ts)
+    # re-running the same data is idempotent (MERGE semantics)
+    stream2 = spark.readStream.schema(EVENT_SCHEMA).parquet(event_dir)
+    plain2 = stream2.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    run_foreach_batch(plain2, foreach_batch_upsert(target, key_cols=["user_id", "ts"]))
+    assert len(target) == 4

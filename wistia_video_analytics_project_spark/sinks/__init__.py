@@ -1,0 +1,72 @@
+"""Sinks: parquet (partitioned), JSON, JDBC truncate-load (S6-S8).
+
+The reference writes unpartitioned overwrite-mode Parquet for silver
+(`wistia-Databricks notebool-03.py:356-370`) and copies it to Azure SQL
+via an ADF Copy with ``preCopyScript: TRUNCATE TABLE``
+(`wistia-Azure-Data-Factory-ETL-Pipeline.json:117-120, 180-207`).
+
+Scale posture:
+
+- fact tables default to ``partitionBy(date)`` so downstream date
+  predicates prune partitions (the reference's biggest single missed
+  optimization at scale — SURVEY.md §4.2).
+- the JDBC copy is Spark-native (``format("jdbc")`` with
+  ``truncate=true``), replacing the external copy tool; writes fan out
+  per partition with a bounded connection count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """S7: columnar sink. ``partition_by`` enables partition pruning;
+    ``max_records_per_file`` bounds file sizes against skewed partitions."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6: raw-zone JSON landing (`notebool-02.py:182`). Raw payload
+    fidelity over efficiency — bronze only; silver+ is always parquet."""
+    df.write.mode(mode).json(path)
+
+
+def jdbc_truncate_load(
+    df: DataFrame,
+    url: str,
+    table: str,
+    options: dict[str, str] | None = None,
+    num_partitions: int = 8,
+) -> None:
+    """S8: gold load with TRUNCATE-then-insert semantics (idempotent
+    reruns, like the reference's preCopyScript). ``truncate=true`` keeps
+    the table's DDL (PK/indexes) instead of drop+recreate.
+    ``num_partitions`` caps concurrent DB connections — a 1000-executor
+    write must not open 1000 connections against one database.
+    """
+    w = (
+        df.coalesce(num_partitions)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("truncate", "true")
+        .option("batchsize", "10000")
+        .mode("overwrite")
+    )
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save()

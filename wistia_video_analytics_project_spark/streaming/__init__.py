@@ -1,0 +1,20 @@
+"""Structured Streaming tier (SURVEY.md §2.9).
+
+The reference is daily micro-batch with a `since` watermark; the domain
+(append-only play events) is natively a stream. This package maps the
+same semantics onto Structured Streaming:
+
+| reference behavior | streaming equivalent |
+|---|---|
+| 7-day lookback + last_run watermark | ``withWatermark(event_time, ...)`` |
+| daily batch agg by event_date | tumbling ``F.window`` groupBy |
+| keep-first dedup | ``dropDuplicatesWithinWatermark`` |
+| overwrite-per-run silver write | append mode + ``foreachBatch`` merge |
+"""
+
+from .jobs import (  # noqa: F401
+    dedup_stream,
+    foreach_batch_upsert,
+    run_to_memory_sink,
+    windowed_engagement,
+)

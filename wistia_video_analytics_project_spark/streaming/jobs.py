@@ -1,0 +1,131 @@
+"""Streaming jobs over the event schema (SURVEY.md §2.9).
+
+Each job is a pure ``streaming DataFrame -> streaming DataFrame``
+transform so the same logic binds to any source (file, Kafka, rate) and
+any sink. Tests drive them with a file source + memory sink via
+:func:`run_to_memory_sink` (synchronous ``processAllAvailable``).
+
+Watermark semantics: the reference tolerates 7 days of late data via its
+`since` lookback (`wistia-Databricks notebool-02.py:149-150, 202`); the
+streaming tier expresses the same tolerance as an event-time watermark,
+which ALSO bounds state size — at 100 TB/day of events, unbounded
+watermarks mean unbounded state stores.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_engagement(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "7 days",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    value_col: str = "value",
+    play_filter: tuple[str, str] | None = ("event_type", "view"),
+) -> DataFrame:
+    """Streaming analog of the fact build (`notebool-03.py:225-234`):
+    tumbling event-time window x keys, count/sum/avg aggregates.
+
+    Late data beyond ``watermark`` is dropped AND the window state is
+    garbage-collected past it. Output mode append: a window emits once,
+    when the watermark passes its end — the streaming equivalent of the
+    reference's "daily run covers yesterday".
+    """
+    df = events
+    if play_filter is not None:
+        col, val = play_filter
+        df = df.filter(F.col(col) == val)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("play_count"),
+            F.round(F.sum(F.coalesce(F.col(value_col), F.lit(0.0))), 2).alias(
+                "total_watch_time_seconds"
+            ),
+            F.round(F.avg(F.coalesce(F.col(value_col), F.lit(0.0))), 2).alias(
+                "avg_percent_watched"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.to_date("w.start").alias("date"),
+            *key_cols,
+            "play_count",
+            "total_watch_time_seconds",
+            "avg_percent_watched",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str],
+    watermark: str = "7 days",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming keep-first dedup (`notebool-03.py:308-317` analog):
+    ``dropDuplicatesWithinWatermark`` keeps the first-arriving row per
+    key and expires dedup state past the watermark — bounded memory,
+    unlike a batch global window."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def foreach_batch_upsert(
+    target: dict[tuple, tuple],
+    key_cols: Sequence[str],
+) -> Callable[[DataFrame, int], None]:
+    """ForeachBatch MERGE: upsert each micro-batch into a keyed target.
+
+    The in-memory dict form is the test double; the production body is
+    identical with the dict swapped for a MERGE INTO against a
+    transactional table (Delta/Iceberg — jars not shipped in this
+    container) or a JDBC upsert. Exactly-once comes from idempotent
+    per-key overwrite + Structured Streaming's epoch tracking.
+    """
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        cols = batch.columns
+        key_idx = [cols.index(k) for k in key_cols]
+        for row in batch.collect():  # micro-batch: bounded rows by design
+            t = tuple(row)
+            target[tuple(t[i] for i in key_idx)] = t
+
+    return apply
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming frame to completion against the memory sink
+    (test/demo helper): processAllAvailable() then stop. Results land in
+    ``SELECT * FROM <query_name>``."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def run_foreach_batch(
+    stream_df: DataFrame, fn: Callable[[DataFrame, int], None]
+) -> None:
+    """Drive a streaming frame through a foreachBatch sink to completion."""
+    q = stream_df.writeStream.outputMode("append").foreachBatch(fn).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
