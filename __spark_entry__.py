@@ -28,6 +28,7 @@ from wistia_video_analytics_project_spark.operators import (
     dedup,
     quality,
     similarity,
+    temporal,
     text,
 )
 from wistia_video_analytics_project_spark.session import configure_runtime
@@ -385,6 +386,102 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal operators (as-of join, sessionization) + reporting extras
+# ---------------------------------------------------------------------------
+
+
+def q_asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each order picks the customer's
+    most recent per-day max order total at-or-before its date. Right side
+    pre-aggregated per (key, ts) so tie resolution is deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    right = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.round(F.max("o_totalprice"), 2).alias("last_price")
+    )
+    joined = temporal.as_of_join(
+        left, right, on=["o_custkey"], left_ts="o_orderdate", right_ts="o_orderdate"
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        "last_price",
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user over the event
+    stream (lag + running sum, single shuffle)."""
+    events = _t(spark, sf_dir, "events")
+    stats = temporal.session_stats(
+        events, "user_id", "ts", gap="30 minutes", tiebreakers=["event_id"]
+    )
+    return stats.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "duration_seconds",
+        F.to_date("session_start_ts").alias("session_date"),
+    )
+
+
+def q_pivot_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per date x type as columns (fixed value list
+    keeps the plan static — no extra distinct-scan job at scale)."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pv = (
+        events.withColumn("event_date", F.to_date("ts"))
+        .groupBy("event_date")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "event_date", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — the at-scale replacement for exact
+    count-distinct QC (SURVEY.md §4.3). Approximate -> rows-only check;
+    tests assert <5% error vs exact."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+def q_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True) over schema-drifting batches
+    (v1 without props, v2 with) — §2.7's raw-JSON drift case."""
+    events = _t(spark, sf_dir, "events")
+    v1 = events.select("event_id", "user_id", "event_type", "value")
+    v2 = events.select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_missing_props"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -419,6 +516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "asof_prev_order": q_asof_prev_order,
+        "session_stats": q_session_stats,
+        "pivot_type_daily": q_pivot_type_daily,
+        "value_percentiles": q_value_percentiles,
+        "approx_distinct_users": q_approx_distinct_users,
+        "union_schema_drift": q_union_schema_drift,
     }
     core.update(dedup.queries())
     core.update(text.queries())
@@ -625,6 +728,65 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1, 2
+        """,
+        "asof_prev_order": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate,
+                     round(max(o_totalprice), 2) AS last_price
+              FROM orders GROUP BY 1, 2)
+            SELECT l.o_orderkey, l.o_custkey,
+                   CAST(l.o_orderdate AS DATE) AS order_date, r.last_price
+            FROM orders l
+            ASOF LEFT JOIN r
+              ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.o_orderdate
+        """,
+        "session_stats": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS session_start
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sessions AS (
+              SELECT user_id, ts,
+                     sum(session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+                     AS duration_seconds,
+                   CAST(min(ts) AS DATE) AS session_date
+            FROM sessions GROUP BY 1, 2
+        """,
+        "pivot_type_daily": """
+            SELECT CAST(ts AS DATE) AS event_date,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS "view"
+            FROM events GROUP BY 1
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY 1
+        """,
+        "union_schema_drift": """
+            WITH unioned AS (
+              SELECT event_id, user_id, event_type, value, NULL AS props
+              FROM events
+              UNION ALL
+              SELECT event_id + 10000000, user_id, event_type, value, props
+              FROM events)
+            SELECT event_type, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_missing_props
+            FROM unioned GROUP BY 1
         """,
     }
     sql.update(dedup.oracle_sql())

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from wistia_video_analytics_project_spark.operators import quality
 
@@ -65,3 +66,25 @@ def test_referential_orphans(spark):
     dim = spark.createDataFrame([("m1",)], "media_id string")
     got = quality.referential_orphans(fact, dim, "media_id", "media_id").collect()
     assert [r.media_id for r in got] == ["mX"]
+
+
+def test_approx_count_distinct_close_to_exact(spark):
+    """The at-scale HLL++ path stays within its configured rsd."""
+    from conftest import SF_ORACLE
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    events = load_table(spark, SF_ORACLE, "events")
+    approx = {
+        r.event_type: r.approx_users
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)

@@ -1,0 +1,65 @@
+"""Scale helpers: salted join correctness, bucketed-join exchange
+elision, observe-based single-pass metrics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wistia_video_analytics_project_spark.operators import scale
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 'viral' carries 90% of rows
+    skewed = spark.createDataFrame(
+        [("viral", i) for i in range(90)] + [(f"k{i}", i) for i in range(10)],
+        "media_id string, n int",
+    )
+    dim = spark.createDataFrame(
+        [("viral", "Hot Video"), ("k1", "Cold 1"), ("k5", "Cold 5")],
+        "media_id string, title string",
+    )
+    plain = skewed.join(dim, "media_id").select("media_id", "n", "title")
+    salted = scale.salted_join(skewed, dim, "media_id", n_salts=8).select(
+        "media_id", "n", "title"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    skewed = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n int")
+    dim = spark.createDataFrame([("a", "x")], "k string, v string")
+    out = scale.salted_join(skewed, dim, "k", n_salts=4, how="left").collect()
+    got = {r.k: r.v for r in out}
+    assert got == {"a": "x", "b": None}
+
+
+def test_bucketed_join_elides_exchange(spark):
+    fact = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    scale.write_bucketed(fact, "b_fact", ["k"], n_buckets=8)
+    scale.write_bucketed(dim, "b_dim", ["k"], n_buckets=8)
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_fact").join(spark.table("b_dim"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_fact")
+        spark.sql("DROP TABLE IF EXISTS b_dim")
+
+
+def test_observed_metrics_single_pass(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", None)], "k string, v int"
+    )
+    out, obs = scale.observed(df, "qc", scale.qc_metrics(["k", "v"]))
+    assert out.count() == 3  # the one real action
+    assert obs.get == {"rows": 3, "null_k": 1, "null_v": 1}

@@ -1,0 +1,94 @@
+"""Temporal operators: as-of join variants, sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from wistia_video_analytics_project_spark.operators import temporal
+
+T0 = dt.datetime(2024, 1, 1, 12, 0)
+
+
+def _m(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        ("A", _m(0), 100.0),
+        ("A", _m(10), 110.0),
+        ("A", _m(20), 120.0),
+        ("B", _m(5), 50.0),
+    ]
+    return spark.createDataFrame(rows, "sym string, qts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("A", _m(-5), 1),   # before any quote -> null
+        ("A", _m(10), 2),   # exactly at quote -> inclusive match 110
+        ("A", _m(15), 3),   # between -> 110
+        ("A", _m(60), 4),   # after all -> 120
+        ("B", _m(6), 5),    # -> 50
+        ("C", _m(6), 6),    # no quotes for key -> null
+    ]
+    return spark.createDataFrame(rows, "sym string, tts timestamp, trade_id int")
+
+
+def test_as_of_join_backward_inclusive(spark, trades, quotes):
+    out = temporal.as_of_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts"
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+    assert got == {1: None, 2: 110.0, 3: 110.0, 4: 120.0, 5: 50.0, 6: None}
+    assert out.count() == trades.count()  # left-join cardinality
+
+
+def test_as_of_join_tolerance(spark, trades, quotes):
+    out = temporal.as_of_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        tolerance=F.expr("INTERVAL 15 MINUTES"),
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+    # trade 4 (t+60) is 40min past the last quote -> stale, nulled
+    assert got[4] is None and got[3] == 110.0
+
+
+def test_as_of_join_pandas_agrees(spark, trades, quotes):
+    composed = temporal.as_of_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts"
+    )
+    pandas_ver = temporal.as_of_join_pandas(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts", right_cols=["px"]
+    )
+    a = {r.trade_id: r.px for r in composed.collect()}
+    b = {r.trade_id: r.px for r in pandas_ver.collect()}
+    assert a == b
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, _m(0)), (1, _m(10)), (1, _m(50)),   # gap 40 > 30 -> new session
+        (1, _m(55)),
+        (2, _m(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = temporal.sessionize(df, "user_id", "ts", gap="30 minutes")
+    got = {(r.user_id, r.ts): r.session_id for r in out.collect()}
+    assert got[(1, _m(0))] == 1 and got[(1, _m(10))] == 1
+    assert got[(1, _m(50))] == 2 and got[(1, _m(55))] == 2
+    assert got[(2, _m(0))] == 1
+
+
+def test_session_stats(spark):
+    rows = [(1, _m(0)), (1, _m(10)), (1, _m(50))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    stats = {r.session_id: r for r in
+             temporal.session_stats(df, "user_id", "ts").collect()}
+    assert stats[1].n_events == 2 and stats[1].duration_seconds == 600
+    assert stats[2].n_events == 1 and stats[2].duration_seconds == 0

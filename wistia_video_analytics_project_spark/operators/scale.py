@@ -1,0 +1,91 @@
+"""Scale helpers: skew-salted joins, bucketed tables, single-pass metrics.
+
+These encode the 100 TB playbook as reusable operators:
+
+- **Salting** — when one join key carries a disproportionate share of
+  rows (a viral video's media_id), hash partitioning puts the whole key
+  on one task. Salting splits the hot side N ways and replicates the
+  small side N times: the skewed key becomes N tasks. AQE's skew-join
+  handles sort-merge cases automatically; explicit salting still wins
+  for broadcast-ineligible skewed aggregations and deterministic layout.
+- **Bucketing** — pre-shuffling a fact table into N buckets on its join
+  key makes every later join/agg on that key shuffle-free (Exchange
+  elided). Worth it for repeatedly-joined 100 TB facts.
+- **observe()** — QC counters (rows, nulls, sums) collected DURING a
+  real action instead of extra passes; the fix for the reference's
+  ≥20-separate-actions pattern (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed side salted N ways.
+
+    skewed side: salt = random-ish but DETERMINISTIC per row (hash of all
+    columns mod N — reproducible, no rand()). other side: replicated N
+    times via explode. Join on (key, salt). Result == plain join, with
+    the hot key spread over ``n_salts`` tasks.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    s = skewed.withColumn("__salt", salt.cast("int"))
+    o = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return s.join(o, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed table. Joins
+    and aggregations on ``bucket_cols`` against another table bucketed
+    the same way elide their Exchange."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def observed(
+    df: DataFrame, name: str, metrics: Mapping[str, Column]
+) -> tuple[DataFrame, Observation]:
+    """Attach named metrics to a frame; they materialize as a side effect
+    of the NEXT action on the returned frame (``obs.get`` blocks until
+    then). One pass, no extra jobs:
+
+        df2, obs = observed(df, "qc", {"rows": F.count(F.lit(1)),
+                                       "null_keys": F.sum(F.col("k").isNull().cast("long"))})
+        df2.write.parquet(path)         # the real action
+        assert obs.get["null_keys"] == 0
+    """
+    obs = Observation(name)
+    pairs = list(metrics.items())
+    out = df.observe(obs, pairs[0][1].alias(pairs[0][0]),
+                     *[c.alias(n) for n, c in pairs[1:]])
+    return out, obs
+
+
+def qc_metrics(key_cols: Sequence[str]) -> dict[str, Column]:
+    """Standard per-write QC bundle: row count + per-key null counts
+    (the reference's validate_and_log, one pass instead of N)."""
+    m: dict[str, Column] = {"rows": F.count(F.lit(1))}
+    for k in key_cols:
+        m[f"null_{k}"] = F.sum(F.col(k).isNull().cast("long"))
+    return m

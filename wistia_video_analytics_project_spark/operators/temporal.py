@@ -1,0 +1,172 @@
+"""Temporal operators Spark lacks natively: as-of join, sessionization.
+
+Both are implemented as compositions of built-in DataFrame ops (no
+Pandas UDF fallback needed), per the preference order in the engine
+design: built-ins > applyInPandas > mapPartitions.
+
+**As-of join** (point-in-time lookup; the time-series workhorse):
+implemented with the union + last-ignorenulls window trick —
+
+1. tag left rows src=1, right rows src=0; project right's payload into
+   one struct column; union by name
+2. one window per key ordered by (ts, src): ``last(payload, ignorenulls)
+   over rows unbounded-preceding..current`` gives every left row the most
+   recent right payload at-or-before its timestamp
+3. keep left rows, unpack the struct
+
+Cost: ONE hash shuffle on the join keys + a per-key sort — same
+asymptotics as a sort-merge join, no range explosion, no per-key
+driver loop. This is the 100 TB form; ``pd.merge_asof`` via
+``applyInPandas`` (also provided, :func:`as_of_join_pandas`) is the
+per-group alternative when per-key data fits in memory.
+
+**Sessionization**: lag-gap + running sum — two windows over one
+partitioning, single shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right.ts <= left.ts`` and equal keys (backward as-of, inclusive —
+    the DuckDB/pandas default). Unmatched left rows keep NULLs.
+
+    ``tolerance``: optional max staleness interval (e.g.
+    ``F.expr("INTERVAL 7 DAYS")``); older matches are nulled out.
+    """
+    on = list(on)
+    right_cols = [c for c in (right_cols or right.columns) if c not in on and c != right_ts]
+
+    l_tagged = left.withColumn("__src", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    r_tagged = (
+        right.select(
+            *on,
+            F.col(right_ts).alias("__ts"),
+            F.struct(
+                F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+            ).alias("__rpay"),
+        )
+        .withColumn("__src", F.lit(0))
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # src=0 sorts before src=1 at equal ts -> inclusive at-or-before
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__src") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__rts") >= F.col("__ts").cast("timestamp") - tolerance,
+                F.col("__match"),
+            ),
+        )
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep,
+        *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+    )
+
+
+def as_of_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group ``pd.merge_asof`` via applyInPandas — the alternative
+    when per-key slices fit executor memory and pandas' tolerance /
+    direction options are wanted. Cogroups both sides on the key: one
+    shuffle each side."""
+    import pandas as pd
+
+    out_schema = left.schema.simpleString()[7:-1] + ", " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in right.schema.fields
+        if f.name in right_cols
+    )
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_sorted = l_pdf.sort_values(left_ts)
+        r_sorted = r_pdf[[right_ts, *right_cols]].sort_values(right_ts)
+        return pd.merge_asof(
+            l_sorted, r_sorted, left_on=left_ts, right_on=right_ts, direction="backward"
+        ).drop(columns=[right_ts] if right_ts not in right_cols else [])
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap: Column | str = "30 minutes",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap since the
+    entity's previous event exceeds ``gap``.
+
+    lag + conditional flag + running sum over one (entity, ts) window —
+    single shuffle on the entity key. Output adds ``session_id``
+    (1-based per entity) and ``session_start`` flag. Pass ``tiebreakers``
+    (e.g. the event id) when timestamps can repeat within an entity, so
+    the window order — and therefore the session assignment — is
+    deterministic.
+    """
+    gap_interval = F.expr(f"INTERVAL {gap}") if isinstance(gap, str) else gap
+    w = Window.partitionBy(entity_col).orderBy(ts_col, *tiebreakers)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = (
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap_interval)
+    ).cast("long")
+    return events.withColumn("session_start", is_new).withColumn(
+        "session_id",
+        F.sum("session_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap: Column | str = "30 minutes",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Per-session aggregates: bounds, event count, duration seconds."""
+    s = sessionize(events, entity_col, ts_col, gap, tiebreakers)
+    return s.groupBy(entity_col, "session_id").agg(
+        F.min(ts_col).alias("session_start_ts"),
+        F.max(ts_col).alias("session_end_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_seconds"),
+    )
