@@ -1,0 +1,62 @@
+"""Plan-shape regression tests: the scale posture, asserted.
+
+These pin the physical-plan properties that make the engine viable at
+100 TB — if a future change un-pushes a filter or turns a broadcast join
+into a shuffle join, these fail."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from wistia_video_analytics_project_spark import plans
+
+from conftest import SF_SMOKE
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = entrymod.q_pricing_summary(spark, SF_SMOKE)
+    plans.assert_pushed_filter(df, "l_shipdate")
+    plans.assert_read_columns_at_most(
+        df,
+        "lineitem.parquet",
+        {"l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"},
+    )
+
+
+def test_daily_trend_filter_pushed(spark):
+    df = entrymod.q_daily_plays_trend(spark, SF_SMOKE)
+    plans.assert_pushed_filter(df, "event_type")
+    plans.assert_read_columns_at_most(
+        df, "events.parquet", {"ts", "event_type", "value"}
+    )
+
+
+def test_dim_join_broadcasts(spark):
+    plans.assert_broadcast_join(entrymod.q_plays_by_channel(spark, SF_SMOKE))
+    plans.assert_broadcast_join(entrymod.q_local_supplier_volume(spark, SF_SMOKE))
+
+
+def test_topk_is_take_ordered(spark):
+    plans.assert_take_ordered(entrymod.q_top10_media(spark, SF_SMOKE))
+    plans.assert_take_ordered(entrymod.q_shipping_priority(spark, SF_SMOKE))
+
+
+def test_fact_dedup_reuses_groupby_partitioning(spark):
+    """model.build_fact_engagement: the dedup window must NOT add a second
+    shuffle after the groupBy on the same keys."""
+    import datetime as dt
+
+    from wistia_video_analytics_project_spark import schemas
+    from wistia_video_analytics_project_spark.operators import model
+
+    ev = {"type": "play", "time": 1704067200, "duration_watched": 1.0,
+          "percent_watched": 1.0}
+    raw = spark.createDataFrame(
+        [("v1", "1.1.1.1", "US", "m1", [ev])], schemas.RAW_VISITOR
+    )
+    fact = model.build_fact_engagement(raw, dt.datetime(2024, 1, 1))
+    plan = plans.executed_plan(fact)
+    import re
+
+    n_shuffles = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_shuffles == 1, f"expected exactly 1 shuffle, got {n_shuffles}:\n{plan}"
