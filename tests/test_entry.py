@@ -18,7 +18,8 @@ def test_queries_registry_well_formed(spark):
     assert set(oracles) <= set(qs)
     # oracle-less queries are the documented approximate ones
     assert set(qs) - set(oracles) == {
-        "dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "approx_distinct_users",
+        "dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
+        "approx_distinct_users",
     }
 
 

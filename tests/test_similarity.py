@@ -62,3 +62,35 @@ def test_srp_signatures_deterministic(spark, emb):
     s2 = {r.vec_id: r.sig for r in
           similarity.srp_signatures(emb.repartition(5), similarity.EMB_DIM).collect()}
     assert s1 == s2
+
+
+def test_ann_ivf_full_probe_equals_brute_force(spark, emb):
+    """nprobe == n_centroids scans every cell: must EQUAL brute force."""
+    queries = emb.filter("vec_id < 5")
+    brute = {(r.query_id, r.rnk): r.neighbor_id
+             for r in similarity.brute_force_topk(queries, emb, k=5).collect()}
+    full = {(r.query_id, r.rnk): r.neighbor_id
+            for r in similarity.ann_ivf_topk(
+                queries, emb, k=5, n_centroids=8, nprobe=8).collect()}
+    assert full == brute
+
+
+def test_ann_ivf_partial_probe_recall(spark, emb):
+    queries = emb.filter("vec_id < 10")
+    brute = similarity.brute_force_topk(queries, emb, k=5).collect()
+    ivf = similarity.ann_ivf_topk(queries, emb, k=5, n_centroids=16, nprobe=4).collect()
+    truth, got = {}, {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / 5 for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.25, f"mean recall too low: {recalls}"
+
+
+def test_ivf_assign_deterministic(spark, emb):
+    cents = similarity.ivf_centroids(emb, 8)
+    a = {(r.vec_id, r.cell) for r in similarity.ivf_assign(emb, cents).collect()}
+    b = {(r.vec_id, r.cell)
+         for r in similarity.ivf_assign(emb.repartition(7), cents).collect()}
+    assert a == b

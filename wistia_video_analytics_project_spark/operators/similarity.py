@@ -220,8 +220,10 @@ def ann_lsh_topk(
     all_vecs = queries.select(id_col, vec_col).unionByName(
         corpus.select(id_col, vec_col)
     ).distinct()
+    # bands feed both join sides: cache to avoid recomputing the
+    # signature UDF lineage twice
     sigs = srp_signatures(all_vecs, dim, id_col, vec_col)
-    bands = srp_bands(sigs, id_col)
+    bands = srp_bands(sigs, id_col).cache()
 
     q_bands = bands.join(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
@@ -237,6 +239,121 @@ def ann_lsh_topk(
             c_bands,
             ["band_id", "band_val"],
         )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + nprobe
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_centroids`` corpus vectors
+    with the smallest ``xxhash64(id)`` (a seedless reproducible sample).
+    Returned driver-side (tiny: k x dim floats) for broadcasting into
+    the assignment UDF. A production build would Lloyd-iterate these;
+    sampled centroids already give the IVF cost shape.
+    """
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) rows: each vector's ``nprobe`` nearest centroid cells
+    by cosine. Vectorized numpy: one (batch x dim) @ (dim x k) matmul per
+    Arrow batch. ``nprobe=1`` builds the index; ``nprobe>1`` probes."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.array([c for _, c in centroids], dtype=np.float64)  # k x dim
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cells = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    k = min(nprobe, len(centroids))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            vnorm = np.linalg.norm(mat, axis=1)
+            vnorm[vnorm == 0] = 1.0
+            sims = (mat @ cmat.T) / vnorm[:, None] / cnorm[None, :]
+            # top-k cells per row, deterministic tie-break on cell id
+            order = np.lexsort((cells[None, :].repeat(len(mat), 0), -sims), axis=1)
+            top = order[:, :k]
+            ids = np.repeat(pdf[id_col].values, k)
+            yield pd.DataFrame({"id": ids, "cell": cells[top].ravel()})
+
+    out = vecs.select(id_col, vec_col).mapInPandas(assign, schema="id long, cell long")
+    return out.withColumnRenamed("id", id_col)
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: corpus partitioned into centroid cells once; each
+    query scans only its ``nprobe`` nearest cells, then exact cosine
+    re-rank. Same output schema as :func:`brute_force_topk`.
+
+    Cost: |corpus| x k centroid dots (index build, one pass) +
+    |queries| x (nprobe/k_cells) x |corpus| exact dots — an nprobe/k_cells
+    fraction of brute force. With ``nprobe == n_centroids`` the result
+    equals brute force exactly (asserted in tests), so recall degrades
+    continuously and measurably as nprobe shrinks.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    corpus_cells = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+    query_cells = ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).join(
+        corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cell"), "neighbor_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).join(
+        query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
+    )
+    cand = (
+        q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "__qv", "neighbor_id", "__cv")
         .distinct()
@@ -284,6 +401,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(queries_df, emb, dim=EMB_DIM, k=5)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf_topk(queries_df, emb, k=5, n_centroids=16, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_brute_force": q_ann_brute_force,
@@ -291,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate; driver records rows-only, recall vs brute force is
         # asserted in tests/test_similarity.py
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 
