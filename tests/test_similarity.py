@@ -94,3 +94,13 @@ def test_ivf_assign_deterministic(spark, emb):
     b = {(r.vec_id, r.cell)
          for r in similarity.ivf_assign(emb.repartition(7), cents).collect()}
     assert a == b
+
+
+def test_brute_force_np_agrees_with_builtin(spark, emb):
+    queries = emb.filter("vec_id < 5")
+    builtin = {(r.query_id, r.neighbor_id)
+               for r in similarity.brute_force_topk(queries, emb, k=5).collect()}
+    vectorized = {(r.query_id, r.neighbor_id)
+                  for r in similarity.brute_force_topk_np(queries, emb, k=5).collect()}
+    # identical neighbor sets barring 6th-decimal ties (none in this data)
+    assert vectorized == builtin

@@ -256,6 +256,67 @@ def ann_lsh_topk(
     )
 
 
+def brute_force_topk_np(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force top-k: the query matrix is collected
+    driver-side (small by contract), closed over into a ``mapInPandas``
+    operator, and each corpus Arrow batch is scored with one numpy
+    matmul + per-batch partial top-k; a final per-query window merges
+    partial winners.
+
+    ~10-50x less per-row overhead than the expression-tree cosine at
+    large |corpus|; float summation order differs from the sequential
+    built-in path, so this variant is for serving, not oracle checks
+    (ties at the 6th decimal can rank differently).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cmat = np.vstack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm[cnorm == 0] = 1.0
+            sims = (qmat @ cmat.T) / qnorm[:, None] / cnorm[None, :]
+            nids = pdf[id_col].values
+            out_q, out_n, out_s = [], [], []
+            kk = min(k + 1, sims.shape[1])  # +1 allows dropping self-match
+            for qi in range(len(qids)):
+                idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+                out_q.extend([qids[qi]] * len(idx))
+                out_n.extend(nids[idx])
+                out_s.extend(np.round(sims[qi][idx], 6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_s}
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse quantizer + nprobe
 # ---------------------------------------------------------------------------
