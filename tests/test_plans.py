@@ -60,3 +60,25 @@ def test_fact_dedup_reuses_groupby_partitioning(spark):
 
     n_shuffles = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert n_shuffles == 1, f"expected exactly 1 shuffle, got {n_shuffles}:\n{plan}"
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned fact + date predicate -> scan reads only the
+    matching partition (PartitionFilters), the core 100 TB layout win."""
+    from pyspark.sql import functions as F
+
+    from wistia_video_analytics_project_spark import sinks
+
+    df = spark.createDataFrame(
+        [("m1", "2024-01-01", 5), ("m2", "2024-01-02", 7), ("m3", "2024-01-03", 9)],
+        "media_id string, date string, plays int",
+    )
+    out = str(tmp_path / "fact_part")
+    sinks.write_parquet(df, out, partition_by=["date"])
+    q = spark.read.parquet(out).filter(F.col("date") == "2024-01-02")
+    plan = plans.executed_plan(q)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "date" in m.group(1), plan
+    assert q.count() == 1
