@@ -124,6 +124,17 @@ def q_rollup_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube: all grouping-set combinations over (event_type, event_date)
+    (§2.4 note — the reporting-layer superset)."""
+    events = _t(spark, sf_dir, "events")
+    return analytics.cube_report(
+        events.withColumn("event_date", F.to_date("ts")),
+        ["event_type", "event_date"],
+        {"n_events": F.count(F.lit(1))},
+    )
+
+
 def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit ``from_json`` over the string payload column (§2.8 json)."""
     events = _t(spark, sf_dir, "events")
@@ -498,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engagement_kpis": q_engagement_kpis,
         "tumbling_hourly": q_tumbling_hourly,
         "rollup_type_daily": q_rollup_type_daily,
+        "cube_type_daily": q_cube_type_daily,
         "json_props_extract": q_json_props_extract,
         "dim_media_conform": q_dim_media_conform,
         "dim_visitor_conform": q_dim_visitor_conform,
@@ -575,6 +587,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        """,
+        "cube_type_daily": """
+            SELECT event_type, CAST(ts AS DATE) AS event_date,
+                   count(*) AS n_events
+            FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))
         """,
         "json_props_extract": """
             SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

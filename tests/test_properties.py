@@ -1,0 +1,72 @@
+"""Property-based tests (SURVEY.md §5.2 item 4): dedup idempotence,
+PK-repair postconditions, fingerprint stability under whitespace noise.
+
+hypothesis generates the row sets; examples are kept small because every
+example runs Spark jobs (max_examples tuned accordingly)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from wistia_video_analytics_project_spark.operators import conform, quality, text
+
+KEYS = st.one_of(st.none(), st.just(""), st.just("  "),
+                 st.text(alphabet="abc", min_size=1, max_size=3))
+ROWS = st.lists(
+    st.tuples(KEYS, st.integers(0, 100)), min_size=1, max_size=20
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS)
+@SLOW
+def test_dedup_idempotent_and_unique(spark, rows):
+    df = spark.createDataFrame(rows, "key string, v int")
+    once = quality.dedup_keep_first(df, ["key"], order_by=["v"])
+    got = once.collect()
+    # postcondition: unique keys, subset of input, count == distinct keys
+    keys = [r.key for r in got]
+    assert len(keys) == len(set(keys))
+    assert len(got) == df.select("key").distinct().count()
+    in_rows = set(map(tuple, rows))
+    assert all((r.key, r.v) in in_rows for r in got)
+    # idempotence (sort key tolerates None keys)
+    twice = quality.dedup_keep_first(once, ["key"], order_by=["v"])
+    norm = lambda rows: sorted(((r.key or "", r.v) for r in rows))
+    assert norm(twice.collect()) == norm(got)
+
+
+@given(rows=ROWS)
+@SLOW
+def test_repair_key_postconditions(spark, rows):
+    df = spark.createDataFrame(rows, "key string, v int")
+    repaired = conform.repair_key(df, "key", "k", ["v"]).collect()
+    assert len(repaired) == len(rows)  # row count preserved
+    for r in repaired:
+        assert r.key is not None and r.key.strip() != ""  # no bad keys remain
+    # already-valid keys are untouched
+    valid_in = [k for k, _ in rows if k is not None and k.strip() != ""]
+    valid_out = [r.key for r in repaired if not r.key.startswith("k_")]
+    assert sorted(valid_in) == sorted(valid_out)
+
+
+@given(
+    words=st.lists(st.text(alphabet="abcd", min_size=1, max_size=5),
+                   min_size=1, max_size=8),
+    pad=st.sampled_from(["  ", "\t", "\n", " "]),
+)
+@SLOW
+def test_fingerprint_whitespace_invariant(spark, words, pad):
+    """Fingerprint must be invariant to whitespace layout and case."""
+    clean = " ".join(words)
+    noisy = pad + pad.join(w.upper() for w in words) + pad
+    df = spark.createDataFrame([(clean,), (noisy,)], "text string")
+    fps = [r.fp for r in df.select(text.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]

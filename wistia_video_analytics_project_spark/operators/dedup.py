@@ -403,7 +403,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DUPS_CTE},
             fp AS (
               SELECT doc_id,
-                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
               FROM docs2)
             SELECT doc_id, fingerprint,
                    doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
@@ -413,7 +413,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DUPS_CTE},
             fp AS (
               SELECT doc_id,
-                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
               FROM docs2)
             SELECT fingerprint, count(*) AS n_copies,
                    min(doc_id) AS keep_doc_id

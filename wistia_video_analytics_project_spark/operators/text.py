@@ -36,9 +36,12 @@ def token_count(text: Column | str) -> Column:
 
 
 def normalized_text(text: Column | str) -> Column:
-    """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
+    """Canonical form for fingerprinting: lowercase, whitespace collapsed,
+    then trimmed. Collapse BEFORE trim: ``trim`` strips only spaces, so
+    leading tabs/newlines would survive a trim-first order (caught by
+    tests/test_properties.py)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def fingerprint(text: Column | str) -> Column:
@@ -261,7 +264,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
     }
