@@ -149,3 +149,22 @@ def test_read_json_with_schema(spark, tmp_path):
     df = readers.read_json(spark, str(p), schemas.RAW_MEDIA)
     r = df.collect()[0]
     assert (r.hashed_id, r.created) == ("m1", 1700000000)
+
+
+def test_jdbc_truncate_load_roundtrip(spark):
+    """S8 gold load against Spark's bundled Derby: write, overwrite with
+    truncate semantics (idempotent rerun), read back."""
+    url = "jdbc:derby:memory:goldtest;create=true"
+    df1 = spark.createDataFrame(
+        [("m1", 5), ("m2", 7)], "media_id string, plays int"
+    )
+    sinks.jdbc_truncate_load(df1, url, "stg_fact", num_partitions=2)
+    df2 = spark.createDataFrame([("m3", 9)], "media_id string, plays int")
+    sinks.jdbc_truncate_load(df2, url, "stg_fact", num_partitions=2)  # rerun
+    back = (
+        spark.read.format("jdbc")
+        .option("url", "jdbc:derby:memory:goldtest")
+        .option("dbtable", "stg_fact")
+        .load()
+    )
+    assert [(r.media_id, r.plays) for r in back.collect()] == [("m3", 9)]

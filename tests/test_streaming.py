@@ -107,3 +107,39 @@ def test_foreach_batch_upsert(spark, event_dir):
     plain2 = stream2.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
     run_foreach_batch(plain2, foreach_batch_upsert(target, key_cols=["user_id", "ts"]))
     assert len(target) == 4
+
+
+def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Checkpointed file-source stream: restart resumes from the
+    checkpoint, so rows ingested before the stop are not re-emitted."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out: dict[tuple, tuple] = {}
+    from wistia_video_analytics_project_spark.streaming import foreach_batch_upsert
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+        q = (
+            stream.select("user_id", "ts", "value")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(foreach_batch_upsert(out, key_cols=["user_id", "ts"]))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    spark.createDataFrame([(t, 1, "view", 1.0)], EVENT_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    assert len(out) == 1
+    out.clear()  # wipe the sink double: a re-read would repopulate it
+    spark.createDataFrame(
+        [(t + dt.timedelta(minutes=1), 2, "view", 2.0)], EVENT_SCHEMA
+    ).write.mode("append").parquet(str(src))
+    run_once()
+    # only the NEW row arrives after restart; the old one stays consumed
+    assert list(out) == [(2, t + dt.timedelta(minutes=1))]
