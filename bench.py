@@ -57,13 +57,17 @@ def main() -> None:
     # to whichever headline query happens to run first.
     qs[HEADLINE[0]](spark, "/root/testdata/sf0.001").count()
 
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(max(repeat, 1)):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

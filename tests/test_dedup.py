@@ -75,3 +75,15 @@ def test_simhash_identical_and_disjoint(spark):
     pairs = {(r.doc_id_a, r.doc_id_b): r.hamming
              for r in dedup.simhash_pairs(df, max_hamming=0).collect()}
     assert pairs == {(1, 2): 0}
+
+
+def test_ngram_jaccard_max_df_guard_keeps_strong_pairs(spark, docs):
+    """The stop-shingle guard prunes hot shingles but must not lose the
+    strongly-similar pairs (their overlap lives in rarer shingles too)."""
+    full = {(r.doc_id_a, r.doc_id_b)
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    guarded = {(r.doc_id_a, r.doc_id_b)
+               for r in dedup.ngram_jaccard_pairs(
+                   docs, threshold=0.3, max_df=50).collect()}
+    assert full, "expected planted near-dups"
+    assert full <= guarded, full - guarded
