@@ -28,6 +28,7 @@ from wistia_video_analytics_project_spark.operators import (
     dedup,
     quality,
     similarity,
+    sketch,
     temporal,
     text,
 )
@@ -473,6 +474,15 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with exact verification: candidate
+    keys come from the sketch (no full-cardinality exact agg), reported
+    counts are exact — so the result matches the plain HAVING oracle."""
+    events = _t(spark, sf_dir, "events")
+    hh = sketch.heavy_hitters(events, "user_id", min_count=70)
+    return hh.select("user_id", F.col("exact_count").alias("n_events"))
+
+
 def q_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unionByName(allowMissingColumns=True) over schema-drifting batches
     (v1 without props, v2 with) — §2.7's raw-JSON drift case."""
@@ -533,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_type_daily": q_pivot_type_daily,
         "value_percentiles": q_value_percentiles,
         "approx_distinct_users": q_approx_distinct_users,
+        "heavy_hitter_users": q_heavy_hitter_users,
         "union_schema_drift": q_union_schema_drift,
     }
     core.update(dedup.queries())
@@ -792,6 +803,10 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 4) AS p90,
                    round(quantile_cont(value, 0.99), 4) AS p99
             FROM events GROUP BY 1
+        """,
+        "heavy_hitter_users": """
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id HAVING count(*) >= 70
         """,
         "union_schema_drift": """
             WITH unioned AS (

@@ -1,0 +1,41 @@
+"""Count-min sketch: one-sided error, heavy-hitter completeness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wistia_video_analytics_project_spark.operators import sketch
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 'hot' x500, 'warm' x80, 200 singleton keys
+    rows = (
+        [("hot",)] * 500 + [("warm",)] * 80 + [(f"cold{i}",) for i in range(200)]
+    )
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_one_sided_error(spark, skewed):
+    s = sketch.cms_build(skewed, "k")
+    keys = skewed.select("k").distinct()
+    est = {r.k: r.est_count for r in sketch.cms_estimate(s, keys, "k").collect()}
+    exact = {r.k: r.n for r in skewed.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(exact.values())
+    for k, true_n in exact.items():
+        assert est[k] >= true_n  # never underestimates
+        assert est[k] <= true_n + 0.01 * n_total + 5  # far under the eps*N bound here
+
+
+def test_cms_sketch_is_small(spark, skewed):
+    s = sketch.cms_build(skewed, "k")
+    assert s.count() <= sketch.DEFAULT_DEPTH * sketch.DEFAULT_WIDTH
+
+
+def test_heavy_hitters_exact_and_complete(spark, skewed):
+    got = {r.k: r.exact_count
+           for r in sketch.heavy_hitters(skewed, "k", min_count=50).collect()}
+    assert got == {"hot": 500, "warm": 80}  # exact counts, no false positives
+    got2 = {r.k for r in sketch.heavy_hitters(skewed, "k", min_count=400).collect()}
+    assert got2 == {"hot"}

@@ -143,3 +143,49 @@ def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     run_once()
     # only the NEW row arrives after restart; the old one stays consumed
     assert list(out) == [(2, t + dt.timedelta(minutes=1))]
+
+
+def test_continuous_daily_rollup_matches_batch_recompute(spark, tmp_path):
+    """The incrementally-maintained rollup equals a full batch groupBy,
+    including when a later micro-batch touches an already-written date."""
+    import os
+    import time
+
+    from wistia_video_analytics_project_spark.streaming.jobs import (
+        continuous_daily_rollup,
+    )
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(t, 1, "view", 10.0), (t + dt.timedelta(hours=2), 2, "click", 5.0)],
+        # second batch UPDATES day 1 and adds day 2
+        [(t + dt.timedelta(hours=3), 1, "view", 7.0),
+         (t + dt.timedelta(days=1), 1, "view", 20.0)],
+    ]
+    for i, rows in enumerate(batches):
+        f = str(src / f"b{i}")
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(f)
+        mtime = time.time() - 100 + i * 10
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (mtime, mtime))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    target = str(tmp_path / "rollup")
+    continuous_daily_rollup(stream, target, checkpoint=str(tmp_path / "ck"))
+
+    got = {
+        (str(r.date), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        ("2024-01-01", "view"): (2, 17.0),
+        ("2024-01-01", "click"): (1, 5.0),
+        ("2024-01-02", "view"): (1, 20.0),
+    }

@@ -1,0 +1,106 @@
+"""Sketch operators: count-min sketch + approximate heavy hitters.
+
+At 100 TB, "how many times did key X occur" over a high-cardinality key
+(visitor ids, URLs, shingles) can't afford an exact groupBy keyed by
+billions of distinct values when only the heavy tail matters. A
+count-min sketch compresses the frequency table to d x w counters with
+a one-sided error guarantee:
+
+    true_count <= estimate <= true_count + eps * N      (w.h.p.)
+    eps = e / w,  failure prob = e^-d
+
+Built entirely from ``xxhash64`` + one groupBy — the sketch BUILD is a
+single shuffle of at most d*w rows out of the aggregation, regardless of
+key cardinality; at cluster scale the d*w counter table (KBs) broadcasts
+to wherever estimates are needed.
+
+Heavy hitters compose the sketch with ``approx_count_distinct``-style
+thresholds; exact verification for the reported candidates is a cheap
+semi-join (candidates are few by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_DEPTH = 4
+DEFAULT_WIDTH = 1024
+
+
+def _bucket(col: Column, seed: int, width: int) -> Column:
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch table: (row, bucket, cnt), at most depth*width
+    rows. One explode (x depth) + one groupBy."""
+    rows = [
+        F.struct(
+            F.lit(d).alias("row"), _bucket(F.col(key_col), d, width).alias("bucket")
+        )
+        for d in range(depth)
+    ]
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.select(F.explode(F.array(*rows)).alias("rb"), w.alias("__w"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Point estimates for a frame of keys: min over the d counters.
+    The sketch side is tiny -> broadcast join."""
+    rows = [
+        F.struct(
+            F.lit(d).alias("row"), _bucket(F.col(key_col), d, width).alias("bucket")
+        )
+        for d in range(depth)
+    ]
+    probes = keys.select(
+        key_col, F.explode(F.array(*rows)).alias("rb")
+    ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left").fillna(
+        {"cnt": 0}
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("est_count"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Keys whose CMS estimate >= min_count, with exact verification.
+
+    Candidate generation touches only the sketch (no exact per-key agg
+    over the full cardinality); the exact count runs ONLY for candidate
+    keys via semi-join — cheap because CMS overestimates one-sidedly, so
+    no true heavy hitter is missed.
+    """
+    sketch = cms_build(df, key_col, depth, width)
+    distinct_keys = df.select(key_col).distinct()
+    est = cms_estimate(sketch, distinct_keys, key_col, depth, width)
+    candidates = est.filter(F.col("est_count") >= min_count)
+    verified = (
+        df.join(F.broadcast(candidates.select(key_col)), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .filter(F.col("exact_count") >= min_count)
+    )
+    return verified

@@ -129,3 +129,72 @@ def run_foreach_batch(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def continuous_daily_rollup(
+    events: DataFrame,
+    target_path: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    checkpoint: str | None = None,
+) -> None:
+    """Hypertable-style continuous aggregate: a date-partitioned parquet
+    rollup table incrementally maintained from the stream.
+
+    Per micro-batch: aggregate the batch to (date, keys) partials, merge
+    with the existing rollup rows FOR THE AFFECTED DATES ONLY, and
+    rewrite just those date partitions (dynamic partition overwrite).
+    Work per batch is proportional to the batch's date span — never a
+    full-table rewrite; untouched historical partitions are never read.
+
+    Counts and sums merge associatively, so the rollup equals the batch
+    recompute (asserted in tests). Average-style measures must be stored
+    as (sum, count) partials, which this does.
+    """
+    from pyspark.sql import functions as F
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = (
+            batch.withColumn("date", F.to_date(ts_col))
+            .groupBy("date", *key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.coalesce(F.col(value_col), F.lit(0.0))).alias("sum_value"),
+            )
+        )
+        if partial.isEmpty():
+            return
+        dates = [r.date for r in partial.select("date").distinct().collect()]
+        try:
+            existing = spark.read.parquet(target_path).filter(F.col("date").isin(dates))
+        except Exception:  # first batch: no table yet
+            existing = None
+        merged = partial if existing is None else (
+            partial.unionByName(existing)
+            .groupBy("date", *key_cols)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.write.mode("overwrite")
+                .partitionBy("date")
+                .parquet(target_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = events.writeStream.outputMode("append").foreachBatch(merge)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
