@@ -188,12 +188,53 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def top_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF keyword extraction: top-k terms per document.
+
+    tf = term count in doc; idf = ln(N / df). Two aggregations (term
+    counts; document frequencies) + a per-doc ranking window — the
+    df table is tiny (vocabulary-sized) and broadcasts. Deterministic:
+    score rounded to 6, term as tiebreaker.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar; the driver-side count is one job
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+def q_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_keywords(_docs(spark, sf_dir), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_profile": q_text_profile,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "top_keywords": q_top_keywords,
     }
 
 
@@ -266,5 +307,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "top_keywords": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfs AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term,
+                     round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+              FROM tf JOIN dfs USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tfidf, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term ASC) AS rnk
+              FROM scored)
+            WHERE rnk <= 3
         """,
     }
