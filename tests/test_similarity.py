@@ -104,3 +104,35 @@ def test_brute_force_np_agrees_with_builtin(spark, emb):
                   for r in similarity.brute_force_topk_np(queries, emb, k=5).collect()}
     # identical neighbor sets barring 6th-decimal ties (none in this data)
     assert vectorized == builtin
+
+
+def test_ivf_lloyd_refinement_runs_and_improves_or_holds(spark, emb):
+    """Refined centroids must stay correct (full probe == brute force)
+    and partial-probe recall should not collapse vs sampled centroids."""
+    queries = emb.filter("vec_id < 10")
+    brute = similarity.brute_force_topk(queries, emb, k=5).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def mean_recall(res):
+        got = {}
+        for r in res:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(truth[q] & got.get(q, set())) / 5 for q in truth) / len(truth)
+
+    plain = similarity.ann_ivf_topk(queries, emb, k=5, n_centroids=16, nprobe=4)
+    refined = similarity.ann_ivf_topk(
+        queries, emb, k=5, n_centroids=16, nprobe=4, refine_iterations=2
+    )
+    r_plain, r_ref = mean_recall(plain.collect()), mean_recall(refined.collect())
+    assert r_ref >= max(0.2, r_plain - 0.15), (r_plain, r_ref)
+    # correctness invariant unchanged under refinement: full probe == brute
+    full = {(r.query_id, r.rnk): r.neighbor_id
+            for r in similarity.ann_ivf_topk(
+                queries.filter("vec_id < 3"), emb, k=5,
+                n_centroids=8, nprobe=8, refine_iterations=1).collect()}
+    brute3 = {(r.query_id, r.rnk): r.neighbor_id
+              for r in similarity.brute_force_topk(
+                  queries.filter("vec_id < 3"), emb, k=5).collect()}
+    assert full == brute3

@@ -168,3 +168,39 @@ def test_jdbc_truncate_load_roundtrip(spark):
         .load()
     )
     assert [(r.media_id, r.plays) for r in back.collect()] == [("m3", 9)]
+
+
+def test_urllib_transport_real_http():
+    """Drive the default transport against a real in-process HTTP server:
+    JSON 200, 404, and query-param passthrough."""
+    import http.server
+    import json as jsonlib
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/ok"):
+                body = jsonlib.dumps({"got": self.path}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from wistia_video_analytics_project_spark.sources.rest import urllib_transport
+
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        status, payload = urllib_transport(f"{base}/ok", {"page": 2, "since": "x"})
+        assert status == 200
+        assert "page=2" in payload["got"] and "since=x" in payload["got"]
+        status404, payload404 = urllib_transport(f"{base}/missing", {})
+        assert status404 == 404 and payload404 is None
+    finally:
+        srv.shutdown()

@@ -343,6 +343,47 @@ def ivf_centroids(
     return [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
 
 
+def ivf_centroids_refined(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-refined coarse quantizer: start from the deterministic
+    sample, then k-means-iterate with DataFrame ops only —
+
+    assign (vectorized matmul UDF) -> elementwise mean per cell
+    (posexplode + groupBy (cell, pos) + rebuild via sorted collect_list).
+
+    Each iteration is two shuffles over (cell, pos) rows; the centroid
+    table stays driver-sized (k x dim). Deterministic given the
+    deterministic seed centroids and argmin tie-breaking.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+        joined = corpus.select(id_col, vec_col).join(assigned, id_col)
+        means = (
+            joined.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cell", F.transform("pm", lambda s: s.m).alias("centroid"))
+        )
+        new = {
+            int(r.cell): [float(x) for x in r.centroid] for r in means.collect()
+        }
+        # empty cells keep their previous centroid
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def ivf_assign(
     vecs: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -386,6 +427,7 @@ def ann_ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN: corpus partitioned into centroid cells once; each
     query scans only its ``nprobe`` nearest cells, then exact cosine
@@ -399,7 +441,12 @@ def ann_ivf_topk(
     """
     from pyspark.sql import Window
 
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if refine_iterations > 0:
+        cents = ivf_centroids_refined(
+            corpus, n_centroids, refine_iterations, id_col, vec_col
+        )
+    else:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     corpus_cells = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
     query_cells = ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
 
