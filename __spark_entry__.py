@@ -402,6 +402,47 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar aggregate — the minimal
+    pushdown benchmark (all three predicates reach the scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 3-way join on return-flagged lineitems, revenue
+    per customer, deterministic top-20."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    rev = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return analytics.top_k(rev, 20, [F.desc("revenue"), F.asc("c_custkey")])
+
+
 def q_asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward, inclusive): each order picks the customer's
     most recent per-day max order total at-or-before its date. Right side
@@ -538,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "returned_item_report": q_returned_item_report,
         "asof_prev_order": q_asof_prev_order,
         "session_stats": q_session_stats,
         "pivot_type_daily": q_pivot_type_daily,
@@ -756,6 +799,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1, 2
+        """,
+        "forecast_revenue_change": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.03 AND 0.05
+              AND l_quantity < 24
+        """,
+        "returned_item_report": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
         """,
         "asof_prev_order": """
             WITH r AS (

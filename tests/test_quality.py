@@ -88,3 +88,11 @@ def test_approx_count_distinct_close_to_exact(spark):
     }
     for t, n in exact.items():
         assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)
+
+
+def test_null_samples(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("", 3), (None, 4)], "k string, v int"
+    )
+    got = quality.null_samples(df, "k", n=2)
+    assert len(got) == 2 and all(r.k is None or r.k == "" for r in got)

@@ -54,6 +54,14 @@ def null_empty_audit(df: DataFrame, cols: Sequence[str] | None = None) -> DataFr
     return stacked.select("column", "null_count", "empty_count", "total_count")
 
 
+def null_samples(df: DataFrame, col: str, n: int = 5) -> list:
+    """Q1 companion: capture up to n offending rows for a bad key column
+    (the reference displays offenders at `notebool-03.py:273-276`).
+    Bounded collect — safe at any scale."""
+    return df.filter(null_or_empty(col) if dict(df.dtypes).get(col) == "string"
+                     else F.col(col).isNull()).limit(n).collect()
+
+
 def dedup_keep_first(
     df: DataFrame, keys: Sequence[str], order_by: Sequence[str] | None = None
 ) -> DataFrame:
