@@ -26,6 +26,7 @@ from wistia_video_analytics_project_spark.operators import (
     analytics,
     conform,
     dedup,
+    multimodal,
     quality,
     similarity,
     sketch,
@@ -544,6 +545,90 @@ def q_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal plumbing + streaming tier (driver-contract bindings)
+# ---------------------------------------------------------------------------
+
+
+def _fake_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize binary assets from documents: payload = utf8 bytes of
+    the text, duration derived from n_chars — deterministic, lets the
+    multimodal plumbing run against driver testdata."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+        F.lit("fake").alias("codec"),
+    )
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction (Arrow-batched mapInPandas):
+    the metadata outputs (byte length, content hash) are engine-agnostic
+    and oracle-checked; the feature vector itself is engine-internal."""
+    feats = multimodal.extract_features(_fake_assets(spark, sf_dir))
+    return feats.select("asset_id", "media_type", "n_bytes", "content_sha256")
+
+
+def q_frame_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame offset,
+    generated JVM-side with sequence+explode (no decode needed to plan)."""
+    frames = multimodal.sample_frames(_fake_assets(spark, sf_dir), every_ms=5000)
+    return frames.select("asset_id", "frame_ms")
+
+
+def q_streaming_daily_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING fact build run to completion over the events table
+    (file stream -> watermarked tumbling window -> memory sink).
+
+    Append mode emits exactly the windows the final watermark closed:
+    window_end <= max(ts) - 1 hour — a deterministic, SQL-expressible
+    subset, so even the streaming path is oracle-checked.
+    """
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark import schemas as _schemas
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+        windowed_engagement,
+    )
+
+    # file streams can't read NANOS timestamps either: materialize the
+    # micros-converted events to a temp parquet dir once per (sf, pid)
+    import os
+    import tempfile
+
+    import re as _re
+
+    events = _t(spark, sf_dir, "events")
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
+    stage = os.path.join(
+        tempfile.gettempdir(), f"stream_events_{tag}_{os.getpid()}"
+    )
+    if not os.path.exists(stage):
+        events.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(events.schema).parquet(stage)
+    agg = windowed_engagement(
+        stream,
+        window_duration="1 day",
+        watermark="1 hour",
+        key_cols=("user_id",),
+        play_filter=("event_type", "view"),
+    )
+    name = f"stream_daily_{tag}"
+    run_to_memory_sink(agg, name)
+    return spark.sql(
+        f"SELECT date, user_id, play_count, total_watch_time_seconds, "
+        f"avg_percent_watched FROM {name}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -588,6 +673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": q_approx_distinct_users,
         "heavy_hitter_users": q_heavy_hitter_users,
         "union_schema_drift": q_union_schema_drift,
+        "multimodal_metadata": q_multimodal_metadata,
+        "frame_grid": q_frame_grid,
+        "streaming_daily_engagement": q_streaming_daily_engagement,
     }
     core.update(dedup.queries())
     core.update(text.queries())
@@ -870,6 +958,33 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_users": """
             SELECT user_id, count(*) AS n_events
             FROM events GROUP BY user_id HAVING count(*) >= 70
+        """,
+        "multimodal_metadata": """
+            SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'video'
+                        WHEN doc_id % 3 = 1 THEN 'image'
+                        ELSE 'audio' END AS media_type,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   sha256(text) AS content_sha256
+            FROM documents
+        """,
+        "frame_grid": """
+            SELECT doc_id AS asset_id,
+                   unnest(range(0, CAST(greatest(n_chars * 10 - 1, 0) AS BIGINT) + 1,
+                                5000)) AS frame_ms
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "streaming_daily_engagement": """
+            SELECT CAST(ts AS DATE) AS date, user_id,
+                   count(*) AS play_count,
+                   round(sum(coalesce(value, 0.0)), 2) AS total_watch_time_seconds,
+                   CAST(round(CAST(avg(coalesce(value, 0.0)) AS DECIMAL(18,6)), 2)
+                        AS DOUBLE) AS avg_percent_watched
+            FROM events
+            WHERE event_type = 'view'
+            GROUP BY 1, 2
+            HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
+                     <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
         """,
         "union_schema_drift": """
             WITH unioned AS (

@@ -49,9 +49,14 @@ def windowed_engagement(
             F.round(F.sum(F.coalesce(F.col(value_col), F.lit(0.0))), 2).alias(
                 "total_watch_time_seconds"
             ),
-            F.round(F.avg(F.coalesce(F.col(value_col), F.lit(0.0))), 2).alias(
-                "avg_percent_watched"
-            ),
+            # DECIMAL(18,6) snap before rounding (engine convention for
+            # avg of fixed-decimal inputs — see CLAUDE.md)
+            F.round(
+                F.avg(F.coalesce(F.col(value_col), F.lit(0.0))).cast("decimal(18,6)"),
+                2,
+            )
+            .cast("double")
+            .alias("avg_percent_watched"),
         )
         .select(
             F.col("w.start").alias("window_start"),
