@@ -39,10 +39,17 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_profile",
     "text_quality",
+    "top_keywords",
     "ann_brute_force",
     "ann_ivf",
     "asof_prev_order",
     "session_stats",
+    "forecast_revenue_change",
+    "returned_item_report",
+    "heavy_hitter_users",
+    "dedup_ngram_jaccard",
+    "multimodal_metadata",
+    "streaming_daily_engagement",
 ]
 
 
