@@ -77,3 +77,21 @@ def test_extract_media_id_from_path(spark):
     )
     got = [r.media_id for r in conform.extract_media_id_from_path(df).collect()]
     assert got == ["gskhw4w4lm", "abc123"]
+
+
+def test_schema_drift_report(spark):
+    from wistia_video_analytics_project_spark import schemas
+
+    drifted = spark.createDataFrame(
+        [("m1", "t", "1700000000", "extra")],
+        "hashed_id string, name string, created string, new_field string",
+    )
+    got = conform.schema_drift_report(drifted, schemas.RAW_MEDIA)
+    assert got == {
+        "missing": [],
+        "unexpected": ["new_field"],
+        "retyped": {"created": ("bigint", "string")},
+    }
+    clean = spark.createDataFrame([], schemas.RAW_MEDIA)
+    assert conform.schema_drift_report(clean, schemas.RAW_MEDIA) == {
+        "missing": [], "unexpected": [], "retyped": {}}

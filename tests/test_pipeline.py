@@ -77,3 +77,28 @@ def test_wistia_pipeline_end_to_end(spark):
     assert loaded == {"dim_media": 1, "dim_visitor": 1, "fact_engagement": 1}
     fact = ctx["fact_engagement"].collect()[0]
     assert fact.play_count == 1 and str(fact.date) == "2024-01-01"
+
+
+def test_stage_retries_until_success(spark):
+    attempts = {"n": 0}
+
+    def flaky(ctx):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return None
+
+    p = Pipeline([Stage("flaky", flaky, retries=3)])
+    _, results = p.run(spark, RUN_TS)
+    assert results[0].status == "succeeded" and attempts["n"] == 3
+
+
+def test_stage_retries_exhausted(spark):
+    def always(ctx):
+        raise RuntimeError("permanent")
+
+    p = Pipeline([Stage("bad", always, retries=2),
+                  Stage("child", lambda c: None, ("bad",))])
+    _, results = p.run(spark, RUN_TS)
+    status = {r.name: r.status for r in results}
+    assert status == {"bad": "failed", "child": "skipped"}

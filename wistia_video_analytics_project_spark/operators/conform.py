@@ -148,6 +148,27 @@ def parse_json_column(df: DataFrame, col: str, schema, out: str | None = None) -
     return df.withColumn(out or col, F.from_json(F.col(col), schema))
 
 
+def schema_drift_report(df: DataFrame, expected) -> dict[str, list[str] | dict[str, tuple[str, str]]]:
+    """Compare an incoming frame's schema against the declared StructType:
+    {'missing': [...], 'unexpected': [...], 'retyped': {col: (want, got)}}.
+
+    The engine's answer to raw-JSON drift (§2.7): the reference silently
+    absorbs drift through whole-glob inference; ours detects and reports
+    it so ingest can quarantine or evolve deliberately.
+    """
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in expected.fields}
+    return {
+        "missing": sorted(set(want) - set(actual)),
+        "unexpected": sorted(set(actual) - set(want)),
+        "retyped": {
+            c: (want[c], actual[c])
+            for c in sorted(set(want) & set(actual))
+            if want[c] != actual[c]
+        },
+    }
+
+
 def extract_media_id_from_path(df: DataFrame, path_col: str = "file_path") -> DataFrame:
     """S10 file-provenance recovery: pull ``media_id`` out of a raw-zone
     folder path ``.../visitors/<media_id>_<YYYYMMDD_HHMMSS>/...``

@@ -29,12 +29,18 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class Stage:
     """One pipeline activity: reads upstream outputs from ``ctx``,
-    returns its own output (a DataFrame or None for pure sinks)."""
+    returns its own output (a DataFrame or None for pure sinks).
+
+    ``retries``/``retry_wait_s`` mirror the ADF per-activity policy
+    (`...ETL-Pipeline.json:10-15` declares retry/timeout per activity;
+    the reference ships retry: 0)."""
 
     name: str
     fn: Callable[["PipelineContext"], DataFrame | None]
     depends_on: Sequence[str] = ()
     cache: bool = False  # cache output when >1 downstream consumer
+    retries: int = 0
+    retry_wait_s: float = 0.0
 
 
 @dataclass
@@ -110,19 +116,32 @@ class Pipeline:
                 failed.add(s.name)  # propagate downstream
                 continue
             t0 = time.perf_counter()
-            try:
-                out = s.fn(ctx)
-                if s.cache and out is not None:
-                    out = out.cache()
-                ctx.outputs[s.name] = out
-                results.append(
-                    StageResult(s.name, "succeeded", duration_s=time.perf_counter() - t0)
-                )
-            except Exception as e:  # noqa: BLE001 — stage isolation by design
+            last_err: Exception | None = None
+            for attempt in range(s.retries + 1):
+                try:
+                    out = s.fn(ctx)
+                    if s.cache and out is not None:
+                        out = out.cache()
+                    ctx.outputs[s.name] = out
+                    results.append(
+                        StageResult(
+                            s.name, "succeeded", duration_s=time.perf_counter() - t0
+                        )
+                    )
+                    last_err = None
+                    break
+                except Exception as e:  # noqa: BLE001 — stage isolation by design
+                    last_err = e
+                    if attempt < s.retries and s.retry_wait_s:
+                        time.sleep(s.retry_wait_s)
+            if last_err is not None:
                 failed.add(s.name)
                 results.append(
                     StageResult(
-                        s.name, "failed", error=str(e), duration_s=time.perf_counter() - t0
+                        s.name,
+                        "failed",
+                        error=str(last_err),
+                        duration_s=time.perf_counter() - t0,
                     )
                 )
         return ctx, results
