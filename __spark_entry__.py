@@ -484,15 +484,12 @@ def q_pivot_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: event counts per date x type as columns (fixed value list
     keeps the plan static — no extra distinct-scan job at scale)."""
     events = _t(spark, sf_dir, "events")
-    types = ["click", "error", "purchase", "signup", "view"]
-    pv = (
-        events.withColumn("event_date", F.to_date("ts"))
-        .groupBy("event_date")
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
-    )
-    return pv.select(
-        "event_date", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    return analytics.pivot_report(
+        events.withColumn("event_date", F.to_date("ts")),
+        "event_date",
+        "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+        F.count(F.lit(1)),
     )
 
 

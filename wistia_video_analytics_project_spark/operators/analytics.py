@@ -193,3 +193,22 @@ def cube_report(
 ) -> DataFrame:
     """All grouping-set combinations via ``cube``."""
     return df.cube(*group_cols).agg(*[m.alias(n) for n, m in measures.items()])
+
+
+def pivot_report(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    measure: Column,
+    fill: object = 0,
+) -> DataFrame:
+    """Wide report: one column per pivot value. An EXPLICIT value list is
+    required — without it Spark runs an extra distinct-scan job to
+    discover values, and the output schema becomes data-dependent
+    (both wrong at 100 TB). Missing cells fill with ``fill``."""
+    pv = df.groupBy(group_col).pivot(pivot_col, list(pivot_values)).agg(measure)
+    return pv.select(
+        group_col,
+        *[F.coalesce(F.col(v), F.lit(fill)).alias(v) for v in pivot_values],
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 import re
-from collections.abc import Sequence
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
