@@ -63,3 +63,29 @@ def test_observed_metrics_single_pass(spark):
     out, obs = scale.observed(df, "qc", scale.qc_metrics(["k", "v"]))
     assert out.count() == 3  # the one real action
     assert obs.get == {"rows": 3, "null_k": 1, "null_v": 1}
+
+
+def test_two_phase_agg_equals_direct(spark):
+    df = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(500)]
+        + [(f"k{i}", i, float(i)) for i in range(20)],
+        "key string, n int, v double",
+    )
+    measures = lambda: {
+        "cnt": F.count(F.lit(1)),
+        "total": F.sum("v"),
+        "lo": F.min("n"),
+        "hi": F.max("n"),
+    }
+    direct = {tuple(r) for r in df.groupBy("key").agg(
+        *[m.alias(k) for k, m in measures().items()]).collect()}
+    two = {tuple(r) for r in scale.two_phase_agg(df, ["key"], measures()).collect()}
+    assert two == direct
+
+
+def test_two_phase_agg_rejects_nondecomposable(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1.0)], "key string, v double")
+    with _pytest.raises(ValueError, match="sum/count/min/max"):
+        scale.two_phase_agg(df, ["key"], {"bad": F.avg("v")})

@@ -46,6 +46,44 @@ def salted_join(
     return s.join(o, on=[on, "__salt"], how=how).drop("__salt")
 
 
+def two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    measures: Mapping[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe aggregation: aggregate on (keys, salt) first, then merge
+    partials per key.
+
+    Spark's map-side partial aggregation already spreads pre-shuffle
+    work; this adds a REDUCE-side split for keys so hot that even one
+    reducer per key is too much (billions of rows under one group key).
+    Only decomposable aggregates are supported: sum / count / min / max
+    (avg must be expressed as sum+count by the caller).
+
+    ``measures`` maps output name -> one of F.sum(c)/F.count(c)/
+    F.min(c)/F.max(c); the same function re-merges partials.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial_aggs = []
+    mergers = []
+    for name, col in measures.items():
+        # derive the merge function from the expression head: count->sum,
+        # sum->sum, min->min, max->max
+        head = col._jc.toString().split("(", 1)[0].lower()
+        merge = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}.get(head)
+        if merge is None:
+            raise ValueError(
+                f"two_phase_agg supports sum/count/min/max; got {col._jc.toString()!r} "
+                f"for {name}"
+            )
+        pname = f"__p_{name}"
+        partial_aggs.append(col.alias(pname))
+        mergers.append(merge(F.col(pname)).alias(name))
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*mergers)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
