@@ -480,6 +480,16 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the event stream: users who viewed, then
+    clicked after their first view, then purchased after that."""
+    events = _t(spark, sf_dir, "events")
+    return analytics.funnel(
+        events,
+        [("view", "view"), ("click", "click"), ("purchase", "purchase")],
+    )
+
+
 def q_pivot_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: event counts per date x type as columns (fixed value list
     keeps the plan static — no extra distinct-scan job at scale)."""
@@ -665,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_report": q_returned_item_report,
         "asof_prev_order": q_asof_prev_order,
         "session_stats": q_session_stats,
+        "funnel_view_click_purchase": q_funnel_view_click_purchase,
         "pivot_type_daily": q_pivot_type_daily,
         "value_percentiles": q_value_percentiles,
         "approx_distinct_users": q_approx_distinct_users,
@@ -935,6 +946,25 @@ def oracle_sql() -> dict[str, str]:
                      AS duration_seconds,
                    CAST(min(ts) AS DATE) AS session_date
             FROM sessions GROUP BY 1, 2
+        """,
+        "funnel_view_click_purchase": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+            SELECT 1 AS step, 'view' AS step_name,
+                   (SELECT count(*) FROM s1) AS entities
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         """,
         "pivot_type_daily": """
             SELECT CAST(ts AS DATE) AS event_date,

@@ -92,3 +92,22 @@ def test_session_stats(spark):
              temporal.session_stats(df, "user_id", "ts").collect()}
     assert stats[1].n_events == 2 and stats[1].duration_seconds == 600
     assert stats[2].n_events == 1 and stats[2].duration_seconds == 0
+
+
+def test_session_window_matches_lag_sessionize(spark):
+    rows = [
+        (1, _m(0)), (1, _m(10)), (1, _m(50)), (1, _m(55)),
+        (2, _m(0)), (2, _m(45)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    lag_based = {
+        (r.user_id, r.session_start_ts, r.session_end_ts, r.n_events,
+         r.duration_seconds)
+        for r in temporal.session_stats(df, "user_id", "ts").collect()
+    }
+    native = {
+        (r.user_id, r.session_start_ts, r.session_end_ts, r.n_events,
+         r.duration_seconds)
+        for r in temporal.session_window_stats(df, "user_id", "ts").collect()
+    }
+    assert native == lag_based

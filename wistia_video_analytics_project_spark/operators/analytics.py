@@ -195,6 +195,38 @@ def cube_report(
     return df.cube(*group_cols).agg(*[m.alias(n) for n, m in measures.items()])
 
 
+def funnel(
+    events: DataFrame,
+    steps: Sequence[tuple[str, object]],
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel completion counts: how many entities performed step
+    1, then step 2 strictly after their first step 1, then step 3
+    strictly after that, ...
+
+    ``steps`` is [(name, event_type_value), ...]. Each stage is one
+    filtered aggregate joined to the previous stage's first-completion
+    times — len(steps) small aggregations, each a single shuffle on the
+    entity key, no window over the raw event stream. Returns one row per
+    step: (step, step_name, entities).
+    """
+    spark = events.sparkSession
+    prev: DataFrame | None = None
+    counts: list[tuple[int, str, int]] = []
+    for i, (name, value) in enumerate(steps):
+        stage = events.filter(F.col(type_col) == value)
+        if prev is not None:
+            stage = stage.join(prev, entity_col).filter(
+                F.col(ts_col) > F.col("__prev_ts")
+            )
+        firsts = stage.groupBy(entity_col).agg(F.min(ts_col).alias("__prev_ts"))
+        counts.append((i + 1, name, firsts.count()))
+        prev = firsts
+    return spark.createDataFrame(counts, "step int, step_name string, entities long")
+
+
 def pivot_report(
     df: DataFrame,
     group_col: str,

@@ -153,6 +153,37 @@ def sessionize(
     )
 
 
+def session_window_stats(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-session aggregates via Spark's native ``session_window``
+    (merging-window aggregation; also valid on streaming frames, unlike
+    the lag-based :func:`sessionize`). Same session boundaries as the
+    lag formulation for gap-exclusive semantics — asserted equal in
+    tests/test_temporal.py."""
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("sw"), entity_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start_ts"),
+            F.max(ts_col).alias("session_end_ts"),
+        )
+        .select(
+            entity_col,
+            "session_start_ts",
+            "session_end_ts",
+            "n_events",
+            (
+                F.unix_timestamp("session_end_ts")
+                - F.unix_timestamp("session_start_ts")
+            ).alias("duration_seconds"),
+        )
+    )
+
+
 def session_stats(
     events: DataFrame,
     entity_col: str,
