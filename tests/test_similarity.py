@@ -136,3 +136,23 @@ def test_ivf_lloyd_refinement_runs_and_improves_or_holds(spark, emb):
               for r in similarity.brute_force_topk(
                   queries.filter("vec_id < 3"), emb, k=5).collect()}
     assert full == brute3
+
+
+def test_ivf_persisted_index_prunes_and_matches(spark, emb, tmp_path):
+    """Persisted-index path: results equal the in-memory IVF, and the
+    index scan is partition-pruned to the probed cells."""
+    from wistia_video_analytics_project_spark import plans
+
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_write_index(emb, idx, n_centroids=8)
+    queries = emb.filter("vec_id < 5")
+    from_index = similarity.ivf_query_index(spark, idx, queries, k=5, nprobe=2)
+    in_memory = similarity.ann_ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=2)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+    plan = plans.executed_plan(from_index)
+    import re
+
+    all_pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in pf for pf in all_pf), plan

@@ -479,6 +479,92 @@ def ann_ivf_topk(
     )
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    refine_iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: the corpus parquet-partitioned BY CELL, with
+    the centroid table as JSON alongside.
+
+    This is the serving layout: a query probing nprobe cells reads only
+    those partitions (partition pruning at the file listing — asserted in
+    tests), so query cost scales with nprobe/n_cells of the corpus
+    regardless of corpus size.
+    """
+    import json
+    import os
+
+    if refine_iterations > 0:
+        cents = ivf_centroids_refined(corpus, n_centroids, refine_iterations, id_col, vec_col)
+    else:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+    (
+        corpus.join(assigned, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "cells"))
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(cents, f)
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: assign queries to their nprobe
+    nearest cells, read ONLY those cell partitions, exact cosine re-rank.
+    Same output schema as :func:`brute_force_topk`."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = [(int(cid), vec) for cid, vec in json.load(f)]
+    q_cells = ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+    probed = sorted({r.cell for r in q_cells.select("cell").distinct().collect()})
+    index = spark.read.parquet(os.path.join(path, "cells")).filter(
+        F.col("cell").isin(probed)  # partition-pruned scan
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).join(q_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id")
+    cand = (
+        q.join(
+            index.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract bindings (embeddings table: vec_id, embedding float[64])
 # ---------------------------------------------------------------------------
