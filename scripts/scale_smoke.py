@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Scale-up smoke: how core operators behave as data grows 10x beyond
+the largest testdata SF.
+
+Synthesizes 10x/30x the sf0.1 events table IN-PLAN (union of id-shifted
+copies — no files written, no testdata touched) and times the fact build
+and daily trend at each multiple. Sub-linear growth in wall-clock per
+row indicates the plans amortize (scan-bound, partial-agg before
+shuffle); super-linear growth would flag a scaling bug.
+
+Usage: python scripts/scale_smoke.py  (results recorded in SCALE.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from wistia_video_analytics_project_spark.session import get_spark
+from wistia_video_analytics_project_spark.sources import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def multiply(events, k: int):
+    out = events
+    for i in range(1, k):
+        out = out.unionByName(
+            events.withColumn("event_id", F.col("event_id") + i * 10_000_000)
+            .withColumn("user_id", F.col("user_id") + i * 1_000_000)
+        )
+    return out
+
+
+def fact_build(events):
+    return (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id"), F.to_date("ts").alias("date"))
+        .agg(
+            F.count(F.lit(1)).alias("play_count"),
+            F.round(F.sum("value"), 2).alias("total_watch"),
+        )
+    )
+
+
+def daily_trend(events):
+    return (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke")
+    base = load_table(spark, SF_DIR, "events")
+    base.count()  # warm
+    for k in (1, 10, 30):
+        ev = multiply(base, k)
+        for name, fn in (("fact_build", fact_build), ("daily_trend", daily_trend)):
+            best = min(
+                _time(lambda: fn(ev).count()) for _ in range(2)
+            )
+            rows = ev.count()
+            print(f"x{k:>2} ({rows:>9,} rows) {name:12s}: {best:6.2f}s "
+                  f"({rows / best / 1e6:6.1f} M rows/s)")
+    spark.stop()
+
+
+def _time(f) -> float:
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

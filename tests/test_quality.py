@@ -96,3 +96,14 @@ def test_null_samples(spark):
     )
     got = quality.null_samples(df, "k", n=2)
     assert len(got) == 2 and all(r.k is None or r.k == "" for r in got)
+
+
+def test_sql_string_predicates_and_first(spark):
+    """P8 (filter by SQL-string expression) and L2 (first()) from the
+    reference inventory — both flow through the same Catalyst plans."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "key string, v int"
+    )
+    dupes = quality.duplicate_groups(df, ["key"]).filter("dup_count > 1")
+    assert dupes.first().key == "a"
+    assert df.filter("v = 1 AND key = 'b'").count() == 1

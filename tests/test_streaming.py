@@ -189,3 +189,26 @@ def test_continuous_daily_rollup_matches_batch_recompute(spark, tmp_path):
         ("2024-01-01", "click"): (1, 5.0),
         ("2024-01-02", "view"): (1, 20.0),
     }
+
+
+def test_native_session_window_streaming(spark, tmp_path):
+    """session_window works on streams: events within the gap merge into
+    one session; the closed session emits once the watermark passes."""
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (t, 1, "view", 1.0),
+        (t + dt.timedelta(minutes=10), 1, "view", 1.0),   # same session
+        (t + dt.timedelta(hours=5), 1, "view", 1.0),      # far future: advances watermark
+    ]
+    path = str(tmp_path / "sess")
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(path)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("sw.start").alias("start"), "user_id", "n_events")
+    )
+    run_to_memory_sink(agg, "sess_out")
+    got = {(r.start, r.n_events) for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert got == {(t, 2)}  # merged 2-event session emitted; open one held back
