@@ -513,6 +513,23 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile distribution of event values via ntile: bucket bounds +
+    counts (the reporting-layer histogram shape)."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    deciles = events.select(
+        "value", F.ntile(10).over(w).alias("decile")
+    )
+    return deciles.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts — the at-scale replacement for exact
     count-distinct QC (SURVEY.md §4.3). Approximate -> rows-only check;
@@ -678,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_click_purchase": q_funnel_view_click_purchase,
         "pivot_type_daily": q_pivot_type_daily,
         "value_percentiles": q_value_percentiles,
+        "value_distribution": q_value_distribution,
         "approx_distinct_users": q_approx_distinct_users,
         "heavy_hitter_users": q_heavy_hitter_users,
         "union_schema_drift": q_union_schema_drift,
@@ -981,6 +999,16 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 4) AS p90,
                    round(quantile_cont(value, 0.99), 4) AS p99
             FROM events GROUP BY 1
+        """,
+        "value_distribution": """
+            WITH deciles AS (
+              SELECT value,
+                     ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS decile
+              FROM events)
+            SELECT decile, count(*) AS n,
+                   round(min(value), 2) AS lo,
+                   round(max(value), 2) AS hi
+            FROM deciles GROUP BY 1
         """,
         "heavy_hitter_users": """
             SELECT user_id, count(*) AS n_events

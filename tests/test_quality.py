@@ -107,3 +107,15 @@ def test_sql_string_predicates_and_first(spark):
     dupes = quality.duplicate_groups(df, ["key"]).filter("dup_count > 1")
     assert dupes.first().key == "a"
     assert df.filter("v = 1 AND key = 'b'").count() == 1
+
+
+def test_approx_percentile_within_band(spark):
+    from conftest import SF_ORACLE
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    events = load_table(spark, SF_ORACLE, "events")
+    row = events.agg(
+        F.percentile_approx("value", 0.5, 10000).alias("ap50"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+    ).collect()[0]
+    assert abs(row.ap50 - row.p50) / row.p50 < 0.02

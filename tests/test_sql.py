@@ -63,3 +63,15 @@ def test_gold_slices(spark, star):
 def test_all_gold_queries_run(spark, star):
     for name in sql.GOLD_QUERIES:
         assert sql.run_gold(spark, name).collect() is not None
+
+
+def test_register_testdata_sql_surface(spark):
+    from conftest import SF_SMOKE
+
+    sql.register_testdata(spark, SF_SMOKE)
+    got = spark.sql(
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0].n
+    assert got > 0
+    # events view carries the micros-converted timestamp (nanos handled)
+    assert spark.sql("SELECT max(ts) FROM events").collect()[0][0] is not None
