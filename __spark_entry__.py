@@ -480,6 +480,20 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dense_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily trend: every calendar date between the first and
+    last purchase appears, zero-activity days included (sequence-spine
+    left join, O(days) spine rows regardless of fact size)."""
+    events = _t(spark, sf_dir, "events")
+    daily = analytics.daily_trend(
+        events.filter(F.col("event_type") == "purchase"),
+        F.to_date("ts"),
+        {"purchases": F.count(F.lit(1))},
+        date_name="event_date",
+    )
+    return analytics.fill_date_gaps(daily, "event_date", {"purchases": 0})
+
+
 def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel over the event stream: users who viewed, then
     clicked after their first view, then purchased after that."""
@@ -692,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_report": q_returned_item_report,
         "asof_prev_order": q_asof_prev_order,
         "session_stats": q_session_stats,
+        "dense_daily_purchases": q_dense_daily_purchases,
         "funnel_view_click_purchase": q_funnel_view_click_purchase,
         "pivot_type_daily": q_pivot_type_daily,
         "value_percentiles": q_value_percentiles,
@@ -964,6 +979,18 @@ def oracle_sql() -> dict[str, str]:
                      AS duration_seconds,
                    CAST(min(ts) AS DATE) AS session_date
             FROM sessions GROUP BY 1, 2
+        """,
+        "dense_daily_purchases": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS d, count(*) AS purchases
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+            spine AS (
+              SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                       AS event_date
+              FROM bounds)
+            SELECT event_date, coalesce(purchases, 0) AS purchases
+            FROM spine LEFT JOIN daily ON event_date = d
         """,
         "funnel_view_click_purchase": """
             WITH s1 AS (

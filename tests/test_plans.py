@@ -82,3 +82,31 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "date" in m.group(1), plan
     assert q.count() == 1
+
+
+def test_nested_schema_pruning_on_event_structs(spark, tmp_path):
+    """Nested pruning on the raw-visitor event array (SURVEY §4.2).
+
+    Catalyst prunes array<struct> members only in the FIELD-EXTRACTION
+    form ``explode(col("events.type"))`` — exploding the whole struct and
+    then accessing members reads every member. This pins the pruning-
+    friendly idiom so single-field event scans stay cheap at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from wistia_video_analytics_project_spark import schemas
+
+    ev = {"type": "play", "time": 1704067200, "duration_watched": 1.0,
+          "percent_watched": 2.0}
+    raw = spark.createDataFrame(
+        [("v1", "1.1.1.1", "US", "m1", [ev])], schemas.RAW_VISITOR
+    )
+    path = str(tmp_path / "raw_visitors")
+    raw.write.parquet(path)
+    q = spark.read.parquet(path).select(
+        F.explode(F.col("events.type")).alias("t")
+    )
+    plan = plans.executed_plan(q)
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "duration_watched" not in scan, scan
+    assert "struct<type:string>" in scan.replace(" ", ""), scan
+    assert q.count() == 1

@@ -195,6 +195,34 @@ def cube_report(
     return df.cube(*group_cols).agg(*[m.alias(n) for n, m in measures.items()])
 
 
+def fill_date_gaps(
+    daily: DataFrame,
+    date_col: str,
+    defaults: Mapping[str, object],
+) -> DataFrame:
+    """Densify a per-date report: every calendar date between min and max
+    appears, absent measures filled with defaults (trend lines must not
+    silently skip zero-activity days).
+
+    The calendar spine is ``sequence(min, max)`` exploded from a 1-row
+    aggregate — O(days) rows regardless of fact size — left-joined back.
+    """
+    bounds = daily.agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("__lo", "__hi")).alias(date_col)
+    )
+    out = spine.join(daily, date_col, "left")
+    return out.select(
+        date_col,
+        *[
+            F.coalesce(F.col(c), F.lit(d)).alias(c)
+            for c, d in defaults.items()
+        ],
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: Sequence[tuple[str, object]],
