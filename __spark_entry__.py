@@ -28,6 +28,7 @@ from wistia_video_analytics_project_spark.operators import (
     dedup,
     multimodal,
     quality,
+    scd,
     similarity,
     sketch,
     temporal,
@@ -606,6 +607,35 @@ def _fake_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_customer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 upsert batch over the customer dimension: every custkey
+    divisible by 10 gets a balance change (old version closed, new one
+    opened), plus one brand-new key inserted."""
+    customer = _t(spark, sf_dir, "customer")
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    t1 = F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    cur = scd.scd2_init(
+        customer.select("c_custkey", "c_name", "c_acctbal"), t0
+    )
+    updates = (
+        customer.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(9_000_001, "Brand New Customer", 42.0)],
+                "c_custkey long, c_name string, c_acctbal double",
+            )
+        )
+    )
+    out = scd.scd2_apply(cur, updates, "c_custkey", ["c_name", "c_acctbal"], t1)
+    return out.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"),
+        "valid_from", "valid_to", "is_current",
+    )
+
+
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction (Arrow-batched mapInPandas):
     the metadata outputs (byte length, content hash) are engine-agnostic
@@ -714,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": q_approx_distinct_users,
         "heavy_hitter_users": q_heavy_hitter_users,
         "union_schema_drift": q_union_schema_drift,
+        "scd2_customer_batch": q_scd2_customer_batch,
         "multimodal_metadata": q_multimodal_metadata,
         "frame_grid": q_frame_grid,
         "streaming_daily_engagement": q_streaming_daily_engagement,
@@ -1040,6 +1071,37 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_users": """
             SELECT user_id, count(*) AS n_events
             FROM events GROUP BY user_id HAVING count(*) >= 70
+        """,
+        "scd2_customer_batch": """
+            WITH cur AS (
+              SELECT c_custkey, c_name, c_acctbal FROM customer),
+            upd AS (
+              SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+              FROM customer WHERE c_custkey % 10 = 0
+              UNION ALL
+              SELECT 9000001, 'Brand New Customer', 42.0),
+            changed AS (
+              SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
+              WHERE u.c_name IS DISTINCT FROM c.c_name
+                 OR u.c_acctbal IS DISTINCT FROM c.c_acctbal),
+            new_keys AS (
+              SELECT u.c_custkey FROM upd u
+              WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cur))
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+                   TIMESTAMP '2024-01-01' AS valid_from,
+                   TIMESTAMP '2024-02-01' AS valid_to,
+                   FALSE AS is_current
+            FROM cur WHERE c_custkey IN (SELECT c_custkey FROM changed)
+            UNION ALL
+            SELECT c_custkey, c_name, round(c_acctbal, 2),
+                   TIMESTAMP '2024-01-01', NULL, TRUE
+            FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+            UNION ALL
+            SELECT c_custkey, c_name, round(c_acctbal, 2),
+                   TIMESTAMP '2024-02-01', NULL, TRUE
+            FROM upd
+            WHERE c_custkey IN (SELECT c_custkey FROM changed)
+               OR c_custkey IN (SELECT c_custkey FROM new_keys)
         """,
         "multimodal_metadata": """
             SELECT doc_id AS asset_id,

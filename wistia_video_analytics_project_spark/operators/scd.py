@@ -1,0 +1,107 @@
+"""SCD Type-2 dimension maintenance (history-preserving upserts).
+
+The reference's gold dims are truncate-and-reload snapshots (ADF
+preCopyScript TRUNCATE; no history). A production dimension needs
+history: when a tracked attribute changes, the open row is CLOSED
+(``valid_to`` stamped) and a new open version appended.
+
+Without a transactional table format (Delta/Iceberg jars absent here),
+MERGE is emulated with pure DataFrame ops — the pattern the pyspark
+guide names for CDC/SCD2: join to detect changes, union the three row
+classes. All joins are key-equi-joins (one shuffle each side, or
+broadcast when the update batch is small — the common case: daily
+updates are tiny vs the accumulated dimension).
+
+Row classes in the output:
+1. historical rows (already closed) — pass through untouched
+2. open rows with no change — pass through
+3. open rows whose tracked attributes changed — closed at the update's
+   effective timestamp
+4. new versions (changed + brand-new keys) — open from the effective ts
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: open rows carry valid_to = NULL
+SCD_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_init(snapshot: DataFrame, valid_from: Column) -> DataFrame:
+    """Bootstrap an SCD2 table from a plain snapshot: all rows open."""
+    return (
+        snapshot.withColumn("valid_from", valid_from.cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+
+
+def _differs(tracked: Sequence[str]) -> Column:
+    """Null-safe any-attribute-changed predicate between ``u`` and ``c``."""
+    cond = F.lit(False)
+    for t in tracked:
+        cond = cond | ~F.col(f"u.{t}").eqNullSafe(F.col(f"c.{t}"))
+    return cond
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+    effective_ts: Column,
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Apply an update batch to an SCD2 dimension; returns the new table.
+
+    ``updates`` carries (key, tracked...) — one row per key (enforce
+    upstream with ``quality.dedup_keep_first``). Unchanged updates are
+    no-ops; changed keys close their open row and append a new version;
+    unknown keys insert as new open rows.
+    """
+    upd = updates.select(key, *tracked).alias("u")
+    if broadcast_updates:
+        upd = F.broadcast(upd)
+
+    closed_rows = dim.filter(~F.col("is_current"))
+    open_rows = dim.filter(F.col("is_current")).alias("c")
+
+    joined = open_rows.join(upd, F.col(f"c.{key}") == F.col(f"u.{key}"), "left")
+    changed_flag = F.col(f"u.{key}").isNotNull() & _differs(tracked)
+
+    untouched_open = joined.filter(~changed_flag).select("c.*")
+    newly_closed = (
+        joined.filter(changed_flag)
+        .select("c.*")
+        .withColumn("valid_to", effective_ts.cast("timestamp"))
+        .withColumn("is_current", F.lit(False))
+    )
+    # new versions: changed keys (fresh attributes) + brand-new keys
+    open_keys = open_rows.select(F.col(f"c.{key}").alias(key))
+    changed_keys = joined.filter(changed_flag).select(F.col(f"u.{key}").alias(key))
+    new_versions_src = updates.select(key, *tracked).join(
+        changed_keys.unionByName(  # changed ∪ (updates ∖ open)
+            updates.select(key).join(open_keys, key, "left_anti")
+        ).distinct(),
+        key,
+        "left_semi",
+    )
+    new_versions = scd2_init(new_versions_src, effective_ts)
+
+    non_tracked = [
+        c for c in dim.columns if c not in (key, *tracked, *SCD_COLS)
+    ]
+    if non_tracked:
+        raise ValueError(
+            f"dim carries non-tracked attribute columns {non_tracked}; "
+            "include them in `tracked` or drop them"
+        )
+    return (
+        closed_rows.unionByName(untouched_open)
+        .unionByName(newly_closed)
+        .unionByName(new_versions)
+    )
