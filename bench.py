@@ -50,6 +50,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "multimodal_metadata",
     "streaming_daily_engagement",
+    "funnel_view_click_purchase",
+    "scd2_customer_batch",
+    "value_distribution",
+    "dense_daily_purchases",
 ]
 
 
