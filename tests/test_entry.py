@@ -30,3 +30,21 @@ def test_each_query_runs_at_smoke_sf(spark):
         df = fn(spark, SF_SMOKE)
         assert df.columns, name
         df.limit(1).collect()
+
+
+def test_funnel_with_repeated_step_type(spark):
+    """view -> view funnel: step 2 requires a SECOND view strictly after
+    the first (same-type steps must not double-count one event)."""
+    import datetime as dt
+
+    from wistia_video_analytics_project_spark.operators import analytics
+
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "view", t), (1, "view", t + dt.timedelta(minutes=1)),
+         (2, "view", t)],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {r.step: r.entities
+           for r in analytics.funnel(df, [("v1", "view"), ("v2", "view")]).collect()}
+    assert got == {1: 2, 2: 1}  # only user 1 viewed twice

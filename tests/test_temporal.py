@@ -111,3 +111,14 @@ def test_session_window_matches_lag_sessionize(spark):
         for r in temporal.session_window_stats(df, "user_id", "ts").collect()
     }
     assert native == lag_based
+
+
+def test_as_of_join_rejects_column_collisions(spark, trades, quotes):
+    clashing = quotes.withColumnRenamed("px", "trade_id")  # collides with left
+    with pytest.raises(ValueError, match="collide"):
+        temporal.as_of_join(trades, clashing, on=["sym"], left_ts="tts", right_ts="qts")
+    with pytest.raises(ValueError, match="collide"):
+        temporal.as_of_join_pandas(
+            trades, clashing, on="sym", left_ts="tts", right_ts="qts",
+            right_cols=["trade_id"],
+        )

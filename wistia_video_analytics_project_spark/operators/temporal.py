@@ -50,6 +50,12 @@ def as_of_join(
     """
     on = list(on)
     right_cols = [c for c in (right_cols or right.columns) if c not in on and c != right_ts]
+    clashes = set(right_cols) & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"right columns {sorted(clashes)} collide with left columns — "
+            "rename or restrict right_cols"
+        )
 
     l_tagged = left.withColumn("__src", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
@@ -102,6 +108,12 @@ def as_of_join_pandas(
     shuffle each side."""
     import pandas as pd
 
+    clashes = set(right_cols) & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"right columns {sorted(clashes)} collide with left columns — "
+            "rename or restrict right_cols"
+        )
     out_schema = left.schema.simpleString()[7:-1] + ", " + ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in right.schema.fields
