@@ -79,23 +79,59 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(F.min("cnt").alias("est_count"))
 
 
+def local_topk_candidates(
+    df: DataFrame, key_col: str, per_partition: int = 1024
+) -> DataFrame:
+    """Heavy-hitter CANDIDATE keys via per-partition local counting
+    (SpaceSaving-style): each partition emits its local top-m keys; the
+    union is tiny (partitions x m) and deduped cheaply.
+
+    No full-cardinality shuffle anywhere: a key with global share >= 1/m
+    must be in some partition's local top-m (and in practice far smaller
+    shares are caught — misses require a key spread thin below rank m in
+    EVERY partition). Follow with exact verification of the candidate
+    set, which bounds the cost of a miss to a false negative, never a
+    wrong count.
+    """
+    import pandas as pd
+
+    def topm(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for k, c in pdf[key_col].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(c)
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[:per_partition]
+        yield pd.DataFrame({key_col: [k for k, _ in top]})
+
+    dtype = dict(df.dtypes)[key_col]
+    return df.select(key_col).mapInPandas(
+        topm, schema=f"{key_col} {dtype}"
+    ).distinct()
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,
     min_count: int,
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
+    per_partition_candidates: int = 1024,
 ) -> DataFrame:
-    """Keys whose CMS estimate >= min_count, with exact verification.
+    """Keys with exact count >= min_count, found without any
+    full-cardinality aggregation:
 
-    Candidate generation touches only the sketch (no exact per-key agg
-    over the full cardinality); the exact count runs ONLY for candidate
-    keys via semi-join — cheap because CMS overestimates one-sidedly, so
-    no true heavy hitter is missed.
+    1. candidates from per-partition local top-m (no global shuffle over
+       keys — :func:`local_topk_candidates`)
+    2. CMS point estimates prune candidates below min_count (one-sided:
+       never drops a true heavy hitter)
+    3. exact verification by semi-join counting ONLY candidate keys.
+
+    The CMS itself is the reusable serving artifact: d x w counters
+    answer point frequency queries for ANY key without per-key state.
     """
     sketch = cms_build(df, key_col, depth, width)
-    distinct_keys = df.select(key_col).distinct()
-    est = cms_estimate(sketch, distinct_keys, key_col, depth, width)
+    candidates_all = local_topk_candidates(df, key_col, per_partition_candidates)
+    est = cms_estimate(sketch, candidates_all, key_col, depth, width)
     candidates = est.filter(F.col("est_count") >= min_count)
     verified = (
         df.join(F.broadcast(candidates.select(key_col)), key_col, "left_semi")
