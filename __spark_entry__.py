@@ -678,8 +678,8 @@ def q_streaming_daily_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(
         tempfile.gettempdir(), f"stream_events_{tag}_{os.getpid()}"
     )
-    if not os.path.exists(stage):
-        events.write.mode("overwrite").parquet(stage)
+    # overwrite every call: an earlier torn write must never be reused
+    events.write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(events.schema).parquet(stage)
     agg = windowed_engagement(
         stream,

@@ -18,6 +18,7 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 def windowed_engagement(
@@ -174,7 +175,12 @@ def continuous_daily_rollup(
         dates = [r.date for r in partial.select("date").distinct().collect()]
         try:
             existing = spark.read.parquet(target_path).filter(F.col("date").isin(dates))
-        except Exception:  # first batch: no table yet
+        except AnalysisException as e:
+            # ONLY path-not-found means "first batch"; any other read
+            # failure must abort the batch (merging against a frame we
+            # failed to read would silently drop history)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             existing = None
         merged = partial if existing is None else (
             partial.unionByName(existing)
