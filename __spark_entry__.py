@@ -528,6 +528,24 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: stddev / correlation / covariance
+    (the reporting layer's dispersion measures)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # `+ 0.0` normalizes IEEE negative zero; rounded magnitudes are kept
+    # well above the engines' accumulation-order noise floor
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.stddev_samp("l_quantity"), 4) + 0.0).alias("qty_stddev"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 3) + 0.0).alias(
+            "qty_price_corr"
+        ),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + 0.0).alias(
+            "qty_price_covar"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile distribution of event values via ntile: bucket bounds +
     counts (the reporting-layer histogram shape)."""
@@ -740,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_click_purchase": q_funnel_view_click_purchase,
         "pivot_type_daily": q_pivot_type_daily,
         "value_percentiles": q_value_percentiles,
+        "stats_report": q_stats_report,
         "value_distribution": q_value_distribution,
         "approx_distinct_users": q_approx_distinct_users,
         "heavy_hitter_users": q_heavy_hitter_users,
@@ -1057,6 +1076,15 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 4) AS p90,
                    round(quantile_cont(value, 0.99), 4) AS p99
             FROM events GROUP BY 1
+        """,
+        "stats_report": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 4) + 0.0 AS qty_stddev,
+                   round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS qty_price_corr,
+                   round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0
+                     AS qty_price_covar,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1
         """,
         "value_distribution": """
             WITH deciles AS (
