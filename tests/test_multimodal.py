@@ -57,3 +57,18 @@ def test_codecs_absent_stub_raises():
     if not multimodal.HAVE_CODECS:
         with pytest.raises(NotImplementedError, match="codec"):
             multimodal.real_decode(b"x", "image")
+
+
+def test_resize_images(spark, assets):
+    out = {r.asset_id: r for r in
+           multimodal.resize_images(assets, max_width=320).collect()}
+    r1 = out[1]  # 640x480 image -> 320x240, payload transformed
+    assert (r1.width, r1.height) == (320, 240)
+    assert bytes(r1.payload) != b"img-bytes-a"
+    # non-image rows and small images pass through untouched
+    assert bytes(out[3].payload) == b"pcm-bytes"
+    assert out[4].width == 1920  # video untouched
+    # deterministic
+    again = {r.asset_id: bytes(r.payload) if r.payload is not None else None
+             for r in multimodal.resize_images(assets.repartition(3), max_width=320).collect()}
+    assert again[1] == bytes(r1.payload)

@@ -113,6 +113,51 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "asset_id long, media_type string, payload binary, width int, height int"
+)
+
+
+def resize_images(
+    assets: DataFrame, max_width: int = 256, batch_hint: int | None = None
+) -> DataFrame:
+    """Resize plumbing: image payloads wider than ``max_width`` are
+    scaled to it (aspect preserved). The geometry math and Arrow batch
+    contract are real; the pixel transform is the deterministic stub
+    (payload re-hashed with the new size) until codecs exist —
+    ``real_decode`` is the splice point.
+    """
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "media_type": [], "payload": [],
+                   "width": [], "height": []}
+            for row in pdf.itertuples(index=False):
+                w, h, payload = row.width, row.height, row.payload
+                if (row.media_type == "image" and payload is not None
+                        and w and w > max_width):
+                    scale = max_width / w
+                    new_w, new_h = max_width, max(int(h * scale), 1) if h else None
+                    # stub transform: deterministic payload derived from
+                    # (content, target size) — replace with a real resample
+                    payload = _hashlib.sha256(
+                        bytes(payload) + f":{new_w}x{new_h}".encode()
+                    ).digest()
+                    w, h = new_w, new_h
+                for k, v in (("asset_id", row.asset_id),
+                             ("media_type", row.media_type),
+                             ("payload", payload), ("width", w), ("height", h)):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return assets.select(
+        "asset_id", "media_type", "payload", "width", "height"
+    ).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def dedup_by_content(assets: DataFrame) -> DataFrame:
     """Exact binary dedup: sha2 over the payload, keep min asset_id.
     Same one-shuffle shape as text exact-dedup."""

@@ -35,6 +35,20 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+#: BPE-ish pretokenization pattern (GPT-2-style word/number/punct runs
+#: with optional leading space; dialect-safe subset — no lookarounds, so
+#: Java regex and RE2 agree)
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish pretokenizer — the cheap estimator
+    for LLM-token budgeting over a corpus (vs whitespace tokens, which
+    undercount punctuation-heavy text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def normalized_text(text: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, whitespace collapsed,
     then trimmed. Collapse BEFORE trim: ``trim`` strips only spaces, so
@@ -228,6 +242,17 @@ def q_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_keywords(_docs(spark, sf_dir), k=3)
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document (LLM token
+    budgeting)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_profile": q_text_profile,
@@ -235,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "top_keywords": q_top_keywords,
+        "token_counts": q_token_counts,
     }
 
 
@@ -306,6 +332,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(lower(text)), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+                     AS bpe_ish_tokens
             FROM documents
         """,
         "top_keywords": """
