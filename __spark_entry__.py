@@ -573,6 +573,58 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components: elementwise mean over the embedding
+    column via posexplode — the vector-aggregation primitive behind IVF
+    refinement, emitted in long form (label, dim, value)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg((F.round(F.avg(F.col("v").cast("double")), 6) + 0.0).alias("centroid_v"))
+    )
+
+
+def q_daily_plays_vs_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join alignment of two daily series (days where either
+    side has activity appear, missing side zero-filled)."""
+    events = _t(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("views"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
+    return views.join(purchases, "event_date", "full_outer").select(
+        "event_date",
+        F.coalesce("views", F.lit(0)).alias("views"),
+        F.coalesce("purchases", F.lit(0)).alias("purchases"),
+    )
+
+
+def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the Spark SQL surface: per-(type,
+    date), per-type, and grand-total rows with grouping_id to tell the
+    levels apart."""
+    events = _t(spark, sf_dir, "events")
+    events.withColumn("event_date", F.to_date("ts")).createOrReplaceTempView(
+        "__gs_events"
+    )
+    return spark.sql(
+        """
+        SELECT event_type, event_date, count(*) AS n_events,
+               grouping_id(event_type, event_date) AS gid
+        FROM __gs_events
+        GROUP BY event_type, event_date
+          GROUPING SETS ((event_type, event_date), (event_type), ())
+        """
+    )
+
+
 def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters with exact verification: candidate
     keys come from the sketch (no full-cardinality exact agg), reported
@@ -761,6 +813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_report": q_stats_report,
         "value_distribution": q_value_distribution,
         "approx_distinct_users": q_approx_distinct_users,
+        "embedding_centroids": q_embedding_centroids,
+        "daily_plays_vs_purchases": q_daily_plays_vs_purchases,
+        "grouping_sets_report": q_grouping_sets_report,
         "heavy_hitter_users": q_heavy_hitter_users,
         "union_schema_drift": q_union_schema_drift,
         "scd2_customer_batch": q_scd2_customer_batch,
@@ -1095,6 +1150,35 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 2) AS lo,
                    round(max(value), 2) AS hi
             FROM deciles GROUP BY 1
+        """,
+        "embedding_centroids": """
+            WITH e AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings)
+            SELECT label, dim, round(avg(v), 6) + 0.0 AS centroid_v
+            FROM e GROUP BY 1, 2
+        """,
+        "daily_plays_vs_purchases": """
+            WITH v AS (
+              SELECT CAST(ts AS DATE) AS event_date, count(*) AS views
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+            p AS (
+              SELECT CAST(ts AS DATE) AS event_date, count(*) AS purchases
+              FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT coalesce(v.event_date, p.event_date) AS event_date,
+                   coalesce(views, 0) AS views,
+                   coalesce(purchases, 0) AS purchases
+            FROM v FULL OUTER JOIN p ON v.event_date = p.event_date
+        """,
+        "grouping_sets_report": """
+            SELECT event_type, CAST(ts AS DATE) AS event_date,
+                   count(*) AS n_events,
+                   CAST(grouping(event_type) * 2 + grouping(CAST(ts AS DATE))
+                        AS BIGINT) AS gid
+            FROM events
+            GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+                                    (event_type), ())
         """,
         "heavy_hitter_users": """
             SELECT user_id, count(*) AS n_events
