@@ -518,6 +518,31 @@ def q_pivot_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): melt the wide per-type daily report back to long
+    (event_date, event_type, n_events) — pivot's inverse, §2.7."""
+    wide = q_pivot_type_daily(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    stack_args = ", ".join(f"'{t}', {t}" for t in types)
+    return wide.selectExpr(
+        "event_date",
+        f"stack({len(types)}, {stack_args}) AS (event_type, n_events)",
+    )
+
+
+def q_viewers_vs_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users who both viewed and purchased (INTERSECT)
+    and users who viewed but never purchased (EXCEPT)."""
+    events = _t(spark, sf_dir, "events")
+    viewers = events.filter(F.col("event_type") == "view").select("user_id")
+    purchasers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    both = viewers.intersect(purchasers).withColumn("cohort", F.lit("view_and_purchase"))
+    # subtract = set EXCEPT; exceptAll would be multiset difference (a
+    # user with more purchases than views would vanish incorrectly)
+    only_view = viewers.subtract(purchasers).withColumn("cohort", F.lit("view_only"))
+    return both.unionByName(only_view)
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles per event type."""
     events = _t(spark, sf_dir, "events")
@@ -809,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_daily_purchases": q_dense_daily_purchases,
         "funnel_view_click_purchase": q_funnel_view_click_purchase,
         "pivot_type_daily": q_pivot_type_daily,
+        "unpivot_type_daily": q_unpivot_type_daily,
+        "viewers_vs_purchasers": q_viewers_vs_purchasers,
         "value_percentiles": q_value_percentiles,
         "stats_report": q_stats_report,
         "value_distribution": q_value_distribution,
@@ -1124,6 +1151,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'signup') AS signup,
                    count(*) FILTER (event_type = 'view') AS "view"
             FROM events GROUP BY 1
+        """,
+        "unpivot_type_daily": """
+            SELECT CAST(ts AS DATE) AS event_date, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+            UNION ALL
+            -- stack() emits every (date, type) pair, including zero cells
+            SELECT d.event_date, t.event_type, 0 AS n_events
+            FROM (SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events) d
+            CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM events e
+              WHERE CAST(e.ts AS DATE) = d.event_date
+                AND e.event_type = t.event_type)
+        """,
+        "viewers_vs_purchasers": """
+            SELECT user_id, 'view_and_purchase' AS cohort FROM (
+              SELECT user_id FROM events WHERE event_type = 'view'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'purchase')
+            UNION ALL
+            SELECT user_id, 'view_only' FROM (
+              SELECT user_id FROM events WHERE event_type = 'view'
+              EXCEPT
+              SELECT user_id FROM events WHERE event_type = 'purchase')
         """,
         "value_percentiles": """
             SELECT event_type,
