@@ -678,6 +678,148 @@ def q_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over orders: customers bucketed by
+    first-order month, counted per month-offset (extends W4
+    new-vs-returning, PDF p.34, to the full retention surface)."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.cohort_retention(orders, "o_custkey", "o_orderdate")
+
+
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend with lag-based deltas (W3 family:
+    trend windows on the aggregated series, never the raw fact)."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.period_over_period(
+        orders, "o_orderdate", F.sum("o_totalprice"), "month", "revenue"
+    )
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group via max_by over a (date, key) struct ordering —
+    the single-shuffle alternative to the row_number window dedup (W1),
+    deterministic because the struct ends in the unique order key."""
+    orders = _t(spark, sf_dir, "orders")
+    out = analytics.argmax_per_group(
+        orders,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        "o_orderkey",
+        out_name="last_orderkey",
+    )
+    return out.select(
+        "o_custkey", "last_orderkey", F.col("max_o_orderdate").alias("last_order_date")
+    )
+
+
+def q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound equi-width histogram of order value (width_bucket):
+    distribution reporting without a bounds pre-scan."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.histogram(orders, "o_totalprice", 0.0, 500_000.0, 20)
+
+
+def q_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: customers whose lifetime spend exceeds the
+    global average spend. The 1-row global aggregate joins back via
+    broadcast — no second shuffle of the per-customer frame."""
+    orders = _t(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    avg_row = totals.agg(
+        F.round(F.avg("total_spend").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("__avg_spend")
+    )
+    return (
+        totals.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("total_spend") > F.col("__avg_spend"))
+        .select("o_custkey", "total_spend")
+    )
+
+
+def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-20 part pairs co-occurring in the same
+    order (self equi-join on the basket key, deterministic top-k)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    baskets = lineitem.select("l_orderkey", "l_partkey")
+    pairs = analytics.cooccurrence_pairs(baskets, "l_orderkey", "l_partkey")
+    return analytics.top_k(
+        pairs,
+        20,
+        [F.desc("pair_count"), F.asc("item_a"), F.asc("item_b")],
+    )
+
+
+def q_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg with deterministic ordering: alphabetical
+    nation list per region (array_sort(collect_list) — reproducible
+    where bare collect_list is partition-order-dependent)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    )
+    return analytics.sorted_list_agg(
+        joined, ["r_name"], "n_name", sep=",", out_name="nations"
+    )
+
+
+def q_view_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: per user, how many purchases had at least one
+    view in the strictly-preceding hour (equi-key + interval predicate —
+    the co-partitioned range-join shape)."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    matched = temporal.preceding_window_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        window="1 hour",
+        strict=True,
+    )
+    per_purchase = matched.groupBy(
+        F.col("__l.user_id").alias("user_id"), F.col("__l.event_id").alias("event_id")
+    ).agg(F.count(F.lit(1)).alias("n_prior_views"))
+    per_user_matched = per_purchase.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("purchases_with_prior_view"),
+        F.sum("n_prior_views").alias("total_prior_views"),
+    )
+    all_purchases = purchases.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    return all_purchases.join(per_user_matched, "user_id", "left").select(
+        "user_id",
+        "n_purchases",
+        F.coalesce("purchases_with_prior_view", F.lit(0)).alias(
+            "purchases_with_prior_view"
+        ),
+        F.coalesce("total_prior_views", F.lit(0)).alias("total_prior_views"),
+    )
+
+
+def q_priority_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolating percentile) per order priority —
+    the distribution-report companion to value_percentiles. Median of
+    2-decimal prices can land on .xx5 ties: DECIMAL(18,6) snap before
+    round on both sides (CLAUDE.md convention)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.median("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("median_value"),
+        F.round(F.min("o_totalprice"), 2).alias("min_value"),
+        F.round(F.max("o_totalprice"), 2).alias("max_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing + streaming tier (driver-contract bindings)
 # ---------------------------------------------------------------------------
@@ -845,6 +987,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_report": q_grouping_sets_report,
         "heavy_hitter_users": q_heavy_hitter_users,
         "union_schema_drift": q_union_schema_drift,
+        "cohort_retention": q_cohort_retention,
+        "mom_revenue_growth": q_mom_revenue_growth,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "order_value_histogram": q_order_value_histogram,
+        "above_avg_spenders": q_above_avg_spenders,
+        "part_cooccurrence": q_part_cooccurrence,
+        "nations_per_region": q_nations_per_region,
+        "view_purchase_conversion": q_view_purchase_conversion,
+        "priority_value_spread": q_priority_value_spread,
         "scd2_customer_batch": q_scd2_customer_batch,
         "multimodal_metadata": q_multimodal_metadata,
         "frame_grid": q_frame_grid,
@@ -1305,6 +1456,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_missing_props
             FROM unioned GROUP BY 1
+        """,
+        "cohort_retention": """
+            WITH firsts AS (
+              SELECT o_custkey, min(o_orderdate) AS first_dt
+              FROM orders GROUP BY 1)
+            SELECT strftime(first_dt, '%Y-%m') AS cohort_month,
+                   CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                        - (year(first_dt) * 12 + month(first_dt)) AS INT)
+                     AS month_offset,
+                   count(DISTINCT o.o_custkey) AS entities
+            FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2
+        """,
+        "mom_revenue_growth": """
+            WITH per AS (
+              SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY 1)
+            SELECT period, revenue,
+                   lag(revenue) OVER (ORDER BY period) AS prev_revenue,
+                   round(revenue - lag(revenue) OVER (ORDER BY period), 2)
+                     AS abs_change,
+                   CAST(round(CAST((revenue - lag(revenue) OVER (ORDER BY period))
+                                   / lag(revenue) OVER (ORDER BY period) * 100.0
+                              AS DECIMAL(18,6)), 2) AS DOUBLE) AS pct_change
+            FROM per
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey AS last_orderkey,
+                   o_orderdate AS last_order_date
+            FROM (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC,
+                                                 o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "order_value_histogram": """
+            SELECT CAST(floor((o_totalprice - 0.0) / 25000.0) + 1 AS INT)
+                     AS bucket,
+                   count(*) AS n_rows,
+                   CAST(round(0.0 + (CAST(floor((o_totalprice - 0.0) / 25000.0) + 1 AS INT) - 1)
+                              * 25000.0, 2) AS DOUBLE) AS bucket_lo
+            FROM orders GROUP BY 1, 3
+        """,
+        "above_avg_spenders": """
+            WITH totals AS (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+              FROM orders GROUP BY 1),
+            g AS (
+              SELECT CAST(round(CAST(avg(total_spend) AS DECIMAL(18,6)), 2)
+                          AS DOUBLE) AS avg_spend FROM totals)
+            SELECT o_custkey, total_spend FROM totals, g
+            WHERE total_spend > avg_spend
+        """,
+        "part_cooccurrence": """
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   count(*) AS pair_count
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY pair_count DESC, item_a ASC, item_b ASC
+            LIMIT 20
+        """,
+        "nations_per_region": """
+            SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   count(*) AS n_items
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "view_purchase_conversion": """
+            WITH p AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'purchase'),
+            v AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'view'),
+            matched AS (
+              SELECT p.user_id, p.event_id, count(*) AS n_prior_views
+              FROM p JOIN v ON p.user_id = v.user_id
+                AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+              GROUP BY 1, 2),
+            per_user AS (
+              SELECT user_id, count(*) AS purchases_with_prior_view,
+                     CAST(sum(n_prior_views) AS BIGINT) AS total_prior_views
+              FROM matched GROUP BY 1)
+            SELECT p.user_id, count(*) AS n_purchases,
+                   coalesce(any_value(purchases_with_prior_view), 0)
+                     AS purchases_with_prior_view,
+                   coalesce(any_value(total_prior_views), 0) AS total_prior_views
+            FROM p LEFT JOIN per_user pu ON p.user_id = pu.user_id
+            GROUP BY 1
+        """,
+        "priority_value_spread": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(round(CAST(median(o_totalprice) AS DECIMAL(18,6)), 2)
+                        AS DOUBLE) AS median_value,
+                   round(min(o_totalprice), 2) AS min_value,
+                   round(max(o_totalprice), 2) AS max_value
+            FROM orders GROUP BY 1
         """,
     }
     sql.update(dedup.oracle_sql())

@@ -54,6 +54,9 @@ HEADLINE = [
     "scd2_customer_batch",
     "value_distribution",
     "dense_daily_purchases",
+    "cohort_retention",
+    "part_cooccurrence",
+    "view_purchase_conversion",
 ]
 
 

@@ -1,0 +1,131 @@
+"""Unit tests for the extended analytics operators: cohort retention,
+period-over-period, histogram, argmax-per-group, co-occurrence,
+sorted list-agg, and the preceding-window range join.
+
+Semantics pinned on hand-built frames (the sf0.01 DuckDB oracle covers
+the full-table paths; these pin edge cases: empty offsets, ties,
+window boundaries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from wistia_video_analytics_project_spark.operators import analytics, temporal
+
+
+def _d(y, m, d):
+    return dt.datetime(y, m, d)
+
+
+def test_cohort_retention_offsets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _d(2024, 1, 5)),
+            (1, _d(2024, 1, 20)),  # same month: offset 0 once (distinct)
+            (1, _d(2024, 3, 2)),   # offset 2
+            (2, _d(2024, 2, 1)),   # its own cohort
+        ],
+        "uid long, ts timestamp",
+    )
+    out = {
+        (r.cohort_month, r.month_offset): r.entities
+        for r in analytics.cohort_retention(df, "uid", "ts").collect()
+    }
+    assert out == {("2024-01", 0): 1, ("2024-01", 2): 1, ("2024-02", 0): 1}
+
+
+def test_cohort_retention_year_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, _d(2023, 12, 31)), (1, _d(2024, 1, 1))], "uid long, ts timestamp"
+    )
+    rows = analytics.cohort_retention(df, "uid", "ts").collect()
+    offsets = {r.month_offset for r in rows}
+    assert offsets == {0, 1}  # Dec->Jan crosses the year: offset 1, not -11
+
+
+def test_period_over_period_first_row_null(spark):
+    df = spark.createDataFrame(
+        [(_d(2024, 1, 1), 10.0), (_d(2024, 2, 1), 30.0)], "ts timestamp, v double"
+    )
+    rows = (
+        analytics.period_over_period(df, "ts", F.sum("v"), "month", "rev")
+        .orderBy("period")
+        .collect()
+    )
+    assert rows[0].prev_rev is None and rows[0].pct_change is None
+    assert rows[1].prev_rev == 10.0
+    assert rows[1].abs_change == 20.0
+    assert rows[1].pct_change == 200.0
+
+
+def test_histogram_boundaries(spark):
+    # boundary value lands in the UPPER bucket (SQL width_bucket: lower
+    # bound inclusive); out-of-range values land in 0 / n+1
+    df = spark.createDataFrame(
+        [(0.0,), (9.99,), (10.0,), (39.9,), (-1.0,), (40.0,)], "v double"
+    )
+    out = {r.bucket: r.n_rows for r in analytics.histogram(df, "v", 0.0, 40.0, 4).collect()}
+    assert out == {1: 2, 2: 1, 4: 1, 0: 1, 5: 1}
+
+
+def test_argmax_per_group_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, _d(2024, 1, 1), 100), (1, _d(2024, 1, 1), 200), (1, _d(2023, 1, 1), 999)],
+        "g long, ts timestamp, k long",
+    )
+    # equal ts: the struct ordering falls through to k -> picks 200
+    row = analytics.argmax_per_group(df, ["g"], ["ts", "k"], "k", "argmax").collect()[0]
+    assert row.argmax == 200 and row.max_ts == _d(2024, 1, 1)
+
+
+def test_cooccurrence_pairs_unordered_once(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b")], "basket long, item string"
+    )
+    out = {
+        (r.item_a, r.item_b): r.pair_count
+        for r in analytics.cooccurrence_pairs(df, "basket", "item").collect()
+    }
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_sorted_list_agg_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "z"), (1, "a"), (1, "m")], "g long, v string"
+    ).repartition(4)
+    row = analytics.sorted_list_agg(df, ["g"], "v").collect()[0]
+    assert row.items == "a,m,z" and row.n_items == 3
+
+
+def test_preceding_window_join_bounds(spark):
+    t0 = _d(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0 + dt.timedelta(hours=2))], "uid long, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(hours=1)),              # exactly -1h: included
+            (1, t0 + dt.timedelta(minutes=90)),           # inside
+            (1, t0 + dt.timedelta(hours=2)),              # == left ts: excluded (strict)
+            (1, t0 + dt.timedelta(minutes=59)),           # older than window
+            (2, t0 + dt.timedelta(minutes=110)),          # other key
+        ],
+        "uid long, ts timestamp",
+    )
+    n = temporal.preceding_window_join(
+        left, right, ["uid"], "ts", "ts", "1 hour", strict=True
+    ).count()
+    assert n == 2
+    n_incl = temporal.preceding_window_join(
+        left, right, ["uid"], "ts", "ts", "1 hour", strict=False
+    ).count()
+    assert n_incl == 3
+
+
+def test_preceding_window_join_requires_key(spark):
+    df = spark.createDataFrame([(1, _d(2024, 1, 1))], "uid long, ts timestamp")
+    try:
+        temporal.preceding_window_join(df, df, [], "ts", "ts")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -255,6 +255,157 @@ def funnel(
     return spark.createDataFrame(counts, "step int, step_name string, entities long")
 
 
+def cohort_retention(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+) -> DataFrame:
+    """Cohort retention matrix: entities grouped by the month of their
+    first activity (cohort), counted in each subsequent month-offset.
+
+    Classic product-analytics extension of the reference's
+    "New vs Returning Visitors" report (PDF p.34, W4): instead of a
+    binary new/returning label, the full (cohort_month, month_offset) →
+    distinct-entity matrix.
+
+    Plan shape: one groupBy on the entity key for first-activity, joined
+    back on the same key (co-partitioned — AQE plans it after the
+    aggregate without a second full shuffle of the fact), then one
+    aggregate on (cohort, offset). Month arithmetic is integer
+    ``year*12+month`` on both sides — no fractional months_between, so
+    the DuckDB oracle matches exactly.
+    """
+    month_no = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    firsts = df.groupBy(entity_col).agg(F.min(date_col).alias("__first"))
+    joined = df.join(firsts, entity_col)
+    return (
+        joined.groupBy(
+            F.date_format("__first", "yyyy-MM").alias("cohort_month"),
+            (month_no(F.col(date_col)) - month_no(F.col("__first")))
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(F.countDistinct(entity_col).alias("entities"))
+    )
+
+
+def period_over_period(
+    df: DataFrame,
+    date_col: str,
+    measure: Column,
+    period: str = "month",
+    measure_name: str = "value",
+) -> DataFrame:
+    """Period-over-period trend: per-period measure, previous period's
+    value (lag), absolute and percent change.
+
+    The windowed step runs on the already-aggregated per-period frame
+    (O(periods) rows), so the single-partition lag window is safe at any
+    fact size. Percent change snaps through DECIMAL(18,6) before
+    round(2) — cross-engine tie convention (CLAUDE.md).
+    """
+    per = df.groupBy(
+        F.date_trunc(period, F.col(date_col)).cast("date").alias("period")
+    ).agg(F.round(measure, 2).alias(measure_name))
+    w = Window.orderBy("period")
+    prev = F.lag(measure_name).over(w)
+    return per.select(
+        "period",
+        measure_name,
+        prev.alias(f"prev_{measure_name}"),
+        F.round(F.col(measure_name) - prev, 2).alias("abs_change"),
+        F.round(
+            ((F.col(measure_name) - prev) / prev * 100.0).cast("decimal(18,6)"), 2
+        )
+        .cast("double")
+        .alias("pct_change"),
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbuckets: int,
+) -> DataFrame:
+    """Fixed-bound equi-width histogram via ``width_bucket`` — one
+    map-side expression + one aggregate, no data-dependent pass to
+    discover bounds (at 100 TB a min/max pre-scan doubles the IO; callers
+    pass known domain bounds instead). Values outside [lo, hi) land in
+    buckets 0 / nbuckets+1 per SQL-standard width_bucket."""
+    width = (hi - lo) / nbuckets
+    bucket = F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(nbuckets))
+    return (
+        df.groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("bucket_lo", F.round(F.lit(lo) + (F.col("bucket") - 1) * width, 2))
+    )
+
+
+def argmax_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    payload_col: str,
+    out_name: str = "argmax",
+) -> DataFrame:
+    """Row-with-max per group via ``max_by`` over a struct ordering —
+    single partial-aggregating shuffle, no row_number window sort.
+
+    ``order_cols`` must end in a unique tiebreaker (struct comparison is
+    lexicographic), otherwise ties make the result nondeterministic —
+    same rule as the keep-first dedup fix (SURVEY.md §7.3).
+    """
+    ordering = F.struct(*[F.col(c) for c in order_cols])
+    return df.groupBy(*group_cols).agg(
+        F.max_by(F.col(payload_col), ordering).alias(out_name),
+        *[F.max(F.col(c)).alias(f"max_{c}") for c in order_cols[:1]],
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered item pair that
+    appears in the same basket, the number of shared baskets.
+
+    Implemented as a self equi-join on the basket key with ``a < b`` —
+    the join is co-partitioned on one shuffle of each side, and the
+    pair explosion stays bounded by sum(c_i²) over basket sizes (skewed
+    mega-baskets are the scale hazard: cap or salt them upstream;
+    AQE skew-join splits oversized partitions at runtime).
+    """
+    a = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("item_a"))
+    b = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("item_b"))
+    pairs = a.join(b, "__b").filter(F.col("item_a") < F.col("item_b"))
+    return pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+
+
+def sorted_list_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    sep: str = ",",
+    out_name: str = "items",
+) -> DataFrame:
+    """LISTAGG/string_agg with deterministic ordering:
+    ``concat_ws(sep, array_sort(collect_list(x)))``. collect_list order
+    is partition-dependent — sorting the array is what makes the result
+    reproducible (and oracle-comparable). Bounded-size groups only:
+    the whole group's values materialize in one array."""
+    return df.groupBy(*group_cols).agg(
+        F.concat_ws(sep, F.array_sort(F.collect_list(F.col(value_col)))).alias(
+            out_name
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def pivot_report(
     df: DataFrame,
     group_col: str,

@@ -134,6 +134,39 @@ def as_of_join_pandas(
     )
 
 
+def preceding_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    window: str = "1 hour",
+    strict: bool = True,
+) -> DataFrame:
+    """Interval/range join: pair each left row with every right row that
+    shares the equi-keys and falls in the preceding time window
+    ``[left.ts - window, left.ts)`` (``strict=False`` closes the upper
+    bound).
+
+    Spark plans this as an equi-join on ``on`` with the range predicate
+    evaluated inside the join — one shuffle per side, co-partitioned on
+    the keys. The pair blow-up is bounded by per-key event density ×
+    window length; at 100 TB the equi-key (user) keeps partitions
+    balanced and AQE splits skewed keys. Without an equi-key a range
+    join degenerates to a broadcast-nested-loop — callers must supply
+    ``on``.
+    """
+    if not on:
+        raise ValueError("preceding_window_join requires at least one equi-key")
+    iv = F.expr(f"INTERVAL {window}")
+    l_ts, r_ts = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
+    upper = (r_ts < l_ts) if strict else (r_ts <= l_ts)
+    cond = (r_ts >= l_ts - iv) & upper
+    for k in on:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    return left.alias("__l").join(right.alias("__r"), cond, "inner")
+
+
 def sessionize(
     events: DataFrame,
     entity_col: str,
