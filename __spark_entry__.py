@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wistia_video_analytics_project_spark import schemas
 from wistia_video_analytics_project_spark.operators import (
@@ -497,9 +497,14 @@ def q_dense_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel over the event stream: users who viewed, then
-    clicked after their first view, then purchased after that."""
+    clicked after their first view, then purchased after that.
+
+    Bound to the single-pass fold implementation (one shuffle on the
+    entity key, one action) — the sequential join-per-step variant
+    (:func:`analytics.funnel`) is semantics-equivalent (pinned in
+    tests/test_analytics_ext.py) but runs len(steps) rounds."""
     events = _t(spark, sf_dir, "events")
-    return analytics.funnel(
+    return analytics.funnel_single_pass(
         events,
         [("view", "view"), ("click", "click"), ("purchase", "purchase")],
     )
@@ -804,6 +809,143 @@ def q_view_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way star join: revenue per nation for one
+    region-year, suppliers local to the customer's nation. The three
+    small dims (supplier, nation, region) broadcast; lineitem⋈orders and
+    the customer join shuffle on their keys — Catalyst + AQE order the
+    rest (J1 at its widest)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    asia = region.filter(F.col("r_name") == "ASIA")
+    ord96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    joined = (
+        lineitem.join(ord96, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(asia), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape via a partitioned window: orders priced
+    above their own customer's average order value — one shuffle on the
+    customer key, no join back."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.round(F.avg("o_totalprice").over(w).cast("decimal(18,6)"), 2)
+        .cast("double")
+    )
+    return (
+        orders.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("order_value"),
+            "cust_avg",
+        )
+    )
+
+
+def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set aggregation with array ops: per user the sorted
+    event-type set (collect_set -> array_sort -> concat_ws, the
+    deterministic form) plus a set-membership flag."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+        (F.sum((F.col("event_type") == "purchase").cast("long")) > 0).alias(
+            "has_purchase"
+        ),
+    )
+
+
+def q_top_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event
+    type, ties broken lexicographically — min_by over a (-count, type)
+    struct on the pre-aggregated counts (two partial-agg shuffles, no
+    window sort over the raw stream)."""
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy("user_id").agg(
+        F.min_by(
+            "event_type", F.struct((-F.col("cnt")).alias("nc"), F.col("event_type"))
+        ).alias("top_type"),
+        F.max("cnt").alias("top_count"),
+    )
+
+
+def q_balance_segment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (count_if / FILTER): per market segment,
+    how many customers hold a positive balance and the share they make
+    up — the single-pass alternative to filter-then-join."""
+    customer = _t(spark, sf_dir, "customer")
+    n = F.count(F.lit(1))
+    n_pos = F.count_if(F.col("c_acctbal") > 0)
+    return customer.groupBy("c_mktsegment").agg(
+        n.alias("n_customers"),
+        n_pos.alias("n_positive"),
+        F.round((n_pos / n * 100.0).cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("pct_positive"),
+        (
+            F.round(F.avg("c_acctbal").cast("decimal(18,6)"), 2).cast("double") + 0.0
+        ).alias("avg_balance"),
+    )
+
+
+def q_customers_no_final_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery through the SQL surface — Spark plans the
+    null-aware anti join variant (distinct from the NOT EXISTS
+    left-anti of customers_without_orders)."""
+    configure_runtime(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__ni_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__ni_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM __ni_customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM __ni_orders WHERE o_orderstatus = 'F')
+        """
+    )
+
+
+def q_order_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows: percent_rank and cume_dist of each
+    order's value within its priority class (partitioned window — the
+    sort never spans partitions)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 def q_priority_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median (interpolating percentile) per order priority —
     the distribution-report companion to value_percentiles. Median of
@@ -996,6 +1138,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_per_region": q_nations_per_region,
         "view_purchase_conversion": q_view_purchase_conversion,
         "priority_value_spread": q_priority_value_spread,
+        "regional_revenue": q_regional_revenue,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
+        "user_event_type_sets": q_user_event_type_sets,
+        "top_event_type_per_user": q_top_event_type_per_user,
+        "balance_segment_report": q_balance_segment_report,
+        "customers_no_final_orders": q_customers_no_final_orders,
+        "order_value_percent_rank": q_order_value_percent_rank,
         "scd2_customer_batch": q_scd2_customer_batch,
         "multimodal_metadata": q_multimodal_metadata,
         "frame_grid": q_frame_grid,
@@ -1555,6 +1704,71 @@ def oracle_sql() -> dict[str, str]:
                    round(min(o_totalprice), 2) AS min_value,
                    round(max(o_totalprice), 2) AS max_value
             FROM orders GROUP BY 1
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "orders_above_customer_avg": """
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice, 2) AS order_value, cust_avg
+            FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CAST(round(CAST(avg(o_totalprice)
+                                     OVER (PARTITION BY o_custkey)
+                                AS DECIMAL(18,6)), 2) AS DOUBLE) AS cust_avg
+              FROM orders)
+            WHERE o_totalprice > cust_avg
+        """,
+        "user_event_type_sets": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                     AS types,
+                   count(DISTINCT event_type) AS n_types,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+                        AS BOOLEAN) AS has_purchase
+            FROM events GROUP BY 1
+        """,
+        "top_event_type_per_user": """
+            SELECT user_id, event_type AS top_type, cnt AS top_count FROM (
+              SELECT user_id, event_type, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC,
+                                                 event_type ASC) AS rn
+              FROM events GROUP BY 1, 2) WHERE rn = 1
+        """,
+        "balance_segment_report": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   count(*) FILTER (WHERE c_acctbal > 0) AS n_positive,
+                   CAST(round(CAST(count(*) FILTER (WHERE c_acctbal > 0)
+                                   / CAST(count(*) AS DOUBLE) * 100.0
+                              AS DECIMAL(18,6)), 2) AS DOUBLE) AS pct_positive,
+                   CAST(round(CAST(avg(c_acctbal) AS DECIMAL(18,6)), 2) AS DOUBLE)
+                     + 0.0 AS avg_balance
+            FROM customer GROUP BY 1
+        """,
+        "customers_no_final_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        "order_value_percent_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume_dist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
         """,
     }
     sql.update(dedup.oracle_sql())

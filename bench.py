@@ -57,6 +57,8 @@ HEADLINE = [
     "cohort_retention",
     "part_cooccurrence",
     "view_purchase_conversion",
+    "regional_revenue",
+    "orders_above_customer_avg",
 ]
 
 

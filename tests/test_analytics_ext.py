@@ -122,6 +122,43 @@ def test_preceding_window_join_bounds(spark):
     assert n_incl == 3
 
 
+def test_funnel_single_pass_matches_sequential(spark):
+    from wistia_video_analytics_project_spark.session import configure_runtime
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    configure_runtime(spark)
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    steps = [("view", "view"), ("click", "click"), ("purchase", "purchase")]
+    seq = {
+        (r.step, r.step_name): r.entities
+        for r in analytics.funnel(events, steps).collect()
+    }
+    single = {
+        (r.step, r.step_name): r.entities
+        for r in analytics.funnel_single_pass(events, steps).collect()
+    }
+    assert seq == single and len(single) == 3
+
+
+def test_funnel_single_pass_strictly_after_and_ties(spark):
+    t0 = _d(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            # u1: click at SAME ts as view -> step 2 not reached
+            (1, "view", t0), (1, "click", t0),
+            # u2: proper ordering, all three
+            (2, "view", t0), (2, "click", t0 + dt.timedelta(minutes=1)),
+            (2, "purchase", t0 + dt.timedelta(minutes=2)),
+            # u3: click BEFORE first view -> not counted at step 2
+            (3, "click", t0 - dt.timedelta(minutes=1)), (3, "view", t0),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    steps = [("view", "view"), ("click", "click"), ("purchase", "purchase")]
+    out = {r.step: r.entities for r in analytics.funnel_single_pass(df, steps).collect()}
+    assert out == {1: 3, 2: 1, 3: 1}
+
+
 def test_preceding_window_join_requires_key(spark):
     df = spark.createDataFrame([(1, _d(2024, 1, 1))], "uid long, ts timestamp")
     try:

@@ -110,3 +110,34 @@ def test_nested_schema_pruning_on_event_structs(spark, tmp_path):
     assert "duration_watched" not in scan, scan
     assert "struct<type:string>" in scan.replace(" ", ""), scan
     assert q.count() == 1
+
+
+def test_regional_revenue_broadcasts_and_pushdown(spark):
+    """The 6-way star join: region filter pushed to its scan, small dims
+    broadcast (no shuffle exchange for supplier/nation/region sides)."""
+    df = entrymod.q_regional_revenue(spark, SF_SMOKE)
+    plans.assert_broadcast_join(df)
+    plans.assert_pushed_filter(df, "r_name")
+    plans.assert_read_columns_at_most(
+        df, "orders.parquet", {"o_orderkey", "o_custkey", "o_orderdate"}
+    )
+
+
+def test_funnel_single_pass_one_shuffle(spark):
+    """The fold-based funnel must shuffle the event stream exactly once
+    (on the entity key); the step-count reduction happens on the tiny
+    exploded frame."""
+    import re
+
+    from wistia_video_analytics_project_spark.operators import analytics
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    df = analytics.funnel_single_pass(
+        events, [("view", "view"), ("click", "click"), ("purchase", "purchase")]
+    )
+    plan = plans.executed_plan(df)
+    # exchanges that repartition the RAW events (pre-aggregation): exactly 1
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 2, plan  # entity shuffle + tiny final agg only
+    plans.assert_pushed_filter(df, "event_type")

@@ -255,6 +255,82 @@ def funnel(
     return spark.createDataFrame(counts, "step int, step_name string, entities long")
 
 
+def funnel_single_pass(
+    events: DataFrame,
+    steps: Sequence[tuple[str, object]],
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Same semantics as :func:`funnel` (ordered-step completion counts)
+    in ONE shuffle and ONE action, instead of len(steps) sequential
+    join+aggregate rounds.
+
+    Per entity, the time-sorted step events are folded left-to-right
+    with ``aggregate`` over an array of per-step first-completion
+    timestamps: step i's slot fills on the first event at step i that
+    occurs strictly after slot i-1 filled. All JVM-side higher-order
+    functions — no Python UDF. Per-entity memory is bounded by that
+    entity's step-event count (cap upstream if an entity can be
+    pathological).
+
+    This is the 100 TB form: the sequential variant re-shuffles the
+    event table per step and runs a driver-side count each round; this
+    one shuffles once on the entity key and reduces to len(steps) rows.
+    """
+    step_vals = [v for _, v in steps]
+    k = len(step_vals)
+    idx = F.when(F.col(type_col) == F.lit(step_vals[0]), F.lit(0))
+    for i, v in enumerate(step_vals[1:], 1):
+        idx = idx.when(F.col(type_col) == F.lit(v), F.lit(i))
+    ev = events.withColumn("__step", idx).filter(F.col("__step").isNotNull())
+    per_entity = ev.groupBy(entity_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("t"), F.col("__step").alias("s"))
+            )
+        ).alias("__seq")
+    )
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
+    filled = per_entity.select(
+        F.aggregate(
+            "__seq",
+            init,
+            lambda acc, x: F.transform(
+                acc,
+                lambda a, i: F.when(
+                    (i == x["s"])
+                    & a.isNull()
+                    & (
+                        (i == F.lit(0))
+                        # F.get is 0-based and null-safe (element_at(_, 0)
+                        # raises under ANSI mode): slot i-1 must be filled
+                        # and strictly earlier
+                        | (
+                            F.get(acc, (i - 1).cast("int")).isNotNull()
+                            & (x["t"] > F.get(acc, (i - 1).cast("int")))
+                        )
+                    ),
+                    x["t"],
+                ).otherwise(a),
+            ),
+        ).alias("__done")
+    )
+    counts = filled.select(
+        F.posexplode("__done").alias("__pos", "__ts")
+    ).groupBy("__pos").agg(
+        F.sum(F.col("__ts").isNotNull().cast("long")).alias("entities")
+    )
+    name_map = F.when(F.col("__pos") == 0, F.lit(steps[0][0]))
+    for i, (name, _) in enumerate(steps[1:], 1):
+        name_map = name_map.when(F.col("__pos") == i, F.lit(name))
+    return counts.select(
+        (F.col("__pos") + 1).cast("int").alias("step"),
+        name_map.alias("step_name"),
+        "entities",
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     entity_col: str,
