@@ -946,6 +946,45 @@ def q_order_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split for an LLM data
+    pipeline: bucket = (id * Knuth-prime) mod 100 — pure integer
+    arithmetic, so the assignment is reproducible across engines, runs,
+    and repartitions (unlike sample()/rand(), which depend on partition
+    layout). 80/10/10 by source."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full-partition frame:
+    each user's first, latest, and second event type (deterministic
+    ordering: ts then event_id)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        events.select(
+            "user_id",
+            F.first("event_type").over(full).alias("first_type"),
+            F.last("event_type").over(full).alias("last_type"),
+            F.nth_value("event_type", 2).over(full).alias("second_type"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def q_priority_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median (interpolating percentile) per order priority —
     the distribution-report companion to value_percentiles. Median of
@@ -1145,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_segment_report": q_balance_segment_report,
         "customers_no_final_orders": q_customers_no_final_orders,
         "order_value_percent_rank": q_order_value_percent_rank,
+        "doc_split_assignment": q_doc_split_assignment,
+        "user_first_last_event": q_user_first_last_event,
         "scd2_customer_batch": q_scd2_customer_batch,
         "multimodal_metadata": q_multimodal_metadata,
         "frame_grid": q_frame_grid,
@@ -1769,6 +1810,29 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER w, 6) AS cume_dist
             FROM orders
             WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        """,
+        "doc_split_assignment": """
+            SELECT source,
+                   CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 100 < 90 THEN 'validation'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "user_first_last_event": """
+            SELECT user_id, first_type, last_type, second_type FROM (
+              SELECT user_id,
+                     first_value(event_type) OVER w AS first_type,
+                     last_value(event_type) OVER w AS last_type,
+                     nth_value(event_type, 2) OVER w AS second_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING))
+            WHERE rn = 1
         """,
     }
     sql.update(dedup.oracle_sql())

@@ -87,3 +87,38 @@ def test_ngram_jaccard_max_df_guard_keeps_strong_pairs(spark, docs):
                    docs, threshold=0.3, max_df=50).collect()}
     assert full, "expected planted near-dups"
     assert full <= guarded, full - guarded
+
+
+def test_connected_components_chain_converges(spark):
+    """A path graph deeper than one hop: labels must propagate the full
+    chain length (iterative hash-min), plus a disjoint pair."""
+    from wistia_video_analytics_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "doc_id_a long, doc_id_b long"
+    )
+    out = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, "doc_id_a", "doc_id_b").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
+
+
+def test_connected_components_clusters_are_shallow(spark):
+    """The 8-hop-closure oracle for dedup_clusters is exact only while
+    near-dup components stay shallow — pin that the testdata clusters
+    are small (size-1 bounds diameter)."""
+    from wistia_video_analytics_project_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+        _docs,
+    )
+
+    pairs = ngram_jaccard_pairs(_docs(spark, SF_SMOKE), threshold=0.1, n=3)
+    cc = connected_components(pairs, "doc_id_a", "doc_id_b")
+    biggest = (
+        cc.groupBy("cluster_id").count().agg({"count": "max"}).collect()[0][0]
+    )
+    assert biggest is not None and biggest <= 9

@@ -322,6 +322,80 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: every node gets
+    ``cluster_id`` = the minimum node id reachable through the pair
+    graph (hash-min label propagation).
+
+    The iterative dataflow Spark SQL can't express declaratively:
+    each round joins current labels across edges and keeps the min —
+    label count strictly shrinks to a fixpoint in O(diameter) rounds
+    (near-dup clusters are shallow: diameter is typically ≤ 3, so 3-4
+    rounds). Per round: one co-partitioned join + one partial-agg
+    groupBy. ``localCheckpoint`` truncates lineage each round —
+    without it the plan doubles per iteration and the driver, not the
+    data, becomes the bottleneck at scale.
+
+    Returns (node, cluster_id) for every node appearing in ``pairs``.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("lbl"))
+        .select("src", F.least("src", "lbl").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col("l.src"))
+            .select(F.col("e.src").alias("node"), F.col("l.lbl").alias("lbl"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.alias("cur")
+            .join(neighbor_min.alias("m"), F.col("cur.src") == F.col("m.node"), "left")
+            .select(
+                F.col("cur.src").alias("src"),
+                F.least(
+                    F.col("cur.lbl"),
+                    F.coalesce(F.col("m.nlbl"), F.col("cur.lbl")),
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.src") == F.col("o.src"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("node"), F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-contract bindings
 # ---------------------------------------------------------------------------
 
@@ -360,6 +434,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact-Jaccard candidate pairs -> connected
+    components (iterative hash-min propagation). Oracle = 8-hop
+    transitive closure in plain SQL — exact because near-dup components
+    are shallow (the pytest asserts the diameter assumption holds)."""
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1, n=3)
+    return connected_components(pairs, "doc_id_a", "doc_id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -370,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recall against the exact-jaccard oracle (tests/test_dedup.py).
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -433,5 +517,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_id_a = sa.doc_id
             JOIN sizes sb ON doc_id_b = sb.doc_id
             WHERE round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) >= 0.1
+        """,
+        "dedup_clusters": f"""
+            WITH {_SHINGLE_CTE},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT doc_id_a, doc_id_b
+              FROM inter
+              JOIN sizes sa ON doc_id_a = sa.doc_id
+              JOIN sizes sb ON doc_id_b = sb.doc_id
+              WHERE round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) >= 0.1),
+            e1 AS (
+              SELECT doc_id_a AS src, doc_id_b AS dst FROM p
+              UNION SELECT doc_id_b, doc_id_a FROM p
+              UNION SELECT doc_id_a, doc_id_a FROM p
+              UNION SELECT doc_id_b, doc_id_b FROM p),
+            e2 AS (SELECT DISTINCT a.src, b.dst FROM e1 a JOIN e1 b ON a.dst = b.src),
+            e4 AS (SELECT DISTINCT a.src, b.dst FROM e2 a JOIN e2 b ON a.dst = b.src),
+            e8 AS (SELECT DISTINCT a.src, b.dst FROM e4 a JOIN e4 b ON a.dst = b.src)
+            SELECT src AS node, min(dst) AS cluster_id FROM e8 GROUP BY 1
         """,
     }
