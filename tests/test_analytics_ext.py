@@ -91,6 +91,26 @@ def test_cooccurrence_pairs_unordered_once(spark):
     assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
 
 
+def test_cooccurrence_strategies_agree_with_duplicates(spark):
+    # duplicate item in a basket: (a,a) never pairs, but each duplicate
+    # occurrence pairs with other items -> multiplicity 2 for (a,b)
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "c")],
+        "basket long, item string",
+    )
+    grouped = {
+        (r.item_a, r.item_b): r.pair_count
+        for r in analytics.cooccurrence_pairs(df, "basket", "item").collect()
+    }
+    joined = {
+        (r.item_a, r.item_b): r.pair_count
+        for r in analytics.cooccurrence_pairs(
+            df, "basket", "item", strategy="join"
+        ).collect()
+    }
+    assert grouped == joined == {("a", "b"): 2, ("b", "c"): 1}
+
+
 def test_sorted_list_agg_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "z"), (1, "a"), (1, "m")], "g long, v string"

@@ -63,35 +63,6 @@ def scd2_apply(
     no-ops; changed keys close their open row and append a new version;
     unknown keys insert as new open rows.
     """
-    upd = updates.select(key, *tracked).alias("u")
-    if broadcast_updates:
-        upd = F.broadcast(upd)
-
-    closed_rows = dim.filter(~F.col("is_current"))
-    open_rows = dim.filter(F.col("is_current")).alias("c")
-
-    joined = open_rows.join(upd, F.col(f"c.{key}") == F.col(f"u.{key}"), "left")
-    changed_flag = F.col(f"u.{key}").isNotNull() & _differs(tracked)
-
-    untouched_open = joined.filter(~changed_flag).select("c.*")
-    newly_closed = (
-        joined.filter(changed_flag)
-        .select("c.*")
-        .withColumn("valid_to", effective_ts.cast("timestamp"))
-        .withColumn("is_current", F.lit(False))
-    )
-    # new versions: changed keys (fresh attributes) + brand-new keys
-    open_keys = open_rows.select(F.col(f"c.{key}").alias(key))
-    changed_keys = joined.filter(changed_flag).select(F.col(f"u.{key}").alias(key))
-    new_versions_src = updates.select(key, *tracked).join(
-        changed_keys.unionByName(  # changed ∪ (updates ∖ open)
-            updates.select(key).join(open_keys, key, "left_anti")
-        ).distinct(),
-        key,
-        "left_semi",
-    )
-    new_versions = scd2_init(new_versions_src, effective_ts)
-
     non_tracked = [
         c for c in dim.columns if c not in (key, *tracked, *SCD_COLS)
     ]
@@ -100,8 +71,55 @@ def scd2_apply(
             f"dim carries non-tracked attribute columns {non_tracked}; "
             "include them in `tracked` or drop them"
         )
-    return (
-        closed_rows.unionByName(untouched_open)
-        .unionByName(newly_closed)
-        .unionByName(new_versions)
+
+    upd = updates.select(key, *tracked).alias("u")
+    if broadcast_updates:
+        upd = F.broadcast(upd)
+
+    closed_rows = dim.filter(~F.col("is_current"))
+    open_rows = dim.filter(F.col("is_current")).alias("c")
+
+    # Single pass over (open ⋈ updates): each joined row EXPLODES into
+    # its output row class — unchanged -> [current], changed ->
+    # [closed version, new version] — instead of re-deriving the join
+    # for each class (the previous form scanned the dimension once per
+    # branch; this halves the dimension IO per apply).
+    joined = open_rows.join(upd, F.col(f"c.{key}") == F.col(f"u.{key}"), "left")
+    changed_flag = F.col(f"u.{key}").isNotNull() & _differs(tracked)
+    eff = effective_ts.cast("timestamp")
+
+    dim_cols = list(dim.columns)
+
+    def _row(values: dict[str, Column]) -> Column:
+        return F.struct(*[values[c].alias(c) for c in dim_cols])
+
+    cur = _row({c: F.col(f"c.{c}") for c in dim_cols})
+    closed = _row(
+        {
+            **{c: F.col(f"c.{c}") for c in dim_cols},
+            "valid_to": eff,
+            "is_current": F.lit(False),
+        }
     )
+    fresh = _row(
+        {
+            key: F.col(f"u.{key}"),
+            **{t: F.col(f"u.{t}") for t in tracked},
+            "valid_from": eff,
+            "valid_to": F.lit(None).cast("timestamp"),
+            "is_current": F.lit(True),
+        }
+    )
+    open_out = joined.select(
+        F.explode(
+            F.when(changed_flag, F.array(closed, fresh)).otherwise(F.array(cur))
+        ).alias("__r")
+    ).select("__r.*")
+
+    # brand-new keys: updates with no open row
+    open_keys = open_rows.select(F.col(f"c.{key}").alias(key))
+    inserts = scd2_init(
+        updates.select(key, *tracked).join(open_keys, key, "left_anti"),
+        effective_ts,
+    )
+    return closed_rows.unionByName(open_out).unionByName(inserts)
