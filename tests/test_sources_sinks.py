@@ -204,3 +204,41 @@ def test_urllib_transport_real_http():
         assert status404 == 404 and payload404 is None
     finally:
         srv.shutdown()
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from wistia_video_analytics_project_spark.sinks import write_csv
+    from wistia_video_analytics_project_spark.sources import read_csv
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b,with,commas", -2.0)], schema)
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema)
+    assert back.schema == schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from wistia_video_analytics_project_spark.sources import read_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,score\n1,2.5\nnot_a_number,oops\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("score", T.DoubleType())]
+    )
+    with pytest.raises(Exception):
+        read_csv(spark, str(p), schema).collect()

@@ -45,6 +45,24 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    delimiter: str = ",",
+) -> None:
+    """CSV sink — interchange/export only (no column pruning, no
+    predicate pushdown, no types on re-read without a declared schema);
+    silver+ storage stays parquet."""
+    (
+        df.write.mode(mode)
+        .option("header", "true" if header else "false")
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+
+
 def jdbc_truncate_load(
     df: DataFrame,
     url: str,

@@ -3,4 +3,10 @@
 Covers S1-S5 and S9-S10 from SURVEY.md §2.1.
 """
 
-from .readers import load_table, load_tables, read_json, read_parquet  # noqa: F401
+from .readers import (  # noqa: F401
+    load_table,
+    load_tables,
+    read_csv,
+    read_json,
+    read_parquet,
+)

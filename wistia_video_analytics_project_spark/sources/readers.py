@@ -52,6 +52,29 @@ def read_parquet(
     return df
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """CSV source — schema REQUIRED (CSV inference needs a full extra
+    scan and degrades every column to string on ambiguity, which then
+    defeats predicate pushdown downstream). ``FAILFAST`` by default:
+    a malformed row at 100 TB should fail the stage loudly, not silently
+    null-fill (pass ``mode='PERMISSIVE'`` + a ``_corrupt_record`` field
+    in the schema to quarantine instead)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true" if header else "false")
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+        .csv(path)
+    )
+
+
 def from_rows(spark: SparkSession, rows, schema: T.StructType) -> DataFrame:
     """S3: in-memory rows -> DataFrame (`notebool-02.py:176-181`)."""
     return spark.createDataFrame(rows, schema=schema)
