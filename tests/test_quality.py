@@ -119,3 +119,48 @@ def test_approx_percentile_within_band(spark):
         F.percentile("value", F.lit(0.5)).alias("p50"),
     ).collect()[0]
     assert abs(row.ap50 - row.p50) / row.p50 < 0.02
+
+
+def test_chunk_documents_boundaries(spark):
+    from wistia_video_analytics_project_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k"), (2, "  "), (3, None), (4, "solo")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, chunk_size=5, stride=3).collect()
+    )
+    # doc 1: 11 tokens, starts 0,3,6,9 -> lens 5,5,5,2; blank/null: none
+    assert rows == [
+        (1, 0, "a b c d e", 5),
+        (1, 1, "d e f g h", 5),
+        (1, 2, "g h i j k", 5),
+        (1, 3, "j k", 2),
+        (4, 0, "solo", 1),
+    ]
+
+
+def test_chunk_udtf_matches_hof(spark):
+    from wistia_video_analytics_project_spark.operators.text import (
+        chunk_documents,
+        make_chunk_udtf,
+    )
+    from wistia_video_analytics_project_spark.session import configure_runtime
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    configure_runtime(spark)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    hof = chunk_documents(docs, chunk_size=50, stride=40)
+    spark.udtf.register("__chunk_t", make_chunk_udtf(chunk_size=50, stride=40))
+    docs.createOrReplaceTempView("__chunk_docs")
+    ud = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+        FROM __chunk_docs d, LATERAL __chunk_t(d.text) c
+        """
+    )
+    a = sorted(tuple(r) for r in hof.collect())
+    b = sorted(tuple(r) for r in ud.collect())
+    assert a == b and len(a) > 0

@@ -238,6 +238,74 @@ def top_keywords(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Context-window chunking — THE preprocessing step between a raw
+    corpus and LLM training/embedding: each document becomes overlapping
+    ``chunk_size``-token windows starting every ``stride`` tokens
+    (overlap = chunk_size - stride preserves cross-boundary context).
+
+    Scale path: pure JVM higher-order functions
+    (``sequence -> transform -> slice -> explode``) — tokenization and
+    windowing happen inside whole-stage codegen, no shuffle at all
+    (chunking is embarrassingly parallel per document). Null/blank
+    documents yield no chunks. A chunk start is emitted for every
+    stride offset < token count, so a short tail window is kept (its
+    tokens still get a window that ends the document).
+
+    ``chunk_documents_udtf`` is the same logic as an Arrow-batched
+    Python UDTF (§2.10 surface) — asserted row-identical in tests; use
+    it when the per-chunk logic outgrows SQL expressions (real
+    tokenizers, sentence boundaries).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), toks.alias("__toks"))
+    return base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, size(__toks) - 1, {stride}), s -> struct(
+                  s div {stride} AS chunk_id,
+                  array_join(slice(__toks, s + 1, {chunk_size}), ' ') AS chunk_text,
+                  size(slice(__toks, s + 1, {chunk_size})) AS n_tokens))
+                """
+            )
+        ).alias("__c"),
+    ).select(id_col, "__c.chunk_id", "__c.chunk_text", "__c.n_tokens")
+
+
+def make_chunk_udtf(chunk_size: int = 50, stride: int = 40):
+    """Python UDTF form of :func:`chunk_documents` (one input text ->
+    many chunk rows). Register then use via LATERAL:
+
+        spark.udtf.register("chunk", make_chunk_udtf())
+        spark.sql("SELECT d.doc_id, c.* FROM docs d, LATERAL chunk(d.text) c")
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk_text string, n_tokens int")
+    class Chunker:
+        def eval(self, text: str):  # noqa: D102 - UDTF contract
+            if text is None:
+                return
+            toks = text.strip().split()
+            if not toks:
+                return
+            for ci, s in enumerate(range(0, len(toks), stride)):
+                window = toks[s : s + chunk_size]
+                yield ci, " ".join(window), len(window)
+
+    return Chunker
+
+
 def q_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_keywords(_docs(spark, sf_dir), k=3)
 
@@ -253,6 +321,11 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50-token chunks, stride 40 (10-token overlap), over documents."""
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=50, stride=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_profile": q_text_profile,
@@ -261,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "top_keywords": q_top_keywords,
         "token_counts": q_token_counts,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -308,6 +382,22 @@ def _lang_guess_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_chunks": """
+            WITH base AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''),
+            starts AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, 40)) AS s
+              FROM base)
+            SELECT doc_id,
+                   CAST(s // 40 AS INT) AS chunk_id,
+                   array_to_string(list_slice(toks, s + 1, s + 50), ' ')
+                     AS chunk_text,
+                   CAST(len(list_slice(toks, s + 1, s + 50)) AS INT) AS n_tokens
+            FROM starts
+        """,
         "text_profile": _PROFILE_SQL,
         "text_lang_id": _lang_guess_sql(),
         "text_quality": """
