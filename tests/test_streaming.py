@@ -212,3 +212,70 @@ def test_native_session_window_streaming(spark, tmp_path):
     run_to_memory_sink(agg, "sess_out")
     got = {(r.start, r.n_events) for r in spark.sql("SELECT * FROM sess_out").collect()}
     assert got == {(t, 2)}  # merged 2-event session emitted; open one held back
+
+
+def test_enrich_stream_static_broadcast(spark, event_dir):
+    from wistia_video_analytics_project_spark.streaming import (
+        enrich_stream,
+        run_to_memory_sink,
+    )
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(event_dir)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    run_to_memory_sink(enrich_stream(stream, dim, "user_id"), "enrich_t")
+    rows = spark.sql("SELECT user_id, tier FROM enrich_t").collect()
+    assert len(rows) == 5
+    assert {(r.user_id, r.tier) for r in rows} == {(1, "gold"), (2, "silver")}
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
+    """Replaying the sf0.001 event history through the watermarked
+    stream-stream join must produce exactly the batch
+    preceding_window_join pairs."""
+    from wistia_video_analytics_project_spark.operators import temporal
+    from wistia_video_analytics_project_spark.session import configure_runtime
+    from wistia_video_analytics_project_spark.sources import load_table
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+        stream_stream_window_join,
+    )
+    from pyspark.sql import functions as F
+
+    configure_runtime(spark)
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    stage = str(tmp_path / "ss_events")
+    events.write.parquet(stage)
+    schema = events.schema
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        v = df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+        )
+        return p, v
+
+    sp, sv = split(spark.readStream.schema(schema).parquet(stage))
+    joined = stream_stream_window_join(
+        sp, sv, ["user_id"], "ts", "vts", window="1 hour", watermark="2 hours"
+    ).select(
+        F.col("__l.event_id").alias("purchase_id"), F.col("__r.view_id").alias("view_id")
+    )
+    run_to_memory_sink(joined, "ss_join_t")
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ss_join_t").collect()
+    }
+
+    bp, bv = split(events)
+    batch = temporal.preceding_window_join(
+        bp, bv.withColumnRenamed("vts", "ts"), ["user_id"], "ts", "ts", "1 hour"
+    ).select(
+        F.col("__l.event_id").alias("purchase_id"),
+        F.col("__r.view_id").alias("view_id"),
+    )
+    want = {(r.purchase_id, r.view_id) for r in batch.collect()}
+    assert got == want and len(want) > 0

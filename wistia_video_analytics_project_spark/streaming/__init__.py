@@ -14,7 +14,9 @@ same semantics onto Structured Streaming:
 
 from .jobs import (  # noqa: F401
     dedup_stream,
+    enrich_stream,
     foreach_batch_upsert,
     run_to_memory_sink,
+    stream_stream_window_join,
     windowed_engagement,
 )

@@ -85,6 +85,52 @@ def dedup_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join (J1 on a stream): each micro-batch joins
+    against the static dimension — broadcast, so the stream never
+    shuffles for the join. The dim is re-resolved per batch, so a
+    re-loaded dimension table is picked up without restarting the query."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_stream_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    strict: bool = True,
+) -> DataFrame:
+    """Watermarked stream-stream join — the streaming twin of
+    ``temporal.preceding_window_join`` (same pairing semantics:
+    right rows in ``[left.ts - window, left.ts)`` per equi-key, upper
+    bound closed when ``strict=False``).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so each side's buffered state expires once the other
+    side's watermark passes — REQUIRED: an unbounded stream-stream join
+    buffers forever. Equality with the batch operator on a replayed
+    history is asserted in tests.
+    """
+    if not on:
+        raise ValueError("stream-stream join requires at least one equi-key")
+    l = left.withWatermark(left_ts, watermark).alias("__l")
+    r = right.withWatermark(right_ts, watermark).alias("__r")
+    l_ts, r_ts = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
+    upper = (r_ts < l_ts) if strict else (r_ts <= l_ts)
+    cond = (r_ts >= l_ts - F.expr(f"INTERVAL {window}")) & upper
+    for k in on:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    return l.join(r, cond, "inner")
+
+
 def foreach_batch_upsert(
     target: dict[tuple, tuple],
     key_cols: Sequence[str],
