@@ -946,6 +946,77 @@ def q_order_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_share_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total report (ratio_to_report): each brand's revenue
+    share. The share window runs over the already-aggregated per-brand
+    frame — O(brands) rows, never the fact."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "p_brand",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("revenue_share"),
+    )
+
+
+def q_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-monitoring shape: per-day event volume z-scored against
+    the period mean/stddev, flagging |z| > 2 days. Mean and stddev snap
+    through DECIMAL(18,6) before the z arithmetic so the flag boundary
+    is engine-independent."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    stats = daily.agg(
+        F.round(F.avg("n_events").cast("decimal(18,6)"), 6)
+        .cast("double")
+        .alias("__mean"),
+        F.round(F.stddev_samp("n_events").cast("decimal(18,6)"), 6)
+        .cast("double")
+        .alias("__sd"),
+    )
+    z = F.round((F.col("n_events") - F.col("__mean")) / F.col("__sd"), 4)
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "event_date",
+        "n_events",
+        z.alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: exact cumulative distinct users per day via
+    first-seen dates — one groupBy on the user key, then a running sum
+    over the tiny per-day frame (the scalable form of a cumulative
+    COUNT(DISTINCT), which would otherwise need a set union per day)."""
+    events = _t(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_date")
+    )
+    per_day = firsts.groupBy("first_date").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "first_date",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of the embedding column — the
     storage/ANN-speed lever for a 100 TB vector corpus (4x smaller,
@@ -1145,8 +1216,11 @@ def q_streaming_daily_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(
         tempfile.gettempdir(), f"stream_events_{tag}_{os.getpid()}"
     )
-    # overwrite every call: an earlier torn write must never be reused
-    events.write.mode("overwrite").parquet(stage)
+    # reuse the staged copy ONLY if Spark's commit marker exists (a torn
+    # write never produces _SUCCESS); the dir is pid-scoped so no other
+    # process can race the marker
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(events.schema).parquet(stage)
     agg = windowed_engagement(
         stream,
@@ -1237,6 +1311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last_event": q_user_first_last_event,
         "embedding_quantize": q_embedding_quantize,
         "vocab_coverage": q_vocab_coverage,
+        "revenue_share_by_brand": q_revenue_share_by_brand,
+        "daily_anomaly_zscore": q_daily_anomaly_zscore,
+        "cumulative_unique_users": q_cumulative_unique_users,
         "scd2_customer_batch": q_scd2_customer_batch,
         "multimodal_metadata": q_multimodal_metadata,
         "frame_grid": q_frame_grid,
@@ -1870,6 +1947,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "revenue_share_by_brand": """
+            WITH rev AS (
+              SELECT p_brand,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1)
+            SELECT p_brand, revenue,
+                   round(revenue / sum(revenue) OVER (), 6) AS revenue_share
+            FROM rev
+        """,
+        "daily_anomaly_zscore": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events
+              FROM events GROUP BY 1),
+            stats AS (
+              SELECT CAST(round(CAST(avg(n_events) AS DECIMAL(18,6)), 6) AS DOUBLE)
+                       AS mean,
+                     CAST(round(CAST(stddev_samp(n_events) AS DECIMAL(18,6)), 6)
+                          AS DOUBLE) AS sd
+              FROM daily)
+            SELECT event_date, n_events,
+                   round((CAST(n_events AS DOUBLE) - mean) / sd, 4) AS zscore,
+                   abs(round((CAST(n_events AS DOUBLE) - mean) / sd, 4)) > 2.0
+                     AS is_anomaly
+            FROM daily, stats
+        """,
+        "cumulative_unique_users": """
+            WITH firsts AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS first_date
+              FROM events GROUP BY 1),
+            per_day AS (
+              SELECT first_date, count(*) AS new_users FROM firsts GROUP BY 1)
+            SELECT first_date, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY first_date
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cumulative_users
+            FROM per_day
         """,
         "embedding_quantize": """
             SELECT vec_id,

@@ -55,13 +55,37 @@ def daily_trend(events):
     )
 
 
+def funnel(events):
+    from wistia_video_analytics_project_spark.operators import analytics
+
+    return analytics.funnel_single_pass(
+        events, [("view", "view"), ("click", "click"), ("purchase", "purchase")]
+    )
+
+
+def sessionize(events):
+    from wistia_video_analytics_project_spark.operators import temporal
+
+    return temporal.session_stats(
+        events, "user_id", "ts", "30 minutes", tiebreakers=("event_id",)
+    )
+
+
+OPS = (
+    ("fact_build", fact_build),
+    ("daily_trend", daily_trend),
+    ("funnel_1pass", funnel),
+    ("sessionize", sessionize),
+)
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
     base = load_table(spark, SF_DIR, "events")
     base.count()  # warm
     for k in (1, 10, 30):
         ev = multiply(base, k)
-        for name, fn in (("fact_build", fact_build), ("daily_trend", daily_trend)):
+        for name, fn in OPS:
             best = min(
                 _time(lambda: fn(ev).count()) for _ in range(2)
             )
