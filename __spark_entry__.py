@@ -946,6 +946,38 @@ def q_order_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: most-similar part-name pairs by
+    Levenshtein distance, blocked on (brand, size) so the comparison
+    space is per-block quadratic instead of corpus-quadratic — the
+    standard blocking pattern for fuzzy joins at scale."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("edit_distance"),
+        )
+    )
+    return analytics.top_k(
+        pairs, 15, [F.asc("edit_distance"), F.asc("key_a"), F.asc("key_b")]
+    )
+
+
 def q_revenue_share_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-total report (ratio_to_report): each brand's revenue
     share. The share window runs over the already-aggregated per-brand
@@ -1311,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last_event": q_user_first_last_event,
         "embedding_quantize": q_embedding_quantize,
         "vocab_coverage": q_vocab_coverage,
+        "fuzzy_part_names": q_fuzzy_part_names,
         "revenue_share_by_brand": q_revenue_share_by_brand,
         "daily_anomaly_zscore": q_daily_anomaly_zscore,
         "cumulative_unique_users": q_cumulative_unique_users,
@@ -1947,6 +1980,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "fuzzy_part_names": """
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
+            ORDER BY edit_distance ASC, key_a ASC, key_b ASC
+            LIMIT 15
         """,
         "revenue_share_by_brand": """
             WITH rev AS (

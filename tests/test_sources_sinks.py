@@ -242,3 +242,39 @@ def test_csv_failfast_on_malformed(spark, tmp_path):
     )
     with pytest.raises(Exception):
         read_csv(spark, str(p), schema).collect()
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from wistia_video_analytics_project_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "many_files")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*")) == 64
+
+    n_files = compact_parquet(spark, path, target_partitions=4, sort_by=["id"])
+    assert n_files == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))
+
+
+def test_sorted_write_clusters_rows_within_files(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from wistia_video_analytics_project_spark.sinks import write_parquet
+
+    path = str(tmp_path / "sorted_out")
+    df = spark.range(0, 5_000).withColumn(
+        "k", (F.col("id") * 7919) % 1000
+    ).repartition(4)
+    write_parquet(df, path, sort_within_partitions_by=["k"])
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        ks = [r.k for r in spark.read.parquet(f"file://{f}").select("k").collect()]
+        assert ks == sorted(ks), f

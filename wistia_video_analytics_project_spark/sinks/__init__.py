@@ -28,9 +28,19 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
     max_records_per_file: int | None = None,
+    sort_within_partitions_by: Sequence[str] | None = None,
 ) -> None:
     """S7: columnar sink. ``partition_by`` enables partition pruning;
-    ``max_records_per_file`` bounds file sizes against skewed partitions."""
+    ``max_records_per_file`` bounds file sizes against skewed partitions.
+
+    ``sort_within_partitions_by``: cluster rows inside each task's
+    output file by these columns (no shuffle — a per-partition sort).
+    Tightens parquet row-group min/max ranges so point/range predicates
+    on those columns skip row groups at read time — the poor man's
+    Z-order, and the single cheapest read-amplification fix for a
+    100 TB table queried by a non-partition key."""
+    if sort_within_partitions_by:
+        df = df.sortWithinPartitions(*sort_within_partitions_by)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -43,6 +53,50 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S6: raw-zone JSON landing (`notebool-02.py:182`). Raw payload
     fidelity over efficiency — bronze only; silver+ is always parquet."""
     df.write.mode(mode).json(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_partitions: int,
+    sort_by: Sequence[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_partitions`` files (optionally clustered by ``sort_by``).
+
+    The small-files problem is THE silent killer of long-lived streaming
+    /incremental tables: a micro-batch-per-minute sink produces ~500k
+    files/year, and open/seek overhead starts to dominate scans.
+    Rewrites into a staging dir first, then swaps via filesystem rename.
+    The delete→rename window is NOT transactional — on a production
+    lake this job runs under a table format (Delta/Iceberg) or a
+    partition-level lock; here it is the single-writer maintenance op.
+    Returns the number of data files after compaction.
+    """
+    df = spark.read.parquet(path)
+    out = df.repartition(target_partitions)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    staged = path.rstrip("/") + "__compact_staged"
+    out.write.mode("overwrite").parquet(staged)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(hconf)
+    if not fs.delete(HPath(path), True):
+        raise IOError(f"compact_parquet: failed to remove {path}")
+    if not fs.rename(HPath(staged), HPath(path)):
+        raise IOError(
+            f"compact_parquet: rename {staged} -> {path} failed; "
+            f"data is intact in {staged}"
+        )
+    n = 0
+    for status in fs.listStatus(HPath(path)):
+        name = status.getPath().getName()
+        if name.startswith("part-"):
+            n += 1
+    return n
 
 
 def write_csv(
