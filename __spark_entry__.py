@@ -946,6 +946,36 @@ def q_order_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence analytics: the event-type transition matrix — for each
+    (previous type -> type) pair per user timeline, occurrence count and
+    mean gap seconds (lag window ordered by (ts, event_id) — the unique
+    tiebreaker keeps the sequence, and therefore the matrix,
+    deterministic)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        # gap in integer micros FIRST, one division after: timestamp->
+        # double casts round micros differently per engine
+        F.round(
+            F.avg(
+                (F.unix_micros("ts") - F.unix_micros("prev_ts")) / 1e6
+            ).cast("decimal(18,6)"),
+            2,
+        )
+        .cast("double")
+        .alias("avg_gap_seconds"),
+    )
+
+
 def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution shape: most-similar part-name pairs by
     Levenshtein distance, blocked on (brand, size) so the comparison
@@ -1343,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last_event": q_user_first_last_event,
         "embedding_quantize": q_embedding_quantize,
         "vocab_coverage": q_vocab_coverage,
+        "event_transitions": q_event_transitions,
         "fuzzy_part_names": q_fuzzy_part_names,
         "revenue_share_by_brand": q_revenue_share_by_brand,
         "daily_anomaly_zscore": q_daily_anomaly_zscore,
@@ -1980,6 +2011,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT user_id, ts, event_type,
+                     lag(event_type) OVER w AS prev_type,
+                     lag(ts) OVER w AS prev_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT prev_type, event_type AS next_type,
+                   count(*) AS n_transitions,
+                   CAST(round(CAST(avg((epoch_us(ts) - epoch_us(prev_ts))
+                                       / 1000000.0)
+                              AS DECIMAL(18,6)), 2) AS DOUBLE)
+                     AS avg_gap_seconds
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "fuzzy_part_names": """
             SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
