@@ -946,6 +946,24 @@ def q_order_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over events in ONE scan (Q-family
+    extension): null keys, accepted event types, value range, and a
+    JSON-shape regex on props — each check one conditional sum."""
+    events = _t(spark, sf_dir, "events")
+    return quality.expectations_report(
+        events,
+        [
+            quality.expect_not_null("user_id", "event_type"),
+            quality.expect_values_in(
+                "event_type", ["view", "click", "purchase", "signup", "error"]
+            ),
+            quality.expect_between("value", 0.0, 10_000.0),
+            quality.expect_matches("props", r"^\{.*\}$"),
+        ],
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence analytics: the event-type transition matrix — for each
     (previous type -> type) pair per user timeline, occurrence count and
@@ -1373,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last_event": q_user_first_last_event,
         "embedding_quantize": q_embedding_quantize,
         "vocab_coverage": q_vocab_coverage,
+        "event_expectations": q_event_expectations,
         "event_transitions": q_event_transitions,
         "fuzzy_part_names": q_fuzzy_part_names,
         "revenue_share_by_brand": q_revenue_share_by_brand,
@@ -2011,6 +2030,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "event_expectations": """
+            WITH t AS (
+              SELECT count(*) AS total,
+                     CAST(sum(CASE WHEN user_id IS NULL OR event_type IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+                     CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type
+                                   NOT IN ('view','click','purchase','signup','error')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                     CAST(sum(CASE WHEN value IS NOT NULL
+                                   AND (value < 0.0 OR value > 10000.0)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                     CAST(sum(CASE WHEN props IS NOT NULL
+                                   AND NOT regexp_matches(props, '^\\{.*\\}$')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS v3
+              FROM events)
+            SELECT 'not_null(user_id,event_type)' AS "check", v0 AS violations,
+                   total AS total_count, v0 = 0 AS passed FROM t
+            UNION ALL
+            SELECT 'values_in(event_type)', v1, total, v1 = 0 FROM t
+            UNION ALL
+            SELECT 'between(value)', v2, total, v2 = 0 FROM t
+            UNION ALL
+            SELECT 'matches(props)', v3, total, v3 = 0 FROM t
         """,
         "event_transitions": """
             WITH seq AS (

@@ -164,3 +164,33 @@ def test_chunk_udtf_matches_hof(spark):
     a = sorted(tuple(r) for r in hof.collect())
     b = sorted(tuple(r) for r in ud.collect())
     assert a == b and len(a) > 0
+
+
+def test_expectations_report_single_pass(spark):
+    from wistia_video_analytics_project_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [
+            (1, "view", 10.0, "a@x.io"),
+            (2, None, -5.0, "bad-email"),
+            (None, "click", 250.0, None),
+        ],
+        "id long, kind string, score double, email string",
+    )
+    report = quality.expectations_report(
+        df,
+        [
+            quality.expect_not_null("id", "kind"),
+            quality.expect_values_in("kind", ["view", "click"]),
+            quality.expect_between("score", 0.0, 100.0),
+            quality.expect_matches("email", r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
+        ],
+    )
+    got = {r.check: (r.violations, r.passed) for r in report.collect()}
+    assert got == {
+        "not_null(id,kind)": (2, False),
+        "values_in(kind)": (0, True),
+        "between(score)": (2, False),
+        "matches(email)": (1, False),
+    }
+    assert all(r.total_count == 3 for r in report.collect())

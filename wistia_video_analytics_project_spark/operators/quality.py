@@ -134,3 +134,76 @@ def referential_orphans(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key:
     The reference avoids orphans by PK-repair construction
     (`notebool-03.py:149-154, 208-213`); this operator verifies it."""
     return fact.join(dim, fact[fact_key] == dim[dim_key], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations (Q-family extension)
+# ---------------------------------------------------------------------------
+
+
+def expect_not_null(*cols: str) -> tuple[str, "F.Column"]:
+    """Violations: rows where any listed column is NULL."""
+    cond = F.lit(False)
+    for c in cols:
+        cond = cond | F.col(c).isNull()
+    return (f"not_null({','.join(cols)})", cond)
+
+
+def expect_values_in(col: str, values: Sequence[object]) -> tuple[str, "F.Column"]:
+    """Violations: non-null values outside the accepted set."""
+    return (
+        f"values_in({col})",
+        F.col(col).isNotNull() & ~F.col(col).isin(list(values)),
+    )
+
+
+def expect_between(col: str, lo: object, hi: object) -> tuple[str, "F.Column"]:
+    """Violations: non-null values outside [lo, hi]."""
+    return (
+        f"between({col})",
+        F.col(col).isNotNull() & ((F.col(col) < lo) | (F.col(col) > hi)),
+    )
+
+
+def expect_matches(col: str, pattern: str) -> tuple[str, "F.Column"]:
+    """Violations: non-null strings not fully matching the regex."""
+    return (
+        f"matches({col})",
+        F.col(col).isNotNull() & ~F.col(col).rlike(pattern),
+    )
+
+
+def expectations_report(
+    df: DataFrame, checks: Sequence[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Run a declarative check suite in ONE aggregation pass (the
+    dbt-test / Great-Expectations shape without the framework): each
+    check is (name, violation_predicate); the report is one row per
+    check with its violation count and pass flag.
+
+    All violation predicates evaluate as conditional sums inside a
+    single scan — adding a check costs one column, never another pass
+    (the reference's inline QC re-scans per check, SURVEY.md §3.3).
+    Uniqueness checks aggregate differently (need a groupBy) — use
+    ``assert_unique``/``duplicate_groups`` for those.
+    """
+    aggs = [F.count(F.lit(1)).alias("total_count")] + [
+        F.sum(cond.cast("long")).alias(f"__v_{i}")
+        for i, (_, cond) in enumerate(checks)
+    ]
+    row = df.agg(*aggs)
+    stacked = row.selectExpr(
+        "total_count",
+        "stack({n}, {args}) as (check, violations)".format(
+            n=len(checks),
+            args=", ".join(
+                f"'{name}', __v_{i}" for i, (name, _) in enumerate(checks)
+            ),
+        ),
+    )
+    return stacked.select(
+        "check",
+        F.coalesce("violations", F.lit(0)).alias("violations"),
+        "total_count",
+        (F.coalesce("violations", F.lit(0)) == 0).alias("passed"),
+    )
