@@ -19,6 +19,7 @@ These encode the 100 TB playbook as reusable operators:
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
@@ -127,3 +128,44 @@ def qc_metrics(key_cols: Sequence[str]) -> dict[str, Column]:
     for k in key_cols:
         m[f"null_{k}"] = F.sum(F.col(k).isNull().cast("long"))
     return m
+
+
+@contextmanager
+def runtime_bloom_filter(
+    spark,
+    creation_side_threshold: str = "100MB",
+    application_side_threshold: str = "10GB",
+):
+    """Enable AQE's runtime bloom-filter join pruning for a scope.
+
+    When one join side carries a selective filter, Spark builds a bloom
+    filter from that side's join keys and injects ``might_contain`` into
+    the OTHER side's scan — rows that cannot match are dropped before
+    the shuffle. At 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the ~1% that survives a selective
+    dimension predicate, without bucketing or manual semi-joins.
+
+    Thresholds gate when Spark bothers: ``creation_side_threshold`` is
+    the max size of the filtered build side, ``application_side_*`` the
+    min scan size worth protecting. Defaults here suit a real cluster;
+    tests shrink them to force the rewrite (plan pinned in
+    tests/test_plans.py). Restores prior conf values on exit.
+    """
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            creation_side_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            application_side_threshold,
+    }
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
