@@ -443,6 +443,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_id_a", "doc_id_b")
 
 
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup retention policy: from each near-dup cluster keep only the
+    canonical member (cluster_id == min node id, the CC label); docs in
+    no cluster pass through. The left join is against the (tiny
+    relative to the corpus) cluster table — broadcast."""
+    c = F.broadcast(clusters.withColumnRenamed("node", id_col))
+    out = docs.join(c, id_col, "left")
+    return out.filter(
+        F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id"))
+    ).drop("cluster_id")
+
+
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: cluster, keep canonicals, report
+    retained doc count + chars per source (the corpus-shrink report a
+    training pipeline actually consumes)."""
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1, n=3)
+    clusters = connected_components(pairs, "doc_id_a", "doc_id_b")
+    kept = keep_canonical(docs, clusters)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -454,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_keep": q_dedup_cluster_keep,
     }
 
 
@@ -541,5 +572,34 @@ def oracle_sql() -> dict[str, str]:
             e4 AS (SELECT DISTINCT a.src, b.dst FROM e2 a JOIN e2 b ON a.dst = b.src),
             e8 AS (SELECT DISTINCT a.src, b.dst FROM e4 a JOIN e4 b ON a.dst = b.src)
             SELECT src AS node, min(dst) AS cluster_id FROM e8 GROUP BY 1
+        """,
+        "dedup_cluster_keep": f"""
+            WITH {_SHINGLE_CTE},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT doc_id_a, doc_id_b
+              FROM inter
+              JOIN sizes sa ON doc_id_a = sa.doc_id
+              JOIN sizes sb ON doc_id_b = sb.doc_id
+              WHERE round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) >= 0.1),
+            e1 AS (
+              SELECT doc_id_a AS src, doc_id_b AS dst FROM p
+              UNION SELECT doc_id_b, doc_id_a FROM p
+              UNION SELECT doc_id_a, doc_id_a FROM p
+              UNION SELECT doc_id_b, doc_id_b FROM p),
+            e2 AS (SELECT DISTINCT a.src, b.dst FROM e1 a JOIN e1 b ON a.dst = b.src),
+            e4 AS (SELECT DISTINCT a.src, b.dst FROM e2 a JOIN e2 b ON a.dst = b.src),
+            e8 AS (SELECT DISTINCT a.src, b.dst FROM e4 a JOIN e4 b ON a.dst = b.src),
+            cc AS (SELECT src AS node, min(dst) AS cluster_id FROM e8 GROUP BY 1)
+            SELECT source, count(*) AS kept_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_chars
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+            WHERE cc.node IS NULL OR d.doc_id = cc.cluster_id
+            GROUP BY 1
         """,
     }
