@@ -946,6 +946,22 @@ def q_order_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: volume and value by ISO weekday (Spark's
+    0-Monday ``weekday()+1`` == DuckDB's ``isodow`` — date-part
+    conventions differ per engine and must be normalized explicitly)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("iso_weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("avg_value"),
+    )
+
+
 def q_event_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative expectation suite over events in ONE scan (Q-family
     extension): null keys, accepted event types, value range, and a
@@ -1391,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last_event": q_user_first_last_event,
         "embedding_quantize": q_embedding_quantize,
         "vocab_coverage": q_vocab_coverage,
+        "weekday_profile": q_weekday_profile,
         "event_expectations": q_event_expectations,
         "event_transitions": q_event_transitions,
         "fuzzy_part_names": q_fuzzy_part_names,
@@ -2030,6 +2047,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "weekday_profile": """
+            SELECT CAST(isodow(ts) AS INT) AS iso_weekday,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value,
+                   CAST(round(CAST(avg(value) AS DECIMAL(18,6)), 2) AS DOUBLE)
+                     AS avg_value
+            FROM events GROUP BY 1
         """,
         "event_expectations": """
             WITH t AS (
