@@ -59,6 +59,9 @@ HEADLINE = [
     "view_purchase_conversion",
     "regional_revenue",
     "orders_above_customer_avg",
+    "doc_chunks",
+    "embedding_quantize",
+    "event_transitions",
 ]
 
 
