@@ -946,6 +946,58 @@ def q_order_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer quartiled on Recency (days since
+    last order), Frequency (order count), and Monetary (total spend),
+    concatenated into the classic segment code. ntile windows run on the
+    per-customer aggregate (O(customers) rows); every ORDER BY ends in
+    the customer key so quartile boundaries are deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    anchor = F.to_timestamp(F.lit("2001-09-01 00:00:00"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    # classic scoring: quartile 4 = best on each axis (most recent, most
+    # frequent, biggest spender) — hence the orderings below
+    r = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    f = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+    m = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r).alias("r_score"),
+        F.ntile(4).over(f).alias("f_score"),
+        F.ntile(4).over(m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("-", "r_score", "f_score", "m_score"),
+    )
+
+
+def q_top_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: each user's first three event types (by time,
+    event_id tiebreak) as a path string, counted across users — the
+    Sankey-diagram input. collect_list is made deterministic by sorting
+    (ts, event_id, type) structs before slicing."""
+    events = _t(spark, sf_dir, "events")
+    paths = events.groupBy("user_id").agg(
+        F.concat_ws(
+            " > ",
+            F.expr(
+                "transform(slice(array_sort(collect_list(struct(ts, event_id, "
+                "event_type))), 1, 3), x -> x.event_type)"
+            ),
+        ).alias("entry_path")
+    )
+    counted = paths.groupBy("entry_path").agg(F.count(F.lit(1)).alias("n_users"))
+    return analytics.top_k(counted, 10, [F.desc("n_users"), F.asc("entry_path")])
+
+
 def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality profile: volume and value by ISO weekday (Spark's
     0-Monday ``weekday()+1`` == DuckDB's ``isodow`` — date-part
@@ -1407,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last_event": q_user_first_last_event,
         "embedding_quantize": q_embedding_quantize,
         "vocab_coverage": q_vocab_coverage,
+        "rfm_segments": q_rfm_segments,
+        "top_entry_paths": q_top_entry_paths,
         "weekday_profile": q_weekday_profile,
         "event_expectations": q_event_expectations,
         "event_transitions": q_event_transitions,
@@ -2047,6 +2101,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "rfm_segments": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     datediff('day', max(o_orderdate),
+                              TIMESTAMP '2001-09-01 00:00:00') AS recency_days,
+                     count(*) AS frequency,
+                     round(sum(o_totalprice), 2) AS monetary
+              FROM orders GROUP BY 1),
+            scored AS (
+              SELECT o_custkey, recency_days, frequency, monetary,
+                     ntile(4) OVER (ORDER BY recency_days DESC, o_custkey ASC)
+                       AS r_score,
+                     ntile(4) OVER (ORDER BY frequency ASC, o_custkey ASC)
+                       AS f_score,
+                     ntile(4) OVER (ORDER BY monetary ASC, o_custkey ASC)
+                       AS m_score
+              FROM per_cust)
+            SELECT o_custkey, recency_days, frequency, monetary,
+                   r_score, f_score, m_score,
+                   concat_ws('-', r_score, f_score, m_score) AS segment
+            FROM scored
+        """,
+        "top_entry_paths": """
+            WITH paths AS (
+              SELECT user_id,
+                     array_to_string(
+                       list_slice(
+                         array_agg(event_type ORDER BY ts, event_id), 1, 3),
+                       ' > ') AS entry_path
+              FROM events GROUP BY 1)
+            SELECT entry_path, count(*) AS n_users
+            FROM paths GROUP BY 1
+            ORDER BY n_users DESC, entry_path ASC LIMIT 10
         """,
         "weekday_profile": """
             SELECT CAST(isodow(ts) AS INT) AS iso_weekday,
