@@ -946,6 +946,51 @@ def q_order_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_rerun_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (pipeline-regression primitive): orders vs a
+    synthesized rerun — 10% price bump for every custkey%10 order,
+    orderkey%97 rows dropped, orderkey%1000 rows re-keyed as inserts —
+    classified added/removed/changed by keyed full-outer diff."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    rerun = orders.filter((F.col("o_orderkey") % 97) != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_custkey") % 10 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10_000_000
+        )
+    )
+    d = quality.diff_tables(orders, rerun, ["o_orderkey"], ["o_totalprice"])
+    return d.filter(F.col("change_type") != "unchanged")
+
+
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order values: observed first-digit share
+    vs the log10(1+1/d) expectation. First digit extracted via integer
+    string formatting (cast to cents BIGINT first) — double->string
+    formatting differs across engines, integer formatting doesn't."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.groupBy(digit.alias("first_digit")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = counts.agg(F.sum("n_orders").cast("double").alias("__t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "first_digit",
+        "n_orders",
+        F.round(F.col("n_orders") / F.col("__t"), 6).alias("observed_share"),
+        F.round(F.log10(1.0 + 1.0 / F.col("first_digit")), 6).alias(
+            "benford_share"
+        ),
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: each customer quartiled on Recency (days since
     last order), Frequency (order count), and Monetary (total spend),
@@ -1459,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last_event": q_user_first_last_event,
         "embedding_quantize": q_embedding_quantize,
         "vocab_coverage": q_vocab_coverage,
+        "orders_rerun_diff": q_orders_rerun_diff,
+        "benford_first_digit": q_benford_first_digit,
         "rfm_segments": q_rfm_segments,
         "top_entry_paths": q_top_entry_paths,
         "weekday_profile": q_weekday_profile,
@@ -2101,6 +2148,42 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "orders_rerun_diff": """
+            WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+            rerun AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_custkey % 10 = 0
+                          THEN round(o_totalprice * 1.1, 2)
+                          ELSE o_totalprice END AS o_totalprice
+              FROM o WHERE o_orderkey % 97 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+              FROM o WHERE o_orderkey % 1000 = 0)
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                             THEN 'changed'
+                        ELSE 'unchanged' END AS change_type
+            FROM o FULL OUTER JOIN rerun n ON o.o_orderkey = n.o_orderkey
+            WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                            THEN 'changed'
+                       ELSE 'unchanged' END <> 'unchanged'
+        """,
+        "benford_first_digit": """
+            WITH counts AS (
+              SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                      AS VARCHAR), 1, 1) AS INT) AS first_digit,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1),
+            total AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS t FROM counts)
+            SELECT first_digit, n_orders,
+                   round(n_orders / t, 6) AS observed_share,
+                   round(log10(1.0 + 1.0 / first_digit), 6) AS benford_share
+            FROM counts, total
         """,
         "rfm_segments": """
             WITH per_cust AS (

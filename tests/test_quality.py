@@ -194,3 +194,27 @@ def test_expectations_report_single_pass(spark):
         "matches(email)": (1, False),
     }
     assert all(r.total_count == 3 for r in report.collect())
+
+
+def test_diff_tables_classifies_all_four(spark):
+    from wistia_video_analytics_project_spark.operators import quality
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 99.0), (3, "c", 3.0), (5, "e", 5.0)],
+        "k long, name string, v double",
+    )
+    got = {
+        r.k: r.change_type
+        for r in quality.diff_tables(old, new, ["k"], ["name", "v"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",  # NULL -> 3.0 must count (null-safe compare)
+        4: "removed",
+        5: "added",
+    }

@@ -207,3 +207,43 @@ def expectations_report(
         "total_count",
         (F.coalesce("violations", F.lit(0)) == 0).alias("passed"),
     )
+
+
+def diff_tables(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Keyed table diff — the pipeline-regression primitive: classify
+    every key as added / removed / changed / unchanged between two
+    snapshots (e.g. yesterday's silver vs today's rerun).
+
+    One full-outer join on the keys (co-partitioned shuffle per side),
+    null-safe column comparison so NULL->value edits count as changes.
+    Returns (keys..., change_type); filter 'unchanged' out for the
+    actionable report, aggregate for the summary.
+    """
+    keys = list(key_cols)
+    o = old.select(*keys, *compare_cols).alias("o")
+    n = new.select(*keys, *compare_cols).alias("n")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"o.{k}") == F.col(f"n.{k}"))
+    joined = o.join(n, cond, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(F.col(f"o.{keys[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{keys[0]}").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+            for k in keys
+        ],
+        change.alias("change_type"),
+    )
