@@ -946,6 +946,55 @@ def q_order_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_7day_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware trailing window: 7-day revenue via a RANGE frame over
+    the day number — unlike a ROWS frame, missing calendar days still
+    shrink the window (the ROWS form silently spans gaps). Runs on the
+    aggregated per-day frame."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    day_no = F.datediff(F.col("order_date"), F.lit("1970-01-01"))
+    w = (
+        Window.orderBy(day_no.alias("__d"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "order_date",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("revenue_7day"),
+    )
+
+
+def q_daily_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series with last-observation-carried-forward: days
+    with no purchases take the most recent prior day's average value
+    (last_value IGNORE NULLS over the densified calendar — the panel
+    -data imputation primitive)."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.round(F.avg("value").cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("avg_value")
+        )
+    )
+    bounds = _t(spark, sf_dir, "events").agg(
+        F.min(F.to_date("ts")).alias("__lo"), F.max(F.to_date("ts")).alias("__hi")
+    )
+    spine = bounds.select(F.explode(F.sequence("__lo", "__hi")).alias("event_date"))
+    dense = spine.join(daily, "event_date", "left")
+    w = Window.orderBy("event_date").rowsBetween(Window.unboundedPreceding, 0)
+    return dense.select(
+        "event_date",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+    )
+
+
 def q_orders_rerun_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (pipeline-regression primitive): orders vs a
     synthesized rerun — 10% price bump for every custkey%10 order,
@@ -1504,6 +1553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last_event": q_user_first_last_event,
         "embedding_quantize": q_embedding_quantize,
         "vocab_coverage": q_vocab_coverage,
+        "rolling_7day_range_revenue": q_rolling_7day_range_revenue,
+        "daily_value_locf": q_daily_value_locf,
         "orders_rerun_diff": q_orders_rerun_diff,
         "benford_first_digit": q_benford_first_digit,
         "rfm_segments": q_rfm_segments,
@@ -2148,6 +2199,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "rolling_7day_range_revenue": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS order_date,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY 1)
+            SELECT order_date, revenue,
+                   round(sum(revenue) OVER (
+                     ORDER BY datediff('day', DATE '1970-01-01', order_date)
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                     AS revenue_7day
+            FROM daily
+        """,
+        "daily_value_locf": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS event_date,
+                     CAST(round(CAST(avg(value) AS DECIMAL(18,6)), 2) AS DOUBLE)
+                       AS avg_value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            bounds AS (
+              SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+              FROM events),
+            spine AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+                       AS event_date
+              FROM bounds)
+            SELECT s.event_date, d.avg_value,
+                   last_value(d.avg_value IGNORE NULLS) OVER (
+                     ORDER BY s.event_date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS avg_value_locf
+            FROM spine s LEFT JOIN daily d ON s.event_date = d.event_date
         """,
         "orders_rerun_diff": """
             WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
