@@ -175,3 +175,25 @@ def test_runtime_bloom_filter_injects_might_contain(spark):
         assert "might_contain" in plan.lower(), plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_cooccurrence_grouped_two_exchanges_and_takeordered(spark):
+    """Grouped co-occurrence: exactly basket-shuffle + pair-shuffle,
+    top-k as TakeOrdered (never a global sort)."""
+    import re
+
+    df = entrymod.q_part_cooccurrence(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    plans.assert_take_ordered(df)
+
+
+def test_cohort_retention_no_second_fact_shuffle(spark):
+    """First-activity frame joins back via broadcast — the fact must not
+    shuffle twice on the entity key."""
+    import re
+
+    df = entrymod.q_cohort_retention(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    plans.assert_broadcast_join(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
