@@ -1490,7 +1490,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry of every implemented query, keyed by stable name.
+
+    Dict ORDER is deliberate: the driver's correctness gate samples the
+    first 50 entries in dict order.  Round 1 verified the original first
+    50, so round 2 front-loads the 47 entries that have no driver-green
+    CORRECTNESS row yet (analytics extensions, SCD2, streaming,
+    multimodal, and the full LLM dedup/text/ANN tier) plus this round's
+    new queries, and the round-1-verified set fills the tail.
+    """
     core = {
+        # --- round-1 driver-UNVERIFIED tier (front of the window) ---
+        "priority_value_spread": q_priority_value_spread,
+        "regional_revenue": q_regional_revenue,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
+        "user_event_type_sets": q_user_event_type_sets,
+        "top_event_type_per_user": q_top_event_type_per_user,
+        "balance_segment_report": q_balance_segment_report,
+        "customers_no_final_orders": q_customers_no_final_orders,
+        "order_value_percent_rank": q_order_value_percent_rank,
+        "doc_split_assignment": q_doc_split_assignment,
+        "user_first_last_event": q_user_first_last_event,
+        "embedding_quantize": q_embedding_quantize,
+        "vocab_coverage": q_vocab_coverage,
+        "rolling_7day_range_revenue": q_rolling_7day_range_revenue,
+        "daily_value_locf": q_daily_value_locf,
+        "orders_rerun_diff": q_orders_rerun_diff,
+        "benford_first_digit": q_benford_first_digit,
+        "rfm_segments": q_rfm_segments,
+        "top_entry_paths": q_top_entry_paths,
+        "weekday_profile": q_weekday_profile,
+        "event_expectations": q_event_expectations,
+        "event_transitions": q_event_transitions,
+        "fuzzy_part_names": q_fuzzy_part_names,
+        "revenue_share_by_brand": q_revenue_share_by_brand,
+        "daily_anomaly_zscore": q_daily_anomaly_zscore,
+        "cumulative_unique_users": q_cumulative_unique_users,
+        "scd2_customer_batch": q_scd2_customer_batch,
+        "multimodal_metadata": q_multimodal_metadata,
+        "frame_grid": q_frame_grid,
+        "streaming_daily_engagement": q_streaming_daily_engagement,
+    }
+    core.update(dedup.queries())
+    core.update(text.queries())
+    core.update(similarity.queries())
+    # --- round-1 driver-VERIFIED tier (green rows in CORRECTNESS_r01) ---
+    core.update({
         "daily_plays_trend": q_daily_plays_trend,
         "fact_engagement_build": q_fact_engagement_build,
         "engagement_kpis": q_engagement_kpis,
@@ -1541,39 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_cooccurrence": q_part_cooccurrence,
         "nations_per_region": q_nations_per_region,
         "view_purchase_conversion": q_view_purchase_conversion,
-        "priority_value_spread": q_priority_value_spread,
-        "regional_revenue": q_regional_revenue,
-        "orders_above_customer_avg": q_orders_above_customer_avg,
-        "user_event_type_sets": q_user_event_type_sets,
-        "top_event_type_per_user": q_top_event_type_per_user,
-        "balance_segment_report": q_balance_segment_report,
-        "customers_no_final_orders": q_customers_no_final_orders,
-        "order_value_percent_rank": q_order_value_percent_rank,
-        "doc_split_assignment": q_doc_split_assignment,
-        "user_first_last_event": q_user_first_last_event,
-        "embedding_quantize": q_embedding_quantize,
-        "vocab_coverage": q_vocab_coverage,
-        "rolling_7day_range_revenue": q_rolling_7day_range_revenue,
-        "daily_value_locf": q_daily_value_locf,
-        "orders_rerun_diff": q_orders_rerun_diff,
-        "benford_first_digit": q_benford_first_digit,
-        "rfm_segments": q_rfm_segments,
-        "top_entry_paths": q_top_entry_paths,
-        "weekday_profile": q_weekday_profile,
-        "event_expectations": q_event_expectations,
-        "event_transitions": q_event_transitions,
-        "fuzzy_part_names": q_fuzzy_part_names,
-        "revenue_share_by_brand": q_revenue_share_by_brand,
-        "daily_anomaly_zscore": q_daily_anomaly_zscore,
-        "cumulative_unique_users": q_cumulative_unique_users,
-        "scd2_customer_batch": q_scd2_customer_batch,
-        "multimodal_metadata": q_multimodal_metadata,
-        "frame_grid": q_frame_grid,
-        "streaming_daily_engagement": q_streaming_daily_engagement,
-    }
-    core.update(dedup.queries())
-    core.update(text.queries())
-    core.update(similarity.queries())
+    })
     return core
 
 
