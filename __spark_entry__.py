@@ -26,6 +26,7 @@ from wistia_video_analytics_project_spark.operators import (
     analytics,
     conform,
     dedup,
+    gold,
     multimodal,
     quality,
     scd,
@@ -89,6 +90,14 @@ def q_fact_engagement_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_percent_watched"),
         )
     )
+
+
+def q_gold_fact_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold DDL boundary (PDF p.26 / `...ETL-Pipeline.json:437-450`):
+    the silver fact cast through ``gold.to_gold_fact`` — DECIMAL(5,2)
+    rates with a clamp overflow policy, half-up INT watch seconds."""
+    fact = q_fact_engagement_build(spark, sf_dir)
+    return gold.to_gold_fact(fact)
 
 
 def q_engagement_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,7 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new queries, and the round-1-verified set fills the tail.
     """
     core = {
-        # --- round-1 driver-UNVERIFIED tier (front of the window) ---
+        # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
+        "gold_fact_decimal": q_gold_fact_decimal,
         "priority_value_spread": q_priority_value_spread,
         "regional_revenue": q_regional_revenue,
         "orders_above_customer_avg": q_orders_above_customer_avg,
@@ -1608,6 +1618,23 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_percent_watched
             FROM events WHERE event_type = 'view'
             GROUP BY 1, 2
+        """,
+        "gold_fact_decimal": """
+            WITH fact AS (
+              SELECT user_id, CAST(ts AS DATE) AS date,
+                     count(*) AS play_count,
+                     round(count(*) / 10.0, 2) AS play_rate_d,
+                     round(sum(coalesce(value, 0.0)), 2) AS watch_d,
+                     CAST(round(CAST(avg(coalesce(value, 0.0)) AS DECIMAL(18,6)), 2) AS DOUBLE)
+                       AS pct_d
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT user_id, date, play_count,
+                   CAST(least(greatest(play_rate_d, -999.99), 999.99) AS DECIMAL(5,2))
+                     AS play_rate,
+                   CAST(floor(watch_d + 0.5) AS INT) AS total_watch_time,
+                   CAST(least(greatest(pct_d, -999.99), 999.99) AS DECIMAL(5,2))
+                     AS watched_percent
+            FROM fact
         """,
         "engagement_kpis": """
             WITH fact AS (

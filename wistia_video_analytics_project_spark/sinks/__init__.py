@@ -129,6 +129,13 @@ def jdbc_truncate_load(
     the table's DDL (PK/indexes) instead of drop+recreate.
     ``num_partitions`` caps concurrent DB connections — a 1000-executor
     write must not open 1000 connections against one database.
+
+    Type boundary: pass the DataFrame through
+    ``operators.gold.to_gold_fact`` first so the JDBC writer sends true
+    ``DECIMAL(5,2)`` / ``INT`` columns matching the gold DDL (PDF p.26)
+    instead of doubles — the explicit replacement for ADF's silent
+    ``allowDataTruncation`` copy conversion
+    (`wistia-Azure-Data-Factory-ETL-Pipeline.json:437-450, 204`).
     """
     w = (
         df.coalesce(num_partitions)
