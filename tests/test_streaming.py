@@ -109,6 +109,117 @@ def test_foreach_batch_upsert(spark, event_dir):
     assert len(target) == 4
 
 
+def test_foreach_batch_parquet_upsert_merges_and_replays(spark, tmp_path):
+    """The shipped distributed merge sink: keyed upsert into partitioned
+    parquet, update-in-place across batches, idempotent epoch replay —
+    and no .collect() of data rows anywhere in the sink path."""
+    from wistia_video_analytics_project_spark.streaming import (
+        foreach_batch_parquet_upsert,
+    )
+
+    target = str(tmp_path / "merged")
+    sink = foreach_batch_parquet_upsert(
+        target, key_cols=["user_id", "date"], partition_col="date",
+        order_by=["loaded_at"],
+    )
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0, 1), (2, "2024-01-01", 20.0, 1)],
+        "user_id long, date string, total double, loaded_at long",
+    )
+    sink(b1, 0)
+    # batch 2: updates user 1 on day 1, inserts day 2; day-1 partition for
+    # user 2 must survive the rewrite
+    b2 = spark.createDataFrame(
+        [(1, "2024-01-01", 99.0, 2), (3, "2024-01-02", 30.0, 2)],
+        "user_id long, date string, total double, loaded_at long",
+    )
+    sink(b2, 1)
+    expect = {(1, "2024-01-01"): 99.0, (2, "2024-01-01"): 20.0, (3, "2024-01-02"): 30.0}
+    # NB: partition-dir values read back type-inferred (string -> date)
+    got = {
+        (r.user_id, str(r.date)): r.total for r in spark.read.parquet(target).collect()
+    }
+    assert got == expect
+    sink(b2, 1)  # epoch replay (crash after write, before commit)
+    got2 = {
+        (r.user_id, str(r.date)): r.total for r in spark.read.parquet(target).collect()
+    }
+    assert got2 == expect
+    # within-batch duplicate keys: deterministic keep-first under order_by
+    b3 = spark.createDataFrame(
+        [(5, "2024-01-03", 1.0, 1), (5, "2024-01-03", 2.0, 2)],
+        "user_id long, date string, total double, loaded_at long",
+    )
+    sink(b3, 2)
+    assert {
+        r.total for r in spark.read.parquet(target).filter("user_id = 5").collect()
+    } == {1.0}
+
+
+def test_foreach_batch_parquet_upsert_rejects_migrating_key(tmp_path):
+    from wistia_video_analytics_project_spark.streaming import (
+        foreach_batch_parquet_upsert,
+    )
+
+    with pytest.raises(ValueError, match="partition_col"):
+        foreach_batch_parquet_upsert(str(tmp_path), key_cols=["user_id"], partition_col="date")
+
+
+def test_foreach_batch_parquet_upsert_streaming_end_to_end(spark, tmp_path, event_dir):
+    """Same sink driven by a real streaming query."""
+    from wistia_video_analytics_project_spark.streaming import (
+        foreach_batch_parquet_upsert,
+    )
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(event_dir)
+    keyed = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.to_date("ts").cast("string").alias("date"), "ts", "value"
+    )
+    target = str(tmp_path / "stream_merged")
+    run_foreach_batch(
+        keyed,
+        foreach_batch_parquet_upsert(
+            target, key_cols=["user_id", "date", "ts"], partition_col="date"
+        ),
+    )
+    assert spark.read.parquet(target).count() == 4  # 4 distinct view events
+
+
+def test_rollup_epoch_replay_does_not_double_count(spark, tmp_path):
+    """ADVICE fix: a replayed foreachBatch epoch (checkpoint commit lost
+    after the partition overwrite landed) must not re-add its partials."""
+    from wistia_video_analytics_project_spark.streaming import rollup_merge_fn
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    target = str(tmp_path / "rollup")
+    merge = rollup_merge_fn(target)
+    b0 = spark.createDataFrame([(t, 1, "view", 10.0)], EVENT_SCHEMA)
+    merge(b0, 0)
+    b1 = spark.createDataFrame(
+        [(t + dt.timedelta(hours=1), 1, "view", 5.0),
+         (t + dt.timedelta(days=1), 2, "click", 7.0)],
+        EVENT_SCHEMA,
+    )
+    merge(b1, 1)
+    merge(b1, 1)  # replay of epoch 1 — already applied to both dates
+    got = {
+        (str(r.date), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        ("2024-01-01", "view"): (2, 15.0),
+        ("2024-01-02", "click"): (1, 7.0),
+    }
+    # a NEW epoch still merges normally after the replay
+    b2 = spark.createDataFrame([(t + dt.timedelta(hours=2), 3, "view", 1.0)], EVENT_SCHEMA)
+    merge(b2, 2)
+    got = {
+        (str(r.date), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got[("2024-01-01", "view")] == (3, 16.0)
+
+
 def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     """Checkpointed file-source stream: restart resumes from the
     checkpoint, so rows ingested before the stop are not re-emitted."""

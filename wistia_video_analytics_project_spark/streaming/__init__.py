@@ -13,9 +13,12 @@ same semantics onto Structured Streaming:
 """
 
 from .jobs import (  # noqa: F401
+    continuous_daily_rollup,
     dedup_stream,
     enrich_stream,
+    foreach_batch_parquet_upsert,
     foreach_batch_upsert,
+    rollup_merge_fn,
     run_to_memory_sink,
     stream_stream_window_join,
     windowed_engagement,

@@ -131,17 +131,78 @@ def stream_stream_window_join(
     return l.join(r, cond, "inner")
 
 
+def foreach_batch_parquet_upsert(
+    target_path: str,
+    key_cols: Sequence[str],
+    partition_col: str,
+    order_by: Sequence[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """ForeachBatch MERGE into a partitioned parquet target — the shipped
+    distributed upsert body (the reference's keyed gold load,
+    `wistia-Azure-Data-Factory-ETL-Pipeline.json:117-120`, minus the
+    external copy tool). Per micro-batch:
+
+    1. keep ONE deterministic row per key within the batch
+       (``dedup_keep_first`` under ``order_by``);
+    2. read only the target partitions the batch touches;
+    3. anti-join out target rows whose key reappears in the batch;
+    4. rewrite exactly those partitions via dynamic partition overwrite.
+
+    No data row moves through the driver — only the small set of touched
+    ``partition_col`` values is collected; work per batch is proportional
+    to the touched partitions, never the table. Replaying a failed epoch
+    is idempotent: per-key overwrite converges to the same state.
+
+    Constraint: ``partition_col`` must be contained in (or functionally
+    determined by) ``key_cols`` — a key whose partition value changed
+    across batches would strand its old row in the previous partition.
+    """
+    if partition_col not in key_cols:
+        raise ValueError(
+            f"partition_col {partition_col!r} must be one of key_cols "
+            f"{list(key_cols)} (a migrating key would strand stale rows)"
+        )
+
+    from ..operators.quality import dedup_keep_first
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        latest = dedup_keep_first(batch, key_cols, order_by=order_by)
+        parts = [r[0] for r in latest.select(partition_col).distinct().collect()]
+        try:
+            existing = spark.read.parquet(target_path).filter(
+                F.col(partition_col).isin(parts)
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            existing = None
+        out = latest if existing is None else latest.unionByName(
+            existing.join(
+                F.broadcast(latest.select(*key_cols)), on=list(key_cols), how="left_anti"
+            )
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return apply
+
+
 def foreach_batch_upsert(
     target: dict[tuple, tuple],
     key_cols: Sequence[str],
 ) -> Callable[[DataFrame, int], None]:
-    """ForeachBatch MERGE: upsert each micro-batch into a keyed target.
-
-    The in-memory dict form is the test double; the production body is
-    identical with the dict swapped for a MERGE INTO against a
-    transactional table (Delta/Iceberg — jars not shipped in this
-    container) or a JDBC upsert. Exactly-once comes from idempotent
-    per-key overwrite + Structured Streaming's epoch tracking.
+    """TEST DOUBLE ONLY: dict-backed keyed upsert for asserting sink
+    contents in pytest. It collects every batch row to the driver, so it
+    must never back a production stream — the shipped merge body is
+    :func:`foreach_batch_parquet_upsert` (fully distributed, partition-
+    pruned, idempotent on epoch replay).
     """
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
@@ -203,8 +264,39 @@ def continuous_daily_rollup(
     Counts and sums merge associatively, so the rollup equals the batch
     recompute (asserted in tests). Average-style measures must be stored
     as (sum, count) partials, which this does.
+
+    Exactly-once across crashes: additive merges are NOT naturally
+    idempotent — if an epoch's partition overwrite lands but the
+    checkpoint commit doesn't, Structured Streaming replays the epoch
+    and a naive merge would add its partials twice. Each stored row
+    therefore carries ``last_epoch`` (the epoch that last merged into
+    it); a replayed epoch sees ``max(last_epoch) >= epoch_id`` for an
+    already-merged date and skips that date's partials. The guard
+    assumes one checkpointed query lineage per target path (epoch ids
+    restart at 0 under a NEW checkpoint — point a fresh query at a
+    fresh rollup, or backfill batch-side).
     """
-    from pyspark.sql import functions as F
+    writer = events.writeStream.outputMode("append").foreachBatch(
+        rollup_merge_fn(target_path, ts_col, key_cols, value_col)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def rollup_merge_fn(
+    target_path: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body behind :func:`continuous_daily_rollup`,
+    exposed so tests can replay an epoch directly (crash-between-write-
+    and-commit simulation) against static micro-batch frames."""
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -215,6 +307,7 @@ def continuous_daily_rollup(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum(F.coalesce(F.col(value_col), F.lit(0.0))).alias("sum_value"),
             )
+            .withColumn("last_epoch", F.lit(epoch_id).cast("long"))
         )
         if partial.isEmpty():
             return
@@ -228,12 +321,30 @@ def continuous_daily_rollup(
             if "PATH_NOT_FOUND" not in str(e):
                 raise
             existing = None
+        if existing is not None:
+            if "last_epoch" not in existing.columns:  # pre-guard table
+                existing = existing.withColumn("last_epoch", F.lit(-1).cast("long"))
+            # dates already merged by a completed attempt of THIS epoch
+            # (crash fell between partition write and checkpoint commit)
+            applied = [
+                r.date
+                for r in existing.groupBy("date")
+                .agg(F.max("last_epoch").alias("e"))
+                .filter(F.col("e") >= epoch_id)
+                .collect()
+            ]
+            if applied:
+                partial = partial.filter(~F.col("date").isin(applied))
+                existing = existing.filter(~F.col("date").isin(applied))
+                if partial.isEmpty():
+                    return
         merged = partial if existing is None else (
             partial.unionByName(existing)
             .groupBy("date", *key_cols)
             .agg(
                 F.sum("n_events").alias("n_events"),
                 F.sum("sum_value").alias("sum_value"),
+                F.max("last_epoch").alias("last_epoch"),
             )
         )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -247,11 +358,4 @@ def continuous_daily_rollup(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    writer = events.writeStream.outputMode("append").foreachBatch(merge)
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    return merge
