@@ -34,6 +34,22 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert got == {"a": "x", "b": None}
 
 
+def test_salted_join_rejects_replicating_join_types(spark):
+    """right/full joins would emit n_salts copies of every unmatched row
+    on the replicated side — rejected up front."""
+    skewed = spark.createDataFrame([("a", 1)], "k string, n int")
+    dim = spark.createDataFrame([("a", "x"), ("b", "y")], "k string, v string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            scale.salted_join(skewed, dim, "k", n_salts=4, how=how)
+    # semi/anti stay correct: every key on the replicated side carries
+    # every salt, so membership tests are unaffected
+    semi = scale.salted_join(skewed, dim, "k", n_salts=4, how="left_semi")
+    assert [r.k for r in semi.collect()] == ["a"]
+    anti = scale.salted_join(skewed, dim, "k", n_salts=4, how="left_anti")
+    assert anti.count() == 0
+
+
 def test_bucketed_join_elides_exchange(spark):
     fact = spark.range(0, 1000).select(
         (F.col("id") % 50).alias("k"), F.col("id").alias("v")

@@ -38,7 +38,23 @@ def salted_join(
     columns mod N — reproducible, no rand()). other side: replicated N
     times via explode. Join on (key, salt). Result == plain join, with
     the hot key spread over ``n_salts`` tasks.
+
+    ``how`` is restricted to the join types where replication cannot
+    surface in the output: inner / left / left_semi / left_anti (each
+    skewed row carries exactly ONE salt, so it appears at most once; the
+    replicated side only ever matches). right/full would emit every
+    unmatched replicated copy of ``other`` — ``n_salts`` duplicates —
+    so they are rejected; swap the sides (the skewed frame must be the
+    left argument anyway) or dedupe downstream.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            f"right/full joins would emit n_salts copies of unmatched rows "
+            f"from the replicated side"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     s = skewed.withColumn("__salt", salt.cast("int"))
     o = other.withColumn(
