@@ -586,17 +586,34 @@ def q_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile distribution of event values via ntile: bucket bounds +
-    counts (the reporting-layer histogram shape)."""
+    """Decile distribution of event values: bucket bounds + counts (the
+    reporting-layer histogram shape), scale-safe.
+
+    A naive ``ntile(10) OVER (ORDER BY ...)`` on the raw fact forces a
+    single-partition global sort of every event. Instead the raw stream
+    only ever sees a distributed groupBy(value); the one global-order
+    window runs on the PRE-AGGREGATED distinct-value frame (orders of
+    magnitude smaller — 2-decimal money values are a bounded domain).
+    Ties share a decile by construction; boundaries use pure-integer
+    arithmetic (``div``), bit-exact across engines.
+    """
     from pyspark.sql import Window
 
     events = _t(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
-    deciles = events.select(
-        "value", F.ntile(10).over(w).alias("decile")
+    by_val = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    return deciles.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n"),
+    total = by_val.agg(F.sum("c").alias("total"))
+    cum = by_val.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("value"))
+    ).crossJoin(F.broadcast(total))
+    dec = cum.withColumn(
+        "decile", (F.expr("(10 * (cum - c)) div total") + F.lit(1)).cast("int")
+    )
+    return dec.groupBy("decile").agg(
+        F.sum("c").alias("n"),
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
@@ -1955,14 +1972,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         "value_distribution": """
-            WITH deciles AS (
-              SELECT value,
-                     ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS decile
-              FROM events)
-            SELECT decile, count(*) AS n,
+            WITH by_val AS (
+              SELECT value, count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+            cum AS (
+              SELECT value, c,
+                     sum(c) OVER (ORDER BY value) AS cum,
+                     sum(c) OVER () AS total
+              FROM by_val)
+            SELECT CAST((10 * (cum - c)) // total + 1 AS INT) AS decile,
+                   CAST(sum(c) AS BIGINT) AS n,
                    round(min(value), 2) AS lo,
                    round(max(value), 2) AS hi
-            FROM deciles GROUP BY 1
+            FROM cum GROUP BY 1
         """,
         "embedding_centroids": """
             WITH e AS (
