@@ -111,6 +111,35 @@ def test_cooccurrence_strategies_agree_with_duplicates(spark):
     assert grouped == joined == {("a", "b"): 2, ("b", "c"): 1}
 
 
+def test_cooccurrence_max_basket_size_bounds_pairs(spark):
+    """Mega-basket guard: a basket of m items contributes at most
+    C(cap, 2) pairs, truncation keeps the cap SMALLEST items
+    (deterministic), and both strategies agree under the cap."""
+    rows = [(1, f"i{k:02d}") for k in range(10)] + [(2, "i00"), (2, "i01")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    capped = {
+        (r.item_a, r.item_b): r.pair_count
+        for r in analytics.cooccurrence_pairs(
+            df, "basket", "item", max_basket_size=4
+        ).collect()
+    }
+    # basket 1 truncated to {i00..i03} -> C(4,2)=6 pairs; basket 2 adds
+    # one more count to (i00, i01)
+    assert len(capped) == 6
+    assert capped[("i00", "i01")] == 2
+    assert all(a < "i04" and b < "i04" for a, b in capped)
+    joined = {
+        (r.item_a, r.item_b): r.pair_count
+        for r in analytics.cooccurrence_pairs(
+            df, "basket", "item", strategy="join", max_basket_size=4
+        ).collect()
+    }
+    assert joined == capped
+    # uncapped sanity: the mega-basket alone would emit C(10,2)=45 pairs
+    full = analytics.cooccurrence_pairs(df, "basket", "item").count()
+    assert full == 45
+
+
 def test_sorted_list_agg_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "z"), (1, "a"), (1, "m")], "g long, v string"

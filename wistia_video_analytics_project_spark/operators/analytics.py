@@ -445,6 +445,7 @@ def cooccurrence_pairs(
     basket_col: str,
     item_col: str,
     strategy: str = "grouped",
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """Market-basket co-occurrence: for every unordered item pair that
     appears in the same basket, the number of shared baskets (duplicate
@@ -464,17 +465,31 @@ def cooccurrence_pairs(
 
     Either way the pair explosion is bounded by sum(c_i²) over basket
     sizes; AQE skew handling splits oversized partitions at runtime.
+
+    ``max_basket_size`` is the mega-basket guard (SCALE.md): baskets
+    larger than the cap are deterministically truncated to their
+    ``max_basket_size`` smallest items (by item sort order), bounding
+    any single basket's pair contribution at C(cap, 2). Truncation is a
+    multiset selection, so both strategies stay result-identical.
     """
     if strategy == "join":
         a = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("item_a"))
-        b = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("item_b"))
+        if max_basket_size is not None:
+            w = Window.partitionBy("__b").orderBy(F.col("item_a").asc())
+            a = (
+                a.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= max_basket_size)
+                .drop("__rn")
+            )
+        b = a.select(F.col("__b"), F.col("item_a").alias("item_b"))
         pairs = a.join(b, "__b").filter(F.col("item_a") < F.col("item_b"))
         return pairs.groupBy("item_a", "item_b").agg(
             F.count(F.lit(1)).alias("pair_count")
         )
-    baskets = df.groupBy(basket_col).agg(
-        F.array_sort(F.collect_list(F.col(item_col))).alias("__items")
-    )
+    items = F.array_sort(F.collect_list(F.col(item_col)))
+    if max_basket_size is not None:
+        items = F.slice(items, 1, max_basket_size)
+    baskets = df.groupBy(basket_col).agg(items.alias("__items"))
     pairs = baskets.select(
         F.explode(
             F.expr(
