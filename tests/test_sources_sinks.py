@@ -82,6 +82,51 @@ def test_rest_since_param_passed():
     assert tr.calls[0][1]["since"] == "2024-01-01T00:00:00"
 
 
+def test_resolve_config_chain(spark):
+    """Explicit → env → Spark conf → hard error (the reference's
+    secret-scope bootstrap chain, notebool-02.py:54-82)."""
+    from wistia_video_analytics_project_spark.sources.rest import resolve_config
+
+    # 1. explicit wins over everything
+    assert (
+        resolve_config(
+            "wistia.api.token", explicit="tok-x", env={"WISTIA_API_TOKEN": "tok-env"}
+        )
+        == "tok-x"
+    )
+    # 2. env fallback (key upper-cased, dots -> underscores)
+    assert (
+        resolve_config("wistia.api.token", env={"WISTIA_API_TOKEN": "tok-env"})
+        == "tok-env"
+    )
+    # 3. Spark conf fallback
+    spark.conf.set("wistia.api.token", "tok-conf")
+    try:
+        assert resolve_config("wistia.api.token", spark=spark, env={}) == "tok-conf"
+    finally:
+        spark.conf.unset("wistia.api.token")
+    # 4. hard error naming the probed locations
+    with pytest.raises(KeyError, match="WISTIA_API_TOKEN"):
+        resolve_config("wistia.api.token", spark=spark, env={})
+
+
+def test_rest_from_conf_sends_token_on_every_request():
+    from wistia_video_analytics_project_spark.sources.rest import RestIngester
+
+    tr = make_fake_transport([[{"visitor_key": "v", "country": "US"}]])
+    ing = RestIngester.from_conf(
+        env={"WISTIA_API_URL": "http://x", "WISTIA_API_TOKEN": "sek"},
+        transport=tr,
+    )
+    assert ing.base_url == "http://x"
+    list(ing.fetch_pages("visitors"))
+    ing.fetch_one("media/m1")
+    assert all(c[1]["api_password"] == "sek" for c in tr.calls)
+    # per-call params override the default slot if a caller insists
+    ing.fetch_one("media/m2", {"api_password": "other"})
+    assert tr.calls[-1][1]["api_password"] == "other"
+
+
 def test_rest_fetch_rows_dataframe(spark):
     pages = [[{"visitor_key": "v1", "country": "US", "extra": "ignored"}]]
     ing = RestIngester("http://x", transport=make_fake_transport(pages))

@@ -20,16 +20,58 @@ Differences by design:
 from __future__ import annotations
 
 import json
+import os
 import time
 import urllib.parse
 import urllib.request
-from collections.abc import Callable, Iterator, Sequence
+from collections.abc import Callable, Iterator, Mapping, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 Transport = Callable[[str, dict], tuple[int, object]]
+
+
+def _env_name(key: str) -> str:
+    return key.upper().replace(".", "_").replace("-", "_")
+
+
+def resolve_config(
+    key: str,
+    *,
+    explicit: str | None = None,
+    spark: SparkSession | None = None,
+    env: Mapping[str, str] | None = None,
+) -> str:
+    """Credential/config resolution chain, re-expressing the reference's
+    secret-scope → Spark-conf → hard-error lookup (`wistia-Databricks
+    notebool-02.py:54-82`) with open equivalents:
+
+    1. ``explicit`` argument — the caller already holds the value;
+    2. environment variable (``key`` upper-cased, ``.``/``-`` → ``_``) —
+       the open stand-in for a managed secret scope;
+    3. Spark conf ``key`` verbatim (cluster-level config);
+    4. otherwise a hard error naming every location probed — config
+       problems must fail the job loudly, not surface later as 401s.
+    """
+    if explicit is not None:
+        return explicit
+    env_map = os.environ if env is None else env
+    env_key = _env_name(key)
+    val = env_map.get(env_key)
+    if val is not None:
+        return val
+    if spark is not None:
+        conf_val = spark.conf.get(key, None)
+        if conf_val is not None:
+            return conf_val
+    probed = [f"argument explicit=", f"env ${env_key}"]
+    probed.append(f"spark.conf[{key!r}]" if spark is not None else "(no spark session)")
+    raise KeyError(
+        f"config {key!r} not found; probed: {', '.join(probed)}. "
+        f"Set the env var or Spark conf, or pass the value explicitly."
+    )
 
 
 def urllib_transport(url: str, params: dict) -> tuple[int, object]:
@@ -60,10 +102,46 @@ class RestIngester:
     backoff_base_s: float = 5.0
     page_sleep_s: float = 0.0
     sleeper: Callable[[float], None] = field(default=time.sleep)
+    #: merged under every request's params — the auth slot
+    #: (`notebool-02.py` passes api_password on each call)
+    default_params: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_conf(
+        cls,
+        spark: SparkSession | None = None,
+        *,
+        url_key: str = "wistia.api.url",
+        token_key: str = "wistia.api.token",
+        token_param: str = "api_password",
+        base_url: str | None = None,
+        token: str | None = None,
+        env: Mapping[str, str] | None = None,
+        **kwargs,
+    ) -> "RestIngester":
+        """Build an ingester with base URL and API token resolved through
+        :func:`resolve_config` (explicit → env → Spark conf → error),
+        mirroring the reference's secret-scope bootstrap
+        (`notebool-02.py:54-82`). The token rides ``default_params`` as
+        ``token_param`` on every request (`notebool-02.py:97-103`)."""
+        return cls(
+            base_url=resolve_config(
+                url_key, explicit=base_url, spark=spark, env=env
+            ),
+            default_params={
+                token_param: resolve_config(
+                    token_key, explicit=token, spark=spark, env=env
+                )
+            },
+            **kwargs,
+        )
 
     def _get_with_retry(self, url: str, params: dict) -> object | None:
         """GET with 429 backoff (2^attempt * backoff_base_s,
-        `notebool-02.py:113-114`) and 404 -> None."""
+        `notebool-02.py:113-114`) and 404 -> None. ``default_params``
+        (auth) merge under the per-call params here, the single choke
+        point every request passes through."""
+        params = {**self.default_params, **params}
         for attempt in range(self.max_retries + 1):
             status, payload = self.transport(url, params)
             if status == 200:
