@@ -59,6 +59,65 @@ def test_codecs_absent_stub_raises():
             multimodal.real_decode(b"x", "image")
 
 
+# Golden payload pinning the decode contract. A real-codec drop-in must
+# reproduce everything here EXCEPT the feature values (which would come
+# from the real model); schema, hashing, null policy, and the decoder
+# call signature must not drift.
+GOLDEN = b"\x89PNG-golden-payload\x00\x01\x02"
+GOLDEN_SHA = hashlib.sha256(GOLDEN).hexdigest()
+
+
+def test_decode_contract_golden_payload(spark):
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(1, "image", GOLDEN, 8, 8, None, "png"),
+         (2, "image", None, None, None, None, "png")],
+        schemas.MEDIA_ASSETS,
+    )
+    out = multimodal.extract_features(df)
+    # schema contract: exact field names, types, and order
+    assert out.schema == T.StructType([
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ])
+    rows = {r.asset_id: r for r in out.collect()}
+    g = rows[1]
+    assert g.n_bytes == len(GOLDEN)
+    assert g.content_sha256 == GOLDEN_SHA
+    assert len(g.feature) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in g.feature)
+    if not multimodal.HAVE_CODECS:
+        # fake decoder is pinned bit-exact: sha256(payload) bytes / 255
+        want = [b / 255.0 for b in hashlib.sha256(GOLDEN).digest()[:8]]
+        assert g.feature == want
+    # null policy: payload-less rows keep their identity columns, feature
+    # and hash are NULL (never a zero vector), n_bytes is 0
+    n = rows[2]
+    assert n.feature is None and n.content_sha256 is None and n.n_bytes == 0
+
+
+def test_decoder_callable_contract():
+    """The splice point has a fixed signature: (payload: bytes,
+    media_type: str) -> length-FEATURE_DIM float vector. With codecs it
+    must honor that; without, it must raise NotImplementedError (never
+    silently fall back)."""
+    import inspect
+
+    params = list(inspect.signature(multimodal.real_decode).parameters)
+    assert params[:2] == ["payload", "media_type"]
+    if multimodal.HAVE_CODECS:
+        feat = multimodal.real_decode(GOLDEN, "image")
+        assert len(feat) == multimodal.FEATURE_DIM
+        assert all(isinstance(v, float) for v in feat)
+    else:
+        with pytest.raises(NotImplementedError):
+            multimodal.real_decode(GOLDEN, "image")
+
+
 def test_resize_images(spark, assets):
     out = {r.asset_id: r for r in
            multimodal.resize_images(assets, max_width=320).collect()}
