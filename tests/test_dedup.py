@@ -106,6 +106,39 @@ def test_connected_components_chain_converges(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
 
 
+def test_connected_components_adversarial_chain(spark):
+    """Pointer jumping makes a deep chain converge in O(log d) rounds;
+    hitting the cap without a fixpoint raises instead of returning
+    silently wrong labels (strict=False keeps split-only partials)."""
+    from wistia_video_analytics_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 200  # one-hop propagation would need 200 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_id_a long, doc_id_b long"
+    )
+    out = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            pairs, "doc_id_a", "doc_id_b", max_iterations=12
+        ).collect()
+    }
+    assert set(out.values()) == {0} and len(out) == n + 1
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, "doc_id_a", "doc_id_b", max_iterations=2)
+    partial = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            pairs, "doc_id_a", "doc_id_b", max_iterations=2, strict=False
+        ).collect()
+    }
+    # partial labels only ever SPLIT a component (label = min of some
+    # reachable subset), never merge two components
+    assert all(lbl <= node for node, lbl in partial.items())
+    assert len(set(partial.values())) > 1
+
+
 def test_connected_components_clusters_are_shallow(spark):
     """The 8-hop-closure oracle for dedup_clusters is exact only while
     near-dup components stay shallow — pin that the testdata clusters

@@ -106,6 +106,31 @@ def test_brute_force_np_agrees_with_builtin(spark, emb):
     assert vectorized == builtin
 
 
+def test_brute_force_np_large_query_set_falls_back_to_join(spark, emb, monkeypatch):
+    """Query sets over the collect cap must never reach the driver: the
+    operator routes to the distributed join path (no broadcast hint —
+    AQE may still broadcast at toy scale) with identical results."""
+    queries = emb.filter("vec_id < 5")
+    want = {(r.query_id, r.neighbor_id)
+            for r in similarity.brute_force_topk(queries, emb, k=3).collect()}
+    calls = []
+    real = similarity.brute_force_topk
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(similarity, "brute_force_topk", spy)
+    out = similarity.brute_force_topk_np(queries, emb, k=3, max_query_rows=2)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert got == want
+    assert calls == [{"broadcast_queries": False}]
+    # under the cap the numpy path runs: no fallback call
+    calls.clear()
+    similarity.brute_force_topk_np(queries, emb, k=3, max_query_rows=100)
+    assert calls == []
+
+
 def test_ivf_lloyd_refinement_runs_and_improves_or_holds(spark, emb):
     """Refined centroids must stay correct (full probe == brute force)
     and partial-probe recall should not collapse vs sampled centroids."""

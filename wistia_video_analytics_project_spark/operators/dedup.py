@@ -390,19 +390,28 @@ def connected_components(
     a_col: str,
     b_col: str,
     max_iterations: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: every node gets
     ``cluster_id`` = the minimum node id reachable through the pair
-    graph (hash-min label propagation).
+    graph (hash-min label propagation with pointer jumping).
 
     The iterative dataflow Spark SQL can't express declaratively:
-    each round joins current labels across edges and keeps the min —
-    label count strictly shrinks to a fixpoint in O(diameter) rounds
-    (near-dup clusters are shallow: diameter is typically ≤ 3, so 3-4
-    rounds). Per round: one co-partitioned join + one partial-agg
-    groupBy. ``localCheckpoint`` truncates lineage each round —
-    without it the plan doubles per iteration and the driver, not the
-    data, becomes the bottleneck at scale.
+    each round joins current labels across edges and keeps the min,
+    then composes labels through themselves (``lbl ← lbl(lbl)``,
+    pointer jumping), so convergence is O(log diameter) — an
+    adversarial CHAIN of 10⁶ docs still converges in ~20 rounds,
+    where plain one-hop propagation would need 10⁶. Per round: two
+    co-partitioned joins + one partial-agg groupBy.
+    ``localCheckpoint`` truncates lineage each round — without it the
+    plan doubles per iteration and the driver, not the data, becomes
+    the bottleneck at scale.
+
+    If the fixpoint is NOT reached inside ``max_iterations``,
+    ``strict=True`` (default) raises instead of returning silently
+    wrong labels; ``strict=False`` keeps the partial labels (each
+    cluster may be split into several sub-labels, never merged
+    wrongly).
 
     Returns (node, cluster_id) for every node appearing in ``pairs``.
     """
@@ -430,7 +439,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        hop_labels = (
             labels.alias("cur")
             .join(neighbor_min.alias("m"), F.col("cur.src") == F.col("m.node"), "left")
             .select(
@@ -438,6 +447,19 @@ def connected_components(
                 F.least(
                     F.col("cur.lbl"),
                     F.coalesce(F.col("m.nlbl"), F.col("cur.lbl")),
+                ).alias("lbl"),
+            )
+        )
+        # pointer jumping: lbl ← min(lbl, lbl(lbl)). Labels are node
+        # ids, so composing a label through the label table halves the
+        # remaining path — this is what makes chains O(log d).
+        new_labels = (
+            hop_labels.alias("x")
+            .join(labels.alias("j"), F.col("x.lbl") == F.col("j.src"), "left")
+            .select(
+                F.col("x.src").alias("src"),
+                F.least(
+                    F.col("x.lbl"), F.coalesce(F.col("j.lbl"), F.col("x.lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
@@ -451,6 +473,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iterations} iterations — the pair graph has a "
+                f"component of diameter > ~2^{max_iterations}; raise "
+                f"max_iterations or pass strict=False to accept "
+                f"partial (split, never wrongly merged) labels"
+            )
     return labels.select(F.col("src").alias("node"), F.col("lbl").alias("cluster_id"))
 
 

@@ -73,6 +73,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k corpus neighbors per query vector by cosine similarity.
 
@@ -80,6 +81,11 @@ def brute_force_topk(
     rank with a per-query window. Similarity is rounded to 6 decimals
     BEFORE ranking, with the neighbor id as tiebreaker, so the result set
     is deterministic and engine-comparable.
+
+    ``broadcast_queries=False`` drops the broadcast hint for query sets
+    too large to ship to every executor — Spark then plans a distributed
+    cartesian join; the O(|Q|·|C|) work is inherent to brute force, but
+    neither side ever materializes on one node.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -89,8 +95,9 @@ def brute_force_topk(
     )
     from pyspark.sql import Window
 
+    q_side = F.broadcast(q) if broadcast_queries else q
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(q_side, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
@@ -262,6 +269,7 @@ def brute_force_topk_np(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Vectorized brute-force top-k: the query matrix is collected
     driver-side (small by contract), closed over into a ``mapInPandas``
@@ -273,11 +281,22 @@ def brute_force_topk_np(
     large |corpus|; float summation order differs from the sequential
     built-in path, so this variant is for serving, not oracle checks
     (ties at the 6th decimal can rank differently).
+
+    The small-by-contract bound is ENFORCED: query sets larger than
+    ``max_query_rows`` are never collected — the operator falls back to
+    the fully distributed join path (:func:`brute_force_topk` without
+    the broadcast hint), so a mis-sized call degrades to a slower plan
+    instead of a driver OOM.
     """
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import Window
+
+    if queries.limit(max_query_rows + 1).count() > max_query_rows:
+        return brute_force_topk(
+            queries, corpus, k, id_col, vec_col, broadcast_queries=False
+        )
 
     q_rows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
