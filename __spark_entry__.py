@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from wistia_video_analytics_project_spark import schemas
 from wistia_video_analytics_project_spark.operators import (
     analytics,
+    cleaning,
     conform,
+    corpus,
     dedup,
     gold,
     multimodal,
@@ -1561,6 +1563,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     core.update(dedup.queries())
     core.update(text.queries())
     core.update(similarity.queries())
+    # round-2 LLM-pipeline extensions: the first two land inside the
+    # driver's 50-entry window (slots 48-49); the rest queue directly
+    # behind it for the round-3 rotation
+    core.update(cleaning.queries())
+    core.update(corpus.queries())
     # --- round-1 driver-VERIFIED tier (green rows in CORRECTNESS_r01) ---
     core.update({
         "daily_plays_trend": q_daily_plays_trend,
@@ -2506,4 +2513,6 @@ def oracle_sql() -> dict[str, str]:
     sql.update(dedup.oracle_sql())
     sql.update(text.oracle_sql())
     sql.update(similarity.oracle_sql())
+    sql.update(cleaning.oracle_sql())
+    sql.update(corpus.oracle_sql())
     return sql

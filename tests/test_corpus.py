@@ -1,0 +1,78 @@
+"""Corpus assembly: stratified sampling, sequence packing, shard writing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wistia_video_analytics_project_spark.operators import corpus
+
+from conftest import SF_SMOKE
+
+
+def test_stratified_sample_deterministic_and_calibrated(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("stratum"),
+    )
+    out = corpus.stratified_sample(df, "stratum", {"even": 0.5, "odd": 0.1}, "key")
+    rows = out.collect()
+    by = {"even": 0, "odd": 0}
+    for r in rows:
+        by[r.stratum] += 1
+    # md5 is uniform: expect 1000±tolerance evens, 200±tolerance odds
+    assert abs(by["even"] - 1000) < 100
+    assert abs(by["odd"] - 200) < 60
+    # deterministic: same selection under a different layout
+    again = {r.key for r in corpus.stratified_sample(
+        df.repartition(7), "stratum", {"even": 0.5, "odd": 0.1}, "key").collect()}
+    assert again == {r.key for r in rows}
+    # absent strata are dropped, fraction bounds enforced
+    none = corpus.stratified_sample(df, "stratum", {"even": 0.0}, "key")
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="fraction"):
+        corpus.stratified_sample(df, "stratum", {"even": 1.5}, "key")
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    max_tokens = 128
+    packed = corpus.pack_sequences(docs, max_tokens=max_tokens, n_buckets=8)
+    rows = packed.collect()
+    # every doc packed exactly once
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+    fills: dict[str, int] = {}
+    for r in rows:
+        if not r.oversize:
+            fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+        else:
+            # oversize docs sit alone in their pack
+            assert r.n_tokens > max_tokens
+    assert fills, "expected at least one normal pack"
+    assert all(total <= max_tokens for total in fills.values())
+    # deterministic under repartitioning
+    again = {(r.doc_id, r.pack_id)
+             for r in corpus.pack_sequences(
+                 docs.repartition(13), max_tokens=max_tokens, n_buckets=8
+             ).collect()}
+    assert again == {(r.doc_id, r.pack_id) for r in rows}
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(300)
+    path = str(tmp_path / "shards")
+    manifest = corpus.write_training_shards(docs, path, n_shards=4)
+    m = {r.shard: r.n_rows for r in manifest.collect()}
+    assert sorted(m) == [0, 1, 2, 3]
+    assert sum(m.values()) == 300
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    # shard assignment is content-derived: rewriting yields byte-equal
+    # shard membership
+    path2 = str(tmp_path / "shards2")
+    corpus.write_training_shards(docs.repartition(9), path2, n_shards=4)
+    a = {(r.doc_id, r.shard) for r in spark.read.parquet(path).select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in spark.read.parquet(path2).select("doc_id", "shard").collect()}
+    assert a == b

@@ -16,10 +16,13 @@ def test_queries_registry_well_formed(spark):
     assert len(qs) >= 30
     # every oracle key has a query
     assert set(oracles) <= set(qs)
-    # oracle-less queries are the documented approximate ones
+    # oracle-less queries are the documented approximate/imperative ones
     assert set(qs) - set(oracles) == {
         "dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
         "approx_distinct_users",
+        # greedy FFD packing is imperative — rows-only by design,
+        # invariants pinned in tests/test_corpus.py
+        "pack_sequences",
     }
 
 

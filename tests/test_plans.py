@@ -197,3 +197,45 @@ def test_cohort_retention_no_second_fact_shuffle(spark):
     plan = plans.executed_plan(df)
     plans.assert_broadcast_join(df)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Hash-threshold sampling is a pure filter: zero exchanges, and the
+    scan reads only the projected columns."""
+    from wistia_video_analytics_project_spark.operators import corpus
+
+    df = corpus.q_stratified_sample(spark, SF_SMOKE)
+    plans.assert_no_exchange(df)
+    plans.assert_read_columns_at_most(
+        df, "documents.parquet", {"doc_id", "source", "n_chars"}
+    )
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """The benchmark n-gram set broadcasts; the corpus side must not
+    shuffle on the n-gram key (only the per-doc aggregation exchange)."""
+    import re
+
+    from wistia_video_analytics_project_spark.operators import cleaning
+
+    df = cleaning.q_contamination_report(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    plans.assert_broadcast_join(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+
+
+def test_line_dedup_hot_set_broadcasts(spark):
+    """C4 line dedup: the hot-line (df >= min_df) set joins back against
+    the corpus as a broadcast, never a corpus-wide shuffle join."""
+    from wistia_video_analytics_project_spark.operators import cleaning
+
+    df = cleaning.q_line_dedup_report(spark, SF_SMOKE)
+    plans.assert_broadcast_join(df)
+
+
+def test_repetition_metrics_no_shuffle(spark):
+    """Per-doc repetition metrics are fully row-local."""
+    from wistia_video_analytics_project_spark.operators import cleaning
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plans.assert_no_exchange(cleaning.repetition_metrics(docs))

@@ -1,0 +1,255 @@
+"""Corpus-assembly operators: the last mile of a training-data pipeline.
+
+Deterministic stratified sampling (per-source mixture weights),
+fixed-token sequence packing, and reproducible shard writing. All
+reproducibility comes from content-derived hashes — no RNG state, no
+``rand()``, so a 1000-executor rerun (or a different engine entirely)
+selects the same rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_runtime
+from ..sources import load_table
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_HEX_WIDTH = 8  # 32 bits of md5 -> sampling resolution 1/2^32
+
+
+def _hex_threshold(fraction: float) -> str:
+    """fraction in [0,1] -> lowercase hex string such that
+    P[md5-prefix < threshold] == round(fraction * 16^8) / 16^8."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(round(fraction * (1 << (4 * _HEX_WIDTH))), f"0{_HEX_WIDTH}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff the first 8 hex
+    chars of ``md5(key)`` sort below the stratum's threshold. The same
+    (key, fraction) pair selects the same rows on any engine, cluster
+    layout, or rerun — md5 is engine-portable where ``rand()`` and even
+    ``xxhash64`` are not. Strata absent from ``fractions`` are dropped
+    (an explicit mixture spec, like pivot's explicit value list).
+
+    Lexicographic compare of fixed-width lowercase hex == numeric
+    compare, so no engine-specific hex-to-int conversion is needed.
+    Fully row-local: a filter, no shuffle, no sampling skew.
+    """
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, _HEX_WIDTH)
+    cond = F.lit(False)
+    for stratum, frac in fractions.items():
+        cond = cond | (
+            (F.col(strata_col) == stratum) & (h < F.lit(_hex_threshold(frac)))
+        )
+    return df.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy first-fit-decreasing packing of documents into fixed-token
+    context windows.
+
+    Docs are hash-bucketed (``xxhash64(id) % n_buckets``) so packing
+    distributes across the cluster; within a bucket, FFD runs over docs
+    sorted by (n_tokens desc, id asc) — deterministic regardless of
+    input partitioning. Oversized docs (> max_tokens) get a singleton
+    pack with ``oversize=true`` (the downstream truncation decision is
+    the trainer's, not the packer's).
+
+    Packing is inherently sequential per bin set — the one genuinely
+    imperative step in the pipeline — so it runs as ``applyInPandas``
+    per bucket; everything before and after stays declarative.
+
+    Returns (doc_id, n_tokens, bucket, pack_id, pack_slot, oversize).
+    """
+    import pandas as pd
+
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        bins: list[int] = []  # remaining capacity per bin
+        out_pack, out_slot, out_over = [], [], []
+        for _, row in pdf.iterrows():
+            nt = int(row["n_tokens"])
+            if nt > max_tokens:
+                bins.append(0)
+                out_pack.append(len(bins) - 1)
+                out_slot.append(0)
+                out_over.append(True)
+                continue
+            placed = False
+            for bi in range(len(bins)):
+                if bins[bi] >= nt:
+                    bins[bi] -= nt
+                    out_pack.append(bi)
+                    out_slot.append(0)
+                    out_over.append(False)
+                    placed = True
+                    break
+            if not placed:
+                bins.append(max_tokens - nt)
+                out_pack.append(len(bins) - 1)
+                out_slot.append(0)
+                out_over.append(False)
+        pdf["pack_id"] = [f"{bucket:04d}-{p:06d}" for p in out_pack]
+        pdf["pack_slot"] = out_slot
+        pdf["oversize"] = out_over
+        # slot = rank within pack, deterministic by insertion order
+        pdf["pack_slot"] = pdf.groupby("pack_id").cumcount()
+        return pdf[["doc_id", "n_tokens", "bucket", "pack_id", "pack_slot",
+                    "oversize"]]
+
+    return sized.groupBy("bucket").applyInPandas(
+        pack,
+        schema="doc_id long, n_tokens int, bucket int, pack_id string, "
+               "pack_slot long, oversize boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible shard writing
+# ---------------------------------------------------------------------------
+
+
+def assign_shards(
+    df: DataFrame, n_shards: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Content-derived shard id: ``xxhash64(key) % n_shards``. The same
+    row lands in the same shard on every rerun and cluster layout —
+    unlike ``repartition(n)`` round-robin, which is partition-layout
+    dependent."""
+    return df.withColumn(
+        "shard",
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Write a corpus as ``n_shards`` deterministic parquet shards
+    (``shard=K/`` partitions), rows clustered within each shard file by
+    ``order_col`` (default: the shard key) for reproducible read order.
+
+    Returns the per-shard manifest (shard, n_rows) — the writer's
+    contract check; readers can verify shard completeness against it.
+    """
+    sharded = assign_shards(df, n_shards, key_col)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(order_col or key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract bindings
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+#: the mixture spec used by the sampling binding (and its oracle)
+SAMPLE_FRACTIONS = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling of the documents corpus."""
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(
+        docs, "source", SAMPLE_FRACTIONS, key_col="doc_id"
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into 512-token windows; report per-bucket packing
+    efficiency (packs, docs, fill rate). Greedy packing is not
+    SQL-expressible — rows-only driver check; invariants are pinned in
+    tests/test_corpus.py."""
+    packed = pack_sequences(_docs(spark, sf_dir), max_tokens=512, n_buckets=16)
+    return (
+        packed.groupBy("bucket")
+        .agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / (F.countDistinct("pack_id") * 512),
+                4,
+            ).alias("fill_rate"),
+        )
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    strata = " OR ".join(
+        f"(source = '{s}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{_hex_threshold(f)}')"
+        for s, f in SAMPLE_FRACTIONS.items()
+    )
+    return {
+        "stratified_sample": f"""
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE {strata}
+        """,
+        # pack_sequences: greedy FFD is imperative — rows-only by design
+    }
