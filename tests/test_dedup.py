@@ -77,6 +77,26 @@ def test_simhash_identical_and_disjoint(spark):
     assert pairs == {(1, 2): 0}
 
 
+def test_ngram_jaccard_strategies_agree(spark, docs):
+    """Grouped in-place pair generation == streaming self-join, with and
+    without the max_df guard."""
+    for max_df in (None, 50):
+        grouped = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.1, max_df=max_df
+            ).collect()
+        }
+        joined = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.1, max_df=max_df, strategy="join"
+            ).collect()
+        }
+        assert grouped == joined
+        assert grouped, "testdata should contain near-duplicate pairs"
+
+
 def test_ngram_jaccard_max_df_guard_keeps_strong_pairs(spark, docs):
     """The stop-shingle guard prunes hot shingles but must not lose the
     strongly-similar pairs (their overlap lives in rarer shingles too)."""
