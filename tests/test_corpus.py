@@ -34,6 +34,30 @@ def test_stratified_sample_deterministic_and_calibrated(spark):
         corpus.stratified_sample(df, "stratum", {"even": 1.5}, "key")
 
 
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """Inclusion odds scale with weight; selection is layout-independent
+    and uses only IEEE-exact ops (no pow/ln rank keys)."""
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 2 == 0, 10.0).otherwise(1.0).alias("w"),
+    )
+    out = corpus.weighted_sample(df, "w", rate=0.02, key_col="key")
+    rows = out.collect()
+    heavy = sum(1 for r in rows if r.w == 10.0)
+    light = sum(1 for r in rows if r.w == 1.0)
+    # heavy rows kept with p=0.2 (~2000), light with p=0.02 (~200)
+    assert abs(heavy - 2000) < 250
+    assert abs(light - 200) < 90
+    again = {r.key for r in corpus.weighted_sample(
+        df.repartition(11), "w", rate=0.02, key_col="key").collect()}
+    assert again == {r.key for r in rows}
+    # rate * weight >= 1 keeps everything; rate 0 keeps nothing
+    assert corpus.weighted_sample(df, "w", 1.0, "key").count() == 20000
+    assert corpus.weighted_sample(df, "w", 0.0, "key").count() == 0
+    with pytest.raises(ValueError, match="rate"):
+        corpus.weighted_sample(df, "w", -0.1, "key")
+
+
 def test_pack_sequences_invariants(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
     max_tokens = 128

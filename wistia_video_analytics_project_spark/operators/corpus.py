@@ -59,6 +59,40 @@ def stratified_sample(
     return df.filter(cond)
 
 
+def uniform_int32(key: "F.Column | str") -> "F.Column":
+    """Engine-portable uniform integer in [0, 2^32): the first 8 hex
+    chars of ``md5(key)`` parsed as an integer. Spark parses via
+    ``conv(hex, 16, 10)``; DuckDB via a ``'0x…'`` cast — both exact."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, _HEX_WIDTH), 16, 10
+    ).cast("long")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate: float,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: each row is kept with
+    probability ``min(1, rate * weight)`` — inclusion odds proportional
+    to weight (quality-weighted corpus mixing), yet fully reproducible.
+
+    Parity design: the keep test is ``uniform_int32(key) <
+    rate * weight * 2^32`` using ONLY IEEE-exact operations (multiply,
+    compare) — no ``pow``/``ln``, whose last-ulp rounding differs across
+    engines. Same rows selected on any engine, rerun, or layout; a pure
+    filter, no shuffle.
+    """
+    if rate < 0:
+        raise ValueError(f"rate must be >= 0, got {rate}")
+    threshold = F.col(weight_col).cast("double") * F.lit(float(rate)) * F.lit(
+        float(1 << (4 * _HEX_WIDTH))
+    )
+    return df.filter(uniform_int32(key_col).cast("double") < threshold)
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
@@ -211,6 +245,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+#: keep-probability per unit of order value for the binding (and oracle)
+WEIGHTED_RATE = 2.0e-7
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-weighted deterministic sample of orders: inclusion odds
+    proportional to o_totalprice (the corpus-mixing shape: upweight
+    high-quality docs)."""
+    configure_runtime(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return weighted_sample(
+        orders, "o_totalprice", WEIGHTED_RATE, key_col="o_orderkey"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the corpus into 512-token windows; report per-bucket packing
     efficiency (packs, docs, fill rate). Greedy packing is not
@@ -235,6 +284,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,
     }
 
@@ -250,6 +300,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE {strata}
+        """,
+        "weighted_sample": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE CAST(CAST(concat('0x',
+                     substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS DOUBLE)
+                  < CAST(o_totalprice AS DOUBLE) * {WEIGHTED_RATE} * 4294967296.0
         """,
         # pack_sequences: greedy FFD is imperative — rows-only by design
     }
