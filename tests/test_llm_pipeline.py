@@ -49,3 +49,41 @@ def test_prepare_training_corpus_dedups(spark):
     ids = {r.doc_id for r in out.select("doc_id").distinct().collect()}
     assert 900001 not in ids  # exact dup of an earlier doc: dropped
     assert 900002 not in ids  # under min_tokens: dropped
+
+
+def test_prepare_training_corpus_full_cleaning_flow(spark):
+    """All opt-in stages on: PII scrubbed, boilerplate lines gone,
+    contaminated docs gated out — and the core invariants still hold."""
+    configure_runtime(spark)
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    footer = "all rights reserved by example corp really truly"
+    dirty = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach admin@example.com\n"),
+            F.lit(footer),
+        ),
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = prepare_training_corpus(
+        dirty.filter(F.col("doc_id") % 10 != 0),
+        scrub_pii=True,
+        boilerplate_min_df=2,
+        contamination_benchmark=bench,
+        max_contamination=0.5,
+    ).cache()
+    assert out.count() > 0
+    joined = " ".join(r.chunk_text for r in out.collect())
+    assert "admin@example.com" not in joined     # scrubbed
+    assert footer not in joined                  # boilerplate removed
+    assert "<EMAIL>" in joined                   # replacement token kept
+    # doc-granular split still holds after the extra stages
+    straddlers = (
+        out.groupBy("doc_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    out.unpersist()
