@@ -1522,10 +1522,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Dict ORDER is deliberate: the driver's correctness gate samples the
     first 50 entries in dict order.  Round 1 verified the original first
-    50, so round 2 front-loads the 47 entries that have no driver-green
-    CORRECTNESS row yet (analytics extensions, SCD2, streaming,
-    multimodal, and the full LLM dedup/text/ANN tier) plus this round's
-    new queries, and the round-1-verified set fills the tail.
+    50, so round 2 front-loads the 48 entries that had no driver-green
+    CORRECTNESS row (analytics extensions, SCD2, streaming, multimodal,
+    and the full LLM dedup/text/ANN tier); slots 48-49 carry the first
+    two round-2 cleaning queries. ROTATION PLAN for round 3: front-load
+    whatever CORRECTNESS_r02 did not cover (expected: pii_scrub_report,
+    line_dedup_report, stratified_sample, weighted_sample,
+    pack_sequences, plus any new round-3 entries), then cycle the
+    longest-unverified remainder — every entry should re-earn a green
+    row every ~2 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---

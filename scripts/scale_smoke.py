@@ -79,6 +79,55 @@ OPS = (
 )
 
 
+def multiply_docs(docs, k: int):
+    """Id-shifted, text-perturbed replicas: near-dup structure per copy
+    survives, but copies are not exact duplicates of each other."""
+    out = docs
+    for i in range(1, k):
+        out = out.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+            .withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(f" replica tag {i} end")),
+            )
+        )
+    return out
+
+
+def dedup_minhash(docs):
+    from wistia_video_analytics_project_spark.operators import dedup
+
+    return dedup.minhash_lsh_pairs(docs, threshold=0.1, n=3)
+
+
+def dedup_jaccard_guarded(k):
+    """max_df scales WITH the corpus: a fixed absolute cutoff admits
+    k× hotter shingles under k× replication — the guard is per-corpus,
+    not per-shingle (SCALE.md, dedup ladder)."""
+    def run(docs):
+        from wistia_video_analytics_project_spark.operators import dedup
+
+        return dedup.ngram_jaccard_pairs(
+            docs, threshold=0.1, n=3, max_df=25 * k
+        )
+
+    return run
+
+
+def repetition(docs):
+    from wistia_video_analytics_project_spark.operators import cleaning
+
+    return cleaning.repetition_metrics(docs, n=3)
+
+
+def doc_ops(k):
+    return (
+        ("minhash_lsh", dedup_minhash),
+        (f"jaccard_df{25 * k}", dedup_jaccard_guarded(k)),
+        ("repetition", repetition),
+    )
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
     base = load_table(spark, SF_DIR, "events")
@@ -92,6 +141,15 @@ def main() -> None:
             rows = ev.count()
             print(f"x{k:>2} ({rows:>9,} rows) {name:12s}: {best:6.2f}s "
                   f"({rows / best / 1e6:6.1f} M rows/s)")
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.count()
+    for k in (1, 4, 8):
+        dd = multiply_docs(docs, k)
+        for name, fn in doc_ops(k):
+            best = min(_time(lambda: fn(dd).count()) for _ in range(2))
+            rows = dd.count()
+            print(f"x{k:>2} ({rows:>9,} docs) {name:14s}: {best:6.2f}s "
+                  f"({rows / best / 1e3:6.1f} K docs/s)")
     spark.stop()
 
 

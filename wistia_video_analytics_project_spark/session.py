@@ -27,6 +27,11 @@ _BUILD_TIME_CONF = {
     # Nested-schema pruning so `events[].type`-style struct access prunes
     # unread struct fields at the parquet scan (SURVEY.md §4.2).
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # Local mode runs everything in the driver JVM: the 1g default heap
+    # starves 32 executor threads into constant GC/spill (observed:
+    # GCLocker allocation stalls in wide aggregations). On a cluster this
+    # knob is per-executor and set by the deployment, not here.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
 
 # Runtime-settable confs — safe on a session we did not build.
