@@ -7,6 +7,7 @@ example runs Spark jobs (max_examples tuned accordingly)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -70,3 +71,68 @@ def test_fingerprint_whitespace_invariant(spark, words, pad):
     df = spark.createDataFrame([(clean,), (noisy,)], "text string")
     fps = [r.fp for r in df.select(text.fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab @.-015xyz\n", min_size=0, max_size=60),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=TEXTS)
+@SLOW
+def test_pii_scrub_idempotent(spark, texts):
+    """Scrubbing already-scrubbed text changes nothing (replacement
+    tokens never re-match any pattern)."""
+    from wistia_video_analytics_project_spark.operators import cleaning
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = cleaning.pii_scrub(df).select(
+        "doc_id", F.col("text_scrubbed").alias("text")
+    )
+    twice = cleaning.pii_scrub(once)
+    diff = twice.filter(
+        F.col("text") != F.col("text_scrubbed")
+    ).count()
+    assert diff == 0
+
+
+@given(texts=TEXTS)
+@SLOW
+def test_repetition_metrics_bounded(spark, texts):
+    from wistia_video_analytics_project_spark.operators import cleaning
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = cleaning.repetition_metrics(df, n=2).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert 0.0 <= r.dup_token_frac <= 1.0
+        assert 0.0 <= r.dup_ngram_frac <= 1.0
+        assert r.n_distinct_tokens <= r.n_tokens
+
+
+@given(
+    frac_small=st.integers(0, 10),
+    frac_delta=st.integers(0, 10),
+)
+@SLOW
+def test_stratified_sample_monotone_in_fraction(spark, frac_small, frac_delta):
+    """A larger fraction selects a SUPERSET of a smaller one (nested
+    samples — the property that makes downsampling reproducible)."""
+    from wistia_video_analytics_project_spark.operators import corpus
+
+    lo = frac_small / 10.0
+    hi = min(1.0, (frac_small + frac_delta) / 10.0)
+    df = spark.range(0, 500).select(
+        F.col("id").alias("key"), F.lit("s").alias("stratum")
+    )
+    small = {r.key for r in corpus.stratified_sample(
+        df, "stratum", {"s": lo}, "key").collect()}
+    big = {r.key for r in corpus.stratified_sample(
+        df, "stratum", {"s": hi}, "key").collect()}
+    assert small <= big
