@@ -1524,13 +1524,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 entries in dict order.  Round 1 verified the original first
     50, so round 2 front-loads the 48 entries that had no driver-green
     CORRECTNESS row (analytics extensions, SCD2, streaming, multimodal,
-    and the full LLM dedup/text/ANN tier); slots 48-49 carry the first
-    two round-2 cleaning queries. ROTATION PLAN for round 3: front-load
-    whatever CORRECTNESS_r02 did not cover (expected: pii_scrub_report,
-    line_dedup_report, stratified_sample, weighted_sample,
-    pack_sequences, plus any new round-3 entries), then cycle the
-    longest-unverified remainder — every entry should re-earn a green
-    row every ~2 rounds.
+    and the full LLM dedup/text/ANN tier), with the five rows-only
+    approximates deferred to just past the window so all 50 in-window
+    slots are full hash-checked oracle comparisons. ROTATION PLAN for
+    round 3: front-load whatever CORRECTNESS_r02 did not cover (the
+    rows-only approximates plus the round-1-verified tail, plus any new
+    round-3 entries), then cycle the longest-unverified remainder —
+    every entry should re-earn a green row every ~2 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
@@ -1573,6 +1573,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # behind it for the round-3 rotation
     core.update(cleaning.queries())
     core.update(corpus.queries())
+    # Rows-only approximates carry no oracle entry, so a window slot
+    # spent on them yields only a weak rows-only driver check.  Move
+    # them just past the 50-entry window so every in-window slot gets a
+    # full hash-checked oracle comparison; the displaced oracle-backed
+    # cleaning/corpus queries slide inside the window in their place.
+    for _rows_only in ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
+                       "ann_ivf", "pack_sequences"):
+        core[_rows_only] = core.pop(_rows_only)
     # --- round-1 driver-VERIFIED tier (green rows in CORRECTNESS_r01) ---
     core.update({
         "daily_plays_trend": q_daily_plays_trend,

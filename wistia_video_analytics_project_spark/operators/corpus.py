@@ -27,10 +27,19 @@ _HEX_WIDTH = 8  # 32 bits of md5 -> sampling resolution 1/2^32
 
 def _hex_threshold(fraction: float) -> str:
     """fraction in [0,1] -> lowercase hex string such that
-    P[md5-prefix < threshold] == round(fraction * 16^8) / 16^8."""
+    P[md5-prefix < threshold] == round(fraction * 16^8) / 16^8.
+
+    fraction == 1.0 would need 16^8 == ``"100000000"`` — 9 chars, which
+    lexicographically sorts BELOW most 8-char hashes ('f…' > '1…') and
+    would silently keep ~1/16 of rows. Return ``"g"`` instead: every
+    lowercase-hex string sorts before it in both Spark and DuckDB, so
+    the keep-everything case stays a pure string compare."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(round(fraction * (1 << (4 * _HEX_WIDTH))), f"0{_HEX_WIDTH}x")
+    scaled = round(fraction * (1 << (4 * _HEX_WIDTH)))
+    if scaled >= 1 << (4 * _HEX_WIDTH):
+        return "g"
+    return format(scaled, f"0{_HEX_WIDTH}x")
 
 
 def stratified_sample(
