@@ -181,3 +181,38 @@ def test_ivf_persisted_index_prunes_and_matches(spark, emb, tmp_path):
 
     all_pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("cell" in pf for pf in all_pf), plan
+
+
+def test_semantic_dedup_keep_invariants(spark, emb):
+    """Dominated-by-earlier rule on a bounded slice: every dropped id has
+    an earlier id within the threshold; no kept id does."""
+    sl = emb.filter("vec_id < 150")
+    kept = {r.vec_id for r in
+            similarity.semantic_dedup_keep(sl, threshold=0.4).collect()}
+    all_ids = {r.vec_id for r in sl.select("vec_id").collect()}
+    pairs = similarity.cosine_pairs(sl, threshold=0.4).collect()
+    dominated = {r.id_b for r in pairs}
+    assert kept == all_ids - dominated
+    assert kept  # slice is not degenerate
+
+
+def test_semantic_dedup_lsh_subset_and_recall(spark, emb):
+    """LSH candidates are a subset of all pairs, so its drop set is a
+    subset of the exact drop set; band collisions must still find most
+    true near-dups at this threshold."""
+    sl = emb.filter("vec_id < 300")
+    exact_drop = {r.vec_id for r in similarity.near_dup_drop_ids(
+        sl, threshold=0.4, strategy="exact").collect()}
+    lsh_drop = {r.vec_id for r in similarity.near_dup_drop_ids(
+        sl, threshold=0.4, strategy="lsh", dim=similarity.EMB_DIM).collect()}
+    assert lsh_drop <= exact_drop
+    if exact_drop:
+        recall = len(lsh_drop) / len(exact_drop)
+        assert recall >= 0.5, f"drop-set recall too low: {recall}"
+
+
+def test_semantic_dedup_requires_dim_for_lsh(spark, emb):
+    with pytest.raises(ValueError):
+        similarity.near_dup_drop_ids(emb, 0.4, strategy="lsh")
+    with pytest.raises(ValueError):
+        similarity.near_dup_drop_ids(emb, 0.4, strategy="nope")

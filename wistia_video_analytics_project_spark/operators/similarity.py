@@ -585,6 +585,90 @@ def ivf_query_index(
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate DEDUP (SemDeDup-style keep rule)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_drop_ids(
+    vecs: DataFrame,
+    threshold: float,
+    strategy: str = "exact",
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ids to DROP under the dominated-by-earlier rule: drop ``v`` iff
+    some ``u < v`` has ``cosine(u, v) >= threshold``.
+
+    One-pass and SQL-expressible (unlike sequential greedy dedup, which
+    re-reads its own keep decisions and is inherently iterative); the
+    kept set is therefore an invariant the oracle can check: no kept id
+    has ANY earlier id within ``threshold``.
+
+    - ``strategy='exact'``: all-pairs cosine — the verification path,
+      quadratic by design.
+    - ``strategy='lsh'``: SRP band buckets generate the candidate pairs
+      (linear in corpus size; a near-dup pair at cosine >= 0.4 collides
+      in >= 1 of the 4-bit bands with high probability), then the exact
+      cosine filter keeps true near-dups. Misses only pairs with no band
+      collision — recall vs the exact path is asserted in
+      tests/test_similarity.py.
+    """
+    if strategy == "exact":
+        pairs = cosine_pairs(vecs, threshold, id_col, vec_col)
+    elif strategy == "lsh":
+        if dim is None:
+            raise ValueError("strategy='lsh' requires dim")
+        bands = srp_bands(srp_signatures(vecs, dim, id_col, vec_col), id_col)
+        cand = (
+            bands.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
+            .join(
+                bands.select(F.col(id_col).alias("id_b"), "band_id", "band_val"),
+                ["band_id", "band_val"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r} (exact|lsh)")
+    return pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+
+def semantic_dedup_keep(
+    vecs: DataFrame,
+    threshold: float,
+    strategy: str = "exact",
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rows surviving embedding-cosine near-dup dedup (all original
+    columns). Anti-join against :func:`near_dup_drop_ids` — the corpus
+    never collects, the drop set is one ``distinct`` of near-dup ids.
+
+    100 TB shape: with ``strategy='lsh'`` every stage is linear — one
+    mapInPandas signature pass, one band equi-join bounded by bucket
+    sizes, one anti-join on the id. The exact strategy is the recall
+    oracle, quarantined to bounded slices like the other exact paths.
+    """
+    drops = near_dup_drop_ids(vecs, threshold, strategy, dim, id_col, vec_col)
+    return vecs.join(drops, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Driver-contract bindings (embeddings table: vec_id, embedding float[64])
 # ---------------------------------------------------------------------------
 
@@ -608,6 +692,23 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, threshold=0.4)
 
 
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded slice, exact strategy: the oracle-checkable verification
+    # path (mirrors q_embedding_cosine_pairs); the LSH strategy is the
+    # corpus-scale binding below
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
+    return semantic_dedup_keep(emb, threshold=0.4).select("vec_id")
+
+
+def q_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full table, banded candidates: linear scale path; rows-only at the
+    # driver (candidate recall asserted in tests/test_similarity.py)
+    emb = _emb(spark, sf_dir)
+    return semantic_dedup_keep(
+        emb, threshold=0.4, strategy="lsh", dim=EMB_DIM
+    ).select("vec_id")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
@@ -624,10 +725,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_brute_force": q_ann_brute_force,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        # approximate; driver records rows-only, recall vs brute force is
-        # asserted in tests/test_similarity.py
+        "semantic_dedup_keep": q_semantic_dedup_keep,
+        # approximate; driver records rows-only, recall vs brute force /
+        # exact dedup is asserted in tests/test_similarity.py
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "semantic_dedup_lsh": q_semantic_dedup_lsh,
     }
 
 
@@ -679,5 +782,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON id_a = na.vec_id
             JOIN norms nb ON id_b = nb.vec_id
             WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.4
+        """,
+        "semantic_dedup_keep": f"""
+            WITH {_COSINE_CTES},
+            dots AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
+              FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+              WHERE a.vec_id < 200 AND b.vec_id < 200
+              GROUP BY 1, 2),
+            dropped AS (
+              SELECT DISTINCT id_b
+              FROM dots
+              JOIN norms na ON id_a = na.vec_id
+              JOIN norms nb ON id_b = nb.vec_id
+              WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.4)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id < 200
+              AND vec_id NOT IN (SELECT id_b FROM dropped)
         """,
     }
