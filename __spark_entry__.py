@@ -31,6 +31,7 @@ from wistia_video_analytics_project_spark.operators import (
     gold,
     multimodal,
     quality,
+    scale,
     scd,
     similarity,
     sketch,
@@ -770,6 +771,13 @@ def q_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_spend") > F.col("__avg_spend"))
         .select("o_custkey", "total_spend")
     )
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic on the event stream's user key: the input to
+    the salting / AQE-skew-join decision (operators/scale.py)."""
+    events = _t(spark, sf_dir, "events")
+    return scale.skew_report(events, ["user_id"], top_n=10)
 
 
 def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1636,6 +1644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_cooccurrence": q_part_cooccurrence,
         "nations_per_region": q_nations_per_region,
         "view_purchase_conversion": q_view_purchase_conversion,
+        # mid-round-2 addition, past the window (round-3 rotation front-
+        # loads it with the other unverified entries)
+        "key_skew_report": q_key_skew_report,
     })
     return core
 
@@ -2524,6 +2535,21 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "key_skew_report": """
+            WITH counts AS (
+              SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+            totals AS (
+              SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                     count(*) AS n_keys
+              FROM counts)
+            SELECT user_id, n_rows,
+                   floor(CAST(n_rows AS DOUBLE) / total * 1e6 + 0.5) / 1e6
+                     AS pct_of_total,
+                   floor(CAST(n_rows AS DOUBLE) * n_keys / total * 100 + 0.5) / 100
+                     AS skew_ratio
+            FROM counts, totals
+            ORDER BY n_rows DESC, user_id ASC LIMIT 10
         """,
     }
     sql.update(dedup.oracle_sql())

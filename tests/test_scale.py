@@ -105,3 +105,27 @@ def test_two_phase_agg_rejects_nondecomposable(spark):
     df = spark.createDataFrame([("a", 1.0)], "key string, v double")
     with _pytest.raises(ValueError, match="sum/count/min/max"):
         scale.two_phase_agg(df, ["key"], {"bad": F.avg("v")})
+
+
+def test_skew_report_identifies_hot_key(spark):
+    # 100 rows on the hot key, 10 keys with 1 row each -> total 110, 11 keys
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [(f"k{i}", i) for i in range(10)],
+        "key string, n int",
+    )
+    rows = scale.skew_report(df, ["key"], top_n=3).collect()
+    assert [r.key for r in rows][0] == "hot"
+    top = rows[0]
+    assert top.n_rows == 100
+    assert abs(top.pct_of_total - 100 / 110) < 1e-6
+    assert abs(top.skew_ratio - (100 * 11 / 110)) < 0.01  # 10x the mean
+    # remaining slots: deterministic key-ordered ties
+    assert [r.key for r in rows[1:]] == ["k0", "k1"]
+
+
+def test_skew_report_uniform_ratio_near_one(spark):
+    df = spark.createDataFrame(
+        [(f"k{i}", j) for i in range(8) for j in range(5)], "key string, n int"
+    )
+    rows = scale.skew_report(df, ["key"], top_n=8).collect()
+    assert all(r.skew_ratio == 1.0 for r in rows)

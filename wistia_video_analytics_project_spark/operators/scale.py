@@ -185,3 +185,54 @@ def runtime_bloom_filter(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Heaviest join/aggregation keys and how skewed they are — the
+    diagnostic you run BEFORE deciding between AQE skew-join, salting,
+    and broadcast for a hot key.
+
+    One shuffle: per-key counts. The corpus-wide totals (row count, key
+    count) come from a second aggregate over the per-key COUNTS frame —
+    O(distinct keys), never a second pass over the data — broadcast back
+    as a single row. Output per top key: row count, share of the table,
+    and the ratio to the mean per-key load (``skew_ratio`` ~ 1.0 means
+    uniform; a key at 50x mean is the one that stalls its task at
+    100 TB).
+    """
+    keys = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            # floor(x*10^n + 0.5)/10^n: bit-exact half-up on both engines
+            # (count ratios land exactly on .5 ties, where native round()
+            # disagrees across engines)
+            (F.floor(F.col("n_rows") / F.col("__total") * 1e6 + F.lit(0.5)) / 1e6)
+            .alias("pct_of_total"),
+            # double FIRST: a long product n_rows * n_keys can overflow
+            # at corpus scale (and widens to HUGEINT in DuckDB)
+            (
+                F.floor(
+                    F.col("n_rows").cast("double")
+                    * F.col("__n_keys")
+                    / F.col("__total")
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
+        .limit(top_n)
+    )
