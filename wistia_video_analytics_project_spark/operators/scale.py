@@ -236,3 +236,74 @@ def skew_report(
         .orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
         .limit(top_n)
     )
+
+
+def zorder_key(
+    bounds: Sequence[tuple[str, float, float]],
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) key: interleave the bits of N columns, each
+    normalized to ``[0, 2**bits)`` over caller-supplied ``(col, lo, hi)``
+    bounds (a min/max pre-scan would double the IO at 100 TB — same
+    contract as the histogram operator).
+
+    Sorting a table by this key clusters rows that are close in EVERY
+    dimension into the same parquet row groups, so min/max stats prune
+    multi-column range predicates — a linear sort only ever prunes its
+    leading column. Pure JVM expression tree (shift/and/or), fully
+    codegen'd; ``n_cols * bits`` must fit a signed long (<= 63).
+    """
+    n = len(bounds)
+    if n < 1:
+        raise ValueError("zorder_key needs at least one (col, lo, hi)")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    cells = F.lit(float(1 << bits))
+    quantized = []
+    for c, lo, hi in bounds:
+        if not hi > lo:
+            raise ValueError(f"bad bounds for {c}: ({lo}, {hi})")
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(float(hi - lo))
+            * cells
+        )
+        quantized.append(
+            F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << bits) - 1)).cast("long")
+        )
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, q in enumerate(quantized):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(q, j).bitwiseAND(F.lit(1)), j * n + i)
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    bounds: Sequence[tuple[str, float, float]],
+    bits: int = 16,
+    n_files: int = 16,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Write parquet clustered by Z-order: range-repartition on the
+    Morton key (globally contiguous key ranges per file), sort within
+    each partition, drop the helper column.
+
+    Every downstream range predicate on ANY of the clustered columns
+    skips files/row groups via parquet min/max stats — measured (not
+    assumed) in tests/test_zorder.py against linear-sort and unsorted
+    layouts of the same data.
+    """
+    out = (
+        df.withColumn("__z", zorder_key(bounds, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    writer = out.write.mode("overwrite")
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)
