@@ -1586,11 +1586,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # them just past the 50-entry window so every in-window slot gets a
     # full hash-checked oracle comparison; the displaced oracle-backed
     # cleaning/corpus queries slide inside the window in their place.
-    # semantic_dedup_keep is oracle-backed but added mid-round-2 AFTER
-    # the window layout was fixed: demote it too (front-load in round 3)
+    # semantic_dedup_keep / dedup_incremental are oracle-backed but were
+    # added mid-round-2 AFTER the window layout was fixed: demote them
+    # too (front-load in round 3)
     for _rows_only in ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
                        "ann_ivf", "semantic_dedup_keep",
-                       "semantic_dedup_lsh", "pack_sequences"):
+                       "semantic_dedup_lsh", "dedup_incremental",
+                       "pack_sequences"):
         core[_rows_only] = core.pop(_rows_only)
     # --- round-1 driver-VERIFIED tier (green rows in CORRECTNESS_r01) ---
     core.update({

@@ -175,3 +175,66 @@ def test_connected_components_clusters_are_shallow(spark):
         cc.groupBy("cluster_id").count().agg({"count": "max"}).collect()[0][0]
     )
     assert biggest is not None and biggest <= 9
+
+
+def test_incremental_exact_dedup_semantics(spark):
+    store_docs = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    store = store_docs.select(dedup.fingerprint("text").alias("fingerprint")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),     # dup of store -> dropped
+            (11, "brand new"),       # kept
+            (12, "brand new"),       # within-batch dup of 11 -> dropped
+            (13, "another new one"), # kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup.incremental_exact_dedup(batch, store)
+    assert {r.doc_id for r in kept.collect()} == {11, 13}
+    # store update cycle: appending kept fingerprints makes a re-run of
+    # the same batch drop everything
+    new_store = store.unionByName(kept.select("fingerprint")).distinct()
+    assert dedup.incremental_exact_dedup(batch, new_store).count() == 0
+
+
+def test_incremental_exact_matches_full_dedup(spark, docs):
+    """Two-step incremental ingest == one-shot dedup of the full corpus:
+    same canonical set."""
+    half = docs.filter("doc_id < 250")
+    rest = docs.filter("doc_id >= 250")
+    store_kept = dedup.incremental_exact_dedup(
+        half, spark.createDataFrame([], "fingerprint string")
+    )
+    store = store_kept.select("fingerprint").distinct()
+    batch_kept = dedup.incremental_exact_dedup(rest, store)
+    incremental_ids = {r.doc_id for r in store_kept.collect()} | {
+        r.doc_id for r in batch_kept.collect()
+    }
+    full_ids = {
+        r.doc_id for r in dedup.exact_dedup(docs).filter("is_canonical").collect()
+    }
+    assert incremental_ids == full_ids
+
+
+def test_incremental_minhash_dedup(spark, docs):
+    """A batch doc near-duplicating a store doc is dropped; novel content
+    and the earliest member of a within-batch near-dup group survive."""
+    store_docs = docs.filter("doc_id < 250")
+    seen_sigs = dedup.minhash_signatures(store_docs)
+    # batch: copies of 3 store docs (shifted ids) + genuinely new docs
+    copies = store_docs.filter("doc_id < 3").withColumn(
+        "doc_id", F.col("doc_id") + 9_000
+    )
+    novel = docs.filter("doc_id >= 250 AND doc_id < 270")
+    novel_dup = docs.filter("doc_id = 250").withColumn(
+        "doc_id", F.col("doc_id") + 9_500
+    )
+    batch = copies.unionByName(novel).unionByName(novel_dup)
+    kept = dedup.incremental_minhash_dedup(batch, seen_sigs, threshold=0.5)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert kept_ids & set(range(250, 270))  # novel content survives
+    assert not kept_ids & {9000, 9001, 9002}  # store near-dups dropped
+    assert 9750 not in kept_ids  # within-batch dup of doc 250 dropped
+    assert "sig" in kept.columns  # ready to append to the store

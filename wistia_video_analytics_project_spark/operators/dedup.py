@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import configure_runtime
@@ -286,12 +286,11 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """Candidate pairs from banded signatures: docs sharing any band bucket.
-
-    Explode to (band_id, band_hash, doc_id), self-join on the bucket — a
-    plain equi-join shuffle, no all-pairs comparison anywhere.
-    """
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash): banded signature rows — the unit
+    both the batch self-join and the incremental store join bucket on.
+    In a store deployment this frame is what gets persisted (bucketed by
+    band_hash so the next batch's probe join elides its Exchange)."""
     rows_per_band = N_MINHASH // N_BANDS
     bands = [
         F.struct(
@@ -302,9 +301,18 @@ def minhash_lsh_candidates(sigs: DataFrame) -> DataFrame:
         )
         for i in range(N_BANDS)
     ]
-    exploded = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("b")
     ).select("doc_id", "b.band_id", "b.band_hash")
+
+
+def minhash_lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs from banded signatures: docs sharing any band bucket.
+
+    Explode to (band_id, band_hash, doc_id), self-join on the bucket — a
+    plain equi-join shuffle, no all-pairs comparison anywhere.
+    """
+    exploded = minhash_bands(sigs)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -341,24 +349,127 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(docs, text_col, id_col, n).cache()
     cand = minhash_lsh_candidates(sigs)
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("sa.sig"),
-            F.col("sb.sig"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
     return (
         cand.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(matches.cast("double") / N_MINHASH, 4).alias("est_jaccard"),
+            F.round(_sig_overlap(F.col("sa.sig"), F.col("sb.sig")), 4).alias(
+                "est_jaccard"
+            ),
         )
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — new batch vs a persisted corpus store
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of an incoming batch against an already-ingested
+    corpus: drop batch rows whose fingerprint exists in the store, then
+    keep the min-id row per fingerprint within the batch.
+
+    The continuous-ingestion shape: the corpus is never re-deduped — the
+    store is ONE fingerprint column (`seen_fingerprints`), the anti-join
+    and the within-batch window both shuffle only the BATCH, and both on
+    the same key. Append the returned rows' fingerprints to the store to
+    complete the cycle (union is exact because output fingerprints are
+    unique). Returns the kept rows with their ``fingerprint`` column.
+    """
+    fp = new_docs.withColumn("fingerprint", fingerprint(text_col))
+    fresh = fp.join(
+        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    w = Window.partitionBy("fingerprint")
+    return (
+        fresh.withColumn("__first", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__first"))
+        .drop("__first")
+    )
+
+
+def _sig_overlap(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash Jaccard estimate: fraction of matching signature slots."""
+    matches = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return matches.cast("double") / N_MINHASH
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    seen_sigs: DataFrame,
+    threshold: float = 0.1,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup dedup of an incoming batch against a persisted signature
+    store (``seen_sigs``: doc_id, sig array<bigint>[32]).
+
+    A batch row is dropped when its estimated Jaccard reaches
+    ``threshold`` against (a) any store doc sharing an LSH band bucket,
+    or (b) an earlier batch row (dominated-by-earlier, like the
+    semantic dedup rule). Candidates in both directions come from band
+    equi-joins — the batch never scans the store, and the store-side
+    band frame is exactly :func:`minhash_bands` output, which a real
+    deployment persists bucketed by band_hash so this probe join
+    elides its shuffle. Returns kept rows WITH their ``sig`` column —
+    append those to the store for the next batch.
+    """
+    sigs_new = minhash_signatures(new_docs, text_col, id_col, n).cache()
+
+    # (a) cross-store: band collision -> signature-overlap verify
+    cand = (
+        minhash_bands(sigs_new)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(
+            minhash_bands(seen_sigs).withColumnRenamed("doc_id", "old_id"),
+            ["band_id", "band_hash"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    store_hits = (
+        cand.join(
+            sigs_new.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("__sa")),
+            "new_id",
+        )
+        .join(
+            seen_sigs.select(F.col("doc_id").alias("old_id"), F.col("sig").alias("__sb")),
+            "old_id",
+        )
+        .filter(_sig_overlap(F.col("__sa"), F.col("__sb")) >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+
+    # (b) within-batch: earlier near-dup wins
+    sa, sb = sigs_new.alias("sa"), sigs_new.alias("sb")
+    batch_hits = (
+        minhash_lsh_candidates(sigs_new)
+        .join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
+        .filter(_sig_overlap(F.col("sa.sig"), F.col("sb.sig")) >= threshold)
+        .select(F.col("doc_id_b").alias(id_col))
+        .distinct()
+    )
+
+    drops = store_hits.unionByName(batch_hits).distinct()
+    return (
+        new_docs.join(drops, id_col, "left_anti")
+        .join(sigs_new.select(F.col("doc_id").alias(id_col), "sig"), id_col)
     )
 
 
@@ -584,6 +695,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion exact dedup: docs below 250 are the already-
+    ingested store (fingerprints only); the batch = the remaining docs
+    plus an id-shifted copy of everything (store dups + in-batch dups).
+    Kept = genuinely new content, min-id canonical per batch group."""
+    base = _docs(spark, sf_dir)
+    store = (
+        base.filter(F.col("doc_id") < 250)
+        .select(fingerprint("text").alias("fingerprint"))
+        .distinct()
+    )
+    batch = base.filter(F.col("doc_id") >= 250).unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    return incremental_exact_dedup(batch, store).select("doc_id", "fingerprint")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.1, n=3)
 
@@ -643,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_cluster_keep": q_dedup_cluster_keep,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -691,6 +820,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT fingerprint, count(*) AS n_copies,
                    min(doc_id) AS keep_doc_id
             FROM fp GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_incremental": """
+            WITH batch AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+            fp AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+              FROM batch),
+            store AS (
+              SELECT DISTINCT
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+              FROM documents WHERE doc_id < 250)
+            SELECT doc_id, fingerprint FROM fp
+            WHERE fingerprint NOT IN (SELECT fingerprint FROM store)
+            QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLE_CTE},
