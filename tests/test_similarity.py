@@ -216,3 +216,34 @@ def test_semantic_dedup_requires_dim_for_lsh(spark, emb):
         similarity.near_dup_drop_ids(emb, 0.4, strategy="lsh")
     with pytest.raises(ValueError):
         similarity.near_dup_drop_ids(emb, 0.4, strategy="nope")
+
+
+def test_pq_rerank_recall(spark, emb):
+    """ADC shortlist + exact re-rank recovers most true top-5; the pure
+    compressed-domain shortlist alone is the coarse filter."""
+    queries = emb.filter("vec_id < 10")
+    brute = similarity.brute_force_topk(queries, emb, k=5).collect()
+    pq = similarity.ann_pq_topk(queries, emb, k=5, m=8, n_codes=32,
+                                shortlist=50).collect()
+    truth, got = {}, {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in pq:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / 5 for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_encode_shape_and_determinism(spark, emb):
+    books = similarity.pq_train(emb, m=8, n_codes=16)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    assert all(len(c) == similarity.EMB_DIM // 8 for b in books for c in b)
+    c1 = {r.vec_id: list(r.codes) for r in similarity.pq_encode(emb, books).collect()}
+    c2 = {r.vec_id: list(r.codes) for r in similarity.pq_encode(emb, books).collect()}
+    assert c1 == c2
+    assert all(len(v) == 8 and all(0 <= x < 16 for x in v) for v in c1.values())
+
+
+def test_pq_train_rejects_indivisible_dim(spark, emb):
+    with pytest.raises(ValueError):
+        similarity.pq_train(emb, m=7)
