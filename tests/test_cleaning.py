@@ -104,3 +104,53 @@ def test_contamination_bloom_is_superset_of_exact(spark):
     total_exact = sum(exact.values())
     total_bloom = sum(bloom.values())
     assert total_bloom <= total_exact + max(10, total_exact // 10)
+
+
+def test_similar_documents_finds_planted_overlap(spark):
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor resonance chamber alpha"),
+            (2, "quantum flux capacitor resonance chamber beta"),
+            (3, "entirely different words about cooking pasta tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_id_a, r.doc_id_b): r.cosine_tfidf
+             for r in text_ops.similar_documents(df, threshold=0.1).collect()}
+    # shared terms carry idf ln(3/2) vs ln(3) for unique ones, so the
+    # planted pair scores ~0.4 — well above the disjoint pairs (absent)
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert all(0.0 <= v <= 1.0 for v in pairs.values())
+
+
+def test_similar_documents_exact_copy_scores_one(spark):
+    from pyspark.sql import functions as F2
+
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    copy = docs.filter("doc_id = 0").withColumn("doc_id", F2.lit(77_000))
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.cosine_tfidf
+        for r in text_ops.similar_documents(
+            docs.unionByName(copy), threshold=0.9
+        ).collect()
+    }
+    assert pairs.get((0, 77_000)) == 1.0
+
+
+def test_similar_documents_max_df_controls_saturation(spark):
+    """On a shared-Zipf-vocabulary corpus the unguarded unigram metric
+    saturates (most pairs score high on common terms); the stop-term
+    guard is what makes the pair set selective. Word-ORDER near-dups are
+    the n-gram/minhash operators' job, not this one's — this is the
+    bag-of-words topical-similarity metric."""
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_full = text_ops.similar_documents(docs, threshold=0.5).count()
+    n_guarded = text_ops.similar_documents(docs, threshold=0.5, max_df=100).count()
+    assert n_guarded * 10 < n_full, (n_guarded, n_full)

@@ -238,6 +238,68 @@ def top_keywords(
     )
 
 
+def similar_documents(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse-vector document similarity: TF-IDF cosine over an inverted
+    index — the scale path for term-overlap similarity, complementing
+    the dense-embedding ANN tier. This is the bag-of-words TOPICAL
+    metric: word-order-sensitive near-dup detection is the n-gram /
+    minhash operators' job.
+
+    Pairs are generated ONLY from shared terms (inverted-index self
+    equi-join on the term), never all-pairs: cost is Σ df² over terms,
+    and ``max_df`` drops stop-terms (df > max_df carries ~zero IDF
+    weight anyway) to bound each term's fan-out — the same guard as the
+    n-gram Jaccard operator. Weights: tf · ln(N/df); cosine rounded to 4
+    decimals with well-above-noise magnitudes for engine parity.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_tbl = df_tbl.filter(F.col("df") <= max_df)
+    n_docs = docs.count()  # scalar; one driver-side job
+    w = tf.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dp"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_id_a"), F.col("nrm").alias("__na"))
+    nb = norms.select(F.col("doc_id").alias("doc_id_b"), F.col("nrm").alias("__nb"))
+    return (
+        dots.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("dp") / (F.col("__na") * F.col("__nb")), 4).alias(
+                "cosine_tfidf"
+            ),
+        )
+        .filter(F.col("cosine_tfidf") >= threshold)
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     text_col: str = "text",
@@ -321,6 +383,12 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index TF-IDF cosine pairs; max_df mirrors the oracle so
+    the entry stays fully value-checked (stop-terms carry ~zero weight)."""
+    return similar_documents(_docs(spark, sf_dir), threshold=0.3, max_df=100)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """50-token chunks, stride 40 (10-token overlap), over documents."""
     return chunk_documents(_docs(spark, sf_dir), chunk_size=50, stride=40)
@@ -335,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_keywords": q_top_keywords,
         "token_counts": q_token_counts,
         "doc_chunks": q_doc_chunks,
+        "similar_documents": q_similar_documents,
     }
 
 
@@ -430,6 +499,36 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
                      AS bpe_ish_tokens
             FROM documents
+        """,
+        "similar_documents": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfs AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+              HAVING count(*) <= 100),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            w AS (
+              SELECT doc_id, term,
+                     tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+              FROM tf JOIN dfs USING (term) CROSS JOIN n),
+            norms AS (
+              SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+            dots AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     sum(a.w * b.w) AS dp
+              FROM w a JOIN w b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_id_a, doc_id_b,
+                   round(dp / (na.nrm * nb.nrm), 4) AS cosine_tfidf
+            FROM dots
+            JOIN norms na ON doc_id_a = na.doc_id
+            JOIN norms nb ON doc_id_b = nb.doc_id
+            WHERE round(dp / (na.nrm * nb.nrm), 4) >= 0.3
         """,
         "top_keywords": """
             WITH tok AS (
