@@ -773,6 +773,24 @@ def q_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchase_view_coincidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join (binned): per purchase, the count of view
+    events across ALL users in the preceding 10 minutes — the join no
+    equi-key exists for; the time-bin manufactured key keeps it a plain
+    hash join (operators/temporal.binned_range_join)."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("ts").alias("vts")
+    )
+    j = temporal.binned_range_join(purchases, views, "pts", "vts", 600)
+    return j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_views_10m")
+    )
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnostic on the event stream's user key: the input to
     the salting / AQE-skew-join decision (operators/scale.py)."""
@@ -1646,9 +1664,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_cooccurrence": q_part_cooccurrence,
         "nations_per_region": q_nations_per_region,
         "view_purchase_conversion": q_view_purchase_conversion,
-        # mid-round-2 addition, past the window (round-3 rotation front-
-        # loads it with the other unverified entries)
+        # mid-round-2 additions, past the window (round-3 rotation front-
+        # loads them with the other unverified entries)
         "key_skew_report": q_key_skew_report,
+        "purchase_view_coincidence": q_purchase_view_coincidence,
     })
     return core
 
@@ -2537,6 +2556,16 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "purchase_view_coincidence": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, epoch_us(ts) AS pus
+              FROM events WHERE event_type = 'purchase'),
+            v AS (
+              SELECT epoch_us(ts) AS vus FROM events WHERE event_type = 'view')
+            SELECT purchase_id, count(*) AS n_views_10m
+            FROM p JOIN v ON vus < pus AND vus >= pus - 600000000
+            GROUP BY 1
         """,
         "key_skew_report": """
             WITH counts AS (

@@ -122,3 +122,62 @@ def test_as_of_join_rejects_column_collisions(spark, trades, quotes):
             trades, clashing, on="sym", left_ts="tts", right_ts="qts",
             right_cols=["trade_id"],
         )
+
+
+def test_binned_range_join_matches_plain_interval_join(spark):
+    """The binned equi-join must produce exactly the pairs of the naive
+    interval predicate, including rows sitting on bin boundaries."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    lrows = [(i, t + dt.timedelta(seconds=7 * i)) for i in range(40)]
+    rrows = [(100 + i, t + dt.timedelta(seconds=5 * i - 60)) for i in range(60)]
+    L = spark.createDataFrame(lrows, "lid long, lts timestamp")
+    R = spark.createDataFrame(rrows, "rid long, rts timestamp")
+    got = {
+        (r.lid, r.rid)
+        for r in temporal.binned_range_join(L, R, "lts", "rts", 30).collect()
+    }
+    naive = {
+        (r.lid, r.rid)
+        for r in L.crossJoin(R)
+        .filter("rts >= lts - INTERVAL 30 seconds AND rts < lts")
+        .collect()
+    }
+    assert got == naive and naive
+
+
+def test_binned_range_join_with_equi_key_matches_preceding_window(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(i % 3, i, t + dt.timedelta(minutes=i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, eid long, ts timestamp")
+    L = df.select("k", F.col("eid").alias("lid"), F.col("ts").alias("lts"))
+    R = df.select("k", F.col("eid").alias("rid"), F.col("ts").alias("rts"))
+    binned = {
+        (r.lid, r.rid)
+        for r in temporal.binned_range_join(
+            L, R, "lts", "rts", 600, on=["k"]
+        ).collect()
+    }
+    keyed = {
+        (r.lid, r.rid)
+        for r in temporal.preceding_window_join(
+            L, R, ["k"], "lts", "rts", "10 minutes"
+        ).collect()
+    }
+    assert binned == keyed and binned
+
+
+def test_binned_range_join_inclusive_upper(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame([(1, t)], "lid long, lts timestamp")
+    R = spark.createDataFrame([(2, t)], "rid long, rts timestamp")
+    assert temporal.binned_range_join(L, R, "lts", "rts", 60).count() == 0
+    assert (
+        temporal.binned_range_join(L, R, "lts", "rts", 60, strict=False).count()
+        == 1
+    )

@@ -154,10 +154,14 @@ def preceding_window_join(
     window length; at 100 TB the equi-key (user) keeps partitions
     balanced and AQE splits skewed keys. Without an equi-key a range
     join degenerates to a broadcast-nested-loop — callers must supply
-    ``on``.
+    ``on`` (or use :func:`binned_range_join`, which manufactures the
+    equi-key from the time axis itself).
     """
     if not on:
-        raise ValueError("preceding_window_join requires at least one equi-key")
+        raise ValueError(
+            "preceding_window_join requires at least one equi-key "
+            "(for keyless interval joins use binned_range_join)"
+        )
     iv = F.expr(f"INTERVAL {window}")
     l_ts, r_ts = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
     upper = (r_ts < l_ts) if strict else (r_ts <= l_ts)
@@ -165,6 +169,48 @@ def preceding_window_join(
     for k in on:
         cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
     return left.alias("__l").join(right.alias("__r"), cond, "inner")
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    on: Sequence[str] = (),
+    strict: bool = True,
+) -> DataFrame:
+    """Keyless-capable interval join via time binning: pair each left
+    row with right rows where ``right_ts`` lies in the preceding
+    ``[left_ts - window, left_ts)`` (``strict=False`` closes the upper
+    bound). Optional ``on`` equi-keys compose with the bin key.
+
+    The scale trick Spark lacks natively: bin both sides by
+    ``floor(ts / window)``; a window of length W can only span TWO
+    consecutive bins, so the left side explodes into exactly 2
+    (bin, row) probes and the join becomes a plain equi-join on the bin
+    — hash-shuffled, AQE-balanced — followed by the exact interval
+    filter. No broadcast-nested-loop, no cross product: cost is
+    Σ per-bin density² (keyless) instead of |L|x|R|.
+
+    All time arithmetic is integer micros (``unix_micros``), divided
+    once — engine-portable per the repo's timestamp convention.
+    """
+    w_us = int(window_seconds) * 1_000_000
+    l_us = F.unix_micros(F.col(f"__l.{left_ts}"))
+    r_us = F.unix_micros(F.col(f"__r.{right_ts}"))
+
+    # integer `div` (not float /): bin boundaries must be exact
+    l_bin = F.expr(f"unix_micros({left_ts}) div {w_us}")
+    lb = left.withColumn("__bin", F.explode(F.array(l_bin, l_bin - 1)))
+    rb = right.withColumn("__bin", F.expr(f"unix_micros({right_ts}) div {w_us}"))
+    upper = (r_us < l_us) if strict else (r_us <= l_us)
+    cond = (F.col("__l.__bin") == F.col("__r.__bin")) & upper & (
+        r_us >= l_us - F.lit(w_us)
+    )
+    for k in on:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    return lb.alias("__l").join(rb.alias("__r"), cond, "inner").drop("__bin")
 
 
 def sessionize(
