@@ -239,3 +239,36 @@ def test_repetition_metrics_no_shuffle(spark):
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plans.assert_no_exchange(cleaning.repetition_metrics(docs))
+
+
+def test_binned_range_join_avoids_nested_loop(spark):
+    """The keyless interval join must plan as a hash/sort-merge join on
+    the manufactured bin key — never BroadcastNestedLoopJoin/cartesian."""
+    df = entrymod.q_purchase_view_coincidence(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+
+
+def test_skew_report_single_data_pass(spark):
+    """skew_report scans the fact once: the per-key counts frame is
+    cached, so BOTH consumers (totals aggregate + report join) read the
+    cache instead of re-scanning the raw table, and the top-k is
+    TakeOrderedAndProject."""
+    df = entrymod.q_key_skew_report(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    plans.assert_take_ordered(df)
+
+
+def test_similar_documents_partial_aggs_before_exchange(spark):
+    """Inverted-index tf-idf: every aggregate partial-aggregates map-side
+    (tf, df, norms, dots) — no raw-token shuffle without combining."""
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = text_ops.similar_documents(docs, threshold=0.3, max_df=100)
+    plan = plans.executed_plan(df)
+    assert "partial" in plan.lower(), plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

@@ -199,13 +199,16 @@ def skew_report(
     One shuffle: per-key counts. The corpus-wide totals (row count, key
     count) come from a second aggregate over the per-key COUNTS frame —
     O(distinct keys), never a second pass over the data — broadcast back
-    as a single row. Output per top key: row count, share of the table,
-    and the ratio to the mean per-key load (``skew_ratio`` ~ 1.0 means
-    uniform; a key at 50x mean is the one that stalls its task at
+    as a single row. The counts frame feeds two consumers (the totals
+    aggregate and the report join), so it is cached: without that, the
+    totals branch would silently re-scan the raw table (pinned in
+    tests/test_plans.py). Output per top key: row count, share of the
+    table, and the ratio to the mean per-key load (``skew_ratio`` ~ 1.0
+    means uniform; a key at 50x mean is the one that stalls its task at
     100 TB).
     """
     keys = [F.col(c) for c in key_cols]
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows")).cache()
     totals = counts.agg(
         F.sum("n_rows").alias("__total"),
         F.count(F.lit(1)).alias("__n_keys"),
