@@ -136,3 +136,57 @@ def test_stratified_sample_monotone_in_fraction(spark, frac_small, frac_delta):
     big = {r.key for r in corpus.stratified_sample(
         df, "stratum", {"s": hi}, "key").collect()}
     assert small <= big
+
+
+@given(
+    lts=st.lists(st.integers(0, 3600), min_size=1, max_size=15),
+    rts=st.lists(st.integers(0, 3600), min_size=1, max_size=15),
+    window=st.integers(1, 900),
+)
+@SLOW
+def test_binned_range_join_equals_naive(spark, lts, rts, window):
+    """For arbitrary second-offsets and window lengths the binned join
+    emits exactly the naive interval predicate's pairs (bin boundaries
+    are the hazard this guards)."""
+    import datetime as dt
+
+    from wistia_video_analytics_project_spark.operators import temporal
+
+    base = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(lts)],
+        "lid long, lts timestamp",
+    )
+    R = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(rts)],
+        "rid long, rts timestamp",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in temporal.binned_range_join(L, R, "lts", "rts", window).collect()
+    }
+    naive = {
+        (lid, rid)
+        for lid, ls in enumerate(lts)
+        for rid, rs in enumerate(rts)
+        if ls - window <= rs < ls
+    }
+    assert got == naive
+
+
+@given(
+    xs=st.lists(st.integers(0, 255), min_size=2, max_size=12, unique=True),
+    ys=st.lists(st.integers(0, 255), min_size=2, max_size=12, unique=True),
+)
+@SLOW
+def test_zorder_key_is_injective_on_grid(spark, xs, ys):
+    from wistia_video_analytics_project_spark.operators import scale
+
+    rows = [(x, y) for x in xs for y in ys]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = df.select(
+        "x", "y", scale.zorder_key([("x", 0, 256), ("y", 0, 256)], bits=8).alias("z")
+    ).collect()
+    zs = [r.z for r in out]
+    assert len(set(zs)) == len(rows)  # distinct cells -> distinct keys
+    assert all(0 <= z < 1 << 16 for z in zs)
