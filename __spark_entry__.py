@@ -1608,7 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # added mid-round-2 AFTER the window layout was fixed: demote them
     # too (front-load in round 3)
     for _rows_only in ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
-                       "ann_ivf", "ann_pq", "semantic_dedup_keep",
+                       "ann_ivf", "ann_pq", "ann_ivf_pq", "semantic_dedup_keep",
                        "semantic_dedup_lsh", "dedup_incremental",
                        "similar_documents", "pack_sequences"):
         core[_rows_only] = core.pop(_rows_only)

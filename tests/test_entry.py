@@ -19,7 +19,7 @@ def test_queries_registry_well_formed(spark):
     # oracle-less queries are the documented approximate/imperative ones
     assert set(qs) - set(oracles) == {
         "dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
-        "ann_pq", "semantic_dedup_lsh",
+        "ann_pq", "ann_ivf_pq", "semantic_dedup_lsh",
         "approx_distinct_users",
         # greedy FFD packing is imperative — rows-only by design,
         # invariants pinned in tests/test_corpus.py

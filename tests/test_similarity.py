@@ -247,3 +247,36 @@ def test_pq_encode_shape_and_determinism(spark, emb):
 def test_pq_train_rejects_indivisible_dim(spark, emb):
     with pytest.raises(ValueError):
         similarity.pq_train(emb, m=7)
+
+
+def test_ivf_pq_recall_improves_with_nprobe(spark, emb):
+    """IVFADC: recall must rise monotonically-ish with nprobe and reach
+    the PQ-only ceiling at full probe (every cell scanned)."""
+    queries = emb.filter("vec_id < 10")
+    brute = similarity.brute_force_topk(queries, emb, k=5).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(nprobe):
+        out = similarity.ann_ivf_pq_topk(
+            queries, emb, k=5, n_centroids=16, nprobe=nprobe, shortlist=50
+        ).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(truth[q] & got.get(q, set())) / 5 for q in truth) / len(truth)
+
+    r_low, r_full = recall(4), recall(16)
+    assert r_full >= r_low, (r_low, r_full)
+    assert r_full >= 0.6, r_full
+
+    pq_only = similarity.ann_pq_topk(
+        queries, emb, k=5, m=8, n_codes=32, shortlist=50
+    ).collect()
+    got_pq = {}
+    for r in pq_only:
+        got_pq.setdefault(r.query_id, set()).add(r.neighbor_id)
+    r_pq = sum(len(truth[q] & got_pq.get(q, set())) / 5 for q in truth) / len(truth)
+    # full probe == PQ-only candidates (same codes, same shortlist)
+    assert abs(r_full - r_pq) < 1e-9, (r_full, r_pq)

@@ -777,8 +777,23 @@ def ann_pq_topk(
     books = pq_train(corpus, m, n_codes, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(corpus, books, id_col, vec_col)
     short = pq_topk(queries, codes, books, k=L, id_col=id_col, vec_col=vec_col)
+    return _exact_rerank(short, queries, corpus, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    shortlist_pairs: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of (query_id, neighbor_id) candidate pairs:
+    reads only the shortlisted true vectors, broadcasts the query side."""
+    from pyspark.sql import Window
+
     rerank = (
-        short.select("query_id", "neighbor_id")
+        shortlist_pairs.select("query_id", "neighbor_id")
         .join(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
@@ -807,6 +822,100 @@ def ann_pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rnk")
     )
+
+
+def ann_ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 32,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC — the published billion-scale recipe, composed from this
+    module's IVF and PQ pieces: the coarse quantizer prunes the corpus
+    to ``nprobe``/``n_centroids`` cells per query, ADC scores ONLY the
+    surviving byte codes (no float vectors read), and exact cosine
+    re-ranks a per-query shortlist.
+
+    At 100 TB: cell assignment + encoding are one-pass and persistable
+    (cell-partitioned code table); per query the scan cost is
+    (nprobe / n_centroids) x |corpus| LUT lookups over 8-byte codes —
+    both pruning dials (nprobe, shortlist) degrade recall continuously
+    and measurably (tests).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    L = shortlist if shortlist is not None else 10 * k
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    books = pq_train(corpus, m, n_codes, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    corpus_cells = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+    coded = codes.join(corpus_cells, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes", "cell"
+    )
+    q_cells = ivf_assign(
+        queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("query_id"), "cell")
+    cand = q_cells.join(coded, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", "codes").distinct()
+
+    sub = len(books[0][0])
+    q_rows = queries.select(id_col, vec_col).collect()
+    qn_map = {}
+    luts = {}
+    for r in q_rows:
+        qv = np.asarray(list(r[1]), dtype=np.float64)
+        n = np.linalg.norm(qv)
+        qv = qv / (n if n else 1.0)
+        luts[int(r[0])] = np.stack(
+            [
+                qv[j * sub : (j + 1) * sub] @ np.array(b, dtype=np.float64).T
+                for j, b in enumerate(books)
+            ]
+        )
+    del qn_map
+
+    n_sub = len(books)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sims = np.empty(len(pdf))
+            cm = np.vstack(pdf["codes"].map(np.asarray).values)
+            pos = np.arange(n_sub)
+            # vectorized per query group: one fancy-index gather + sum
+            for q, idx in pdf.groupby("query_id").indices.items():
+                sims[idx] = luts[int(q)][pos[None, :], cm[idx]].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "approx_cosine": np.round(sims, 6),
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score, schema="query_id long, neighbor_id long, approx_cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= L)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(short, queries, corpus, k, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------
@@ -952,6 +1061,14 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_topk(queries_df, emb, k=5, m=8, n_codes=32, shortlist=50)
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf_pq_topk(
+        queries_df, emb, k=5, n_centroids=16, nprobe=8, shortlist=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_brute_force": q_ann_brute_force,
@@ -962,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_ivf_pq": q_ann_ivf_pq,
         "semantic_dedup_lsh": q_semantic_dedup_lsh,
     }
 
