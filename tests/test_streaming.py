@@ -390,3 +390,28 @@ def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
     )
     want = {(r.purchase_id, r.view_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_dedup_stream_by_content(spark, tmp_path):
+    """Content-fingerprint streaming dedup: identical (normalized) text
+    arriving under different ids is dropped; distinct text passes."""
+    from wistia_video_analytics_project_spark.streaming import (
+        dedup_stream_by_content,
+        run_to_memory_sink,
+    )
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "doc_id long, text string, ts timestamp"
+    rows = [
+        (1, "hello world", t),
+        (2, "Hello   WORLD", t + dt.timedelta(minutes=1)),  # same normalized
+        (3, "something else", t + dt.timedelta(minutes=2)),
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = dedup_stream_by_content(stream)
+    run_to_memory_sink(out, "content_dedup_out")
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM content_dedup_out").collect()}
+    assert 3 in got
+    assert len(got & {1, 2}) == 1  # exactly one of the dup pair survives

@@ -12,6 +12,7 @@ from ..operators.conform import (  # noqa: F401
     null_or_empty,
     surrogate_key,
 )
+from ..operators.scale import zorder_key  # noqa: F401
 from ..operators.similarity import cosine, dot, norm  # noqa: F401
 from ..operators.text import (  # noqa: F401
     alpha_ratio,

@@ -15,6 +15,7 @@ same semantics onto Structured Streaming:
 from .jobs import (  # noqa: F401
     continuous_daily_rollup,
     dedup_stream,
+    dedup_stream_by_content,
     enrich_stream,
     foreach_batch_parquet_upsert,
     foreach_batch_upsert,

@@ -85,6 +85,30 @@ def dedup_stream(
     )
 
 
+def dedup_stream_by_content(
+    docs: DataFrame,
+    text_col: str = "text",
+    watermark: str = "7 days",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming EXACT CONTENT dedup: fingerprint each document (md5 of
+    normalized text — the same key the batch dedup ladder uses) and keep
+    the first arrival per fingerprint within the watermark horizon.
+
+    The streaming face of ``dedup.incremental_exact_dedup``: state is
+    one fingerprint per kept doc, expired past the watermark — bounded
+    memory on an unbounded corpus stream. Re-ingested/replayed documents
+    inside the horizon are dropped without any store lookup.
+    """
+    from ..operators.text import fingerprint
+
+    return (
+        docs.withColumn("fingerprint", fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,
