@@ -1049,6 +1049,33 @@ def q_daily_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_value_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily purchase series with LINEAR interpolation across the
+    gaps (temporal.interpolate_linear) — the step past LOCF: missing
+    days take the time-weighted blend of the surrounding observations.
+    The x axis is integer days since epoch (engine-portable fractions)."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.round(F.avg("value").cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("avg_value")
+        )
+    )
+    bounds = _t(spark, sf_dir, "events").agg(
+        F.min(F.to_date("ts")).alias("__lo"), F.max(F.to_date("ts")).alias("__hi")
+    )
+    spine = bounds.select(F.explode(F.sequence("__lo", "__hi")).alias("event_date"))
+    dense = spine.join(daily, "event_date", "left").withColumn(
+        "__x", F.expr("datediff(event_date, DATE '1970-01-01')")
+    )
+    return temporal.interpolate_linear(
+        dense, "__x", "avg_value", out_col="avg_value_interp"
+    ).select("event_date", "avg_value", "avg_value_interp")
+
+
 def q_orders_rerun_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (pipeline-regression primitive): orders vs a
     synthesized rerun — 10% price bump for every custkey%10 order,
@@ -1668,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # loads them with the other unverified entries)
         "key_skew_report": q_key_skew_report,
         "purchase_view_coincidence": q_purchase_view_coincidence,
+        "daily_value_interp": q_daily_value_interp,
     })
     return core
 
@@ -2556,6 +2584,46 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "daily_value_interp": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS event_date,
+                     CAST(round(CAST(avg(value) AS DECIMAL(18,6)), 2) AS DOUBLE)
+                       AS avg_value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            bounds AS (
+              SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+              FROM events),
+            spine AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+                       AS event_date
+              FROM bounds),
+            dense AS (
+              SELECT s.event_date, d.avg_value,
+                     datediff('day', DATE '1970-01-01', s.event_date) AS x
+              FROM spine s LEFT JOIN daily d ON s.event_date = d.event_date),
+            f AS (
+              SELECT event_date, avg_value, x,
+                     last_value(avg_value IGNORE NULLS) OVER wp AS pv,
+                     last_value(CASE WHEN avg_value IS NOT NULL THEN x END
+                                IGNORE NULLS) OVER wp AS px,
+                     first_value(avg_value IGNORE NULLS) OVER wn AS nv,
+                     first_value(CASE WHEN avg_value IS NOT NULL THEN x END
+                                 IGNORE NULLS) OVER wn AS nx
+              FROM dense
+              WINDOW wp AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW),
+                     wn AS (ORDER BY x ROWS BETWEEN CURRENT ROW
+                                              AND UNBOUNDED FOLLOWING))
+            SELECT event_date, avg_value,
+                   CASE WHEN avg_value IS NOT NULL THEN avg_value
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                          floor((pv + (nv - pv) * ((x - px) / (nx - px)))
+                                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                            / CAST(10000 AS DOUBLE)
+                        WHEN pv IS NOT NULL THEN pv
+                        ELSE nv END AS avg_value_interp
+            FROM f
         """,
         "purchase_view_coincidence": """
             WITH p AS (

@@ -181,3 +181,31 @@ def test_binned_range_join_inclusive_upper(spark):
         temporal.binned_range_join(L, R, "lts", "rts", 60, strict=False).count()
         == 1
     )
+
+
+def test_interpolate_linear_fills_gaps(spark):
+    rows = [(0, 10.0), (1, None), (2, None), (3, 40.0), (4, None), (6, None)]
+    df = spark.createDataFrame(rows, "x long, v double")
+    got = {r.x: r.v_interp
+           for r in temporal.interpolate_linear(df, "x", "v").collect()}
+    assert got[0] == 10.0 and got[3] == 40.0  # observations untouched
+    assert got[1] == 20.0 and got[2] == 30.0  # linear between 10 and 40
+    assert got[4] == 40.0 and got[6] == 40.0  # trailing carried forward
+
+
+def test_interpolate_linear_leading_backfill_and_groups(spark):
+    rows = [("a", 0, None), ("a", 1, 5.0), ("a", 3, 9.0),
+            ("b", 0, 100.0), ("b", 2, None)]
+    df = spark.createDataFrame(rows, "g string, x long, v double")
+    got = {(r.g, r.x): r.v_interp
+           for r in temporal.interpolate_linear(df, "x", "v", ["g"]).collect()}
+    assert got[("a", 0)] == 5.0          # leading backfill
+    assert got[("a", 3)] == 9.0
+    assert got[("b", 2)] == 100.0        # group isolation: no bleed from 'a'
+
+
+def test_interpolate_linear_all_null_group_stays_null(spark):
+    df = spark.createDataFrame([("a", 0, None), ("a", 1, None)],
+                               "g string, x long, v double")
+    out = temporal.interpolate_linear(df, "x", "v", ["g"]).collect()
+    assert all(r.v_interp is None for r in out)

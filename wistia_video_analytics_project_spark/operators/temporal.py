@@ -213,6 +213,57 @@ def binned_range_join(
     return lb.alias("__l").join(rb.alias("__r"), cond, "inner").drop("__bin")
 
 
+def interpolate_linear(
+    df: DataFrame,
+    x_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    out_col: str | None = None,
+    decimals: int = 4,
+) -> DataFrame:
+    """Linear interpolation of null ``value_col`` between the nearest
+    non-null neighbors along numeric ``x_col`` (per group): the panel-
+    data imputation primitive one step up from LOCF.
+
+    Edge policy: leading nulls backfill from the first observation,
+    trailing nulls carry the last observation forward (both documented
+    sentinel cases of the same window machinery). ``x_col`` must be
+    numeric — convert dates with ``datediff`` and timestamps with
+    ``unix_micros`` first (integer axes keep the fraction math
+    engine-portable). Four windows over ONE (group, x) sort — a single
+    shuffle on the group key.
+    """
+    out = out_col or f"{value_col}_interp"
+    gp = [F.col(c) for c in group_cols]
+    w_prev = (
+        Window.partitionBy(*gp).orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*gp).orderBy(x_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_x = F.when(v.isNotNull(), F.col(x_col))
+    pv = F.last(v, ignorenulls=True).over(w_prev)
+    px = F.last(obs_x, ignorenulls=True).over(w_prev)
+    nv = F.first(v, ignorenulls=True).over(w_next)
+    nx = F.first(obs_x, ignorenulls=True).over(w_next)
+    frac = (F.col(x_col) - px) / (nx - px)
+    scale = float(10**decimals)
+    # floor(x*10^d + 0.5): interpolation at binary-exact fractions (1/2,
+    # 1/8, ...) of fixed-decimal inputs lands exactly on round-half ties,
+    # where engine-native round() disagrees — the repo's half-up rule
+    interp = F.floor((pv + (nv - pv) * frac) * scale + F.lit(0.5)) / scale
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNotNull() & nv.isNotNull(), interp)
+        .when(pv.isNotNull(), pv)  # trailing: carry forward
+        .otherwise(nv)  # leading: backfill
+    )
+    return df.withColumn(out, filled)
+
+
 def sessionize(
     events: DataFrame,
     entity_col: str,
