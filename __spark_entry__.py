@@ -1076,6 +1076,38 @@ def q_daily_value_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_date", "avg_value", "avg_value_interp")
 
 
+def q_cdc_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (scd.cdc_apply): a synthesized change batch — price
+    updates (custkey%7, seq 2), deletes (custkey%13, seq 3), inserts
+    (shifted keys, seq 1) — applied onto the orders snapshot; latest
+    sequence per key wins, so a key with both U and D resolves to the
+    delete. Idempotent under replay."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ups = (
+        orders.filter(F.col("o_custkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = (
+        orders.filter(F.col("o_custkey") % 13 == 0)
+        .withColumn("seq", F.lit(3))
+        .withColumn("op", F.lit("D"))
+    )
+    ins = (
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100_000_000))
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = ups.unionByName(dels).unionByName(ins)
+    out = scd.cdc_apply(orders, changes, ["o_orderkey"], "seq")
+    return out.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
+    )
+
+
 def q_orders_rerun_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (pipeline-regression primitive): orders vs a
     synthesized rerun — 10% price bump for every custkey%10 order,
@@ -1696,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": q_key_skew_report,
         "purchase_view_coincidence": q_purchase_view_coincidence,
         "daily_value_interp": q_daily_value_interp,
+        "cdc_orders_snapshot": q_cdc_orders_snapshot,
     })
     return core
 
@@ -2584,6 +2617,31 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "cdc_orders_snapshot": """
+            WITH base AS (
+              SELECT o_orderkey, o_totalprice,
+                     CAST(NULL AS BIGINT) AS seq, 'I' AS op
+              FROM orders),
+            changes AS (
+              SELECT o_orderkey,
+                     o_totalprice + CAST(10 AS DOUBLE) AS o_totalprice,
+                     2 AS seq, 'U' AS op
+              FROM orders WHERE o_custkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, 3, 'D'
+              FROM orders WHERE o_custkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_totalprice, 1, 'I'
+              FROM orders),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY o_orderkey
+                       ORDER BY seq DESC NULLS LAST) AS rn
+              FROM u)
+            SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+            FROM ranked WHERE rn = 1 AND op <> 'D'
         """,
         "daily_value_interp": """
             WITH daily AS (

@@ -82,3 +82,47 @@ def test_scd2_rejects_untracked_columns(spark):
     u = spark.createDataFrame([("m1", "Wistia")], "media_id string, channel string")
     with pytest.raises(ValueError, match="non-tracked"):
         scd.scd2_apply(d, u, "media_id", ["channel"], F.lit(T1))
+
+
+def test_cdc_apply_semantics(spark):
+    from wistia_video_analytics_project_spark.operators import scd as scd_ops
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 1, "U"),      # update
+            (3, "c", 1, "D"),       # delete
+            (4, "d", 1, "I"),       # insert
+            (2, "b3", 2, "U"),      # later update wins
+        ],
+        "k long, v string, seq long, op string",
+    )
+    got = {r.k: r.v for r in
+           scd_ops.cdc_apply(base, changes, ["k"], "seq").collect()}
+    assert got == {1: "a", 2: "b3", 4: "d"}
+
+
+def test_cdc_apply_idempotent_replay(spark):
+    from wistia_video_analytics_project_spark.operators import scd as scd_ops
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "a2", 5, "U"), (2, "b", 6, "D"), (9, "z", 4, "I")],
+        "k long, v string, seq long, op string",
+    )
+    once = scd_ops.cdc_apply(base, changes, ["k"], "seq")
+    twice = scd_ops.cdc_apply(once, changes, ["k"], "seq")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_cdc_apply_update_then_delete_resolves_to_delete(spark):
+    from wistia_video_analytics_project_spark.operators import scd as scd_ops
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "a2", 1, "U"), (1, "a2", 2, "D")],
+        "k long, v string, seq long, op string",
+    )
+    assert scd_ops.cdc_apply(base, changes, ["k"], "seq").count() == 0

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: open rows carry valid_to = NULL
@@ -123,3 +123,43 @@ def scd2_apply(
         effective_ts,
     )
     return closed_rows.unionByName(open_out).unionByName(inserts)
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change batch (insert/update/delete rows) onto a
+    snapshot — the Type-1 MERGE primitive next to this module's SCD2:
+    latest change per key wins, deletes drop the key, untouched base
+    rows pass through.
+
+    ``changes`` carries the full row image plus ``op_col`` in
+    {'I','U','D'} and a per-key-unique ``seq_col`` (commit version /
+    LSN) — ties are broken by preferring the higher sequence, so
+    replayed batches are idempotent. Base rows rank below every change
+    (null sequence sorts last under DESC). One shuffle on the key.
+    """
+    data_cols = base.columns
+    b = base.select(
+        *data_cols,
+        F.lit(None).cast("long").alias("__seq"),
+        F.lit("I").alias("__op"),
+    )
+    c = changes.select(
+        *data_cols,
+        F.col(seq_col).cast("long").alias("__seq"),
+        F.col(op_col).alias("__op"),
+    )
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+        F.col("__seq").desc_nulls_last()
+    )
+    return (
+        b.unionByName(c)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("__op") != "D"))
+        .select(*data_cols)
+    )
