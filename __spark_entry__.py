@@ -1669,7 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for _rows_only in ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
                        "ann_ivf", "ann_pq", "ann_ivf_pq", "semantic_dedup_keep",
                        "semantic_dedup_lsh", "dedup_incremental",
-                       "similar_documents", "pack_sequences"):
+                       "similar_documents", "mixture_sample", "pack_sequences"):
         core[_rows_only] = core.pop(_rows_only)
     # --- round-1 driver-VERIFIED tier (green rows in CORRECTNESS_r01) ---
     core.update({

@@ -100,3 +100,43 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     a = {(r.doc_id, r.shard) for r in spark.read.parquet(path).select("doc_id", "shard").collect()}
     b = {(r.doc_id, r.shard) for r in spark.read.parquet(path2).select("doc_id", "shard").collect()}
     assert a == b
+
+
+def test_mixture_sample_respects_budget_and_caps(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    weights = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+    budget = 10_000.0
+    out = corpus.mixture_sample(docs, weights, budget).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    assert set(by_src) <= set(weights)  # unlisted sources dropped
+    totals = {s: sum(v) for s, v in by_src.items()}
+    src_totals = {
+        r.source: r.t
+        for r in docs.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    for s, w in weights.items():
+        target = w / 5.0 * budget
+        # capped sources keep everything; sampled sources land near target
+        if src_totals[s] <= target:
+            assert totals[s] == src_totals[s]
+        else:
+            assert totals[s] < src_totals[s]
+
+
+def test_mixture_sample_deterministic_and_layout_independent(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    weights = {"src0": 1.0, "src1": 1.0}
+    a = {r.doc_id for r in corpus.mixture_sample(docs, weights, 5_000.0).collect()}
+    b = {r.doc_id for r in
+         corpus.mixture_sample(docs.repartition(13), weights, 5_000.0).collect()}
+    assert a == b and a
+
+
+def test_mixture_sample_rejects_bad_weights(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    with pytest.raises(ValueError):
+        corpus.mixture_sample(docs, {}, 100.0)
+    with pytest.raises(ValueError):
+        corpus.mixture_sample(docs, {"src0": -2.0, "src1": 1.0}, 100.0)

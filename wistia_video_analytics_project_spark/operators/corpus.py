@@ -102,6 +102,51 @@ def weighted_sample(
     return df.filter(uniform_int32(key_col).cast("double") < threshold)
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    total_budget: float,
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus mixing: sample each source down to its share
+    of ``total_budget`` (weights normalized; a source smaller than its
+    target keeps everything — the standard under-represented-source cap).
+
+    The per-source keep fraction ``min(1, target / source_total)`` is
+    computed IN-PLAN from one tiny per-source aggregate (broadcast back)
+    and applied with the md5-threshold test — same engine-portable,
+    layout-independent selection as the other samplers, and the whole
+    fraction computation is IEEE-exact ops only (one divide, one
+    multiply, compares), so any SQL engine reproduces the exact row set.
+    Sources absent from ``weights`` are dropped (explicit mixture spec).
+    One aggregate + one broadcast join + a filter: no corpus shuffle.
+    """
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(size_col)).alias("__src_total")
+    )
+    # CASE source -> target budget (explicit spec; unknown sources drop)
+    expr = None
+    for src, wgt in weights.items():
+        t = F.lit(float(wgt) / wsum * float(total_budget))
+        expr = F.when(F.col(source_col) == src, t) if expr is None else expr.when(
+            F.col(source_col) == src, t
+        )
+    frac = F.least(F.lit(1.0), expr / F.col("__src_total").cast("double"))
+    keep = uniform_int32(key_col).cast("double") < frac * F.lit(
+        float(1 << (4 * _HEX_WIDTH))
+    )
+    return (
+        df.join(F.broadcast(totals), source_col)
+        .filter(expr.isNotNull() & keep)
+        .drop("__src_total")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
@@ -269,6 +314,19 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+#: mixture spec for the driver binding: uneven weights over 5 sources,
+#: ~20k-char budget — some sources cap at keep-everything, others thin
+MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 2.0, "src4": 1.0}
+MIX_BUDGET = 20_000.0
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return mixture_sample(docs, MIX_WEIGHTS, MIX_BUDGET).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the corpus into 512-token windows; report per-bucket packing
     efficiency (packs, docs, fill rate). Greedy packing is not
@@ -294,11 +352,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
+        "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    wsum = sum(MIX_WEIGHTS.values())
+    # Python computes each target double once; repr() round-trips it
+    # exactly, so the SQL literal IS the Spark literal
+    mix_cases = " ".join(
+        f"WHEN '{src}' THEN CAST({wgt / wsum * MIX_BUDGET!r} AS DOUBLE)"
+        for src, wgt in MIX_WEIGHTS.items()
+    )
     strata = " OR ".join(
         f"(source = '{s}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
         f"< '{_hex_threshold(f)}')"
@@ -317,6 +383,22 @@ def oracle_sql() -> dict[str, str]:
                      substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
                    AS BIGINT) AS DOUBLE)
                   < CAST(o_totalprice AS DOUBLE) * {WEIGHTED_RATE} * 4294967296.0
+        """,
+        "mixture_sample": f"""
+            WITH totals AS (
+              SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_total
+              FROM documents GROUP BY 1),
+            tgt AS (
+              SELECT d.doc_id, d.source, d.n_chars, t.src_total,
+                     CASE d.source {mix_cases} END AS target
+              FROM documents d JOIN totals t USING (source))
+            SELECT doc_id, source, n_chars FROM tgt
+            WHERE target IS NOT NULL
+              AND CAST(CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) AS DOUBLE)
+                  < least(CAST(1 AS DOUBLE),
+                          target / CAST(src_total AS DOUBLE)) * 4294967296.0
         """,
         # pack_sequences: greedy FFD is imperative — rows-only by design
     }
