@@ -1021,6 +1021,32 @@ def q_rolling_7day_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-job per-column profile of the orders table (exact-distinct
+    configuration so the oracle can mirror it; string-typed columns only
+    — float min/max formatting is engine-specific)."""
+    orders = _t(spark, sf_dir, "orders")
+    return quality.table_profile(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+        exact_distinct=True,
+    )
+
+
+def q_rolling_7day_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trailing trend: EXACT 7-day rolling median of daily revenue
+    (analytics.rolling_median) — outlier days don't drag the trend the
+    way the rolling mean does. Gap-aware RANGE frame over day numbers."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    day_no = F.datediff(F.col("order_date"), F.lit("1970-01-01"))
+    return analytics.rolling_median(
+        daily, "revenue", day_no, out_col="revenue_med_7day"
+    ).select("order_date", "revenue", "revenue_med_7day")
+
+
 def q_daily_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense daily series with last-observation-carried-forward: days
     with no purchases take the most recent prior day's average value
@@ -1729,6 +1755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_view_coincidence": q_purchase_view_coincidence,
         "daily_value_interp": q_daily_value_interp,
         "cdc_orders_snapshot": q_cdc_orders_snapshot,
+        "rolling_7day_median_revenue": q_rolling_7day_median_revenue,
+        "orders_table_profile": q_orders_table_profile,
     })
     return core
 
@@ -2617,6 +2645,44 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "orders_table_profile": """
+            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate),
+                   CAST(min(o_orderdate) AS VARCHAR),
+                   CAST(max(o_orderdate) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR)
+            FROM orders
+        """,
+        "rolling_7day_median_revenue": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS order_date,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY 1)
+            SELECT order_date, revenue,
+                   median(revenue) OVER (
+                     ORDER BY datediff('day', DATE '1970-01-01', order_date)
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     AS revenue_med_7day
+            FROM daily
         """,
         "cdc_orders_snapshot": """
             WITH base AS (

@@ -215,3 +215,17 @@ def test_preceding_window_join_requires_key(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_rolling_median_exact_and_gap_aware(spark):
+    from wistia_video_analytics_project_spark.operators import analytics as an
+
+    rows = [(0, 10.0), (1, 20.0), (2, 1000.0), (3, 30.0), (20, 7.0)]
+    df = spark.createDataFrame(rows, "d int, v double")
+    got = {r.d: r.rolling_median
+           for r in an.rolling_median(df, "v", "d", frame=(-6, 0)).collect()}
+    assert got[0] == 10.0
+    assert got[1] == 15.0            # even frame: interpolated middle
+    assert got[2] == 20.0            # outlier does not drag the median
+    assert got[3] == 25.0            # median of 10,20,30,1000
+    assert got[20] == 7.0            # gap: RANGE frame excludes old rows

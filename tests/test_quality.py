@@ -218,3 +218,26 @@ def test_diff_tables_classifies_all_four(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_table_profile_exact(spark):
+    from wistia_video_analytics_project_spark.operators import quality as q
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (3, "a")], "k long, s string"
+    )
+    prof = {r.column: r for r in q.table_profile(df, exact_distinct=True).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 3
+    assert prof["k"].min_value == "1" and prof["k"].max_value == "3"
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_value == "a" and prof["s"].max_value == "b"
+
+
+def test_table_profile_approx_close(spark):
+    from wistia_video_analytics_project_spark.operators import quality as q
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    prof = {r.column: r for r in q.table_profile(df).collect()}
+    # default HLL rsd is 0.05 (one sigma) — allow ~3 sigma
+    assert abs(prof["k"].n_distinct - 5000) / 5000 < 0.15

@@ -544,3 +544,36 @@ def pivot_report(
         group_col,
         *[F.coalesce(F.col(v), F.lit(fill)).alias(v) for v in pivot_values],
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    value_col: str,
+    order_col: Column | str,
+    frame: tuple[int, int] = (-6, 0),
+    partition_cols: Sequence[str] = (),
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """EXACT median over a trailing RANGE frame. Spark's ``median``
+    aggregate rejects framed windows, so the frame's values are gathered
+    with ``collect_list`` (frames allowed) and reduced with array HOFs —
+    sort + middle element(s) — entirely JVM-side. Right when frames are
+    small (a week of daily aggregates); for wide frames switch to
+    ``percentile_approx``, which does accept frames.
+
+    Even-sized frames interpolate the two middle values — the same
+    convention DuckDB's windowed ``median`` uses, so results are
+    oracle-comparable.
+    """
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = (
+        Window.partitionBy(*[F.col(c) for c in partition_cols])
+        .orderBy(oc)
+        .rangeBetween(*frame)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / F.lit(2.0))
+    return df.withColumn(out_col, med)

@@ -247,3 +247,47 @@ def diff_tables(
         ],
         change.alias("change_type"),
     )
+
+
+def table_profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-column profile — null count, distinct count, min/max — in ONE
+    aggregation job over the table (column stats computed side by side,
+    then unpivoted to a tall report).
+
+    ``exact_distinct=False`` (default, the 100 TB path) uses HLL
+    ``approx_count_distinct``: one scan, no expand. ``True`` computes
+    exact distincts — Spark plans a single stage with an Expand (k
+    copies of each row), which is the oracle/verification configuration,
+    not the scale one. min/max surface as strings so one tall schema
+    covers every column type; profile double columns with care (float
+    formatting is engine-specific).
+    """
+    cols = list(columns or df.columns)
+    distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__{c}__nulls"),
+            distinct(F.col(c)).alias(f"__{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"__{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"__{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__rows").alias("n_rows"),
+                F.col(f"__{c}__nulls").alias("n_nulls"),
+                F.col(f"__{c}__distinct").alias("n_distinct"),
+                F.col(f"__{c}__min").alias("min_value"),
+                F.col(f"__{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(entries).alias("p")).select("p.*")
