@@ -1021,6 +1021,42 @@ def q_rolling_7day_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first curation (corpus.quality_budget_select): per source,
+    keep the best-scored docs while the running char total stays within
+    a 3000-char budget."""
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "quality_score", text_ops.quality_score("text")
+    )
+    out = corpus.quality_budget_select(docs, 3000.0, "quality_score")
+    return out.select("doc_id", "source", "n_chars", "quality_score")
+
+
+def q_weekday_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted volume monitoring: daily event counts scored
+    against their OWN weekday's mean/stddev (a Monday is only anomalous
+    vs other Mondays). iso_dow via weekday()+1 == DuckDB isodow."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    wd = (F.weekday("event_date") + F.lit(1)).alias("iso_dow")
+    daily = daily.select("event_date", "n_events", wd)
+    w = Window.partitionBy("iso_dow")
+    mean = F.avg("n_events").over(w)
+    std = F.stddev("n_events").over(w)
+    z = F.when(std > 0, F.round((F.col("n_events") - mean) / std, 4) + F.lit(0.0))
+    return daily.select(
+        "event_date",
+        "n_events",
+        "iso_dow",
+        z.alias("weekday_z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
 def q_orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-job per-column profile of the orders table (exact-distinct
     configuration so the oracle can mirror it; string-typed columns only
@@ -1757,6 +1793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_orders_snapshot": q_cdc_orders_snapshot,
         "rolling_7day_median_revenue": q_rolling_7day_median_revenue,
         "orders_table_profile": q_orders_table_profile,
+        "quality_budget_select": q_quality_budget_select,
+        "weekday_adjusted_anomaly": q_weekday_adjusted_anomaly,
     })
     return core
 
@@ -2645,6 +2683,47 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "quality_budget_select": """
+            WITH s AS (
+              SELECT doc_id, source, n_chars,
+                     round(0.3 * least(
+                             CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                                  AS DOUBLE) / 100.0, 1.0)
+                           + 0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                                    / greatest(length(text), 1))
+                           + 0.3 * (1.0 - least(
+                               (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                                / greatest(length(text), 1)) * 10.0, 1.0)), 4)
+                       AS quality_score
+              FROM documents),
+            r AS (
+              SELECT *, sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY quality_score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM s)
+            SELECT doc_id, source, n_chars, quality_score
+            FROM r WHERE cum <= CAST(3000 AS DOUBLE)
+        """,
+        "weekday_adjusted_anomaly": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events
+              FROM events GROUP BY 1),
+            d AS (
+              SELECT event_date, n_events, isodow(event_date) AS iso_dow
+              FROM daily),
+            z AS (
+              SELECT event_date, n_events, iso_dow,
+                     CASE WHEN stddev(n_events) OVER w > 0 THEN
+                       round((n_events - avg(n_events) OVER w)
+                             / stddev(n_events) OVER w, 4) + CAST(0 AS DOUBLE)
+                     END AS weekday_z
+              FROM d
+              WINDOW w AS (PARTITION BY iso_dow))
+            SELECT event_date, n_events, iso_dow, weekday_z,
+                   abs(weekday_z) > CAST(2 AS DOUBLE) AS is_anomaly
+            FROM z
         """,
         "orders_table_profile": """
             SELECT 'o_orderkey' AS "column", count(*) AS n_rows,

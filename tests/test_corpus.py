@@ -140,3 +140,25 @@ def test_mixture_sample_rejects_bad_weights(spark):
         corpus.mixture_sample(docs, {}, 100.0)
     with pytest.raises(ValueError):
         corpus.mixture_sample(docs, {"src0": -2.0, "src1": 1.0}, 100.0)
+
+
+def test_quality_budget_select_greedy_by_quality(spark):
+    rows = [
+        ("a", 1, 100, 0.9), ("a", 2, 100, 0.8), ("a", 3, 100, 0.7),
+        ("a", 4, 100, 0.6),
+        ("b", 5, 250, 0.5), ("b", 6, 100, 0.4),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long, q double")
+    kept = {r.doc_id for r in
+            corpus.quality_budget_select(df, 300.0, "q").collect()}
+    # source a: best three fit exactly; 4th would exceed
+    # source b: best doc (250) fits; adding the next (100) would exceed
+    assert kept == {1, 2, 3, 5}
+
+
+def test_quality_budget_select_tie_breaks_by_id(spark):
+    rows = [("a", 2, 200, 0.5), ("a", 1, 200, 0.5), ("a", 3, 200, 0.5)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long, q double")
+    kept = {r.doc_id for r in
+            corpus.quality_budget_select(df, 400.0, "q").collect()}
+    assert kept == {1, 2}  # equal quality: lowest ids win

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator, Mapping
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import configure_runtime
@@ -402,3 +402,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pack_sequences: greedy FFD is imperative — rows-only by design
     }
+
+
+def quality_budget_select(
+    docs: DataFrame,
+    budget_per_group: float,
+    quality_col: str,
+    size_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy quality-first curation under a per-source size budget: rank
+    each source's docs by quality (id tiebreak — deterministic under
+    score ties), take them in order while the running size stays within
+    budget. The complement to :func:`mixture_sample`: that thins sources
+    RANDOMLY to a budget; this keeps each source's BEST until the budget
+    is spent. One shuffle on the group key; the cumulative-sum window
+    reuses its partitioning.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("__cum", F.sum(F.col(size_col)).over(w))
+        .filter(F.col("__cum") <= F.lit(float(budget_per_group)))
+        .drop("__cum")
+    )
