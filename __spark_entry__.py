@@ -1021,6 +1021,17 @@ def q_rolling_7day_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (analytics.sliding_distinct):
+    the WAU trend — dedup to (user, day) pairs once, broadcast range
+    join against the date spine, one count-distinct per day."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.select(F.to_date("ts").alias("event_date"), "user_id")
+    return analytics.sliding_distinct(
+        daily, "event_date", "user_id", window_days=7, out_col="wau"
+    )
+
+
 def q_quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-first curation (corpus.quality_budget_select): per source,
     keep the best-scored docs while the running char total stays within
@@ -1795,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_table_profile": q_orders_table_profile,
         "quality_budget_select": q_quality_budget_select,
         "weekday_adjusted_anomaly": q_weekday_adjusted_anomaly,
+        "weekly_active_users": q_weekly_active_users,
     })
     return core
 
@@ -2683,6 +2695,17 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "weekly_active_users": """
+            WITH pairs AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+            spine AS (SELECT DISTINCT d AS day FROM pairs)
+            SELECT s.day AS event_date,
+                   count(DISTINCT p.user_id) AS wau
+            FROM spine s JOIN pairs p
+              ON datediff('day', p.d, s.day) >= 0
+             AND datediff('day', p.d, s.day) < 7
+            GROUP BY 1
         """,
         "quality_budget_select": """
             WITH s AS (

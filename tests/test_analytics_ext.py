@@ -229,3 +229,24 @@ def test_rolling_median_exact_and_gap_aware(spark):
     assert got[2] == 20.0            # outlier does not drag the median
     assert got[3] == 25.0            # median of 10,20,30,1000
     assert got[20] == 7.0            # gap: RANGE frame excludes old rows
+
+
+def test_sliding_distinct_counts_unique_in_window(spark):
+    import datetime as dt
+
+    from wistia_video_analytics_project_spark.operators import analytics as an
+
+    d = dt.date(2024, 1, 1)
+    rows = [
+        (1, d), (2, d),                       # day 0: {1,2}
+        (1, d + dt.timedelta(days=1)),        # day 1 total: {1,2}
+        (3, d + dt.timedelta(days=3)),        # day 3 total: {1,2,3}
+        (4, d + dt.timedelta(days=10)),       # day 10: window slid past
+    ]
+    df = spark.createDataFrame(rows, "user long, day date")
+    got = {r.day: r.n_distinct
+           for r in an.sliding_distinct(df, "day", "user", 7).collect()}
+    assert got[d] == 2
+    assert got[d + dt.timedelta(days=1)] == 2
+    assert got[d + dt.timedelta(days=3)] == 3
+    assert got[d + dt.timedelta(days=10)] == 1

@@ -577,3 +577,33 @@ def rolling_median(
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
     med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / F.lit(2.0))
     return df.withColumn(out_col, med)
+
+
+def sliding_distinct(
+    df: DataFrame,
+    date_col: str,
+    entity_col: str,
+    window_days: int = 7,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Rolling distinct-entity count (WAU-style): for each date, the
+    number of unique entities seen in the trailing ``window_days``.
+
+    Distinct counts can't ride a window frame, so the shape is:
+    dedup to (entity, date) pairs — one shuffle that ALSO shrinks the
+    data to at most |entities|x|days| rows — then a broadcast range
+    join against the (tiny) date spine and one count-distinct per day.
+    The expensive raw-event stream is touched exactly once.
+    """
+    pairs = df.select(
+        F.col(entity_col).alias("__e"), F.col(date_col).alias("__d")
+    ).distinct()
+    spine = pairs.select(F.col("__d").alias("__day")).distinct()
+    delta = F.datediff(F.col("__day"), F.col("__d"))
+    j = pairs.join(
+        F.broadcast(spine), (delta >= 0) & (delta < window_days)
+    )
+    return (
+        j.groupBy(F.col("__day").alias(date_col))
+        .agg(F.count_distinct(F.col("__e")).alias(out_col))
+    )
