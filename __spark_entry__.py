@@ -1032,6 +1032,18 @@ def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekly_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-incremental WAU (sketch.daily_hll_sketches +
+    hll_rolling_distinct): per-day HLL sketches unioned over the
+    trailing window — the persistable path that never re-scans raw
+    events. Approximate: rows-only at the driver; accuracy vs the exact
+    sliding distinct pinned in tests/test_sketch.py."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.select(F.to_date("ts").alias("day"), "user_id")
+    sk = sketch.daily_hll_sketches(daily, "day", "user_id")
+    return sketch.hll_rolling_distinct(sk, 7, out_col="wau_approx")
+
+
 def q_quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-first curation (corpus.quality_budget_select): per source,
     keep the best-scored docs while the running char total stays within
@@ -1807,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_budget_select": q_quality_budget_select,
         "weekday_adjusted_anomaly": q_weekday_adjusted_anomaly,
         "weekly_active_users": q_weekly_active_users,
+        "weekly_active_users_hll": q_weekly_active_users_hll,
     })
     return core
 

@@ -39,3 +39,23 @@ def test_heavy_hitters_exact_and_complete(spark, skewed):
     assert got == {"hot": 500, "warm": 80}  # exact counts, no false positives
     got2 = {r.k for r in sketch.heavy_hitters(skewed, "k", min_count=400).collect()}
     assert got2 == {"hot"}
+
+
+def test_hll_rolling_distinct_accuracy(spark):
+    """Sketch-union rolling distinct tracks the exact sliding distinct
+    within HLL error, without re-scanning raw events."""
+    from wistia_video_analytics_project_spark.operators import analytics
+    from wistia_video_analytics_project_spark.session import configure_runtime
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    configure_runtime(spark)
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    daily = events.select(F.to_date("ts").alias("day"), "user_id")
+    exact = {r.day: r.n_distinct for r in analytics.sliding_distinct(
+        daily, "day", "user_id", 7).collect()}
+    sk = sketch.daily_hll_sketches(daily, "day", "user_id")
+    approx = {r.day: r.approx_distinct
+              for r in sketch.hll_rolling_distinct(sk, 7).collect()}
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) / max(n, 1) < 0.06, (d, n, approx[d])
