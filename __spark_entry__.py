@@ -1044,6 +1044,31 @@ def q_weekly_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.hll_rolling_distinct(sk, 7, out_col="wau_approx")
 
 
+def q_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-percentile path (sketch.daily_kll_sketches +
+    kll_quantiles_over_all): per-day KLL sketches merged into corpus
+    percentiles without a global sort. Approximate — rank error vs the
+    exact percentiles pinned in tests/test_sketch.py."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.select(F.to_date("ts").alias("day"), "value")
+    sk = sketch.daily_kll_sketches(daily, "day", "value")
+    return sketch.kll_quantiles_over_all(sk, (0.5, 0.9, 0.99))
+
+
+def q_segment_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via Theta sketches (sketch.segment_overlap_theta):
+    viewers vs purchasers distinct-user set algebra in one pass.
+    Approximate — accuracy vs exact sets pinned in tests/test_sketch.py
+    (the exact form is the viewers_vs_purchasers query)."""
+    events = _t(spark, sf_dir, "events")
+    return sketch.segment_overlap_theta(
+        events,
+        "user_id",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+    )
+
+
 def q_quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-first curation (corpus.quality_budget_select): per source,
     keep the best-scored docs while the running char total stays within
@@ -1820,6 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_adjusted_anomaly": q_weekday_adjusted_anomaly,
         "weekly_active_users": q_weekly_active_users,
         "weekly_active_users_hll": q_weekly_active_users_hll,
+        "value_quantiles_kll": q_value_quantiles_kll,
+        "segment_overlap_theta": q_segment_overlap_theta,
     })
     return core
 

@@ -20,7 +20,8 @@ def test_queries_registry_well_formed(spark):
     assert set(qs) - set(oracles) == {
         "dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
         "ann_pq", "ann_ivf_pq", "semantic_dedup_lsh",
-        "weekly_active_users_hll",
+        "weekly_active_users_hll", "value_quantiles_kll",
+        "segment_overlap_theta",
         "approx_distinct_users",
         # greedy FFD packing is imperative — rows-only by design,
         # invariants pinned in tests/test_corpus.py

@@ -59,3 +59,49 @@ def test_hll_rolling_distinct_accuracy(spark):
     assert set(approx) == set(exact)
     for d, n in exact.items():
         assert abs(approx[d] - n) / max(n, 1) < 0.06, (d, n, approx[d])
+
+
+def test_kll_merged_quantiles_close_to_exact(spark):
+    from wistia_video_analytics_project_spark.operators import sketch
+    from wistia_video_analytics_project_spark.session import configure_runtime
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    configure_runtime(spark)
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    daily = events.select(F.to_date("ts").alias("day"), "value")
+    sk = sketch.daily_kll_sketches(daily, "day", "value")
+    approx = sketch.kll_quantiles_over_all(sk, (0.5, 0.9)).collect()[0]
+    exact = events.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    ).collect()[0]
+    # KLL guarantees rank error, not value error: compare by rank
+    n = events.count()
+    for name in ("p50", "p90"):
+        rank_exact = events.filter(F.col("value") <= exact[name]).count() / n
+        rank_approx = events.filter(F.col("value") <= approx[name]).count() / n
+        assert abs(rank_exact - rank_approx) < 0.03, (name, rank_exact, rank_approx)
+
+
+def test_theta_segment_overlap_close_to_exact(spark):
+    from wistia_video_analytics_project_spark.operators import sketch
+    from wistia_video_analytics_project_spark.session import configure_runtime
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    configure_runtime(spark)
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = sketch.segment_overlap_theta(
+        events, "user_id",
+        F.col("event_type") == "view", F.col("event_type") == "purchase",
+    ).collect()[0]
+    viewers = {r.user_id for r in
+               events.filter("event_type = 'view'").select("user_id").distinct().collect()}
+    buyers = {r.user_id for r in
+              events.filter("event_type = 'purchase'").select("user_id").distinct().collect()}
+    def close(a, b):
+        return abs(a - b) / max(b, 1) < 0.05
+    assert close(got.n_a, len(viewers))
+    assert close(got.n_b, len(buyers))
+    assert close(got.n_both, len(viewers & buyers))
+    assert close(got.n_either, len(viewers | buyers))
+    assert close(got.n_only_a, len(viewers - buyers))

@@ -21,6 +21,8 @@ semi-join (candidates are few by construction).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -182,4 +184,63 @@ def hll_rolling_distinct(
         .select(
             "day", F.hll_sketch_estimate("__u").alias(out_col)
         )
+    )
+
+
+def daily_kll_sketches(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """(day, KLL quantile sketch over value): the mergeable-percentile
+    analog of :func:`daily_hll_sketches` — persist per-day sketches,
+    and any later window/total percentile is a sketch merge, never a
+    raw re-scan (exact percentiles need a full sort per window)."""
+    return df.groupBy(F.col(date_col).alias("day")).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+            "sketch"
+        )
+    )
+
+
+def kll_quantiles_over_all(
+    sketches: DataFrame,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Merge every per-day sketch and read off quantiles: one tiny
+    aggregate over |days| rows."""
+    merged = sketches.agg(F.kll_merge_agg_double("sketch").alias("__m"))
+    return merged.select(
+        *[
+            F.kll_sketch_get_quantile_double(F.col("__m"), F.lit(float(q))).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in quantiles
+        ]
+    )
+
+
+def segment_overlap_theta(
+    df: DataFrame,
+    entity_col: str,
+    flag_a: Column,
+    flag_b: Column,
+) -> DataFrame:
+    """Approximate distinct-entity overlap between two segments via
+    mergeable Theta sketches: |A|, |B|, |A∩B|, |A∪B|, |A\\B| in one
+    pass — the scale path for audience-overlap questions, where the
+    exact form needs per-entity set aggregation. Sketches are
+    persistable per partition and composable with union/intersection/
+    difference BEFORE estimation (unlike HLL, which only unions)."""
+    aggd = df.agg(
+        F.theta_sketch_agg(F.when(flag_a, F.col(entity_col))).alias("__a"),
+        F.theta_sketch_agg(F.when(flag_b, F.col(entity_col))).alias("__b"),
+    )
+    return aggd.select(
+        F.theta_sketch_estimate("__a").alias("n_a"),
+        F.theta_sketch_estimate("__b").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_intersection("__a", "__b")).alias("n_both"),
+        F.theta_sketch_estimate(F.theta_union("__a", "__b")).alias("n_either"),
+        F.theta_sketch_estimate(F.theta_difference("__a", "__b")).alias("n_only_a"),
     )
