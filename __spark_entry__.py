@@ -1021,6 +1021,33 @@ def q_rolling_7day_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ln(2)/7 as one shared double literal — a 7-day half-life; both engines
+#: see the identical constant, so exp() inputs match bit-for-bit
+_DECAY_7D = 0.09902102579427789
+
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: per user, sum of event values decayed
+    by a 7-day half-life from the corpus's last event date — the batch
+    face of the streaming tier's decayed-score stateful operator. Top 20
+    users, deterministic tiebreak."""
+    events = _t(spark, sf_dir, "events")
+    ref = events.agg(F.max(F.to_date("ts")).alias("__ref"))
+    aged = events.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        (
+            F.coalesce(F.col("value"), F.lit(0.0))
+            * F.exp(-F.lit(_DECAY_7D) * F.datediff("__ref", F.to_date("ts")))
+        ).alias("__w"),
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(F.round(F.sum("__w"), 2).alias("decayed_score"))
+        .orderBy(F.desc("decayed_score"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
 def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users per day (analytics.sliding_distinct):
     the WAU trend — dedup to (user, day) pairs once, broadcast range
@@ -1847,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_active_users_hll": q_weekly_active_users_hll,
         "value_quantiles_kll": q_value_quantiles_kll,
         "segment_overlap_theta": q_segment_overlap_theta,
+        "decayed_engagement": q_decayed_engagement,
     })
     return core
 
@@ -2735,6 +2763,17 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "decayed_engagement": f"""
+            WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events)
+            SELECT user_id,
+                   round(sum(coalesce(value, CAST(0 AS DOUBLE))
+                             * exp(-{_DECAY_7D!r}
+                                   * datediff('day', CAST(ts AS DATE), r))), 2)
+                     AS decayed_score
+            FROM events, ref
+            GROUP BY user_id
+            ORDER BY decayed_score DESC, user_id ASC LIMIT 20
         """,
         "weekly_active_users": """
             WITH pairs AS (
