@@ -1048,6 +1048,22 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: sessionize (temporal) -> market-basket
+    co-occurrence (analytics) with the session as the basket — which
+    event types happen together within one user session."""
+    events = _t(spark, sf_dir, "events")
+    s = temporal.sessionize(events, "user_id", "ts", "30 minutes", ["event_id"])
+    items = s.select(
+        F.concat_ws("#", F.col("user_id"), F.col("session_id")).alias("sk"),
+        "event_type",
+    ).distinct()
+    pairs = analytics.cooccurrence_pairs(items, "sk", "event_type")
+    return pairs.orderBy(
+        F.desc("pair_count"), F.asc("item_a"), F.asc("item_b")
+    )
+
+
 def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users per day (analytics.sliding_distinct):
     the WAU trend — dedup to (user, day) pairs once, broadcast range
@@ -1875,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles_kll": q_value_quantiles_kll,
         "segment_overlap_theta": q_segment_overlap_theta,
         "decayed_engagement": q_decayed_engagement,
+        "session_type_cooccurrence": q_session_type_cooccurrence,
     })
     return core
 
@@ -2763,6 +2780,29 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "session_type_cooccurrence": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS session_start
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sessions AS (
+              SELECT user_id, event_type,
+                     sum(session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged),
+            items AS (
+              SELECT DISTINCT user_id, session_id, event_type FROM sessions)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   count(*) AS pair_count
+            FROM items a JOIN items b
+              ON a.user_id = b.user_id AND a.session_id = b.session_id
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            ORDER BY pair_count DESC, item_a ASC, item_b ASC
         """,
         "decayed_engagement": f"""
             WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events)

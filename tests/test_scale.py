@@ -129,3 +129,13 @@ def test_skew_report_uniform_ratio_near_one(spark):
     )
     rows = scale.skew_report(df, ["key"], top_n=8).collect()
     assert all(r.skew_ratio == 1.0 for r in rows)
+
+
+def test_partition_stats_balanced_after_repartition(spark):
+    df = spark.range(10_000).repartition(8)
+    rows = scale.partition_stats(df).collect()
+    assert len(rows) == 8
+    assert all(r.n_partitions == 8 for r in rows)
+    # round-robin repartition is near-uniform
+    assert max(r.n_rows for r in rows) - min(r.n_rows for r in rows) < 2000
+    assert abs(sum(r.n_rows for r in rows) - 10_000) == 0

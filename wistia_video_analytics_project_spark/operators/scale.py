@@ -310,3 +310,24 @@ def write_zordered(
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))
     writer.parquet(path)
+
+
+def partition_stats(df: DataFrame) -> DataFrame:
+    """Physical-layout diagnostic: rows per Spark partition plus the
+    min/max/avg summary — the companion to :func:`skew_report` (that one
+    finds hot KEYS; this one shows whether the current PARTITIONING is
+    balanced, e.g. after a repartition/bucketing/AQE decision).
+
+    Engine-layout-dependent by nature (no oracle): one narrow pass using
+    ``spark_partition_id``, aggregating to |partitions| rows.
+    """
+    per = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = per.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.min("n_rows").alias("min_rows"),
+        F.max("n_rows").alias("max_rows"),
+        F.avg("n_rows").alias("avg_rows"),
+    )
+    return per.crossJoin(F.broadcast(total))
