@@ -415,3 +415,61 @@ def test_dedup_stream_by_content(spark, tmp_path):
     got = {r.doc_id for r in spark.sql("SELECT doc_id FROM content_dedup_out").collect()}
     assert 3 in got
     assert len(got & {1, 2}) == 1  # exactly one of the dup pair survives
+
+
+def test_foreach_batch_dedup_ingest_and_epoch_replay(spark, tmp_path):
+    """Cross-batch content dedup with replay idempotence: later batches
+    drop content already ingested; re-running an epoch (crash between
+    data write and checkpoint commit) reproduces identical output."""
+    from wistia_video_analytics_project_spark.streaming import (
+        foreach_batch_dedup_ingest,
+    )
+
+    out = str(tmp_path / "corpus")
+    fn = foreach_batch_dedup_ingest(out)
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  BETA")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "fresh content")], schema
+    )
+    fn(b0, 0)
+    fn(b1, 1)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 11}  # 3 dups 1 in-batch; 10 dups epoch-0 content
+    # replay epoch 1 (checkpoint commit lost): output unchanged
+    fn(b1, 1)
+    again = {(r.doc_id, r.epoch) for r in spark.read.parquet(out).collect()}
+    assert {d for d, _ in again} == {1, 2, 11}
+    assert len(again) == 3
+
+
+def test_foreach_batch_dedup_ingest_streaming_end_to_end(spark, tmp_path):
+    import time
+
+    from wistia_video_analytics_project_spark.streaming import (
+        foreach_batch_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, "one two"), (2, "three four")], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    time.sleep(0.1)
+    spark.createDataFrame([(3, "one two"), (4, "five six")], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = str(tmp_path / "corpus2")
+    q = stream.writeStream.outputMode("append").foreachBatch(
+        foreach_batch_dedup_ingest(out)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    fps = [r.fingerprint for r in spark.read.parquet(out).collect()]
+    assert len(fps) == len(set(fps)) == 3  # "one two" ingested once

@@ -17,6 +17,7 @@ from .jobs import (  # noqa: F401
     dedup_stream,
     dedup_stream_by_content,
     enrich_stream,
+    foreach_batch_dedup_ingest,
     foreach_batch_parquet_upsert,
     foreach_batch_upsert,
     rollup_merge_fn,

@@ -109,6 +109,54 @@ def dedup_stream_by_content(
     )
 
 
+def foreach_batch_dedup_ingest(
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame, int], None]:
+    """Continuous corpus ingestion with exact content dedup: each
+    micro-batch is deduped against EVERYTHING already ingested
+    (``dedup.incremental_exact_dedup``) and written to its own
+    ``epoch=N`` partition of the output corpus.
+
+    Exactly-once without a side store: the fingerprint store IS the
+    output corpus (its ``fingerprint`` column — column-pruned read), and
+    each epoch recomputes its kept set against the corpus EXCLUDING its
+    own partition, then dynamic-partition-overwrites only that
+    partition. A replayed epoch therefore reproduces and overwrites its
+    exact prior output — idempotent even when the crash landed between
+    the data write and the checkpoint commit (asserted in tests).
+    """
+    from pyspark.errors import AnalysisException as _AE
+
+    from ..operators.dedup import incremental_exact_dedup
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            store = (
+                spark.read.parquet(out_path)
+                .filter(F.col("epoch") != epoch_id)
+                .select("fingerprint")
+            )
+        except _AE:
+            store = spark.createDataFrame([], "fingerprint string")
+        kept = incremental_exact_dedup(batch, store, text_col, id_col)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                kept.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .partitionBy("epoch")
+                .parquet(out_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return apply
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,
