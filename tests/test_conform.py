@@ -95,3 +95,14 @@ def test_schema_drift_report(spark):
     clean = spark.createDataFrame([], schemas.RAW_MEDIA)
     assert conform.schema_drift_report(clean, schemas.RAW_MEDIA) == {
         "missing": [], "unexpected": [], "retyped": {}}
+
+
+def test_flatten_struct_recursive_and_prunable(spark):
+    df = spark.createDataFrame(
+        [(1, {"b": {"c": 5, "d": "x"}, "e": 7}, [1, 2])],
+        "a long, s struct<b: struct<c: long, d: string>, e: long>, arr array<long>",
+    )
+    flat = conform.flatten_struct(df)
+    assert flat.columns == ["a", "s_b_c", "s_b_d", "s_e", "arr"]
+    row = flat.collect()[0]
+    assert (row.a, row.s_b_c, row.s_b_d, row.s_e, row.arr) == (1, 5, "x", 7, [1, 2])

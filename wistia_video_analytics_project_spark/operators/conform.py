@@ -186,3 +186,35 @@ def extract_media_id_from_path(df: DataFrame, path_col: str = "file_path") -> Da
             F.nullif(F.regexp_extract(F.col(path_col), pat_loose, 1), F.lit("")),
         ),
     )
+
+
+def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively lift nested struct fields to top-level columns
+    (``a.b.c`` -> ``a_b_c``) — the generic face of the reference's
+    hand-written nested-JSON projections (`notebool-03.py:224-233`).
+
+    Pure projection: Catalyst prunes untouched nested fields at the
+    scan, so flattening a wide struct you then select two fields from
+    still reads two leaf columns. Arrays are left intact (explode is a
+    semantic decision, not a rename).
+    """
+    from pyspark.sql.types import StructType
+
+    def leaves(schema: StructType, prefix: tuple[str, ...]) -> list:
+        out = []
+        for f in schema.fields:
+            path = prefix + (f.name,)
+            if isinstance(f.dataType, StructType):
+                out.extend(leaves(f.dataType, path))
+            else:
+                out.append(path)
+        return out
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, StructType):
+            for path in leaves(f.dataType, (f.name,)):
+                cols.append(F.col(".".join(path)).alias(sep.join(path)))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
