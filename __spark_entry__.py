@@ -1048,6 +1048,31 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_lateness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the data-driven input to the watermark
+    decision (SURVEY §2.9): per user stream (event_id = arrival order),
+    lateness = seconds a row's event time lags the running max. Reports
+    late-row share and the lateness distribution; a 7-day watermark is
+    justified iff max lateness stays inside it. Integer-micros
+    arithmetic, divided once (repo timestamp convention)."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros(F.col("ts"))
+    late_us = F.greatest(F.lit(0), F.max(us).over(w) - us)
+    lat = events.select((late_us / F.lit(1_000_000)).alias("late_s"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_s") > 0).cast("long")).alias("n_late"),
+        F.round(F.avg("late_s"), 2).alias("avg_late_s"),
+        F.round(F.expr("percentile(late_s, 0.95)"), 2).alias("p95_late_s"),
+        F.round(F.max("late_s"), 2).alias("max_late_s"),
+    )
+
+
 def q_session_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator composition: sessionize (temporal) -> market-basket
     co-occurrence (analytics) with the session as the basket — which
@@ -1892,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_overlap_theta": q_segment_overlap_theta,
         "decayed_engagement": q_decayed_engagement,
         "session_type_cooccurrence": q_session_type_cooccurrence,
+        "event_lateness_report": q_event_lateness_report,
     })
     return core
 
@@ -2780,6 +2806,21 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "event_lateness_report": """
+            WITH l AS (
+              SELECT greatest(0, max(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - epoch_us(ts)) / CAST(1000000 AS DOUBLE) AS late_s
+              FROM events)
+            SELECT count(*) AS n_events,
+                   CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_late,
+                   round(avg(late_s), 2) AS avg_late_s,
+                   round(quantile_cont(late_s, 0.95), 2) AS p95_late_s,
+                   round(max(late_s), 2) AS max_late_s
+            FROM l
         """,
         "session_type_cooccurrence": """
             WITH flagged AS (
