@@ -1048,6 +1048,36 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, hours from first view to the first
+    purchase AFTER it; the conversion-delay distribution (count + p50/
+    p90/max). Timestamp deltas in integer micros, divided once."""
+    events = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("__v_us")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("__p_us")
+    )
+    delays = (
+        views.join(purchases, "user_id")
+        .filter(F.col("__p_us") > F.col("__v_us"))
+        .groupBy("user_id")
+        .agg(F.min("__p_us").alias("__first_p"), F.min("__v_us").alias("__v"))
+        .select(
+            ((F.col("__first_p") - F.col("__v")) / F.lit(3_600_000_000.0)).alias(
+                "delay_h"
+            )
+        )
+    )
+    return delays.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(delay_h, 0.5)"), 2).alias("p50_h"),
+        F.round(F.expr("percentile(delay_h, 0.9)"), 2).alias("p90_h"),
+        F.round(F.max("delay_h"), 2).alias("max_h"),
+    )
+
+
 def q_event_lateness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-orderness audit — the data-driven input to the watermark
     decision (SURVEY §2.9): per user stream (event_id = arrival order),
@@ -1918,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_engagement": q_decayed_engagement,
         "session_type_cooccurrence": q_session_type_cooccurrence,
         "event_lateness_report": q_event_lateness_report,
+        "time_to_purchase": q_time_to_purchase,
     })
     return core
 
@@ -2806,6 +2837,25 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "time_to_purchase": """
+            WITH v AS (
+              SELECT user_id, min(epoch_us(ts)) AS v_us
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+            d AS (
+              SELECT v.user_id,
+                     (min(epoch_us(p.ts)) - min(v.v_us))
+                       / CAST(3600000000 AS DOUBLE) AS delay_h
+              FROM v JOIN events p
+                ON p.user_id = v.user_id
+               AND p.event_type = 'purchase'
+               AND epoch_us(p.ts) > v.v_us
+              GROUP BY v.user_id)
+            SELECT count(*) AS n_converted,
+                   round(quantile_cont(delay_h, 0.5), 2) AS p50_h,
+                   round(quantile_cont(delay_h, 0.9), 2) AS p90_h,
+                   round(max(delay_h), 2) AS max_h
+            FROM d
         """,
         "event_lateness_report": """
             WITH l AS (
