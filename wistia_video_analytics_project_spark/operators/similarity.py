@@ -870,7 +870,6 @@ def ann_ivf_pq_topk(
 
     sub = len(books[0][0])
     q_rows = queries.select(id_col, vec_col).collect()
-    qn_map = {}
     luts = {}
     for r in q_rows:
         qv = np.asarray(list(r[1]), dtype=np.float64)
@@ -882,7 +881,6 @@ def ann_ivf_pq_topk(
                 for j, b in enumerate(books)
             ]
         )
-    del qn_map
 
     n_sub = len(books)
 
