@@ -3016,7 +3016,7 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (
               SELECT *, row_number() OVER (
                        PARTITION BY o_orderkey
-                       ORDER BY seq DESC NULLS LAST) AS rn
+                       ORDER BY seq DESC NULLS LAST, op DESC) AS rn
               FROM u)
             SELECT o_orderkey, round(o_totalprice, 2) AS total_price
             FROM ranked WHERE rn = 1 AND op <> 'D'

@@ -126,3 +126,17 @@ def test_cdc_apply_update_then_delete_resolves_to_delete(spark):
         "k long, v string, seq long, op string",
     )
     assert scd_ops.cdc_apply(base, changes, ["k"], "seq").count() == 0
+
+
+def test_cdc_apply_same_seq_tie_keeps_data(spark):
+    """Contract violation (duplicate seq per key) must still resolve
+    deterministically: the update outranks the delete on a tie."""
+    from wistia_video_analytics_project_spark.operators import scd as scd_ops
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "a2", 7, "U"), (1, "a2", 7, "D")],
+        "k long, v string, seq long, op string",
+    )
+    got = scd_ops.cdc_apply(base, changes, ["k"], "seq").collect()
+    assert [(r.k, r.v) for r in got] == [(1, "a2")]

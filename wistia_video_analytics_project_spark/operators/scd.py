@@ -154,8 +154,12 @@ def cdc_apply(
         F.col(seq_col).cast("long").alias("__seq"),
         F.col(op_col).alias("__op"),
     )
+    # op as secondary key: a (contract-violating) same-seq tie still
+    # resolves deterministically, and desc op ranks 'U' > 'I' > 'D' —
+    # the conservative read: a delete only applies when it is strictly
+    # the latest change, never on an ambiguous tie
     w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
-        F.col("__seq").desc_nulls_last()
+        F.col("__seq").desc_nulls_last(), F.col("__op").desc()
     )
     return (
         b.unionByName(c)
