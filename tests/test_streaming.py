@@ -473,3 +473,51 @@ def test_foreach_batch_dedup_ingest_streaming_end_to_end(spark, tmp_path):
         q.stop()
     fps = [r.fingerprint for r in spark.read.parquet(out).collect()]
     assert len(fps) == len(set(fps)) == 3  # "one two" ingested once
+
+
+def test_backfill_then_stream_equals_full_recompute(spark, tmp_path):
+    """Batch-backfill history, stream the remainder under a fresh
+    checkpoint: the rollup must equal a one-shot batch recompute of the
+    full timeline (the documented new-checkpoint handoff)."""
+    from wistia_video_analytics_project_spark.streaming import (
+        backfill_daily_rollup,
+        continuous_daily_rollup,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (t + dt.timedelta(hours=h), h, "view" if h % 2 else "click", float(h))
+        for h in range(96)  # 4 days
+    ]
+    all_events = spark.createDataFrame(
+        [(ts, uid, et, v) for ts, uid, et, v in rows], EVENT_SCHEMA
+    )
+    cutoff = t + dt.timedelta(days=2)
+    hist = all_events.filter(F.col("ts") < cutoff)
+    tail = all_events.filter(F.col("ts") >= cutoff)
+
+    target = str(tmp_path / "rollup")
+    backfill_daily_rollup(hist, target)
+
+    src = tmp_path / "tail"
+    tail.write.parquet(str(src))
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+    continuous_daily_rollup(
+        stream, target, checkpoint=str(tmp_path / "ckpt")
+    )
+
+    got = {
+        (str(r.date), r.event_type): (r.n_events, round(r.sum_value, 2))
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (str(r.date), r.event_type): (r.n_events, round(r.sum_value, 2))
+        for r in all_events.withColumn("date", F.to_date("ts"))
+        .groupBy("date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -13,6 +13,7 @@ same semantics onto Structured Streaming:
 """
 
 from .jobs import (  # noqa: F401
+    backfill_daily_rollup,
     continuous_daily_rollup,
     dedup_stream,
     dedup_stream_by_content,

@@ -360,6 +360,35 @@ def continuous_daily_rollup(
         q.stop()
 
 
+def backfill_daily_rollup(
+    events: DataFrame,
+    target_path: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> None:
+    """Batch bootstrap for :func:`continuous_daily_rollup`: compute the
+    same (date, keys) rollup schema from historical events in ONE batch
+    job and write it with ``last_epoch = -1`` — below any checkpoint's
+    epoch ids, so a NEW streaming query merges on top without tripping
+    the replay guard. This is the documented handoff for "epoch ids
+    restart under a new checkpoint": backfill history batch-side, then
+    point the fresh stream at events AFTER the backfill cutoff (the
+    caller partitions the timeline; overlapping events would be counted
+    twice, same as any additive rollup).
+    """
+    rollup = (
+        events.withColumn("date", F.to_date(ts_col))
+        .groupBy("date", *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col(value_col), F.lit(0.0))).alias("sum_value"),
+        )
+        .withColumn("last_epoch", F.lit(-1).cast("long"))
+    )
+    rollup.write.mode("overwrite").partitionBy("date").parquet(target_path)
+
+
 def rollup_merge_fn(
     target_path: str,
     ts_col: str = "ts",
