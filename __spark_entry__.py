@@ -1048,6 +1048,55 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of revenue from ASIA
+    customers, by order year — an 8-way star join whose build sides all
+    broadcast; the fact scan is the only large input, so Catalyst's
+    join reordering and AQE own the physical strategy."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust_in_region = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region.filter(F.col("r_name") == "ASIA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        nation.select(F.col("n_nationkey").alias("__snk"),
+                      F.col("n_name").alias("supp_nation")),
+        supplier.s_nationkey == F.col("__snk"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    vol = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), lineitem.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("volume"),
+            (F.col("supp_nation") == "NATION_1").cast("double").alias("is_target"),
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                (F.sum(F.col("volume") * F.col("is_target")) / F.sum("volume"))
+                .cast("decimal(18,6)"),
+                4,
+            )
+            .cast("double")
+            .alias("mkt_share"),
+            F.round(F.sum("volume"), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def q_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel latency: per user, hours from first view to the first
     purchase AFTER it; the conversion-delay distribution (count + p50/
@@ -1949,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_type_cooccurrence": q_session_type_cooccurrence,
         "event_lateness_report": q_event_lateness_report,
         "time_to_purchase": q_time_to_purchase,
+        "nation_market_share": q_nation_market_share,
     })
     return core
 
@@ -2837,6 +2887,31 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "nation_market_share": """
+            WITH cust AS (
+              SELECT c_custkey FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'),
+            supp AS (
+              SELECT s_suppkey, n_name AS supp_nation FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey),
+            vol AS (
+              SELECT year(o_orderdate) AS o_year,
+                     l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                       AS volume,
+                     CAST(supp_nation = 'NATION_1' AS DOUBLE) AS is_target
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN cust ON o_custkey = c_custkey
+              JOIN supp ON l_suppkey = s_suppkey)
+            SELECT o_year,
+                   CAST(round(CAST(sum(volume * is_target) / sum(volume)
+                                   AS DECIMAL(18,6)), 4) AS DOUBLE)
+                     AS mkt_share,
+                   round(sum(volume), 2) AS total_volume
+            FROM vol GROUP BY 1 ORDER BY 1
         """,
         "time_to_purchase": """
             WITH v AS (

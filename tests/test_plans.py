@@ -272,3 +272,10 @@ def test_similar_documents_partial_aggs_before_exchange(spark):
     plan = plans.executed_plan(df)
     assert "partial" in plan.lower(), plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_market_share_broadcasts_dims(spark):
+    df = entrymod.q_nation_market_share(spark, SF_SMOKE)
+    plans.assert_broadcast_join(df)
+    plan = plans.executed_plan(df)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
