@@ -1048,6 +1048,39 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers in three nations whose balance beats
+    those nations' positive-balance average and with NO orders since
+    2001 — scalar-subquery threshold (broadcast 1-row agg) + anti-join
+    + per-nation report. The classic 'dormant valuable accounts'
+    question."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    nats = ["NATION_1", "NATION_2", "NATION_3"]
+    cust = customer.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(nats))),
+        customer.c_nationkey == nation.n_nationkey,
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__thr")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= "2001-01-01"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
 def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_1 suppliers' share of revenue from ASIA
     customers, by order year — an 8-way star join whose build sides all
@@ -1999,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_lateness_report": q_event_lateness_report,
         "time_to_purchase": q_time_to_purchase,
         "nation_market_share": q_nation_market_share,
+        "dormant_high_balance": q_dormant_high_balance,
     })
     return core
 
@@ -2887,6 +2921,21 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "dormant_high_balance": """
+            WITH cust AS (
+              SELECT c_custkey, c_acctbal, n_name FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')),
+            thr AS (
+              SELECT avg(c_acctbal) AS t FROM cust WHERE c_acctbal > 0)
+            SELECT n_name, count(*) AS n_custs,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM cust, thr
+            WHERE c_acctbal > t
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY 1
         """,
         "nation_market_share": """
             WITH cust AS (
