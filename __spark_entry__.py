@@ -1899,13 +1899,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 entries in dict order.  Round 1 verified the original first
     50, so round 2 front-loads the 48 entries that had no driver-green
     CORRECTNESS row (analytics extensions, SCD2, streaming, multimodal,
-    and the full LLM dedup/text/ANN tier), with the five rows-only
+    and the full LLM dedup/text/ANN tier), with the rows-only
     approximates deferred to just past the window so all 50 in-window
-    slots are full hash-checked oracle comparisons. ROTATION PLAN for
-    round 3: front-load whatever CORRECTNESS_r02 did not cover (the
-    rows-only approximates plus the round-1-verified tail, plus any new
-    round-3 entries), then cycle the longest-unverified remainder —
-    every entry should re-earn a green row every ~2 rounds.
+    slots are full hash-checked oracle comparisons. Everything ADDED
+    mid-round-2 (the demotion list below plus the trailing
+    "mid-round-2 additions" block: semantic/incremental dedup, PQ +
+    IVFADC, similar_documents, mixture/budget sampling, skew/lateness/
+    profiler diagnostics, CDC, interpolation, rolling median, WAU +
+    sketch tier, Q8/Q22 shapes, ...) sits past the window and is
+    verified only by the local gate this round. ROTATION PLAN for
+    round 3: front-load exactly those mid-round-2 oracle-backed entries
+    (~25), fill remaining window slots with the longest-unverified
+    round-1 tail, and keep cycling so every entry re-earns a driver
+    green row every ~2 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
