@@ -1048,6 +1048,40 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from PROMO-type parts —
+    conditional aggregation over a broadcast part join; one fact scan,
+    one shuffle on the month key."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        lineitem.l_partkey == part.p_partkey,
+    )
+    return (
+        j.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+            rev.alias("rev"),
+            (F.col("p_type") == "PROMO").cast("double").alias("is_promo"),
+        )
+        .groupBy("ship_month")
+        .agg(
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(F.col("rev") * F.col("is_promo"))
+                    / F.sum("rev")
+                ).cast("decimal(18,6)"),
+                4,
+            )
+            .cast("double")
+            .alias("promo_pct"),
+            F.round(F.sum("rev"), 2).alias("total_rev"),
+        )
+    )
+
+
 def q_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers in three nations whose balance beats
     those nations' positive-balance average and with NO orders since
@@ -2039,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_purchase": q_time_to_purchase,
         "nation_market_share": q_nation_market_share,
         "dormant_high_balance": q_dormant_high_balance,
+        "promo_revenue_share": q_promo_revenue_share,
     })
     return core
 
@@ -2927,6 +2962,22 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "promo_revenue_share": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   CAST(round(CAST(CAST(100 AS DOUBLE)
+                                   * sum(l_extendedprice
+                                         * (CAST(1 AS DOUBLE) - l_discount)
+                                         * CAST(p_type = 'PROMO' AS DOUBLE))
+                                   / sum(l_extendedprice
+                                         * (CAST(1 AS DOUBLE) - l_discount))
+                                   AS DECIMAL(18,6)), 4) AS DOUBLE)
+                     AS promo_pct,
+                   round(sum(l_extendedprice
+                             * (CAST(1 AS DOUBLE) - l_discount)), 2)
+                     AS total_rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
         """,
         "dormant_high_balance": """
             WITH cust AS (
