@@ -1048,6 +1048,40 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_disjunctive_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from two disjunctive brand/size/quantity
+    branches — the OR-of-ANDs predicate Catalyst must evaluate inside
+    the (broadcast) join rather than push to either scan alone. One row
+    per branch so the oracle checks each branch's contribution."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        lineitem.l_partkey == part.p_partkey,
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") >= 10)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#15")
+        & (F.col("p_size") <= 20)
+        & (F.col("l_quantity") >= 20)
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        j.filter(b1 | b2)
+        .select(F.when(b1, "branch1").otherwise("branch2").alias("branch"),
+                rev.alias("rev"))
+        .groupBy("branch")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+    )
+
+
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: monthly share of revenue from PROMO-type parts —
     conditional aggregation over a broadcast part join; one fact scan,
@@ -2074,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_market_share": q_nation_market_share,
         "dormant_high_balance": q_dormant_high_balance,
         "promo_revenue_share": q_promo_revenue_share,
+        "disjunctive_branch_revenue": q_disjunctive_branch_revenue,
     })
     return core
 
@@ -2962,6 +2997,21 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "disjunctive_branch_revenue": """
+            WITH j AS (
+              SELECT p_brand, p_size, l_quantity,
+                     l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey),
+            b AS (
+              SELECT CASE WHEN p_brand = 'Brand#2' AND p_size <= 10
+                               AND l_quantity >= 10 THEN 'branch1'
+                          ELSE 'branch2' END AS branch, rev
+              FROM j
+              WHERE (p_brand = 'Brand#2' AND p_size <= 10 AND l_quantity >= 10)
+                 OR (p_brand = 'Brand#15' AND p_size <= 20 AND l_quantity >= 20))
+            SELECT branch, count(*) AS n_lines, round(sum(rev), 2) AS revenue
+            FROM b GROUP BY 1
         """,
         "promo_revenue_share": """
             SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
