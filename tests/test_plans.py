@@ -279,3 +279,11 @@ def test_market_share_broadcasts_dims(spark):
     plans.assert_broadcast_join(df)
     plan = plans.executed_plan(df)
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_sliding_distinct_single_raw_scan(spark):
+    """The WAU spine must read the cached pairs frame, not re-scan the
+    raw stream (same regression class as the skew_report totals)."""
+    df = entrymod.q_weekly_active_users(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan

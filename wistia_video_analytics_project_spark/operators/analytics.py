@@ -595,9 +595,11 @@ def sliding_distinct(
     join against the (tiny) date spine and one count-distinct per day.
     The expensive raw-event stream is touched exactly once.
     """
+    # cached: the spine derives from the SAME pairs frame — without the
+    # cache its lineage (a full raw-stream scan + distinct) runs twice
     pairs = df.select(
         F.col(entity_col).alias("__e"), F.col(date_col).alias("__d")
-    ).distinct()
+    ).distinct().cache()
     spine = pairs.select(F.col("__d").alias("__day")).distinct()
     delta = F.datediff(F.col("__day"), F.col("__d"))
     j = pairs.join(

@@ -173,6 +173,10 @@ def hll_rolling_distinct(
     per day. Input is the :func:`daily_hll_sketches` output — rows =
     days, so this whole computation is spine-sized, independent of the
     raw data volume."""
+    # cache: both the spine and the join consume the sketches frame —
+    # uncached, its lineage (full raw scan + sketch build) would run
+    # twice; cached it is |days| rows of small binaries
+    sketches = sketches.cache()
     spine = sketches.select(F.col("day").alias("__day")).distinct()
     delta = F.datediff(F.col("__day"), F.col("day"))
     j = sketches.join(
