@@ -1048,6 +1048,40 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_supplier_per_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: each quarter's highest-revenue supplier — a
+    (quarter, supplier) aggregate followed by max_by-style argmax with a
+    supplier-key tiebreaker (no per-quarter sort; partial aggregation on
+    the map side)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(
+                F.year("o_orderdate").cast("string"),
+                F.lit("-Q"),
+                F.quarter("o_orderdate").cast("string"),
+            ).alias("quarter"),
+            "l_suppkey",
+            rev.alias("rev"),
+        )
+        .groupBy("quarter", "l_suppkey")
+        .agg(F.round(F.sum("rev"), 2).alias("supp_rev"))
+    )
+    # argmax via max_by over a struct ordered (rev, -suppkey): ties go to
+    # the LOWEST supplier key deterministically
+    best = per.groupBy("quarter").agg(
+        F.max_by(
+            F.struct(F.col("l_suppkey").alias("top_suppkey"),
+                     F.col("supp_rev").alias("top_rev")),
+            F.struct(F.col("supp_rev"), (-F.col("l_suppkey")).alias("nk")),
+        ).alias("b")
+    )
+    return best.select("quarter", "b.top_suppkey", "b.top_rev")
+
+
 def q_disjunctive_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue from two disjunctive brand/size/quantity
     branches — the OR-of-ANDs predicate Catalyst must evaluate inside
@@ -2109,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_high_balance": q_dormant_high_balance,
         "promo_revenue_share": q_promo_revenue_share,
         "disjunctive_branch_revenue": q_disjunctive_branch_revenue,
+        "top_supplier_per_quarter": q_top_supplier_per_quarter,
     })
     return core
 
@@ -2997,6 +3032,22 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "top_supplier_per_quarter": """
+            WITH per AS (
+              SELECT concat(CAST(year(o_orderdate) AS VARCHAR), '-Q',
+                            CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter,
+                     l_suppkey,
+                     round(sum(l_extendedprice
+                               * (CAST(1 AS DOUBLE) - l_discount)), 2)
+                       AS supp_rev
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2)
+            SELECT quarter, l_suppkey AS top_suppkey, supp_rev AS top_rev
+            FROM per
+            QUALIFY row_number() OVER (PARTITION BY quarter
+                                       ORDER BY supp_rev DESC,
+                                                l_suppkey ASC) = 1
         """,
         "disjunctive_branch_revenue": """
             WITH j AS (
