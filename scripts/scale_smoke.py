@@ -120,11 +120,24 @@ def repetition(docs):
     return cleaning.repetition_metrics(docs, n=3)
 
 
+def tfidf_similar(k):
+    """max_df scales with the corpus for the same reason as the jaccard
+    guard (a fixed cutoff admits k-times-hotter terms under k-times
+    replication)."""
+    def run(docs):
+        from wistia_video_analytics_project_spark.operators import text
+
+        return text.similar_documents(docs, threshold=0.5, max_df=100 * k)
+
+    return run
+
+
 def doc_ops(k):
     return (
         ("minhash_lsh", dedup_minhash),
         (f"jaccard_df{25 * k}", dedup_jaccard_guarded(k)),
         ("repetition", repetition),
+        (f"tfidf_sim_df{100 * k}", tfidf_similar(k)),
     )
 
 
