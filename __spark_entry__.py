@@ -1048,6 +1048,34 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, joined back to customer detail — the semi-join-on-an-
+    aggregate pattern (the big-order keys frame is tiny and broadcasts
+    back against the fact). Top 20 by total price, deterministic."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
 def q_top_supplier_per_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: each quarter's highest-revenue supplier — a
     (quarter, supplier) aggregate followed by max_by-style argmax with a
@@ -2144,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": q_promo_revenue_share,
         "disjunctive_branch_revenue": q_disjunctive_branch_revenue,
         "top_supplier_per_quarter": q_top_supplier_per_quarter,
+        "large_volume_orders": q_large_volume_orders,
     })
     return core
 
@@ -3032,6 +3061,20 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "large_volume_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY 1
+              HAVING sum(l_quantity) > 250)
+            SELECT c_name, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS order_date,
+                   round(o_totalprice, 2) AS total_price,
+                   CAST(total_qty AS DOUBLE) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_price DESC, o_orderkey ASC LIMIT 20
         """,
         "top_supplier_per_quarter": """
             WITH per AS (
