@@ -1048,6 +1048,61 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: yearly shipped volume between two nations in both
+    directions (supplier nation x customer nation) — a dual-dimension
+    broadcast join with the direction pair kept as output keys."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    supp_n = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(*pair))),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = customer.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation")
+            ).filter(F.col("cust_nation").isin(*pair))
+        ),
+        customer.c_nationkey == F.col("__cnk"),
+    ).select("c_custkey", "cust_nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_n), lineitem.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust_n), orders.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(rev), 2).alias("volume"))
+    )
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N orders,
+    INCLUDING the zero-order customers (left join before the count-of-
+    counts) — the distribution query whose outer join is the point."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.select("o_orderkey", "o_custkey"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total line quantity exceeds a
     threshold, joined back to customer detail — the semi-join-on-an-
@@ -2173,6 +2228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_branch_revenue": q_disjunctive_branch_revenue,
         "top_supplier_per_quarter": q_top_supplier_per_quarter,
         "large_volume_orders": q_large_volume_orders,
+        "nation_pair_trade": q_nation_pair_trade,
+        "order_count_distribution": q_order_count_distribution,
     })
     return core
 
@@ -3061,6 +3118,30 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "nation_pair_trade": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice
+                             * (CAST(1 AS DOUBLE) - l_discount)), 2) AS volume
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              AND cn.n_name IN ('NATION_1', 'NATION_2')
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "order_count_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, count(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY 1)
+            SELECT n_orders, count(*) AS n_customers
+            FROM per_cust GROUP BY 1
         """,
         "large_volume_orders": """
             WITH big AS (
