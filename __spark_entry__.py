@@ -1048,6 +1048,44 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_shipment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavor: per order priority, the share of orders with at
+    least one line shipped >90 days after the order date — EXISTS
+    expressed as a distinct-key semi aggregate joined back to the order
+    dimension counts. Day arithmetic via datediff (integer, engine-
+    portable)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late_orders = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .filter(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    flagged = orders.join(
+        late_orders.withColumnRenamed("o_orderkey", "__late_key"),
+        orders.o_orderkey == F.col("__late_key"),
+        "left",
+    ).select(
+        "o_orderpriority",
+        F.col("__late_key").isNotNull().cast("double").alias("is_late"),
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("is_late").cast("long").alias("n_late"),
+        F.round(
+            (F.sum("is_late") / F.count(F.lit(1))).cast("decimal(18,6)"), 4
+        )
+        .cast("double")
+        .alias("late_rate"),
+    )
+
+
 def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: yearly shipped volume between two nations in both
     directions (supplier nation x customer nation) — a dual-dimension
@@ -2230,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_orders": q_large_volume_orders,
         "nation_pair_trade": q_nation_pair_trade,
         "order_count_distribution": q_order_count_distribution,
+        "late_shipment_rate": q_late_shipment_rate,
     })
     return core
 
@@ -3118,6 +3157,23 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING))
             WHERE rn = 1
+        """,
+        "late_shipment_rate": """
+            WITH late AS (
+              SELECT DISTINCT l_orderkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE datediff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE)) > 90)
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(CASE WHEN l_orderkey IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(round(CAST(sum(CASE WHEN l_orderkey IS NOT NULL
+                                            THEN CAST(1 AS DOUBLE)
+                                            ELSE CAST(0 AS DOUBLE) END)
+                                   / count(*) AS DECIMAL(18,6)), 4) AS DOUBLE)
+                     AS late_rate
+            FROM orders LEFT JOIN late ON o_orderkey = l_orderkey
+            GROUP BY 1
         """,
         "nation_pair_trade": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
