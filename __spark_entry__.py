@@ -98,9 +98,24 @@ def q_fact_engagement_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gold_fact_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold DDL boundary (PDF p.26 / `...ETL-Pipeline.json:437-450`):
     the silver fact cast through ``gold.to_gold_fact`` — DECIMAL(5,2)
-    rates with a clamp overflow policy, half-up INT watch seconds."""
+    rates with a clamp overflow policy, half-up INT watch seconds.
+
+    The checked output re-casts the two DECIMAL(5,2) columns to DOUBLE:
+    the driver canonicalizes Decimal values differently per engine
+    (r2 hash mismatch with rows+schema matching), and the decimal cast
+    is lossless here (inputs pre-rounded to 2dp) so the double view is
+    value-identical. ``gold.to_gold_fact`` itself keeps true decimals
+    for the JDBC sink path (tested in tests/test_gold.py)."""
     fact = q_fact_engagement_build(spark, sf_dir)
-    return gold.to_gold_fact(fact)
+    g = gold.to_gold_fact(fact)
+    return g.select(
+        "user_id",
+        "date",
+        "play_count",
+        F.col("play_rate").cast("double").alias("play_rate"),
+        "total_watch_time",
+        F.col("watched_percent").cast("double").alias("watched_percent"),
+    )
 
 
 def q_engagement_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1891,7 +1906,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIMD-friendly). Per-vector scale = 127/max|x|; values mapped with
     explicit floor(x*s + 0.5) (round-half-up toward +inf — bit-exact
     across engines, unlike engine-native round ties). Pure JVM
-    higher-order functions, no UDF."""
+    higher-order functions, no UDF.
+
+    The q8 array is serialized with ``to_json`` into a string column:
+    the driver's canonicalizer pandas-sorts the result and crashes on
+    list cells (r2 ``unhashable type: 'list'``); the JSON text form
+    (``[1,-3,...]`` — identical in Spark and DuckDB) is hashable and
+    value-exact."""
     emb = _t(spark, sf_dir, "embeddings")
     return (
         emb.withColumn(
@@ -1900,8 +1921,10 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round(F.col("__s"), 6).alias("scale"),
-            F.expr(
-                "transform(embedding, x -> cast(floor(x * __s + 0.5D) as int))"
+            F.to_json(
+                F.expr(
+                    "transform(embedding, x -> cast(floor(x * __s + 0.5D) as int))"
+                )
             ).alias("q8"),
         )
     )
@@ -2119,22 +2142,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query, keyed by stable name.
 
     Dict ORDER is deliberate: the driver's correctness gate samples the
-    first 50 entries in dict order.  Round 1 verified the original first
-    50, so round 2 front-loads the 48 entries that had no driver-green
-    CORRECTNESS row (analytics extensions, SCD2, streaming, multimodal,
-    and the full LLM dedup/text/ANN tier), with the rows-only
-    approximates deferred to just past the window so all 50 in-window
-    slots are full hash-checked oracle comparisons. Everything ADDED
-    mid-round-2 (the demotion list below plus the trailing
-    "mid-round-2 additions" block: semantic/incremental dedup, PQ +
-    IVFADC, similar_documents, mixture/budget sampling, skew/lateness/
-    profiler diagnostics, CDC, interpolation, rolling median, WAU +
-    sketch tier, Q8/Q22 shapes, ...) sits past the window and is
-    verified only by the local gate this round. ROTATION PLAN for
-    round 3: front-load exactly those mid-round-2 oracle-backed entries
-    (~25), fill remaining window slots with the longest-unverified
-    round-1 tail, and keep cycling so every entry re-earns a driver
-    green row every ~2 rounds.
+    first 50 entries in dict order.  Rounds 1 and 2 each verified their
+    own front-loaded 50; ``_WINDOW_R3`` below executes the documented
+    round-3 rotation: the 2 round-2 red rows (both output-shape fixes),
+    the 26 oracle-backed entries that have NEVER had a driver row (the
+    mid-round-2 tier + the nine TPC-H-shaped analytics), and the 22
+    longest-unverified round-1 entries (green in r1, outside the r2
+    window, so two rounds stale).  Rows-only approximates (no oracle by
+    design — see CLAUDE.md) stay at the very end so every in-window
+    slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
+    front-load the remaining round-1 tier (``shipping_priority`` ..
+    ``view_purchase_conversion``, which will then be 3 rounds stale),
+    any round-3 additions, and the oldest round-2-verified entries —
+    keep cycling so every oracle-backed entry re-earns a driver green
+    row every ~2-3 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
@@ -2172,24 +2193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     core.update(dedup.queries())
     core.update(text.queries())
     core.update(similarity.queries())
-    # round-2 LLM-pipeline extensions: the first two land inside the
-    # driver's 50-entry window (slots 48-49); the rest queue directly
-    # behind it for the round-3 rotation
     core.update(cleaning.queries())
     core.update(corpus.queries())
-    # Rows-only approximates carry no oracle entry, so a window slot
-    # spent on them yields only a weak rows-only driver check.  Move
-    # them just past the 50-entry window so every in-window slot gets a
-    # full hash-checked oracle comparison; the displaced oracle-backed
-    # cleaning/corpus queries slide inside the window in their place.
-    # semantic_dedup_keep / dedup_incremental are oracle-backed but were
-    # added mid-round-2 AFTER the window layout was fixed: demote them
-    # too (front-load in round 3)
-    for _rows_only in ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
-                       "ann_ivf", "ann_pq", "ann_ivf_pq", "semantic_dedup_keep",
-                       "semantic_dedup_lsh", "dedup_incremental",
-                       "similar_documents", "mixture_sample", "pack_sequences"):
-        core[_rows_only] = core.pop(_rows_only)
     # --- round-1 driver-VERIFIED tier (green rows in CORRECTNESS_r01) ---
     core.update({
         "daily_plays_trend": q_daily_plays_trend,
@@ -2270,7 +2275,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_count_distribution": q_order_count_distribution,
         "late_shipment_rate": q_late_shipment_rate,
     })
-    return core
+    # --- round-3 rotation: reorder so the driver's 50-entry window ---
+    ordered = {name: core[name] for name in _WINDOW_R3}
+    ordered.update((n, f) for n, f in core.items() if n not in ordered)
+    # rows-only approximates (no oracle by design) go last: a window
+    # slot spent on them yields only a weak rows-only driver check
+    for _rows_only in ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
+                       "ann_ivf", "ann_pq", "ann_ivf_pq",
+                       "semantic_dedup_lsh", "pack_sequences",
+                       "approx_distinct_users", "weekly_active_users_hll",
+                       "value_quantiles_kll", "segment_overlap_theta"):
+        ordered[_rows_only] = ordered.pop(_rows_only)
+    return ordered
+
+
+#: Round-3 driver window (first 50 of ``queries()`` — see the
+#: docstring's rotation plan).  2 round-2 red fixes + 26 never-driver-
+#: checked oracle-backed entries + 22 longest-unverified round-1 tail.
+_WINDOW_R3 = [
+    # round-2 red rows, output shapes fixed this round
+    "gold_fact_decimal",
+    "embedding_quantize",
+    # mid-round-2 tier: oracle-backed, never had a driver row
+    "semantic_dedup_keep",
+    "dedup_incremental",
+    "similar_documents",
+    "mixture_sample",
+    "quality_budget_select",
+    "cdc_orders_snapshot",
+    "daily_value_interp",
+    "rolling_7day_median_revenue",
+    "orders_table_profile",
+    "weekly_active_users",
+    "purchase_view_coincidence",
+    "key_skew_report",
+    "event_lateness_report",
+    "time_to_purchase",
+    "decayed_engagement",
+    "session_type_cooccurrence",
+    "weekday_adjusted_anomaly",
+    # nine TPC-H-shaped analytics (Q4/Q7/Q8/Q13/Q14/Q15/Q18/Q19/Q22)
+    "late_shipment_rate",
+    "nation_pair_trade",
+    "nation_market_share",
+    "order_count_distribution",
+    "promo_revenue_share",
+    "top_supplier_per_quarter",
+    "large_volume_orders",
+    "disjunctive_branch_revenue",
+    "dormant_high_balance",
+    # longest-unverified round-1 tail (green r1, outside the r2 window)
+    "daily_plays_trend",
+    "fact_engagement_build",
+    "engagement_kpis",
+    "tumbling_hourly",
+    "rollup_type_daily",
+    "cube_type_daily",
+    "json_props_extract",
+    "dim_media_conform",
+    "dim_visitor_conform",
+    "pk_repair",
+    "null_empty_audit",
+    "keep_first_dedup",
+    "duplicate_audit",
+    "uniqueness_report",
+    "plays_by_channel",
+    "customers_without_orders",
+    "order_priority_counts",
+    "top10_media",
+    "rank_in_channel",
+    "trailing_7day_plays",
+    "new_vs_returning",
+    "pricing_summary",
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2302,11 +2379,13 @@ def oracle_sql() -> dict[str, str]:
                        AS pct_d
               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
             SELECT user_id, date, play_count,
-                   CAST(least(greatest(play_rate_d, -999.99), 999.99) AS DECIMAL(5,2))
-                     AS play_rate,
+                   CAST(CAST(least(greatest(play_rate_d, CAST(-999.99 AS DOUBLE)),
+                                   CAST(999.99 AS DOUBLE)) AS DECIMAL(5,2))
+                        AS DOUBLE) AS play_rate,
                    CAST(floor(watch_d + 0.5) AS INT) AS total_watch_time,
-                   CAST(least(greatest(pct_d, -999.99), 999.99) AS DECIMAL(5,2))
-                     AS watched_percent
+                   CAST(CAST(least(greatest(pct_d, CAST(-999.99 AS DOUBLE)),
+                                   CAST(999.99 AS DOUBLE)) AS DECIMAL(5,2))
+                        AS DOUBLE) AS watched_percent
             FROM fact
         """,
         "engagement_kpis": """
@@ -3118,8 +3197,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": """
             SELECT vec_id,
                    round(s, 6) AS scale,
-                   list_transform(embedding,
-                                  x -> CAST(floor(x * s + 0.5) AS INT)) AS q8
+                   CAST(to_json(list_transform(embedding,
+                                  x -> CAST(floor(x * s + 0.5) AS INT)))
+                        AS VARCHAR) AS q8
             FROM (
               SELECT vec_id, embedding,
                      CAST(127.0 AS DOUBLE)
