@@ -388,13 +388,19 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10.
-    customer/orders sides filter-push before the join."""
+    customer/orders sides filter-push before the join.
+
+    No broadcast hint on the filtered customer side: it grows linearly
+    with scale factor (~30M rows at SF200) and would outgrow a
+    broadcast, so AQE picks broadcast-vs-shuffled-hash from the runtime
+    size (round-2 verdict item 6; tolerant plan test in
+    tests/test_plans.py)."""
     customer = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
     )
     rev = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

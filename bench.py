@@ -2,11 +2,17 @@
 """Benchmark: headline engine queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "secondary": {...}, "secondary_total": M, "sf": ...}
 
 ``value`` is total wall-clock seconds across the headline set (lower is
-better). Each query is executed to completion (collect), mirroring the
-driver's correctness runs.
+better) — the like-for-like series vs BASELINE.md, unchanged since
+round 1. ``secondary`` times the round-2 operator tier (CDC, sketches,
+incremental/semantic dedup, similar_documents, sampling) in the SAME
+JSON line so regressions there are measurable without breaking the
+one-line driver contract; its total is reported separately and is NOT
+part of ``value``. Each query is executed to completion (count),
+mirroring the driver's correctness runs.
 """
 
 from __future__ import annotations
@@ -64,6 +70,26 @@ HEADLINE = [
     "event_transitions",
 ]
 
+#: round-2 operator tier — timed separately (``secondary`` in the JSON
+#: line) so the headline series stays like-for-like vs BASELINE.md
+SECONDARY = [
+    "cdc_orders_snapshot",
+    "similar_documents",
+    "dedup_incremental",
+    "semantic_dedup_keep",
+    "mixture_sample",
+    "quality_budget_select",
+    "weekly_active_users",
+    "weekly_active_users_hll",
+    "value_quantiles_kll",
+    "segment_overlap_theta",
+    "rolling_7day_median_revenue",
+    "orders_table_profile",
+    "key_skew_report",
+    "daily_value_interp",
+    "time_to_purchase",
+]
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -76,18 +102,30 @@ def main() -> None:
     # to whichever headline query happens to run first.
     qs[HEADLINE[0]](spark, "/root/testdata/sf0.001").count()
 
+    from wistia_video_analytics_project_spark.cache import release_caches
+
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        best, n = float("inf"), 0
-        for _ in range(max(repeat, 1)):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    def run_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
+            best, n = float("inf"), 0
+            for _ in range(max(repeat, 1)):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                best = min(best, time.perf_counter() - t0)
+                # operators cache internal frames (minhash sigs, WAU
+                # pairs, ...); release between runs so one query's
+                # storage never skews another's timing
+                release_caches()
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        return timings
+
+    timings = run_set(HEADLINE)
+    secondary = run_set(SECONDARY)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -98,6 +136,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "secondary": secondary,
+                "secondary_total": round(sum(secondary.values()), 3),
                 "sf": float(sf) if sf else None,
             }
         )

@@ -106,3 +106,16 @@ def test_flatten_struct_recursive_and_prunable(spark):
     assert flat.columns == ["a", "s_b_c", "s_b_d", "s_e", "arr"]
     row = flat.collect()[0]
     assert (row.a, row.s_b_c, row.s_b_d, row.s_e, row.arr) == (1, 5, "x", 7, [1, 2])
+
+
+def test_flatten_struct_detects_name_collision(spark):
+    """Top-level `s_b` next to struct field `s.b` would produce an
+    ambiguous frame that only fails on later reference — flatten must
+    raise up front (round-2 ADVICE)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, {"b": 2})], "s_b long, s struct<b: long>"
+    )
+    with pytest.raises(ValueError, match="collision"):
+        conform.flatten_struct(df)

@@ -140,6 +140,10 @@ def test_mixture_sample_rejects_bad_weights(spark):
         corpus.mixture_sample(docs, {}, 100.0)
     with pytest.raises(ValueError):
         corpus.mixture_sample(docs, {"src0": -2.0, "src1": 1.0}, 100.0)
+    # mixed signs summing POSITIVE must also be rejected — the negative
+    # source would silently drop while inflating the others' budgets
+    with pytest.raises(ValueError, match="non-negative"):
+        corpus.mixture_sample(docs, {"src0": -2.0, "src1": 3.0}, 100.0)
 
 
 def test_quality_budget_select_greedy_by_quality(spark):

@@ -238,3 +238,16 @@ def test_incremental_minhash_dedup(spark, docs):
     assert not kept_ids & {9000, 9001, 9002}  # store near-dups dropped
     assert 9750 not in kept_ids  # within-batch dup of doc 250 dropped
     assert "sig" in kept.columns  # ready to append to the store
+
+
+def test_incremental_minhash_rejects_wrong_sig_width(spark, docs):
+    """A store persisted under a different N_MINHASH would silently
+    deflate est_jaccard (zip_with truncates to the shorter array) —
+    the probe must fail loudly instead (round-2 ADVICE)."""
+    store_docs = docs.filter("doc_id < 50")
+    bad_store = dedup.minhash_signatures(store_docs).withColumn(
+        "sig", F.slice("sig", 1, 16)  # half the expected width
+    )
+    batch = docs.filter("doc_id >= 50 AND doc_id < 60")
+    with pytest.raises(Exception, match="signature width"):
+        dedup.incremental_minhash_dedup(batch, bad_store).collect()

@@ -280,3 +280,28 @@ def test_ivf_pq_recall_improves_with_nprobe(spark, emb):
     r_pq = sum(len(truth[q] & got_pq.get(q, set())) / 5 for q in truth) / len(truth)
     # full probe == PQ-only candidates (same codes, same shortlist)
     assert abs(r_full - r_pq) < 1e-9, (r_full, r_pq)
+
+
+def test_topk_deterministic_at_score_ties(spark):
+    """Per-batch shortlist truncation must not depend on partition
+    layout at exact score ties (round-2 ADVICE: bare argpartition broke
+    ties arbitrarily). A corpus of many identical vectors ties every
+    score — the survivors must be the lowest neighbor_ids, on any
+    layout."""
+    vec = [1.0, 0.0, 0.0, 0.0]
+    corpus_rows = [(i, vec) for i in range(40)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>"
+    )
+    queries = corpus.filter("vec_id = 0")
+
+    def run(c):
+        return {
+            (r.query_id, r.neighbor_id, r.rnk)
+            for r in similarity.brute_force_topk_np(queries, c, k=5).collect()
+        }
+
+    want = {(0, n, n) for n in range(1, 6)}  # lowest ids win ties
+    assert run(corpus.repartition(1)) == want
+    assert run(corpus.repartition(7)) == want
+    assert run(corpus.repartition(17, "vec_id")) == want

@@ -23,6 +23,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
+
 # ---------------------------------------------------------------------------
 # Joins (J1-J3)
 # ---------------------------------------------------------------------------
@@ -597,9 +599,9 @@ def sliding_distinct(
     """
     # cached: the spine derives from the SAME pairs frame — without the
     # cache its lineage (a full raw-stream scan + distinct) runs twice
-    pairs = df.select(
+    pairs = track(df.select(
         F.col(entity_col).alias("__e"), F.col(date_col).alias("__d")
-    ).distinct().cache()
+    ).distinct().cache())
     spine = pairs.select(F.col("__d").alias("__day")).distinct()
     delta = F.datediff(F.col("__day"), F.col("__d"))
     j = pairs.join(

@@ -211,10 +211,23 @@ def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
         return out
 
     cols = []
+    names: list[str] = []
     for f in df.schema.fields:
         if isinstance(f.dataType, StructType):
             for path in leaves(f.dataType, (f.name,)):
                 cols.append(F.col(".".join(path)).alias(sep.join(path)))
+                names.append(sep.join(path))
         else:
             cols.append(F.col(f.name))
+            names.append(f.name)
+    # a flattened path can collide with an existing column (top-level
+    # `a_b` next to struct `a.b`) — that would yield an ambiguous frame
+    # that only fails on later reference; fail loudly here instead
+    seen: set[str] = set()
+    dups = {n for n in names if n in seen or seen.add(n)}
+    if dups:
+        raise ValueError(
+            f"flatten_struct name collision(s) {sorted(dups)}; "
+            f"pick a different sep or rename before flattening"
+        )
     return df.select(*cols)

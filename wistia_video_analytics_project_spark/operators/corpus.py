@@ -123,6 +123,9 @@ def mixture_sample(
     Sources absent from ``weights`` are dropped (explicit mixture spec).
     One aggregate + one broadcast join + a filter: no corpus shuffle.
     """
+    bad = {s: w for s, w in weights.items() if float(w) < 0}
+    if bad:
+        raise ValueError(f"weights must be non-negative, got {bad}")
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")

@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..session import configure_runtime
 from ..sources import load_table
 from .text import fingerprint, tokens
@@ -346,7 +347,7 @@ def minhash_lsh_pairs(
     minhash lineage three times (~2.5x wall-clock at sf0.1). At cluster
     scale this would be ``persist(MEMORY_AND_DISK)`` or a written table.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, n).cache()
+    sigs = track(minhash_signatures(docs, text_col, id_col, n).cache())
     cand = minhash_lsh_candidates(sigs)
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     return (
@@ -428,7 +429,23 @@ def incremental_minhash_dedup(
     elides its shuffle. Returns kept rows WITH their ``sig`` column —
     append those to the store for the next batch.
     """
-    sigs_new = minhash_signatures(new_docs, text_col, id_col, n).cache()
+    # a store persisted under a different signature width would silently
+    # deflate est_jaccard (_sig_overlap divides by N_MINHASH and zip_with
+    # truncates to the shorter array) — fail loudly instead
+    seen_sigs = seen_sigs.withColumn(
+        "sig",
+        F.when(F.size("sig") == N_MINHASH, F.col("sig")).otherwise(
+            F.raise_error(
+                F.concat_ws(
+                    " ",
+                    F.lit("seen_sigs signature width"),
+                    F.size("sig").cast("string"),
+                    F.lit(f"!= N_MINHASH={N_MINHASH}; rebuild the store"),
+                )
+            )
+        ),
+    )
+    sigs_new = track(minhash_signatures(new_docs, text_col, id_col, n).cache())
 
     # (a) cross-store: band collision -> signature-overlap verify
     cand = (

@@ -24,6 +24,8 @@ from contextlib import contextmanager
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..cache import track
+
 
 def salted_join(
     skewed: DataFrame,
@@ -208,7 +210,7 @@ def skew_report(
     100 TB).
     """
     keys = [F.col(c) for c in key_cols]
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows")).cache()
+    counts = track(df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows")).cache())
     totals = counts.agg(
         F.sum("n_rows").alias("__total"),
         F.count(F.lit(1)).alias("__n_keys"),

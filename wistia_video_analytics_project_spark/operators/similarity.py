@@ -28,6 +28,7 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..session import configure_runtime
 from ..sources import load_table
 
@@ -230,7 +231,7 @@ def ann_lsh_topk(
     # bands feed both join sides: cache to avoid recomputing the
     # signature UDF lineage twice
     sigs = srp_signatures(all_vecs, dim, id_col, vec_col)
-    bands = srp_bands(sigs, id_col).cache()
+    bands = track(srp_bands(sigs, id_col).cache())
 
     q_bands = bands.join(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
@@ -314,7 +315,10 @@ def brute_force_topk_np(
             out_q, out_n, out_s = [], [], []
             kk = min(k + 1, sims.shape[1])  # +1 allows dropping self-match
             for qi in range(len(qids)):
-                idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+                # lexsort, not argpartition: at exact score ties the
+                # shortlist must not depend on partition layout —
+                # (sim desc, neighbor_id asc) mirrors the global re-rank
+                idx = np.lexsort((nids, -sims[qi]))[:kk]
                 out_q.extend([qids[qi]] * len(idx))
                 out_n.extend(nids[idx])
                 out_s.extend(np.round(sims[qi][idx], 6))
@@ -726,7 +730,8 @@ def pq_topk(
             out_q, out_n, out_s = [], [], []
             kk = min(k + 1, sims.shape[1])
             for qi in range(len(qids)):
-                idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+                # deterministic at score ties (see brute_force_topk_np)
+                idx = np.lexsort((nids, -sims[qi]))[:kk]
                 out_q.extend([qids[qi]] * len(idx))
                 out_n.extend(nids[idx])
                 out_s.extend(np.round(sims[qi][idx], 6))

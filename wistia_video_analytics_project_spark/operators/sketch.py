@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import track
+
 DEFAULT_DEPTH = 4
 DEFAULT_WIDTH = 1024
 
@@ -176,7 +178,7 @@ def hll_rolling_distinct(
     # cache: both the spine and the join consume the sketches frame —
     # uncached, its lineage (full raw scan + sketch build) would run
     # twice; cached it is |days| rows of small binaries
-    sketches = sketches.cache()
+    sketches = track(sketches.cache())
     spine = sketches.select(F.col("day").alias("__day")).distinct()
     delta = F.datediff(F.col("__day"), F.col("day"))
     j = sketches.join(

@@ -25,6 +25,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .cache import track
+
 
 @dataclass
 class Stage:
@@ -121,7 +123,7 @@ class Pipeline:
                 try:
                     out = s.fn(ctx)
                     if s.cache and out is not None:
-                        out = out.cache()
+                        out = track(out.cache())
                     ctx.outputs[s.name] = out
                     results.append(
                         StageResult(
