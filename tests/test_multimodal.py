@@ -131,3 +131,97 @@ def test_resize_images(spark, assets):
     again = {r.asset_id: bytes(r.payload) if r.payload is not None else None
              for r in multimodal.resize_images(assets.repartition(3), max_width=320).collect()}
     assert again[1] == bytes(r1.payload)
+
+
+# ---------------------------------------------------------------------------
+# Real decode: BMP / PPM (pure numpy, no codec libraries)
+# ---------------------------------------------------------------------------
+
+# 3x2 RGB test image, row-major top-down
+PIXELS = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(255, 255, 255), (0, 0, 0), (128, 64, 32)],
+]
+
+
+def _bmp_bytes(top_down: bool = False) -> bytes:
+    """Hand-built 24bpp BI_RGB BMP of PIXELS (4-byte row padding)."""
+    import struct
+
+    w, h = 3, 2
+    row_bytes = (w * 3 + 3) & ~3  # 12
+    pix = b""
+    rows = PIXELS if top_down else list(reversed(PIXELS))
+    for row in rows:
+        for r, g, b in row:
+            pix += bytes([b, g, r])
+        pix += b"\x00" * (row_bytes - w * 3)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(pix), 0, 0, 0, 0,
+    )
+    return header + dib + pix
+
+
+def _ppm_bytes() -> bytes:
+    body = b"".join(bytes(px) for row in PIXELS for px in row)
+    return b"P6\n# test comment\n3 2\n255\n" + body
+
+
+def test_decode_bmp_and_ppm_agree_on_pixels():
+    import numpy as np
+
+    bmp = multimodal.decode_image(_bmp_bytes())
+    bmp_td = multimodal.decode_image(_bmp_bytes(top_down=True))
+    ppm = multimodal.decode_image(_ppm_bytes())
+    want = np.array(PIXELS, dtype=np.uint8)
+    assert np.array_equal(bmp, want)
+    assert np.array_equal(bmp_td, want)
+    assert np.array_equal(ppm, want)
+    # features are computed from CONTENT, so they agree across formats
+    assert multimodal.real_decode(_bmp_bytes(), "image") == \
+        multimodal.real_decode(_ppm_bytes(), "image")
+    # and mean-channel features reflect the actual pixels
+    f = multimodal.real_decode(_bmp_bytes(), "image")
+    assert f[0] == round((255 + 0 + 0 + 255 + 0 + 128) / 6 / 255.0, 6)
+    assert multimodal.decode_image(b"not an image") is None
+
+
+def test_real_decode_still_raises_for_compressed_formats():
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.real_decode(b"\x89PNG\r\n\x1a\n....", "image")
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.real_decode(_bmp_bytes(), "audio")
+
+
+def test_extract_features_uses_real_pixels_for_decodable_payloads(spark):
+    rows = [
+        (10, "image", _bmp_bytes(), 3, 2, None, "bmp"),
+        (11, "image", _ppm_bytes(), 3, 2, None, "ppm"),
+        (12, "image", b"not-an-image", 3, 2, None, "png"),
+    ]
+    df = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = {r.asset_id: list(r.feature)
+           for r in multimodal.extract_features(df).collect()}
+    want = multimodal.real_decode(_bmp_bytes(), "image")
+    assert out[10] == want
+    assert out[11] == want  # same content, different container
+    assert out[12] == multimodal._fake_decode(b"not-an-image")  # fallback
+
+
+def test_resize_really_resamples_decodable_images(spark):
+    import numpy as np
+
+    # 8x4 gradient PPM: value = x * 32 in every channel
+    px = np.tile((np.arange(8, dtype=np.uint8) * 32)[None, :, None], (4, 1, 3))
+    payload = multimodal.encode_ppm(px)
+    df = spark.createDataFrame(
+        [(1, "image", payload, 8, 4, None, "ppm")], schemas.MEDIA_ASSETS
+    )
+    out = multimodal.resize_images(df, max_width=4).collect()[0]
+    assert (out.width, out.height) == (4, 2)
+    got = multimodal.decode_image(bytes(out.payload))
+    assert got.shape == (2, 4, 3)
+    # nearest-neighbor on a pure-x gradient keeps columns 0,2,4,6
+    assert np.array_equal(got[0, :, 0], np.array([0, 64, 128, 192], np.uint8))
