@@ -271,20 +271,33 @@ N_BANDS = 8  # 8 bands x 4 rows
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(doc_id, sig array<bigint>[32]): per-seed min of xxhash64(shingle).
+    """(doc_id, sig array<bigint>[32]): per-slot min over the doc's
+    shingle hashes.
 
-    One explode + one groupBy — linear in total shingle count. xxhash64 is
-    a seeded JVM-side hash, deterministic across runs and cluster layouts.
+    ZERO-shuffle: the per-doc shingle array from ``_shingle_arrays`` is
+    already narrow, so each signature row is
+    ``array_min(transform(hashes, h -> xxhash64(h, slot)))`` — a pure
+    map over the corpus (embarrassingly parallel at 100 TB, where the
+    previous explode+groupBy shape shuffled every shingle row). Each
+    shingle string is hashed ONCE (``xxhash64(s)``); the 32 slot hashes
+    re-hash that fixed 8-byte value, which is ~an order of magnitude
+    cheaper than 32 string hashes per shingle. xxhash64 is JVM-side and
+    deterministic across runs and cluster layouts.
+
+    Docs with fewer than ``n`` tokens have no shingles and are excluded
+    (same contract as the previous groupBy shape).
     """
-    sh = shingles(docs, text_col, id_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"mh{s}")
+    arr = _shingle_arrays(docs, text_col, id_col, n).filter(
+        F.size("__shingles") > 0
+    )
+    hashed = arr.select(
+        "doc_id", F.expr("transform(__shingles, s -> xxhash64(s))").alias("__h")
+    )
+    slots = [
+        F.array_min(F.expr(f"transform(__h, h -> xxhash64(h, {s}L))"))
         for s in range(N_MINHASH)
     ]
-    per_doc = sh.groupBy("doc_id").agg(*mins)
-    return per_doc.select(
-        "doc_id", F.array(*[f"mh{s}" for s in range(N_MINHASH)]).alias("sig")
-    )
+    return hashed.select("doc_id", F.array(*slots).alias("sig"))
 
 
 def minhash_bands(sigs: DataFrame) -> DataFrame:
