@@ -154,3 +154,52 @@ def test_similar_documents_max_df_controls_saturation(spark):
     n_full = text_ops.similar_documents(docs, threshold=0.5).count()
     n_guarded = text_ops.similar_documents(docs, threshold=0.5, max_df=100).count()
     assert n_guarded * 10 < n_full, (n_guarded, n_full)
+
+
+def test_lm_bits_per_token_semantics(spark):
+    """Add-k bigram LM: a document made of the corpus's dominant bigram
+    scores fewer bits/token than one full of one-off bigrams, and the
+    value matches a hand-computed reference exactly."""
+    import math
+
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "zq xw vy ub tk"),  # every bigram unique to this doc
+        (4, "the cat the cat the cat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.lm_bits_per_token(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].n_bigrams == 5
+    # dominant-bigram doc is most predictable; unique-bigram doc least
+    assert out[4].bits_per_token < out[1].bits_per_token
+    assert out[3].bits_per_token > out[1].bits_per_token
+
+    # exact reference computation in Python
+    toks = {i: t.lower().split() for i, t in rows}
+    bgs = {i: list(zip(t, t[1:])) for i, t in toks.items()}
+    from collections import Counter
+
+    cb = Counter(b for bs in bgs.values() for b in bs)
+    cc = Counter(b[0] for bs in bgs.values() for b in bs)
+    vocab = {w for t in toks.values() for w in t}
+    k, V = 0.5, float(len(vocab))
+    for i in (1, 2, 3, 4):
+        bits = -sum(
+            math.log2((cb[b] + k) / (cc[b[0]] + k * V)) for b in bgs[i]
+        ) / len(bgs[i])
+        assert out[i].bits_per_token == round(bits, 4), i
+
+
+def test_lm_bits_excludes_sub_bigram_docs(spark):
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, None), (4, "two tokens")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in text_ops.lm_bits_per_token(docs).collect()}
+    assert got == {4}

@@ -368,6 +368,67 @@ def make_chunk_udtf(chunk_size: int = 50, stride: int = 40):
     return Chunker
 
 
+def lm_bits_per_token(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model cross-entropy per document — the
+    CCNet/KenLM-style quality signal used to filter web corpora for LLM
+    training (low bits/token = fluent in-domain text; high = boilerplate,
+    noise, or out-of-domain).
+
+    Model: add-``k`` smoothed bigram LM trained on the SAME corpus being
+    scored: ``P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V)`` with
+    ``c(w1,·)`` the corpus count of w1 as a bigram context and ``V`` the
+    corpus vocabulary size. Per doc: ``bits = -mean(log2 P)`` over its
+    bigrams.
+
+    Shape at 100 TB: one pass explodes per-doc bigram pairs (narrow HOF
+    construction, same pattern as shingling); counts are two partial-agg
+    groupBys over the bigram stream; scoring is two equi-joins of the
+    bigram stream against its own (much smaller) count tables plus one
+    per-doc agg. No UDFs, no driver-side state — ``V`` rides along as a
+    1-row broadcast cross join.
+
+    Documents with fewer than two tokens have no bigrams and are
+    excluded. Results round to 4 decimals (sum-of-logs noise ~1e-12).
+    """
+    toks = tokens(text_col)
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), toks.alias("__t")
+    ).filter(F.size("__t") >= 2)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), i -> "
+                "struct(element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2))"
+            )
+        ).alias("__b"),
+    ).select("doc_id", "__b.w1", "__b.w2")
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+    context_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__cc"))
+    vocab = (
+        base.select(F.explode("__t").alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("__v"))
+    )
+    p = (F.col("__cb") + F.lit(k)) / (F.col("__cc") + F.lit(k) * F.col("__v"))
+    return (
+        bg.join(bigram_counts, ["w1", "w2"])
+        .join(context_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum(F.log2(p)) / F.count(F.lit(1)), 4).alias(
+                "bits_per_token"
+            ),
+        )
+    )
+
+
 def q_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_keywords(_docs(spark, sf_dir), k=3)
 
@@ -394,6 +455,11 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_size=50, stride=40)
 
 
+def q_lm_bits_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy quality score over documents."""
+    return lm_bits_per_token(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_profile": q_text_profile,
@@ -404,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_chunks": q_doc_chunks,
         "similar_documents": q_similar_documents,
+        "lm_bits_per_token": q_lm_bits_per_token,
     }
 
 
@@ -549,5 +616,29 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY tfidf DESC, term ASC) AS rnk
               FROM scored)
             WHERE rnk <= 3
+        """,
+        "lm_bits_per_token": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents
+              WHERE text IS NOT NULL
+                AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 2),
+            e AS (
+              SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+              FROM base),
+            bg AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+              FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+            cc AS (SELECT w1, count(*) AS cc FROM bg GROUP BY 1),
+            v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs FROM e)
+            SELECT bg.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(-sum(log2((cb + CAST(0.5 AS DOUBLE))
+                                   / (cc + CAST(0.5 AS DOUBLE) * vs)))
+                         / count(*), 4) AS bits_per_token
+            FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+            GROUP BY 1
         """,
     }
