@@ -2134,6 +2134,44 @@ def q_streaming_daily_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION-window sessionization run to completion (file
+    stream -> session_window(30 min gap) -> memory sink).
+
+    Append mode emits exactly the sessions the final watermark closed:
+    session_end <= max(ts) - 1 hour — deterministic and expressible as
+    gaps-and-islands SQL, so the dynamic-window streaming path is
+    oracle-checked like the tumbling one.
+    """
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+        session_window_stats,
+    )
+
+    import os
+    import re as _re
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
+    stage = os.path.join(
+        tempfile.gettempdir(), f"stream_events_{tag}_{os.getpid()}"
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(events.schema).parquet(stage)
+    agg = session_window_stats(
+        stream, gap="30 minutes", watermark="1 hour", key_cols=("user_id",)
+    )
+    name = f"stream_sessions_{tag}"
+    run_to_memory_sink(agg, name)
+    return spark.sql(
+        f"SELECT user_id, session_start_us, session_end_us, n_events, "
+        f"total_value FROM {name}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2280,6 +2318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_pair_trade": q_nation_pair_trade,
         "order_count_distribution": q_order_count_distribution,
         "late_shipment_rate": q_late_shipment_rate,
+        # round-3 additions (rotate into the window in round 4)
+        "streaming_sessions": q_streaming_sessions,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -2817,6 +2857,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "streaming_sessions": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               >= 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) + 1800000000 AS session_end_us,
+                   count(*) AS n_events,
+                   round(sum(coalesce(value, 0.0)), 2) AS total_value
+            FROM sess
+            GROUP BY user_id, sid
+            HAVING epoch_us(max(ts)) + 1800000000
+                     <= epoch_us((SELECT max(ts) FROM events)) - 3600000000
         """,
         "union_schema_drift": """
             WITH unioned AS (

@@ -521,3 +521,53 @@ def test_backfill_then_stream_equals_full_recompute(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_session_window_stats_matches_batch_sessionize(spark, tmp_path):
+    """The named streaming job agrees with the batch gaps-and-islands
+    operator on every closed session (same gap, same cutoff rule)."""
+    from wistia_video_analytics_project_spark.operators import temporal
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+        session_window_stats,
+    )
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (t, 1, "view", 1.0),
+        (t + dt.timedelta(minutes=10), 1, "view", 2.5),
+        (t + dt.timedelta(minutes=50), 1, "view", 4.0),   # new session (40m gap)
+        (t + dt.timedelta(minutes=12), 2, "view", 8.0),
+        (t + dt.timedelta(hours=6), 1, "view", 0.5),      # advances watermark
+    ]
+    path = str(tmp_path / "sess_ev")
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(path)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    run_to_memory_sink(session_window_stats(stream), "sess_stats_out")
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         r.total_value)
+        for r in spark.sql("SELECT * FROM sess_stats_out").collect()
+    }
+
+    batch = temporal.sessionize(
+        spark.createDataFrame(rows, EVENT_SCHEMA), "user_id", "ts"
+    )
+    gap_us = 30 * 60 * 1_000_000
+    cutoff_us = max(int(r[0].timestamp() * 1e6) for r in rows) - 3_600_000_000
+    want = set()
+    for r in (
+        batch.groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s"),
+            (F.unix_micros(F.max("ts")) + F.lit(gap_us)).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+        .collect()
+    ):
+        if r.e <= cutoff_us:
+            want.add((r.user_id, r.s, r.e, r.n, r.v))
+    # user1 sessions 1+2 and user2's session are closed by the final
+    # watermark (15:00); only the 16:00 event's session stays open
+    assert got == want and len(got) == 3

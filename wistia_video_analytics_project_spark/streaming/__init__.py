@@ -23,6 +23,7 @@ from .jobs import (  # noqa: F401
     foreach_batch_upsert,
     rollup_merge_fn,
     run_to_memory_sink,
+    session_window_stats,
     stream_stream_window_join,
     windowed_engagement,
 )

@@ -70,6 +70,45 @@ def windowed_engagement(
     )
 
 
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — the dynamic-gap
+    analog of the batch ``temporal.sessionize`` operator (§2.9 surface):
+    per key, events closer than ``gap`` merge into one session
+    ``[first_ts, last_ts + gap)``; a session is emitted exactly once,
+    when the watermark passes its end.
+
+    State per key is one open session (merged in place by the session
+    state store), so memory is bounded by |active keys|, not event
+    volume — with the watermark garbage-collecting closed sessions this
+    holds at any scale. Session bounds are reported as epoch MICROS
+    (integer) per the engine's timestamp-parity convention.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce(F.col(value_col), F.lit(0.0))), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            *key_cols,
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: Sequence[str],
