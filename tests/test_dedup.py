@@ -251,3 +251,54 @@ def test_incremental_minhash_rejects_wrong_sig_width(spark, docs):
     batch = docs.filter("doc_id >= 50 AND doc_id < 60")
     with pytest.raises(Exception, match="signature width"):
         dedup.incremental_minhash_dedup(batch, bad_store).collect()
+
+
+def test_winnow_guarantee_and_candidates(spark):
+    """Winnowing guarantee: a shared run of >= w + k - 1 tokens always
+    shares a fingerprint; disjoint docs share none. k=4, w=4 -> any
+    7-token common substring must collide."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    rows = [
+        (1, f"intro words here {shared} tail one"),
+        (2, f"{shared} completely different ending text"),
+        (3, "nothing in common with anything else at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.winnow_candidate_pairs(docs, k=4, w=4, max_df=10).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_fingerprint_density_and_short_docs(spark):
+    """Selected fingerprints ~ 2/(w+1) of k-grams (far fewer than all);
+    docs shorter than k tokens are excluded, docs with < w k-grams
+    contribute exactly their global min."""
+    import random
+
+    words = [f"w{i}" for i in range(50)]
+    rng = random.Random(7)
+    long_text = " ".join(rng.choice(words) for _ in range(400))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "too short"), (3, "exactly four tokens here")],
+        "doc_id long, text string",
+    )
+    fps = dedup.winnow_fingerprints(docs, k=4, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    n_grams = 400 - 4 + 1
+    assert len(by_doc[1]) < n_grams * 0.6  # dense docs select a small subset
+    assert len(by_doc[1]) > n_grams * 0.1
+    assert 2 not in by_doc  # < k tokens: no k-grams
+    assert len(by_doc[3]) == 1  # one k-gram -> its min
+
+
+def test_winnow_layout_independent(spark, docs):
+    a = {(r.doc_id_a, r.doc_id_b, r.n_shared)
+         for r in dedup.winnow_candidate_pairs(docs).collect()}
+    b = {(r.doc_id_a, r.doc_id_b, r.n_shared)
+         for r in dedup.winnow_candidate_pairs(docs.repartition(13)).collect()}
+    assert a == b

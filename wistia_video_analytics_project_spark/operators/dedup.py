@@ -691,6 +691,96 @@ def connected_components(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., MOSS)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, fp): winnowed document fingerprints — from each window of
+    ``w`` consecutive word ``k``-gram hashes keep the minimum; any shared
+    substring of at least ``w + k - 1`` tokens is GUARANTEED to share a
+    fingerprint (the winnowing guarantee), while only ~``2/(w+1)`` of
+    all k-grams are kept.
+
+    The k-gram hash is the md5 hex digest and the window minimum is the
+    lexicographic string min — both identical in every SQL engine, so
+    the selected fingerprint SET (not just derived counts) is
+    oracle-comparable; a throughput-first deployment would swap md5 for
+    ``xxhash64`` and numeric mins, trading oracle parity for speed.
+
+    Zero-shuffle: per-doc arrays all the way (same narrow HOF shape as
+    shingling); docs shorter than ``k`` tokens have no k-grams and are
+    excluded. Docs with fewer than ``w`` k-grams contribute their single
+    global minimum.
+    """
+    toks = tokens(text_col)
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+        .filter(F.size("__t") >= k)
+    )
+    grams = base.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(__t) - {k} + 1), "
+            f"i -> md5(concat_ws(' ', slice(__t, i, {k}))))"
+        ).alias("__g"),
+    )
+    selected = F.expr(
+        f"""
+        CASE WHEN size(__g) >= {w}
+             THEN transform(sequence(1, size(__g) - {w} + 1),
+                            i -> array_min(slice(__g, i, {w})))
+             ELSE array(array_min(__g)) END
+        """
+    )
+    return grams.select(
+        "doc_id", F.explode(F.array_distinct(selected)).alias("fp")
+    )
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowed fingerprints:
+    ``(doc_id_a < doc_id_b, n_shared)`` where ``n_shared`` counts the
+    distinct fingerprints both documents selected.
+
+    Scale shape: fingerprints are ~|tokens|·2/(w+1) rows; the stop-
+    fingerprint guard (``max_df``) caps every bucket's join fan-out the
+    same way ``max_df`` guards the shingle self-join, so pair volume is
+    bounded by Σ C(df≤max_df, 2) per fingerprint — never all-pairs.
+    """
+    e = winnow_fingerprints(docs, k, w, text_col, id_col)
+    keep = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("fp")
+    )
+    e2 = e.join(keep, "fp")
+    a = e2.select(F.col("doc_id").alias("doc_id_a"), "fp")
+    b = e2.select(F.col("doc_id").alias("doc_id_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return load_table(spark, sf_dir, "documents")
@@ -789,6 +879,11 @@ def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowed-fingerprint candidate pairs over documents."""
+    return winnow_candidate_pairs(_docs(spark, sf_dir), k=4, w=4, max_df=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -802,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_cluster_keep": q_dedup_cluster_keep,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_winnow": q_dedup_winnow,
     }
 
 
@@ -938,5 +1034,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
             WHERE cc.node IS NULL OR d.doc_id = cc.cluster_id
             GROUP BY 1
+        """,
+        "dedup_winnow": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS tk
+              FROM documents
+              WHERE text IS NOT NULL
+                AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 4),
+            g AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, len(tk) - 4 + 1),
+                       i -> md5(array_to_string(list_slice(tk, i, i + 4 - 1),
+                                                ' '))) AS gr
+              FROM t),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN len(gr) >= 4
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(gr) - 4 + 1),
+                                 i -> list_aggregate(
+                                        list_slice(gr, i, i + 4 - 1), 'min')))
+                          ELSE [list_aggregate(gr, 'min')] END AS fps
+              FROM g),
+            e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+            keep AS (
+              SELECT fp FROM e GROUP BY fp
+              HAVING count(*) >= 2 AND count(*) <= 100),
+            e2 AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp))
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   count(*) AS n_shared
+            FROM e2 a JOIN e2 b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
     }
