@@ -1107,6 +1107,102 @@ def q_late_shipment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 flavor: profit by supplier nation x ship year. The
+    testdata has no partsupp table, so cost is modeled from the part
+    dimension (0.6 x retail price x quantity) — the join/agg shape
+    (lineitem ⋈ part ⋈ supplier ⋈ nation, two broadcast dims, one
+    grouped partial-agg) is the Q9 plan; only the cost column differs."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part.select("p_partkey", "p_retailprice"),
+                li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 flavor: yearly-averaged revenue from small-quantity
+    orders of one brand's parts — the correlated scalar subquery
+    (per-part avg quantity) decorrelated into a groupBy + join, which
+    is exactly Spark's own decorrelation plan. The avg threshold is
+    rounded to 6 decimals on BOTH engines before the comparison so a
+    1e-14 accumulation difference can't flip a boundary row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    per_part = (
+        li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.round(F.lit(0.5) * F.avg("l_quantity"), 6).alias("__thr"))
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == per_part.p_partkey)
+        .filter(F.col("l_quantity") < F.col("__thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 flavor: suppliers who were the ONLY late shipper in
+    multi-supplier orders (late = shipped >90 days after order date;
+    the testdata has no commit/receipt dates). The EXISTS/NOT-EXISTS
+    pair decorrelates into per-order distinct-supplier counts — two
+    partial aggs off one shared scan — and the result is a
+    deterministic top-10."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(
+        "o_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+        ).alias("__late"),
+    )
+    per_order = lo.groupBy("o_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late"
+        ),
+    )
+    sole_late = (
+        lo.filter(F.col("__late"))
+        .select("o_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
+            ).select("o_orderkey"),
+            "o_orderkey",
+        )
+    )
+    counts = (
+        sole_late.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            sole_late.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return analytics.top_k(counts, 10, [F.desc("numwait"), F.asc("s_name")])
+
+
 def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: yearly shipped volume between two nations in both
     directions (supplier nation x customer nation) — a dual-dimension
@@ -2320,6 +2416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_rate": q_late_shipment_rate,
         # round-3 additions (rotate into the window in round 4)
         "streaming_sessions": q_streaming_sessions,
+        "nation_year_profit": q_nation_year_profit,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "sole_late_supplier": q_sole_late_supplier,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3324,6 +3423,54 @@ def oracle_sql() -> dict[str, str]:
                      AS late_rate
             FROM orders LEFT JOIN late ON o_orderkey = l_orderkey
             GROUP BY 1
+        """,
+        "nation_year_profit": """
+            SELECT n_name AS nation, year(l_shipdate) AS o_year,
+                   round(sum(l_extendedprice
+                             * (CAST(1 AS DOUBLE) - l_discount)
+                             - CAST(0.6 AS DOUBLE) * p_retailprice
+                               * l_quantity), 2) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "small_quantity_revenue": """
+            WITH thr AS (
+              SELECT p_partkey,
+                     round(CAST(0.5 AS DOUBLE) * avg(l_quantity), 6) AS t
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#1'
+              GROUP BY 1)
+            SELECT round(sum(l_extendedprice) / CAST(7.0 AS DOUBLE), 2)
+                     AS avg_yearly
+            FROM lineitem JOIN thr ON l_partkey = thr.p_partkey
+            WHERE l_quantity < t
+        """,
+        "sole_late_supplier": """
+            WITH lo AS (
+              SELECT o_orderkey, l_suppkey,
+                     datediff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) > 90 AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            per_order AS (
+              SELECT o_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                       AS n_late
+              FROM lo GROUP BY 1),
+            sole AS (
+              SELECT DISTINCT lo.o_orderkey, lo.l_suppkey
+              FROM lo JOIN per_order USING (o_orderkey)
+              WHERE lo.late AND n_supp >= 2 AND n_late = 1),
+            counts AS (
+              SELECT s_name, count(*) AS numwait
+              FROM sole JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1)
+            SELECT s_name, numwait FROM counts
+            ORDER BY numwait DESC, s_name ASC LIMIT 10
         """,
         "nation_pair_trade": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
