@@ -203,3 +203,25 @@ def test_lm_bits_excludes_sub_bigram_docs(spark):
     )
     got = {r.doc_id for r in text_ops.lm_bits_per_token(docs).collect()}
     assert got == {4}
+
+
+def test_source_divergence_detects_drift(spark):
+    """A source with alien vocabulary diverges more than sources drawn
+    from the same word pool; a single-source corpus has JSD == 0."""
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    pool = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{pool} {pool}", "a"),
+        (2, f"{pool} alpha beta", "b"),
+        (3, "zork quux fizz buzz gronk zork quux", "c"),  # drifted
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r.js_divergence
+           for r in text_ops.source_divergence(docs).collect()}
+    assert out["c"] > out["a"] and out["c"] > out["b"]
+    assert 0.0 <= min(out.values()) and max(out.values()) <= 1.0
+
+    solo = spark.createDataFrame(rows[:1], "doc_id long, text string, source string")
+    only = text_ops.source_divergence(solo).collect()[0]
+    assert only.js_divergence == 0.0

@@ -429,6 +429,53 @@ def lm_bits_per_token(
     )
 
 
+def source_divergence(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between each source's unigram
+    distribution and the whole corpus — the mixture-drift monitor a
+    training pipeline runs per ingest batch (a source whose JSD jumps
+    changed its content mix).
+
+    Closed-form trick: for words ABSENT from a source (p=0) the JSD
+    contribution is exactly ``q/2``, so the full-vocabulary sum
+    collapses to an inner join on the source's OWN words plus
+    ``(1 - Σ_{w∈S} q)/2`` — no source x vocabulary expansion anywhere.
+    Two groupBys over the token stream + one join of per-source counts
+    against the (far smaller) word-total table. JSD ∈ [0, 1] in log2;
+    rounded to 6 decimals (values ~1e-3, accumulation noise ~1e-12).
+    """
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("__src"),
+        F.explode(tokens(text_col)).alias("__w"),
+    )
+    sw = toks.groupBy("__src", "__w").agg(F.count(F.lit(1)).alias("__c"))
+    stot = sw.groupBy("__src").agg(F.sum("__c").cast("double").alias("__st"))
+    wt = sw.groupBy("__w").agg(F.sum("__c").cast("double").alias("__cw"))
+    tot = sw.agg(F.sum("__c").cast("double").alias("__t"))
+    p = F.col("__c") / F.col("__st")
+    q = F.col("__cw") / F.col("__t")
+    term = p * F.log2(2 * p / (p + q)) + q * F.log2(2 * q / (p + q))
+    return (
+        sw.join(stot, "__src")
+        .join(wt, "__w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("__src").alias(group_col))
+        .agg(
+            F.round(
+                F.lit(0.5) * F.sum(term) + F.lit(0.5) * (1 - F.sum(q)), 6
+            ).alias("js_divergence")
+        )
+    )
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram JSD vs the corpus (mixture drift monitor)."""
+    return source_divergence(_docs(spark, sf_dir))
+
+
 def q_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_keywords(_docs(spark, sf_dir), k=3)
 
@@ -471,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "similar_documents": q_similar_documents,
         "lm_bits_per_token": q_lm_bits_per_token,
+        "source_divergence": q_source_divergence,
     }
 
 
@@ -640,5 +688,27 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS bits_per_token
             FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
             GROUP BY 1
+        """,
+        "source_divergence": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents WHERE text IS NOT NULL),
+            sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+            stot AS (
+              SELECT source, CAST(sum(c) AS DOUBLE) AS st FROM sw GROUP BY 1),
+            wt AS (SELECT w, CAST(sum(c) AS DOUBLE) AS cw FROM sw GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM sw),
+            j AS (
+              SELECT sw.source, sw.c / st AS p, cw / t AS q
+              FROM sw JOIN stot USING (source) JOIN wt USING (w)
+              CROSS JOIN tot)
+            SELECT source,
+                   round(CAST(0.5 AS DOUBLE)
+                           * sum(p * log2(2 * p / (p + q))
+                                 + q * log2(2 * q / (p + q)))
+                         + CAST(0.5 AS DOUBLE) * (1 - sum(q)), 6)
+                     AS js_divergence
+            FROM j GROUP BY 1
         """,
     }
