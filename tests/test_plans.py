@@ -304,3 +304,38 @@ def test_sliding_distinct_single_raw_scan(spark):
     df = entrymod.q_weekly_active_users(spark, SF_SMOKE)
     plan = plans.executed_plan(df)
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_winnow_fingerprints_zero_shuffle(spark):
+    """Fingerprint selection is per-doc array work — no Exchange until a
+    caller groups on fp (the scale property SCALE.md claims)."""
+    from wistia_video_analytics_project_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plans.assert_no_exchange(dedup.winnow_fingerprints(docs))
+
+
+def test_minhash_signatures_zero_shuffle(spark):
+    """Round-3 shape: signature construction must stay a pure map (the
+    old explode+groupBy shuffled every shingle row)."""
+    from wistia_video_analytics_project_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plans.assert_no_exchange(dedup.minhash_signatures(docs))
+
+
+def test_nation_year_profit_broadcasts_dims(spark):
+    plans.assert_broadcast_join(entrymod.q_nation_year_profit(spark, SF_SMOKE))
+
+
+def test_lm_bits_partial_aggregates_before_exchange(spark):
+    """Count tables must partial-agg map-side; the only nested-loop join
+    allowed is the broadcast CROSS with the 1-row vocab-size aggregate."""
+    import re
+
+    fn = entrymod.queries()["lm_bits_per_token"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    bnlj = re.findall(r"BroadcastNestedLoopJoin [^\n]*", plan)
+    assert all("Cross" in b for b in bnlj) and len(bnlj) <= 1, bnlj
+    # map-side combine on both count tables and the per-doc agg
+    assert len(re.findall(r"partial_count", plan)) >= 3, plan[:2000]
