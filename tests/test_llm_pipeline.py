@@ -87,3 +87,23 @@ def test_prepare_training_corpus_full_cleaning_flow(spark):
     )
     assert straddlers == 0
     out.unpersist()
+
+
+def test_perplexity_gate_drops_noise_docs(spark):
+    """max_bits_per_token drops the out-of-domain noise doc while the
+    fluent docs survive to chunking."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{base} round {i} of the story") for i in range(1, 9)]
+    rows.append((99, "zq9 kxv w0p qrr 7jn mm2 zq1 pf8 ee3 yy4 ab5 cd6"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ungated = prepare_training_corpus(docs, jaccard_threshold=0.95)
+    # fluent docs score ~2.0 bits on this tiny corpus, the noise doc ~3.5
+    gated = prepare_training_corpus(
+        docs, jaccard_threshold=0.95, max_bits_per_token=3.0
+    )
+    ungated_ids = {r.doc_id for r in ungated.collect()}
+    gated_ids = {r.doc_id for r in gated.collect()}
+    assert 99 in ungated_ids
+    assert 99 not in gated_ids
+    assert gated_ids == ungated_ids - {99}

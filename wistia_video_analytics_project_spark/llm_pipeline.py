@@ -43,6 +43,7 @@ def prepare_training_corpus(
     boilerplate_min_df: int | None = None,
     contamination_benchmark: DataFrame | None = None,
     max_contamination: float = 0.2,
+    max_bits_per_token: float | None = None,
 ) -> DataFrame:
     """Run the full prep flow; returns one row per chunk with
     (doc_id, chunk_id, chunk_text, n_tokens, split).
@@ -57,6 +58,9 @@ def prepare_training_corpus(
     1b. (opt-in) contamination gate — drop docs whose distinct-5-gram
        overlap with ``contamination_benchmark`` exceeds
        ``max_contamination`` (eval-set decontamination).
+    1c. (opt-in) perplexity gate — drop docs whose corpus-bigram-LM
+       cross-entropy exceeds ``max_bits_per_token`` (CCNet-style: high
+       bits = noise/out-of-domain text).
     2. exact dedup — one canonical row per identical normalized text.
     3. near-dup dedup — Jaccard candidate pairs -> connected components
        -> keep each cluster's canonical member.
@@ -99,6 +103,14 @@ def prepare_training_corpus(
             .select(F.col("doc_id").alias(id_col))
         )
         gated = gated.join(contaminated, id_col, "left_anti")
+
+    if max_bits_per_token is not None:
+        noisy = (
+            text.lm_bits_per_token(gated, text_col=text_col, id_col=id_col)
+            .filter(F.col("bits_per_token") > max_bits_per_token)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        gated = gated.join(noisy, id_col, "left_anti")
 
     exact = dedup.exact_dedup(gated, text_col=text_col, id_col=id_col)
     exact_kept = gated.join(
