@@ -88,6 +88,14 @@ SECONDARY = [
     "key_skew_report",
     "daily_value_interp",
     "time_to_purchase",
+    # round-3 operators
+    "lm_bits_per_token",
+    "dedup_winnow",
+    "source_divergence",
+    "streaming_sessions",
+    "nation_year_profit",
+    "small_quantity_revenue",
+    "sole_late_supplier",
 ]
 
 
