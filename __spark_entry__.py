@@ -2230,6 +2230,80 @@ def q_streaming_daily_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern count: per user, the
+    number of non-overlapping view→click→purchase runs in their
+    event-time-ordered stream.
+
+    Each user's stream becomes a character string (fixed type alphabet →
+    one char per event, deterministic (ts, event_id) order), and the
+    pattern count is the length-delta occurrence trick — identical
+    semantics in any SQL engine. One shuffle on the user key; per-user
+    state is the bounded per-entity event sequence (cap/segment upstream
+    for mega-entities, same caveat as sessionization)."""
+    events = _t(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    per_user = (
+        events.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), ch.alias("ch")).alias("__s"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("__s")).alias("__a"))
+    )
+    seq = F.concat_ws("", F.expr("transform(__a, x -> x.ch)"))
+    hits = (
+        (F.length(seq) - F.length(F.replace(seq, F.lit("VCP"), F.lit("")))) / 3
+    ).cast("bigint")
+    return per_user.select(
+        "user_id",
+        F.size("__a").cast("long").alias("n_events"),
+        hits.alias("vcp_runs"),
+    )
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point monitor over the daily revenue series: the
+    running sum of deviations from the series mean, flagged where
+    |CUSUM| exceeds 2σ (population). A drifting day shifts every later
+    CUSUM, so sustained level changes flag even when no single day is
+    an outlier — the standard complement to per-day z-scores. The
+    window runs over the tiny per-day aggregate, never raw events."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("v")
+    )
+    # CUSUM in exact integer cents: Σ_t(v_i - mu) == (n·cum - t·total)/n,
+    # so both engines divide IDENTICAL integers — the float-mean variant
+    # differs in the last ulp and flips round ties (caught by the gate)
+    cents = daily.withColumn(
+        "__c", F.round(F.col("v") * 100).cast("long")
+    )
+    stats = cents.agg(
+        F.sum("__c").alias("__total_c"),
+        F.count(F.lit(1)).alias("__n"),
+        F.stddev_pop("v").alias("__sigma"),
+    )
+    w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    with_stats = cents.crossJoin(F.broadcast(stats))
+    num = F.col("__n") * F.sum("__c").over(w) - F.row_number().over(
+        Window.orderBy("date")
+    ) * F.col("__total_c")
+    cusum = num / (F.col("__n") * F.lit(100.0))
+    return with_stats.select(
+        "date",
+        "v",
+        (F.round(cusum, 2) + F.lit(0.0)).alias("cusum"),
+        (F.abs(cusum) > 2 * F.col("__sigma")).alias("is_shift"),
+    )
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION-window sessionization run to completion (file
     stream -> session_window(30 min gap) -> memory sink).
@@ -2419,6 +2493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_year_profit": q_nation_year_profit,
         "small_quantity_revenue": q_small_quantity_revenue,
         "sole_late_supplier": q_sole_late_supplier,
+        "event_pattern_match": q_event_pattern_match,
+        "cusum_changepoint": q_cusum_changepoint,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -2956,6 +3032,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "event_pattern_match": """
+            WITH m AS (
+              SELECT user_id, ts, event_id,
+                     CASE event_type WHEN 'view' THEN 'V'
+                                     WHEN 'click' THEN 'C'
+                                     WHEN 'purchase' THEN 'P'
+                                     WHEN 'signup' THEN 'S'
+                                     ELSE 'E' END AS ch
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     string_agg(ch, '' ORDER BY ts, event_id) AS seq,
+                     count(*) AS n_events
+              FROM m GROUP BY 1)
+            SELECT user_id, n_events,
+                   CAST((length(seq) - length(replace(seq, 'VCP', ''))) / 3
+                        AS BIGINT) AS vcp_runs
+            FROM s
+        """,
+        "cusum_changepoint": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS date,
+                     round(sum(coalesce(value, 0.0)), 2) AS v
+              FROM events GROUP BY 1),
+            cents AS (
+              SELECT date, v, CAST(round(v * 100) AS BIGINT) AS c FROM daily),
+            stats AS (
+              SELECT CAST(sum(c) AS BIGINT) AS total_c,
+                     count(*) AS n, stddev_pop(v) AS sigma
+              FROM cents),
+            cum AS (
+              SELECT date, v, n, sigma,
+                     n * sum(c) OVER (ORDER BY date ROWS BETWEEN
+                                      UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - row_number() OVER (ORDER BY date) * total_c AS num
+              FROM cents CROSS JOIN stats)
+            SELECT date, v,
+                   round(num / (n * CAST(100.0 AS DOUBLE)), 2)
+                     + CAST(0.0 AS DOUBLE) AS cusum,
+                   abs(num / (n * CAST(100.0 AS DOUBLE))) > 2 * sigma
+                     AS is_shift
+            FROM cum
         """,
         "streaming_sessions": """
             WITH marked AS (
