@@ -2304,6 +2304,35 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of daily revenue vs day index per event type —
+    the ``regr_slope/intercept/r2/count`` aggregate family (closed-form
+    normal equations, one partial-agg pass; no iterative fitting).
+    Day index is an exact integer (datediff from the series start), so
+    both engines regress on identical inputs; outputs round to 4
+    decimals with the +0.0 negative-zero normalization."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("date")
+    ).agg(F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("v"))
+    start = daily.agg(F.min("date").alias("__d0"))
+    with_x = daily.crossJoin(F.broadcast(start)).withColumn(
+        "x", F.datediff(F.col("date"), F.col("__d0")).cast("double")
+    )
+    return with_x.groupBy("event_type").agg(
+        (F.round(F.regr_slope(F.col("v"), F.col("x")), 4) + F.lit(0.0)).alias(
+            "slope"
+        ),
+        (
+            F.round(F.regr_intercept(F.col("v"), F.col("x")), 4) + F.lit(0.0)
+        ).alias("intercept"),
+        (F.round(F.regr_r2(F.col("v"), F.col("x")), 4) + F.lit(0.0)).alias(
+            "r2"
+        ),
+        F.regr_count(F.col("v"), F.col("x")).alias("n_days"),
+    )
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION-window sessionization run to completion (file
     stream -> session_window(30 min gap) -> memory sink).
@@ -2495,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_late_supplier": q_sole_late_supplier,
         "event_pattern_match": q_event_pattern_match,
         "cusum_changepoint": q_cusum_changepoint,
+        "daily_trend_regression": q_daily_trend_regression,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3032,6 +3062,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "daily_trend_regression": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS date,
+                     round(sum(coalesce(value, 0.0)), 2) AS v
+              FROM events GROUP BY 1, 2),
+            d0 AS (SELECT min(date) AS s FROM daily),
+            xs AS (
+              SELECT event_type, v,
+                     CAST(datediff('day', s, date) AS DOUBLE) AS x
+              FROM daily CROSS JOIN d0)
+            SELECT event_type,
+                   round(regr_slope(v, x), 4) + CAST(0.0 AS DOUBLE) AS slope,
+                   round(regr_intercept(v, x), 4) + CAST(0.0 AS DOUBLE)
+                     AS intercept,
+                   round(regr_r2(v, x), 4) + CAST(0.0 AS DOUBLE) AS r2,
+                   CAST(regr_count(v, x) AS BIGINT) AS n_days
+            FROM xs GROUP BY 1
         """,
         "event_pattern_match": """
             WITH m AS (

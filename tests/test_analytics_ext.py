@@ -319,3 +319,21 @@ def test_event_pattern_match_counts_nonoverlapping_runs(spark):
     row = per_user.select(hits.alias("h"), s.alias("seq")).collect()[0]
     assert row.seq == "VCPVCPVECP"
     assert row.h == 2  # the V E C P tail is not a run
+
+
+def test_regr_aggregates_match_closed_form(spark):
+    """regr_slope/intercept/r2 on a hand-built exact line (y = 3x + 7)
+    plus one noisy series where r2 < 1."""
+    from pyspark.sql import functions as F
+
+    rows = [("a", float(x), 3.0 * x + 7.0) for x in range(10)]
+    rows += [("b", 0.0, 1.0), ("b", 1.0, 3.0), ("b", 2.0, 2.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in df.groupBy("g").agg(
+        F.round(F.regr_slope("y", "x"), 6).alias("m"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("b"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    ).collect()}
+    assert (out["a"].m, out["a"].b, out["a"].r2) == (3.0, 7.0, 1.0)
+    # closed form for series b: slope=0.5, intercept=1.5, r2=0.25
+    assert (out["b"].m, out["b"].b, out["b"].r2) == (0.5, 1.5, 0.25)
