@@ -96,6 +96,9 @@ SECONDARY = [
     "nation_year_profit",
     "small_quantity_revenue",
     "sole_late_supplier",
+    "event_pattern_match",
+    "cusum_changepoint",
+    "daily_trend_regression",
 ]
 
 
