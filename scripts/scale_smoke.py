@@ -132,12 +132,37 @@ def tfidf_similar(k):
     return run
 
 
+def lm_bits(docs):
+    from wistia_video_analytics_project_spark.operators import text
+
+    return text.lm_bits_per_token(docs)
+
+
+def winnow(k):
+    """max_df scales with the corpus (same argument as the other guards)."""
+    def run(docs):
+        from wistia_video_analytics_project_spark.operators import dedup
+
+        return dedup.winnow_candidate_pairs(docs, max_df=100 * k)
+
+    return run
+
+
+def source_jsd(docs):
+    from wistia_video_analytics_project_spark.operators import text
+
+    return text.source_divergence(docs)
+
+
 def doc_ops(k):
     return (
         ("minhash_lsh", dedup_minhash),
         (f"jaccard_df{25 * k}", dedup_jaccard_guarded(k)),
         ("repetition", repetition),
         (f"tfidf_sim_df{100 * k}", tfidf_similar(k)),
+        ("lm_bits", lm_bits),
+        (f"winnow_df{100 * k}", winnow(k)),
+        ("source_jsd", source_jsd),
     )
 
 
