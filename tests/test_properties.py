@@ -190,3 +190,60 @@ def test_zorder_key_is_injective_on_grid(spark, xs, ys):
     zs = [r.z for r in out]
     assert len(set(zs)) == len(rows)  # distinct cells -> distinct keys
     assert all(0 <= z < 1 << 16 for z in zs)
+
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+DOC = st.lists(WORD, min_size=8, max_size=30).map(" ".join)
+
+
+@given(docs=st.lists(DOC, min_size=2, max_size=6), insert=DOC)
+@SLOW
+def test_winnowing_guarantee_property(spark, docs, insert):
+    """Any two docs sharing an inserted run of >= w + k - 1 tokens must
+    appear as a winnow candidate pair (the Schleimer guarantee), for
+    arbitrary surrounding text."""
+    from wistia_video_analytics_project_spark.operators import dedup
+
+    k = w = 4
+    run = " ".join((insert + " " + insert).split()[: w + k - 1])
+    if len(run.split()) < w + k - 1:
+        run = " ".join(["zq"] * (w + k - 1))
+    rows = [(i, f"{d} {run} {d}") for i, d in enumerate(docs[:2])]
+    rows += [(i + 2, d) for i, d in enumerate(docs[2:])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.winnow_candidate_pairs(
+            df, k=k, w=w, max_df=len(rows)
+        ).collect()
+    }
+    assert (0, 1) in pairs
+
+
+@given(docs=st.lists(DOC, min_size=2, max_size=5))
+@SLOW
+def test_lm_bits_matches_python_reference(spark, docs):
+    """lm_bits_per_token == the pure-Python add-k bigram reference for
+    arbitrary corpora (distribution-free exactness, not just the fixed
+    fixture)."""
+    import math
+    from collections import Counter
+
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bits_per_token
+           for r in text_ops.lm_bits_per_token(df).collect()}
+
+    toks = {i: d.lower().split() for i, d in rows}
+    bgs = {i: list(zip(t, t[1:])) for i, t in toks.items() if len(t) >= 2}
+    cb = Counter(b for bs in bgs.values() for b in bs)
+    cc = Counter(b[0] for bs in bgs.values() for b in bs)
+    vocab = {w for i in bgs for w in toks[i]}
+    k, V = 0.5, float(len(vocab))
+    for i, bs in bgs.items():
+        want = -sum(
+            math.log2((cb[b] + k) / (cc[b[0]] + k * V)) for b in bs
+        ) / len(bs)
+        assert got[i] == pytest.approx(round(want, 4), abs=1e-4), i
