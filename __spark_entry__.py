@@ -2304,6 +2304,29 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): pair
+    counts per nullable source key, where the NULL bucket pairs rows
+    whose key is null on BOTH sides — the semantics a plain equi-join
+    silently drops. Key nulled the same way as ``pk_repair`` (src0 →
+    NULL) so the null population is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.when(F.col("source") == "src0", F.lit(None))
+        .otherwise(F.col("source"))
+        .alias("skey"),
+    )
+    a = keyed.select(F.col("doc_id").alias("id_a"), F.col("skey").alias("ka"))
+    b = keyed.select(F.col("doc_id").alias("id_b"), F.col("skey").alias("kb"))
+    pairs = a.join(
+        b, F.col("ka").eqNullSafe(F.col("kb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return pairs.groupBy(
+        F.coalesce(F.col("ka"), F.lit("(null)")).alias("source_key")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def q_daily_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares trend of daily revenue vs day index per event type —
     the ``regr_slope/intercept/r2/count`` aggregate family (closed-form
@@ -2525,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pattern_match": q_event_pattern_match,
         "cusum_changepoint": q_cusum_changepoint,
         "daily_trend_regression": q_daily_trend_regression,
+        "null_safe_join": q_null_safe_join,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3062,6 +3086,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "null_safe_join": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     CASE WHEN source = 'src0' THEN NULL ELSE source END
+                       AS skey
+              FROM documents)
+            SELECT coalesce(a.skey, '(null)') AS source_key,
+                   count(*) AS n_pairs
+            FROM keyed a JOIN keyed b
+              ON a.skey IS NOT DISTINCT FROM b.skey
+             AND a.doc_id < b.doc_id
+            GROUP BY 1
         """,
         "daily_trend_regression": """
             WITH daily AS (
