@@ -2304,6 +2304,41 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of order value per priority via a GROUPED_AGG
+    pandas UDAF (Series -> scalar, Arrow-batched) — the robust-mean
+    aggregate Spark lacks natively, next to the plain mean for contrast.
+
+    Trimming is by VALUE order, so boundary ties are mean-neutral
+    (every trim choice among equal values yields the same mean) — the
+    result is deterministic and oracle-comparable without a tiebreak
+    column. The UDAF sees one priority's values per call; at scale
+    group cardinality (5) bounds driver-side result size and each
+    group's values stream through Arrow batches."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # type hints into strings, which the hint-based form can't resolve
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        s = v.sort_values().to_numpy()
+        k = int(len(s) * 0.1)
+        core = s[k : len(s) - k] if len(s) > 2 * k else s
+        return float(core.mean())
+
+    orders = _t(spark, sf_dir, "orders")
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg:
+    # run the two aggregations separately and join the 5-row results
+    trimmed = orders.groupBy("o_orderpriority").agg(
+        F.round(trimmed_mean(F.col("o_totalprice")), 2).alias("trimmed_mean")
+    )
+    plain = orders.groupBy("o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("plain_mean"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return trimmed.join(plain, "o_orderpriority")
+
+
 def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): pair
     counts per nullable source key, where the NULL bucket pairs rows
@@ -2549,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         "daily_trend_regression": q_daily_trend_regression,
         "null_safe_join": q_null_safe_join,
+        "trimmed_mean_order_value": q_trimmed_mean_order_value,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3086,6 +3122,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "trimmed_mean_order_value": """
+            WITH ranked AS (
+              SELECT o_orderpriority, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice) AS rn,
+                     count(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM orders)
+            SELECT o_orderpriority,
+                   round(avg(CASE WHEN rn > CAST(floor(n * 0.1) AS BIGINT)
+                                   AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+                                  THEN o_totalprice END), 2) AS trimmed_mean,
+                   round(avg(o_totalprice), 2) AS plain_mean,
+                   count(*) AS n_orders
+            FROM ranked
+            GROUP BY 1
         """,
         "null_safe_join": """
             WITH keyed AS (
