@@ -2304,6 +2304,36 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_yearly_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit set operations (§2.7 beyond union): customers ordering
+    in 1995 INTERSECT 1996 (retained), 1995 EXCEPT 1996 (churned), and
+    1996 EXCEPT 1995 (new) — one row per bucket. ``intersect``/
+    ``exceptAll``-style ops plan as aggregate/joins over the distinct
+    key sets, never materializing row sets driver-side."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year_set(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year_set(1995), year_set(1996)
+    buckets = [
+        ("retained", y95.intersect(y96)),
+        ("churned", y95.exceptAll(y96)),
+        ("new", y96.exceptAll(y95)),
+    ]
+    out = None
+    for name, s in buckets:
+        row = s.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(name).alias("bucket"), "n_customers"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10%-trimmed mean of order value per priority via a GROUPED_AGG
     pandas UDAF (Series -> scalar, Arrow-batched) — the robust-mean
@@ -2585,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_trend_regression": q_daily_trend_regression,
         "null_safe_join": q_null_safe_join,
         "trimmed_mean_order_value": q_trimmed_mean_order_value,
+        "yearly_customer_setops": q_yearly_customer_setops,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3122,6 +3153,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "yearly_customer_setops": """
+            WITH y95 AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1995),
+            y96 AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1996)
+            SELECT 'retained' AS bucket, count(*) AS n_customers
+            FROM (SELECT o_custkey FROM y95 INTERSECT
+                  SELECT o_custkey FROM y96)
+            UNION ALL
+            SELECT 'churned', count(*)
+            FROM (SELECT o_custkey FROM y95 EXCEPT
+                  SELECT o_custkey FROM y96)
+            UNION ALL
+            SELECT 'new', count(*)
+            FROM (SELECT o_custkey FROM y96 EXCEPT
+                  SELECT o_custkey FROM y95)
         """,
         "trimmed_mean_order_value": """
             WITH ranked AS (
