@@ -2304,6 +2304,28 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT ingestion of the semi-structured props payload:
+    ``parse_json`` once into a variant column (binary-encoded,
+    shreddable — the open-format answer to schema-on-read JSON string
+    re-parsing), then ``variant_get`` typed path extraction feeding an
+    aggregate. Same result contract as ``json_props_extract`` but the
+    extraction cost is one parse + binary path reads instead of a JSON
+    text parse per path at 100 TB."""
+    events = _t(spark, sf_dir, "events")
+    v = events.withColumn("__v", F.parse_json(F.col("props")))
+    return (
+        v.withColumn("k", F.try_variant_get(F.col("__v"), "$.k", "bigint"))
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
 def q_yearly_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit set operations (§2.7 beyond union): customers ordering
     in 1995 INTERSECT 1996 (retained), 1995 EXCEPT 1996 (churned), and
@@ -2616,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_join": q_null_safe_join,
         "trimmed_mean_order_value": q_trimmed_mean_order_value,
         "yearly_customer_setops": q_yearly_customer_setops,
+        "variant_props_extract": q_variant_props_extract,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3153,6 +3176,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "variant_props_extract": """
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                   count(*) AS n_events,
+                   round(sum(coalesce(value, 0.0)), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "yearly_customer_setops": """
             WITH y95 AS (
