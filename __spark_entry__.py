@@ -2304,6 +2304,29 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL surface): per nation, the top-2
+    customers by account balance — the per-row-subquery idiom Catalyst
+    decorrelates into a ranked window join, so the plan is one shuffle,
+    not |nations| subquery executions."""
+    configure_runtime(spark)
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lv")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name, t.acctbal
+        FROM nation_lv n,
+        LATERAL (
+          SELECT c_name, round(c_acctbal, 2) AS acctbal
+          FROM customer_lv c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name ASC
+          LIMIT 2
+        ) t
+        """
+    )
+
+
 def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 VARIANT ingestion of the semi-structured props payload:
     ``parse_json`` once into a variant column (binary-encoded,
@@ -2639,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean_order_value": q_trimmed_mean_order_value,
         "yearly_customer_setops": q_yearly_customer_setops,
         "variant_props_extract": q_variant_props_extract,
+        "lateral_top_customers": q_lateral_top_customers,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3176,6 +3200,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "lateral_top_customers": """
+            SELECT n.n_name AS nation, t.c_name, t.acctbal
+            FROM nation n,
+            LATERAL (
+              SELECT c_name, round(c_acctbal, 2) AS acctbal
+              FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_name ASC
+              LIMIT 2
+            ) t
         """,
         "variant_props_extract": """
             SELECT event_type,
