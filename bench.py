@@ -99,6 +99,11 @@ SECONDARY = [
     "event_pattern_match",
     "cusum_changepoint",
     "daily_trend_regression",
+    "null_safe_join",
+    "trimmed_mean_order_value",
+    "yearly_customer_setops",
+    "variant_props_extract",
+    "lateral_top_customers",
 ]
 
 
