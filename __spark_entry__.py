@@ -2304,6 +2304,54 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection (gaps-and-islands on the id axis): missing
+    ``event_id`` ranges found with one lead() window over the sorted
+    distinct ids — an ingestion-completeness audit (dropped-batch
+    detector). The window runs over ids only (8 bytes/row); at scale,
+    range-partition the id axis and check seams per partition.
+
+    The testdata id axis is dense, so the binding drops ids divisible
+    by 997 first (a deterministic synthetic outage, mirrored in the
+    oracle) — the detector then has real gaps to find."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    ids = (
+        events.select("event_id")
+        .filter(F.col("event_id") % 997 != 0)
+        .distinct()
+    )
+    return (
+        ids.withColumn("__next", F.lead("event_id").over(w))
+        .filter(F.col("__next") > F.col("event_id") + 1)
+        .select(
+            (F.col("event_id") + 1).alias("gap_start"),
+            (F.col("__next") - 1).alias("gap_end"),
+            (F.col("__next") - F.col("event_id") - 1).alias("n_missing"),
+        )
+    )
+
+
+def q_safe_arithmetic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic surface (§2.8): ``try_divide`` /
+    ``try_add`` / ``try_cast`` return NULL instead of raising under
+    Spark 4's default ANSI mode. Unit margin per line item
+    (revenue / quantity) with zero-discount…zero-quantity edge rows
+    surfaced as counted NULLs, not job-killing exceptions."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit_margin = F.try_divide(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        F.col("l_quantity") - F.lit(1.0),  # engineered zero at qty=1
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(unit_margin.isNull()).alias("n_undefined"),
+        F.round(F.sum(F.coalesce(unit_margin, F.lit(0.0))), 2).alias(
+            "total_defined_margin"
+        ),
+    )
+
+
 def q_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL correlated subquery (SQL surface): per nation, the top-2
     customers by account balance — the per-row-subquery idiom Catalyst
@@ -2663,6 +2711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yearly_customer_setops": q_yearly_customer_setops,
         "variant_props_extract": q_variant_props_extract,
         "lateral_top_customers": q_lateral_top_customers,
+        "event_id_gaps": q_event_id_gaps,
+        "safe_arithmetic_report": q_safe_arithmetic_report,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3200,6 +3250,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "event_id_gaps": """
+            WITH ids AS (SELECT DISTINCT event_id FROM events
+                         WHERE event_id % 997 <> 0),
+            nxt AS (
+              SELECT event_id,
+                     lead(event_id) OVER (ORDER BY event_id) AS n
+              FROM ids)
+            SELECT event_id + 1 AS gap_start,
+                   n - 1 AS gap_end,
+                   n - event_id - 1 AS n_missing
+            FROM nxt WHERE n > event_id + 1
+        """,
+        "safe_arithmetic_report": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     CASE WHEN l_quantity - CAST(1.0 AS DOUBLE) = 0 THEN NULL
+                          ELSE (l_extendedprice
+                                * (CAST(1 AS DOUBLE) - l_discount))
+                               / (l_quantity - CAST(1.0 AS DOUBLE)) END
+                       AS um
+              FROM lineitem)
+            SELECT l_returnflag, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN um IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_undefined,
+                   round(sum(coalesce(um, 0.0)), 2) AS total_defined_margin
+            FROM m GROUP BY 1
         """,
         "lateral_top_customers": """
             SELECT n.n_name AS nation, t.c_name, t.acctbal
