@@ -2304,6 +2304,43 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC analysis: customers ranked by revenue, classified by
+    cumulative revenue share (A ≤ 80%, B ≤ 95%, C rest). Class
+    boundaries are exact integer-cent comparisons
+    (``cum_cents·100 ≤ total_cents·80``) — float cumulative shares sit
+    arbitrarily close to the 0.8/0.95 cuts and flip per engine. The
+    ranking window runs over the per-customer aggregate (|customers|
+    rows), not raw orders."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    cents = per_cust.withColumn(
+        "__c", F.round(F.col("revenue") * 100).cast("long")
+    )
+    total = cents.agg(F.sum("__c").alias("__total_c"))
+    w = Window.orderBy(F.desc("__c"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = cents.crossJoin(F.broadcast(total)).withColumn(
+        "__cum_c", F.sum("__c").over(w)
+    )
+    cls = (
+        F.when(F.col("__cum_c") * 100 <= F.col("__total_c") * 80, "A")
+        .when(F.col("__cum_c") * 100 <= F.col("__total_c") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        )
+    )
+
+
 def q_event_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-gap detection (gaps-and-islands on the id axis): missing
     ``event_id`` ranges found with one lead() window over the sorted
@@ -2713,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_top_customers": q_lateral_top_customers,
         "event_id_gaps": q_event_id_gaps,
         "safe_arithmetic_report": q_safe_arithmetic_report,
+        "abc_customer_classes": q_abc_customer_classes,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3250,6 +3288,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "abc_customer_classes": """
+            WITH per_cust AS (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY 1),
+            cents AS (
+              SELECT o_custkey, revenue,
+                     CAST(round(revenue * 100) AS BIGINT) AS c
+              FROM per_cust),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_c FROM cents),
+            ranked AS (
+              SELECT revenue, c, total_c,
+                     sum(c) OVER (ORDER BY c DESC, o_custkey ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_c
+              FROM cents CROSS JOIN tot)
+            SELECT CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'
+                        WHEN cum_c * 100 <= total_c * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   count(*) AS n_customers,
+                   round(sum(revenue), 2) AS class_revenue
+            FROM ranked GROUP BY 1
         """,
         "event_id_gaps": """
             WITH ids AS (SELECT DISTINCT event_id FROM events
