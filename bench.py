@@ -104,6 +104,9 @@ SECONDARY = [
     "yearly_customer_setops",
     "variant_props_extract",
     "lateral_top_customers",
+    "event_id_gaps",
+    "safe_arithmetic_report",
+    "abc_customer_classes",
 ]
 
 
