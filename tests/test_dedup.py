@@ -302,3 +302,27 @@ def test_winnow_layout_independent(spark, docs):
     b = {(r.doc_id_a, r.doc_id_b, r.n_shared)
          for r in dedup.winnow_candidate_pairs(docs.repartition(13)).collect()}
     assert a == b
+
+
+def test_incremental_winnow_dedup_semantics(spark, docs):
+    """Tail-perturbed copies of store docs drop against the fingerprint
+    store; novel docs and the earliest member of a within-batch near-dup
+    group survive."""
+    store_docs = docs.filter("doc_id < 200")
+    store = dedup.winnow_fingerprints(store_docs).select("fp").distinct()
+    copies = store_docs.filter("doc_id < 3").select(
+        (F.col("doc_id") + 9_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail x")).alias("text"),
+    )
+    novel = docs.filter("doc_id >= 200 AND doc_id < 220").select("doc_id", "text")
+    novel_dup = docs.filter("doc_id = 200").select(
+        (F.col("doc_id") + 9_500).alias("doc_id"),
+        F.concat("text", F.lit(" tail y")).alias("text"),
+    )
+    batch = copies.unionByName(novel).unionByName(novel_dup)
+    kept = {r.doc_id for r in
+            dedup.incremental_winnow_dedup(batch, store).collect()}
+    assert kept & set(range(200, 220))        # novel content survives
+    assert not kept & {9000, 9001, 9002}      # store near-dups dropped
+    assert 9700 not in kept                   # within-batch dup of 200 dropped
+    assert 200 in kept                        # the earlier member wins

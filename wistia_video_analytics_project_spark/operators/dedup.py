@@ -781,6 +781,58 @@ def winnow_candidate_pairs(
     )
 
 
+def incremental_winnow_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    min_shared: int = 2,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup dedup of an incoming batch against a persisted winnow-
+    fingerprint store (``seen_fps``: one (fp) row per stored
+    fingerprint, the exploded output of :func:`winnow_fingerprints`).
+
+    A batch row drops when it shares ≥ ``min_shared`` fingerprints with
+    (a) the store, or (b) an EARLIER batch row (min-id canonical wins,
+    same rule as the other incremental operators). Unlike the minhash
+    store (engine-internal xxhash64 signatures, rows-only checked),
+    winnow fingerprints are md5-portable, so this whole incremental
+    path is value-checkable against a SQL oracle.
+
+    Scale: the batch never scans the store's documents — only its
+    (much smaller) fingerprint set, via one equi-join; persist the
+    store bucketed by ``fp`` and the probe join elides its exchange.
+    Returns kept rows; append their :func:`winnow_fingerprints` to the
+    store for the next batch.
+    """
+    fps_new = track(winnow_fingerprints(new_docs, k, w, text_col, id_col).cache())
+
+    store_hits = (
+        fps_new.join(seen_fps.select("fp").distinct(), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_shared)
+        .select(F.col("doc_id").alias(id_col))
+    )
+
+    a = fps_new.select(F.col("doc_id").alias("__ida"), "fp")
+    b = fps_new.select(F.col("doc_id").alias("__idb"), "fp")
+    batch_hits = (
+        a.join(b, ["fp"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .groupBy("__ida", "__idb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_shared)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+
+    drops = store_hits.unionByName(batch_hits).distinct()
+    return new_docs.join(drops, id_col, "left_anti")
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return load_table(spark, sf_dir, "documents")
@@ -884,6 +936,25 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_candidate_pairs(_docs(spark, sf_dir), k=4, w=4, max_df=100)
 
 
+def q_dedup_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnow dedup: docs < 250 are the persisted store
+    (fingerprints only); the batch is the remaining docs plus tail-
+    perturbed near-dup copies of the store (shifted ids). Kept = novel
+    content only — copies drop against the STORE, never having scanned
+    its documents."""
+    base = _docs(spark, sf_dir)
+    store_docs = base.filter(F.col("doc_id") < 250)
+    store = winnow_fingerprints(store_docs).select("fp").distinct()
+    near_copies = store_docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" replica tail marker")).alias("text"),
+    )
+    batch = base.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "text"
+    ).unionByName(near_copies)
+    return incremental_winnow_dedup(batch, store).select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -898,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_keep": q_dedup_cluster_keep,
         "dedup_incremental": q_dedup_incremental,
         "dedup_winnow": q_dedup_winnow,
+        "dedup_winnow_incremental": q_dedup_winnow_incremental,
     }
 
 
@@ -1034,6 +1106,71 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
             WHERE cc.node IS NULL OR d.doc_id = cc.cluster_id
             GROUP BY 1
+        """,
+        "dedup_winnow_incremental": """
+            WITH store_docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 250),
+            batch AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     text || ' replica tail marker'
+              FROM documents WHERE doc_id < 250),
+            stoks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS tk
+              FROM store_docs
+              WHERE text IS NOT NULL
+                AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 4),
+            sg AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, len(tk) - 4 + 1),
+                       i -> md5(array_to_string(list_slice(tk, i, i + 4 - 1),
+                                                ' '))) AS gr
+              FROM stoks),
+            sf AS (
+              SELECT doc_id,
+                     CASE WHEN len(gr) >= 4
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(gr) - 4 + 1),
+                                 i -> list_aggregate(
+                                        list_slice(gr, i, i + 4 - 1), 'min')))
+                          ELSE [list_aggregate(gr, 'min')] END AS fps
+              FROM sg),
+            btoks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS tk
+              FROM batch
+              WHERE text IS NOT NULL
+                AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 4),
+            bg AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, len(tk) - 4 + 1),
+                       i -> md5(array_to_string(list_slice(tk, i, i + 4 - 1),
+                                                ' '))) AS gr
+              FROM btoks),
+            bf AS (
+              SELECT doc_id,
+                     CASE WHEN len(gr) >= 4
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(gr) - 4 + 1),
+                                 i -> list_aggregate(
+                                        list_slice(gr, i, i + 4 - 1), 'min')))
+                          ELSE [list_aggregate(gr, 'min')] END AS fps
+              FROM bg),
+            store AS (SELECT DISTINCT unnest(fps) AS fp FROM sf),
+            be AS (SELECT doc_id, unnest(fps) AS fp FROM bf),
+            store_hits AS (
+              SELECT doc_id FROM be JOIN store USING (fp)
+              GROUP BY doc_id HAVING count(*) >= 2),
+            batch_hits AS (
+              SELECT b.doc_id
+              FROM be a JOIN be b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+            drops AS (SELECT doc_id FROM store_hits
+                      UNION SELECT doc_id FROM batch_hits)
+            SELECT doc_id FROM batch
+            WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         """,
         "dedup_winnow": """
             WITH t AS (
