@@ -1175,23 +1175,19 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
         ).alias("__late"),
     )
+    # single pass: when exactly one supplier is late, max(late supplier)
+    # IS that supplier — no second consumer of the joined frame, so the
+    # lineitem⋈orders join runs once with no cache needed
     per_order = lo.groupBy("o_orderkey").agg(
         F.count_distinct("l_suppkey").alias("__n_supp"),
         F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
             "__n_late"
         ),
+        F.max(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__sole"),
     )
-    sole_late = (
-        lo.filter(F.col("__late"))
-        .select("o_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter(
-                (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
-            ).select("o_orderkey"),
-            "o_orderkey",
-        )
-    )
+    sole_late = per_order.filter(
+        (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
+    ).select(F.col("__sole").alias("l_suppkey"))
     counts = (
         sole_late.join(
             F.broadcast(supplier.select("s_suppkey", "s_name")),
@@ -3968,15 +3964,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey,
                      count(DISTINCT l_suppkey) AS n_supp,
                      count(DISTINCT CASE WHEN late THEN l_suppkey END)
-                       AS n_late
+                       AS n_late,
+                     max(CASE WHEN late THEN l_suppkey END) AS sole
               FROM lo GROUP BY 1),
-            sole AS (
-              SELECT DISTINCT lo.o_orderkey, lo.l_suppkey
-              FROM lo JOIN per_order USING (o_orderkey)
-              WHERE lo.late AND n_supp >= 2 AND n_late = 1),
+            sole_rows AS (
+              SELECT sole AS l_suppkey FROM per_order
+              WHERE n_supp >= 2 AND n_late = 1),
             counts AS (
               SELECT s_name, count(*) AS numwait
-              FROM sole JOIN supplier ON l_suppkey = s_suppkey
+              FROM sole_rows JOIN supplier ON l_suppkey = s_suppkey
               GROUP BY 1)
             SELECT s_name, numwait FROM counts
             ORDER BY numwait DESC, s_name ASC LIMIT 10
