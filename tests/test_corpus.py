@@ -166,3 +166,23 @@ def test_quality_budget_select_tie_breaks_by_id(spark):
     kept = {r.doc_id for r in
             corpus.quality_budget_select(df, 400.0, "q").collect()}
     assert kept == {1, 2}  # equal quality: lowest ids win
+
+
+def test_weighted_sample_wor_exact_size_and_bias(spark):
+    """WOR sample: exact n, layout-independent, and heavier rows are
+    over-represented relative to their population share."""
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = corpus.weighted_sample_wor(df, "w", 100, key_col="id")
+    ids = {r.id for r in got.collect()}
+    assert len(ids) == 100
+    again = {r.id for r in
+             corpus.weighted_sample_wor(df.repartition(13), "w", 100,
+                                        key_col="id").collect()}
+    assert ids == again
+    heavy = sum(1 for i in ids if i % 10 == 0)
+    # heavy rows are 10% of the population at 100x weight -> far more
+    # than their 10-row proportional share lands in the sample
+    assert heavy > 30
+    with pytest.raises(ValueError):
+        corpus.weighted_sample_wor(df, "w", 0, key_col="id")

@@ -102,6 +102,39 @@ def weighted_sample(
     return df.filter(uniform_int32(key_col).cast("double") < threshold)
 
 
+def weighted_sample_wor(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (exact sample
+    size): Efraimidis-Spirakis keys ``ln(u) / w`` with ``u`` derived
+    from the md5 of the row key — the top-``n`` rows by key are a
+    weighted WOR sample, reproducible on any engine/layout.
+
+    Complements :func:`weighted_sample` (Bernoulli, random size): use
+    this when the budget is an exact row count. The log-form key avoids
+    ``pow`` (whose tie behavior differs per engine); ln/divide agree to
+    the last ulp on IEEE doubles for these magnitudes, and the
+    ``key_col`` tiebreak pins any residual ordering ambiguity. Plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    # u in (0, 1]: (int32 + 1) / 2^32 — never 0, so ln(u) is finite
+    u = (uniform_int32(key_col).cast("double") + 1) / F.lit(
+        float(1 << (4 * _HEX_WIDTH))
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    ranked = df.withColumn("__es_key", F.round(key, 12))
+    return (
+        ranked.orderBy(F.desc("__es_key"), F.col(key_col).asc())
+        .limit(n)
+        .drop("__es_key")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     weights: Mapping[str, float],
@@ -351,10 +384,21 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size (n=200) value-weighted WOR sample of orders
+    (Efraimidis-Spirakis keys)."""
+    configure_runtime(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return weighted_sample_wor(
+        orders, "o_totalprice", 200, key_col="o_orderkey"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
+        "weighted_sample_wor": q_weighted_sample_wor,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
     }
@@ -378,6 +422,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE {strata}
+        """,
+        "weighted_sample_wor": """
+            WITH keyed AS (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     round(ln((CAST(CAST(concat('0x',
+                               substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                             AS BIGINT) AS DOUBLE) + 1) / 4294967296.0)
+                           / CAST(o_totalprice AS DOUBLE), 12) AS k
+              FROM orders)
+            SELECT o_orderkey, o_custkey, o_totalprice FROM keyed
+            ORDER BY k DESC, o_orderkey ASC LIMIT 200
         """,
         "weighted_sample": f"""
             SELECT o_orderkey, o_custkey, o_totalprice
