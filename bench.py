@@ -107,6 +107,8 @@ SECONDARY = [
     "event_id_gaps",
     "safe_arithmetic_report",
     "abc_customer_classes",
+    "dedup_winnow_incremental",
+    "weighted_sample_wor",
 ]
 
 
