@@ -2608,11 +2608,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load the remaining round-1 tier (``shipping_priority`` ..
-    ``view_purchase_conversion``, which will then be 3 rounds stale),
-    any round-3 additions, and the oldest round-2-verified entries —
-    keep cycling so every oracle-backed entry re-earns a driver green
-    row every ~2-3 rounds.
+    front-load (a) the 20 round-3 additions, all oracle-backed and
+    never driver-checked — ``lm_bits_per_token``, ``source_divergence``,
+    ``dedup_winnow``, ``dedup_winnow_incremental``,
+    ``weighted_sample_wor``, ``streaming_sessions``,
+    ``nation_year_profit``, ``small_quantity_revenue``,
+    ``sole_late_supplier``, ``event_pattern_match``,
+    ``cusum_changepoint``, ``daily_trend_regression``,
+    ``null_safe_join``, ``trimmed_mean_order_value``,
+    ``yearly_customer_setops``, ``variant_props_extract``,
+    ``lateral_top_customers``, ``event_id_gaps``,
+    ``safe_arithmetic_report``, ``abc_customer_classes`` — then (b) the
+    remaining round-1 tier (``shipping_priority`` ..
+    ``view_purchase_conversion``, 3 rounds stale by then), then (c) the
+    oldest round-2-verified entries — keep cycling so every
+    oracle-backed entry re-earns a driver green row every ~2-3 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
