@@ -109,6 +109,7 @@ SECONDARY = [
     "abc_customer_classes",
     "dedup_winnow_incremental",
     "weighted_sample_wor",
+    "dedup_containment",
 ]
 
 

@@ -326,3 +326,21 @@ def test_incremental_winnow_dedup_semantics(spark, docs):
     assert not kept & {9000, 9001, 9002}      # store near-dups dropped
     assert 9700 not in kept                   # within-batch dup of 200 dropped
     assert 200 in kept                        # the earlier member wins
+
+
+def test_containment_catches_subset_copy_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment of
+    the short side ~1.0 while symmetric Jaccard is diluted below any
+    usable threshold."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    rows = [(1, short), (2, f"{filler} {short} {filler}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.containment_pairs(docs, threshold=0.9, max_df=None).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_id_a, r.doc_id_b) == (1, 2)
+    assert r.containment_a_in_b >= 0.99  # short doc fully contained
+    assert r.containment_b_in_a < 0.1    # tiny fraction of the long doc
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    assert not jac  # symmetric Jaccard misses the subset copy

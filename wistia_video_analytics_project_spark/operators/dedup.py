@@ -781,6 +781,71 @@ def winnow_candidate_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    max_df: int | None = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-dup detection (Broder containment):
+    ``c(A,B) = |A∩B| / |A|`` over shingle sets, both directions per
+    pair. Catches subset copies — a short doc quoted inside a long one
+    scores near 1.0 containment while symmetric Jaccard stays tiny
+    (diluted by the long doc's size), so a Jaccard-threshold dedup
+    misses it.
+
+    Same scale shape as the Jaccard path: hashed shingles, ``max_df``
+    stop-shingle guard bounding join fan-out, one intersection
+    aggregate; emits pairs where either direction reaches
+    ``threshold``.
+    """
+    arr = _shingle_arrays(docs, text_col, id_col, n).withColumn(
+        "__h", F.expr("transform(__shingles, s -> xxhash64(s))")
+    )
+    sh = arr.select(
+        "doc_id", F.explode_outer("__h").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("__sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("__szb"))
+    c_ab = F.round(F.col("n_common") / F.col("__sza"), 4)
+    c_ba = F.round(F.col("n_common") / F.col("__szb"), 4)
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= threshold
+        )
+    )
+
+
 def incremental_winnow_dedup(
     new_docs: DataFrame,
     seen_fps: DataFrame,
@@ -931,6 +996,13 @@ def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs over documents (threshold 0.4,
+    max_df=100 stop-shingle guard mirrored in the oracle)."""
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.4, n=3,
+                             max_df=100)
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowed-fingerprint candidate pairs over documents."""
     return winnow_candidate_pairs(_docs(spark, sf_dir), k=4, w=4, max_df=100)
@@ -970,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_winnow": q_dedup_winnow,
         "dedup_winnow_incremental": q_dedup_winnow_incremental,
+        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -1035,6 +1108,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, fingerprint FROM fp
             WHERE fingerprint NOT IN (SELECT fingerprint FROM store)
             QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+        """,
+        "dedup_containment": f"""
+            WITH {_SHINGLE_CTE},
+            shf AS (
+              SELECT doc_id, shingle FROM sh
+              QUALIFY count(*) OVER (PARTITION BY shingle) <= 100),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     count(*) AS n_common
+              FROM shf a JOIN shf b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_id_a, doc_id_b,
+                   round(CAST(n_common AS DOUBLE) / sa.sz, 4)
+                     AS containment_a_in_b,
+                   round(CAST(n_common AS DOUBLE) / sb.sz, 4)
+                     AS containment_b_in_a
+            FROM inter
+            JOIN sizes sa ON doc_id_a = sa.doc_id
+            JOIN sizes sb ON doc_id_b = sb.doc_id
+            WHERE greatest(round(CAST(n_common AS DOUBLE) / sa.sz, 4),
+                           round(CAST(n_common AS DOUBLE) / sb.sz, 4)) >= 0.4
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLE_CTE},
