@@ -7,6 +7,7 @@ names, and an order-insensitive value hash. Queries without an oracle get
 a rows-only check. Usage::
 
     python scripts/check_oracle.py [query ...]
+    python scripts/check_oracle.py @window   # exactly the driver's first 50
 """
 
 from __future__ import annotations
@@ -50,7 +51,11 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from wistia_video_analytics_project_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    if args == ["@window"]:
+        only = set(list(entrymod.queries())[:50])
+    else:
+        only = set(args)
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
