@@ -337,3 +337,23 @@ def test_regr_aggregates_match_closed_form(spark):
     assert (out["a"].m, out["a"].b, out["a"].r2) == (3.0, 7.0, 1.0)
     # closed form for series b: slope=0.5, intercept=1.5, r2=0.25
     assert (out["b"].m, out["b"].b, out["b"].r2) == (0.5, 1.5, 0.25)
+
+
+def test_event_id_gaps_finds_constructed_gap(spark):
+    """The gap detector reports exact missing ranges on a constructed
+    id axis (dense run, hole, dense run)."""
+    from pyspark.sql import Window, functions as F
+
+    ids = list(range(1, 11)) + list(range(15, 20))  # hole: 11..14
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    w = Window.orderBy("event_id")
+    got = (
+        df.select("event_id").distinct()
+        .withColumn("__next", F.lead("event_id").over(w))
+        .filter(F.col("__next") > F.col("event_id") + 1)
+        .select((F.col("event_id") + 1).alias("s"),
+                (F.col("__next") - 1).alias("e"),
+                (F.col("__next") - F.col("event_id") - 1).alias("n"))
+        .collect()
+    )
+    assert [(r.s, r.e, r.n) for r in got] == [(11, 14, 4)]

@@ -344,3 +344,12 @@ def test_containment_catches_subset_copy_jaccard_misses(spark):
     assert r.containment_b_in_a < 0.1    # tiny fraction of the long doc
     jac = dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
     assert not jac  # symmetric Jaccard misses the subset copy
+
+
+def test_containment_layout_independent(spark, docs):
+    a = {(r.doc_id_a, r.doc_id_b, r.containment_a_in_b, r.containment_b_in_a)
+         for r in dedup.containment_pairs(docs, threshold=0.4).collect()}
+    b = {(r.doc_id_a, r.doc_id_b, r.containment_a_in_b, r.containment_b_in_a)
+         for r in dedup.containment_pairs(docs.repartition(11),
+                                          threshold=0.4).collect()}
+    assert a == b and a  # planted near-dups guarantee non-empty
