@@ -2300,6 +2300,75 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days via Median Absolute Deviation: robust-z =
+    0.6745·(v − median) / MAD, flagged beyond 3.5 (the Iglewicz-Hoaglin
+    convention). Unlike mean/stddev z-scores, one extreme day can't
+    inflate the spread and mask itself. Medians interpolate identically
+    in both engines (mean of the two middles) on round(2) inputs, so no
+    extra snapping is needed; both windows run over the 30-row daily
+    aggregate."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("v")
+    )
+    med = daily.agg(F.median("v").alias("__med"))
+    with_med = daily.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.median(F.abs(F.col("v") - F.col("__med"))).alias("__mad")
+    )
+    rz = (
+        F.lit(0.6745)
+        * (F.col("v") - F.col("__med"))
+        / F.col("__mad")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "date",
+            "v",
+            (F.round(rz, 4) + F.lit(0.0)).alias("robust_z"),
+            (F.abs(rz) > 3.5).alias("is_outlier"),
+        )
+    )
+
+
+def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent: each nation's order revenue as a
+    share of its region's total — one windowed sum partitioned by the
+    parent level over the (tiny) per-nation aggregate; the raw fact
+    aggregates once."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias(
+            "share_of_region"
+        ),
+    )
+
+
 def q_abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC analysis: customers ranked by revenue, classified by
     cumulative revenue share (A ≤ 80%, B ≤ 95%, C rest). Class
@@ -2757,6 +2826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id_gaps": q_event_id_gaps,
         "safe_arithmetic_report": q_safe_arithmetic_report,
         "abc_customer_classes": q_abc_customer_classes,
+        "mad_outlier_days": q_mad_outlier_days,
+        "nation_share_of_region": q_nation_share_of_region,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3294,6 +3365,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "mad_outlier_days": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS date,
+                     round(sum(coalesce(value, 0.0)), 2) AS v
+              FROM events GROUP BY 1),
+            med AS (SELECT median(v) AS m FROM daily),
+            mad AS (
+              SELECT median(abs(v - m)) AS d
+              FROM daily CROSS JOIN med)
+            SELECT date, v,
+                   round(CAST(0.6745 AS DOUBLE) * (v - m) / d, 4)
+                     + CAST(0.0 AS DOUBLE) AS robust_z,
+                   abs(CAST(0.6745 AS DOUBLE) * (v - m) / d) > 3.5
+                     AS is_outlier
+            FROM daily CROSS JOIN med CROSS JOIN mad
+        """,
+        "nation_share_of_region": """
+            WITH per_nation AS (
+              SELECT r_name, n_name,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2)
+            SELECT r_name, n_name, revenue,
+                   round(revenue / sum(revenue) OVER (PARTITION BY r_name), 4)
+                     AS share_of_region
+            FROM per_nation
         """,
         "abc_customer_classes": """
             WITH per_cust AS (

@@ -110,6 +110,8 @@ SECONDARY = [
     "dedup_winnow_incremental",
     "weighted_sample_wor",
     "dedup_containment",
+    "mad_outlier_days",
+    "nation_share_of_region",
 ]
 
 
