@@ -2677,9 +2677,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 21 round-3 additions, all oracle-backed and
+    front-load (a) the 23 round-3 additions, all oracle-backed and
     never driver-checked — ``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
+    ``mad_outlier_days``, ``nation_share_of_region``,
     ``weighted_sample_wor``, ``streaming_sessions``,
     ``nation_year_profit``, ``small_quantity_revenue``,
     ``sole_late_supplier``, ``event_pattern_match``,
