@@ -2300,6 +2300,58 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order-year value
+    distributions (the model-monitoring drift score): fixed-width bins
+    via explicit arithmetic (``least(floor(x/width)+1, nbins)`` —
+    DuckDB has no width_bucket, and the arithmetic form is engine-exact
+    anyway), add-one smoothing so empty bins stay finite, per-bin
+    contribution ``(p−q)·ln(p/q)`` plus the PSI total on every row.
+    The smoothed ratios are identical rationals, so only the final
+    ln/multiply is float (rounded 6)."""
+    orders = _t(spark, sf_dir, "orders")
+    width, nbins = 60_000.0, 10
+    binned = orders.filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    ).select(
+        F.year("o_orderdate").alias("yr"),
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(width)) + 1, F.lit(nbins)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count_if(F.col("yr") == 1995).alias("__c95"),
+        F.count_if(F.col("yr") == 1996).alias("__c96"),
+    )
+    totals = counts.agg(
+        (F.sum("__c95") + nbins).cast("double").alias("__t95"),
+        (F.sum("__c96") + nbins).cast("double").alias("__t96"),
+    )
+    p = (F.col("__c95") + 1) / F.col("__t95")
+    q = (F.col("__c96") + 1) / F.col("__t96")
+    contrib = (p - q) * F.log(p / q)
+    per_bin = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.col("__c95").alias("n_1995"),
+            F.col("__c96").alias("n_1996"),
+            (F.round(contrib, 6) + F.lit(0.0)).alias("psi_contribution"),
+            contrib.alias("__raw"),
+        )
+    )
+    w = Window.partitionBy()
+    return per_bin.select(
+        "bin",
+        "n_1995",
+        "n_1996",
+        "psi_contribution",
+        (F.round(F.sum("__raw").over(w), 6) + F.lit(0.0)).alias("psi_total"),
+    )
+
+
 def q_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier days via Median Absolute Deviation: robust-z =
     0.6745·(v − median) / MAD, flagged beyond 3.5 (the Iglewicz-Hoaglin
@@ -2677,10 +2729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 23 round-3 additions, all oracle-backed and
+    front-load (a) the 24 round-3 additions, all oracle-backed and
     never driver-checked — ``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
-    ``mad_outlier_days``, ``nation_share_of_region``,
+    ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
     ``weighted_sample_wor``, ``streaming_sessions``,
     ``nation_year_profit``, ``small_quantity_revenue``,
     ``sole_late_supplier``, ``event_pattern_match``,
@@ -2829,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_customer_classes": q_abc_customer_classes,
         "mad_outlier_days": q_mad_outlier_days,
         "nation_share_of_region": q_nation_share_of_region,
+        "value_psi_report": q_value_psi_report,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3366,6 +3419,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "value_psi_report": """
+            WITH binned AS (
+              SELECT year(o_orderdate) AS yr,
+                     CAST(least(floor(o_totalprice
+                                      / CAST(60000.0 AS DOUBLE)) + 1, 10)
+                          AS BIGINT) AS bin
+              FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+            counts AS (
+              SELECT bin,
+                     CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_1995,
+                     CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_1996
+              FROM binned GROUP BY 1),
+            totals AS (
+              SELECT CAST(sum(n_1995) + 10 AS DOUBLE) AS t95,
+                     CAST(sum(n_1996) + 10 AS DOUBLE) AS t96
+              FROM counts),
+            contrib AS (
+              SELECT bin, n_1995, n_1996,
+                     ((n_1995 + 1) / t95 - (n_1996 + 1) / t96)
+                       * ln(((n_1995 + 1) / t95) / ((n_1996 + 1) / t96))
+                       AS raw
+              FROM counts CROSS JOIN totals)
+            SELECT bin, n_1995, n_1996,
+                   round(raw, 6) + CAST(0.0 AS DOUBLE) AS psi_contribution,
+                   round(sum(raw) OVER (), 6) + CAST(0.0 AS DOUBLE)
+                     AS psi_total
+            FROM contrib
         """,
         "mad_outlier_days": """
             WITH daily AS (

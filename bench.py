@@ -112,6 +112,7 @@ SECONDARY = [
     "dedup_containment",
     "mad_outlier_days",
     "nation_share_of_region",
+    "value_psi_report",
 ]
 
 
