@@ -2300,6 +2300,32 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_view_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day Pearson correlation between daily view and
+    purchase counts — the windowed-`corr` aggregate over the per-day
+    frame (30 rows), answering "do purchase days track attention days
+    this week?". Emitted only once the frame is full (7 rows) so
+    near-constant short frames can't blow up the denominator; rounded 4
+    with the −0.0 normalization per the stats-output convention."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count_if(F.col("event_type") == "view").cast("double").alias("views"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("double")
+        .alias("purchases"),
+    )
+    w = Window.orderBy("date").rowsBetween(-6, 0)
+    return daily.select(
+        "date",
+        F.col("views").cast("long").alias("views"),
+        F.col("purchases").cast("long").alias("purchases"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.round(F.corr("views", "purchases").over(w), 4) + F.lit(0.0),
+        ).alias("corr_7d"),
+    )
+
+
 def q_value_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between two order-year value
     distributions (the model-monitoring drift score): fixed-width bins
@@ -2729,10 +2755,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 24 round-3 additions, all oracle-backed and
+    front-load (a) the 25 round-3 additions, all oracle-backed and
     never driver-checked — ``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
+    ``rolling_view_purchase_corr``,
     ``weighted_sample_wor``, ``streaming_sessions``,
     ``nation_year_profit``, ``small_quantity_revenue``,
     ``sole_late_supplier``, ``event_pattern_match``,
@@ -2882,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outlier_days": q_mad_outlier_days,
         "nation_share_of_region": q_nation_share_of_region,
         "value_psi_report": q_value_psi_report,
+        "rolling_view_purchase_corr": q_rolling_view_purchase_corr,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3419,6 +3447,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "rolling_view_purchase_corr": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS date,
+                     CAST(sum(CASE WHEN event_type = 'view'
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS v,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS p
+              FROM events GROUP BY 1)
+            SELECT date,
+                   CAST(v AS BIGINT) AS views,
+                   CAST(p AS BIGINT) AS purchases,
+                   CASE WHEN count(*) OVER w = 7
+                        THEN round(corr(v, p) OVER w, 4)
+                             + CAST(0.0 AS DOUBLE) END AS corr_7d
+            FROM daily
+            WINDOW w AS (ORDER BY date
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "value_psi_report": """
             WITH binned AS (

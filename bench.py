@@ -113,6 +113,7 @@ SECONDARY = [
     "mad_outlier_days",
     "nation_share_of_region",
     "value_psi_report",
+    "rolling_view_purchase_corr",
 ]
 
 
