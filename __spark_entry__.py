@@ -2300,6 +2300,66 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration metrics: the Gini coefficient of customer
+    revenue (``2Σi·cᵢ/(n·T) − (n+1)/n`` over rank-sorted values) and the
+    Herfindahl-Hirschman index of brand revenue (``Σ shareᵢ²``) — one
+    row each. Both built from exact integer cents so the only float ops
+    are final divisions of identical integers (engine-identical); rank
+    ties between equal values leave Σi·cᵢ invariant, so no tiebreak
+    subtleties."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    cents = per_cust.select(
+        "o_custkey", F.round(F.col("rev") * 100).cast("long").alias("__c")
+    )
+    w = Window.orderBy(F.asc("__c"), F.asc("o_custkey"))
+    ranked = cents.withColumn("__i", F.row_number().over(w))
+    gini_row = ranked.agg(
+        F.sum(F.col("__i") * F.col("__c")).alias("__s"),
+        F.sum("__c").alias("__t"),
+        F.count(F.lit(1)).alias("__n"),
+    ).select(
+        F.lit("gini_customer_revenue").alias("metric"),
+        F.round(
+            2 * F.col("__s") / (F.col("__n") * F.col("__t"))
+            - (F.col("__n") + 1) / F.col("__n").cast("double"),
+            6,
+        ).alias("value"),
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_brand = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+        .select(F.round(F.col("rev") * 100).cast("long").alias("__c"))
+    )
+    # Σc² overflows BIGINT beyond small SFs; shares are exact rationals
+    # (identical in both engines) and their squares sum in double with
+    # ~1e-18 ordering noise — far under the 6-decimal rounding
+    brand_tot = per_brand.agg(F.sum("__c").alias("__t"))
+    hhi_row = (
+        per_brand.crossJoin(F.broadcast(brand_tot))
+        .select(
+            (F.col("__c") / F.col("__t").cast("double")).alias("__share")
+        )
+        .agg(
+            F.round(F.sum(F.col("__share") * F.col("__share")), 6).alias(
+                "value"
+            )
+        )
+        .select(F.lit("hhi_brand_revenue").alias("metric"), "value")
+    )
+    return gini_row.unionByName(hhi_row)
+
+
 def q_rolling_view_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day Pearson correlation between daily view and
     purchase counts — the windowed-`corr` aggregate over the per-day
@@ -2755,11 +2815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 25 round-3 additions, all oracle-backed and
+    front-load (a) the 26 round-3 additions, all oracle-backed and
     never driver-checked — ``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
-    ``rolling_view_purchase_corr``,
+    ``rolling_view_purchase_corr``, ``revenue_concentration``,
     ``weighted_sample_wor``, ``streaming_sessions``,
     ``nation_year_profit``, ``small_quantity_revenue``,
     ``sole_late_supplier``, ``event_pattern_match``,
@@ -2910,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_share_of_region": q_nation_share_of_region,
         "value_psi_report": q_value_psi_report,
         "rolling_view_purchase_corr": q_rolling_view_purchase_corr,
+        "revenue_concentration": q_revenue_concentration,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3447,6 +3508,37 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        """,
+        "revenue_concentration": """
+            WITH per_cust AS (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+              FROM orders GROUP BY 1),
+            cents AS (
+              SELECT o_custkey,
+                     CAST(round(rev * 100) AS BIGINT) AS c
+              FROM per_cust),
+            ranked AS (
+              SELECT c, row_number() OVER (ORDER BY c ASC, o_custkey ASC)
+                       AS i
+              FROM cents),
+            gini AS (
+              SELECT 'gini_customer_revenue' AS metric,
+                     round(2.0 * CAST(sum(i * c) AS DOUBLE)
+                             / (count(*) * CAST(sum(c) AS DOUBLE))
+                           - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6)
+                       AS value
+              FROM ranked),
+            per_brand AS (
+              SELECT CAST(round(round(sum(l_extendedprice), 2) * 100)
+                          AS BIGINT) AS c
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM per_brand),
+            hhi AS (
+              SELECT 'hhi_brand_revenue' AS metric,
+                     round(sum((c / t) * (c / t)), 6) AS value
+              FROM per_brand CROSS JOIN tot)
+            SELECT * FROM gini UNION ALL SELECT * FROM hhi
         """,
         "rolling_view_purchase_corr": """
             WITH daily AS (

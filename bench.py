@@ -114,6 +114,7 @@ SECONDARY = [
     "nation_share_of_region",
     "value_psi_report",
     "rolling_view_purchase_corr",
+    "revenue_concentration",
 ]
 
 
