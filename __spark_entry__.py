@@ -2754,6 +2754,195 @@ def q_daily_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 flavor: for every SMALL part of size <= 15, the EUROPE
+    supplier with the cheapest observed unit price (min extendedprice /
+    quantity over that supplier's lineitems).  The classic correlated
+    MIN subquery decorrelates into one grouped aggregate + a window
+    rank (unit_cost, s_suppkey tiebreak) — one fact shuffle, dims all
+    broadcast.  Ranking compares RAW doubles (both engines evaluate the
+    identical division/min), rounding only the output columns."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part_f = part.filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name")
+    eu_supp = (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(
+            region.filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        lineitem.join(F.broadcast(part_f), lineitem.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp), lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("__cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("__cost", "s_suppkey")
+    best = (
+        costs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("__cost", 2).alias("unit_cost"),
+        )
+    )
+    return analytics.top_k(
+        best, 100, [F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+                    F.asc("p_partkey")]
+    )
+
+
+def q_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 flavor: per supplier nation, the parts whose shipped
+    value exceeds 0.5% of the nation's total — the scalar-subquery
+    HAVING decorrelated into a window sum over the grouped frame.
+    Value is summed in EXACT integer cents (floor(x*100+0.5), CLAUDE.md
+    half-up rule) so the share comparison `part_cents * 200 >
+    nation_cents` divides identical integers in both engines — no
+    float-boundary rows."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    supp_n = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    pv = (
+        lineitem.join(F.broadcast(supp_n), lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(cents).alias("__part_cents"))
+    )
+    w = Window.partitionBy("n_name")
+    return (
+        pv.withColumn("__nation_cents", F.sum("__part_cents").over(w))
+        .filter(F.col("__part_cents") * 200 > F.col("__nation_cents"))
+        .select(
+            "n_name",
+            "l_partkey",
+            F.round(F.col("__part_cents") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("n_name"), F.asc("l_partkey"))
+    )
+
+
+def q_ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 flavor: lines bucketed by order→ship latency class
+    (<=30d FAST, <=90d MEDIUM, else SLOW; the testdata has no shipmode
+    column), counting critical-priority vs other lines per class — the
+    dual conditional-count shape.  Day arithmetic via datediff
+    (integer, engine-portable)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lat = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .select(
+            F.when(lat <= 30, "FAST")
+            .when(lat <= 90, "MEDIUM")
+            .otherwise("SLOW")
+            .alias("latency_class"),
+            high.cast("long").alias("__high"),
+        )
+        .groupBy("latency_class")
+        .agg(
+            F.sum("__high").alias("high_line_count"),
+            F.sum(F.lit(1) - F.col("__high")).alias("low_line_count"),
+        )
+        .orderBy("latency_class")
+    )
+
+
+def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 flavor: distinct suppliers per (brand, type, size)
+    observed shipping each part (the testdata has no partsupp table, so
+    the pair set comes from lineitem), excluding negative-balance
+    suppliers via NOT IN (the Q16 complaint-supplier exclusion shape).
+    Two-level distinct: pair dedup, then count_distinct per group."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad),
+            lineitem.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+    )
+    part_f = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 15, 23, 31, 37, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(part_f), pairs.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+def q_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 flavor: suppliers who shipped MORE than a quarter of a
+    red part's 1996 volume (supp_qty * 4 > part_qty) for at least one
+    such part — the nested semi-join chain (part name filter → grouped
+    qty → threshold → DISTINCT supplier probe).  Quantities are
+    integer-valued: summed as BIGINT so the 4× threshold compares exact
+    integers in both engines."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    # range predicate, not year(): pushes to the parquet scan as a
+    # min/max-prunable filter (year() would evaluate post-scan)
+    sq = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), lineitem.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        sq.withColumn("__part_qty", F.sum("__supp_qty").over(w))
+        .filter(F.col("__supp_qty") * 4 > F.col("__part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        excess.join(
+            F.broadcast(supplier), excess.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "n_name")
+        .orderBy("s_name")
+    )
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION-window sessionization run to completion (file
     stream -> session_window(30 min gap) -> memory sink).
@@ -2827,7 +3016,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``null_safe_join``, ``trimmed_mean_order_value``,
     ``yearly_customer_setops``, ``variant_props_extract``,
     ``lateral_top_customers``, ``event_id_gaps``,
-    ``safe_arithmetic_report``, ``abc_customer_classes`` — then (b) the
+    ``safe_arithmetic_report``, ``abc_customer_classes``,
+    ``min_cost_supplier``, ``important_part_stock``,
+    ``ship_latency_priority``, ``supplier_count_by_part``,
+    ``excess_shipped_suppliers`` — then (b) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 3 rounds stale by then), then (c) the
     oldest round-2-verified entries — keep cycling so every
@@ -2971,6 +3163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_psi_report": q_value_psi_report,
         "rolling_view_purchase_corr": q_rolling_view_purchase_corr,
         "revenue_concentration": q_revenue_concentration,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_part_stock": q_important_part_stock,
+        "ship_latency_priority": q_ship_latency_priority,
+        "supplier_count_by_part": q_supplier_count_by_part,
+        "excess_shipped_suppliers": q_excess_shipped_suppliers,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3557,6 +3754,101 @@ def oracle_sql() -> dict[str, str]:
             FROM daily
             WINDOW w AS (ORDER BY date
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "min_cost_supplier": """
+            WITH eu_supp AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            costs AS (
+              SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                     min(l_extendedprice / l_quantity) AS unit_cost_raw
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN eu_supp ON l_suppkey = s_suppkey
+              WHERE p_type = 'SMALL' AND p_size <= 15
+              GROUP BY 1, 2, 3, 4, 5, 6),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY p_partkey
+                       ORDER BY unit_cost_raw, s_suppkey) AS rn
+              FROM costs)
+            SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+                   p_partkey, p_name,
+                   round(unit_cost_raw, 2) AS unit_cost
+            FROM ranked WHERE rn = 1
+            ORDER BY round(s_acctbal, 2) DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "important_part_stock": """
+            WITH pv AS (
+              SELECT n_name, l_partkey,
+                     CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS part_cents
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY 1, 2),
+            tot AS (
+              SELECT *, sum(part_cents) OVER (PARTITION BY n_name)
+                          AS nation_cents
+              FROM pv)
+            SELECT n_name, l_partkey,
+                   round(part_cents / CAST(100.0 AS DOUBLE), 2) AS part_value
+            FROM tot WHERE part_cents * 200 > nation_cents
+            ORDER BY part_value DESC, n_name, l_partkey
+        """,
+        "ship_latency_priority": """
+            SELECT CASE
+                     WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) <= 30 THEN 'FAST'
+                     WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) <= 90 THEN 'MEDIUM'
+                     ELSE 'SLOW' END AS latency_class,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "supplier_count_by_part": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+              WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM pairs JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 9, 15, 23, 31, 37, 45)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "excess_shipped_suppliers": """
+            WITH red_parts AS (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+            sq AS (
+              SELECT l_suppkey, l_partkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS supp_qty
+              FROM lineitem JOIN red_parts ON l_partkey = p_partkey
+              WHERE year(l_shipdate) = 1996
+              GROUP BY 1, 2),
+            wt AS (
+              SELECT *, sum(supp_qty) OVER (PARTITION BY l_partkey)
+                          AS part_qty
+              FROM sq),
+            excess AS (
+              SELECT DISTINCT l_suppkey FROM wt
+              WHERE supp_qty * 4 > part_qty)
+            SELECT s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+            FROM excess JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_name
         """,
         "value_psi_report": """
             WITH binned AS (

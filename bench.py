@@ -115,6 +115,11 @@ SECONDARY = [
     "value_psi_report",
     "rolling_view_purchase_corr",
     "revenue_concentration",
+    "min_cost_supplier",
+    "important_part_stock",
+    "ship_latency_priority",
+    "supplier_count_by_part",
+    "excess_shipped_suppliers",
 ]
 
 

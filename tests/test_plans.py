@@ -339,3 +339,53 @@ def test_lm_bits_partial_aggregates_before_exchange(spark):
     assert all("Cross" in b for b in bnlj) and len(bnlj) <= 1, bnlj
     # map-side combine on both count tables and the per-doc agg
     assert len(re.findall(r"partial_count", plan)) >= 3, plan[:2000]
+
+
+def test_min_cost_supplier_broadcasts_and_prunes(spark):
+    """Q2 flavor: both dim sides broadcast; the lineitem scan reads only
+    the join/measure columns."""
+    df = entrymod.q_min_cost_supplier(spark, SF_SMOKE)
+    plans.assert_broadcast_join(df)
+    plans.assert_read_columns_at_most(
+        df,
+        "lineitem.parquet",
+        {"l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"},
+    )
+
+
+def test_important_part_stock_single_fact_shuffle(spark):
+    """Q11 flavor: the window sum must reuse the groupBy(n_name,
+    l_partkey) output without adding an extra fact-sized exchange — one
+    hash exchange for the agg, one narrow one for the n_name window."""
+    import re
+
+    df = entrymod.q_important_part_stock(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    plans.assert_broadcast_join(df)
+    n = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n <= 2, f"expected <=2 hash exchanges, got {n}:\n{plan[:3000]}"
+
+
+def test_ship_latency_priority_prunes_orders(spark):
+    df = entrymod.q_ship_latency_priority(spark, SF_SMOKE)
+    plans.assert_read_columns_at_most(
+        df, "orders.parquet", {"o_orderkey", "o_orderdate", "o_orderpriority"}
+    )
+    plans.assert_read_columns_at_most(
+        df, "lineitem.parquet", {"l_orderkey", "l_shipdate"}
+    )
+
+
+def test_supplier_count_by_part_anti_join_broadcasts(spark):
+    """Q16 flavor: the NOT IN exclusion must compile to a broadcast
+    anti join, never a shuffled one (bad-supplier set is tiny)."""
+    plan = plans.executed_plan(
+        entrymod.q_supplier_count_by_part(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:3000]
+
+
+def test_excess_shipped_suppliers_year_filter_pushed(spark):
+    df = entrymod.q_excess_shipped_suppliers(spark, SF_SMOKE)
+    plans.assert_pushed_filter(df, "l_shipdate")
+    plans.assert_broadcast_join(df)
