@@ -2943,6 +2943,127 @@ def q_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clamped_quarterly_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): clamped running balance —
+    each quarter a fixed inflow lands and that quarter's order spend
+    drains, with the balance floored at zero (overdraft forgiven).  The
+    floor-at-zero makes this inherently sequential: no window frame
+    expresses it, which is exactly the recursion-requiring shape.  All
+    arithmetic in exact integer cents, so both engines recurse over
+    identical integers.  27 quarters — each recursion level costs a
+    scheduled mini-job (~0.3 s), which is why the grain is quarterly,
+    not monthly; the only distributed work is the aggregate underneath."""
+    configure_runtime(spark)
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.date_trunc("QUARTER", "o_orderdate").cast("date").alias("quarter"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("quarter")
+        .agg(F.sum("__cents").alias("spend_cents"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("quarter"))
+        )
+    )
+    # each recursion step re-reads the anchor view: cache the 80-row
+    # aggregate once so the recursion doesn't re-scan parquet per level
+    from wistia_video_analytics_project_spark.cache import track
+
+    monthly = track(monthly)
+    monthly.createOrReplaceTempView("__monthly_spend")
+    inflow = 14_100_000_000  # cents; ~avg quarterly spend so the clamp bites
+    return spark.sql(f"""
+        WITH RECURSIVE bal AS (
+          SELECT rn, quarter, spend_cents,
+                 CAST(greatest(0, {inflow} - spend_cents) AS BIGINT)
+                   AS balance_cents
+          FROM __monthly_spend WHERE rn = 1
+          UNION ALL
+          SELECT m.rn, m.quarter, m.spend_cents,
+                 CAST(greatest(0, b.balance_cents + {inflow} - m.spend_cents)
+                      AS BIGINT)
+          FROM bal b JOIN __monthly_spend m ON m.rn = b.rn + 1
+        )
+        SELECT quarter,
+               round(spend_cents / CAST(100.0 AS DOUBLE), 2) AS spend,
+               round(balance_cents / CAST(100.0 AS DOUBLE), 2) AS balance
+        FROM bal ORDER BY quarter
+    """)
+
+
+def q_priority_status_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg / string_agg surface (Spark 4 WITHIN GROUP): the ordered
+    distinct status CSV per order priority — deterministic because the
+    element order is pinned by WITHIN GROUP (ORDER BY)."""
+    configure_runtime(spark)
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_la")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+        FROM __orders_la
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+
+
+def q_daily_unique_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per day via Spark's bitmap aggregates:
+    group by (day, bitmap bucket) -> bitmap_construct_agg, then OR-merge
+    buckets and sum bitmap_count.  This is the mergeable exact-distinct
+    pattern — partial bitmaps combine map-side and across incremental
+    refreshes, unlike count(DISTINCT) which must reshuffle raw ids; at
+    100 TB the per-(day,bucket) state is bounded (4 KiB per bucket).
+    Oracle: plain count(DISTINCT) — the bitmap path must agree exactly."""
+    events = _t(spark, sf_dir, "events")
+    per_bucket = (
+        events.select(
+            F.col("ts").cast("date").alias("day"),
+            F.col("user_id"),
+        )
+        .groupBy(
+            "day", F.expr("bitmap_bucket_number(user_id)").alias("__bucket")
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "__bm"
+            )
+        )
+    )
+    return (
+        per_bucket.groupBy("day")
+        .agg(F.sum(F.expr("bitmap_count(__bm)")).cast("long").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+def q_value_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc (discrete, WITHIN GROUP): per event type, the
+    smallest observed value at cumulative distribution >= p — an actual
+    element of the set, no interpolation, so the double is bit-identical
+    in both engines (rounded only for display)."""
+    events = _t(spark, sf_dir, "events")
+    events.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    ).createOrReplaceTempView("__events_pd")
+    return spark.sql("""
+        SELECT event_type,
+               count(*) AS n_values,
+               round(percentile_disc(0.25) WITHIN GROUP (ORDER BY value), 4)
+                 AS p25,
+               round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 4)
+                 AS p50,
+               round(percentile_disc(0.75) WITHIN GROUP (ORDER BY value), 4)
+                 AS p75
+        FROM __events_pd
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION-window sessionization run to completion (file
     stream -> session_window(30 min gap) -> memory sink).
@@ -3019,7 +3140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``safe_arithmetic_report``, ``abc_customer_classes``,
     ``min_cost_supplier``, ``important_part_stock``,
     ``ship_latency_priority``, ``supplier_count_by_part``,
-    ``excess_shipped_suppliers`` — then (b) the
+    ``excess_shipped_suppliers``, ``clamped_quarterly_balance``,
+    ``priority_status_listagg``, ``daily_unique_users_bitmap``,
+    ``value_percentile_disc`` — then (b) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 3 rounds stale by then), then (c) the
     oldest round-2-verified entries — keep cycling so every
@@ -3168,6 +3291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_latency_priority": q_ship_latency_priority,
         "supplier_count_by_part": q_supplier_count_by_part,
         "excess_shipped_suppliers": q_excess_shipped_suppliers,
+        "clamped_quarterly_balance": q_clamped_quarterly_balance,
+        "priority_status_listagg": q_priority_status_listagg,
+        "daily_unique_users_bitmap": q_daily_unique_users_bitmap,
+        "value_percentile_disc": q_value_percentile_disc,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3849,6 +3976,56 @@ def oracle_sql() -> dict[str, str]:
             FROM excess JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             ORDER BY s_name
+        """,
+        "clamped_quarterly_balance": """
+            WITH RECURSIVE quarterly AS (
+              SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                       AS quarter,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS spend_cents
+              FROM orders GROUP BY 1),
+            numbered AS (
+              SELECT *, row_number() OVER (ORDER BY quarter) AS rn
+              FROM quarterly),
+            bal AS (
+              SELECT rn, quarter, spend_cents,
+                     CAST(greatest(0, 14100000000 - spend_cents) AS BIGINT)
+                       AS balance_cents
+              FROM numbered WHERE rn = 1
+              UNION ALL
+              SELECT m.rn, m.quarter, m.spend_cents,
+                     CAST(greatest(0, b.balance_cents + 14100000000
+                                      - m.spend_cents) AS BIGINT)
+              FROM bal b JOIN numbered m ON m.rn = b.rn + 1)
+            SELECT quarter,
+                   round(spend_cents / CAST(100.0 AS DOUBLE), 2) AS spend,
+                   round(balance_cents / CAST(100.0 AS DOUBLE), 2) AS balance
+            FROM bal ORDER BY quarter
+        """,
+        "priority_status_listagg": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   string_agg(DISTINCT o_orderstatus, ','
+                              ORDER BY o_orderstatus) AS statuses
+            FROM orders
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "daily_unique_users_bitmap": """
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "value_percentile_disc": """
+            SELECT event_type,
+                   count(*) AS n_values,
+                   round(percentile_disc(0.25) WITHIN GROUP (ORDER BY value),
+                         4) AS p25,
+                   round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value),
+                         4) AS p50,
+                   round(percentile_disc(0.75) WITHIN GROUP (ORDER BY value),
+                         4) AS p75
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         "value_psi_report": """
             WITH binned AS (

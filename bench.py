@@ -120,6 +120,10 @@ SECONDARY = [
     "ship_latency_priority",
     "supplier_count_by_part",
     "excess_shipped_suppliers",
+    "clamped_quarterly_balance",
+    "priority_status_listagg",
+    "daily_unique_users_bitmap",
+    "value_percentile_disc",
 ]
 
 

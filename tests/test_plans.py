@@ -389,3 +389,17 @@ def test_excess_shipped_suppliers_year_filter_pushed(spark):
     df = entrymod.q_excess_shipped_suppliers(spark, SF_SMOKE)
     plans.assert_pushed_filter(df, "l_shipdate")
     plans.assert_broadcast_join(df)
+
+
+def test_bitmap_distinct_two_level_mergeable_agg(spark):
+    """daily_unique_users_bitmap: the bitmap path must partial-aggregate
+    map-side at BOTH levels (bucket bitmaps, then the day-level count
+    sum) — the mergeable-state property that makes it the incremental
+    exact-distinct design at scale."""
+    import re
+
+    fn = entrymod.queries()["daily_unique_users_bitmap"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert len(re.findall(r"partial_", plan)) >= 2, plan[:3000]
+    # exact-distinct without a count(DISTINCT) expand: no Expand node
+    assert "Expand" not in plan, plan[:3000]
