@@ -3064,6 +3064,24 @@ def q_value_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_incremental_kpi_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental gold refresh via exact mergeable state
+    (operators/mergeable.py): history batch + tail batch are aggregated
+    INDEPENDENTLY into (day, bucket) state rows — additive counts/cents
+    plus OR-mergeable user bitmaps — then merged and collapsed to the
+    daily KPI report without ever rescanning combined raw data.  The
+    oracle is straight SQL over the full table: the incremental path
+    must agree exactly, including the distinct-user count."""
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark.operators import mergeable
+
+    events = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    hist = mergeable.daily_state(events.filter(F.col("ts") < cutoff))
+    tail = mergeable.daily_state(events.filter(F.col("ts") >= cutoff))
+    return mergeable.state_report(mergeable.merge_states(hist, tail))
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION-window sessionization run to completion (file
     stream -> session_window(30 min gap) -> memory sink).
@@ -3142,7 +3160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``ship_latency_priority``, ``supplier_count_by_part``,
     ``excess_shipped_suppliers``, ``clamped_quarterly_balance``,
     ``priority_status_listagg``, ``daily_unique_users_bitmap``,
-    ``value_percentile_disc`` — then (b) the
+    ``value_percentile_disc``, ``incremental_kpi_refresh``,
+    ``duplicated_spans`` — then (b) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 3 rounds stale by then), then (c) the
     oldest round-2-verified entries — keep cycling so every
@@ -3295,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_status_listagg": q_priority_status_listagg,
         "daily_unique_users_bitmap": q_daily_unique_users_bitmap,
         "value_percentile_disc": q_value_percentile_disc,
+        "incremental_kpi_refresh": q_incremental_kpi_refresh,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -4009,6 +4029,15 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY o_orderstatus) AS statuses
             FROM orders
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "incremental_kpi_refresh": """
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(CAST(floor(coalesce(value, 0.0) * 100 + 0.5)
+                                  AS BIGINT)) / CAST(100.0 AS DOUBLE), 2)
+                     AS total_value,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "daily_unique_users_bitmap": """
             SELECT CAST(ts AS DATE) AS day,

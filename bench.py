@@ -124,6 +124,8 @@ SECONDARY = [
     "priority_status_listagg",
     "daily_unique_users_bitmap",
     "value_percentile_disc",
+    "incremental_kpi_refresh",
+    "duplicated_spans",
 ]
 
 

@@ -403,3 +403,24 @@ def test_bitmap_distinct_two_level_mergeable_agg(spark):
     assert len(re.findall(r"partial_", plan)) >= 2, plan[:3000]
     # exact-distinct without a count(DISTINCT) expand: no Expand node
     assert "Expand" not in plan, plan[:3000]
+
+
+def test_mergeable_state_partial_aggregates(spark):
+    """incremental_kpi_refresh: every stage (batch state, merge, report)
+    must partial-aggregate map-side; no count(DISTINCT) Expand anywhere
+    — distinct users come from the OR-merged bitmaps."""
+    import re
+
+    fn = entrymod.queries()["incremental_kpi_refresh"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert len(re.findall(r"partial_", plan)) >= 3, plan[:3000]
+    assert "Expand" not in plan, plan[:3000]
+
+
+def test_duplicated_spans_single_shuffle_topk(spark):
+    """duplicated_spans: one span-keyed aggregate + TakeOrdered; the
+    count-distinct over doc_id is the only Expand-free distinct path
+    allowed to add an exchange."""
+    fn = entrymod.queries()["duplicated_spans"]
+    df = fn(spark, SF_SMOKE)
+    plans.assert_take_ordered(df)

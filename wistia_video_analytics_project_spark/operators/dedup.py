@@ -898,6 +898,54 @@ def incremental_winnow_dedup(
     return new_docs.join(drops, id_col, "left_anti")
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    top: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top cross-document duplicated word ``n``-grams — the span-level
+    diagnostic behind substring-dedup decisions ("Deduplicating Training
+    Data Makes Language Models Better"-style): which exact long spans
+    repeat across the corpus, and how widely.
+
+    Spans are generated JVM-side with a higher-order function
+    (``sequence -> transform(slice) -> explode``) off the shared
+    whitespace tokenizer (:func:`..text.tokens`), then one grouped
+    aggregate — a single shuffle keyed by span text.  At 100 TB the
+    span key domain is huge but the aggregation is fully partial
+    (map-side combine collapses within-partition repeats) and the
+    ``min_docs`` filter runs post-agg; for a leaner key, swap the span
+    string for ``xxhash64(span)`` (rows-only variant, same plan).
+    """
+    words = tokens(F.col(text_col))
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(words, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("span"),
+    )
+    agg = (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return agg.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span")
+    ).limit(top)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return load_table(spark, sf_dir, "documents")
@@ -1027,9 +1075,15 @@ def q_dedup_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_winnow_dedup(batch, store).select("doc_id")
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 cross-document duplicated 10-gram spans."""
+    return duplicated_spans(_docs(spark, sf_dir), n=10, top=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
+        "duplicated_spans": q_duplicated_spans,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # minhash/simhash use engine-internal xxhash64 — not reproducible
@@ -1072,6 +1126,25 @@ _SHINGLE_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "duplicated_spans": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents),
+            spans AS (
+              SELECT doc_id,
+                     array_to_string(w[CAST(i AS BIGINT):CAST(i + 9 AS BIGINT)],
+                                     ' ') AS span
+              FROM words, unnest(generate_series(1, len(w) - 9)) AS t(i)
+              WHERE len(w) >= 10)
+            SELECT span,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM spans GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY n_docs DESC, n_occurrences DESC, span
+            LIMIT 20
+        """,
         "dedup_exact": f"""
             WITH {_DUPS_CTE},
             fp AS (
