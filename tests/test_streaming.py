@@ -571,3 +571,41 @@ def test_session_window_stats_matches_batch_sessionize(spark, tmp_path):
     # user1 sessions 1+2 and user2's session are closed by the final
     # watermark (15:00); only the 16:00 event's session stays open
     assert got == want and len(got) == 3
+
+
+def test_streaming_state_refresh_matches_batch_and_replays(spark, tmp_path, event_dir):
+    """The streaming mergeable-state face: end-to-end run must equal the
+    batch daily_state recompute exactly (including exact distinct
+    users), and a replayed epoch must overwrite its own contribution,
+    not double-add."""
+    from wistia_video_analytics_project_spark.operators import mergeable
+    from wistia_video_analytics_project_spark.streaming.jobs import (
+        read_state_report,
+        state_contribution_fn,
+        streaming_state_refresh,
+    )
+
+    state = str(tmp_path / "kpi_state")
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(event_dir)
+    streaming_state_refresh(
+        stream, state, checkpoint=str(tmp_path / "ckpt")
+    )
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(event_dir)
+    expect = [
+        (r.day, r.n_events, r.total_value, r.n_users)
+        for r in mergeable.state_report(mergeable.daily_state(batch)).collect()
+    ]
+    got = [
+        (r.day, r.n_events, r.total_value, r.n_users)
+        for r in read_state_report(spark, state).collect()
+    ]
+    assert got == expect and len(got) == 2
+
+    # replay epoch 0 with the same batch: structurally idempotent
+    state_contribution_fn(state)(batch, 0)
+    got2 = [
+        (r.day, r.n_events, r.total_value, r.n_users)
+        for r in read_state_report(spark, state).collect()
+    ]
+    assert got2 == expect

@@ -499,3 +499,82 @@ def rollup_merge_fn(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return merge
+
+
+# ---------------------------------------------------------------------------
+# streaming face of the exact mergeable state (operators/mergeable.py)
+# ---------------------------------------------------------------------------
+
+
+def state_contribution_fn(
+    state_path: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """ForeachBatch body maintaining the exact mergeable KPI state
+    (``operators/mergeable.daily_state`` rows: additive counts/cents +
+    OR-mergeable exact user bitmaps) as EPOCH-PARTITIONED contributions.
+
+    Unlike ``continuous_daily_rollup``'s last_epoch guard, idempotence
+    here is structural: each epoch writes ONLY its own contribution
+    partition (dynamic overwrite on ``epoch``), so a replayed epoch
+    overwrites itself instead of double-adding — no read-modify-write
+    of prior state at all, which also makes concurrent backfill writers
+    safe as long as they use disjoint epoch ids. Readers merge
+    contributions at query time (``read_state_report``); a periodic
+    compaction can fold old epochs into one without changing results
+    (merge is associative — property-tested batch-side).
+    """
+    from ..operators.mergeable import daily_state
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        contrib = daily_state(
+            batch, ts_col=ts_col, user_col=user_col, value_col=value_col
+        ).withColumn("epoch", F.lit(epoch_id))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                contrib.write.mode("overwrite")
+                .partitionBy("epoch")
+                .parquet(state_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return apply
+
+
+def streaming_state_refresh(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> None:
+    """Run a stream to completion through ``state_contribution_fn`` —
+    the streaming twin of the batch ``incremental_kpi_refresh`` path."""
+    writer = events.writeStream.outputMode("append").foreachBatch(
+        state_contribution_fn(state_path, ts_col, user_col, value_col)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_state_report(spark, state_path: str) -> DataFrame:
+    """Merge all epoch contributions and collapse to the daily KPI
+    report — reads the (tiny) state table only, never raw history."""
+    from ..operators.mergeable import merge_states, state_report
+
+    raw = spark.read.parquet(state_path).drop("epoch")
+    return state_report(merge_states(raw))
