@@ -3082,6 +3082,21 @@ def q_incremental_kpi_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mergeable.state_report(mergeable.merge_states(hist, tail))
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the
+    learned 20-merge sequence over the documents corpus.  Deterministic
+    (lexicographic tie-break, asserted exactly vs a pure-Python
+    reference in tests/test_bpe.py) but iterative-argmax — not
+    SQL-expressible, so the driver records a rows-only check."""
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, wt = bpe.train_bpe(docs, num_merges=20)
+    wt.unpersist()
+    return bpe.merges_frame(spark, merges)
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION-window sessionization run to completion (file
     stream -> session_window(30 min gap) -> memory sink).
@@ -3315,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_unique_users_bitmap": q_daily_unique_users_bitmap,
         "value_percentile_disc": q_value_percentile_disc,
         "incremental_kpi_refresh": q_incremental_kpi_refresh,
+        "bpe_merges": q_bpe_merges,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3323,7 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slot spent on them yields only a weak rows-only driver check
     for _rows_only in ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
                        "ann_ivf", "ann_pq", "ann_ivf_pq",
-                       "semantic_dedup_lsh", "pack_sequences",
+                       "semantic_dedup_lsh", "pack_sequences", "bpe_merges",
                        "approx_distinct_users", "weekly_active_users_hll",
                        "value_quantiles_kll", "segment_overlap_theta"):
         ordered[_rows_only] = ordered.pop(_rows_only)

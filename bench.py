@@ -126,6 +126,7 @@ SECONDARY = [
     "value_percentile_disc",
     "incremental_kpi_refresh",
     "duplicated_spans",
+    "bpe_merges",
 ]
 
 

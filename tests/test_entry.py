@@ -26,6 +26,10 @@ def test_queries_registry_well_formed(spark):
         # greedy FFD packing is imperative — rows-only by design,
         # invariants pinned in tests/test_corpus.py
         "pack_sequences",
+        # iterative-argmax BPE training — not SQL-expressible; exact
+        # agreement with a reference implementation pinned in
+        # tests/test_bpe.py
+        "bpe_merges",
     }
 
 
