@@ -355,3 +355,33 @@ def test_sorted_write_clusters_rows_within_files(spark, tmp_path):
     for f in glob.glob(f"{path}/part-*.parquet"):
         ks = [r.k for r in spark.read.parquet(f"file://{f}").select("k").collect()]
         assert ks == sorted(ks), f
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from wistia_video_analytics_project_spark.sinks import write_orc
+    from wistia_video_analytics_project_spark.sources import read_orc
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, "a", 0.25)], schema
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path, partition_by=["grp"])
+    import os
+
+    assert any(d.startswith("grp=") for d in os.listdir(path))
+    back = read_orc(spark, path, schema).select("id", "grp", "score")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # partition pruning: a grp filter must prune to one partition dir
+    pruned = read_orc(spark, path).filter("grp = 'a'")
+    assert pruned.count() == 2

@@ -117,6 +117,20 @@ def write_csv(
     )
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC sink — interop with Hive/Trino estates; same partitioned
+    layout contract as :func:`write_parquet`."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def jdbc_truncate_load(
     df: DataFrame,
     url: str,

@@ -8,5 +8,6 @@ from .readers import (  # noqa: F401
     load_tables,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
 )

@@ -75,6 +75,21 @@ def read_csv(
     )
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC source — same columnar posture as parquet (predicate
+    pushdown, column pruning, min/max stripe skipping all apply);
+    optional schema assertion mirrors :func:`read_parquet` minus the
+    nanos special-case (ORC timestamps are not nanos-encoded here)."""
+    df = spark.read.orc(path)
+    if schema is not None:
+        df = df.select(
+            *[df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+    return df
+
+
 def from_rows(spark: SparkSession, rows, schema: T.StructType) -> DataFrame:
     """S3: in-memory rows -> DataFrame (`notebool-02.py:176-181`)."""
     return spark.createDataFrame(rows, schema=schema)
