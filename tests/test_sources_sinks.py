@@ -385,3 +385,120 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     # partition pruning: a grp filter must prune to one partition dir
     pruned = read_orc(spark, path).filter("grp = 'a'")
     assert pruned.count() == 2
+
+
+def _page_server(records_by_path, per_page=2, since_filter=None):
+    """In-process HTTP server paginating `records_by_path` like the
+    reference API: ?page=N&per_page=M (+optional since= filtering)."""
+    import http.server
+    import json as jsonlib
+    import threading
+    import urllib.parse
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        seen_params = []
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            qs = dict(urllib.parse.parse_qsl(parsed.query))
+            Handler.seen_params.append(qs)
+            key = parsed.path.lstrip("/")
+            if key not in records_by_path:
+                self.send_error(404)
+                return
+            recs = records_by_path[key]
+            if since_filter and "since" in qs:
+                recs = [r for r in recs if r[since_filter] >= qs["since"]]
+            page = int(qs.get("page", "1"))
+            pp = int(qs.get("per_page", str(per_page)))
+            chunk = recs[(page - 1) * pp : page * pp]
+            body = jsonlib.dumps(chunk).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, Handler
+
+
+def test_rest_datasource_end_to_end(spark):
+    """spark.read.format('rest_api'): executor-side paginated fetch of
+    two resource paths, plus since-filter pushdown into the request."""
+    from wistia_video_analytics_project_spark.sources.pyds import RestDataSource
+
+    data = {
+        "medias/m1/stats": [
+            {"id": i, "name": f"a{i}", "created": f"2024-01-{i+1:02d}"}
+            for i in range(5)
+        ],
+        "medias/m2/stats": [
+            {"id": 100 + i, "name": f"b{i}", "created": f"2024-02-{i+1:02d}"}
+            for i in range(3)
+        ],
+    }
+    srv, handler = _page_server(data, since_filter="created")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(RestDataSource)
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        reader = (
+            spark.read.format("rest_api")
+            .schema("id long, name string, created string")
+            .option("base_url", base)
+            .option("paths", "medias/m1/stats,medias/m2/stats")
+            .option("per_page", "2")
+            .option("since_col", "created")
+        )
+        all_rows = reader.load().collect()
+        assert len(all_rows) == 8
+        assert {r.id for r in all_rows} == set(range(5)) | {100, 101, 102}
+
+        # pushdown: >= bound travels as the since= request parameter and
+        # the API prunes at the source
+        handler.seen_params.clear()
+        from pyspark.sql import functions as F
+
+        got = (
+            reader.load()
+            .filter(F.col("created") >= "2024-02-01")
+            .collect()
+        )
+        assert {r.id for r in got} == {100, 101, 102}
+        assert any(
+            p.get("since") == "2024-02-01" for p in handler.seen_params
+        ), handler.seen_params
+    finally:
+        srv.shutdown()
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_rest_datasource_requires_schema_and_options(spark):
+    import pytest
+    from pyspark.sql.datasource import GreaterThan, GreaterThanOrEqual
+
+    from wistia_video_analytics_project_spark.sources.pyds import (
+        RestDataSource,
+        RestReader,
+    )
+    from pyspark.sql.types import StructType
+
+    with pytest.raises(Exception):
+        RestReader(StructType([]), {"base_url": "http://x"})  # no paths
+    with pytest.raises(Exception):
+        RestReader(StructType([]), {"paths": "a"})  # no base_url
+
+    # strict > is re-checked by Spark (returned unhandled); >= is absorbed
+    r = RestReader(
+        StructType([]),
+        {"base_url": "http://x", "paths": "a", "since_col": "created"},
+    )
+    gt = GreaterThan(("created",), "2024-01-05")
+    ge = GreaterThanOrEqual(("created",), "2024-01-02")
+    left = list(r.pushFilters([gt, ge]))
+    assert left == [gt]
+    assert r.since == "2024-01-05"  # tightest bound wins

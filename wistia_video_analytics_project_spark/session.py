@@ -48,6 +48,10 @@ _RUNTIME_CONF = {
     # nanosecond timestamp type); readers.read_parquet converts them to
     # microsecond timestamps, matching DuckDB's truncation.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python DataSource filter pushdown (sources/pyds.py): a reader that
+    # implements pushFilters FAILS to initialize while this is false, so
+    # the engine's sessions keep it on.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

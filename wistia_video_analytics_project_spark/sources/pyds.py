@@ -1,0 +1,132 @@
+"""Spark 4 Python DataSource face of the REST ingester (S4).
+
+``spark.read.format("rest_api")`` — the same pagination / retry /
+backoff / ``since`` semantics as :class:`.rest.RestIngester`
+(re-expressing `wistia-Databricks notebool-02.py:105-168`), but as a
+first-class DataSource V2 plugin:
+
+- **Executor-side partitions.**  One :class:`InputPartition` per
+  resource path — the planner schedules fetches across the cluster
+  exactly like :func:`.rest.fetch_distributed`, but through the
+  standard reader path (so it composes with ``.load().filter(...)``,
+  caching, AQE, and every downstream operator with no glue code).
+- **Filter pushdown into the API.**  ``pushFilters`` converts a
+  ``GreaterThan``/``GreaterThanOrEqual`` predicate on the configured
+  ``since_col`` into the API's ``since`` request parameter — the REST
+  equivalent of parquet min/max pruning: rows are skipped at the
+  SOURCE, not post-fetch.  All other filters are returned unhandled
+  and evaluated by Spark as usual.
+- **Options are plain strings** (DataSource contract), so transports
+  are named, not injected: ``transport=urllib`` (default, stdlib).
+  Credentials resolve on the EXECUTOR through the same
+  :func:`.rest.resolve_config` chain (env var → Spark conf → error).
+
+Requires ``spark.sql.python.filterPushdown.enabled=true`` (on by
+default in :func:`..session.get_spark` / ``configure_runtime``; a
+reader implementing ``pushFilters`` refuses to initialize without it).
+
+Register once per session::
+
+    spark.dataSource.register(RestDataSource)
+    df = (spark.read.format("rest_api")
+          .schema("id long, name string, created string")
+          .option("base_url", "https://api.example.com/v1")
+          .option("paths", "medias/m1/stats,medias/m2/stats")
+          .load()
+          .filter(F.col("created") > "2024-01-01"))   # pushed as since=
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+class RestDataSource(DataSource):
+    """format("rest_api"): paginated REST endpoints as a DataFrame."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_api"
+
+    def schema(self):
+        raise ValueError(
+            "rest_api requires an explicit .schema(...) — REST payloads "
+            "carry no reliable type metadata and inference would need an "
+            "extra full fetch (same policy as read_csv)"
+        )
+
+    def reader(self, schema: StructType) -> "RestReader":
+        return RestReader(schema, dict(self.options))
+
+
+class RestReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.base_url = options.get("base_url")
+        if not self.base_url:
+            raise ValueError("rest_api: option 'base_url' is required")
+        self.paths: Sequence[str] = [
+            p.strip() for p in options.get("paths", "").split(",") if p.strip()
+        ]
+        if not self.paths:
+            raise ValueError(
+                "rest_api: option 'paths' (comma-separated resource paths) "
+                "is required"
+            )
+        self.per_page = int(options.get("per_page", "100"))
+        self.max_pages = int(options.get("max_pages", "100"))
+        self.since = options.get("since")  # explicit option wins
+        self.since_col = options.get("since_col")
+        self.max_retries = int(options.get("max_retries", "3"))
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        """Push a lower-bound predicate on ``since_col`` into the API's
+        ``since`` parameter; everything else stays with Spark.  With
+        multiple pushable bounds the tightest (max) wins — the filters
+        list is an AND."""
+        unhandled = []
+        for f in filters:
+            if (
+                self.since_col is not None
+                and isinstance(f, (GreaterThan, GreaterThanOrEqual))
+                and f.attribute == (self.since_col,)
+            ):
+                bound = str(f.value)
+                if self.since is None or bound > self.since:
+                    self.since = bound
+                # the API's since is inclusive-ish (>=); a strict > must
+                # still be re-checked by Spark, so only >= is fully
+                # absorbed
+                if isinstance(f, GreaterThan):
+                    unhandled.append(f)
+            else:
+                unhandled.append(f)
+        return unhandled
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(p) for p in self.paths]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        # constructed ON the executor — no sockets cross the closure
+        from .rest import RestIngester, _project, urllib_transport
+
+        ing = RestIngester(
+            base_url=self.base_url,
+            transport=urllib_transport,
+            per_page=self.per_page,
+            max_pages=self.max_pages,
+            max_retries=self.max_retries,
+            page_sleep_s=0.0,
+        )
+        for rec in ing.fetch_pages(partition.value, since=self.since):
+            yield _project(rec, self.schema)
