@@ -247,3 +247,33 @@ def test_lm_bits_matches_python_reference(spark, docs):
             math.log2((cb[b] + k) / (cc[b[0]] + k * V)) for b in bs
         ) / len(bs)
         assert got[i] == pytest.approx(round(want, 4), abs=1e-4), i
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_bpe_matches_reference_property(spark, docs):
+    """Distributed BPE training equals the pure-Python reference on
+    arbitrary tiny corpora — merge sequence AND final vocab, including
+    degenerate inputs (empty texts, whitespace-only, single chars)."""
+    from test_bpe import _ref_train
+
+    from wistia_video_analytics_project_spark.operators import bpe
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "doc_id long, text string")
+    got_merges, wt = bpe.train_bpe(df, num_merges=3)
+    ref_merges, ref_vocab = _ref_train(docs, 3)
+    assert got_merges == ref_merges
+    got_vocab = {r.word: list(r.symbols) for r in wt.collect()}
+    assert got_vocab == ref_vocab
+    wt.unpersist()
