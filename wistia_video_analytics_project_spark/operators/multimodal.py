@@ -166,14 +166,71 @@ def _pixel_features(px) -> list[float]:
     return [round(f, 6) for f in feats]
 
 
+def _decode_wav(payload: bytes):
+    """PCM WAV -> ((n_frames, channels) float64 in [-1, 1], sample_rate)
+    via the stdlib ``wave`` module — no codec library needed."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n, ch = w.getnframes(), w.getnchannels()
+        sw, rate = w.getsampwidth(), w.getframerate()
+        raw = w.readframes(n)
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw} bytes")
+    return arr.reshape(-1, ch), rate
+
+
+def decode_audio(payload: bytes):
+    """payload -> (samples, rate) for PCM WAV, ``None`` for formats that
+    need a codec library (mp3/aac/...)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    return None
+
+
+def _audio_features(arr, rate: int) -> list[float]:
+    """(frames, channels) float64 -> FEATURE_DIM deterministic floats:
+    RMS energy, peak, zero-crossing rate, duration/rate/channel
+    summaries. Rounded to 6 decimals (same stability contract as
+    :func:`_pixel_features`)."""
+    import numpy as np
+
+    mono = arr.mean(axis=1) if arr.size else np.zeros(1)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if len(mono) > 1 else 0.0
+    dur = len(arr) / float(rate) if rate else 0.0
+    feats = [
+        float(np.sqrt(np.mean(mono**2))),       # RMS energy
+        float(np.max(np.abs(mono))) if mono.size else 0.0,  # peak
+        zc,                                      # zero-crossing rate
+        float(np.mean(np.abs(mono))),            # mean amplitude
+        float(mono.std()),
+        min(1.0, dur / 3600.0),                  # duration (hour-normalized)
+        min(1.0, rate / 96000.0),
+        min(1.0, arr.shape[1] / 8.0),            # channel count
+    ]
+    return [round(f, 6) for f in feats]
+
+
 def real_decode(payload: bytes, media_type: str) -> list[float]:
     """Real decode path: BMP/PPM images decode to pixels (pure numpy)
-    and featurize from actual content; every other format still raises
-    the documented codec-absent branch."""
+    and PCM WAV audio decodes to samples (stdlib wave), featurizing
+    from actual content; every other format still raises the documented
+    codec-absent branch."""
     if media_type == "image":
         px = decode_image(payload)
         if px is not None:
             return _pixel_features(px)
+    if media_type == "audio":
+        au = decode_audio(payload)
+        if au is not None:
+            return _audio_features(*au)
     raise NotImplementedError(
         "no codec libraries in this environment for "
         f"media_type={media_type!r} with magic {payload[:2]!r}; only "
@@ -199,6 +256,10 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
             px = decode_image(payload)
             if px is not None:
                 return _pixel_features(px)
+        if media_type == "audio":
+            au = decode_audio(payload)
+            if au is not None:
+                return _audio_features(*au)
         return _fake_decode(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
