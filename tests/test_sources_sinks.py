@@ -502,3 +502,87 @@ def test_rest_datasource_requires_schema_and_options(spark):
     left = list(r.pushFilters([gt, ge]))
     assert left == [gt]
     assert r.since == "2024-01-05"  # tightest bound wins
+
+
+def test_rest_sink_posts_batches(spark):
+    """df.write.format('rest_api_sink'): rows POST as JSON batches from
+    executor tasks; every row arrives exactly the rows we sent."""
+    import http.server
+    import json as jsonlib
+    import threading
+
+    received = []
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            batch = jsonlib.loads(self.rfile.read(n))
+            with lock:
+                received.append(batch)
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from wistia_video_analytics_project_spark.sources.pyds import (
+            RestWriteDataSource,
+        )
+
+        spark.dataSource.register(RestWriteDataSource)
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(7)], "id long, name string"
+        ).repartition(2)
+        (
+            df.write.format("rest_api_sink")
+            .option("url", f"http://127.0.0.1:{srv.server_address[1]}/collect")
+            .option("batch_size", "3")
+            .mode("append")
+            .save()
+        )
+        flat = [r for b in received for r in b]
+        assert sorted(r["id"] for r in flat) == list(range(7))
+        # batch_size respected (no batch exceeds 3)
+        assert max(len(b) for b in received) <= 3
+    finally:
+        srv.shutdown()
+
+
+def test_rest_sink_retries_then_fails_loudly(spark):
+    """A permanently-failing endpoint must fail the write after the
+    configured retries, not drop data silently."""
+    import http.server
+    import threading
+
+    import pytest
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.send_error(503)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from wistia_video_analytics_project_spark.sources.pyds import (
+            RestWriteDataSource,
+        )
+
+        spark.dataSource.register(RestWriteDataSource)
+        df = spark.createDataFrame([(1, "a")], "id long, name string")
+        with pytest.raises(Exception, match="rest_api_sink|POST|abort|FAILED"):
+            (
+                df.write.format("rest_api_sink")
+                .option("url", f"http://127.0.0.1:{srv.server_address[1]}/x")
+                .option("max_retries", "2")
+                .mode("append")
+                .save()
+            )
+    finally:
+        srv.shutdown()

@@ -680,3 +680,49 @@ def test_rest_stream_datasource_incremental_polling(spark, tmp_path):
             q.stop()
     finally:
         srv.shutdown()
+
+
+def test_rest_stream_sink_posts_micro_batches(spark, tmp_path, event_dir):
+    """writeStream.format('rest_api_sink'): every streamed row POSTs to
+    the endpoint across micro-batch epochs."""
+    import http.server
+    import json as jsonlib
+    import threading
+
+    received, lock = [], threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            with lock:
+                received.extend(jsonlib.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from wistia_video_analytics_project_spark.sources.pyds import (
+            RestWriteDataSource,
+        )
+
+        spark.dataSource.register(RestWriteDataSource)
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(event_dir)
+        q = (
+            stream.select("user_id", "event_type")
+            .writeStream.format("rest_api_sink")
+            .option("url", f"http://127.0.0.1:{srv.server_address[1]}/hook")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(received) == 5  # all fixture rows delivered
+        assert {r["event_type"] for r in received} == {"view", "click"}
+    finally:
+        srv.shutdown()

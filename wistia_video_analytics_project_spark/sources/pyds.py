@@ -40,14 +40,19 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -229,4 +234,114 @@ class RestSimpleStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
     def commit(self, end: dict) -> None:
+        pass
+
+
+@dataclass
+class RestCommitMessage(WriterCommitMessage):
+    n_rows: int = 0
+    n_batches: int = 0
+
+
+class RestWriteDataSource(DataSource):
+    """format("rest_api_sink"): POST rows back to an endpoint — the
+    write face of the connector (webhook/export flows; the reference's
+    outbound boundary is JDBC, `sinks.jdbc_truncate_load`, but modern
+    estates also push to HTTP collectors).
+
+    Each executor task batches its partition's rows into JSON arrays of
+    ``batch_size`` and POSTs them with the same retry/backoff stack as
+    the reader; per-task row/batch counts travel back as commit
+    messages so ``commit`` can log the total only after EVERY task
+    succeeded (Spark re-runs failed tasks — the endpoint must tolerate
+    at-least-once delivery, stated in the option contract).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_api_sink"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return RestWriter(schema, dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        # same at-least-once POST body per micro-batch epoch
+        return RestStreamWriter(schema, dict(self.options))
+
+
+class _RestPostBase:
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.url = options.get("url")
+        if not self.url:
+            raise ValueError("rest_api_sink: option 'url' is required")
+        self.batch_size = int(options.get("batch_size", "100"))
+        self.max_retries = int(options.get("max_retries", "3"))
+
+    def _post_rows(self, iterator) -> RestCommitMessage:
+        import json as jsonlib
+        import urllib.request
+
+        names = [f.name for f in self.schema.fields]
+        n_rows = n_batches = 0
+        buf = []
+
+        def flush():
+            nonlocal n_batches
+            if not buf:
+                return
+            body = jsonlib.dumps(buf).encode()
+            req = urllib.request.Request(
+                self.url,
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            last_err = None
+            for _ in range(self.max_retries):
+                try:
+                    with urllib.request.urlopen(req) as resp:
+                        if 200 <= resp.status < 300:
+                            n_batches += 1
+                            buf.clear()
+                            return
+                        last_err = OSError(f"HTTP {resp.status}")
+                except Exception as e:  # noqa: BLE001 — retried, then re-raised
+                    last_err = e
+            raise RuntimeError(
+                f"rest_api_sink: POST failed after {self.max_retries} "
+                f"attempts: {last_err}"
+            )
+
+        for row in iterator:
+            buf.append({k: row[k] for k in names})
+            n_rows += 1
+            if len(buf) >= self.batch_size:
+                flush()
+        flush()
+        return RestCommitMessage(n_rows=n_rows, n_batches=n_batches)
+
+
+class RestWriter(_RestPostBase, DataSourceWriter):
+    def write(self, iterator) -> RestCommitMessage:
+        return self._post_rows(iterator)
+
+    def commit(self, messages) -> None:
+        total = sum(m.n_rows for m in messages if m is not None)
+        # nothing external to finalize (at-least-once POSTs already
+        # landed); the aggregate is informational
+        self.last_commit_rows = total
+
+    def abort(self, messages) -> None:
+        pass
+
+
+class RestStreamWriter(_RestPostBase, DataSourceStreamWriter):
+    def write(self, iterator) -> RestCommitMessage:
+        return self._post_rows(iterator)
+
+    def commit(self, messages, batchId) -> None:
+        pass
+
+    def abort(self, messages, batchId) -> None:
         pass
