@@ -3082,6 +3082,41 @@ def q_incremental_kpi_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mergeable.state_report(mergeable.merge_states(hist, tail))
 
 
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue (α=0.3,
+    14-day support, partial windows renormalized): smoother than the
+    boxcar trailing mean, standard for trend dashboards.  Positional
+    weights aren't expressible in a plain window frame, so the trailing
+    window is a bounded date self-join (≤14 partners per row over the
+    tiny daily spine).  Revenue lands in exact cents first; pow-ulp and
+    summation-order noise (~1e-10) sits far below the 4-decimal round."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            / F.lit(100.0)
+        ).alias("rev")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    diff = F.datediff(F.col("a.day"), F.col("b.day"))
+    w = F.pow(F.lit(0.7), diff.cast("double"))
+    return (
+        a.join(b, (diff >= 0) & (diff <= 13))
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.round(F.max(F.when(diff == 0, F.col("b.rev"))), 2).alias(
+                "revenue"
+            ),
+            (F.round(F.sum(F.col("b.rev") * w) / F.sum(w), 4) + F.lit(0.0)).alias(
+                "ewma_revenue"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): the
     learned 20-merge sequence over the documents corpus.  Deterministic
@@ -3176,7 +3211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``excess_shipped_suppliers``, ``clamped_quarterly_balance``,
     ``priority_status_listagg``, ``daily_unique_users_bitmap``,
     ``value_percentile_disc``, ``incremental_kpi_refresh``,
-    ``duplicated_spans`` — then (b) the
+    ``duplicated_spans``, ``bm25_search``, ``ewma_daily_revenue`` —
+    then (b) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 3 rounds stale by then), then (c) the
     oldest round-2-verified entries — keep cycling so every
@@ -3330,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_unique_users_bitmap": q_daily_unique_users_bitmap,
         "value_percentile_disc": q_value_percentile_disc,
         "incremental_kpi_refresh": q_incremental_kpi_refresh,
+        "ewma_daily_revenue": q_ewma_daily_revenue,
         "bpe_merges": q_bpe_merges,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
@@ -4045,6 +4082,26 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY o_orderstatus) AS statuses
             FROM orders
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "ewma_daily_revenue": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) / CAST(100.0 AS DOUBLE) AS rev
+              FROM orders GROUP BY 1)
+            SELECT a.day AS day,
+                   round(max(CASE WHEN a.day = b.day THEN b.rev END), 2)
+                     AS revenue,
+                   round(sum(b.rev * pow(CAST(0.7 AS DOUBLE),
+                                         CAST(datediff('day', b.day, a.day)
+                                              AS DOUBLE)))
+                         / sum(pow(CAST(0.7 AS DOUBLE),
+                                   CAST(datediff('day', b.day, a.day)
+                                        AS DOUBLE))), 4)
+                     + CAST(0.0 AS DOUBLE) AS ewma_revenue
+            FROM daily a JOIN daily b
+              ON datediff('day', b.day, a.day) BETWEEN 0 AND 13
+            GROUP BY 1 ORDER BY 1
         """,
         "incremental_kpi_refresh": """
             SELECT CAST(ts AS DATE) AS day,

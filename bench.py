@@ -126,6 +126,8 @@ SECONDARY = [
     "value_percentile_disc",
     "incremental_kpi_refresh",
     "duplicated_spans",
+    "bm25_search",
+    "ewma_daily_revenue",
     "bpe_merges",
 ]
 

@@ -12,7 +12,7 @@ Each operator has a ``queries()`` entry + matching DuckDB ``oracle_sql()``
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -471,6 +471,66 @@ def source_divergence(
     )
 
 
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed query term set — the IR
+    scoring face of the text tier (TF-IDF cosine handles doc-to-doc
+    similarity; this ranks docs against a QUERY).
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score   = Σ_t idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    One tokenize pass feeds both the per-doc term counts (filtered to
+    the query terms BEFORE the shuffle — the map-side filter is the
+    whole point at 100 TB) and the doc-length table; N/avgdl ride a
+    broadcast 1-row aggregate, so no scalar ever passes through the
+    driver. Deterministic: score rounded to 4, doc_id tiebreak."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.round(F.sum(contrib), 4) + F.lit(0.0)).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {spark, query, data}."""
+    return bm25_rank(_docs(spark, sf_dir), ["spark", "query", "data"], k=10)
+
+
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram JSD vs the corpus (mixture drift monitor)."""
     return source_divergence(_docs(spark, sf_dir))
@@ -519,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_documents": q_similar_documents,
         "lm_bits_per_token": q_lm_bits_per_token,
         "source_divergence": q_source_divergence,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -581,6 +642,42 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text,
                    CAST(len(list_slice(toks, s + 1, s + 50)) AS INT) AS n_tokens
             FROM starts
+        """,
+        "bm25_search": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok
+              WHERE term IN ('spark', 'query', 'data')
+              GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM dl),
+            dfq AS (
+              SELECT term, CAST(count(*) AS DOUBLE) AS df
+              FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln(CAST(1.0 AS DOUBLE)
+                            + (n_docs - df + CAST(0.5 AS DOUBLE))
+                              / (df + CAST(0.5 AS DOUBLE)))
+                         * tf * CAST(2.2 AS DOUBLE)
+                         / (tf + CAST(1.2 AS DOUBLE)
+                                 * (CAST(0.25 AS DOUBLE)
+                                    + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+                       AS s
+              FROM tf JOIN dl USING (doc_id) CROSS JOIN stats
+              JOIN dfq USING (term)
+              GROUP BY 1)
+            SELECT doc_id, round(s, 4) + CAST(0.0 AS DOUBLE) AS bm25
+            FROM scored
+            ORDER BY round(s, 4) + CAST(0.0 AS DOUBLE) DESC, doc_id
+            LIMIT 10
         """,
         "text_profile": _PROFILE_SQL,
         "text_lang_id": _lang_guess_sql(),
