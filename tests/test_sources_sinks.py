@@ -586,3 +586,44 @@ def test_rest_sink_retries_then_fails_loudly(spark):
             )
     finally:
         srv.shutdown()
+
+
+def test_read_xml_native(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from wistia_video_analytics_project_spark.sources import read_xml
+
+    (tmp_path / "m.xml").write_text(
+        "<medias><media><id>7</id><name>clip</name><plays>42</plays></media>"
+        "<media><id>8</id><name>promo</name><plays>3</plays></media></medias>"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("plays", T.LongType()),
+        ]
+    )
+    got = sorted(
+        tuple(r) for r in read_xml(spark, str(tmp_path), "media", schema).collect()
+    )
+    assert got == [(7, "clip", 42), (8, "promo", 3)]
+
+
+def test_read_text_docs_wholefile_ids_stable(spark, tmp_path):
+    from wistia_video_analytics_project_spark.sources import read_text_docs
+
+    (tmp_path / "a.txt").write_text("alpha doc body")
+    (tmp_path / "b.txt").write_text("beta doc body")
+    df = read_text_docs(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {r.text for r in rows} == {"alpha doc body", "beta doc body"}
+    assert all(r.source_path.startswith("file:") for r in rows)
+    # content-addressed ids: stable across re-read and layout
+    again = {r.text: r.doc_id for r in read_text_docs(spark, str(tmp_path)).collect()}
+    assert all(again[r.text] == r.doc_id for r in rows)
+    # line mode
+    (tmp_path / "c.txt").write_text("l1\nl2\n")
+    lines = read_text_docs(spark, str(tmp_path / "c.txt"), wholetext=False)
+    assert {r.text for r in lines.collect()} == {"l1", "l2"}

@@ -10,4 +10,6 @@ from .readers import (  # noqa: F401
     read_json,
     read_orc,
     read_parquet,
+    read_text_docs,
+    read_xml,
 )

@@ -90,6 +90,46 @@ def read_orc(
     return df
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML source (native in Spark 4 — no external package): one row per
+    ``row_tag`` element.  Schema strongly recommended for the same
+    reasons as CSV (inference costs an extra full scan)."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def read_text_docs(
+    spark: SparkSession, path: str, wholetext: bool = True
+) -> DataFrame:
+    """Raw text-file ingestion for the LLM document tier: each file (or
+    each line when ``wholetext=False``) becomes a document row with a
+    deterministic content-addressed ``doc_id`` (xxhash64 of provenance
+    path + text — stable across reruns and cluster layouts, unlike
+    ``monotonically_increasing_id``) and the source path kept for
+    provenance (S10)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("wholetext", "true" if wholetext else "false").text(
+        path
+    )
+    df = df.select(
+        F.col("value").alias("text"),
+        F.input_file_name().alias("source_path"),
+    )
+    return df.select(
+        F.xxhash64("source_path", "text").alias("doc_id"),
+        "text",
+        "source_path",
+    )
+
+
 def from_rows(spark: SparkSession, rows, schema: T.StructType) -> DataFrame:
     """S3: in-memory rows -> DataFrame (`notebool-02.py:176-181`)."""
     return spark.createDataFrame(rows, schema=schema)
