@@ -3193,8 +3193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 26 round-3 additions, all oracle-backed and
-    never driver-checked — ``lm_bits_per_token``, ``source_divergence``,
+    front-load (a) the 39 round-3 additions, all oracle-backed and
+    never driver-checked (they overflow one 50-slot window — spill the
+    tail to round 5's front) — ``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
     ``rolling_view_purchase_corr``, ``revenue_concentration``,

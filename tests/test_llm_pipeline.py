@@ -107,3 +107,38 @@ def test_perplexity_gate_drops_noise_docs(spark):
     assert 99 in ungated_ids
     assert 99 not in gated_ids
     assert gated_ids == ungated_ids - {99}
+
+
+def test_bpe_budgeting_stage(spark):
+    """Opt-in trained-tokenizer budgeting: every chunk carries
+    n_bpe_tokens equal to a direct bpe_encode of its chunk text."""
+    from wistia_video_analytics_project_spark.llm_pipeline import (
+        prepare_training_corpus,
+    )
+    from wistia_video_analytics_project_spark.operators import bpe
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    _, wt = bpe.train_bpe(docs, num_merges=8)
+    out = prepare_training_corpus(
+        docs, chunk_size=20, stride=20, bpe_word_table=wt
+    )
+    rows = out.collect()
+    assert rows and all(r.n_bpe_tokens > 0 for r in rows)
+    # spot-check three chunks against a direct encode
+    import random
+
+    rng = random.Random(7)
+    for r in rng.sample(rows, min(3, len(rows))):
+        one = spark.createDataFrame(
+            [(1, r.chunk_text)], "doc_id long, text string"
+        )
+        [enc] = bpe.bpe_encode(one, wt).collect()
+        assert enc.n_tokens == r.n_bpe_tokens, r.chunk_text
+    # BPE merges mean subword count <= character count, >= word count
+    from wistia_video_analytics_project_spark.operators.text import tokens as _t  # noqa
+    for r in rows:
+        assert r.n_bpe_tokens >= r.n_tokens  # at least one subword per word
+    wt.unpersist()

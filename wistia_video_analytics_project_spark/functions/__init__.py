@@ -16,6 +16,7 @@ from ..operators.scale import zorder_key  # noqa: F401
 from ..operators.similarity import cosine, dot, norm  # noqa: F401
 from ..operators.text import (  # noqa: F401
     alpha_ratio,
+    bpe_ish_token_count,
     fingerprint,
     lang_guess,
     normalized_text,

@@ -44,6 +44,7 @@ def prepare_training_corpus(
     contamination_benchmark: DataFrame | None = None,
     max_contamination: float = 0.2,
     max_bits_per_token: float | None = None,
+    bpe_word_table: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full prep flow; returns one row per chunk with
     (doc_id, chunk_id, chunk_text, n_tokens, split).
@@ -66,6 +67,9 @@ def prepare_training_corpus(
        -> keep each cluster's canonical member.
     4. chunking — overlapping ``chunk_size``-token windows every
        ``stride`` tokens.
+    4b. (opt-in) trained-tokenizer budgeting — when ``bpe_word_table``
+       (from :func:`operators.bpe.train_bpe`) is given, each chunk also
+       carries ``n_bpe_tokens`` from a broadcast-join encode.
     5. split — ``(doc_id * prime) mod 100`` buckets into
        train / validation / test, document-granular.
     """
@@ -128,6 +132,29 @@ def prepare_training_corpus(
         kept, text_col=text_col, id_col=id_col,
         chunk_size=chunk_size, stride=stride,
     )
+
+    if bpe_word_table is not None:
+        # trained-tokenizer budgeting (opt-in): encode each chunk via
+        # the broadcast word->symbols table (operators/bpe.py) — counts
+        # reflect the REAL subword vocabulary, not the whitespace
+        # estimate; OOV chunk words fall back to character tokens
+        from .operators import bpe as _bpe
+
+        # chunk_id is per-document — key the encode on a composite hash
+        keyed = chunks.withColumn(
+            "__ck", F.xxhash64(F.col(id_col), F.col("chunk_id"))
+        )
+        enc = _bpe.bpe_encode(
+            keyed.select(
+                F.col("__ck").alias("doc_id"),
+                F.col("chunk_text").alias("text"),
+            ),
+            bpe_word_table,
+        ).select(
+            F.col("doc_id").alias("__ck"),
+            F.col("n_tokens").alias("n_bpe_tokens"),
+        )
+        chunks = keyed.join(enc, "__ck").drop("__ck")
 
     bucket = (F.col(id_col) * F.lit(_SPLIT_PRIME)) % 100
     split = (
