@@ -3082,6 +3082,45 @@ def q_incremental_kpi_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mergeable.state_report(mergeable.merge_states(hist, tail))
 
 
+def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape report per order priority: skewness and excess
+    kurtosis computed from EXPLICIT central moments (m3/m2^1.5,
+    m4/m2²−3) rather than the engines' builtin skewness()/kurtosis() —
+    Spark uses population (g1/g2) while DuckDB bias-corrects, so the
+    builtins are NOT cross-engine comparable; the closed form is.  Mean
+    rides a broadcast per-group aggregate (two passes over one scan
+    shape, both with map-side partial aggs)."""
+    orders = _t(spark, sf_dir, "orders")
+    means = orders.groupBy(F.col("o_orderpriority").alias("__p")).agg(
+        F.avg("o_totalprice").alias("__mu")
+    )
+    d = F.col("o_totalprice") - F.col("__mu")
+    return (
+        orders.join(
+            F.broadcast(means), orders.o_orderpriority == F.col("__p")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg(d * d).alias("__m2"),
+            F.avg(d * d * d).alias("__m3"),
+            F.avg(d * d * d * d).alias("__m4"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            (F.round(F.col("__m3") / F.pow(F.col("__m2"), 1.5), 4) + F.lit(0.0)).alias(
+                "skewness"
+            ),
+            (
+                F.round(F.col("__m4") / (F.col("__m2") * F.col("__m2")) - 3.0, 4)
+                + F.lit(0.0)
+            ).alias("excess_kurtosis"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily revenue (α=0.3,
     14-day support, partial windows renormalized): smoother than the
@@ -3193,7 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 39 round-3 additions, all oracle-backed and
+    front-load (a) the 40 round-3 additions, all oracle-backed and
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
@@ -3212,8 +3251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``excess_shipped_suppliers``, ``clamped_quarterly_balance``,
     ``priority_status_listagg``, ``daily_unique_users_bitmap``,
     ``value_percentile_disc``, ``incremental_kpi_refresh``,
-    ``duplicated_spans``, ``bm25_search``, ``ewma_daily_revenue`` —
-    then (b) the
+    ``duplicated_spans``, ``bm25_search``, ``ewma_daily_revenue``,
+    ``higher_moments_report`` — then (b) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 3 rounds stale by then), then (c) the
     oldest round-2-verified entries — keep cycling so every
@@ -3368,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentile_disc": q_value_percentile_disc,
         "incremental_kpi_refresh": q_incremental_kpi_refresh,
         "ewma_daily_revenue": q_ewma_daily_revenue,
+        "higher_moments_report": q_higher_moments_report,
         "bpe_merges": q_bpe_merges,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
@@ -4083,6 +4123,27 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY o_orderstatus) AS statuses
             FROM orders
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "higher_moments_report": """
+            WITH mu AS (
+              SELECT o_orderpriority AS p, avg(o_totalprice) AS m
+              FROM orders GROUP BY 1),
+            mom AS (
+              SELECT o_orderpriority,
+                     count(*) AS n_orders,
+                     avg((o_totalprice - m) * (o_totalprice - m)) AS m2,
+                     avg((o_totalprice - m) * (o_totalprice - m)
+                         * (o_totalprice - m)) AS m3,
+                     avg((o_totalprice - m) * (o_totalprice - m)
+                         * (o_totalprice - m) * (o_totalprice - m)) AS m4
+              FROM orders JOIN mu ON o_orderpriority = p
+              GROUP BY 1)
+            SELECT o_orderpriority, n_orders,
+                   round(m3 / pow(m2, CAST(1.5 AS DOUBLE)), 4)
+                     + CAST(0.0 AS DOUBLE) AS skewness,
+                   round(m4 / (m2 * m2) - CAST(3.0 AS DOUBLE), 4)
+                     + CAST(0.0 AS DOUBLE) AS excess_kurtosis
+            FROM mom ORDER BY 1
         """,
         "ewma_daily_revenue": """
             WITH daily AS (

@@ -128,6 +128,7 @@ SECONDARY = [
     "duplicated_spans",
     "bm25_search",
     "ewma_daily_revenue",
+    "higher_moments_report",
     "bpe_merges",
 ]
 
