@@ -71,11 +71,18 @@ def sessionize(events):
     )
 
 
+def mergeable_state(events):
+    from wistia_video_analytics_project_spark.operators import mergeable
+
+    return mergeable.state_report(mergeable.daily_state(events))
+
+
 OPS = (
     ("fact_build", fact_build),
     ("daily_trend", daily_trend),
     ("funnel_1pass", funnel),
     ("sessionize", sessionize),
+    ("mergeable_state", mergeable_state),
 )
 
 
@@ -154,6 +161,18 @@ def source_jsd(docs):
     return text.source_divergence(docs)
 
 
+def dup_spans(docs):
+    from wistia_video_analytics_project_spark.operators import dedup
+
+    return dedup.duplicated_spans(docs, n=10, top=20)
+
+
+def bm25(docs):
+    from wistia_video_analytics_project_spark.operators import text
+
+    return text.bm25_rank(docs, ["spark", "query", "data"], k=10)
+
+
 def doc_ops(k):
     return (
         ("minhash_lsh", dedup_minhash),
@@ -163,6 +182,8 @@ def doc_ops(k):
         ("lm_bits", lm_bits),
         (f"winnow_df{100 * k}", winnow(k)),
         ("source_jsd", source_jsd),
+        ("dup_spans", dup_spans),
+        ("bm25", bm25),
     )
 
 
