@@ -189,3 +189,30 @@ def merges_frame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, pair_count long",
     )
+
+
+def save_tokenizer(
+    path: str,
+    merges: Sequence[tuple[str, str, int]],
+    word_table: DataFrame,
+) -> None:
+    """Persist the trained tokenizer artifact: the ordered merge list
+    and the word->symbols table, as two parquet datasets.  The word
+    table is what encoding actually joins against; the merge list is
+    kept for audit/portability (it fully determines the table)."""
+    spark = word_table.sparkSession
+    merges_frame(spark, merges).write.mode("overwrite").parquet(
+        f"{path}/merges"
+    )
+    word_table.select("word", "freq", "symbols").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/words")
+
+
+def load_tokenizer(spark, path: str):
+    """Load a tokenizer saved by :func:`save_tokenizer`.  Returns
+    (merges list, word table) with the merge list in rank order."""
+    mdf = spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
+    merges = [(r.left, r.right, int(r.pair_count)) for r in mdf]
+    words = spark.read.parquet(f"{path}/words")
+    return merges, words
