@@ -3082,6 +3082,49 @@ def q_incremental_kpi_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mergeable.state_report(mergeable.merge_states(hist, tail))
 
 
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: per label, the cosine similarity and L2
+    distance between the centroids of two cohorts (vec_id parity stands
+    in for before/after snapshots).  One explode + one (label, dim)
+    aggregate with conditional means — the MLOps check that a refreshed
+    embedding model or corpus shift hasn't moved class geometry.
+    Cosine rounded to 4 (CLAUDE.md); avg inputs are float32 upcast to
+    double identically in both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("__a"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select("label", "__a", "dim", F.col("v").cast("double").alias("v"))
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.avg(F.when(F.col("__a"), F.col("v"))).alias("ca"),
+        F.avg(F.when(~F.col("__a"), F.col("v"))).alias("cb"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("ca") * F.col("cb"))
+                    / (
+                        F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                        * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("cosine_sim"),
+            (
+                F.round(
+                    F.sqrt(F.sum(F.pow(F.col("ca") - F.col("cb"), 2))), 4
+                )
+                + F.lit(0.0)
+            ).alias("l2_dist"),
+        )
+        .orderBy("label")
+    )
+
+
 def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report per order priority: skewness and excess
     kurtosis computed from EXPLICIT central moments (m3/m2^1.5,
@@ -3232,7 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 40 round-3 additions, all oracle-backed and
+    front-load (a) the 41 round-3 additions, all oracle-backed and
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
@@ -3252,7 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``priority_status_listagg``, ``daily_unique_users_bitmap``,
     ``value_percentile_disc``, ``incremental_kpi_refresh``,
     ``duplicated_spans``, ``bm25_search``, ``ewma_daily_revenue``,
-    ``higher_moments_report`` — then (b) the
+    ``higher_moments_report``, ``centroid_drift`` — then (b) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 3 rounds stale by then), then (c) the
     oldest round-2-verified entries — keep cycling so every
@@ -3408,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_kpi_refresh": q_incremental_kpi_refresh,
         "ewma_daily_revenue": q_ewma_daily_revenue,
         "higher_moments_report": q_higher_moments_report,
+        "centroid_drift": q_centroid_drift,
         "bpe_merges": q_bpe_merges,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
@@ -4123,6 +4167,25 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY o_orderstatus) AS statuses
             FROM orders
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "centroid_drift": """
+            WITH e AS (
+              SELECT label, vec_id % 2 = 0 AS a,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            per_dim AS (
+              SELECT label, dim,
+                     avg(CASE WHEN a THEN v END) AS ca,
+                     avg(CASE WHEN NOT a THEN v END) AS cb
+              FROM e GROUP BY 1, 2)
+            SELECT label,
+                   round(sum(ca * cb)
+                         / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 4)
+                     + CAST(0.0 AS DOUBLE) AS cosine_sim,
+                   round(sqrt(sum((ca - cb) * (ca - cb))), 4)
+                     + CAST(0.0 AS DOUBLE) AS l2_dist
+            FROM per_dim GROUP BY 1 ORDER BY 1
         """,
         "higher_moments_report": """
             WITH mu AS (

@@ -129,6 +129,7 @@ SECONDARY = [
     "bm25_search",
     "ewma_daily_revenue",
     "higher_moments_report",
+    "centroid_drift",
     "bpe_merges",
 ]
 
