@@ -305,3 +305,52 @@ def test_topk_deterministic_at_score_ties(spark):
     assert run(corpus.repartition(1)) == want
     assert run(corpus.repartition(7)) == want
     assert run(corpus.repartition(17, "vec_id")) == want
+
+
+def test_ivf_add_to_index_incremental(spark, tmp_path):
+    """Incremental add: new vectors join the frozen-centroid index, are
+    findable at cosine 1.0 by an identical query vector, and the index
+    grows by exactly the batch size with assignments matching
+    ivf_assign against the frozen centroids."""
+    import json
+    import os
+
+    from wistia_video_analytics_project_spark.operators import similarity
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_index(half_a, path, n_centroids=8)
+    n_a = spark.read.parquet(os.path.join(path, "cells")).count()
+
+    similarity.ivf_add_to_index(spark, path, half_b)
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+    assert cells.count() == n_a + half_b.count()
+
+    # assignments of the added batch match the frozen centroid table
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = [(int(c), v) for c, v in json.load(f)]
+    expect = {
+        (r.vec_id, r.cell)
+        for r in similarity.ivf_assign(half_b, cents, nprobe=1).collect()
+    }
+    got = {
+        (r.vec_id, r.cell)
+        for r in cells.join(half_b.select("vec_id"), "vec_id").select(
+            "vec_id", "cell"
+        ).collect()
+    }
+    assert got == expect
+
+    # a query identical to an added vector finds it at cosine 1.0
+    probe = half_b.orderBy("vec_id").limit(1).collect()[0]
+    q = spark.createDataFrame(
+        [(999999, probe.embedding)], "vec_id long, embedding array<float>"
+    )
+    top = similarity.ivf_query_index(spark, path, q, k=1, nprobe=1).collect()
+    assert top and top[0].neighbor_id == probe.vec_id
+    assert top[0].cosine_sim == 1.0

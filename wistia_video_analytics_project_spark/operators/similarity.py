@@ -537,6 +537,34 @@ def ivf_write_index(
         json.dump(cents, f)
 
 
+def ivf_add_to_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index: assign them
+    to the EXISTING (frozen) centroids and append to the touched cell
+    partitions only — the standard serving-side IVF update (centroids
+    drift is handled by periodic re-trains, not per-batch; FAISS
+    add-with-ids semantics).  Work is proportional to the batch, never
+    the index; dynamic partition overwrite is NOT needed because
+    appends are additive."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = [(int(cid), vec) for cid, vec in json.load(f)]
+    assigned = ivf_assign(new_vectors, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+    (
+        new_vectors.join(assigned, id_col)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "cells"))
+    )
+
+
 def ivf_query_index(
     spark,
     path: str,
