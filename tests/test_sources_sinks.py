@@ -627,3 +627,44 @@ def test_read_text_docs_wholefile_ids_stable(spark, tmp_path):
     (tmp_path / "c.txt").write_text("l1\nl2\n")
     lines = read_text_docs(spark, str(tmp_path / "c.txt"), wholetext=False)
     assert {r.text for r in lines.collect()} == {"l1", "l2"}
+
+
+def test_rest_stream_reader_offset_range_replay():
+    """readBetweenOffsets must return exactly the records in
+    (start, end] — the checkpoint-replay contract."""
+    import json as jsonlib
+
+    from pyspark.sql.types import StructType
+
+    from wistia_video_analytics_project_spark.sources.pyds import (
+        RestSimpleStreamReader,
+    )
+
+    records = [
+        {"id": i, "cursor": f"c{i:04d}"} for i in range(6)
+    ]
+    srv, _ = _page_server(
+        {"events": records}, per_page=100, since_filter="cursor"
+    )
+    try:
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("cursor", T.StringType())]
+        )
+        r = RestSimpleStreamReader(
+            schema,
+            {
+                "base_url": f"http://127.0.0.1:{srv.server_address[1]}",
+                "paths": "events",
+                "since_col": "cursor",
+            },
+        )
+        assert r.initialOffset() == {"since": ""}
+        rows, off = r.read({"since": ""})
+        assert len(list(rows)) == 6 and off == {"since": "c0005"}
+        # replay a bounded range: strictly after c0001, up to c0003
+        replay = list(r.readBetweenOffsets({"since": "c0001"}, {"since": "c0003"}))
+        assert [t[0] for t in replay] == [2, 3]
+    finally:
+        srv.shutdown()
