@@ -354,3 +354,37 @@ def test_ivf_add_to_index_incremental(spark, tmp_path):
     top = similarity.ivf_query_index(spark, path, q, k=1, nprobe=1).collect()
     assert top and top[0].neighbor_id == probe.vec_id
     assert top[0].cosine_sim == 1.0
+
+
+def test_pq_index_persist_query_recall(spark, tmp_path):
+    """Persisted PQ index: shortlist+re-rank recall@5 vs exact brute
+    force stays high, and with shortlist == corpus size the result
+    EQUALS brute force (re-rank is exact)."""
+    from wistia_video_analytics_project_spark.operators import similarity
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "pq")
+    similarity.pq_write_index(emb, path, m=8, n_codes=16)
+
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    got = similarity.pq_query_index(spark, path, queries, k=5, shortlist=32)
+    got_sets = {}
+    for r in got.collect():
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact_sets[q] & got_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+    n = emb.count()
+    full = similarity.pq_query_index(spark, path, queries, k=5, shortlist=n)
+    full_rows = {(r.query_id, r.neighbor_id, r.cosine_sim) for r in full.collect()}
+    exact_rows = {(r.query_id, r.neighbor_id, r.cosine_sim) for r in exact.collect()}
+    assert full_rows == exact_rows

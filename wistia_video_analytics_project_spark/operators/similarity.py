@@ -857,6 +857,90 @@ def _exact_rerank(
     )
 
 
+def pq_write_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a PQ index: byte codes + codebooks, with the original
+    vectors in a SEPARATE parquet read only for shortlist re-ranks.
+
+    The 100 TB residency argument made concrete as a layout: a float
+    corpus that cannot stay hot compresses ~32x into ``codes`` (scanned
+    on every query), while ``vectors`` (the full-precision originals)
+    is touched only via a selective semi-join on the ADC shortlist."""
+    import json
+    import os
+
+    books = pq_train(corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    corpus.select(id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(path, "vectors")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "codebooks.json"), "w") as f:
+        json.dump(books, f)
+
+
+def pq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted PQ index: ADC shortlist over the byte codes,
+    then exact cosine re-rank reading ONLY the shortlisted originals
+    (broadcast semi-join on the shortlist ids)."""
+    import os
+
+    import json
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(path, "codebooks.json")) as f:
+        books = json.load(f)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    short = pq_topk(
+        queries, codes, books, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cand = (
+        short.join(q, "query_id")
+        .join(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cv"),
+            ),
+            "neighbor_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
 def ann_ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
