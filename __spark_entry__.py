@@ -3275,7 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 41 round-3 additions, all oracle-backed and
+    front-load (a) the 42 round-3 additions, all oracle-backed and
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
@@ -3295,7 +3295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``priority_status_listagg``, ``daily_unique_users_bitmap``,
     ``value_percentile_disc``, ``incremental_kpi_refresh``,
     ``duplicated_spans``, ``bm25_search``, ``ewma_daily_revenue``,
-    ``higher_moments_report``, ``centroid_drift`` — then (b) the
+    ``higher_moments_report``, ``centroid_drift``, ``doc_novelty`` —
+    then (b) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 3 rounds stale by then), then (c) the
     oldest round-2-verified entries — keep cycling so every

@@ -130,6 +130,7 @@ SECONDARY = [
     "ewma_daily_revenue",
     "higher_moments_report",
     "centroid_drift",
+    "doc_novelty",
     "bpe_merges",
 ]
 

@@ -531,6 +531,55 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(_docs(spark, sf_dir), ["spark", "query", "data"], k=10)
 
 
+def doc_novelty(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the share of its DISTINCT word ``n``-grams
+    that appear in no other document (corpus df == 1).  Low novelty
+    flags heavily-templated or duplicated content that near-dup
+    thresholds can miss; the complement (1 - novelty) reads as
+    memorization risk for LLM training.
+
+    One shingle pass -> distinct (doc, gram) -> gram df table joined
+    back (partial-agg both sides).  At 100 TB the gram key domain is
+    the big cost — swap the gram string for ``xxhash64(gram)`` exactly
+    as in the Jaccard ladder (documented rows-only variant)."""
+    words = tokens(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(words, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).distinct()
+    df_tbl = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        grams.join(df_tbl, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum((F.col("__df") == 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-5-gram novelty per document."""
+    return doc_novelty(_docs(spark, sf_dir), n=5)
+
+
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram JSD vs the corpus (mixture drift monitor)."""
     return source_divergence(_docs(spark, sf_dir))
@@ -580,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bits_per_token": q_lm_bits_per_token,
         "source_divergence": q_source_divergence,
         "bm25_search": q_bm25_search,
+        "doc_novelty": q_doc_novelty,
     }
 
 
@@ -642,6 +692,25 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text,
                    CAST(len(list_slice(toks, s + 1, s + 50)) AS INT) AS n_tokens
             FROM starts
+        """,
+        "doc_novelty": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(w[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)],
+                                     ' ') AS gram
+              FROM words, unnest(generate_series(1, len(w) - 4)) AS t(i)
+              WHERE len(w) >= 5),
+            dfs AS (SELECT gram, count(*) AS df FROM grams GROUP BY 1)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 4) AS novelty
+            FROM grams JOIN dfs USING (gram)
+            GROUP BY 1
         """,
         "bm25_search": r"""
             WITH tok AS (
