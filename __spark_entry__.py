@@ -3082,6 +3082,31 @@ def q_incremental_kpi_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mergeable.state_report(mergeable.merge_states(hist, tail))
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE
+    active days — the classic engagement-streak pattern.  distinct
+    (user, day) -> row_number per user -> island key = day minus rn
+    days (constant within a consecutive run) -> per-island lengths.
+    Integer date arithmetic only; deterministic."""
+    events = _t(spark, sf_dir, "events")
+    days = (
+        events.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "__grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    per_island = islands.groupBy("user_id", "__grp").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("__len").cast("long").alias("n_active_days"),
+        F.max("__len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
 def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-drift monitor: per label, the cosine similarity and L2
     distance between the centroids of two cohorts (vec_id parity stands
@@ -3275,7 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 42 round-3 additions, all oracle-backed and
+    front-load (a) the 43 round-3 additions, all oracle-backed and
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
@@ -3295,8 +3320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``priority_status_listagg``, ``daily_unique_users_bitmap``,
     ``value_percentile_disc``, ``incremental_kpi_refresh``,
     ``duplicated_spans``, ``bm25_search``, ``ewma_daily_revenue``,
-    ``higher_moments_report``, ``centroid_drift``, ``doc_novelty`` —
-    then (b) the
+    ``higher_moments_report``, ``centroid_drift``, ``doc_novelty``,
+    ``activity_streaks`` — then (b) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 3 rounds stale by then), then (c) the
     oldest round-2-verified entries — keep cycling so every
@@ -3453,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily_revenue": q_ewma_daily_revenue,
         "higher_moments_report": q_higher_moments_report,
         "centroid_drift": q_centroid_drift,
+        "activity_streaks": q_activity_streaks,
         "bpe_merges": q_bpe_merges,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
@@ -4168,6 +4194,23 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY o_orderstatus) AS statuses
             FROM orders
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "activity_streaks": """
+            WITH days AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            islands AS (
+              SELECT user_id, day,
+                     day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+              FROM days),
+            per_island AS (
+              SELECT user_id, grp, count(*) AS len
+              FROM islands GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(max(len) AS BIGINT) AS longest_streak,
+                   CAST(count(*) AS BIGINT) AS n_streaks
+            FROM per_island GROUP BY 1
         """,
         "centroid_drift": """
             WITH e AS (

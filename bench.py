@@ -131,6 +131,7 @@ SECONDARY = [
     "higher_moments_report",
     "centroid_drift",
     "doc_novelty",
+    "activity_streaks",
     "bpe_merges",
 ]
 
