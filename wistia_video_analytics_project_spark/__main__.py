@@ -104,6 +104,27 @@ def main() -> None:
 
     wm.write(max_ts or run_ts)
     print(f"watermark advanced to {wm.read()}")
+
+    # --- LLM corpus tier (one-screen tour) ------------------------------
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "spark engines shuffle data between stages for wide operations"),
+            (4, "completely unrelated text about video engagement analytics"),
+        ],
+        "doc_id long, text string",
+    )
+    from .llm_pipeline import prepare_training_corpus
+    from .operators import bpe
+
+    chunks = prepare_training_corpus(docs, min_tokens=3, chunk_size=6, stride=6)
+    print(f"corpus prep: {docs.count()} docs -> "
+          f"{chunks.select('doc_id').distinct().count()} kept after dedup, "
+          f"{chunks.count()} chunks")
+    merges, wt = bpe.train_bpe(docs, num_merges=5)
+    print(f"bpe: learned merges {[(a, b) for a, b, _ in merges]}")
+    wt.unpersist()
     spark.stop()
 
 
