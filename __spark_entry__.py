@@ -3082,6 +3082,34 @@ def q_incremental_kpi_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mergeable.state_report(mergeable.merge_states(hist, tail))
 
 
+def q_user_event_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed surface: per user, an event_type -> count histogram as
+    a MapType column, serialized to JSON with key-sorted entry order
+    (map_from_entries preserves the sorted input array's order, so the
+    JSON string is deterministic and the DuckDB oracle can mirror it
+    with an ORDER BY string_agg).  Arrays/maps must reach the driver's
+    canonicalizer as strings (CLAUDE.md)."""
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hist = F.to_json(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", F.col("n")))
+            )
+        )
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            hist.alias("histogram"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: per user, the longest run of CONSECUTIVE
     active days — the classic engagement-streak pattern.  distinct
@@ -3300,7 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 43 round-3 additions, all oracle-backed and
+    front-load (a) the 44 round-3 additions, all oracle-backed and
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
@@ -3321,7 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``value_percentile_disc``, ``incremental_kpi_refresh``,
     ``duplicated_spans``, ``bm25_search``, ``ewma_daily_revenue``,
     ``higher_moments_report``, ``centroid_drift``, ``doc_novelty``,
-    ``activity_streaks`` — then (b) the
+    ``activity_streaks``, ``user_event_histogram_map`` — then (b) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 3 rounds stale by then), then (c) the
     oldest round-2-verified entries — keep cycling so every
@@ -3479,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "higher_moments_report": q_higher_moments_report,
         "centroid_drift": q_centroid_drift,
         "activity_streaks": q_activity_streaks,
+        "user_event_histogram_map": q_user_event_histogram_map,
         "bpe_merges": q_bpe_merges,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
@@ -4194,6 +4223,16 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY o_orderstatus) AS statuses
             FROM orders
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "user_event_histogram_map": """
+            WITH counts AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT user_id,
+                   '{' || string_agg('"' || event_type || '":' || n, ','
+                                     ORDER BY event_type) || '}' AS histogram,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM counts GROUP BY 1 ORDER BY 1
         """,
         "activity_streaks": """
             WITH days AS (

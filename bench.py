@@ -132,6 +132,7 @@ SECONDARY = [
     "centroid_drift",
     "doc_novelty",
     "activity_streaks",
+    "user_event_histogram_map",
     "bpe_merges",
 ]
 
