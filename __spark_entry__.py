@@ -3082,6 +3082,30 @@ def q_incremental_kpi_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mergeable.state_report(mergeable.merge_states(hist, tail))
 
 
+def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution (nats) —
+    the behavioral-diversity score (0 = single-minded, ln(4) = uniform
+    over the four types).  Probabilities are exact integer-count ratios
+    so both engines evaluate identical doubles; one two-level
+    aggregate."""
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_tot = Window.partitionBy("user_id")
+    p = F.col("n") / F.sum("n").over(w_tot)
+    return (
+        counts.select("user_id", (-p * F.log(p)).alias("__h"),
+                      F.col("n").alias("__n"))
+        .groupBy("user_id")
+        .agg(
+            (F.round(F.sum("__h"), 4) + F.lit(0.0)).alias("entropy_nats"),
+            F.sum("__n").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_user_event_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed surface: per user, an event_type -> count histogram as
     a MapType column, serialized to JSON with key-sorted entry order
@@ -3328,7 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 44 round-3 additions, all oracle-backed and
+    front-load (a) the 45 round-3 additions, all oracle-backed and
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
@@ -3349,7 +3373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``value_percentile_disc``, ``incremental_kpi_refresh``,
     ``duplicated_spans``, ``bm25_search``, ``ewma_daily_revenue``,
     ``higher_moments_report``, ``centroid_drift``, ``doc_novelty``,
-    ``activity_streaks``, ``user_event_histogram_map`` — then (b) the
+    ``activity_streaks``, ``user_event_histogram_map``,
+    ``user_behavior_entropy`` — then (b) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 3 rounds stale by then), then (c) the
     oldest round-2-verified entries — keep cycling so every
@@ -3508,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_drift": q_centroid_drift,
         "activity_streaks": q_activity_streaks,
         "user_event_histogram_map": q_user_event_histogram_map,
+        "user_behavior_entropy": q_user_behavior_entropy,
         "bpe_merges": q_bpe_merges,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
@@ -4223,6 +4249,21 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY o_orderstatus) AS statuses
             FROM orders
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "user_behavior_entropy": """
+            WITH counts AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            probs AS (
+              SELECT user_id, n,
+                     n / CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE)
+                       AS p
+              FROM counts)
+            SELECT user_id,
+                   round(sum(-p * ln(p)), 4) + CAST(0.0 AS DOUBLE)
+                     AS entropy_nats,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM probs GROUP BY 1 ORDER BY 1
         """,
         "user_event_histogram_map": """
             WITH counts AS (

@@ -133,6 +133,7 @@ SECONDARY = [
     "doc_novelty",
     "activity_streaks",
     "user_event_histogram_map",
+    "user_behavior_entropy",
     "bpe_merges",
 ]
 
