@@ -29,6 +29,7 @@ from wistia_video_analytics_project_spark.operators import (
     corpus,
     dedup,
     gold,
+    linalg,
     multimodal,
     quality,
     scale,
@@ -3202,6 +3203,397 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus: top-8 eigenvalues of
+    the sample covariance with explained-variance ratios (the intrinsic-
+    dimensionality diagnostic an embedding pipeline runs before choosing
+    an index or a compression width).
+
+    The covariance comes from ONE Arrow-batched pass that reduces each
+    partition to d²+d+1 floats (``linalg.sufficient_stats``); only the
+    64×64 eigenproblem runs on the driver. Not SQL-expressible (no
+    eigendecomposition in DuckDB) — rows-only for the driver; exact
+    agreement with numpy on the same rows is pinned in
+    ``tests/test_linalg.py``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vals, ratios, _ = linalg.pca(emb, "embedding", 64, k=8)
+    cum = 0.0
+    rows = []
+    for i, (v, r) in enumerate(zip(vals, ratios), start=1):
+        cum += float(r)
+        rows.append((i, round(float(v), 6), round(float(r), 6), round(cum, 6)))
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, variance_ratio double, "
+        "cumulative_ratio double",
+    )
+
+
+def q_event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain view of user behavior: the stationary distribution
+    of the event-type transition chain (long-run share of time a user
+    spends in each state). The transition COUNTING pass is distributed
+    (lag window + groupBy, same shape as ``event_transitions``); the
+    k×k matrix (k = event-type domain, single digits by contract) is
+    power-iterated on the driver. Rows-only for the driver (eigenvector
+    extraction isn't SQL); the fixed-point property (piP == pi) and
+    agreement with the dominant left eigenvector are pinned in
+    ``tests/test_linalg.py``."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    states, probs = linalg.transition_matrix(pairs, "prev_type", "next_type", "n")
+    pi = linalg.stationary_distribution(probs)
+    rows = [(s, round(float(p), 6)) for s, p in zip(states, pi)]
+    return spark.createDataFrame(
+        rows, "event_type string, stationary_prob double"
+    ).orderBy("event_type")
+
+
+def q_measure_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    (quantity, extendedprice, discount, tax) in long form — the feature-
+    redundancy screen run before any modeling work. All 6 pairs come
+    from ONE aggregate over one scan (map-side partials; no per-pair
+    passes); ``stack`` unpivots the 1-row result. Sample correlation on
+    both engines; round 6 + 0.0 normalizes IEEE negative zero
+    (CLAUDE.md)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    wide = li.agg(
+        *[
+            (F.round(F.corr(a, b), 6) + F.lit(0.0)).alias(f"__{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', `__{a}__{b}`" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, corr_value)"
+    ).orderBy("col_x", "col_y")
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: probe the SCD2 customer dimension
+    (same batch as ``scd2_customer_batch``) AS OF two dates — one before
+    and one after the balance-change batch — returning the version valid
+    at each probe instant. The lookup is an EQUI-join on the business
+    key plus an interval filter (versions per key are bounded), the
+    scalable form of a validity-range join."""
+    customer = _t(spark, sf_dir, "customer")
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    t1 = F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    cur = scd.scd2_init(customer.select("c_custkey", "c_acctbal"), t0)
+    updates = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    )
+    dim = scd.scd2_apply(cur, updates, "c_custkey", ["c_acctbal"], t1)
+    probes = customer.select("c_custkey").crossJoin(
+        spark.createDataFrame(
+            [("2024-01-15",), ("2024-02-15",)], "as_of_str string"
+        ).select(F.to_timestamp("as_of_str").alias("as_of"))
+    )
+    return (
+        probes.join(dim, "c_custkey")
+        .filter(
+            (F.col("valid_from") <= F.col("as_of"))
+            & (F.col("valid_to").isNull() | (F.col("as_of") < F.col("valid_to")))
+        )
+        .select(
+            "c_custkey",
+            F.to_date("as_of").alias("as_of"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+    )
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution: every purchase's value is
+    credited to the user's FIRST event type ever (first-touch) and to
+    the last NON-purchase event type strictly before it (last-touch,
+    IGNORE NULLS window). One window pass over the user timeline with
+    the (ts, event_id) tiebreaker keeping credit assignment
+    deterministic."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    seq = events.select(
+        "event_type",
+        "value",
+        F.first("event_type").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_touch"),
+        F.coalesce(
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(before),
+            F.lit("none"),
+        ).alias("last_touch"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+def q_winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-statistics report: order totals winsorized at the exact
+    p05/p95 quantiles (type-7 linear interpolation on both engines),
+    then mean/stddev of the clamped column plus clamp counts. The
+    thresholds are rounded to 6 decimals BEFORE any comparison
+    (CLAUDE.md threshold rule) so boundary rows can't flip between
+    engines; clamp counts use the same rounded bounds."""
+    orders = _t(spark, sf_dir, "orders")
+    th = orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.05D)"), 6).alias("__lo"),
+        F.round(F.expr("percentile(o_totalprice, 0.95D)"), 6).alias("__hi"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("__lo")), F.col("__hi"))
+    return (
+        orders.crossJoin(F.broadcast(th))
+        .agg(
+            F.round(F.first("__lo"), 2).alias("p05"),
+            F.round(F.first("__hi"), 2).alias("p95"),
+            F.round(F.avg(clamped).cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("winsorized_mean"),
+            (
+                F.round(F.stddev_samp(clamped).cast("decimal(18,6)"), 2).cast(
+                    "double"
+                )
+                + F.lit(0.0)
+            ).alias("winsorized_std"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("__lo"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clamped_low"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("__hi"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clamped_high"),
+        )
+    )
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 token pairs by pointwise mutual
+    information — PMI = ln(n_pair·N / (df_a·df_b)) over document-level
+    co-occurrence. The pair explosion is bounded twice: a min_df floor
+    kills rare-word noise, and the per-document basket cap (64 smallest
+    kept words, deterministic multiset truncation — mirrored in the
+    oracle with a QUALIFY row_number) bounds any one document's pair
+    contribution at C(64, 2) no matter how wide the document is. Pair
+    generation reuses the grouped single-scan strategy from
+    ``analytics.cooccurrence_pairs``. Deterministic (pmi desc, word_a,
+    word_b) ordering; ln of identical integer ratios rounds safely at 4
+    decimals."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    doc_word = words.distinct()
+    df_counts = doc_word.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    kept = doc_word.join(
+        F.broadcast(df_counts.filter(F.col("df") >= 5)), "word"
+    )
+    pairs = analytics.cooccurrence_pairs(
+        kept.select("doc_id", "word"), "doc_id", "word", max_basket_size=64
+    ).withColumnRenamed("item_a", "word_a").withColumnRenamed("item_b", "word_b")
+    dfa = df_counts.select(
+        F.col("word").alias("word_a"), F.col("df").alias("__dfa")
+    )
+    dfb = df_counts.select(
+        F.col("word").alias("word_b"), F.col("df").alias("__dfb")
+    )
+    scored = (
+        pairs.filter(F.col("pair_count") >= 5)
+        .join(F.broadcast(dfa), "word_a")
+        .join(F.broadcast(dfb), "word_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word_a",
+            "word_b",
+            F.col("pair_count").alias("n_pair"),
+            F.round(
+                F.log(
+                    F.col("pair_count").cast("double")
+                    * F.col("__n")
+                    / (F.col("__dfa") * F.col("__dfb")).cast("double")
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return analytics.top_k(
+        scored, 20, [F.desc("pmi"), F.asc("word_a"), F.asc("word_b")]
+    )
+
+
+def q_top_nations_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI staple: per region, order revenue by nation keeping the top-3
+    nations and rolling everything else into an ``OTHER`` bucket. The
+    rank window runs over the already-aggregated (region, nation) frame
+    — O(nations) rows, never the fact table — and ties break on the
+    nation name so the bucket membership is deterministic."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("__rev"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("__rev"), F.asc("n_name"))
+    bucketed = per_nation.withColumn(
+        "nation_bucket",
+        F.when(F.row_number().over(w) <= 3, F.col("n_name")).otherwise(
+            F.lit("OTHER")
+        ),
+    )
+    return (
+        bucketed.groupBy(F.col("r_name").alias("region"), "nation_bucket")
+        .agg(
+            F.round(F.sum("__rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("region", "nation_bucket")
+    )
+
+
+def q_purchase_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: each
+    user's duration runs from their first event to their first purchase
+    (event) or last observed event (right-censored). S(t) is the
+    product-limit estimator computed as exp(cumsum(ln(1 - d_i/n_i))) —
+    a window over the per-day risk table (O(distinct days) rows), with
+    every ratio built from exact integers so both engines take ln of
+    identical doubles. Durations are whole-day datediffs (integer on
+    both engines)."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__first"),
+        F.max(F.to_date("ts")).alias("__last"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("__purchase"),
+    )
+    durations = per_user.select(
+        F.coalesce(
+            F.datediff("__purchase", "__first"), F.datediff("__last", "__first")
+        ).alias("t"),
+        F.col("__purchase").isNotNull().alias("observed"),
+    )
+    risk = durations.groupBy("t").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("__exits"),
+    )
+    w_after = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_n = risk.withColumn("n_at_risk", F.sum("__exits").over(w_after))
+    term = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.log(
+            (F.col("n_at_risk") - F.col("d")).cast("double")
+            / F.col("n_at_risk").cast("double")
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        with_n.filter(F.col("d") > 0)
+        .withColumn("__ln", term)
+        .select(
+            "t",
+            "d",
+            "n_at_risk",
+            F.when(
+                F.max(F.col("__ln").isNull().cast("int")).over(w_upto) == 1,
+                F.lit(0.0),
+            )
+            .otherwise(F.round(F.exp(F.sum("__ln").over(w_upto)), 6))
+            .alias("survival"),
+        )
+        .orderBy("t")
+    )
+
+
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation surface: users split into variants by the parity
+    of their id (deterministic hash-bucket assignment), conversion = at
+    least one purchase; two-proportion z-test on the pooled standard
+    error. Every input to the z statistic is an exact integer count, so
+    both engines evaluate identical double arithmetic; the significance
+    flag compares against 1.96 on the 4-decimal-rounded z (CLAUDE.md
+    threshold rule)."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("__conv")
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("__conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("__conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.round((pb - pa) / se, 4) + F.lit(0.0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        z.alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
 def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report per order priority: skewness and excess
     kurtosis computed from EXPLICIT central moments (m3/m2^1.5,
@@ -3352,9 +3744,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 45 round-3 additions, all oracle-backed and
+    front-load (a) the 50 round-3 oracle-backed additions, all
     never driver-checked (they overflow one 50-slot window — spill the
-    tail to round 5's front) — ``lm_bits_per_token``, ``source_divergence``,
+    tail to round 5's front) — ``measure_corr_matrix``,
+    ``scd2_point_in_time``, ``touch_attribution``,
+    ``winsorized_order_stats``, ``token_pmi``,``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
     ``rolling_view_purchase_corr``, ``revenue_concentration``,
@@ -3535,6 +3929,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_histogram_map": q_user_event_histogram_map,
         "user_behavior_entropy": q_user_behavior_entropy,
         "bpe_merges": q_bpe_merges,
+        "measure_corr_matrix": q_measure_corr_matrix,
+        "scd2_point_in_time": q_scd2_point_in_time,
+        "touch_attribution": q_touch_attribution,
+        "winsorized_order_stats": q_winsorized_order_stats,
+        "token_pmi": q_token_pmi,
+        "pca_explained_variance": q_pca_explained_variance,
+        "event_markov_stationary": q_event_markov_stationary,
     })
     # --- round-3 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R3}
@@ -3545,7 +3946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "ann_ivf", "ann_pq", "ann_ivf_pq",
                        "semantic_dedup_lsh", "pack_sequences", "bpe_merges",
                        "approx_distinct_users", "weekly_active_users_hll",
-                       "value_quantiles_kll", "segment_overlap_theta"):
+                       "value_quantiles_kll", "segment_overlap_theta",
+                       "pca_explained_variance", "event_markov_stationary"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 
@@ -5502,6 +5904,119 @@ def oracle_sql() -> dict[str, str]:
                      AS skew_ratio
             FROM counts, totals
             ORDER BY n_rows DESC, user_id ASC LIMIT 10
+        """,
+        "measure_corr_matrix": """
+            SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                   CAST(round(corr(l_quantity, l_extendedprice), 6) + 0.0
+                        AS DOUBLE) AS corr_value FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount',
+                   CAST(round(corr(l_quantity, l_discount), 6) + 0.0 AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_tax',
+                   CAST(round(corr(l_quantity, l_tax), 6) + 0.0 AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount',
+                   CAST(round(corr(l_extendedprice, l_discount), 6) + 0.0
+                        AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_tax',
+                   CAST(round(corr(l_extendedprice, l_tax), 6) + 0.0 AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'l_tax',
+                   CAST(round(corr(l_discount, l_tax), 6) + 0.0 AS DOUBLE)
+            FROM lineitem
+            ORDER BY col_x, col_y
+        """,
+        "scd2_point_in_time": """
+            SELECT c_custkey, DATE '2024-01-15' AS as_of,
+                   round(c_acctbal, 2) AS c_acctbal
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, DATE '2024-02-15' AS as_of,
+                   round(CASE WHEN c_custkey % 10 = 0
+                              THEN c_acctbal + 100.0
+                              ELSE c_acctbal END, 2) AS c_acctbal
+            FROM customer
+        """,
+        "touch_attribution": """
+            WITH seq AS (
+              SELECT event_type, value,
+                     first_value(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS first_touch,
+                     coalesce(
+                       last_value(CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING),
+                       'none') AS last_touch
+              FROM events)
+            SELECT first_touch, last_touch,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   round(sum(coalesce(value, CAST(0.0 AS DOUBLE))), 2)
+                     AS attributed_value
+            FROM seq WHERE event_type = 'purchase'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "winsorized_order_stats": """
+            WITH th AS (
+              SELECT round(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+                     round(quantile_cont(o_totalprice, 0.95), 6) AS hi
+              FROM orders)
+            SELECT round(lo, 2) AS p05, round(hi, 2) AS p95,
+                   CAST(round(CAST(avg(least(greatest(o_totalprice, lo), hi))
+                                   AS DECIMAL(18,6)), 2) AS DOUBLE)
+                     AS winsorized_mean,
+                   CAST(round(CAST(stddev_samp(
+                          least(greatest(o_totalprice, lo), hi))
+                                   AS DECIMAL(18,6)), 2) AS DOUBLE)
+                     + CAST(0.0 AS DOUBLE) AS winsorized_std,
+                   CAST(sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clamped_low,
+                   CAST(sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clamped_high
+            FROM orders, th
+            GROUP BY lo, hi
+        """,
+        "token_pmi": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS word
+              FROM documents),
+            dw AS (
+              SELECT DISTINCT doc_id, word FROM words WHERE word <> ''),
+            dfc AS (
+              SELECT word, count(*) AS df FROM dw GROUP BY 1),
+            kept AS (
+              SELECT dw.doc_id, dw.word FROM dw
+              JOIN dfc USING (word) WHERE df >= 5
+              QUALIFY row_number() OVER (PARTITION BY dw.doc_id
+                                         ORDER BY dw.word) <= 64),
+            pairs AS (
+              SELECT a.word AS word_a, b.word AS word_b,
+                     CAST(count(*) AS BIGINT) AS n_pair
+              FROM kept a JOIN kept b
+                ON a.doc_id = b.doc_id AND a.word < b.word
+              GROUP BY 1, 2
+              HAVING count(*) >= 5),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT word_a, word_b, n_pair,
+                   round(ln(CAST(n_pair AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                            / CAST(dfa.df * dfb.df AS DOUBLE)), 4) AS pmi
+            FROM pairs
+            CROSS JOIN n
+            JOIN dfc dfa ON dfa.word = pairs.word_a
+            JOIN dfc dfb ON dfb.word = pairs.word_b
+            ORDER BY pmi DESC, word_a ASC, word_b ASC
+            LIMIT 20
         """,
     }
     sql.update(dedup.oracle_sql())

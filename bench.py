@@ -135,6 +135,13 @@ SECONDARY = [
     "user_event_histogram_map",
     "user_behavior_entropy",
     "bpe_merges",
+    "measure_corr_matrix",
+    "scd2_point_in_time",
+    "touch_attribution",
+    "winsorized_order_stats",
+    "token_pmi",
+    "pca_explained_variance",
+    "event_markov_stationary",
 ]
 
 

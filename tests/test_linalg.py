@@ -1,0 +1,122 @@
+"""Distributed linear algebra: one-pass PCA stats and Markov chains.
+
+Every exact claim is verified against a direct numpy computation on the
+same rows — the distributed path must match the in-memory path to float
+tolerance regardless of partition layout.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from wistia_video_analytics_project_spark.operators import linalg
+from wistia_video_analytics_project_spark.sources.readers import load_table
+
+
+def _emb_matrix(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    return emb, np.array([np.asarray(r["embedding"], dtype=np.float64)
+                          for r in rows])
+
+
+def test_sufficient_stats_match_numpy(spark):
+    emb, mat = _emb_matrix(spark)
+    n, s, g = linalg.sufficient_stats(emb, "embedding", 64)
+    assert n == mat.shape[0]
+    np.testing.assert_allclose(s, mat.sum(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(g, mat.T @ mat, rtol=1e-9)
+
+
+def test_sufficient_stats_layout_independent(spark):
+    emb, _ = _emb_matrix(spark)
+    n1, s1, g1 = linalg.sufficient_stats(emb, "embedding", 64)
+    n2, s2, g2 = linalg.sufficient_stats(
+        emb.repartition(13, "vec_id"), "embedding", 64
+    )
+    assert n1 == n2
+    np.testing.assert_allclose(s1, s2, rtol=1e-12)
+    np.testing.assert_allclose(g1, g2, rtol=1e-12)
+
+
+def test_covariance_matches_numpy(spark):
+    emb, mat = _emb_matrix(spark)
+    cov = linalg.covariance_matrix(emb, "embedding", 64)
+    np.testing.assert_allclose(
+        cov, np.cov(mat, rowvar=False, ddof=1), rtol=1e-8, atol=1e-14
+    )
+
+
+def test_pca_matches_numpy_eigh(spark):
+    emb, mat = _emb_matrix(spark)
+    vals, ratios, comps = linalg.pca(emb, "embedding", 64, k=8)
+    ref = np.linalg.eigh(np.cov(mat, rowvar=False, ddof=1))
+    ref_vals = ref[0][::-1][:8]
+    np.testing.assert_allclose(vals, ref_vals, rtol=1e-8)
+    # descending, ratios sum <= 1, all positive for this data
+    assert np.all(np.diff(vals) <= 1e-15)
+    assert 0 < ratios.sum() <= 1.0 + 1e-12
+    # sign convention: largest-|x| entry of each component is positive
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+    # components are orthonormal
+    np.testing.assert_allclose(comps @ comps.T, np.eye(8), atol=1e-10)
+
+
+def test_projection_matches_numpy(spark):
+    emb, mat = _emb_matrix(spark)
+    _, _, comps = linalg.pca(emb, "embedding", 64, k=4)
+    out = linalg.project(emb, "embedding", comps, out_col="scores")
+    rows = out.select("vec_id", "scores").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    got = np.array([r["scores"] for r in rows])
+    np.testing.assert_allclose(got, mat @ comps.T, rtol=1e-5, atol=1e-6)
+
+
+def test_pca_reconstruction_improves_with_k(spark):
+    """More components never explain less variance."""
+    emb, _ = _emb_matrix(spark)
+    _, r4, _ = linalg.pca(emb, "embedding", 64, k=4)
+    _, r16, _ = linalg.pca(emb, "embedding", 64, k=16)
+    assert r16.sum() >= r4.sum() - 1e-12
+
+
+def test_sufficient_stats_rejects_wrong_width(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(Exception, match="64-wide|expected"):
+        linalg.sufficient_stats(emb, "embedding", 65)[0]
+
+
+def test_transition_matrix_and_stationary(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b", 9.0), ("b", "a", 3.0), ("b", "c", 3.0), ("c", "a", 1.0)],
+        "prev string, nxt string, n double",
+    )
+    states, probs = linalg.transition_matrix(pairs, "prev", "nxt", "n")
+    assert states == ["a", "b", "c"]
+    np.testing.assert_allclose(probs.sum(axis=1), np.ones(3))
+    # 'a' row: all mass to b; 'c' row: all mass to a
+    np.testing.assert_allclose(probs[0], [0.0, 1.0, 0.0])
+    pi = linalg.stationary_distribution(probs)
+    # stationary: pi P == pi, matches the dominant left eigenvector
+    np.testing.assert_allclose(pi @ probs, pi, atol=1e-10)
+    w, v = np.linalg.eig(probs.T)
+    lead = v[:, np.argmin(np.abs(w - 1.0))].real
+    lead = lead / lead.sum()
+    np.testing.assert_allclose(pi, lead, atol=1e-9)
+
+
+def test_transition_matrix_dangling_state_uniform():
+    """A state with no outgoing transitions gets the uniform row, so the
+    chain stays stochastic and power iteration converges."""
+    probs = np.array([[0.0, 1.0], [0.0, 0.0]])
+    row_sums = probs.sum(axis=1, keepdims=True)
+    uniform = np.full((1, 2), 0.5)
+    fixed = np.where(row_sums > 0, probs / np.where(row_sums == 0, 1, row_sums),
+                     uniform)
+    pi = linalg.stationary_distribution(fixed)
+    np.testing.assert_allclose(pi @ fixed, pi, atol=1e-10)
+    np.testing.assert_allclose(pi.sum(), 1.0)

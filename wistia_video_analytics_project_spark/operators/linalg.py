@@ -1,0 +1,162 @@
+"""Distributed linear algebra over embedding columns (PCA, Markov chains).
+
+The 100 TB design: every statistic here is computed from ONE distributed
+pass that reduces each partition to a fixed-size partial — ``d²+d+1``
+floats for the Gram/covariance sufficient statistics, ``k²`` counts for
+the Markov transition matrix — so the shuffle volume is
+``O(partitions · d²)``, never ``O(rows)``. The tiny dense eigenproblem
+(``d×d`` with d = embedding width, or k×k with k = event-type domain)
+is intrinsically driver-sized and solved with numpy under the same
+bounded-collect contract the IVF centroids use (``similarity.py``);
+the projection back onto the corpus is pure JVM higher-order functions
+over the distributed frame — no per-row Python.
+
+Reference parity: the reference has no linear-algebra surface; this
+module is part of the LLM-corpus tier (embedding diagnostics a
+100 TB training-data pipeline needs: intrinsic dimensionality,
+variance concentration, whitening-ready components).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def sufficient_stats(df: DataFrame, vec_col: str, dim: int):
+    """One-pass (n, Σx, XᵀX) over an ``array<float>`` column.
+
+    Arrow-batched ``mapInPandas`` reduces each PARTITION to exactly
+    ``dim² + dim + 1`` (idx, val) rows — the flattened Gram partial,
+    the per-dimension sum partial, and the row count — which a single
+    ``groupBy(idx).sum`` merges. Collect size is dim²+dim+1 rows
+    regardless of corpus size.
+
+    Returns ``(n, s, g)``: row count, sum vector ``(dim,)``, Gram
+    matrix ``(dim, dim)`` as numpy arrays.
+    """
+    d = int(dim)
+    n_gram = d * d
+
+    def partials(it):
+        import pandas as pd
+
+        g = np.zeros(n_gram + d + 1, dtype=np.float64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if mat.shape[1] != d:
+                raise ValueError(
+                    f"expected {d}-wide vectors, got {mat.shape[1]}"
+                )
+            g[:n_gram] += (mat.T @ mat).ravel()
+            g[n_gram : n_gram + d] += mat.sum(axis=0)
+            g[n_gram + d] += len(mat)
+        yield pd.DataFrame({"idx": np.arange(n_gram + d + 1), "val": g})
+
+    flat = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="idx int, val double")
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+    )
+    rows = flat.collect()  # bounded: dim²+dim+1 rows by construction
+    buf = np.zeros(n_gram + d + 1)
+    for r in rows:
+        buf[r["idx"]] = r["val"]
+    n = int(buf[n_gram + d])
+    return n, buf[n_gram : n_gram + d], buf[:n_gram].reshape(d, d)
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
+    """Sample covariance from the one-pass sufficient statistics:
+    ``(XᵀX − n·μμᵀ) / (n−1)`` — no centering pass over the data."""
+    n, s, g = sufficient_stats(df, vec_col, dim)
+    if n < 2:
+        raise ValueError(f"need >= 2 rows for covariance, got {n}")
+    mean = s / n
+    return (g - n * np.outer(mean, mean)) / (n - 1)
+
+
+def pca(df: DataFrame, vec_col: str, dim: int, k: int):
+    """Principal components of an embedding column.
+
+    Returns ``(eigenvalues, ratios, components)``: the top-``k``
+    eigenvalues (descending), their explained-variance ratios, and the
+    ``(k, dim)`` component matrix. Components are sign-normalized so
+    the entry with the largest absolute value is positive (eigenvector
+    sign is otherwise arbitrary), keeping the output deterministic.
+    """
+    cov = covariance_matrix(df, vec_col, dim)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][: int(k)]
+    top_vals = vals[order]
+    comps = vecs[:, order].T  # (k, dim)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(vals.sum())
+    ratios = top_vals / total if total > 0 else np.zeros_like(top_vals)
+    return top_vals, ratios, comps
+
+
+def project(df: DataFrame, vec_col: str, components: np.ndarray,
+            out_col: str = "scores") -> DataFrame:
+    """Project each vector onto the given ``(k, dim)`` components —
+    pure JVM ``zip_with``/``aggregate`` dot products against literal
+    component arrays (broadcast by the plan), no UDF."""
+    scores = []
+    for comp in components:
+        lit = F.array(*[F.lit(float(x)) for x in comp])
+        scores.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), lit, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return df.withColumn(out_col, F.array(*scores))
+
+
+def transition_matrix(
+    pairs: DataFrame, from_col: str, to_col: str, weight_col: str
+) -> tuple[list, np.ndarray]:
+    """Collect a (tiny) row-stochastic transition matrix from a counted
+    transition frame. The state domain is a small enumerated set (event
+    types), so the collect is ``k²`` rows by contract — the heavy
+    counting pass that produced ``pairs`` stays distributed."""
+    rows = pairs.select(from_col, to_col, weight_col).collect()
+    states = sorted({r[from_col] for r in rows} | {r[to_col] for r in rows})
+    pos = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    mat = np.zeros((k, k))
+    for r in rows:
+        mat[pos[r[from_col]], pos[r[to_col]]] = float(r[weight_col])
+    row_sums = mat.sum(axis=1, keepdims=True)
+    # absorbing/unseen rows get a uniform self-distribution so the
+    # chain stays stochastic (standard dangling-node fix)
+    uniform = np.full((1, k), 1.0 / k)
+    probs = np.where(row_sums > 0, mat / np.where(row_sums == 0, 1, row_sums),
+                     uniform)
+    return states, probs
+
+
+def stationary_distribution(
+    probs: np.ndarray, tol: float = 1e-12, max_iter: int = 10_000
+) -> np.ndarray:
+    """Power iteration from the uniform start — deterministic given the
+    matrix (fixed start, fixed tolerance, L1 normalization each step)."""
+    k = probs.shape[0]
+    pi = np.full(k, 1.0 / k)
+    for _ in range(max_iter):
+        nxt = pi @ probs
+        nxt /= nxt.sum()
+        if np.abs(nxt - pi).sum() < tol:
+            return nxt
+        pi = nxt
+    return pi
