@@ -3542,17 +3542,23 @@ def q_purchase_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experimentation surface: users split into variants by the parity
-    of their id (deterministic hash-bucket assignment), conversion = at
-    least one purchase; two-proportion z-test on the pooled standard
-    error. Every input to the z statistic is an exact integer count, so
-    both engines evaluate identical double arithmetic; the significance
-    flag compares against 1.96 on the 4-decimal-rounded z (CLAUDE.md
-    threshold rule)."""
+    of their id (deterministic hash-bucket assignment), conversion =
+    first purchase within 3 days of the user's first event (exact
+    timestamp-interval comparison — "ever purchased" saturates to 100%
+    on this data, degenerating the pooled standard error to zero);
+    two-proportion z-test on the pooled SE. Every input to the z
+    statistic is an exact integer count, so both engines evaluate
+    identical double arithmetic; the significance flag compares against
+    1.96 on the 4-decimal-rounded z (CLAUDE.md threshold rule)."""
     events = _t(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("__conv")
+        F.when(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            <= F.min("ts") + F.expr("INTERVAL 3 DAY"),
+            1,
+        )
+        .otherwise(0)
+        .alias("__conv")
     )
     agg = per_user.agg(
         F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
@@ -3592,6 +3598,169 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+def q_mann_whitney_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric two-sample test: Mann-Whitney U comparing order
+    values between urgent-priority and other orders. Instead of ranking
+    rows (a global sort of the fact), the U statistic is assembled from
+    the per-distinct-value group counts — U1 = Σ_v na_v·(cumb_<v +
+    nb_v/2) — so the window runs over the aggregated value frame, and
+    every term is an exact integer or half-integer (deterministic
+    sums in double, ties handled by the midrank convention). The
+    normal approximation uses the tie-corrected variance; z rounds at
+    4 decimals before output (no continuity correction — mirrored
+    exactly in the oracle)."""
+    orders = _t(spark, sf_dir, "orders")
+    is_a = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    per_val = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("na_v"),
+        F.sum(F.when(is_a, 0).otherwise(1)).cast("bigint").alias("nb_v"),
+    )
+    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = per_val.select(
+        "na_v",
+        "nb_v",
+        (
+            F.col("na_v").cast("double")
+            * (
+                F.coalesce(F.sum("nb_v").over(w_before), F.lit(0)).cast("double")
+                + F.col("nb_v").cast("double") / F.lit(2.0)
+            )
+        ).alias("__u"),
+        # t*t*t, not pow(t, 3): pow is not guaranteed correctly rounded
+        # for exact-integer inputs on every libm
+        (
+            (F.col("na_v") + F.col("nb_v")).cast("double")
+            * (F.col("na_v") + F.col("nb_v")).cast("double")
+            * (F.col("na_v") + F.col("nb_v")).cast("double")
+            - (F.col("na_v") + F.col("nb_v")).cast("double")
+        ).alias("__t3t"),
+    )
+    agg = contrib.agg(
+        F.sum("na_v").cast("bigint").alias("n_a"),
+        F.sum("nb_v").cast("bigint").alias("n_b"),
+        F.sum("__u").alias("__u1"),
+        F.sum("__t3t").alias("__T"),
+    )
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    nn = n1 + n2
+    mu = n1 * n2 / F.lit(2.0)
+    sigma = F.sqrt(
+        n1 * n2 / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - F.col("__T") / (nn * (nn - F.lit(1.0))))
+    )
+    z = F.round((F.col("__u1") - mu) / sigma, 4) + F.lit(0.0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("__u1"), 1).alias("u_statistic"),
+        F.round(sigma, 4).alias("sigma_u"),
+        z.alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+def q_chi_square_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence test: chi-square over the event_type × ISO-weekday
+    contingency table (is behavior day-of-week dependent?). The full
+    grid INCLUDING empty cells is generated by crossing the observed
+    margins (types × weekdays, a few dozen rows) so zero-count cells
+    still contribute (O−E)²/E. Expected counts come from exact integer
+    margins; one division per cell; chi2 rounds at 4. Weekday uses the
+    Spark ``weekday()+1`` == DuckDB ``isodow`` pairing (CLAUDE.md)."""
+    events = _t(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", (F.weekday("ts") + 1).alias("isodow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    types = cells.select("event_type").distinct()
+    dows = cells.select("isodow").distinct()
+    grid = types.crossJoin(dows).join(cells, ["event_type", "isodow"], "left")
+    grid = grid.withColumn("o", F.coalesce("o", F.lit(0)).cast("bigint"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("isodow")
+    w_all = Window.partitionBy()
+    with_e = grid.select(
+        "o",
+        (
+            F.sum("o").over(w_row).cast("double")
+            * F.sum("o").over(w_col).cast("double")
+            / F.sum("o").over(w_all).cast("double")
+        ).alias("e"),
+    )
+    return (
+        with_e.agg(
+            F.round(
+                F.sum(
+                    (F.col("o").cast("double") - F.col("e"))
+                    * (F.col("o").cast("double") - F.col("e"))
+                    / F.col("e")
+                ),
+                4,
+            ).alias("chi2"),
+            F.sum(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("o").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def q_daily_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of daily purchase
+    revenue: trend = centered 7-day moving average (full windows only,
+    RANGE frame over integer day numbers so calendar gaps can't slide
+    the frame), weekly seasonal = per-weekday mean of the detrended
+    series, remainder = value − trend − seasonal. All sums run over
+    EXACT INTEGER CENTS scaled ×7 (``7·cents − Σcents``), so both
+    engines sum identical integers in any order and divide once per
+    output column (CLAUDE.md cumulative-stat rule)."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.floor(
+                F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2) * 100
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("__cents")
+        )
+        .select(
+            "day",
+            "__cents",
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias("__dn"),
+            (F.weekday("day") + 1).alias("isodow"),
+        )
+    )
+    w7 = Window.orderBy("__dn").rangeBetween(-3, 3)
+    with_trend = daily.select(
+        "day",
+        "isodow",
+        "__cents",
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("__cents").over(w7)).alias(
+            "__trend7"
+        ),
+    ).withColumn(
+        "__detr7", F.lit(7) * F.col("__cents") - F.col("__trend7")
+    )
+    w_dow = Window.partitionBy("isodow")
+    out = with_trend.withColumn(
+        "__seas7", F.avg("__detr7").over(w_dow)
+    )
+    c700 = F.lit(700.0)
+    return out.select(
+        "day",
+        "isodow",
+        F.round(F.col("__cents").cast("double") / F.lit(100.0), 2).alias(
+            "revenue"
+        ),
+        F.round(F.col("__trend7").cast("double") / c700, 4).alias("trend"),
+        F.round(F.col("__seas7") / c700, 4).alias("seasonal"),
+        F.round(
+            F.col("__detr7").cast("double") / c700 - F.col("__seas7") / c700, 4
+        ).alias("remainder"),
+    ).orderBy("day")
 
 
 def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3744,11 +3913,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 50 round-3 oracle-backed additions, all
+    front-load (a) the 56 round-3 oracle-backed additions, all
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``measure_corr_matrix``,
     ``scd2_point_in_time``, ``touch_attribution``,
-    ``winsorized_order_stats``, ``token_pmi``,``lm_bits_per_token``, ``source_divergence``,
+    ``winsorized_order_stats``, ``token_pmi``,
+    ``top_nations_with_other``, ``purchase_survival_km``,
+    ``ab_test_report``, ``mann_whitney_order_values``,
+    ``chi_square_type_weekday``, ``daily_revenue_decomposition``,``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
     ``rolling_view_purchase_corr``, ``revenue_concentration``,
@@ -3934,6 +4106,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": q_touch_attribution,
         "winsorized_order_stats": q_winsorized_order_stats,
         "token_pmi": q_token_pmi,
+        "top_nations_with_other": q_top_nations_with_other,
+        "purchase_survival_km": q_purchase_survival_km,
+        "ab_test_report": q_ab_test_report,
+        "mann_whitney_order_values": q_mann_whitney_order_values,
+        "chi_square_type_weekday": q_chi_square_type_weekday,
+        "daily_revenue_decomposition": q_daily_revenue_decomposition,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
     })
@@ -5942,6 +6120,219 @@ def oracle_sql() -> dict[str, str]:
                               THEN c_acctbal + 100.0
                               ELSE c_acctbal END, 2) AS c_acctbal
             FROM customer
+        """,
+        "mann_whitney_order_values": """
+            WITH per_val AS (
+              SELECT o_totalprice AS v,
+                     CAST(sum(CASE WHEN o_orderpriority IN
+                                     ('1-URGENT', '2-HIGH')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+                     CAST(sum(CASE WHEN o_orderpriority IN
+                                     ('1-URGENT', '2-HIGH')
+                                   THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+              FROM orders GROUP BY 1),
+            contrib AS (
+              SELECT na_v, nb_v,
+                     CAST(na_v AS DOUBLE) * (
+                       CAST(coalesce(sum(nb_v) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS DOUBLE)
+                       + CAST(nb_v AS DOUBLE) / CAST(2.0 AS DOUBLE)) AS u,
+                     CAST(na_v + nb_v AS DOUBLE) * CAST(na_v + nb_v AS DOUBLE)
+                       * CAST(na_v + nb_v AS DOUBLE)
+                       - CAST(na_v + nb_v AS DOUBLE) AS t3t
+              FROM per_val),
+            agg AS (
+              SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+                     CAST(sum(nb_v) AS BIGINT) AS n_b,
+                     sum(u) AS u1, sum(t3t) AS tt
+              FROM contrib),
+            f AS (
+              SELECT n_a, n_b, u1, tt,
+                     CAST(n_a AS DOUBLE) AS n1, CAST(n_b AS DOUBLE) AS n2
+              FROM agg),
+            s AS (
+              SELECT n_a, n_b, u1,
+                     n1 * n2 / CAST(2.0 AS DOUBLE) AS mu,
+                     sqrt(n1 * n2 / CAST(12.0 AS DOUBLE)
+                          * ((n1 + n2 + CAST(1.0 AS DOUBLE))
+                             - tt / ((n1 + n2)
+                                     * (n1 + n2 - CAST(1.0 AS DOUBLE)))))
+                       AS sig
+              FROM f)
+            SELECT n_a, n_b,
+                   round(u1, 1) AS u_statistic,
+                   round(sig, 4) AS sigma_u,
+                   CAST(round((u1 - mu) / sig, 4) + 0.0 AS DOUBLE) AS z_score,
+                   abs(CAST(round((u1 - mu) / sig, 4) + 0.0 AS DOUBLE))
+                     > CAST(1.96 AS DOUBLE) AS significant
+            FROM s
+        """,
+        "chi_square_type_weekday": """
+            WITH cells AS (
+              SELECT event_type, isodow(ts) AS isodow,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM events GROUP BY 1, 2),
+            grid AS (
+              SELECT t.event_type, d.isodow,
+                     CAST(coalesce(c.o, 0) AS BIGINT) AS o
+              FROM (SELECT DISTINCT event_type FROM cells) t
+              CROSS JOIN (SELECT DISTINCT isodow FROM cells) d
+              LEFT JOIN cells c USING (event_type, isodow)),
+            with_e AS (
+              SELECT o,
+                     CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE)
+                     * CAST(sum(o) OVER (PARTITION BY isodow) AS DOUBLE)
+                     / CAST(sum(o) OVER () AS DOUBLE) AS e
+              FROM grid)
+            SELECT round(sum((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                             / e), 4) AS chi2,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(o) AS BIGINT) AS n_events
+            FROM with_e
+        """,
+        "daily_revenue_decomposition": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(floor(round(coalesce(sum(value),
+                                               CAST(0.0 AS DOUBLE)), 2) * 100
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            d2 AS (
+              SELECT day, cents,
+                     datediff('day', DATE '1970-01-01', day) AS dn,
+                     isodow(day) AS isodow
+              FROM daily),
+            t AS (
+              SELECT day, isodow, cents,
+                     CASE WHEN count(*) OVER w7 = 7
+                          THEN CAST(sum(cents) OVER w7 AS BIGINT)
+                     END AS trend7
+              FROM d2
+              WINDOW w7 AS (ORDER BY dn RANGE BETWEEN 3 PRECEDING
+                                               AND 3 FOLLOWING)),
+            dt AS (
+              SELECT day, isodow, cents, trend7,
+                     7 * cents - trend7 AS detr7
+              FROM t),
+            s AS (
+              SELECT day, isodow, cents, trend7, detr7,
+                     avg(detr7) OVER (PARTITION BY isodow) AS seas7
+              FROM dt)
+            SELECT day, isodow,
+                   round(CAST(cents AS DOUBLE) / CAST(100.0 AS DOUBLE), 2)
+                     AS revenue,
+                   round(CAST(trend7 AS DOUBLE) / CAST(700.0 AS DOUBLE), 4)
+                     AS trend,
+                   round(seas7 / CAST(700.0 AS DOUBLE), 4) AS seasonal,
+                   round(CAST(detr7 AS DOUBLE) / CAST(700.0 AS DOUBLE)
+                         - seas7 / CAST(700.0 AS DOUBLE), 4) AS remainder
+            FROM s ORDER BY day
+        """,
+        "top_nations_with_other": """
+            WITH per_nation AS (
+              SELECT r_name, n_name, round(sum(o_totalprice), 2) AS rev
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2),
+            bucketed AS (
+              SELECT r_name, rev,
+                     CASE WHEN row_number() OVER (
+                            PARTITION BY r_name
+                            ORDER BY rev DESC, n_name ASC) <= 3
+                          THEN n_name ELSE 'OTHER' END AS nation_bucket
+              FROM per_nation)
+            SELECT r_name AS region, nation_bucket,
+                   round(sum(rev), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_nations
+            FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "purchase_survival_km": """
+            WITH per_user AS (
+              SELECT user_id,
+                     min(CAST(ts AS DATE)) AS f,
+                     max(CAST(ts AS DATE)) AS l,
+                     min(CASE WHEN event_type = 'purchase'
+                              THEN CAST(ts AS DATE) END) AS p
+              FROM events GROUP BY 1),
+            durations AS (
+              SELECT coalesce(datediff('day', f, p), datediff('day', f, l))
+                       AS t,
+                     (p IS NOT NULL) AS observed
+              FROM per_user),
+            risk AS (
+              SELECT t,
+                     CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d,
+                     CAST(count(*) AS BIGINT) AS exits
+              FROM durations GROUP BY 1),
+            with_n AS (
+              SELECT t, d,
+                     CAST(sum(exits) OVER (ORDER BY t
+                            ROWS BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING) AS BIGINT)
+                       AS n_at_risk
+              FROM risk),
+            terms AS (
+              SELECT t, d, n_at_risk,
+                     CASE WHEN d < n_at_risk
+                          THEN ln(CAST(n_at_risk - d AS DOUBLE)
+                                  / CAST(n_at_risk AS DOUBLE)) END AS lnterm
+              FROM with_n WHERE d > 0)
+            SELECT t, d, n_at_risk,
+                   CASE WHEN max(CASE WHEN lnterm IS NULL THEN 1 ELSE 0 END)
+                             OVER upto = 1
+                        THEN CAST(0.0 AS DOUBLE)
+                        ELSE round(exp(sum(lnterm) OVER upto), 6)
+                   END AS survival
+            FROM terms
+            WINDOW upto AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+            ORDER BY t
+        """,
+        "ab_test_report": """
+            WITH per_user AS (
+              SELECT user_id,
+                     CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                        THEN ts END)
+                               <= min(ts) + INTERVAL 3 DAY
+                          THEN 1 ELSE 0 END AS conv
+              FROM events GROUP BY 1),
+            agg AS (
+              SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_b,
+                     CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+                          AS BIGINT) AS conv_a,
+                     CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+                          AS BIGINT) AS conv_b
+              FROM per_user),
+            zc AS (
+              SELECT n_a, n_b, conv_a, conv_b,
+                     CAST(round(
+                       (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                        - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                       / sqrt(
+                           (CAST(conv_a + conv_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE))
+                           * (CAST(1.0 AS DOUBLE)
+                              - CAST(conv_a + conv_b AS DOUBLE)
+                                / CAST(n_a + n_b AS DOUBLE))
+                           * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                              + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))),
+                       4) + CAST(0.0 AS DOUBLE) AS DOUBLE) AS z
+              FROM agg)
+            SELECT n_a, n_b, conv_a, conv_b,
+                   round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+                     AS rate_a,
+                   round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+                     AS rate_b,
+                   z AS z_score,
+                   abs(z) > CAST(1.96 AS DOUBLE) AS significant
+            FROM zc
         """,
         "touch_attribution": """
             WITH seq AS (

@@ -142,6 +142,12 @@ SECONDARY = [
     "token_pmi",
     "pca_explained_variance",
     "event_markov_stationary",
+    "top_nations_with_other",
+    "purchase_survival_km",
+    "ab_test_report",
+    "mann_whitney_order_values",
+    "chi_square_type_weekday",
+    "daily_revenue_decomposition",
 ]
 
 
