@@ -1,0 +1,171 @@
+"""Statistical queries vs direct numpy references.
+
+The oracle gate proves Spark and DuckDB agree; these tests prove the
+shared FORMULA is right — each statistic is recomputed from the raw
+parquet with an independent in-memory implementation (textbook
+definitions, not the query's algebra) and compared to the query output.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+from conftest import SF_SMOKE
+
+
+def _events() -> pd.DataFrame:
+    df = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    # NANOS timestamps load as datetime64[ns] in pandas — already usable
+    return df
+
+
+def _orders() -> pd.DataFrame:
+    return pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+
+
+def test_mann_whitney_matches_textbook(spark):
+    orders = _orders()
+    a = orders.loc[
+        orders.o_orderpriority.isin(["1-URGENT", "2-HIGH"]), "o_totalprice"
+    ].to_numpy()
+    b = orders.loc[
+        ~orders.o_orderpriority.isin(["1-URGENT", "2-HIGH"]), "o_totalprice"
+    ].to_numpy()
+    # textbook midrank U: rank the pooled sample, U1 = R1 - n1(n1+1)/2
+    pooled = np.concatenate([a, b])
+    uniq, inv, cnt = np.unique(pooled, return_inverse=True, return_counts=True)
+    before = np.cumsum(cnt) - cnt
+    midrank = before + (cnt + 1) / 2.0  # 1-based
+    r = midrank[inv]
+    n1, n2 = len(a), len(b)
+    u1 = r[:n1].sum() - n1 * (n1 + 1) / 2.0
+    big_t = float((cnt.astype(np.float64) ** 3 - cnt).sum())
+    nn = n1 + n2
+    sigma = np.sqrt(
+        n1 * n2 / 12.0 * ((nn + 1.0) - big_t / (nn * (nn - 1.0)))
+    )
+    z = (u1 - n1 * n2 / 2.0) / sigma
+
+    row = entrymod.queries()["mann_whitney_order_values"](spark, SF_SMOKE).collect()[0]
+    assert row["n_a"] == n1 and row["n_b"] == n2
+    assert row["u_statistic"] == pytest.approx(u1, abs=0.51)
+    assert row["sigma_u"] == pytest.approx(sigma, abs=1e-3)
+    assert row["z_score"] == pytest.approx(z, abs=1e-3)
+
+
+def test_chi_square_matches_textbook(spark):
+    ev = _events()
+    dow = ev.ts.dt.dayofweek + 1  # pandas Monday=0 -> isodow
+    table = pd.crosstab(ev.event_type, dow)
+    o = table.to_numpy(dtype=np.float64)
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / o.sum()
+    chi2 = ((o - e) ** 2 / e).sum()
+
+    row = entrymod.queries()["chi_square_type_weekday"](spark, SF_SMOKE).collect()[0]
+    assert row["n_events"] == int(o.sum())
+    assert row["n_cells"] == o.size
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-3)
+
+
+def test_kaplan_meier_matches_textbook(spark):
+    ev = _events()
+    g = ev.groupby("user_id")
+    first = g.ts.min().dt.normalize()
+    last = g.ts.max().dt.normalize()
+    purch = ev[ev.event_type == "purchase"].groupby("user_id").ts.min().dt.normalize()
+    t = pd.Series(index=first.index, dtype="float64")
+    observed = first.index.isin(purch.index)
+    t[observed] = (purch - first[purch.index]).dt.days
+    t[~observed] = (last[~observed] - first[~observed]).dt.days
+    t = t.to_numpy()
+    obs = np.asarray(observed)
+
+    # textbook product-limit over event times
+    surv = {}
+    s = 1.0
+    for ti in np.sort(np.unique(t[obs])):
+        n_i = int((t >= ti).sum())
+        d_i = int(((t == ti) & obs).sum())
+        s *= 1.0 - d_i / n_i
+        surv[int(ti)] = s
+
+    got = {
+        r["t"]: r
+        for r in entrymod.queries()["purchase_survival_km"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(surv)
+    for ti, s_ref in surv.items():
+        assert got[ti]["survival"] == pytest.approx(s_ref, abs=1e-5), ti
+        assert got[ti]["n_at_risk"] == int((t >= ti).sum())
+
+
+def test_ab_test_matches_textbook(spark):
+    ev = _events()
+    g = ev.groupby("user_id")
+    first = g.ts.min()
+    purch = ev[ev.event_type == "purchase"].groupby("user_id").ts.min()
+    conv = pd.Series(0, index=first.index)
+    joined = purch.reindex(first.index)
+    conv[(joined - first) <= pd.Timedelta(days=3)] = 1
+    variant_a = first.index.to_numpy() % 2 == 0
+    n1, n2 = int(variant_a.sum()), int((~variant_a).sum())
+    c1, c2 = int(conv[variant_a].sum()), int(conv[~variant_a].sum())
+    p1, p2 = c1 / n1, c2 / n2
+    pooled = (c1 + c2) / (n1 + n2)
+    se = np.sqrt(pooled * (1 - pooled) * (1 / n1 + 1 / n2))
+    z = (p2 - p1) / se
+
+    row = entrymod.queries()["ab_test_report"](spark, SF_SMOKE).collect()[0]
+    assert (row["n_a"], row["n_b"], row["conv_a"], row["conv_b"]) == (
+        n1, n2, c1, c2,
+    )
+    assert row["z_score"] == pytest.approx(z, abs=1e-3)
+    assert row["significant"] == (abs(round(z, 4)) > 1.96)
+
+
+def test_decomposition_additive_identity(spark):
+    """revenue - trend - seasonal - remainder == 0 wherever the trend is
+    defined (the decomposition is additive BY CONSTRUCTION; rounding at
+    4 decimals bounds the residual)."""
+    rows = entrymod.queries()["daily_revenue_decomposition"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows, "no purchase days"
+    n_defined = 0
+    for r in rows:
+        if r["trend"] is None:
+            assert r["remainder"] is None
+            continue
+        n_defined += 1
+        resid = r["revenue"] - r["trend"] - r["seasonal"] - r["remainder"]
+        assert abs(resid) < 5e-4, r
+    assert n_defined > 0
+    # edge days (first/last 3) have no full centered window
+    assert rows[0]["trend"] is None and rows[-1]["trend"] is None
+
+
+def test_decomposition_trend_is_7day_mean(spark):
+    rows = entrymod.queries()["daily_revenue_decomposition"](
+        spark, SF_SMOKE
+    ).collect()
+    by_day = {r["day"]: r for r in rows}
+    days = sorted(by_day)
+    for i, d in enumerate(days):
+        window = [
+            by_day[x]["revenue"]
+            for x in days
+            if abs((x - d).days) <= 3
+        ]
+        r = by_day[d]
+        if len(window) == 7 and all(
+            (x - d).days in range(-3, 4)
+            for x in days
+            if abs((x - d).days) <= 3
+        ):
+            if r["trend"] is not None:
+                assert r["trend"] == pytest.approx(
+                    sum(window) / 7.0, abs=1e-3
+                ), d
