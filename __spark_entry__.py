@@ -3763,6 +3763,38 @@ def q_daily_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("day")
 
 
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance: the DELTA of the
+    orders ⋈ customer enriched view when a day's inserts arrive on BOTH
+    sides (orders from 1997+ as the fact delta, every 20th customer as
+    the dim delta). ``scale.incremental_join_delta`` produces
+    ΔF⋈D_old ∪ F_old⋈ΔD ∪ ΔF⋈ΔD — never re-joining the two old sides —
+    and the oracle mirrors the same three-term union; completeness vs a
+    full recompute is pinned in ``tests/test_scale.py``."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cutoff = F.lit("1997-01-01").cast("date")
+    f_old = orders.filter(F.col("o_orderdate") < cutoff)
+    f_delta = orders.filter(F.col("o_orderdate") >= cutoff)
+    d_old = customer.filter(F.col("c_custkey") % 20 != 0)
+    d_delta = customer.filter(F.col("c_custkey") % 20 == 0)
+    delta = scale.incremental_join_delta(
+        f_old.withColumnRenamed("o_custkey", "c_custkey"),
+        f_delta.withColumnRenamed("o_custkey", "c_custkey"),
+        d_old,
+        d_delta,
+        on="c_custkey",
+    )
+    return (
+        delta.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("delta_revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report per order priority: skewness and excess
     kurtosis computed from EXPLICIT central moments (m3/m2^1.5,
@@ -3913,14 +3945,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 56 round-3 oracle-backed additions, all
+    front-load (a) the 57 round-3 oracle-backed additions, all
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``measure_corr_matrix``,
     ``scd2_point_in_time``, ``touch_attribution``,
     ``winsorized_order_stats``, ``token_pmi``,
     ``top_nations_with_other``, ``purchase_survival_km``,
     ``ab_test_report``, ``mann_whitney_order_values``,
-    ``chi_square_type_weekday``, ``daily_revenue_decomposition``,``lm_bits_per_token``, ``source_divergence``,
+    ``chi_square_type_weekday``, ``daily_revenue_decomposition``,
+    ``incremental_join_view``,``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
     ``rolling_view_purchase_corr``, ``revenue_concentration``,
@@ -4112,6 +4145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney_order_values": q_mann_whitney_order_values,
         "chi_square_type_weekday": q_chi_square_type_weekday,
         "daily_revenue_decomposition": q_daily_revenue_decomposition,
+        "incremental_join_view": q_incremental_join_view,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
     })
@@ -6120,6 +6154,28 @@ def oracle_sql() -> dict[str, str]:
                               THEN c_acctbal + 100.0
                               ELSE c_acctbal END, 2) AS c_acctbal
             FROM customer
+        """,
+        "incremental_join_view": """
+            WITH f_old AS (
+              SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+            f_delta AS (
+              SELECT * FROM orders WHERE o_orderdate >= DATE '1997-01-01'),
+            d_old AS (
+              SELECT * FROM customer WHERE c_custkey % 20 <> 0),
+            d_delta AS (
+              SELECT * FROM customer WHERE c_custkey % 20 = 0),
+            dv AS (
+              SELECT o.o_totalprice, d.c_nationkey
+              FROM f_delta o JOIN d_old d ON o.o_custkey = d.c_custkey
+              UNION ALL
+              SELECT o.o_totalprice, d.c_nationkey
+              FROM f_old o JOIN d_delta d ON o.o_custkey = d.c_custkey
+              UNION ALL
+              SELECT o.o_totalprice, d.c_nationkey
+              FROM f_delta o JOIN d_delta d ON o.o_custkey = d.c_custkey)
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(o_totalprice), 2) AS delta_revenue
+            FROM dv GROUP BY 1 ORDER BY 1
         """,
         "mann_whitney_order_values": """
             WITH per_val AS (

@@ -148,6 +148,7 @@ SECONDARY = [
     "mann_whitney_order_values",
     "chi_square_type_weekday",
     "daily_revenue_decomposition",
+    "incremental_join_view",
 ]
 
 

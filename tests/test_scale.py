@@ -139,3 +139,33 @@ def test_partition_stats_balanced_after_repartition(spark):
     # round-robin repartition is near-uniform
     assert max(r.n_rows for r in rows) - min(r.n_rows for r in rows) < 2000
     assert abs(sum(r.n_rows for r in rows) - 10_000) == 0
+
+
+def test_incremental_join_delta_completeness(spark):
+    """old_view ∪ ΔV must equal the full recompute exactly (insert-only
+    contract), including duplicate multiplicity — checked with exceptAll
+    in both directions."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from wistia_video_analytics_project_spark.sources.readers import load_table
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, SF_SMOKE, "customer")
+    cutoff = F.lit("1997-01-01").cast("date")
+    f_old = orders.filter(F.col("o_orderdate") < cutoff)
+    f_delta = orders.filter(F.col("o_orderdate") >= cutoff)
+    d_old = customer.filter(F.col("c_custkey") % 20 != 0)
+    d_delta = customer.filter(F.col("c_custkey") % 20 == 0)
+
+    old_view = f_old.join(d_old, "c_custkey")
+    delta = scale.incremental_join_delta(f_old, f_delta, d_old, d_delta,
+                                         on="c_custkey")
+    incremental = old_view.unionByName(delta)
+    full = orders.join(customer, "c_custkey")
+    assert incremental.exceptAll(full).count() == 0
+    assert full.exceptAll(incremental).count() == 0
+    # and the delta is disjoint from the old view (pure inserts)
+    assert delta.intersect(old_view).count() == 0

@@ -333,3 +333,32 @@ def partition_stats(df: DataFrame) -> DataFrame:
         F.avg("n_rows").alias("avg_rows"),
     )
     return per.crossJoin(F.broadcast(total))
+
+
+def incremental_join_delta(
+    fact_old: DataFrame,
+    fact_delta: DataFrame,
+    dim_old: DataFrame,
+    dim_delta: DataFrame,
+    on: str | Sequence[str],
+) -> DataFrame:
+    """Incremental maintenance of an inner-join view V = F ⋈ D under
+    INSERT-ONLY deltas:
+
+        ΔV = ΔF ⋈ D_old  ∪  F_old ⋈ ΔD  ∪  ΔF ⋈ ΔD
+
+    Appending ΔV to the old view equals a full recompute over
+    (F_old ∪ ΔF) ⋈ (D_old ∪ ΔD) — asserted in tests — without ever
+    re-joining the two OLD sides, which is the data-sized term a 100 TB
+    nightly refresh cannot afford. The delta sides are small by
+    contract, so both ΔD joins carry an explicit broadcast hint; the
+    one surviving big join (ΔF ⋈ D_old) is a normal key join AQE can
+    plan. Contract: deltas are pure inserts (no updates/deletes — use
+    the SCD2/CDC operators for those) and the dim key stays unique
+    across D_old ∪ ΔD.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    part1 = fact_delta.join(dim_old, keys)
+    part2 = fact_old.join(F.broadcast(dim_delta), keys)
+    part3 = fact_delta.join(F.broadcast(dim_delta), keys)
+    return part1.unionByName(part2).unionByName(part3)
