@@ -169,3 +169,60 @@ def test_incremental_join_delta_completeness(spark):
     assert full.exceptAll(incremental).count() == 0
     # and the delta is disjoint from the old view (pure inserts)
     assert delta.intersect(old_view).count() == 0
+
+
+def test_binned_running_sum_equals_global_window(spark):
+    """The two-level ladder must reproduce the single-partition window
+    exactly, bucket boundaries included, on integer cents."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from wistia_video_analytics_project_spark.sources.readers import load_table
+    from conftest import SF_SMOKE
+    from pyspark.sql import Window, functions as F
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        F.floor(F.round("o_totalprice", 2) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    got = scale.binned_running_sum(
+        orders, ["o_orderkey"], "cents", n_buckets=16
+    )
+    w = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = orders.withColumn("running_sum", F.sum("cents").over(w))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_binned_running_sum_layout_independent(spark):
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("v")
+    )
+    a = scale.binned_running_sum(df, ["id"], "v", n_buckets=8)
+    b = scale.binned_running_sum(
+        df.repartition(13), ["id"], "v", n_buckets=8
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # last row carries the grand total
+    total = df.agg(F.sum("v")).first()[0]
+    last = a.orderBy(F.desc("id")).first()
+    assert last["running_sum"] == total
+
+
+def test_binned_running_sum_degenerate_single_value(spark):
+    """min == max on the lead column: everything lands in bucket 1 and
+    the ladder still matches the naive cumulative."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(5, i, 1) for i in range(10)], "k int, tie int, v int"
+    )
+    out = scale.binned_running_sum(df, ["k", "tie"], "v", n_buckets=4)
+    rows = {r["tie"]: r["running_sum"] for r in out.collect()}
+    assert rows == {i: i + 1 for i in range(10)}

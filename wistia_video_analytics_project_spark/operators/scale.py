@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 from contextlib import contextmanager
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..cache import track
@@ -362,3 +362,67 @@ def incremental_join_delta(
     part2 = fact_old.join(F.broadcast(dim_delta), keys)
     part3 = fact_delta.join(F.broadcast(dim_delta), keys)
     return part1.unionByName(part2).unionByName(part3)
+
+
+def binned_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    n_buckets: int = 64,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Global running (cumulative) sum WITHOUT a single-partition window.
+
+    A bare ``Window.orderBy(...)`` collapses the whole frame into one
+    task — the classic 100 TB cumulative-metric killer (Spark even
+    warns ``No Partition Defined for Window``). This is the two-level
+    ladder SCALE.md references:
+
+    1. bucket rows by range over the leading order column
+       (``width_bucket`` on the observed min/max — a broadcast 1-row
+       aggregate, no sort);
+    2. per-bucket totals (tiny frame) get exclusive prefix offsets via
+       a window over ``n_buckets`` rows;
+    3. the within-bucket running sum is a window PARTITIONED by bucket,
+       so every task holds one bucket, and the broadcast offset is
+       added.
+
+    Result is row-identical to the single-partition window (asserted in
+    tests) provided ``order_cols`` is a UNIQUE total order — the same
+    determinism contract every ranked query in this repo carries. The
+    leading order column must be numeric (range-bucketable).
+    """
+    lead = order_cols[0]
+    bounds = df.agg(
+        F.min(lead).cast("double").alias("__lo"),
+        F.max(lead).cast("double").alias("__hi"),
+    )
+    bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bucket",
+        F.when(F.col("__lo") == F.col("__hi"), F.lit(1)).otherwise(
+            F.width_bucket(
+                F.col(lead).cast("double"),
+                F.col("__lo"),
+                F.col("__hi"),
+                F.lit(int(n_buckets)),
+            )
+        ),
+    )
+    per_bucket = bucketed.groupBy("__bucket").agg(
+        F.sum(value_col).alias("__btotal")
+    )
+    w_b = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "__bucket",
+        F.coalesce(F.sum("__btotal").over(w_b), F.lit(0)).alias("__offset"),
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.col("__offset") + F.sum(value_col).over(w_in))
+        .drop("__bucket", "__lo", "__hi", "__offset")
+    )
