@@ -453,3 +453,85 @@ def test_ewma_spine_join_is_bounded(spark):
     # the plan has exactly 2 scans and >= 2 partial aggregates
     assert len(re.findall(r"orders\.parquet", plan)) <= 4
     assert len(re.findall(r"partial_sum", plan)) >= 2, plan[:3000]
+
+
+def test_corr_matrix_single_pass(spark):
+    """All 6 correlations must come from ONE aggregate over one scan —
+    exactly one lineitem scan and one shuffle in the plan."""
+    import re
+
+    df = entrymod.q_measure_corr_matrix(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    n_shuffles = len(re.findall(r"\bExchange ", plan))
+    assert n_shuffles <= 1, f"expected <=1 shuffle:\n{plan}"
+    plans.assert_read_columns_at_most(
+        df, "lineitem.parquet",
+        {"l_quantity", "l_extendedprice", "l_discount", "l_tax"},
+    )
+
+
+def test_incremental_join_delta_broadcasts_dim_deltas(spark):
+    """Both ΔD joins carry the broadcast hint (delta small by contract)."""
+    df = entrymod.q_incremental_join_view(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_scd2_point_in_time_is_equi_join(spark):
+    """The AS-OF lookup must plan as an equi-join on the business key —
+    never a broadcast nested loop over the validity ranges."""
+    df = entrymod.q_scd2_point_in_time(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "CROSSOK", 1
+    ) or "c_custkey" in plan, plan
+    # the custkey equi-join is present as a hash or sort-merge join
+    assert (
+        "BroadcastHashJoin [c_custkey" in plan
+        or "SortMergeJoin [c_custkey" in plan
+        or "ShuffledHashJoin [c_custkey" in plan
+        or "hashpartitioning(c_custkey" in plan
+    ), plan
+
+
+def test_top_nations_rank_over_aggregated_frame(spark):
+    """The rank window must run AFTER the (region, nation) aggregate —
+    the window input is O(nations), so the plan has the aggregate below
+    the window, and the dims ride broadcast joins."""
+    df = entrymod.q_top_nations_with_other(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.index("HashAggregate") < plan.index("Window"), (
+        "window should consume the aggregated frame:\n" + plan
+    )
+
+
+def test_token_pmi_df_filter_broadcasts(spark):
+    """The df-filter join-back and both count joins are broadcasts (the
+    vocabulary frame is tiny); the pair stream shuffles once."""
+    df = entrymod.q_token_pmi(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_pca_stats_shuffle_is_fixed_width(spark):
+    """The PCA sufficient-stats exchange moves (idx, val) scalar rows —
+    d²+d+1 per partition — never the vectors: the merged frame has
+    exactly two scalar columns, the expected fixed row count, and its
+    shuffle partitions on idx."""
+    from wistia_video_analytics_project_spark.operators import linalg
+    from wistia_video_analytics_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    flat = linalg.stats_flat(emb, "embedding", 64)
+    assert [f.name for f in flat.schema.fields] == ["idx", "val"]
+    assert {f.dataType.simpleString() for f in flat.schema.fields} == {
+        "int", "double"
+    }
+    assert flat.count() == 64 * 64 + 64 + 1
+    plan = plans.executed_plan(flat)
+    assert "hashpartitioning(idx" in plan, plan
+    assert "embedding" not in plan.split("ArrowEvalPython")[0].split(
+        "MapInPandas"
+    )[0], "vectors must not cross the exchange:\n" + plan

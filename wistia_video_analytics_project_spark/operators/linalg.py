@@ -24,18 +24,11 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def sufficient_stats(df: DataFrame, vec_col: str, dim: int):
-    """One-pass (n, Σx, XᵀX) over an ``array<float>`` column.
-
-    Arrow-batched ``mapInPandas`` reduces each PARTITION to exactly
-    ``dim² + dim + 1`` (idx, val) rows — the flattened Gram partial,
-    the per-dimension sum partial, and the row count — which a single
-    ``groupBy(idx).sum`` merges. Collect size is dim²+dim+1 rows
-    regardless of corpus size.
-
-    Returns ``(n, s, g)``: row count, sum vector ``(dim,)``, Gram
-    matrix ``(dim, dim)`` as numpy arrays.
-    """
+def stats_flat(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """The distributed half of :func:`sufficient_stats`: the merged
+    ``(idx, val)`` frame — ``dim² + dim + 1`` rows total. Exposed so the
+    shuffle shape (two scalar columns, fixed row count) can be
+    plan-asserted and so callers can persist the statistics."""
     d = int(dim)
     n_gram = d * d
 
@@ -58,13 +51,29 @@ def sufficient_stats(df: DataFrame, vec_col: str, dim: int):
             g[n_gram + d] += len(mat)
         yield pd.DataFrame({"idx": np.arange(n_gram + d + 1), "val": g})
 
-    flat = (
+    return (
         df.select(vec_col)
         .mapInPandas(partials, schema="idx int, val double")
         .groupBy("idx")
         .agg(F.sum("val").alias("val"))
     )
-    rows = flat.collect()  # bounded: dim²+dim+1 rows by construction
+
+
+def sufficient_stats(df: DataFrame, vec_col: str, dim: int):
+    """One-pass (n, Σx, XᵀX) over an ``array<float>`` column.
+
+    Arrow-batched ``mapInPandas`` reduces each PARTITION to exactly
+    ``dim² + dim + 1`` (idx, val) rows — the flattened Gram partial,
+    the per-dimension sum partial, and the row count — which a single
+    ``groupBy(idx).sum`` merges. Collect size is dim²+dim+1 rows
+    regardless of corpus size.
+
+    Returns ``(n, s, g)``: row count, sum vector ``(dim,)``, Gram
+    matrix ``(dim, dim)`` as numpy arrays.
+    """
+    d = int(dim)
+    n_gram = d * d
+    rows = stats_flat(df, vec_col, d).collect()  # bounded: dim²+dim+1 rows
     buf = np.zeros(n_gram + d + 1)
     for r in rows:
         buf[r["idx"]] = r["val"]
