@@ -125,6 +125,25 @@ def main() -> None:
     merges, wt = bpe.train_bpe(docs, num_merges=5)
     print(f"bpe: learned merges {[(a, b) for a, b, _ in merges]}")
     wt.unpersist()
+
+    # --- embedding analytics (distributed PCA, one pass) ----------------
+    from pyspark.sql import functions as F
+
+    from .operators import linalg
+
+    vecs = spark.range(64).select(
+        "id",
+        F.array(
+            (F.col("id") % 8).cast("float"),
+            (F.col("id") % 3).cast("float"),
+            F.lit(1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    vals, ratios, comps = linalg.pca(vecs, "embedding", 3, k=2)
+    print(
+        "pca: top-2 explained variance "
+        f"{[round(float(r), 3) for r in ratios]} (constant dim carries 0)"
+    )
     spark.stop()
 
 
