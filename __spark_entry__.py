@@ -3795,6 +3795,23 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy gate on the customer dimension: k-anonymity and
+    l-diversity over the (nation, balance-thousand-bucket) quasi-
+    identifier with mktsegment as the sensitive attribute, plus the
+    share of rows in classes smaller than 5. Every output derives from
+    exact integer counts (``quality.k_anonymity_report``)."""
+    customer = _t(spark, sf_dir, "customer")
+    quasi = customer.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    return quality.k_anonymity_report(
+        quasi, ["c_nationkey", "bal_bucket"], "c_mktsegment", small_k=5
+    )
+
+
 def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report per order priority: skewness and excess
     kurtosis computed from EXPLICIT central moments (m3/m2^1.5,
@@ -3945,7 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 57 round-3 oracle-backed additions, all
+    front-load (a) the 58 round-3 oracle-backed additions, all
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``measure_corr_matrix``,
     ``scd2_point_in_time``, ``touch_attribution``,
@@ -3953,7 +3970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``top_nations_with_other``, ``purchase_survival_km``,
     ``ab_test_report``, ``mann_whitney_order_values``,
     ``chi_square_type_weekday``, ``daily_revenue_decomposition``,
-    ``incremental_join_view``,``lm_bits_per_token``, ``source_divergence``,
+    ``incremental_join_view``, ``k_anonymity_customers``,``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
     ``rolling_view_purchase_corr``, ``revenue_concentration``,
@@ -4146,6 +4163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square_type_weekday": q_chi_square_type_weekday,
         "daily_revenue_decomposition": q_daily_revenue_decomposition,
         "incremental_join_view": q_incremental_join_view,
+        "k_anonymity_customers": q_k_anonymity_customers,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
     })
@@ -6154,6 +6172,24 @@ def oracle_sql() -> dict[str, str]:
                               THEN c_acctbal + 100.0
                               ELSE c_acctbal END, 2) AS c_acctbal
             FROM customer
+        """,
+        "k_anonymity_customers": """
+            WITH classes AS (
+              SELECT c_nationkey,
+                     CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+                     CAST(count(*) AS BIGINT) AS size,
+                     CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+              FROM customer GROUP BY 1, 2)
+            SELECT CAST(min(size) AS BIGINT) AS k_min,
+                   CAST(min(l) AS BIGINT) AS l_min,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(size) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_small_classes,
+                   round(CAST(sum(CASE WHEN size < 5 THEN size ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(sum(size) AS DOUBLE), 6) AS pct_rows_at_risk
+            FROM classes
         """,
         "incremental_join_view": """
             WITH f_old AS (

@@ -149,6 +149,7 @@ SECONDARY = [
     "chi_square_type_weekday",
     "daily_revenue_decomposition",
     "incremental_join_view",
+    "k_anonymity_customers",
 ]
 
 

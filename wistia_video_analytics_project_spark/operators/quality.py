@@ -291,3 +291,47 @@ def table_profile(
         ]
     )
     return row.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    small_k: int = 5,
+) -> DataFrame:
+    """Re-identification risk report for a quasi-identifier set — the
+    privacy gate a training-data pipeline runs before release.
+
+    - ``k_min``: the dataset's k-anonymity (size of the smallest
+      equivalence class over ``quasi_cols`` — any record in a class of
+      size k hides among k candidates);
+    - ``l_min``: l-diversity (fewest DISTINCT ``sensitive_col`` values
+      in any class — a k-anonymous class with one sensitive value still
+      leaks it);
+    - ``n_small_classes`` / ``pct_rows_at_risk``: classes below
+      ``small_k`` and the share of rows they hold.
+
+    One groupBy over the quasi columns, then one aggregate over the
+    class frame — O(classes) after the first shuffle. Every output is
+    built from exact integer counts (single final division for the
+    pct), so the report is engine-exact.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__size"),
+        F.count_distinct(F.col(sensitive_col)).alias("__l"),
+    )
+    return classes.agg(
+        F.min("__size").cast("bigint").alias("k_min"),
+        F.min("__l").cast("bigint").alias("l_min"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("__size").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("__size") < small_k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_classes"),
+        F.round(
+            F.sum(F.when(F.col("__size") < small_k, F.col("__size")).otherwise(0))
+            .cast("double")
+            / F.sum("__size").cast("double"),
+            6,
+        ).alias("pct_rows_at_risk"),
+    )
