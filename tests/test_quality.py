@@ -241,3 +241,24 @@ def test_table_profile_approx_close(spark):
     prof = {r.column: r for r in q.table_profile(df).collect()}
     # default HLL rsd is 0.05 (one sigma) — allow ~3 sigma
     assert abs(prof["k"].n_distinct - 5000) / 5000 < 0.15
+
+
+def test_k_anonymity_report_hand_computed(spark):
+    from wistia_video_analytics_project_spark.operators import quality
+
+    rows = [
+        # class (1, 'x'): 3 rows, 2 sensitive values
+        (1, "x", "s1"), (1, "x", "s1"), (1, "x", "s2"),
+        # class (2, 'y'): 1 row (the k_min=1 singleton), 1 sensitive
+        (2, "y", "s1"),
+        # class (3, 'z'): 6 rows, 3 sensitive values
+        *[(3, "z", f"s{i % 3}") for i in range(6)],
+    ]
+    df = spark.createDataFrame(rows, "q1 int, q2 string, sens string")
+    got = quality.k_anonymity_report(df, ["q1", "q2"], "sens", small_k=5).collect()[0]
+    assert got["k_min"] == 1
+    assert got["l_min"] == 1
+    assert got["n_classes"] == 3
+    assert got["n_rows"] == 10
+    assert got["n_small_classes"] == 2   # sizes 3 and 1 are < 5
+    assert got["pct_rows_at_risk"] == 0.4  # 4 of 10 rows
