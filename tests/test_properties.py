@@ -277,3 +277,36 @@ def test_bpe_matches_reference_property(spark, docs):
     got_vocab = {r.word: list(r.symbols) for r in wt.collect()}
     assert got_vocab == ref_vocab
     wt.unpersist()
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n_buckets=st.integers(1, 9),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+def test_binned_running_sum_matches_prefix(spark, vals, n_buckets):
+    """For ANY unique key set and bucket count, the ladder equals the
+    sequential prefix sum over keys sorted ascending."""
+    from wistia_video_analytics_project_spark.operators import scale
+
+    df = spark.createDataFrame(vals, "k long, v long")
+    got = {
+        r["k"]: r["running_sum"]
+        for r in scale.binned_running_sum(df, ["k"], "v",
+                                          n_buckets=n_buckets).collect()
+    }
+    acc, ref = 0, {}
+    for k, v in sorted(vals):
+        acc += v
+        ref[k] = acc
+    assert got == ref
