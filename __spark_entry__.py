@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wistia_video_analytics_project_spark import schemas
@@ -3812,6 +3813,59 @@ def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label intrinsic dimensionality of the embedding space:
+    participation-ratio effective rank (exp of the eigenvalue-spectrum
+    entropy) plus the top eigenvalue, from ONE distributed pass emitting
+    per-label d²+d+1 partials (``linalg.grouped_stats_flat`` — no
+    applyInPandas whole-group shipping). Rows-only (eigendecomposition);
+    per-label covariance parity with numpy is pinned in
+    ``tests/test_linalg.py``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    covs = linalg.grouped_covariances(emb, "label", "embedding", 64)
+    rows = []
+    for label in sorted(covs):
+        n, _, cov = covs[label]
+        vals = np.linalg.eigvalsh(cov)
+        rows.append(
+            (
+                label,
+                n,
+                round(linalg.effective_rank(cov), 4),
+                round(float(vals[-1]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "label string, n_vectors long, effective_rank double, "
+        "top_eigenvalue double",
+    )
+
+
+def q_embedding_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anomaly detection: top-20 vectors by Mahalanobis
+    distance from the corpus distribution (global mean/covariance from
+    the one-pass sufficient statistics; Σ^{-1/2} whitener computed once
+    on the driver with a 1e-6 ridge; per-row scoring is a vectorized
+    numpy matmul per Arrow batch). Deterministic (distance desc, vec_id)
+    ordering, distance rounded to 4. Rows-only; exact agreement with an
+    in-memory numpy recomputation is pinned in ``tests/test_linalg.py``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n, s, g = linalg.sufficient_stats(emb, "embedding", 64)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    scored = linalg.mahalanobis_scores(
+        emb.select("vec_id", "embedding"), "embedding", mean, cov
+    )
+    return analytics.top_k(
+        scored.select(
+            "vec_id", F.round("mahalanobis", 4).alias("mahalanobis")
+        ),
+        20,
+        [F.desc("mahalanobis"), F.asc("vec_id")],
+    )
+
+
 def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report per order priority: skewness and excess
     kurtosis computed from EXPLICIT central moments (m3/m2^1.5,
@@ -4164,6 +4218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_decomposition": q_daily_revenue_decomposition,
         "incremental_join_view": q_incremental_join_view,
         "k_anonymity_customers": q_k_anonymity_customers,
+        "label_effective_rank": q_label_effective_rank,
+        "embedding_mahalanobis": q_embedding_mahalanobis,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
     })
@@ -4177,7 +4233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "semantic_dedup_lsh", "pack_sequences", "bpe_merges",
                        "approx_distinct_users", "weekly_active_users_hll",
                        "value_quantiles_kll", "segment_overlap_theta",
-                       "pca_explained_variance", "event_markov_stationary"):
+                       "pca_explained_variance", "event_markov_stationary",
+                       "label_effective_rank", "embedding_mahalanobis"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 

@@ -150,6 +150,8 @@ SECONDARY = [
     "daily_revenue_decomposition",
     "incremental_join_view",
     "k_anonymity_customers",
+    "label_effective_rank",
+    "embedding_mahalanobis",
 ]
 
 

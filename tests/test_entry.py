@@ -35,6 +35,8 @@ def test_queries_registry_well_formed(spark):
         # tests/test_linalg.py
         "pca_explained_variance",
         "event_markov_stationary",
+        "label_effective_rank",
+        "embedding_mahalanobis",
     }
 
 

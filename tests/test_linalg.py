@@ -120,3 +120,69 @@ def test_transition_matrix_dangling_state_uniform():
     pi = linalg.stationary_distribution(fixed)
     np.testing.assert_allclose(pi @ fixed, pi, atol=1e-10)
     np.testing.assert_allclose(pi.sum(), 1.0)
+
+
+def test_grouped_covariances_match_numpy(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    covs = linalg.grouped_covariances(emb, "label", "embedding", 64)
+    rows = emb.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(str(r["label"]), []).append(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+    assert set(covs) == set(by_label)
+    for label, vecs in by_label.items():
+        mat = np.array(vecs)
+        n, mean, cov = covs[label]
+        assert n == len(vecs)
+        np.testing.assert_allclose(mean, mat.mean(axis=0), rtol=1e-9)
+        np.testing.assert_allclose(
+            cov, np.cov(mat, rowvar=False, ddof=1), rtol=1e-7, atol=1e-13
+        )
+
+
+def test_effective_rank_extremes():
+    iso = np.eye(10)
+    assert linalg.effective_rank(iso) == pytest.approx(10.0, abs=1e-9)
+    rank1 = np.zeros((10, 10))
+    rank1[0, 0] = 5.0
+    assert linalg.effective_rank(rank1) == pytest.approx(1.0, abs=1e-9)
+    assert linalg.effective_rank(np.zeros((4, 4))) == 0.0
+
+
+def test_mahalanobis_matches_numpy(spark):
+    emb, mat = _emb_matrix(spark)
+    mean = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs @ np.diag(1.0 / np.sqrt(np.clip(vals, 0.0, None) + 1e-6)) @ vecs.T
+    ref = np.sqrt((((mat - mean) @ w.T) ** 2).sum(axis=1))
+
+    got = linalg.mahalanobis_scores(
+        emb.select("vec_id", "embedding"), "embedding", mean, cov
+    ).collect()
+    got.sort(key=lambda r: r["vec_id"])
+    np.testing.assert_allclose(
+        np.array([r["mahalanobis"] for r in got]), ref, rtol=1e-6
+    )
+    # schema: vector column dropped, score appended
+    assert {c for c in got[0].asDict()} == {"vec_id", "mahalanobis"}
+
+
+def test_mahalanobis_layout_independent(spark):
+    emb, mat = _emb_matrix(spark)
+    mean = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False, ddof=1)
+    a = linalg.mahalanobis_scores(
+        emb.select("vec_id", "embedding"), "embedding", mean, cov
+    )
+    b = linalg.mahalanobis_scores(
+        emb.select("vec_id", "embedding").repartition(11),
+        "embedding",
+        mean,
+        cov,
+    )
+    da = {r["vec_id"]: r["mahalanobis"] for r in a.collect()}
+    db = {r["vec_id"]: r["mahalanobis"] for r in b.collect()}
+    assert da == db

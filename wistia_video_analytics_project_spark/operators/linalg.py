@@ -169,3 +169,140 @@ def stationary_distribution(
             return nxt
         pi = nxt
     return pi
+
+
+def grouped_stats_flat(
+    df: DataFrame, label_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Per-group sufficient statistics: the ``(label, idx, val)`` frame.
+
+    Same one-pass reduction as :func:`stats_flat`, but each Arrow batch
+    accumulates one partial PER LABEL seen in the batch — so the shuffle
+    is ``O(partitions · labels · d²)`` and no task ever holds a whole
+    group (unlike ``applyInPandas``, which would ship every vector of a
+    label to one task — the wrong trade when one label can span TBs).
+    The label domain is a bounded enumeration by contract (same as the
+    Markov state domain)."""
+    d = int(dim)
+    width = d * d + d + 1
+    n_gram = d * d
+
+    def partials(it):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for label, sub in pdf.groupby(label_col, sort=False):
+                mat = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in sub[vec_col]]
+                )
+                if mat.shape[1] != d:
+                    raise ValueError(
+                        f"expected {d}-wide vectors, got {mat.shape[1]}"
+                    )
+                buf = acc.setdefault(label, np.zeros(width))
+                buf[:n_gram] += (mat.T @ mat).ravel()
+                buf[n_gram : n_gram + d] += mat.sum(axis=0)
+                buf[n_gram + d] += len(mat)
+        for label, buf in acc.items():
+            yield pd.DataFrame(
+                {
+                    "label": label,
+                    "idx": np.arange(width),
+                    "val": buf,
+                }
+            )
+
+    return (
+        df.select(label_col, vec_col)
+        .mapInPandas(partials, schema="label string, idx int, val double")
+        .groupBy("label", "idx")
+        .agg(F.sum("val").alias("val"))
+    )
+
+
+def grouped_covariances(
+    df: DataFrame, label_col: str, vec_col: str, dim: int
+) -> dict:
+    """Per-label ``(n, mean, covariance)`` from one distributed pass.
+    Collect size is ``labels · (d²+d+1)`` rows — bounded by the label
+    domain, never by the corpus."""
+    d = int(dim)
+    n_gram = d * d
+    rows = grouped_stats_flat(
+        df.withColumn("__lbl", F.col(label_col).cast("string")),
+        "__lbl",
+        vec_col,
+        d,
+    ).collect()
+    bufs: dict = {}
+    for r in rows:
+        bufs.setdefault(r["label"], np.zeros(n_gram + d + 1))[r["idx"]] = r["val"]
+    out = {}
+    for label, buf in bufs.items():
+        n = int(buf[n_gram + d])
+        s = buf[n_gram : n_gram + d]
+        g = buf[:n_gram].reshape(d, d)
+        if n < 2:
+            continue
+        mean = s / n
+        out[label] = (n, mean, (g - n * np.outer(mean, mean)) / (n - 1))
+    return out
+
+
+def effective_rank(cov: np.ndarray, eps: float = 1e-12) -> float:
+    """Participation-ratio effective rank: exp(H(λ/Σλ)) over the
+    eigenvalue distribution — ~d for isotropic data, ~1 when one
+    direction dominates. The standard intrinsic-dimensionality summary
+    (Roy & Vetterli 2007)."""
+    vals = np.linalg.eigvalsh(cov)
+    vals = np.clip(vals, 0.0, None)
+    total = vals.sum()
+    if total <= eps:
+        return 0.0
+    p = vals / total
+    p = p[p > eps]
+    return float(np.exp(-(p * np.log(p)).sum()))
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    vec_col: str,
+    mean: np.ndarray,
+    cov: np.ndarray,
+    ridge: float = 1e-6,
+    out_col: str = "mahalanobis",
+) -> DataFrame:
+    """Distributed Mahalanobis distance per vector: ``||W(x-μ)||`` with
+    ``W = Σ^{-1/2}`` (eigendecomposition with a ridge on the
+    eigenvalues, computed once on the driver). The per-row work is a
+    numpy matmul over each Arrow batch — vectorized, no per-row Python
+    — and the (d×d) whitener rides the closure, not a shuffle."""
+    d = len(mean)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs @ np.diag(1.0 / np.sqrt(np.clip(vals, 0.0, None) + ridge)) @ vecs.T
+    mu = np.asarray(mean, dtype=np.float64)
+
+    def score(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if mat.shape[1] != d:
+                raise ValueError(f"expected {d}-wide vectors")
+            z = (mat - mu) @ w.T
+            pdf = pdf.drop(columns=[vec_col])
+            pdf[out_col] = np.sqrt((z * z).sum(axis=1))
+            yield pdf
+
+    fields = [f for f in df.schema.fields if f.name != vec_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + f", {out_col} double"
+    return df.mapInPandas(score, schema=schema)
