@@ -182,10 +182,12 @@ def grouped_stats_flat(
     group (unlike ``applyInPandas``, which would ship every vector of a
     label to one task — the wrong trade when one label can span TBs).
     The label domain is a bounded enumeration by contract (same as the
-    Markov state domain)."""
+    Markov state domain). Labels are cast to string so any scalar label
+    type round-trips the Arrow boundary."""
     d = int(dim)
     width = d * d + d + 1
     n_gram = d * d
+    df = df.withColumn(label_col, F.col(label_col).cast("string"))
 
     def partials(it):
         import pandas as pd
@@ -231,12 +233,7 @@ def grouped_covariances(
     domain, never by the corpus."""
     d = int(dim)
     n_gram = d * d
-    rows = grouped_stats_flat(
-        df.withColumn("__lbl", F.col(label_col).cast("string")),
-        "__lbl",
-        vec_col,
-        d,
-    ).collect()
+    rows = grouped_stats_flat(df, label_col, vec_col, d).collect()
     bufs: dict = {}
     for r in rows:
         bufs.setdefault(r["label"], np.zeros(n_gram + d + 1))[r["idx"]] = r["val"]

@@ -390,7 +390,10 @@ def binned_running_sum(
     Result is row-identical to the single-partition window (asserted in
     tests) provided ``order_cols`` is a UNIQUE total order — the same
     determinism contract every ranked query in this repo carries. The
-    leading order column must be numeric (range-bucketable).
+    leading order column must be numeric (range-bucketable). For
+    integral ``value_col`` types the match is exact; for floats the
+    ladder regroups the summation like any distributed sum, so agree
+    only to accumulation noise — run money in integer cents (CLAUDE.md).
     """
     lead = order_cols[0]
     bounds = df.agg(
