@@ -3955,6 +3955,50 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_frame(spark, merges)
 
 
+def _staged_event_stream(spark: SparkSession, sf_dir: str):
+    """Micros-converted events staged to a pid-scoped temp parquet dir
+    (file streams can't read NANOS timestamps), returned as a streaming
+    frame. Reuses the staged copy only behind Spark's _SUCCESS commit
+    marker — a torn write never leaves the marker."""
+    import os
+    import re as _re
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
+    stage = os.path.join(
+        tempfile.gettempdir(), f"stream_events_{tag}_{os.getpid()}"
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(stage)
+    return spark.readStream.schema(events.schema).parquet(stage), tag
+
+
+def q_streaming_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window traffic (2-day windows sliding 1 day,
+    per event type) run to completion — the third streaming window
+    shape next to the tumbling fact build and session windows. Append
+    mode emits exactly the windows the final watermark closed
+    (window_end <= max(ts) - 1 hour), which the oracle mirrors by
+    unnesting each event into its two window starts."""
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+        sliding_window_traffic,
+    )
+
+    stream, tag = _staged_event_stream(spark, sf_dir)
+    agg = sliding_window_traffic(
+        stream, window_duration="2 days", slide="1 day", watermark="1 hour"
+    )
+    name = f"stream_sliding_{tag}"
+    run_to_memory_sink(agg, name)
+    return spark.sql(
+        f"SELECT window_start, window_end, event_type, n_events, "
+        f"total_value FROM {name}"
+    )
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION-window sessionization run to completion (file
     stream -> session_window(30 min gap) -> memory sink).
@@ -4016,7 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 58 round-3 oracle-backed additions, all
+    front-load (a) the 59 round-3 oracle-backed additions, all
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``measure_corr_matrix``,
     ``scd2_point_in_time``, ``touch_attribution``,
@@ -4024,7 +4068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``top_nations_with_other``, ``purchase_survival_km``,
     ``ab_test_report``, ``mann_whitney_order_values``,
     ``chi_square_type_weekday``, ``daily_revenue_decomposition``,
-    ``incremental_join_view``, ``k_anonymity_customers``,``lm_bits_per_token``, ``source_divergence``,
+    ``incremental_join_view``, ``k_anonymity_customers``,
+    ``streaming_sliding_traffic``,``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
     ``rolling_view_purchase_corr``, ``revenue_concentration``,
@@ -4220,6 +4265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_customers": q_k_anonymity_customers,
         "label_effective_rank": q_label_effective_rank,
         "embedding_mahalanobis": q_embedding_mahalanobis,
+        "streaming_sliding_traffic": q_streaming_sliding_traffic,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
     })
@@ -6229,6 +6275,26 @@ def oracle_sql() -> dict[str, str]:
                               THEN c_acctbal + 100.0
                               ELSE c_acctbal END, 2) AS c_acctbal
             FROM customer
+        """,
+        "streaming_sliding_traffic": """
+            WITH starts AS (
+              SELECT event_type, value,
+                     unnest([date_trunc('day', ts) - INTERVAL 1 DAY,
+                             date_trunc('day', ts)]) AS ws
+              FROM events),
+            agg AS (
+              SELECT ws, event_type,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     round(sum(coalesce(value, CAST(0.0 AS DOUBLE))), 2)
+                       AS total_value
+              FROM starts GROUP BY 1, 2)
+            SELECT CAST(ws AS DATE) AS window_start,
+                   CAST(ws + INTERVAL 2 DAY AS DATE) AS window_end,
+                   event_type, n_events, total_value
+            FROM agg
+            WHERE ws + INTERVAL 2 DAY
+                    <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+            ORDER BY 1, 3
         """,
         "k_anonymity_customers": """
             WITH classes AS (

@@ -152,6 +152,7 @@ SECONDARY = [
     "k_anonymity_customers",
     "label_effective_rank",
     "embedding_mahalanobis",
+    "streaming_sliding_traffic",
 ]
 
 

@@ -726,3 +726,71 @@ def test_rest_stream_sink_posts_micro_batches(spark, tmp_path, event_dir):
         assert {r["event_type"] for r in received} == {"view", "click"}
     finally:
         srv.shutdown()
+
+
+def test_sliding_window_traffic_equals_batch(spark, tmp_path):
+    """The streaming sliding-window aggregate over a bounded input must
+    equal the batch recompute (explode each event into its two window
+    starts), restricted to watermark-closed windows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+        sliding_window_traffic,
+    )
+
+    base = dt.datetime(2024, 1, 1, 6, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(hours=7 * i), "view" if i % 2 else "click",
+         float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    stage = str(tmp_path / "sliding_events")
+    df.write.parquet(stage)
+    stream = spark.readStream.schema(df.schema).parquet(stage)
+    agg = sliding_window_traffic(
+        stream, window_duration="2 days", slide="1 day", watermark="1 hour"
+    )
+    run_to_memory_sink(agg, "t_sliding")
+    got = spark.sql("SELECT * FROM t_sliding")
+
+    max_ts = df.agg(F.max("ts")).first()[0]
+    batch = (
+        df.select(
+            "event_type",
+            "value",
+            F.explode(
+                F.array(
+                    F.date_trunc("day", "ts") - F.expr("INTERVAL 1 DAY"),
+                    F.date_trunc("day", "ts"),
+                )
+            ).alias("ws"),
+        )
+        .groupBy("ws", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias(
+                "total_value"
+            ),
+        )
+        .filter(
+            F.col("ws") + F.expr("INTERVAL 2 DAY")
+            <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+        )
+        .select(
+            F.to_date("ws").alias("window_start"),
+            F.to_date(F.col("ws") + F.expr("INTERVAL 2 DAY")).alias(
+                "window_end"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    assert got.count() > 0

@@ -24,6 +24,7 @@ from .jobs import (  # noqa: F401
     rollup_merge_fn,
     run_to_memory_sink,
     session_window_stats,
+    sliding_window_traffic,
     stream_stream_window_join,
     windowed_engagement,
 )

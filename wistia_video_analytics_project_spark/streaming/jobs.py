@@ -70,6 +70,42 @@ def windowed_engagement(
     )
 
 
+def sliding_window_traffic(
+    events: DataFrame,
+    window_duration: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding event-time windows (the third window shape, next to
+    tumbling and session): each event lands in ``duration/slide``
+    overlapping windows, giving smoothed traffic aggregates per type.
+    Append mode emits a window once its end passes the watermark —
+    same closed-window contract the tumbling job proves, so the result
+    is deterministic and SQL-mirrorable (each event unnests into its
+    window starts)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window_duration, slide).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.to_date("w.start").alias("window_start"),
+            F.to_date("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_window_stats(
     events: DataFrame,
     gap: str = "30 minutes",
