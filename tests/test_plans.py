@@ -535,3 +535,27 @@ def test_pca_stats_shuffle_is_fixed_width(spark):
     assert "embedding" not in plan.split("ArrowEvalPython")[0].split(
         "MapInPandas"
     )[0], "vectors must not cross the exchange:\n" + plan
+
+
+def test_plan_report_reads_real_plans(spark):
+    """plan_report must agree with the dedicated assertions on known
+    plan shapes."""
+    rep = plans.plan_report(entrymod.q_plays_by_channel(spark, SF_SMOKE))
+    assert rep["n_broadcast_joins"] >= 1
+    assert rep["n_scans"] >= 2
+    assert rep["whole_stage_codegen"] >= 1
+
+    topk = plans.plan_report(entrymod.q_top10_media(spark, SF_SMOKE))
+    assert topk["has_take_ordered"]
+
+    pruned = plans.plan_report(entrymod.q_daily_plays_trend(spark, SF_SMOKE))
+    event_scans = [
+        s for s in pruned["scans"] if s["path"] and "events" in s["path"]
+    ]
+    assert event_scans
+    for scan in event_scans:
+        assert set(scan["columns"]) <= {"ts", "event_type", "value"}
+        assert scan["pushed_filters"]
+
+    corr = plans.plan_report(entrymod.q_measure_corr_matrix(spark, SF_SMOKE))
+    assert corr["n_shuffles"] <= 1 and corr["n_nestedloop_joins"] == 0

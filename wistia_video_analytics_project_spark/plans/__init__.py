@@ -14,4 +14,5 @@ from .assertions import (  # noqa: F401
     assert_read_columns_at_most,
     assert_take_ordered,
     executed_plan,
+    plan_report,
 )

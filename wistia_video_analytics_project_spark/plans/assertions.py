@@ -64,3 +64,58 @@ def assert_take_ordered(df: DataFrame) -> None:
     plan = executed_plan(df)
     if "TakeOrderedAndProject" not in plan:
         raise AssertionError(f"expected TakeOrderedAndProject:\n{plan}")
+
+
+def plan_report(df: DataFrame, execute: bool = True) -> dict:
+    """Programmatic plan audit — the numbers a perf review reads off
+    ``explain()`` by eye, as a dict a CI gate or notebook can assert on:
+
+    - ``n_shuffles``: hash/range Exchange count (each one is a full
+      network pass over its input at cluster scale);
+    - ``n_broadcast_joins`` / ``n_sortmerge_joins`` /
+      ``n_nestedloop_joins``: join strategy mix (a nested loop on big
+      inputs is almost always a missing equi-condition);
+    - ``n_scans`` and per-scan read columns + pushed-filter presence
+      (a scan reading all columns for a narrow projection means pruning
+      broke);
+    - ``whole_stage_codegen``: spans of JVM-fused execution;
+    - ``has_take_ordered``: top-k planned without a global sort.
+
+    ``execute=True`` (default) collects THIS frame once (results
+    discarded) so ITS AdaptiveSparkPlan finalizes and codegen spans
+    appear — ``count()`` would build a different query execution and
+    leave the audited plan unfinalized. Audit aggregated/sampled frames,
+    not raw facts; pass ``execute=False`` to read the pre-execution
+    adaptive plan for free (codegen count reads 0 there).
+    """
+    if execute:
+        df.collect()
+    plan = executed_plan(df)
+    scans = []
+    for line in _scans(plan):
+        cols_m = re.search(r"FileScan parquet \[([^\]]*)\]", line)
+        push_m = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+        path_m = re.search(r"Location: \w+\(\d+ paths?\)\[([^,\]]+)", line)
+        scans.append(
+            {
+                "path": path_m.group(1) if path_m else None,
+                "columns": sorted(
+                    c.split("#")[0].strip()
+                    for c in (cols_m.group(1).split(",") if cols_m else [])
+                    if c.strip()
+                ),
+                "pushed_filters": bool(push_m and push_m.group(1).strip()),
+            }
+        )
+    return {
+        "n_shuffles": len(re.findall(r"\bExchange (?:hash|range)partitioning", plan)),
+        "n_broadcast_joins": plan.count("BroadcastHashJoin"),
+        "n_sortmerge_joins": plan.count("SortMergeJoin"),
+        "n_nestedloop_joins": plan.count("BroadcastNestedLoopJoin")
+        + plan.count("CartesianProduct"),
+        "n_scans": len(scans),
+        "scans": scans,
+        # executedPlan text marks codegen stages as "*(n) Operator"
+        "whole_stage_codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "has_take_ordered": "TakeOrderedAndProject" in plan,
+    }
