@@ -209,3 +209,73 @@ def test_interpolate_linear_all_null_group_stays_null(spark):
                                "g string, x long, v double")
     out = temporal.interpolate_linear(df, "x", "v", ["g"]).collect()
     assert all(r.v_interp is None for r in out)
+
+
+def _asof_fixture(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(25)), (1, ts(40)), (2, ts(5)), (3, ts(7))],
+        "k int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(30), "b"), (2, ts(20), "c")],
+        "k int, rts timestamp, payload string",
+    )
+    return left, right
+
+
+def _pandas_asof(left, right, direction, tolerance=None):
+    import pandas as pd
+
+    lp = left.toPandas().sort_values("lts").reset_index(drop=True)
+    rp = right.toPandas().sort_values("rts").reset_index(drop=True)
+    merged = pd.merge_asof(
+        lp,
+        rp,
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+    )
+    return {
+        (r.k, r.lts): (None if pd.isna(r.payload) else r.payload)
+        for r in merged.itertuples()
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_as_of_join_matches_pandas_merge_asof(spark, direction):
+    left, right = _asof_fixture(spark)
+    got = {
+        (r["k"], r["lts"]): r["payload"]
+        for r in temporal.as_of_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["payload"], direction=direction,
+        ).collect()
+    }
+    assert got == _pandas_asof(left, right, direction)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_as_of_join_tolerance_matches_pandas(spark, direction):
+    import pandas as pd
+
+    left, right = _asof_fixture(spark)
+    got = {
+        (r["k"], r["lts"]): r["payload"]
+        for r in temporal.as_of_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["payload"], direction=direction,
+            tolerance=F.expr("INTERVAL 10 MINUTES"),
+        ).collect()
+    }
+    assert got == _pandas_asof(
+        left, right, direction, tolerance=pd.Timedelta(minutes=10)
+    )

@@ -40,14 +40,22 @@ def as_of_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    ``right.ts <= left.ts`` and equal keys (backward as-of, inclusive —
-    the DuckDB/pandas default). Unmatched left rows keep NULLs.
+    """For each left row: columns of the as-of right row with equal keys
+    (pandas ``merge_asof`` parity, all three directions, inclusive):
 
-    ``tolerance``: optional max staleness interval (e.g.
-    ``F.expr("INTERVAL 7 DAYS")``); older matches are nulled out.
-    """
+    - ``backward`` (default): latest right row with ``rts <= lts``;
+    - ``forward``: earliest right row with ``rts >= lts``;
+    - ``nearest``: whichever of the two is closer in time, ties going
+      to the backward match (deterministic).
+
+    Unmatched left rows keep NULLs. ``tolerance``: optional max time
+    distance (e.g. ``F.expr("INTERVAL 7 DAYS")``); farther matches are
+    nulled out. Single sort-window pass per direction — never a range
+    join."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     on = list(on)
     right_cols = [c for c in (right_cols or right.columns) if c not in on and c != right_ts]
     clashes = set(right_cols) & set(left.columns)
@@ -72,18 +80,52 @@ def as_of_join(
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     # src=0 sorts before src=1 at equal ts -> inclusive at-or-before
-    w = (
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts").asc(), F.col("__src").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
+    # reversed tiebreak: left first at equal ts -> inclusive at-or-after
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__src").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned
+    if direction in ("backward", "nearest"):
+        filled = filled.withColumn(
+            "__mb", F.last("__rpay", ignorenulls=True).over(w_back)
+        )
+    if direction in ("forward", "nearest"):
+        filled = filled.withColumn(
+            "__mf", F.first("__rpay", ignorenulls=True).over(w_fwd)
+        )
+    if direction == "backward":
+        filled = filled.withColumn("__match", F.col("__mb"))
+    elif direction == "forward":
+        filled = filled.withColumn("__match", F.col("__mf"))
+    else:
+        lts = F.col("__ts").cast("timestamp")
+        back_dist = lts.cast("double") - F.col("__mb.__rts").cast("double")
+        fwd_dist = F.col("__mf.__rts").cast("double") - lts.cast("double")
+        filled = filled.withColumn(
+            "__match",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            # tie -> backward (<=)
+            .when(back_dist <= fwd_dist, F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        )
     out = filled.filter(F.col("__src") == 1)
     if tolerance is not None:
+        # two-sided bound covers every direction: backward matches have
+        # rts <= lts (upper bound vacuous), forward the reverse
+        lts = F.col("__ts").cast("timestamp")
         out = out.withColumn(
             "__match",
             F.when(
-                F.col("__match.__rts") >= F.col("__ts").cast("timestamp") - tolerance,
+                (F.col("__match.__rts") >= lts - tolerance)
+                & (F.col("__match.__rts") <= lts + tolerance),
                 F.col("__match"),
             ),
         )
