@@ -3866,6 +3866,53 @@ def q_embedding_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ship_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware SLA report: average BUSINESS-day ship latency
+    (Mon-Fri only, weekends excluded, endpoints inclusive) per order
+    priority — CLOSED FORM, O(1) per row: with W(d) = weekdays from the
+    Monday epoch 1970-01-05 to d (exclusive) = 5·(j div 7) +
+    least(j mod 7, 5), the span count is W(ship+1) − W(order). Pure
+    integer arithmetic, engine-exact. The ORACLE deliberately uses the
+    opposite formulation (generate_series explode + isodow filter), so
+    the gate cross-validates the formula, not just the plumbing.
+    Spans with shipdate < orderdate are excluded (the synthetic dates
+    are independent; a reversed span is not a latency)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    def w(col):  # weekdays in [1970-01-05, col)
+        j = F.datediff(col, F.lit("1970-01-05").cast("date"))
+        return F.lit(5) * F.floor(j / 7) + F.least(j % 7, F.lit(5))
+
+    per_line = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            "l_orderkey",
+            "l_linenumber",
+            (
+                w(F.date_add(F.col("l_shipdate"), 1)) - w(F.col("o_orderdate"))
+            ).alias("__row_bd"),
+        )
+        # the synthetic lineitem carries duplicate (orderkey, linenumber)
+        # pairs; the line's latency is the sum over its rows (mirrored)
+        .groupBy("o_orderpriority", "l_orderkey", "l_linenumber")
+        .agg(F.sum("__row_bd").alias("__bd"))
+    )
+    return (
+        per_line.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("__bd").cast("decimal(18,6)"), 4)
+            .cast("double")
+            .alias("avg_business_days"),
+            F.max("__bd").cast("bigint").alias("max_business_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report per order priority: skewness and excess
     kurtosis computed from EXPLICIT central moments (m3/m2^1.5,
@@ -4060,7 +4107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 59 round-3 oracle-backed additions, all
+    front-load (a) the 60 round-3 oracle-backed additions, all
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``measure_corr_matrix``,
     ``scd2_point_in_time``, ``touch_attribution``,
@@ -4069,7 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``ab_test_report``, ``mann_whitney_order_values``,
     ``chi_square_type_weekday``, ``daily_revenue_decomposition``,
     ``incremental_join_view``, ``k_anonymity_customers``,
-    ``streaming_sliding_traffic``,``lm_bits_per_token``, ``source_divergence``,
+    ``streaming_sliding_traffic``, ``ship_business_days``,``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
     ``rolling_view_purchase_corr``, ``revenue_concentration``,
@@ -4266,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_effective_rank": q_label_effective_rank,
         "embedding_mahalanobis": q_embedding_mahalanobis,
         "streaming_sliding_traffic": q_streaming_sliding_traffic,
+        "ship_business_days": q_ship_business_days,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
     })
@@ -6275,6 +6323,24 @@ def oracle_sql() -> dict[str, str]:
                               THEN c_acctbal + 100.0
                               ELSE c_acctbal END, 2) AS c_acctbal
             FROM customer
+        """,
+        "ship_business_days": """
+            WITH spans AS (
+              SELECT o_orderpriority, l_orderkey, l_linenumber,
+                     unnest(generate_series(o_orderdate, l_shipdate,
+                                            INTERVAL 1 DAY))::DATE AS d
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate >= o_orderdate),
+            per_line AS (
+              SELECT o_orderpriority, l_orderkey, l_linenumber,
+                     sum(CASE WHEN isodow(d) <= 5 THEN 1 ELSE 0 END) AS bd
+              FROM spans GROUP BY 1, 2, 3)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(round(CAST(avg(bd) AS DECIMAL(18,6)), 4) AS DOUBLE)
+                     AS avg_business_days,
+                   CAST(max(bd) AS BIGINT) AS max_business_days
+            FROM per_line GROUP BY 1 ORDER BY 1
         """,
         "streaming_sliding_traffic": """
             WITH starts AS (

@@ -153,6 +153,7 @@ SECONDARY = [
     "label_effective_rank",
     "embedding_mahalanobis",
     "streaming_sliding_traffic",
+    "ship_business_days",
 ]
 
 
