@@ -3913,6 +3913,79 @@ def q_ship_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_purchase_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase revenue in exact integer cents (the CLAUDE.md
+    floor-half-up snap) — the shared base frame for the time-series
+    queries."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.floor(
+                F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2) * 100
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+
+
+def q_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series diagnostics: the autocorrelation function of daily
+    purchase revenue at lags 1-7 (is there weekly structure worth a
+    seasonal model?). All 7 lag columns come from ONE window pass over
+    the tiny daily frame and all 7 correlations from ONE aggregate;
+    sample Pearson on both engines, null pairs (series edges) skipped
+    identically. round 6 + 0.0 normalizes negative zero."""
+    daily = _daily_purchase_cents(spark, sf_dir)
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cents", *[F.lag("cents", k).over(w).alias(f"l{k}") for k in range(1, 8)]
+    )
+    wide = lagged.agg(
+        *[
+            (F.round(F.corr("cents", f"l{k}"), 6) + F.lit(0.0)).alias(f"c{k}")
+            for k in range(1, 8)
+        ]
+    )
+    stack_args = ", ".join(f"{k}, c{k}" for k in range(1, 8))
+    return wide.selectExpr(
+        f"stack(7, {stack_args}) AS (lag, acf)"
+    ).orderBy("lag")
+
+
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-evaluation report: backtest the seasonal-naive forecast
+    (predict day d with day d−7) against actuals — MAE and MAPE over
+    every day whose calendar d−7 exists (equi-join on the shifted date,
+    so gaps can't slide the forecast) and has positive actual revenue.
+    Errors are exact integer cents; each ratio divides once."""
+    daily = _daily_purchase_cents(spark, sf_dir)
+    base = daily.select(
+        F.date_add("day", 7).alias("day"), F.col("cents").alias("__forecast")
+    )
+    joined = daily.join(base, "day").filter(F.col("cents") > 0)
+    ae = F.abs(F.col("cents") - F.col("__forecast"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.avg(ae.cast("double")).cast("decimal(18,6)"), 2
+        )
+        .cast("double")
+        .alias("mae_cents"),
+        F.round(
+            F.avg(ae.cast("double") / F.col("cents").cast("double")).cast(
+                "decimal(18,6)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("mape"),
+    )
+
+
 def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report per order priority: skewness and excess
     kurtosis computed from EXPLICIT central moments (m3/m2^1.5,
@@ -4107,7 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 60 round-3 oracle-backed additions, all
+    front-load (a) the 62 round-3 oracle-backed additions, all
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``measure_corr_matrix``,
     ``scd2_point_in_time``, ``touch_attribution``,
@@ -4116,7 +4189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``ab_test_report``, ``mann_whitney_order_values``,
     ``chi_square_type_weekday``, ``daily_revenue_decomposition``,
     ``incremental_join_view``, ``k_anonymity_customers``,
-    ``streaming_sliding_traffic``, ``ship_business_days``,``lm_bits_per_token``, ``source_divergence``,
+    ``streaming_sliding_traffic``, ``ship_business_days``,
+    ``daily_revenue_acf``, ``seasonal_naive_backtest``,``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
     ``rolling_view_purchase_corr``, ``revenue_concentration``,
@@ -4314,6 +4388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mahalanobis": q_embedding_mahalanobis,
         "streaming_sliding_traffic": q_streaming_sliding_traffic,
         "ship_business_days": q_ship_business_days,
+        "daily_revenue_acf": q_daily_revenue_acf,
+        "seasonal_naive_backtest": q_seasonal_naive_backtest,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
     })
@@ -6323,6 +6399,58 @@ def oracle_sql() -> dict[str, str]:
                               THEN c_acctbal + 100.0
                               ELSE c_acctbal END, 2) AS c_acctbal
             FROM customer
+        """,
+        "daily_revenue_acf": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(floor(round(coalesce(sum(value),
+                                               CAST(0.0 AS DOUBLE)), 2) * 100
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            lagged AS (
+              SELECT cents,
+                     lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
+                     lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4,
+                     lag(cents, 5) OVER w AS l5, lag(cents, 6) OVER w AS l6,
+                     lag(cents, 7) OVER w AS l7
+              FROM daily WINDOW w AS (ORDER BY day)),
+            a AS (
+              SELECT CAST(round(corr(cents, l1), 6) + 0.0 AS DOUBLE) AS c1,
+                     CAST(round(corr(cents, l2), 6) + 0.0 AS DOUBLE) AS c2,
+                     CAST(round(corr(cents, l3), 6) + 0.0 AS DOUBLE) AS c3,
+                     CAST(round(corr(cents, l4), 6) + 0.0 AS DOUBLE) AS c4,
+                     CAST(round(corr(cents, l5), 6) + 0.0 AS DOUBLE) AS c5,
+                     CAST(round(corr(cents, l6), 6) + 0.0 AS DOUBLE) AS c6,
+                     CAST(round(corr(cents, l7), 6) + 0.0 AS DOUBLE) AS c7
+              FROM lagged)
+            SELECT 1 AS lag, c1 AS acf FROM a
+            UNION ALL SELECT 2, c2 FROM a
+            UNION ALL SELECT 3, c3 FROM a
+            UNION ALL SELECT 4, c4 FROM a
+            UNION ALL SELECT 5, c5 FROM a
+            UNION ALL SELECT 6, c6 FROM a
+            UNION ALL SELECT 7, c7 FROM a
+            ORDER BY lag
+        """,
+        "seasonal_naive_backtest": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(floor(round(coalesce(sum(value),
+                                               CAST(0.0 AS DOUBLE)), 2) * 100
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            joined AS (
+              SELECT a.cents, f.cents AS forecast
+              FROM daily a JOIN daily f ON a.day = f.day + 7
+              WHERE a.cents > 0)
+            SELECT CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(round(CAST(avg(CAST(abs(cents - forecast) AS DOUBLE))
+                                   AS DECIMAL(18,6)), 2) AS DOUBLE)
+                     AS mae_cents,
+                   CAST(round(CAST(avg(CAST(abs(cents - forecast) AS DOUBLE)
+                                       / CAST(cents AS DOUBLE))
+                                   AS DECIMAL(18,6)), 6) AS DOUBLE) AS mape
+            FROM joined
         """,
         "ship_business_days": """
             WITH spans AS (

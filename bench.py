@@ -154,6 +154,8 @@ SECONDARY = [
     "embedding_mahalanobis",
     "streaming_sliding_traffic",
     "ship_business_days",
+    "daily_revenue_acf",
+    "seasonal_naive_backtest",
 ]
 
 
