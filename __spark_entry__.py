@@ -2189,30 +2189,12 @@ def q_streaming_daily_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset, so even the streaming path is oracle-checked.
     """
     configure_runtime(spark)
-    from wistia_video_analytics_project_spark import schemas as _schemas
     from wistia_video_analytics_project_spark.streaming import (
         run_to_memory_sink,
         windowed_engagement,
     )
 
-    # file streams can't read NANOS timestamps either: materialize the
-    # micros-converted events to a temp parquet dir once per (sf, pid)
-    import os
-    import tempfile
-
-    import re as _re
-
-    events = _t(spark, sf_dir, "events")
-    tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
-    stage = os.path.join(
-        tempfile.gettempdir(), f"stream_events_{tag}_{os.getpid()}"
-    )
-    # reuse the staged copy ONLY if Spark's commit marker exists (a torn
-    # write never produces _SUCCESS); the dir is pid-scoped so no other
-    # process can race the marker
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        events.write.mode("overwrite").parquet(stage)
-    stream = spark.readStream.schema(events.schema).parquet(stage)
+    stream, tag = _staged_event_stream(spark, sf_dir)
     agg = windowed_engagement(
         stream,
         window_duration="1 day",
@@ -3715,24 +3697,11 @@ def q_daily_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
     EXACT INTEGER CENTS scaled ×7 (``7·cents − Σcents``), so both
     engines sum identical integers in any order and divide once per
     output column (CLAUDE.md cumulative-stat rule)."""
-    events = _t(spark, sf_dir, "events")
-    daily = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(
-            F.floor(
-                F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2) * 100
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("__cents")
-        )
-        .select(
-            "day",
-            "__cents",
-            F.datediff("day", F.lit("1970-01-01").cast("date")).alias("__dn"),
-            (F.weekday("day") + 1).alias("isodow"),
-        )
+    daily = _daily_purchase_cents(spark, sf_dir).select(
+        "day",
+        F.col("cents").alias("__cents"),
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("__dn"),
+        (F.weekday("day") + 1).alias("isodow"),
     )
     w7 = Window.orderBy("__dn").rangeBetween(-3, 3)
     with_trend = daily.select(
@@ -4134,18 +4103,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_window_stats,
     )
 
-    import os
-    import re as _re
-    import tempfile
-
-    events = _t(spark, sf_dir, "events")
-    tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
-    stage = os.path.join(
-        tempfile.gettempdir(), f"stream_events_{tag}_{os.getpid()}"
-    )
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        events.write.mode("overwrite").parquet(stage)
-    stream = spark.readStream.schema(events.schema).parquet(stage)
+    stream, tag = _staged_event_stream(spark, sf_dir)
     agg = session_window_stats(
         stream, gap="30 minutes", watermark="1 hour", key_cols=("user_id",)
     )

@@ -186,3 +186,22 @@ def test_mahalanobis_layout_independent(spark):
     da = {r["vec_id"]: r["mahalanobis"] for r in a.collect()}
     db = {r["vec_id"]: r["mahalanobis"] for r in b.collect()}
     assert da == db
+
+
+def test_grouped_covariances_keeps_null_label_cohort(spark):
+    """A NULL-label cohort must surface as its own group — pandas
+    groupby drops NaN groups by default, which would silently lose the
+    cohort (review finding)."""
+    rows = [(None if i % 2 else "a", [float(i), float(2 * i), 1.0, 0.0])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    covs = linalg.grouped_covariances(df, "label", "embedding", 4)
+    labels = set(covs)
+    assert "a" in labels
+    assert len(labels) == 2  # the null cohort is present under its key
+    null_key = next(k for k in labels if k != "a")
+    n, mean, cov = covs[null_key]
+    assert n == 6
+    ref = np.array([[float(i), float(2 * i), 1.0, 0.0]
+                    for i in range(12) if i % 2])
+    np.testing.assert_allclose(mean, ref.mean(axis=0), rtol=1e-9)

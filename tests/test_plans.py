@@ -483,9 +483,12 @@ def test_scd2_point_in_time_is_equi_join(spark):
     never a broadcast nested loop over the validity ranges."""
     df = entrymod.q_scd2_point_in_time(spark, SF_SMOKE)
     plan = plans.executed_plan(df)
-    assert "BroadcastNestedLoopJoin" not in plan.replace(
-        "BroadcastNestedLoopJoin BuildRight, Cross", "CROSSOK", 1
-    ) or "c_custkey" in plan, plan
+    # exactly one nested-loop is legitimate: the 2-row probe-date
+    # crossJoin. The dim lookup itself must never nest.
+    n_nested = plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "CartesianProduct"
+    )
+    assert n_nested <= 1, plan
     # the custkey equi-join is present as a hash or sort-merge join
     assert (
         "BroadcastHashJoin [c_custkey" in plan
@@ -558,4 +561,7 @@ def test_plan_report_reads_real_plans(spark):
         assert scan["pushed_filters"]
 
     corr = plans.plan_report(entrymod.q_measure_corr_matrix(spark, SF_SMOKE))
-    assert corr["n_shuffles"] <= 1 and corr["n_nestedloop_joins"] == 0
+    # no data-sized hash/range shuffle at all: the only exchanges are
+    # SinglePartition gathers of agg partials / the 6-row ordered result
+    assert corr["n_shuffles"] == corr["n_single_partition_exchanges"]
+    assert corr["n_nestedloop_joins"] == 0

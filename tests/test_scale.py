@@ -226,3 +226,24 @@ def test_binned_running_sum_degenerate_single_value(spark):
     out = scale.binned_running_sum(df, ["k", "tie"], "v", n_buckets=4)
     rows = {r["tie"]: r["running_sum"] for r in out.collect()}
     assert rows == {i: i + 1 for i in range(10)}
+
+
+def test_binned_running_sum_null_lead_keys(spark):
+    """NULL lead keys must neither drop (review finding: a NULL bucket
+    fell out of the offsets join) nor misplace: they sort first, exactly
+    like the global window's NULLS FIRST order."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import Window, functions as F
+
+    df = spark.createDataFrame(
+        [(None, 0, 10), (None, 1, 5), (3, 2, 1), (7, 3, 2)],
+        "k int, tie int, v int",
+    )
+    got = scale.binned_running_sum(df, ["k", "tie"], "v", n_buckets=4)
+    w = Window.orderBy(F.col("k").asc(), F.col("tie").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.withColumn("running_sum", F.sum("v").over(w))
+    assert got.count() == 4
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0

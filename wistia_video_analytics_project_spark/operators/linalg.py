@@ -18,10 +18,8 @@ variance concentration, whitening-ready components).
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def stats_flat(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
@@ -196,7 +194,11 @@ def grouped_stats_flat(
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            for label, sub in pdf.groupby(label_col, sort=False):
+            # dropna=False: a NULL-label cohort must surface as its own
+            # group, not silently vanish (pandas drops it by default)
+            for label, sub in pdf.groupby(
+                label_col, sort=False, dropna=False
+            ):
                 mat = np.array(
                     [np.asarray(v, dtype=np.float64) for v in sub[vec_col]]
                 )

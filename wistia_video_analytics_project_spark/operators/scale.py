@@ -402,7 +402,12 @@ def binned_running_sum(
     )
     bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
         "__bucket",
-        F.when(F.col("__lo") == F.col("__hi"), F.lit(1)).otherwise(
+        # NULL lead keys sort FIRST under an ascending window order, so
+        # they get bucket 0 (before every real bucket) instead of a
+        # NULL bucket that would silently drop out of the offsets join
+        F.when(F.col(lead).isNull(), F.lit(0))
+        .when(F.col("__lo") == F.col("__hi"), F.lit(1))
+        .otherwise(
             F.width_bucket(
                 F.col(lead).cast("double"),
                 F.col("__lo"),

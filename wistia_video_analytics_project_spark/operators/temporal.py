@@ -105,9 +105,11 @@ def as_of_join(
     elif direction == "forward":
         filled = filled.withColumn("__match", F.col("__mf"))
     else:
-        lts = F.col("__ts").cast("timestamp")
-        back_dist = lts.cast("double") - F.col("__mb.__rts").cast("double")
-        fwd_dist = F.col("__mf.__rts").cast("double") - lts.cast("double")
+        # integer micros, never timestamp->double (CLAUDE.md: double
+        # casts round micros and can invert nearest at µs scale)
+        lts_us = F.unix_micros(F.col("__ts").cast("timestamp"))
+        back_dist = lts_us - F.unix_micros(F.col("__mb.__rts"))
+        fwd_dist = F.unix_micros(F.col("__mf.__rts")) - lts_us
         filled = filled.withColumn(
             "__match",
             F.when(F.col("__mb").isNull(), F.col("__mf"))

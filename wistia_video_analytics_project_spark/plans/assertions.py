@@ -107,8 +107,15 @@ def plan_report(df: DataFrame, execute: bool = True) -> dict:
                 "pushed_filters": bool(push_m and push_m.group(1).strip()),
             }
         )
+    n_single = len(re.findall(r"\bExchange SinglePartition", plan))
     return {
-        "n_shuffles": len(re.findall(r"\bExchange (?:hash|range)partitioning", plan)),
+        "n_shuffles": len(
+            re.findall(r"\bExchange (?:hash|range)partitioning", plan)
+        )
+        + n_single,
+        # the single-task collapse (global Window.orderBy etc.) called
+        # out separately — the worst shuffle shape at cluster scale
+        "n_single_partition_exchanges": n_single,
         "n_broadcast_joins": plan.count("BroadcastHashJoin"),
         "n_sortmerge_joins": plan.count("SortMergeJoin"),
         "n_nestedloop_joins": plan.count("BroadcastNestedLoopJoin")

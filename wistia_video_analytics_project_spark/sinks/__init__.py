@@ -256,7 +256,8 @@ def snapshot_versions(base_path: str) -> list[int]:
     if not os.path.isdir(base_path):
         return out
     for name in os.listdir(base_path):
-        m = re.fullmatch(r"v=(\d{6})", name)
+        # {:06d} pads but never truncates — accept 7+ digit versions too
+        m = re.fullmatch(r"v=(\d{6,})", name)
         if m and os.path.exists(os.path.join(base_path, name, _MANIFEST)):
             out.append(int(m.group(1)))
     return sorted(out)
