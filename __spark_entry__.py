@@ -3955,6 +3955,67 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over (user, day) baskets of event
+    types: for each DIRECTED pair a→b, support count, confidence
+    n_ab/n_a, and lift n_ab·N/(n_a·n_b). Baskets reduce to distinct
+    (user, day, type) rows first, so the self-join explodes at most
+    |types|² per basket; the item counts and the basket total ride
+    broadcast aggregates. Every metric derives from exact integer
+    counts — one division each, round 6."""
+    events = _t(spark, sf_dir, "events")
+    basket_item = events.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    n_baskets = basket_item.select("user_id", "d").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__N")
+    )
+    item_counts = basket_item.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    a = basket_item.select(
+        "user_id", "d", F.col("event_type").alias("antecedent")
+    )
+    b = basket_item.select(
+        "user_id", "d", F.col("event_type").alias("consequent")
+    )
+    pairs = (
+        a.join(b, ["user_id", "d"])
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    na = item_counts.select(
+        F.col("event_type").alias("antecedent"), F.col("__n").alias("__na")
+    )
+    nb = item_counts.select(
+        F.col("event_type").alias("consequent"), F.col("__n").alias("__nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nb), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("__N"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("__na").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("__N")
+                / (F.col("__na") * F.col("__nb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
 def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report per order priority: skewness and excess
     kurtosis computed from EXPLICIT central moments (m3/m2^1.5,
@@ -4138,7 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 62 round-3 oracle-backed additions, all
+    front-load (a) the 64 round-3 oracle-backed additions, all
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``measure_corr_matrix``,
     ``scd2_point_in_time``, ``touch_attribution``,
@@ -4148,7 +4209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``chi_square_type_weekday``, ``daily_revenue_decomposition``,
     ``incremental_join_view``, ``k_anonymity_customers``,
     ``streaming_sliding_traffic``, ``ship_business_days``,
-    ``daily_revenue_acf``, ``seasonal_naive_backtest``,``lm_bits_per_token``, ``source_divergence``,
+    ``daily_revenue_acf``, ``seasonal_naive_backtest``,
+    ``event_association_rules``, ``stratified_sample_wor``,``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
     ``rolling_view_purchase_corr``, ``revenue_concentration``,
@@ -4348,6 +4410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_business_days": q_ship_business_days,
         "daily_revenue_acf": q_daily_revenue_acf,
         "seasonal_naive_backtest": q_seasonal_naive_backtest,
+        "event_association_rules": q_event_association_rules,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
     })
@@ -6357,6 +6420,35 @@ def oracle_sql() -> dict[str, str]:
                               THEN c_acctbal + 100.0
                               ELSE c_acctbal END, 2) AS c_acctbal
             FROM customer
+        """,
+        "event_association_rules": """
+            WITH bi AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+              FROM events),
+            n AS (
+              SELECT CAST(count(*) AS DOUBLE) AS nb
+              FROM (SELECT DISTINCT user_id, d FROM bi)),
+            ic AS (
+              SELECT event_type, count(*) AS n_item FROM bi GROUP BY 1),
+            pairs AS (
+              SELECT a.event_type AS antecedent,
+                     b.event_type AS consequent,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM bi a JOIN bi b
+                ON a.user_id = b.user_id AND a.d = b.d
+               AND a.event_type <> b.event_type
+              GROUP BY 1, 2)
+            SELECT antecedent, consequent, n_ab,
+                   round(CAST(n_ab AS DOUBLE) / nb, 6) AS support,
+                   round(CAST(n_ab AS DOUBLE) / CAST(na.n_item AS DOUBLE), 6)
+                     AS confidence,
+                   round(CAST(n_ab AS DOUBLE) * nb
+                         / CAST(na.n_item * nc.n_item AS DOUBLE), 6) AS lift
+            FROM pairs
+            CROSS JOIN n
+            JOIN ic na ON na.event_type = pairs.antecedent
+            JOIN ic nc ON nc.event_type = pairs.consequent
+            ORDER BY 1, 2
         """,
         "daily_revenue_acf": """
             WITH daily AS (

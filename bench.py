@@ -156,6 +156,8 @@ SECONDARY = [
     "ship_business_days",
     "daily_revenue_acf",
     "seasonal_naive_backtest",
+    "event_association_rules",
+    "stratified_sample_wor",
 ]
 
 

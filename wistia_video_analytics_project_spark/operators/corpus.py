@@ -135,6 +135,36 @@ def weighted_sample_wor(
     )
 
 
+def stratified_sample_wor(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """Exact-size weighted WOR sampling PER STRATUM: the top-``k``
+    Efraimidis-Spirakis keys within each stratum (same md5-derived
+    deterministic keys as :func:`weighted_sample_wor`, rank window
+    partitioned by the stratum instead of a global top-n). The per-group
+    budget is exact — the stratified counterpart to the global WOR
+    sampler, for per-source corpus quotas."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (uniform_int32(key_col).cast("double") + 1) / F.lit(
+        float(1 << (4 * _HEX_WIDTH))
+    )
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("__es_key"), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__es_key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__es_key", "__rn")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     weights: Mapping[str, float],
@@ -394,11 +424,22 @@ def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def q_stratified_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-doc length-weighted WOR sample PER SOURCE (per-stratum
+    corpus quota with deterministic E-S keys)."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_wor(
+        docs, "source", "n_chars", 10, key_col="doc_id"
+    ).select("source", "doc_id", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_wor": q_weighted_sample_wor,
+        "stratified_sample_wor": q_stratified_sample_wor,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
     }
@@ -422,6 +463,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE {strata}
+        """,
+        "stratified_sample_wor": """
+            WITH keyed AS (
+              SELECT source, doc_id, n_chars,
+                     round(ln((CAST(CAST(concat('0x',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) AS DOUBLE) + 1) / 4294967296.0)
+                           / CAST(n_chars AS DOUBLE), 12) AS k
+              FROM documents),
+            r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY k DESC, doc_id ASC) AS rn
+              FROM keyed)
+            SELECT source, doc_id, n_chars FROM r WHERE rn <= 10
         """,
         "weighted_sample_wor": """
             WITH keyed AS (
