@@ -310,3 +310,41 @@ def test_binned_running_sum_matches_prefix(spark, vals, n_buckets):
         acc += v
         ref[k] = acc
     assert got == ref
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(1, 10_000),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(1, 5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+def test_stratified_wor_exact_k_per_stratum(spark, rows, k):
+    """For ANY weights: exactly min(k, |stratum|) rows per stratum, all
+    drawn from the input, stable across reruns."""
+    from wistia_video_analytics_project_spark.operators import corpus
+
+    data = [(s, i, w) for i, (s, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "src string, id long, w long")
+    out = corpus.stratified_sample_wor(df, "src", "w", k, key_col="id")
+    got = out.collect()
+    from collections import Counter
+
+    per = Counter(r["src"] for r in got)
+    full = Counter(s for s, _ in rows)
+    assert per == {s: min(k, c) for s, c in full.items()}
+    in_rows = set(data)
+    assert all((r["src"], r["id"], r["w"]) in in_rows for r in got)
+    again = corpus.stratified_sample_wor(df.repartition(7), "src", "w", k,
+                                         key_col="id")
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in got}
