@@ -4016,6 +4016,33 @@ def q_event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_holt_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing of daily revenue —
+    the third forecaster next to seasonal-naive and EWMA. The recursion
+    is inherently sequential, so it runs driver-side over the
+    already-aggregated daily series (bounded by the DATE domain — same
+    contract as the Markov/PCA tier); the distributed work is the daily
+    integer-cents aggregate. Rows-only (recursive state isn't SQL);
+    recursion invariants pinned in ``tests/test_temporal.py``."""
+    daily = _daily_purchase_cents(spark, sf_dir).orderBy("day").collect()
+    values = [r["cents"] / 100.0 for r in daily]
+    levels, trends, fitted = temporal.holt_linear(values, alpha=0.3, beta=0.1)
+    rows = [
+        (
+            daily[i]["day"],
+            round(values[i], 2),
+            round(levels[i], 4),
+            round(trends[i], 4),
+            round(fitted[i], 4),
+        )
+        for i in range(len(daily))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "day date, revenue double, level double, trend double, fitted double",
+    ).orderBy("day")
+
+
 def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report per order priority: skewness and excess
     kurtosis computed from EXPLICIT central moments (m3/m2^1.5,
@@ -4411,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_acf": q_daily_revenue_acf,
         "seasonal_naive_backtest": q_seasonal_naive_backtest,
         "event_association_rules": q_event_association_rules,
+        "holt_revenue_trend": q_holt_revenue_trend,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
     })
@@ -4425,7 +4453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "approx_distinct_users", "weekly_active_users_hll",
                        "value_quantiles_kll", "segment_overlap_theta",
                        "pca_explained_variance", "event_markov_stationary",
-                       "label_effective_rank", "embedding_mahalanobis"):
+                       "label_effective_rank", "embedding_mahalanobis",
+                       "holt_revenue_trend"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 

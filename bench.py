@@ -158,6 +158,7 @@ SECONDARY = [
     "seasonal_naive_backtest",
     "event_association_rules",
     "stratified_sample_wor",
+    "holt_revenue_trend",
 ]
 
 

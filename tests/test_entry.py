@@ -37,6 +37,9 @@ def test_queries_registry_well_formed(spark):
         "event_markov_stationary",
         "label_effective_rank",
         "embedding_mahalanobis",
+        # sequential Holt recursion over the driver-sized daily series;
+        # invariants pinned in tests/test_temporal.py
+        "holt_revenue_trend",
     }
 
 

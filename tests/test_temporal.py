@@ -279,3 +279,34 @@ def test_as_of_join_tolerance_matches_pandas(spark, direction):
     assert got == _pandas_asof(
         left, right, direction, tolerance=pd.Timedelta(minutes=10)
     )
+
+
+def test_holt_linear_invariants():
+    import numpy as np
+
+    # constant series: level locks to the constant, trend decays to ~0
+    levels, trends, fitted = temporal.holt_linear([5.0] * 30)
+    assert abs(levels[-1] - 5.0) < 1e-9 and abs(trends[-1]) < 1e-9
+    # exactly linear series: one-step predictions are exact after start
+    ys = [2.0 + 3.0 * i for i in range(20)]
+    levels, trends, fitted = temporal.holt_linear(ys)
+    np.testing.assert_allclose(fitted[2:], ys[2:], rtol=1e-9)
+    np.testing.assert_allclose(trends[-1], 3.0, rtol=1e-9)
+    # beta=0 degenerates to SES around the initial trend: recursion
+    # matches a hand-rolled reference
+    ys = [1.0, 4.0, 2.0, 8.0, 5.0, 7.0]
+    a = 0.4
+    levels, trends, fitted = temporal.holt_linear(ys, alpha=a, beta=0.0)
+    b0 = ys[1] - ys[0]
+    lvl = ys[0]
+    for i, y in enumerate(ys[1:], start=1):
+        lvl = a * y + (1 - a) * (lvl + b0)
+        assert abs(levels[i] - lvl) < 1e-12
+        assert trends[i] == b0
+
+
+def test_holt_linear_validates():
+    with pytest.raises(ValueError):
+        temporal.holt_linear([1.0])
+    with pytest.raises(ValueError):
+        temporal.holt_linear([1.0, 2.0], alpha=0.0)

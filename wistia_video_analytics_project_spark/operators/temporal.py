@@ -387,3 +387,33 @@ def session_stats(
             F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
         ).alias("duration_seconds"),
     )
+
+
+def holt_linear(values, alpha: float = 0.3, beta: float = 0.1):
+    """Holt's linear (double exponential) smoothing over an ordered
+    series: returns ``(levels, trends, fitted)`` lists with the
+    standard recursion l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}; fitted_t is the one-step-ahead
+    prediction l_{t−1}+b_{t−1}.
+
+    The recursion is inherently sequential, so it runs driver-side over
+    an already-aggregated series (the distributed work is the daily
+    aggregate that produced it — same bounded-collect contract as the
+    Markov/PCA tier: the series length is the DATE domain, not the row
+    count). Initialized with l_0 = y_0, b_0 = y_1 − y_0 (textbook)."""
+    if not 0 < alpha <= 1 or not 0 <= beta <= 1:
+        raise ValueError(f"need 0<alpha<=1, 0<=beta<=1, got {alpha}, {beta}")
+    ys = [float(v) for v in values]
+    if len(ys) < 2:
+        raise ValueError("Holt smoothing needs at least 2 points")
+    level, trend = ys[0], ys[1] - ys[0]
+    levels, trends, fitted = [level], [trend], [ys[0]]
+    for y in ys[1:]:
+        pred = level + trend
+        fitted.append(pred)
+        new_level = alpha * y + (1 - alpha) * pred
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        level = new_level
+        levels.append(level)
+        trends.append(trend)
+    return levels, trends, fitted
