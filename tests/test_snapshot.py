@@ -80,3 +80,16 @@ def test_empty_snapshot_publishes(spark, tmp_path):
     assert m["rows"] == 0
     assert m["zone_stats"]["id"]["min"] is None
     assert sinks.read_snapshot(spark, base, verify=True).count() == 0
+
+
+def test_publish_next_snapshot_advances_and_skips_wreckage(spark, tmp_path):
+    base = str(tmp_path / "snap")
+    m1 = sinks.publish_next_snapshot(_df(spark, 3, "a"), base)
+    m2 = sinks.publish_next_snapshot(_df(spark, 4, "b"), base)
+    assert (m1["version"], m2["version"]) == (1, 2)
+    # torn attempt at v3 (no manifest): next publish must skip it
+    _df(spark, 9, "torn").write.parquet(os.path.join(base, "v=000003"))
+    m3 = sinks.publish_next_snapshot(_df(spark, 5, "c"), base)
+    assert m3["version"] == 4
+    assert sinks.snapshot_versions(base) == [1, 2, 4]
+    assert sinks.read_snapshot(spark, base, verify=True).count() == 5

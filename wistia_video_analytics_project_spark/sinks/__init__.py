@@ -295,3 +295,26 @@ def read_snapshot(
                 f"snapshot v{v} row count {n} != manifest {manifest['rows']}"
             )
     return df
+
+
+def publish_next_snapshot(
+    df: DataFrame,
+    base_path: str,
+    zone_cols: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> dict:
+    """Publish under the next free version number: max committed + 1
+    (1 for an empty base). Versions are immutable, so a crashed attempt
+    at N leaves an uncommitted dir — the next call retries N+0 only if
+    N never committed; otherwise it moves on. Single-writer contract
+    (one publisher per base path), same as any directory-versioned
+    store without a coordination service."""
+    versions = snapshot_versions(base_path)
+    v = (versions[-1] + 1) if versions else 1
+    import os
+
+    while os.path.isdir(os.path.join(base_path, f"v={v:06d}")):
+        v += 1  # skip uncommitted wreckage from torn attempts
+    return publish_snapshot(
+        df, base_path, v, zone_cols=zone_cols, partition_by=partition_by
+    )
