@@ -4043,6 +4043,54 @@ def q_holt_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+_BOXPLOT_SQL = """
+    WITH base AS (
+      SELECT r_name, c_acctbal
+      FROM {cust} JOIN {nat} ON c_nationkey = n_nationkey
+      JOIN {reg} ON n_regionkey = r_regionkey),
+    q AS (
+      SELECT r_name,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             round(min(c_acctbal), 2) AS min_bal,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal) AS q1r,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS medr,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal) AS q3r,
+             round(max(c_acctbal), 2) AS max_bal
+      FROM base GROUP BY 1),
+    f AS (
+      SELECT *,
+             round(q1r - CAST(1.5 AS DOUBLE) * (q3r - q1r), 6) AS lof,
+             round(q3r + CAST(1.5 AS DOUBLE) * (q3r - q1r), 6) AS hif
+      FROM q)
+    SELECT f.r_name AS region, n_customers, min_bal,
+           round(q1r, 2) AS q1, round(medr, 2) AS median,
+           round(q3r, 2) AS q3, max_bal,
+           CAST(sum(CASE WHEN b.c_acctbal < lof OR b.c_acctbal > hif
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM f JOIN base b ON b.r_name = f.r_name
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    ORDER BY 1
+"""
+
+
+def q_region_balance_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot analytics per region: five-number summary of customer
+    balances (percentile_disc quartiles — ACTUAL set elements, so the
+    doubles are bit-identical across engines) plus the count outside the
+    Tukey 1.5·IQR fences. Fences are rounded to 6 decimals BEFORE the
+    comparison (CLAUDE.md threshold rule) and the 1.5 literal is cast to
+    DOUBLE on both sides (SQL decimal-literal rule). The SAME SQL text
+    runs on both engines — only the table bindings differ."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__box_cust")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__box_nat")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("__box_reg")
+    return spark.sql(
+        _BOXPLOT_SQL.format(
+            cust="__box_cust", nat="__box_nat", reg="__box_reg"
+        )
+    )
+
+
 def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report per order priority: skewness and excess
     kurtosis computed from EXPLICIT central moments (m3/m2^1.5,
@@ -4226,7 +4274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so two rounds stale).  Rows-only approximates (no oracle by
     design — see CLAUDE.md) stay at the very end so every in-window
     slot is a full hash-checked comparison.  ROTATION PLAN for round 4:
-    front-load (a) the 64 round-3 oracle-backed additions, all
+    front-load (a) the 65 round-3 oracle-backed additions, all
     never driver-checked (they overflow one 50-slot window — spill the
     tail to round 5's front) — ``measure_corr_matrix``,
     ``scd2_point_in_time``, ``touch_attribution``,
@@ -4237,7 +4285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``incremental_join_view``, ``k_anonymity_customers``,
     ``streaming_sliding_traffic``, ``ship_business_days``,
     ``daily_revenue_acf``, ``seasonal_naive_backtest``,
-    ``event_association_rules``, ``stratified_sample_wor``,``lm_bits_per_token``, ``source_divergence``,
+    ``event_association_rules``, ``stratified_sample_wor``,
+    ``region_balance_boxplot``,``lm_bits_per_token``, ``source_divergence``,
     ``dedup_winnow``, ``dedup_winnow_incremental``, ``dedup_containment``,
     ``mad_outlier_days``, ``nation_share_of_region``, ``value_psi_report``,
     ``rolling_view_purchase_corr``, ``revenue_concentration``,
@@ -4439,6 +4488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_backtest": q_seasonal_naive_backtest,
         "event_association_rules": q_event_association_rules,
         "holt_revenue_trend": q_holt_revenue_trend,
+        "region_balance_boxplot": q_region_balance_boxplot,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
     })
@@ -6450,6 +6500,9 @@ def oracle_sql() -> dict[str, str]:
                               ELSE c_acctbal END, 2) AS c_acctbal
             FROM customer
         """,
+        "region_balance_boxplot": _BOXPLOT_SQL.format(
+            cust="customer", nat="nation", reg="region"
+        ),
         "event_association_rules": """
             WITH bi AS (
               SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type

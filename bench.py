@@ -159,6 +159,7 @@ SECONDARY = [
     "event_association_rules",
     "stratified_sample_wor",
     "holt_revenue_trend",
+    "region_balance_boxplot",
 ]
 
 
