@@ -4486,7 +4486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "value_quantiles_kll", "segment_overlap_theta",
                        "pca_explained_variance", "event_markov_stationary",
                        "label_effective_rank", "embedding_mahalanobis",
-                       "holt_revenue_trend"):
+                       "holt_revenue_trend", "doc_novelty_hashed",
+                       "duplicated_spans_hashed"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 

@@ -126,11 +126,13 @@ SECONDARY = [
     "value_percentile_disc",
     "incremental_kpi_refresh",
     "duplicated_spans",
+    "duplicated_spans_hashed",
     "bm25_search",
     "ewma_daily_revenue",
     "higher_moments_report",
     "centroid_drift",
     "doc_novelty",
+    "doc_novelty_hashed",
     "activity_streaks",
     "user_event_histogram_map",
     "user_behavior_entropy",

@@ -225,3 +225,16 @@ def test_source_divergence_detects_drift(spark):
     solo = spark.createDataFrame(rows[:1], "doc_id long, text string, source string")
     only = text_ops.source_divergence(solo).collect()[0]
     assert only.js_divergence == 0.0
+
+
+def test_doc_novelty_hashed_matches_string_path(spark):
+    """The xxhash64-gram throughput variant must reproduce the string-gram
+    oracle path exactly at test scale (collisions ~n_grams²/2⁶⁴ ≈ 0)."""
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want = {(r.doc_id, r.n_grams, r.novelty)
+            for r in text_ops.doc_novelty(docs, n=5).collect()}
+    got = {(r.doc_id, r.n_grams, r.novelty)
+           for r in text_ops.doc_novelty(docs, n=5, hashed=True).collect()}
+    assert want and got == want

@@ -353,3 +353,26 @@ def test_containment_layout_independent(spark, docs):
          for r in dedup.containment_pairs(docs.repartition(11),
                                           threshold=0.4).collect()}
     assert a == b and a  # planted near-dups guarantee non-empty
+
+
+def test_duplicated_spans_hashed_matches_string_path(spark, docs):
+    """With an unbinding top-k (top >= all qualifying spans) the hashed
+    two-phase plan must recover the identical span set; with a binding
+    top the (n_docs, n_occurrences) profile of the winners must match
+    (tie-break keys differ: span text vs xxhash64)."""
+    big = 10_000
+    want = [(r.span, r.n_occurrences, r.n_docs)
+            for r in dedup.duplicated_spans(docs, n=10, top=big).collect()]
+    assert want and len(want) < big  # limit genuinely unbinding
+    got = [(r.span, r.n_occurrences, r.n_docs)
+           for r in dedup.duplicated_spans(docs, n=10, top=big,
+                                           hashed=True).collect()]
+    assert sorted(got) == sorted(want)
+
+    k = 20
+    want_k = sorted((r.n_docs, r.n_occurrences) for r in
+                    dedup.duplicated_spans(docs, n=10, top=k).collect())
+    got_k = sorted((r.n_docs, r.n_occurrences) for r in
+                   dedup.duplicated_spans(docs, n=10, top=k,
+                                          hashed=True).collect())
+    assert got_k == want_k

@@ -40,6 +40,11 @@ def test_queries_registry_well_formed(spark):
         # sequential Holt recursion over the driver-sized daily series;
         # invariants pinned in tests/test_temporal.py
         "holt_revenue_trend",
+        # xxhash64-keyed throughput variants (DuckDB has no xxhash64);
+        # equality vs their string-keyed oracle-checked twins pinned in
+        # tests/test_text.py / tests/test_dedup.py
+        "doc_novelty_hashed",
+        "duplicated_spans_hashed",
     }
 
 

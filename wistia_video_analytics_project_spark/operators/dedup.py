@@ -905,6 +905,7 @@ def duplicated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = False,
 ) -> DataFrame:
     """Top cross-document duplicated word ``n``-grams — the span-level
     diagnostic behind substring-dedup decisions ("Deduplicating Training
@@ -917,33 +918,75 @@ def duplicated_spans(
     aggregate — a single shuffle keyed by span text.  At 100 TB the
     span key domain is huge but the aggregation is fully partial
     (map-side combine collapses within-partition repeats) and the
-    ``min_docs`` filter runs post-agg; for a leaner key, swap the span
-    string for ``xxhash64(span)`` (rows-only variant, same plan).
-    """
+    ``min_docs`` filter runs post-agg.
+
+    ``hashed=True`` is the 100 TB path: the big aggregation shuffles
+    8-byte ``xxhash64(span)`` keys instead of full n-word strings, the
+    top-k survivors (a ``top``-row DataFrame) are broadcast back
+    against a second span pass, and only those ≤``top`` span strings
+    ever materialize.  Two scans of ``docs``, but the exchange — the
+    actual 100 TB bottleneck — carries longs, not 10-gram text.
+    Rows-only in the registry (no DuckDB xxhash64), with an
+    equality-vs-string-path pytest."""
     words = tokens(F.col(text_col))
-    spans = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.when(
-                F.size(words) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-                    lambda i: F.array_join(F.slice(words, i, n), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("span"),
+
+    def span_stream(expr):
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.when(
+                    F.size(words) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+                        expr,
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("span"),
+        )
+
+    text_expr = lambda i: F.array_join(F.slice(words, i, n), " ")  # noqa: E731
+    if not hashed:
+        spans = span_stream(text_expr)
+        agg = (
+            spans.groupBy("span")
+            .agg(
+                F.count(F.lit(1)).alias("n_occurrences"),
+                F.count_distinct("doc_id").alias("n_docs"),
+            )
+            .filter(F.col("n_docs") >= min_docs)
+        )
+        return agg.orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span")
+        ).limit(top)
+
+    # phase 1: aggregate + top-k entirely on the hash key (light shuffle)
+    hashed_spans = span_stream(text_expr).select(
+        "doc_id", F.xxhash64("span").alias("__h")
     )
-    agg = (
-        spans.groupBy("span")
+    winners = (
+        hashed_spans.groupBy("__h")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.count_distinct("doc_id").alias("n_docs"),
         )
         .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("__h"))
+        .limit(top)
     )
-    return agg.orderBy(
-        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span")
-    ).limit(top)
+    # phase 2: recover span text for the <=top survivors only — the
+    # winner set is tiny by contract, so the join is a broadcast probe
+    # and span strings never enter an exchange
+    recovered = (
+        span_stream(text_expr)
+        .withColumn("__h", F.xxhash64("span"))
+        .join(F.broadcast(winners.select("__h", "n_occurrences", "n_docs")),
+              "__h")
+        .groupBy("__h", "n_occurrences", "n_docs")
+        .agg(F.min("span").alias("span"))
+    )
+    return recovered.select(
+        "span", "n_occurrences", "n_docs"
+    ).orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1080,6 +1123,14 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(_docs(spark, sf_dir), n=10, top=20)
 
 
+def q_duplicated_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed duplicated spans — the 100 TB throughput path (the big
+    shuffle carries xxhash64 longs; span text recovered for the top-20
+    only).  Rows-only: DuckDB has no xxhash64; equality vs the string
+    path is pytested."""
+    return duplicated_spans(_docs(spark, sf_dir), n=10, top=20, hashed=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -1097,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": q_dedup_winnow,
         "dedup_winnow_incremental": q_dedup_winnow_incremental,
         "dedup_containment": q_dedup_containment,
+        "duplicated_spans_hashed": q_duplicated_spans_hashed,
     }
 
 

@@ -536,6 +536,7 @@ def doc_novelty(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = False,
 ) -> DataFrame:
     """Per-document novelty: the share of its DISTINCT word ``n``-grams
     that appear in no other document (corpus df == 1).  Low novelty
@@ -544,10 +545,19 @@ def doc_novelty(
     memorization risk for LLM training.
 
     One shingle pass -> distinct (doc, gram) -> gram df table joined
-    back (partial-agg both sides).  At 100 TB the gram key domain is
-    the big cost — swap the gram string for ``xxhash64(gram)`` exactly
-    as in the Jaccard ladder (documented rows-only variant)."""
+    back (partial-agg both sides).  ``hashed=True`` is the 100 TB
+    path: the gram never reaches the output, so the distinct + df
+    shuffles can key on 8-byte ``xxhash64(gram)`` instead of the full
+    n-gram string — same plan shape, ~10x lighter exchange.  Output is
+    identical modulo hash collisions (~n_grams²/2⁶⁴); rows-only in the
+    registry, with an equality-vs-string-path pytest."""
     words = tokens(F.col(text_col))
+
+    def _gram(i):
+        g = F.array_join(F.slice(words, i, n), " ")
+        return F.xxhash64(g) if hashed else g
+
+    gram_t = "array<bigint>" if hashed else "array<string>"
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -555,9 +565,9 @@ def doc_novelty(
                 F.size(words) >= n,
                 F.transform(
                     F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-                    lambda i: F.array_join(F.slice(words, i, n), " "),
+                    _gram,
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast(gram_t))
         ).alias("gram"),
     ).distinct()
     df_tbl = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
@@ -576,8 +586,15 @@ def doc_novelty(
 
 
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-5-gram novelty per document."""
+    """Distinct-5-gram novelty per document (string grams: the
+    oracle-checked binding)."""
     return doc_novelty(_docs(spark, sf_dir), n=5)
+
+
+def q_doc_novelty_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64-gram novelty — the 100 TB throughput path (rows-only:
+    DuckDB has no xxhash64; equality vs the string path is pytested)."""
+    return doc_novelty(_docs(spark, sf_dir), n=5, hashed=True)
 
 
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": q_source_divergence,
         "bm25_search": q_bm25_search,
         "doc_novelty": q_doc_novelty,
+        "doc_novelty_hashed": q_doc_novelty_hashed,
     }
 
 
