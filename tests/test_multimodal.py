@@ -189,8 +189,10 @@ def test_decode_bmp_and_ppm_agree_on_pixels():
 
 
 def test_real_decode_still_raises_for_compressed_formats():
+    # JPEG is the remaining documented codec-absent stub (PNG decodes
+    # natively via stdlib zlib since round 4)
     with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.real_decode(b"\x89PNG\r\n\x1a\n....", "image")
+        multimodal.real_decode(b"\xff\xd8\xff\xe0jpeg-frame", "image")
     with pytest.raises(NotImplementedError, match="codec"):
         multimodal.real_decode(_bmp_bytes(), "audio")
 
@@ -290,3 +292,128 @@ def test_extract_features_uses_real_wav_path(spark):
     )
     [row] = multimodal.extract_features(df).collect()
     assert list(row.feature) == multimodal.real_decode(wav, "audio")
+
+
+# ---------------------------------------------------------------------------
+# Real decode: PNG (stdlib zlib inflate + per-scanline unfilter)
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(px, color_type, filters):
+    """Minimal PNG encoder for fixtures: 8-bit depth, non-interlaced,
+    one explicit filter type per scanline (forward-filtered here so the
+    decoder's unfilter path is genuinely exercised)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+    bpp = ch
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raster = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int64)
+        ft = filters[y % len(filters)]
+        enc = np.empty_like(cur)
+        for i in range(len(cur)):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[i] = (cur[i] - pred) & 0xFF
+        raster.append(ft)
+        raster.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_rgb_all_filters():
+    """Every PNG filter type (None/Sub/Up/Average/Paeth) round-trips to
+    the exact source pixels."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    want = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    got = multimodal.decode_image(_png_bytes(want, 2, [0, 1, 2, 3, 4]))
+    assert np.array_equal(got, want)
+
+
+def test_decode_png_gray_palette_rgba():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # grayscale broadcast to 3 channels
+    gray = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    got = multimodal.decode_image(_png_bytes(gray, 0, [0, 1, 2, 3, 4]))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+    # RGBA: alpha dropped
+    rgba = rng.integers(0, 256, size=(5, 3, 4), dtype=np.uint8)
+    got = multimodal.decode_image(_png_bytes(rgba, 6, [4, 3, 2, 1, 0]))
+    assert np.array_equal(got, rgba[:, :, :3])
+    # palette: indices resolve through PLTE
+    import struct
+    import zlib
+
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(4, 4, 1), dtype=np.uint8)
+    png = _png_bytes(idx, 3, [0, 2])
+    plte_data = plte.tobytes()
+    plte_chunk = (
+        struct.pack(">I", len(plte_data)) + b"PLTE" + plte_data
+        + struct.pack(">I", zlib.crc32(b"PLTE" + plte_data) & 0xFFFFFFFF)
+    )
+    # splice PLTE between IHDR and IDAT
+    ihdr_end = 8 + 12 + 13
+    png = png[:ihdr_end] + plte_chunk + png[ihdr_end:]
+    got = multimodal.decode_image(png)
+    assert np.array_equal(got, plte[idx[:, :, 0]])
+
+
+def test_png_features_match_equivalent_bmp():
+    """A PNG and a BMP of the same pixels featurize identically — the
+    features come from content, not container."""
+    import numpy as np
+
+    want = multimodal.decode_image(_bmp_bytes())
+    png = _png_bytes(want, 2, [0, 1, 2, 3, 4])
+    assert np.array_equal(multimodal.decode_image(png), want)
+    assert multimodal.real_decode(png, "image") == multimodal.real_decode(
+        _bmp_bytes(), "image"
+    )
+
+
+def test_png_unsupported_shapes_raise():
+    import numpy as np
+
+    import pytest as _pytest
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    png = bytearray(_png_bytes(px, 2, [0]))
+    png[8 + 8 + 8] = 16  # IHDR bit depth byte -> 16
+    with _pytest.raises(ValueError, match="unsupported PNG shape"):
+        multimodal._decode_png(bytes(png))

@@ -5,15 +5,16 @@ BASELINE.json extension tier. Images/audio/video travel through Spark as
 as driver-side objects. Decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` operators.
 
-Decode is REAL for the two uncompressed formats that need no codec
-library — BMP (BI_RGB 24/32bpp) and PPM (P6) parse with pure numpy
-(:func:`decode_image`) into actual pixel arrays, which featurize
-(:func:`_pixel_features`) and resample (:func:`resize_images`,
-nearest-neighbor + PPM re-encode) from real content. Compressed formats
-(jpeg/png/audio/video) still fall back to the deterministic sha256 fake
-decoder / raise through :func:`real_decode`'s documented codec-absent
-branch (no PIL/cv2/ffmpeg in this container — see
-:data:`HAVE_CODECS`).
+Decode is REAL for the formats that need no codec library — BMP
+(BI_RGB 24/32bpp) and PPM (P6) parse with pure numpy, and PNG
+(baseline 8-bit, all five scanline filters) inflates through stdlib
+``zlib`` (:func:`decode_image`) — into actual pixel arrays, which
+featurize (:func:`_pixel_features`) and resample
+(:func:`resize_images`, nearest-neighbor + PPM re-encode) from real
+content. Formats whose codecs genuinely aren't in this container
+(jpeg/audio-compressed/video) still fall back to the deterministic
+sha256 fake decoder / raise through :func:`real_decode`'s documented
+codec-absent branch (no PIL/cv2/ffmpeg — see :data:`HAVE_CODECS`).
 """
 
 from __future__ import annotations
@@ -53,8 +54,9 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 #
 # These two uncompressed formats need no codec library — a header parse
 # plus a strided numpy view — which makes the decode path HONEST for
-# real pixels in this container while compressed formats (jpeg/png/...)
-# still raise through ``real_decode``'s documented codec-absent branch.
+# real pixels in this container (PNG additionally inflates via stdlib
+# zlib) while formats needing a true codec library (jpeg/...) still
+# raise through ``real_decode``'s documented codec-absent branch.
 
 
 def _decode_bmp(payload: bytes):
@@ -132,13 +134,108 @@ def _decode_ppm(payload: bytes):
     return raw.reshape(height, width, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse the per-scanline PNG filters (None/Sub/Up/Average/Paeth)
+    over ``h`` scanlines of ``stride`` bytes each -> (h, stride) uint8."""
+    import numpy as np
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ft == 0:  # None
+            pass
+        elif ft == 2:  # Up — vectorized (no left dependency)
+            cur += prev
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _decode_png(payload: bytes):
+    """PNG -> (h, w, 3) uint8 RGB array via stdlib ``zlib`` + numpy —
+    no codec library.  Supports the baseline non-interlaced 8-bit-depth
+    color types: grayscale (0), RGB (2), palette (3), gray+alpha (4),
+    RGBA (6); alpha is dropped, gray broadcast to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    hdr = None
+    plte = None
+    idat = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = hdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape depth={depth} color={color} interlace={interlace}"
+        )
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return np.ascontiguousarray(plte[px[:, :, 0]])
+    if color in (0, 4):
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
 def decode_image(payload: bytes):
     """payload -> (h, w, 3) uint8 RGB numpy array, or ``None`` when the
-    format isn't one of the dependency-free decoders (BMP/PPM)."""
+    format isn't one of the dependency-free decoders (BMP/PPM/PNG)."""
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
+    if payload.startswith(_PNG_SIG):
+        return _decode_png(payload)
     return None
 
 
@@ -219,7 +316,8 @@ def _audio_features(arr, rate: int) -> list[float]:
 
 
 def real_decode(payload: bytes, media_type: str) -> list[float]:
-    """Real decode path: BMP/PPM images decode to pixels (pure numpy)
+    """Real decode path: BMP/PPM/PNG images decode to pixels (numpy +
+    stdlib zlib for PNG)
     and PCM WAV audio decodes to samples (stdlib wave), featurizing
     from actual content; every other format still raises the documented
     codec-absent branch."""
@@ -234,7 +332,7 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
     raise NotImplementedError(
         "no codec libraries in this environment for "
         f"media_type={media_type!r} with magic {payload[:2]!r}; only "
-        "uncompressed BMP/PPM decode natively — other payloads use the "
+        "BMP/PPM/PNG decode natively — other payloads use the "
         "deterministic fake decoder"
     )
 
@@ -251,7 +349,7 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
 
     def decode(payload: bytes, media_type: str) -> list[float]:
         # real pixels whenever the payload is natively decodable
-        # (BMP/PPM — see decode_image); deterministic fake otherwise
+        # (BMP/PPM/PNG — see decode_image); deterministic fake otherwise
         if media_type == "image":
             px = decode_image(payload)
             if px is not None:
@@ -327,7 +425,7 @@ def resize_images(
     assets: DataFrame, max_width: int = 256, batch_hint: int | None = None
 ) -> DataFrame:
     """Resize: image payloads wider than ``max_width`` are scaled to it
-    (aspect preserved). Natively decodable payloads (BMP/PPM) get a REAL
+    (aspect preserved). Natively decodable payloads (BMP/PPM/PNG) get a REAL
     nearest-neighbor resample and re-encode as PPM P6; other formats use
     the deterministic stub transform (payload re-hashed with the target
     size) until codec libraries exist.
