@@ -565,3 +565,40 @@ def test_plan_report_reads_real_plans(spark):
     # SinglePartition gathers of agg partials / the 6-row ordered result
     assert corr["n_shuffles"] == corr["n_single_partition_exchanges"]
     assert corr["n_nestedloop_joins"] == 0
+
+
+def test_containment_no_cartesian_and_partial_agg(spark):
+    """dedup_containment: the pair generator is a shingle-keyed
+    equi-join (never a cartesian/BNL product), and the intersection
+    count partial-aggregates before its exchange."""
+    import re
+
+    fn = entrymod.queries()["dedup_containment"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert len(re.findall(r"partial_", plan)) >= 2, plan[:3000]
+
+
+def test_duplicated_spans_hashed_shuffles_longs(spark):
+    """duplicated_spans_hashed: phase 1 aggregates on xxhash64 longs
+    (TakeOrdered on the hash key), phase 2 recovers span text through a
+    broadcast probe of the <=top winners — never a span-keyed shuffle of
+    the winner join."""
+    fn = entrymod.queries()["duplicated_spans_hashed"]
+    df = fn(spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert "xxhash64" in plan, plan[:3000]
+    plans.assert_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_doc_novelty_hashed_keys_on_longs(spark):
+    """doc_novelty_hashed: the distinct and df-count exchanges key on
+    xxhash64 longs; aggregation stays partial before each exchange."""
+    import re
+
+    fn = entrymod.queries()["doc_novelty_hashed"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert "xxhash64" in plan, plan[:3000]
+    assert len(re.findall(r"partial_", plan)) >= 2, plan[:3000]
