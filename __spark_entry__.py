@@ -30,6 +30,7 @@ from wistia_video_analytics_project_spark.operators import (
     corpus,
     dedup,
     gold,
+    graph,
     linalg,
     multimodal,
     quality,
@@ -4332,6 +4333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     core.update(similarity.queries())
     core.update(cleaning.queries())
     core.update(corpus.queries())
+    core.update(graph.queries())
     # --- round-1 driver-VERIFIED tier (green rows in CORRECTNESS_r01) ---
     core.update({
         "daily_plays_trend": q_daily_plays_trend,
@@ -6959,4 +6961,5 @@ def oracle_sql() -> dict[str, str]:
     sql.update(similarity.oracle_sql())
     sql.update(cleaning.oracle_sql())
     sql.update(corpus.oracle_sql())
+    sql.update(graph.oracle_sql())
     return sql

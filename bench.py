@@ -133,6 +133,7 @@ SECONDARY = [
     "centroid_drift",
     "doc_novelty",
     "doc_novelty_hashed",
+    "part_pagerank",
     "activity_streaks",
     "user_event_histogram_map",
     "user_behavior_entropy",

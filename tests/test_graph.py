@@ -1,0 +1,69 @@
+"""PageRank: numpy-reference parity, dangling mass, mode equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wistia_video_analytics_project_spark.operators import graph
+
+
+def _ref_pagerank(edges, d=0.85, iters=10):
+    nodes = sorted({u for u, v, w in edges} | {v for u, v, w in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, v, w in edges:
+        out[idx[u]] += w
+    r = np.ones(n) / n
+    for _ in range(iters):
+        new = np.full(n, (1 - d) / n)
+        dm = float(r[out == 0].sum())
+        for u, v, w in edges:
+            new[idx[v]] += d * r[idx[u]] * w / out[idx[u]]
+        new += d * dm / n
+        r = new
+    return {node: float(r[idx[node]]) for node in nodes}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = graph.pagerank(df, weight="w", **kw).collect()
+    return {r.node: r.rank for r in got}
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    """Node 4 has no out-edges: its mass must redistribute, not vanish."""
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 2.0), (1, 4, 1.0)]
+    got = _run(spark, edges, iterations=10)
+    want = _ref_pagerank(edges, iters=10)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12), node
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_lazy_chain_matches_checkpointed_on_symmetric(spark):
+    """On a symmetrized graph (no dangling) the single-action lazy chain
+    and the checkpoint-per-iteration mode agree exactly, and both match
+    the reference."""
+    base = [(1, 2, 1.0), (2, 3, 3.0), (1, 3, 1.0), (3, 4, 2.0)]
+    edges = base + [(v, u, w) for u, v, w in base]
+    lazy = _run(spark, edges, iterations=8, handle_dangling=False)
+    ckpt = _run(spark, edges, iterations=8, handle_dangling=True)
+    want = _ref_pagerank(edges, iters=8)
+    for node in want:
+        assert lazy[node] == pytest.approx(want[node], abs=1e-12), node
+        assert ckpt[node] == pytest.approx(want[node], abs=1e-12), node
+    assert sum(lazy.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """A star hub receiving every leaf's full rank must outrank leaves."""
+    leaves = list(range(2, 9))
+    edges = [(leaf, 1, 1.0) for leaf in leaves] + [
+        (1, leaf, 1.0) for leaf in leaves
+    ]
+    got = _run(spark, edges, iterations=10, handle_dangling=False)
+    hub = got[1]
+    assert all(hub > got[leaf] for leaf in leaves)

@@ -1,0 +1,240 @@
+"""Graph analytics over edge DataFrames: bounded-iteration PageRank.
+
+Complements the connected-components clustering in
+:mod:`.dedup` (pointer-jumping) with a rank/centrality operator — the
+"which items matter" half of graph analysis a recommendation or
+link-quality pipeline needs next to "which items are the same".
+
+Scale design: every iteration is declarative DataFrame algebra
+(normalized-edge join -> dst aggregate -> teleport blend), so at
+100 TB each iteration is one partial-aggregated shuffle keyed by node
+id. Two execution shapes:
+
+- **No dangling nodes** (every node has an out-edge — e.g. any
+  symmetrized/undirected graph): each iteration references the ranks
+  frame exactly ONCE, so all iterations chain lazily into a SINGLE
+  action — one job, ~2 stages per iteration, no driver round-trips.
+- **Dangling handling on**: the dangling-mass term reads the ranks
+  frame a second time per iteration, which would double the logical
+  plan per iteration (exponential in iterations); each iteration is
+  therefore materialized (``localCheckpoint``) — the same
+  iterative-algorithm shape as Lloyd's k-means in
+  ``similarity.ivf_build_index`` and BPE training, with driver traffic
+  bounded by the plan, never the data.
+
+Reference parity: the reference engine ships no graph operators; this
+is part of the large-scale training-data tier (link-graph quality
+weighting à la Common Crawl harmonic/PageRank centrality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import cache
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    handle_dangling: bool = True,
+) -> DataFrame:
+    """Weighted PageRank with teleport, fixed ``iterations``.
+
+    ``rank'(v) = (1-d)/N + d * (Σ_{u->v} rank(u)·w(u,v)/out(u)
+    + dangling_mass/N)`` — the standard power iteration with uniform
+    teleport and (optionally) dangling-node mass redistribution.
+
+    ``handle_dangling=False`` asserts every node has at least one
+    out-edge (true for any symmetrized graph) and unlocks the
+    single-action lazy chain described in the module docstring; with
+    dangling nodes present it would silently lose their rank mass, so
+    leave it on unless the graph shape guarantees none.
+
+    Returns ``(node, rank)``; ranks sum to 1 over the node set.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w")
+    )
+    nodes = cache.track(
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("__src").agg(F.sum("__w").alias("__out"))
+    # normalized transition fractions — reused every iteration, cache once
+    norm = cache.track(
+        e.join(outw, "__src").select(
+            "__src", "__dst", (F.col("__w") / F.col("__out")).alias("__frac")
+        )
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    dangling_nodes = (
+        nodes.join(
+            outw.select(F.col("__src").alias("node")), "node", "left_anti"
+        )
+        if handle_dangling
+        else None
+    )
+    for _ in range(int(iterations)):
+        contrib = (
+            norm.join(ranks, norm["__src"] == ranks["node"])
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("__frac") * F.col("rank")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        new_rank = F.lit(1.0 - damping) / F.col("__n") + F.lit(damping) * (
+            F.coalesce(F.col("__in"), F.lit(0.0))
+        )
+        if handle_dangling:
+            dm = ranks.join(dangling_nodes, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(n_df))
+                .crossJoin(F.broadcast(dm))
+                .select(
+                    "node",
+                    (
+                        new_rank
+                        + F.lit(damping) * F.col("__dm") / F.col("__n")
+                    ).alias("rank"),
+                )
+                # ranks is read TWICE next iteration (contrib + dangling
+                # mass): materialize to keep the plan linear in iterations
+                .localCheckpoint(eager=True)
+            )
+        else:
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(n_df))
+                .select("node", new_rank.alias("rank"))
+            )
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract bindings (TPC-H-ish tables, FIXTURES.md §B)
+# ---------------------------------------------------------------------------
+
+from collections.abc import Callable  # noqa: E402
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..session import configure_runtime  # noqa: E402
+from ..sources import load_table  # noqa: E402
+from .analytics import cooccurrence_pairs  # noqa: E402
+
+_PR_ITERS = 6
+_PR_DAMPING = 0.85
+_PR_TOP = 50
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the part co-purchase graph: parts are
+    nodes, edge weight = number of orders the pair co-occurs in
+    (symmetrized, so no dangling nodes and the whole power iteration is
+    ONE lazily-chained action).  Ranks scaled by N (≈1.0 for an average
+    part) and rounded to 6 decimals BEFORE the top-50 ordering so the
+    limit boundary is deterministic cross-engine."""
+    configure_runtime(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    half = pairs.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("pair_count").cast("double").alias("w"),
+    )
+    edges = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    pr = pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        weight="w",
+        handle_dangling=False,
+    )
+    n1 = pr.agg(F.count(F.lit(1)).cast("double").alias("__nn"))
+    return (
+        pr.crossJoin(F.broadcast(n1))
+        .select(
+            F.col("node").alias("part_key"),
+            F.round(F.col("rank") * F.col("__nn"), 6).alias("scaled_rank"),
+        )
+        .orderBy(F.desc("scaled_rank"), F.asc("part_key"))
+        .limit(_PR_TOP)
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled power iteration (DuckDB has no iterative construct that
+    allows aggregates in the recursive term): one chained CTE per
+    iteration, literals emitted via repr() so both engines blend with
+    bit-identical damping constants; round-6 on the N-scaled rank
+    absorbs float sum-order drift (~1e-13 after 6 iterations)."""
+    d = repr(float(_PR_DAMPING))
+    t = repr(1.0 - float(_PR_DAMPING))
+    sql = """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(count(*) AS DOUBLE) AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        edges AS (SELECT pa AS src, pb AS dst, w FROM pairs
+                  UNION ALL SELECT pb, pa, w FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        outw AS (SELECT src, sum(w) AS o FROM edges GROUP BY 1),
+        norm AS (SELECT e.src, e.dst, e.w / o.o AS frac
+                 FROM edges e JOIN outw o ON e.src = o.src),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+               FROM nodes)"""
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+        r{i} AS (
+          SELECT nd.node,
+                 CAST({t} AS DOUBLE) / (SELECT n FROM nn)
+                 + CAST({d} AS DOUBLE)
+                   * COALESCE(c.i, CAST(0.0 AS DOUBLE)) AS rank
+          FROM nodes nd LEFT JOIN (
+            SELECT nm.dst AS node, sum(nm.frac * r.rank) AS i
+            FROM norm nm JOIN r{i - 1} r ON nm.src = r.node
+            GROUP BY 1) c
+          ON nd.node = c.node)"""
+    sql += f"""
+        SELECT node AS part_key,
+               round(rank * (SELECT n FROM nn), 6) AS scaled_rank
+        FROM r{_PR_ITERS}
+        ORDER BY scaled_rank DESC, part_key ASC
+        LIMIT {_PR_TOP}"""
+    return sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {"part_pagerank": q_part_pagerank}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {"part_pagerank": _pagerank_oracle_sql()}
