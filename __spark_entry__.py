@@ -3836,6 +3836,45 @@ def q_embedding_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier training loop (the fastText/logreg doc-scoring
+    stage of an LLM data pipeline): binary logistic regression over the
+    embedding column predicting label >= 5, trained by distributed
+    Newton-IRLS (``linalg.logistic_train`` — one Hessian/gradient
+    sufficient-stats pass per iteration, driver work O(dim²)).  Output
+    is the training summary plus the trained model scored back over the
+    corpus JVM-side (``linalg.logistic_margin``, zip_with dot product —
+    no Python in scoring).  Rows-only: the IRLS loop has no SQL
+    equivalent; numpy-reference parity (1e-7) and layout independence
+    are pinned in ``tests/test_linalg.py``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = emb.withColumn("y", (F.col("label") >= 5).cast("double"))
+    w, b, losses = linalg.logistic_train(
+        labeled, "embedding", "y", 64, iterations=4, ridge=1e-3
+    )
+    scored = linalg.logistic_margin(
+        labeled.select("vec_id", "embedding", "y"), "embedding", w, b
+    )
+    acc = scored.agg(
+        F.round(
+            F.avg(
+                ((F.col("margin") >= 0).cast("double") == F.col("y")).cast(
+                    "double"
+                )
+            ),
+            4,
+        ).alias("v")
+    ).collect()[0]["v"]
+    rows = [
+        ("accuracy", float(acc)),
+        ("bias", round(b, 4)),
+        ("final_loss", round(losses[-1], 4)),
+        ("null_loss", round(losses[0], 4)),
+        ("w_norm", round(float(np.linalg.norm(w)), 4)),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")
+
+
 def q_ship_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-aware SLA report: average BUSINESS-day ship latency
     (Mon-Fri only, weekends excluded, endpoints inclusive) per order
@@ -4475,6 +4514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_balance_boxplot": q_region_balance_boxplot,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
+        "quality_classifier_train": q_quality_classifier_train,
     })
     # --- round-4 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R4}
@@ -4489,7 +4529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "pca_explained_variance", "event_markov_stationary",
                        "label_effective_rank", "embedding_mahalanobis",
                        "holt_revenue_trend", "doc_novelty_hashed",
-                       "duplicated_spans_hashed"):
+                       "duplicated_spans_hashed",
+                       "quality_classifier_train"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 

@@ -134,6 +134,7 @@ SECONDARY = [
     "doc_novelty",
     "doc_novelty_hashed",
     "part_pagerank",
+    "quality_classifier_train",
     "activity_streaks",
     "user_event_histogram_map",
     "user_behavior_entropy",

@@ -45,6 +45,9 @@ def test_queries_registry_well_formed(spark):
         # tests/test_text.py / tests/test_dedup.py
         "doc_novelty_hashed",
         "duplicated_spans_hashed",
+        # Newton-IRLS training loop — no SQL equivalent; numpy-reference
+        # parity pinned in tests/test_linalg.py
+        "quality_classifier_train",
     }
 
 

@@ -205,3 +205,61 @@ def test_grouped_covariances_keeps_null_label_cohort(spark):
     ref = np.array([[float(i), float(2 * i), 1.0, 0.0]
                     for i in range(12) if i % 2])
     np.testing.assert_allclose(mean, ref.mean(axis=0), rtol=1e-9)
+
+
+def _ref_logistic(mat, y, iterations, ridge):
+    aug = np.hstack([mat, np.ones((len(mat), 1))])
+    w = np.zeros(aug.shape[1])
+    losses = []
+    for _ in range(iterations):
+        p = 1.0 / (1.0 + np.exp(-(aug @ w)))
+        pc = np.clip(p, 1e-12, 1.0 - 1e-12)
+        losses.append(
+            float(-(y * np.log(pc) + (1 - y) * np.log1p(-pc)).mean())
+        )
+        hess = (aug.T * (p * (1 - p))) @ aug + ridge * np.eye(aug.shape[1])
+        w = w + np.linalg.solve(hess, aug.T @ (y - p))
+    return w[:-1], float(w[-1]), losses
+
+
+def test_logistic_train_matches_numpy_reference(spark):
+    """Distributed Newton-IRLS equals the same iterations run in-memory,
+    regardless of partition layout."""
+    emb, mat = _emb_matrix(spark)
+    labeled = emb.withColumn("y", (F.col("label") >= 5).cast("double"))
+    rows = labeled.select("vec_id", "y").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    y = np.array([r["y"] for r in rows])
+    want_w, want_b, want_losses = _ref_logistic(mat, y, 4, 1e-3)
+    got_w, got_b, got_losses = linalg.logistic_train(
+        labeled, "embedding", "y", 64, iterations=4, ridge=1e-3
+    )
+    np.testing.assert_allclose(got_w, want_w, rtol=1e-7, atol=1e-9)
+    assert got_b == pytest.approx(want_b, rel=1e-7)
+    np.testing.assert_allclose(got_losses, want_losses, rtol=1e-9)
+    # layout independence
+    again_w, again_b, _ = linalg.logistic_train(
+        labeled.repartition(13), "embedding", "y", 64, iterations=4, ridge=1e-3
+    )
+    np.testing.assert_allclose(again_w, got_w, rtol=1e-7, atol=1e-9)
+
+
+def test_logistic_train_separates_linear_data(spark):
+    """On linearly separable 2-d data the trained margin classifies
+    every point correctly and the loss is strictly decreasing."""
+    rng = np.random.default_rng(3)
+    pos = rng.normal(loc=[2.0, 2.0], scale=0.3, size=(40, 2))
+    neg = rng.normal(loc=[-2.0, -2.0], scale=0.3, size=(40, 2))
+    rows = [(i, [float(a), float(b)], 1.0) for i, (a, b) in enumerate(pos)]
+    rows += [
+        (100 + i, [float(a), float(b)], 0.0) for i, (a, b) in enumerate(neg)
+    ]
+    df = spark.createDataFrame(rows, "rid long, vec array<double>, y double")
+    w, b, losses = linalg.logistic_train(df, "vec", "y", 2, iterations=6)
+    assert all(b2 < a2 for a2, b2 in zip(losses, losses[1:])), losses
+    scored = linalg.logistic_margin(df, "vec", w, b)
+    wrong = scored.filter(
+        ((F.col("margin") >= 0) & (F.col("y") == 0.0))
+        | ((F.col("margin") < 0) & (F.col("y") == 1.0))
+    ).count()
+    assert wrong == 0

@@ -305,3 +305,126 @@ def mahalanobis_scores(
         f"{f.name} {f.dataType.simpleString()}" for f in fields
     ) + f", {out_col} double"
     return df.mapInPandas(score, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression: distributed Newton-IRLS via sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def logistic_stats_flat(
+    df: DataFrame, vec_col: str, y_col: str, weights: np.ndarray, dim: int
+) -> DataFrame:
+    """One Newton iteration's distributed half: with current augmented
+    weights ``w`` (bias last), reduce every partition to the flattened
+    ``(XᵀWX, Xᵀ(y−p), Σnll, n)`` partials — ``(dim+1)² + dim + 3``
+    (idx, val) rows — merged by one ``groupBy(idx).sum``. The same
+    bounded-collect shape as :func:`stats_flat`: driver work is O(dim²)
+    regardless of row count."""
+    d = int(dim)
+    aug = d + 1
+    n_h = aug * aug
+    wvec = np.asarray(weights, dtype=np.float64).copy()
+    if wvec.shape != (aug,):
+        raise ValueError(f"expected {aug} weights (bias last), got {wvec.shape}")
+
+    def partials(it):
+        import pandas as pd
+
+        buf = np.zeros(n_h + aug + 2, dtype=np.float64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if mat.shape[1] != d:
+                raise ValueError(f"expected {d}-wide vectors, got {mat.shape[1]}")
+            xa = np.hstack([mat, np.ones((len(mat), 1))])
+            y = pdf[y_col].to_numpy(dtype=np.float64)
+            p = 1.0 / (1.0 + np.exp(-(xa @ wvec)))
+            irls_w = p * (1.0 - p)
+            buf[:n_h] += ((xa.T * irls_w) @ xa).ravel()
+            buf[n_h : n_h + aug] += xa.T @ (y - p)
+            pc = np.clip(p, 1e-12, 1.0 - 1e-12)
+            buf[n_h + aug] += -(y * np.log(pc) + (1.0 - y) * np.log1p(-pc)).sum()
+            buf[n_h + aug + 1] += len(mat)
+        yield pd.DataFrame({"idx": np.arange(n_h + aug + 2), "val": buf})
+
+    return (
+        df.select(vec_col, y_col)
+        .mapInPandas(partials, schema="idx int, val double")
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+    )
+
+
+def logistic_train(
+    df: DataFrame,
+    vec_col: str,
+    y_col: str,
+    dim: int,
+    iterations: int = 6,
+    ridge: float = 1e-3,
+):
+    """Binary logistic regression trained by distributed Newton-IRLS —
+    the quality-classifier training loop of an LLM data pipeline
+    (fastText/logreg-style doc scoring), expressed Spark-first.
+
+    Each iteration is ONE pass over the (cached) data producing the
+    flattened Hessian/gradient/loss sufficient statistics
+    (:func:`logistic_stats_flat`); the driver solves the (dim+1)²
+    ridge-damped Newton system and updates the weights. Iteration
+    count is the job count (training-shaped, like Lloyd/BPE); per-job
+    collect is (dim+1)²+dim+3 rows regardless of data size, so the
+    loop holds at 100 TB with dim in the hundreds.
+
+    Returns ``(weights (dim,), bias, losses)`` — ``losses`` is the
+    mean negative log-likelihood per iteration, evaluated at that
+    iteration's STARTING weights (so ``losses[0]`` is the null-model
+    loss ≈ ln 2 for balanced classes).
+    """
+    from .. import cache
+
+    d = int(dim)
+    aug = d + 1
+    n_h = aug * aug
+    feats = cache.track(
+        df.select(
+            F.col(vec_col).alias("__v"), F.col(y_col).cast("double").alias("__y")
+        )
+    )
+    w = np.zeros(aug, dtype=np.float64)
+    losses: list[float] = []
+    for _ in range(int(iterations)):
+        rows = logistic_stats_flat(feats, "__v", "__y", w, d).collect()
+        buf = np.zeros(n_h + aug + 2)
+        for r in rows:
+            buf[r["idx"]] = r["val"]
+        n = buf[n_h + aug + 1]
+        if n == 0:
+            raise ValueError("empty training frame")
+        hess = buf[:n_h].reshape(aug, aug) + float(ridge) * np.eye(aug)
+        grad = buf[n_h : n_h + aug]
+        losses.append(float(buf[n_h + aug] / n))
+        w = w + np.linalg.solve(hess, grad)
+    return w[:d], float(w[d]), losses
+
+
+def logistic_margin(
+    df: DataFrame,
+    vec_col: str,
+    weights: np.ndarray,
+    bias: float,
+    out_col: str = "margin",
+) -> DataFrame:
+    """Decision margin ``w·x + b`` per row — pure JVM ``zip_with`` +
+    ``aggregate`` against literal weights (the :func:`project` pattern):
+    scoring shuffles nothing and runs no Python."""
+    lit_w = F.array(*[F.lit(float(v)) for v in np.asarray(weights)])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), lit_w, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(out_col, dot + F.lit(float(bias)))
