@@ -4170,6 +4170,79 @@ def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ar2_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) autoregressive forecast of daily revenue — the lag-structure
+    member of the forecasting set (next to seasonal-naive and Holt):
+    ``r_t = c + φ1·r_{t-1} + φ2·r_{t-2}`` fit by OLS on the daily spine,
+    closed-form 2×2 normal equations after de-meaning (Cramer), then a
+    3-step-ahead recursion unrolled explicitly.  TWO-pass centering
+    (means first, centered sums second) keeps cross-engine float drift
+    at summation-order level (~1e-10 relative) instead of the ~1e-6 the
+    cancellation-prone one-pass ``Σx²−n·m²`` form would give; revenue
+    lands in exact cents before any float math.  The whole regression
+    runs on the ~|date-domain| daily spine, so the unpartitioned lag
+    window is bounded by calendar size, not data size."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            / F.lit(100.0)
+        ).alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = (
+        daily.select(
+            "day",
+            "rev",
+            F.lag("rev", 1).over(w).alias("x1"),
+            F.lag("rev", 2).over(w).alias("x2"),
+        )
+        .filter(F.col("x2").isNotNull())
+    )
+    means = lagged.agg(
+        F.avg("rev").alias("my"),
+        F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"),
+    )
+    cstats = (
+        lagged.crossJoin(F.broadcast(means))
+        .agg(
+            F.sum((F.col("x1") - F.col("m1")) * (F.col("x1") - F.col("m1"))).alias("s11"),
+            F.sum((F.col("x1") - F.col("m1")) * (F.col("x2") - F.col("m2"))).alias("s12"),
+            F.sum((F.col("x2") - F.col("m2")) * (F.col("x2") - F.col("m2"))).alias("s22"),
+            F.sum((F.col("x1") - F.col("m1")) * (F.col("rev") - F.col("my"))).alias("b1"),
+            F.sum((F.col("x2") - F.col("m2")) * (F.col("rev") - F.col("my"))).alias("b2"),
+            F.max_by("rev", "day").alias("rn"),
+            F.max_by("x1", "day").alias("rn1"),
+        )
+        .crossJoin(F.broadcast(means))
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    solved = cstats.select(
+        ((F.col("b1") * F.col("s22") - F.col("b2") * F.col("s12")) / det).alias("p1"),
+        ((F.col("s11") * F.col("b2") - F.col("s12") * F.col("b1")) / det).alias("p2"),
+        "my", "m1", "m2", "rn", "rn1",
+    ).select(
+        "p1", "p2", "rn", "rn1",
+        (F.col("my") - F.col("p1") * F.col("m1") - F.col("p2") * F.col("m2")).alias("c"),
+    )
+    f1 = F.col("c") + F.col("p1") * F.col("rn") + F.col("p2") * F.col("rn1")
+    out = solved.select(
+        "p1", "p2", "c", "rn", "rn1", f1.alias("f1")
+    )
+    f2 = F.col("c") + F.col("p1") * F.col("f1") + F.col("p2") * F.col("rn")
+    out = out.select("p1", "p2", "c", "f1", f2.alias("f2"))
+    f3 = F.col("c") + F.col("p1") * F.col("f2") + F.col("p2") * F.col("f1")
+    return out.select(
+        (F.round("p1", 4) + F.lit(0.0)).alias("phi1"),
+        (F.round("p2", 4) + F.lit(0.0)).alias("phi2"),
+        (F.round("c", 2) + F.lit(0.0)).alias("intercept"),
+        F.round("f1", 2).alias("forecast_1"),
+        F.round("f2", 2).alias("forecast_2"),
+        F.round(f3, 2).alias("forecast_3"),
+    )
+
+
 def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily revenue (α=0.3,
     14-day support, partial windows renormalized): smoother than the
@@ -4511,6 +4584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_backtest": q_seasonal_naive_backtest,
         "event_association_rules": q_event_association_rules,
         "holt_revenue_trend": q_holt_revenue_trend,
+        "ar2_revenue_forecast": q_ar2_revenue_forecast,
         "region_balance_boxplot": q_region_balance_boxplot,
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
@@ -5336,6 +5410,49 @@ def oracle_sql() -> dict[str, str]:
                    round(m4 / (m2 * m2) - CAST(3.0 AS DOUBLE), 4)
                      + CAST(0.0 AS DOUBLE) AS excess_kurtosis
             FROM mom ORDER BY 1
+        """,
+        "ar2_revenue_forecast": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) / CAST(100.0 AS DOUBLE) AS rev
+              FROM orders GROUP BY 1),
+            lagged AS (
+              SELECT day, rev,
+                     lag(rev, 1) OVER (ORDER BY day) AS x1,
+                     lag(rev, 2) OVER (ORDER BY day) AS x2
+              FROM daily),
+            reg AS (SELECT * FROM lagged WHERE x2 IS NOT NULL),
+            means AS (SELECT avg(rev) AS my, avg(x1) AS m1, avg(x2) AS m2
+                      FROM reg),
+            cs AS (
+              SELECT sum((x1 - m1) * (x1 - m1)) AS s11,
+                     sum((x1 - m1) * (x2 - m2)) AS s12,
+                     sum((x2 - m2) * (x2 - m2)) AS s22,
+                     sum((x1 - m1) * (rev - my)) AS b1,
+                     sum((x2 - m2) * (rev - my)) AS b2,
+                     max_by(rev, day) AS rn,
+                     max_by(x1, day) AS rn1
+              FROM reg CROSS JOIN means),
+            sol AS (
+              SELECT (b1 * s22 - b2 * s12) / (s11 * s22 - s12 * s12) AS p1,
+                     (s11 * b2 - s12 * b1) / (s11 * s22 - s12 * s12) AS p2,
+                     rn, rn1
+              FROM cs),
+            ic AS (SELECT p1, p2, rn, rn1,
+                          my - p1 * m1 - p2 * m2 AS c
+                   FROM sol CROSS JOIN means),
+            fc1 AS (SELECT p1, p2, c, rn,
+                           c + p1 * rn + p2 * rn1 AS f1 FROM ic),
+            fc2 AS (SELECT p1, p2, c, f1,
+                           c + p1 * f1 + p2 * rn AS f2 FROM fc1)
+            SELECT round(p1, 4) + CAST(0.0 AS DOUBLE) AS phi1,
+                   round(p2, 4) + CAST(0.0 AS DOUBLE) AS phi2,
+                   round(c, 2) + CAST(0.0 AS DOUBLE) AS intercept,
+                   round(f1, 2) AS forecast_1,
+                   round(f2, 2) AS forecast_2,
+                   round(c + p1 * f2 + p2 * f1, 2) AS forecast_3
+            FROM fc2
         """,
         "ewma_daily_revenue": """
             WITH daily AS (

@@ -135,6 +135,7 @@ SECONDARY = [
     "doc_novelty_hashed",
     "part_pagerank",
     "quality_classifier_train",
+    "ar2_revenue_forecast",
     "activity_streaks",
     "user_event_histogram_map",
     "user_behavior_entropy",

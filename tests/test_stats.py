@@ -169,3 +169,33 @@ def test_decomposition_trend_is_7day_mean(spark):
                 assert r["trend"] == pytest.approx(
                     sum(window) / 7.0, abs=1e-3
                 ), d
+
+
+def test_ar2_matches_numpy_lstsq(spark):
+    """The closed-form Cramer solution must equal numpy's least-squares
+    fit of the same lagged design matrix."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    row = entrymod.q_ar2_revenue_forecast(spark, SF_SMOKE).collect()[0]
+    # rebuild the daily series independently with plain SQL
+    import duckdb
+
+    ser = duckdb.sql(
+        f"""
+        SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) / 100.0 AS rev
+        FROM '{SF_SMOKE}/orders.parquet'
+        GROUP BY CAST(o_orderdate AS DATE) ORDER BY CAST(o_orderdate AS DATE)
+        """
+    ).fetchnumpy()["rev"].astype(np.float64)
+    y, x1, x2 = ser[2:], ser[1:-1], ser[:-2]
+    design = np.column_stack([x1, x2, np.ones_like(y)])
+    coef, *_ = np.linalg.lstsq(design, y, rcond=None)
+    assert row.phi1 == pytest.approx(coef[0], abs=2e-4)
+    assert row.phi2 == pytest.approx(coef[1], abs=2e-4)
+    assert row.intercept == pytest.approx(coef[2], abs=0.02)
+    f1 = coef[2] + coef[0] * ser[-1] + coef[1] * ser[-2]
+    assert row.forecast_1 == pytest.approx(f1, abs=0.02)
