@@ -136,6 +136,7 @@ SECONDARY = [
     "part_pagerank",
     "quality_classifier_train",
     "ar2_revenue_forecast",
+    "copurchase_triangles",
     "activity_streaks",
     "user_event_histogram_map",
     "user_behavior_entropy",

@@ -67,3 +67,31 @@ def test_pagerank_hub_outranks_leaves(spark):
     got = _run(spark, edges, iterations=10, handle_dangling=False)
     hub = got[1]
     assert all(hub > got[leaf] for leaf in leaves)
+
+
+def test_triangle_stats_known_graphs(spark):
+    """K4 has 4 triangles / 12 wedges / clustering 1.0; adding a pendant
+    vertex adds 3 wedges at the attachment point and no triangles."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k4, "a long, b long")
+    row = graph.triangle_stats(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles, row.n_wedges) == (
+        4, 6, 4, 12,
+    )
+    assert row.global_clustering == 1.0
+
+    pend = spark.createDataFrame(k4 + [(4, 5)], "a long, b long")
+    row = graph.triangle_stats(pend).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles, row.n_wedges) == (
+        5, 7, 4, 15,
+    )
+    assert row.global_clustering == round(12 / 15, 6)
+
+
+def test_triangle_stats_triangle_free(spark):
+    """A star graph has wedges but zero triangles."""
+    star = [(1, leaf) for leaf in range(2, 7)]
+    df = spark.createDataFrame(star, "a long, b long")
+    row = graph.triangle_stats(df).collect()[0]
+    assert row.n_triangles == 0 and row.n_wedges == 10
+    assert row.global_clustering == 0.0

@@ -232,9 +232,156 @@ def _pagerank_oracle_sql() -> str:
     return sql
 
 
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the strong co-purchase graph (part pairs
+    co-occurring in >= 2 orders): exact triangle count, wedge count and
+    global clustering coefficient via the degree-ordered-orientation
+    join (out-degree bounded by O(sqrt(m)) — the hub-skew guard that
+    makes triangle counting survive power-law graphs at scale)."""
+    configure_runtime(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey").filter(
+        F.col("pair_count") >= 2
+    )
+    return triangle_stats(pairs, a="item_a", b="item_b")
+
+
+_TRIANGLE_ORACLE = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (SELECT node, count(*) AS deg FROM (
+              SELECT pa AS node FROM pairs
+              UNION ALL SELECT pb FROM pairs) GROUP BY 1),
+    ed AS (SELECT p.pa AS u, p.pb AS v, du.deg AS du, dv.deg AS dv
+           FROM pairs p
+           JOIN deg du ON du.node = p.pa
+           JOIN deg dv ON dv.node = p.pb),
+    oriented AS (
+      SELECT CASE WHEN (du < dv) OR (du = dv AND u < v) THEN u ELSE v
+             END AS src,
+             CASE WHEN (du < dv) OR (du = dv AND u < v) THEN v ELSE u
+             END AS dst,
+             CASE WHEN (du < dv) OR (du = dv AND u < v) THEN dv ELSE du
+             END AS ddeg
+      FROM ed),
+    wedge AS (
+      SELECT o1.dst AS w1, o2.dst AS w2
+      FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+      WHERE (o1.ddeg < o2.ddeg)
+         OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst)),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM wedge w
+            JOIN oriented o ON o.src = w.w1 AND o.dst = w.w2),
+    sizes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+                     CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+              FROM deg)
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           CASE WHEN n_wedges > 0
+                THEN round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS global_clustering
+    FROM sizes CROSS JOIN tri
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"part_pagerank": q_part_pagerank}
+    return {
+        "part_pagerank": q_part_pagerank,
+        "copurchase_triangles": q_copurchase_triangles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {"part_pagerank": _pagerank_oracle_sql()}
+    return {
+        "part_pagerank": _pagerank_oracle_sql(),
+        "copurchase_triangles": _TRIANGLE_ORACLE,
+    }
+
+
+def triangle_stats(
+    pairs: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected graph given as unique ``a < b`` pairs.
+
+    Scale design — degree-ordered orientation: every edge is directed
+    from its lower-``(degree, id)`` endpoint to the higher, which bounds
+    each node's out-degree by O(√m) on any graph, so the wedge-building
+    self-join fans out by Σ C(out_deg, 2) instead of the unbounded
+    Σ C(deg, 2) a naive neighbor join pays on skewed hubs.  Three
+    equi-joins, all integer keys; counting is exact integer arithmetic.
+
+    Returns one row: ``n_nodes, n_edges, n_triangles, n_wedges,
+    global_clustering`` where clustering = 3·triangles / wedges
+    (wedges = Σ C(deg, 2) over the UNDIRECTED degrees).
+    """
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    deg = cache.track(
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = cache.track(
+        ed.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+        )
+    )
+    o1 = oriented.select(
+        "src", F.col("dst").alias("w1"), F.col("ddeg").alias("g1")
+    )
+    o2 = oriented.select(
+        "src", F.col("dst").alias("w2"), F.col("ddeg").alias("g2")
+    )
+    wedge = o1.join(o2, "src").filter(
+        (F.col("g1") < F.col("g2"))
+        | ((F.col("g1") == F.col("g2")) & (F.col("w1") < F.col("w2")))
+    )
+    closed = wedge.join(
+        oriented.select(
+            F.col("src").alias("w1"), F.col("dst").alias("w2")
+        ),
+        ["w1", "w2"],
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    sizes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg").cast("long")) / F.lit(2)).cast("long").alias("n_edges"),
+        F.sum(
+            (F.col("deg").cast("long") * (F.col("deg").cast("long") - 1) / 2)
+        ).cast("long").alias("n_wedges"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0)
+                    * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("global_clustering"),
+        )
+    )
