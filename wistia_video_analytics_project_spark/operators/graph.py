@@ -1,7 +1,7 @@
-"""Graph analytics over edge DataFrames: bounded-iteration PageRank.
+"""Graph analytics over edge DataFrames: PageRank + triangle census.
 
 Complements the connected-components clustering in
-:mod:`.dedup` (pointer-jumping) with a rank/centrality operator — the
+:mod:`.dedup` (pointer-jumping) with rank/centrality operators — the
 "which items matter" half of graph analysis a recommendation or
 link-quality pipeline needs next to "which items are the same".
 
@@ -10,17 +10,22 @@ Scale design: every iteration is declarative DataFrame algebra
 100 TB each iteration is one partial-aggregated shuffle keyed by node
 id. Two execution shapes:
 
-- **No dangling nodes** (every node has an out-edge — e.g. any
-  symmetrized/undirected graph): each iteration references the ranks
-  frame exactly ONCE, so all iterations chain lazily into a SINGLE
-  action — one job, ~2 stages per iteration, no driver round-trips.
-- **Dangling handling on**: the dangling-mass term reads the ranks
-  frame a second time per iteration, which would double the logical
-  plan per iteration (exponential in iterations); each iteration is
-  therefore materialized (``localCheckpoint``) — the same
+- **Symmetrized/undirected graphs** (every node has both in- and
+  out-edges, e.g. any co-occurrence graph): no dangling mass exists and
+  the in-rank aggregate already covers every node, so each iteration is
+  exactly ONE edge join + ONE aggregate referencing the ranks frame
+  once — all iterations chain lazily into a SINGLE action.
+- **Dangling handling on** (arbitrary digraphs): the dangling-mass term
+  reads the ranks frame a second time per iteration, which would double
+  the logical plan per iteration (exponential in iterations); each
+  iteration is therefore materialized (``localCheckpoint``) — the same
   iterative-algorithm shape as Lloyd's k-means in
   ``similarity.ivf_build_index`` and BPE training, with driver traffic
   bounded by the plan, never the data.
+
+The node count is collected ONCE up front (a bounded driver scalar) and
+inlined as a literal into every iteration's teleport blend — no
+per-iteration broadcast exchanges.
 
 Reference parity: the reference engine ships no graph operators; this
 is part of the large-scale training-data tier (link-graph quality
@@ -50,11 +55,14 @@ def pagerank(
     + dangling_mass/N)`` — the standard power iteration with uniform
     teleport and (optionally) dangling-node mass redistribution.
 
-    ``handle_dangling=False`` asserts every node has at least one
-    out-edge (true for any symmetrized graph) and unlocks the
-    single-action lazy chain described in the module docstring; with
-    dangling nodes present it would silently lose their rank mass, so
-    leave it on unless the graph shape guarantees none.
+    ``handle_dangling=False`` is the symmetrized-graph fast path: it
+    asserts every node has both an out-edge (no dangling mass) and an
+    in-edge (the in-rank aggregate reaches every node), which is true
+    for any undirected/symmetrized edge set.  Each iteration then
+    references the ranks frame exactly once, so the whole power
+    iteration chains lazily into one action.  On a digraph where some
+    node lacks in- or out-edges this fast path would drop that node's
+    rank — leave dangling handling on there.
 
     Returns ``(node, rank)``; ranks sum to 1 over the node set.
     """
@@ -68,16 +76,24 @@ def pagerank(
         .distinct()
     )
     outw = e.groupBy("__src").agg(F.sum("__w").alias("__out"))
-    # normalized transition fractions — reused every iteration, cache once
+    # normalized transition fractions — reused every iteration, cached
+    # PRE-PARTITIONED on the join key so the per-iteration rank join
+    # never re-exchanges the (large) edge side; only the (node-sized)
+    # rank frame moves each iteration
     norm = cache.track(
-        e.join(outw, "__src").select(
+        e.join(outw, "__src")
+        .select(
             "__src", "__dst", (F.col("__w") / F.col("__out")).alias("__frac")
         )
+        .repartition("__src")
     )
-    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
-    )
+    # bounded driver scalar, one job; inlined as a literal below so no
+    # iteration carries a broadcast of the 1-row count frame
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank"))
+    teleport = F.lit(1.0 - damping) / F.lit(float(n_nodes))
     dangling_nodes = (
         nodes.join(
             outw.select(F.col("__src").alias("node")), "node", "left_anti"
@@ -95,22 +111,22 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        new_rank = F.lit(1.0 - damping) / F.col("__n") + F.lit(damping) * (
-            F.coalesce(F.col("__in"), F.lit(0.0))
-        )
         if handle_dangling:
             dm = ranks.join(dangling_nodes, "node").agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
             )
             ranks = (
                 nodes.join(contrib, "node", "left")
-                .crossJoin(F.broadcast(n_df))
                 .crossJoin(F.broadcast(dm))
                 .select(
                     "node",
                     (
-                        new_rank
-                        + F.lit(damping) * F.col("__dm") / F.col("__n")
+                        teleport
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__in"), F.lit(0.0))
+                            + F.col("__dm") / F.lit(float(n_nodes))
+                        )
                     ).alias("rank"),
                 )
                 # ranks is read TWICE next iteration (contrib + dangling
@@ -118,12 +134,15 @@ def pagerank(
                 .localCheckpoint(eager=True)
             )
         else:
-            ranks = (
-                nodes.join(contrib, "node", "left")
-                .crossJoin(F.broadcast(n_df))
-                .select("node", new_rank.alias("rank"))
+            # symmetric contract: contrib already contains every node
+            ranks = contrib.select(
+                "node",
+                (teleport + F.lit(damping) * F.col("__in")).alias("rank"),
             )
     return ranks
+
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +175,9 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    # pair table is reused three times (both edge directions + the node
+    # count) — cache it so the expensive basket pair-gen runs once
+    pairs = cache.track(cooccurrence_pairs(li, "l_orderkey", "l_partkey"))
     half = pairs.select(
         F.col("item_a").alias("src"),
         F.col("item_b").alias("dst"),
@@ -167,6 +188,10 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
+    # node count as a bounded driver scalar (symmetric graph: src set is
+    # the node set) — scaling by a literal avoids re-deriving the whole
+    # 6-iteration lineage a second time for a count aggregate
+    n_parts = edges.select("src").distinct().count()
     pr = pagerank(
         edges,
         iterations=_PR_ITERS,
@@ -174,12 +199,12 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="w",
         handle_dangling=False,
     )
-    n1 = pr.agg(F.count(F.lit(1)).cast("double").alias("__nn"))
     return (
-        pr.crossJoin(F.broadcast(n1))
-        .select(
+        pr.select(
             F.col("node").alias("part_key"),
-            F.round(F.col("rank") * F.col("__nn"), 6).alias("scaled_rank"),
+            F.round(F.col("rank") * F.lit(float(n_parts)), 6).alias(
+                "scaled_rank"
+            ),
         )
         .orderBy(F.desc("scaled_rank"), F.asc("part_key"))
         .limit(_PR_TOP)
