@@ -2957,7 +2957,7 @@ def q_clamped_quarterly_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate once so the recursion doesn't re-scan parquet per level
     from wistia_video_analytics_project_spark.cache import track
 
-    monthly = track(monthly)
+    monthly = track(monthly.cache())
     monthly.createOrReplaceTempView("__monthly_spend")
     inflow = 14_100_000_000  # cents; ~avg quarterly spend so the clamp bites
     return spark.sql(f"""
@@ -4401,11 +4401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``revenue_concentration``, ``ewma_daily_revenue``,
     ``centroid_drift``, ``activity_streaks``,
     ``user_event_histogram_map``, ``user_behavior_entropy``), then
-    (b) any round-4 oracle-backed additions, then (c) the remaining
-    round-1 tier (``shipping_priority`` .. ``view_purchase_conversion``,
-    4 rounds stale by then), then (d) the oldest round-2-verified
-    entries — keep cycling so every oracle-backed entry re-earns a
-    driver green row every ~2-3 rounds.
+    (b) the round-4 oracle-backed additions (``part_pagerank``,
+    ``copurchase_triangles``, ``ar2_revenue_forecast``), then (c) the
+    remaining round-1 tier (``shipping_priority`` ..
+    ``view_purchase_conversion``, 4 rounds stale by then), then (d) the
+    oldest round-2-verified entries — keep cycling so every
+    oracle-backed entry re-earns a driver green row every ~2-3 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---

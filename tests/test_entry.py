@@ -42,7 +42,7 @@ def test_queries_registry_well_formed(spark):
         "holt_revenue_trend",
         # xxhash64-keyed throughput variants (DuckDB has no xxhash64);
         # equality vs their string-keyed oracle-checked twins pinned in
-        # tests/test_text.py / tests/test_dedup.py
+        # tests/test_cleaning.py / tests/test_dedup.py
         "doc_novelty_hashed",
         "duplicated_spans_hashed",
         # Newton-IRLS training loop — no SQL equivalent; numpy-reference

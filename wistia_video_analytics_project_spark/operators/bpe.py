@@ -122,13 +122,23 @@ def train_bpe(
     every merge (ready for :func:`bpe_encode`'s broadcast join).
 
     Stops early if no pair occurs more than once (nothing left worth
-    merging)."""
+    merging).
+
+    Each merge iteration materializes the rewritten word table with
+    ``localCheckpoint`` (NOT ``.cache()``): checkpointing truncates the
+    lineage so iteration ``k``'s plan is a constant-size scan of the
+    previous materialization.  A per-iteration ``.cache()`` chain would
+    nest InMemoryRelations ``k`` deep, whose explain string doubles per
+    level — at 25 merges that is a 2^25-sized plan string and a driver
+    OOM inside AQE's plan logging (observed in round 4).  The
+    checkpointed blocks are freed when the superseded table is
+    garbage-collected; the final table is still ``track``-registered so
+    ``release_caches`` stays the single cleanup hook."""
     wt = track(
-        word_frequencies(docs, text_col, min_freq).withColumn(
-            "symbols", _char_symbols(F.col("word"))
-        )
+        word_frequencies(docs, text_col, min_freq)
+        .withColumn("symbols", _char_symbols(F.col("word")))
+        .localCheckpoint(eager=True)
     )
-    wt.count()
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         best = (
@@ -141,10 +151,9 @@ def train_bpe(
             break
         left, right, n = best[0]["p"]["left"], best[0]["p"]["right"], best[0]["n"]
         merges.append((left, right, int(n)))
-        nxt = track(_apply_merge(wt, left, right))
-        nxt.count()
-        wt.unpersist()
-        wt = nxt
+        wt = track(
+            _apply_merge(wt, left, right).localCheckpoint(eager=True)
+        )
     return merges, wt
 
 

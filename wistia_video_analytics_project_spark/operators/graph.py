@@ -74,6 +74,7 @@ def pagerank(
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
+        .cache()
     )
     outw = e.groupBy("__src").agg(F.sum("__w").alias("__out"))
     # normalized transition fractions — reused every iteration, cached
@@ -86,6 +87,7 @@ def pagerank(
             "__src", "__dst", (F.col("__w") / F.col("__out")).alias("__frac")
         )
         .repartition("__src")
+        .cache()
     )
     # bounded driver scalar, one job; inlined as a literal below so no
     # iteration carries a broadcast of the 1-row count frame
@@ -177,7 +179,9 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pair table is reused three times (both edge directions + the node
     # count) — cache it so the expensive basket pair-gen runs once
-    pairs = cache.track(cooccurrence_pairs(li, "l_orderkey", "l_partkey"))
+    pairs = cache.track(
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey").cache()
+    )
     half = pairs.select(
         F.col("item_a").alias("src"),
         F.col("item_b").alias("dst"),
@@ -354,6 +358,7 @@ def triangle_stats(
         .union(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .cache()
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
@@ -366,7 +371,7 @@ def triangle_stats(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
-        )
+        ).cache()
     )
     o1 = oriented.select(
         "src", F.col("dst").alias("w1"), F.col("ddeg").alias("g1")

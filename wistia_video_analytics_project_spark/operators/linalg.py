@@ -392,7 +392,7 @@ def logistic_train(
     feats = cache.track(
         df.select(
             F.col(vec_col).alias("__v"), F.col(y_col).cast("double").alias("__y")
-        )
+        ).cache()
     )
     w = np.zeros(aug, dtype=np.float64)
     losses: list[float] = []

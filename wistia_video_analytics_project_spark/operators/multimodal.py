@@ -139,7 +139,15 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
     """Reverse the per-scanline PNG filters (None/Sub/Up/Average/Paeth)
-    over ``h`` scanlines of ``stride`` bytes each -> (h, stride) uint8."""
+    over ``h`` scanlines of ``stride`` bytes each -> (h, stride) uint8.
+
+    None/Up/Sub are fully vectorized (Up has no left dependency; Sub is
+    a per-channel-lane prefix sum mod 256).  Average and Paeth depend on
+    BOTH the left and up neighbors, which is an inherently sequential
+    left-to-right recurrence — those scanlines fall back to a per-byte
+    loop, so images whose encoder leaned on Paeth/Average decode at
+    interpreter speed, not numpy speed (fine for thumbnails/fixtures;
+    a production image pipeline brings a codec library)."""
     import numpy as np
 
     out = np.empty((h, stride), dtype=np.uint8)
@@ -153,9 +161,12 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
             pass
         elif ft == 2:  # Up — vectorized (no left dependency)
             cur += prev
-        elif ft == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif ft == 1:  # Sub — per-lane prefix sum mod 256, vectorized
+            n_px = stride // bpp
+            lanes = cur[: n_px * bpp].reshape(n_px, bpp).astype(np.int64)
+            cur[: n_px * bpp] = (
+                lanes.cumsum(axis=0) & 0xFF
+            ).astype(np.uint8).reshape(-1)
         elif ft == 3:  # Average
             for i in range(stride):
                 left = int(cur[i - bpp]) if i >= bpp else 0
