@@ -602,3 +602,27 @@ def test_doc_novelty_hashed_keys_on_longs(spark):
     plan = plans.executed_plan(fn(spark, SF_SMOKE))
     assert "xxhash64" in plan, plan[:3000]
     assert len(re.findall(r"partial_", plan)) >= 2, plan[:3000]
+
+
+def test_logistic_stats_partial_aggregates_and_bounded_rows(spark):
+    """logistic_stats_flat: the Arrow partial produces (dim+1)²+dim+3
+    rows per partition and the merging aggregate partial-aggregates
+    before its exchange — the collect stays dim-bounded at any scale."""
+    import re
+
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import linalg
+    from wistia_video_analytics_project_spark.sources.readers import load_table
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "y", (F.col("label") >= 5).cast("double")
+    )
+    flat = linalg.logistic_stats_flat(
+        emb, "embedding", "y", np.zeros(65), 64
+    )
+    plan = plans.executed_plan(flat)
+    assert len(re.findall(r"partial_", plan)) >= 1, plan[:3000]
+    assert flat.count() == 65 * 65 + 65 + 2
