@@ -4288,8 +4288,9 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wistia_video_analytics_project_spark.operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    merges, wt = bpe.train_bpe(docs, num_merges=20)
-    wt.unpersist()
+    # train_bpe's word table is localCheckpointed (GC-managed blocks);
+    # dropping the reference is the cleanup
+    merges, _wt = bpe.train_bpe(docs, num_merges=20)
     return bpe.merges_frame(spark, merges)
 
 

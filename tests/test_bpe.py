@@ -73,7 +73,6 @@ def test_train_bpe_matches_reference_exactly(spark):
     # trained symbol sequences agree for every vocab word
     got_vocab = {r.word: list(r.symbols) for r in wt.collect()}
     assert got_vocab == ref_vocab
-    wt.unpersist()
 
 
 def test_bpe_encode_roundtrip_and_oov(spark):
@@ -102,7 +101,6 @@ def test_bpe_encode_roundtrip_and_oov(spark):
     )
     [row] = bpe.bpe_encode(oov, wt).collect()
     assert list(row.bpe_tokens) == ["z", "z", "y", "z", "x", "q", bpe.EOW]
-    wt.unpersist()
 
 
 def test_merges_frame_shape(spark):
@@ -124,4 +122,3 @@ def test_tokenizer_save_load_roundtrip(spark, tmp_path):
     a = {r.doc_id: list(r.bpe_tokens) for r in bpe.bpe_encode(docs, wt).collect()}
     b = {r.doc_id: list(r.bpe_tokens) for r in bpe.bpe_encode(docs, wt2).collect()}
     assert a == b
-    wt.unpersist()

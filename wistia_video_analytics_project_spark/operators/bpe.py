@@ -8,7 +8,7 @@ training actually scales:
   FREQUENCY table (Sennrich et al., 2016 — merges depend only on word
   counts), so the 100 TB corpus is touched exactly once (a tokenize +
   groupBy shuffle).  Every merge iteration runs over the vocab-sized
-  word table (≪ corpus, cached), never the corpus.
+  word table (≪ corpus, checkpointed), never the corpus.
 - **Merge decisions are global argmaxes** — each iteration collects
   exactly ONE row (the best pair) to the driver; the symbol rewrite
   runs distributed as an Arrow-batched pandas UDF over the word table.
@@ -42,7 +42,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..cache import track
 from .text import tokens
 
 #: end-of-word sentinel symbol (Sennrich-style)
@@ -130,11 +129,14 @@ def train_bpe(
     previous materialization.  A per-iteration ``.cache()`` chain would
     nest InMemoryRelations ``k`` deep, whose explain string doubles per
     level — at 25 merges that is a 2^25-sized plan string and a driver
-    OOM inside AQE's plan logging (observed in round 4).  The
-    checkpointed blocks are freed when the superseded table is
-    garbage-collected; the final table is still ``track``-registered so
-    ``release_caches`` stays the single cleanup hook."""
-    wt = track(
+    OOM inside AQE's plan logging (observed in round 4).  Checkpoint
+    block lifetime is GC-managed: ``DataFrame.unpersist`` is a no-op on
+    checkpointed plans, so nothing here is ``track``-registered (a
+    registry entry would PIN the superseded tables via its strong
+    reference); dropping the loop reference each iteration lets the
+    ContextCleaner free the old blocks, keeping at most two word tables
+    live during training."""
+    wt = (
         word_frequencies(docs, text_col, min_freq)
         .withColumn("symbols", _char_symbols(F.col("word")))
         .localCheckpoint(eager=True)
@@ -151,9 +153,7 @@ def train_bpe(
             break
         left, right, n = best[0]["p"]["left"], best[0]["p"]["right"], best[0]["n"]
         merges.append((left, right, int(n)))
-        wt = track(
-            _apply_merge(wt, left, right).localCheckpoint(eager=True)
-        )
+        wt = _apply_merge(wt, left, right).localCheckpoint(eager=True)
     return merges, wt
 
 

@@ -97,8 +97,10 @@ def pagerank(
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank"))
     teleport = F.lit(1.0 - damping) / F.lit(float(n_nodes))
     dangling_nodes = (
-        nodes.join(
-            outw.select(F.col("__src").alias("node")), "node", "left_anti"
+        cache.track(
+            nodes.join(
+                outw.select(F.col("__src").alias("node")), "node", "left_anti"
+            ).cache()
         )
         if handle_dangling
         else None
