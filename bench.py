@@ -137,6 +137,7 @@ SECONDARY = [
     "quality_classifier_train",
     "ar2_revenue_forecast",
     "copurchase_triangles",
+    "copurchase_core3",
     "activity_streaks",
     "user_event_histogram_map",
     "user_behavior_entropy",

@@ -95,3 +95,24 @@ def test_triangle_stats_triangle_free(spark):
     row = graph.triangle_stats(df).collect()[0]
     assert row.n_triangles == 0 and row.n_wedges == 10
     assert row.global_clustering == 0.0
+
+
+def test_k_core_peels_to_dense_backbone(spark):
+    """K4 plus a pendant chain: the 3-core is exactly the K4 (every
+    survivor at degree 3); the chain peels away over multiple rounds."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(k4 + chain, "a long, b long")
+    got = {r.node: r.core_degree for r in graph.k_core(df, 3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 2-core of a triangle with a tail = the triangle
+    tri = [(1, 2), (2, 3), (1, 3), (3, 9), (9, 10)]
+    df = spark.createDataFrame(tri, "a long, b long")
+    got = {r.node: r.core_degree for r in graph.k_core(df, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_empty_when_k_exceeds_density(spark):
+    tri = [(1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(tri, "a long, b long")
+    assert graph.k_core(df, 3).count() == 0

@@ -149,6 +149,60 @@ def pagerank(
 
 
 
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """``k``-core of an undirected graph (unique ``a < b`` pairs):
+    iteratively peel nodes of degree < ``k`` until fixpoint (or
+    ``max_rounds``).  Returns the surviving nodes with their in-core
+    degree — the dense-subgraph trim used to drop weakly-connected
+    periphery from web/link graphs before expensive downstream work.
+
+    Each peel round is one degree aggregate + two semi-join filters on
+    integer node keys.  The edge frame is referenced three times per
+    round, so every round materializes via ``localCheckpoint`` (lineage
+    truncation — NOT a cache chain, see ``bpe.train_bpe``) and the
+    driver checks the edge count for early exit; rounds after
+    convergence are idempotent, so a fixed ``max_rounds`` contract
+    stays deterministic (and oracle-comparable) regardless of where
+    early exit fires."""
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint(
+        eager=True
+    )
+    n_edges = e.count()
+    for _ in range(int(max_rounds)):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e2 = (
+            e.join(keep.select(F.col("node").alias("u")), "u")
+            .join(keep.select(F.col("node").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:  # fixpoint: further rounds are idempotent
+            break
+        n_edges = n2
+    return (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract bindings (TPC-H-ish tables, FIXTURES.md §B)
 # ---------------------------------------------------------------------------
@@ -323,10 +377,71 @@ _TRIANGLE_ORACLE = """
 """
 
 
+
+
+_CORE_K = 3
+_CORE_ROUNDS = 12
+_CORE_TOP = 50
+
+
+def q_copurchase_core3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the strong co-purchase graph: the dense backbone left
+    after 12 peel rounds (converged at both gate SFs; extra rounds are
+    idempotent, so the fixed-round contract matches the unrolled-CTE
+    oracle exactly).  Top-50 surviving parts by in-core degree."""
+    configure_runtime(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey").filter(
+        F.col("pair_count") >= 2
+    )
+    core = k_core(pairs, _CORE_K, a="item_a", b="item_b",
+                  max_rounds=_CORE_ROUNDS)
+    return (
+        core.select(F.col("node").alias("part_key"), "core_degree")
+        .orderBy(F.desc("core_degree"), F.asc("part_key"))
+        .limit(_CORE_TOP)
+    )
+
+
+def _kcore_oracle_sql() -> str:
+    """Fixed-round peeling unrolled as chained CTEs (DuckDB disallows
+    aggregates in recursive CTEs).  Every CTE is MATERIALIZED: each peel round references its predecessor three times, and inlining would re-expand the parquet scan 3^rounds times (observed as a too-many-open-files failure).  All-integer arithmetic."""
+    sql = """
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS MATERIALIZED (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e0 AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pairs)"""
+    for i in range(1, _CORE_ROUNDS + 1):
+        sql += f""",
+        d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+                   SELECT u AS node FROM e{i - 1}
+                   UNION ALL SELECT v FROM e{i - 1}) GROUP BY 1),
+        k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {_CORE_K}),
+        e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i - 1} e
+                 JOIN k{i} x ON e.u = x.node
+                 JOIN k{i} y ON e.v = y.node)"""
+    sql += f"""
+        SELECT node AS part_key, CAST(count(*) AS BIGINT) AS core_degree
+        FROM (SELECT u AS node FROM e{_CORE_ROUNDS}
+              UNION ALL SELECT v FROM e{_CORE_ROUNDS})
+        GROUP BY 1
+        ORDER BY core_degree DESC, part_key ASC
+        LIMIT {_CORE_TOP}"""
+    return sql
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "part_pagerank": q_part_pagerank,
         "copurchase_triangles": q_copurchase_triangles,
+        "copurchase_core3": q_copurchase_core3,
     }
 
 
@@ -334,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "part_pagerank": _pagerank_oracle_sql(),
         "copurchase_triangles": _TRIANGLE_ORACLE,
+        "copurchase_core3": _kcore_oracle_sql(),
     }
 
 
