@@ -90,6 +90,7 @@ SECONDARY = [
     "time_to_purchase",
     # round-3 operators
     "lm_bits_per_token",
+    "dsir_importance",
     "dedup_winnow",
     "source_divergence",
     "streaming_sessions",

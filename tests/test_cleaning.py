@@ -238,3 +238,27 @@ def test_doc_novelty_hashed_matches_string_path(spark):
     got = {(r.doc_id, r.n_grams, r.novelty)
            for r in text_ops.doc_novelty(docs, n=5, hashed=True).collect()}
     assert want and got == want
+
+
+def test_dsir_importance_favors_target_language(spark):
+    """Cross-scored LM importance: an English doc scores a higher
+    llr (more target-like) than same-corpus non-English docs on
+    average, and the self-trained path is unchanged by the train_docs
+    parameter default."""
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    corpus = {r.doc_id: r.bits_per_token
+              for r in text_ops.lm_bits_per_token(docs).collect()}
+    cross = {r.doc_id: r.bits_per_token
+             for r in text_ops.lm_bits_per_token(
+                 docs, train_docs=target).collect()}
+    assert set(corpus) == set(cross)
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    llr = {d: corpus[d] - cross[d] for d in corpus}
+    import statistics
+
+    en = [v for d, v in llr.items() if langs[d] == "en"]
+    other = [v for d, v in llr.items() if langs[d] != "en"]
+    assert statistics.mean(en) > statistics.mean(other)

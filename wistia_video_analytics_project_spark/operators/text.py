@@ -373,6 +373,7 @@ def lm_bits_per_token(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: float = 0.5,
+    train_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Bigram language-model cross-entropy per document — the
     CCNet/KenLM-style quality signal used to filter web corpora for LLM
@@ -392,32 +393,52 @@ def lm_bits_per_token(
     per-doc agg. No UDFs, no driver-side state — ``V`` rides along as a
     1-row broadcast cross join.
 
+    ``train_docs`` (default: ``docs`` itself) is the corpus the model
+    counts come from — pass a different frame to score one corpus under
+    another corpus's LM (the cross-scoring DSIR importance weighting
+    needs).  Bigrams/contexts unseen in training back off to the add-k
+    floor (count 0), which is exactly the smoothed formula with zero
+    counts; when training == scoring corpus every bigram is present and
+    the behavior is unchanged.
+
     Documents with fewer than two tokens have no bigrams and are
     excluded. Results round to 4 decimals (sum-of-logs noise ~1e-12).
     """
-    toks = tokens(text_col)
-    base = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), toks.alias("__t")
-    ).filter(F.size("__t") >= 2)
-    bg = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__t) - 1), i -> "
-                "struct(element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2))"
-            )
-        ).alias("__b"),
-    ).select("doc_id", "__b.w1", "__b.w2")
-    bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
-    context_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__cc"))
+
+    def _bigrams(frame):
+        toks = tokens(text_col)
+        base = frame.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc_id"), toks.alias("__t")
+        ).filter(F.size("__t") >= 2)
+        bg = base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1), i -> "
+                    "struct(element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2))"
+                )
+            ).alias("__b"),
+        ).select("doc_id", "__b.w1", "__b.w2")
+        return base, bg
+
+    score_base, bg = _bigrams(docs)
+    train_base, train_bg = (
+        _bigrams(train_docs) if train_docs is not None else (score_base, bg)
+    )
+    bigram_counts = train_bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    context_counts = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__cc"))
     vocab = (
-        base.select(F.explode("__t").alias("w"))
+        train_base.select(F.explode("__t").alias("w"))
         .agg(F.count_distinct("w").cast("double").alias("__v"))
     )
-    p = (F.col("__cb") + F.lit(k)) / (F.col("__cc") + F.lit(k) * F.col("__v"))
+    cb = F.coalesce(F.col("__cb"), F.lit(0)).cast("double")
+    cc = F.coalesce(F.col("__cc"), F.lit(0)).cast("double")
+    p = (cb + F.lit(k)) / (cc + F.lit(k) * F.col("__v"))
     return (
-        bg.join(bigram_counts, ["w1", "w2"])
-        .join(context_counts, "w1")
+        bg.join(bigram_counts, ["w1", "w2"], "left")
+        .join(context_counts, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
@@ -597,6 +618,39 @@ def q_doc_novelty_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_novelty(_docs(spark, sf_dir), n=5, hashed=True)
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting ("Data Selection for Language
+    Models via Importance Resampling", Xie et al. 2023): score every
+    document under a TARGET-domain bigram LM (here: the English subset)
+    and under the corpus LM; the per-token log-likelihood ratio
+    ``bits_corpus − bits_target`` is the importance signal — positive
+    means the doc looks more target-like than the corpus average, and
+    feeding ``2^(n·llr)`` weights to the existing weighted sampler IS
+    importance resampling.  Two passes of the same LM machinery
+    (cross-scoring via ``train_docs``), one join; top-100 by (llr desc,
+    doc_id) after round-4 on both bit scores."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    corpus_bits = lm_bits_per_token(docs)
+    target_bits = (
+        lm_bits_per_token(docs, train_docs=target)
+        .withColumnRenamed("bits_per_token", "bits_target")
+        .drop("n_bigrams")
+    )
+    return (
+        corpus_bits.join(target_bits, "doc_id")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("bits_per_token") - F.col("bits_target"), 4
+            ).alias("llr_per_token"),
+        )
+        .orderBy(F.desc("llr_per_token"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram JSD vs the corpus (mixture drift monitor)."""
     return source_divergence(_docs(spark, sf_dir))
@@ -644,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "similar_documents": q_similar_documents,
         "lm_bits_per_token": q_lm_bits_per_token,
+        "dsir_importance": q_dsir_importance,
         "source_divergence": q_source_divergence,
         "bm25_search": q_bm25_search,
         "doc_novelty": q_doc_novelty,
@@ -848,6 +903,54 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY tfidf DESC, term ASC) AS rnk
               FROM scored)
             WHERE rnk <= 3
+        """,
+
+        "dsir_importance": """
+            WITH base AS (
+              SELECT doc_id, lang,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents
+              WHERE text IS NOT NULL
+                AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 2),
+            e AS (
+              SELECT doc_id, lang, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i
+              FROM base),
+            bg AS (
+              SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+              FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+            cc AS (SELECT w1, count(*) AS cc FROM bg GROUP BY 1),
+            v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs FROM e),
+            tbc AS (SELECT w1, w2, count(*) AS cb FROM bg
+                    WHERE lang = 'en' GROUP BY 1, 2),
+            tcc AS (SELECT w1, count(*) AS cc FROM bg
+                    WHERE lang = 'en' GROUP BY 1),
+            tv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs FROM e
+                   WHERE lang = 'en'),
+            corpus AS (
+              SELECT bg.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(-sum(log2((cb + CAST(0.5 AS DOUBLE))
+                                     / (cc + CAST(0.5 AS DOUBLE) * vs)))
+                           / count(*), 4) AS bits_corpus
+              FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+              GROUP BY 1),
+            tgt AS (
+              SELECT bg.doc_id,
+                     round(-sum(log2((CAST(coalesce(tbc.cb, 0) AS DOUBLE)
+                                      + CAST(0.5 AS DOUBLE))
+                                     / (CAST(coalesce(tcc.cc, 0) AS DOUBLE)
+                                        + CAST(0.5 AS DOUBLE) * tv.vs)))
+                           / count(*), 4) AS bits_target
+              FROM bg LEFT JOIN tbc USING (w1, w2) LEFT JOIN tcc USING (w1)
+              CROSS JOIN tv
+              GROUP BY 1)
+            SELECT corpus.doc_id, n_bigrams,
+                   round(bits_corpus - bits_target, 4) AS llr_per_token
+            FROM corpus JOIN tgt USING (doc_id)
+            ORDER BY llr_per_token DESC, doc_id ASC
+            LIMIT 100
         """,
         "lm_bits_per_token": """
             WITH base AS (
