@@ -91,6 +91,7 @@ SECONDARY = [
     # round-3 operators
     "lm_bits_per_token",
     "dsir_importance",
+    "hard_negative_pairs",
     "dedup_winnow",
     "source_divergence",
     "streaming_sessions",

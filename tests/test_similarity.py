@@ -388,3 +388,24 @@ def test_pq_index_persist_query_recall(spark, tmp_path):
     full_rows = {(r.query_id, r.neighbor_id, r.cosine_sim) for r in full.collect()}
     exact_rows = {(r.query_id, r.neighbor_id, r.cosine_sim) for r in exact.collect()}
     assert full_rows == exact_rows
+
+
+def test_hard_negatives_labels_always_differ(spark):
+    """Every mined pair crosses a label boundary, ranks are dense per
+    query, and each negative is at least as similar as the next rank."""
+    from wistia_video_analytics_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = similarity.hard_negatives(
+        emb.filter(F.col("vec_id") < 10), emb, k=3
+    ).collect()
+    assert len(out) == 30
+    by_q = {}
+    for r in out:
+        assert r.query_label != r.neighbor_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == [1, 2, 3]
+        sims = [r.cosine_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)

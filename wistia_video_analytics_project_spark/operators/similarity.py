@@ -115,6 +115,56 @@ def brute_force_topk(
     )
 
 
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-``k`` most-similar corpus vectors whose LABEL differs —
+    the near-boundary negatives a metric-learning / embedding-training
+    pipeline feeds its loss.  Same broadcast + windowed-rank shape as
+    :func:`brute_force_topk` (the exact baseline); at corpus scale swap
+    the candidate generator for the IVF/SRP paths and keep the
+    label-mismatch filter, which runs BEFORE ranking either way."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        F.col(vec_col).alias("__cv"),
+    )
+    from pyspark.sql import Window
+
+    q_side = F.broadcast(q) if broadcast_queries else q
+    scored = c.join(q_side, F.col("__ql") != F.col("__cl")).select(
+        "query_id",
+        F.col("__ql").alias("query_label"),
+        "neighbor_id",
+        F.col("__cl").alias("neighbor_label"),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cosine_sim", "rnk",
+        )
+    )
+
+
 def cosine_pairs(
     vecs: DataFrame,
     threshold: float,
@@ -1135,6 +1185,16 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries_df, emb, k=5)
 
 
+def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: for the first 10 vectors, the top-3
+    most-similar vectors of a DIFFERENT label (exact path — the
+    oracle-checkable baseline; the IVF/SRP candidate generators are the
+    corpus-scale swap)."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return hard_negatives(queries_df, emb, k=3)
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded slice: exact all-pairs is the oracle path, not the scale path
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
@@ -1187,6 +1247,7 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_brute_force": q_ann_brute_force,
+        "hard_negative_pairs": q_hard_negative_pairs,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         # approximate; driver records rows-only, recall vs brute force /
@@ -1233,6 +1294,33 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
               FROM sims)
             WHERE rnk <= 5
+        """,
+        "hard_negative_pairs": f"""
+            WITH {_COSINE_CTES},
+            lbl AS (SELECT vec_id, label FROM embeddings),
+            dots AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     sum(a.v * b.v) AS dp
+              FROM e a JOIN e b ON a.i = b.i
+              WHERE a.vec_id < 10
+              GROUP BY 1, 2),
+            sims AS (
+              SELECT query_id, ql.label AS query_label,
+                     neighbor_id, nl.label AS neighbor_label,
+                     round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
+              FROM dots
+              JOIN norms na ON query_id = na.vec_id
+              JOIN norms nb ON neighbor_id = nb.vec_id
+              JOIN lbl ql ON query_id = ql.vec_id
+              JOIN lbl nl ON neighbor_id = nl.vec_id
+              WHERE ql.label <> nl.label)
+            SELECT query_id, query_label, neighbor_id, neighbor_label,
+                   cosine_sim, rnk FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+              FROM sims)
+            WHERE rnk <= 3
         """,
         "embedding_cosine_pairs": f"""
             WITH {_COSINE_CTES},
