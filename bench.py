@@ -136,6 +136,7 @@ SECONDARY = [
     "doc_novelty",
     "doc_novelty_hashed",
     "part_pagerank",
+    "brand_part_ppr",
     "quality_classifier_train",
     "ar2_revenue_forecast",
     "copurchase_triangles",

@@ -116,3 +116,63 @@ def test_k_core_empty_when_k_exceeds_density(spark):
     tri = [(1, 2), (2, 3), (1, 3)]
     df = spark.createDataFrame(tri, "a long, b long")
     assert graph.k_core(df, 3).count() == 0
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    """Seeded teleport: mass concentrates near the seed set, matches an
+    in-memory reference in both execution modes, and still sums to 1."""
+
+    def ref_ppr(edges, seeds, d=0.85, iters=8):
+        nodes = sorted({u for u, v, w in edges} | {v for u, v, w in edges})
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        out = np.zeros(n)
+        for u, v, w in edges:
+            out[idx[u]] += w
+        tu = np.array([1.0 / len(seeds) if x in seeds else 0.0 for x in nodes])
+        r = tu.copy()
+        for _ in range(iters):
+            new = (1 - d) * tu
+            dm = float(r[out == 0].sum())
+            for u, v, w in edges:
+                new[idx[v]] += d * r[idx[u]] * w / out[idx[u]]
+            new += d * dm * tu
+            r = new
+        return {x: float(r[idx[x]]) for x in nodes}
+
+    base = [(1, 2, 1.0), (2, 3, 3.0), (1, 3, 1.0), (3, 4, 2.0)]
+    edges = base + [(v, u, w) for u, v, w in base]
+    seeds = {1}
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    sdf = spark.createDataFrame([(1,)], "node long")
+    want = ref_ppr(edges, seeds, iters=8)
+    for dangling in (False, True):
+        got = {
+            r.node: r.rank
+            for r in graph.pagerank(
+                df, iterations=8, weight="w", handle_dangling=dangling,
+                seeds=sdf,
+            ).collect()
+        }
+        for node in want:
+            assert got[node] == pytest.approx(want[node], abs=1e-12), (
+                dangling, node,
+            )
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # relevance is seed-centric: the seed outranks the far node
+    assert got[1] > got[4]
+
+    # dangling digraph: mass returns to the seed, never vanishes
+    dg = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, w double"
+    )
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(
+            dg, iterations=10, weight="w", seeds=sdf
+        ).collect()
+    }
+    want = ref_ppr([(1, 2, 1.0), (2, 3, 1.0)], {1}, iters=10)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12), node
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)

@@ -48,6 +48,7 @@ def pagerank(
     dst: str = "dst",
     weight: str | None = None,
     handle_dangling: bool = True,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank with teleport, fixed ``iterations``.
 
@@ -63,6 +64,15 @@ def pagerank(
     iteration chains lazily into one action.  On a digraph where some
     node lacks in- or out-edges this fast path would drop that node's
     rank — leave dangling handling on there.
+
+    ``seeds`` switches to PERSONALIZED PageRank: teleport (and, with
+    dangling handling, redistributed dangling mass) lands uniformly on
+    the seed node set instead of all nodes, and the iteration starts
+    from the seed distribution — ranks become relevance-to-the-seeds.
+    Pass a 1-column frame of node ids; seeds outside the graph are
+    ignored.  The seeded teleport rides a cached per-node column
+    (one extra node-keyed join per iteration), so the symmetric lazy
+    chain is preserved.
 
     Returns ``(node, rank)``; ranks sum to 1 over the node set.
     """
@@ -94,8 +104,32 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank"))
-    teleport = F.lit(1.0 - damping) / F.lit(float(n_nodes))
+    tele = None
+    if seeds is not None:
+        seed_nodes = nodes.join(
+            seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
+            "node",
+            "left_semi",
+        )
+        n_seeds = seed_nodes.count()
+        if n_seeds == 0:
+            raise ValueError("no seed node appears in the edge set")
+        tele = cache.track(
+            nodes.join(
+                seed_nodes.select("node", F.lit(1.0 / float(n_seeds)).alias("__tu")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("__tu"), F.lit(0.0)).alias("__tu"))
+            .cache()
+        )
+        ranks = tele.select("node", F.col("__tu").alias("rank"))
+        teleport = F.lit(1.0 - damping) * F.col("__tu")
+    else:
+        ranks = nodes.select(
+            "node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
+        )
+        teleport = F.lit(1.0 - damping) / F.lit(float(n_nodes))
     dangling_nodes = (
         cache.track(
             nodes.join(
@@ -119,9 +153,14 @@ def pagerank(
             dm = ranks.join(dangling_nodes, "node").agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
             )
+            base = nodes.join(contrib, "node", "left")
+            if tele is not None:
+                base = base.join(tele, "node")
+                dangling_share = F.col("__dm") * F.col("__tu")
+            else:
+                dangling_share = F.col("__dm") / F.lit(float(n_nodes))
             ranks = (
-                nodes.join(contrib, "node", "left")
-                .crossJoin(F.broadcast(dm))
+                base.crossJoin(F.broadcast(dm))
                 .select(
                     "node",
                     (
@@ -129,7 +168,7 @@ def pagerank(
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("__in"), F.lit(0.0))
-                            + F.col("__dm") / F.lit(float(n_nodes))
+                            + dangling_share
                         )
                     ).alias("rank"),
                 )
@@ -139,7 +178,8 @@ def pagerank(
             )
         else:
             # symmetric contract: contrib already contains every node
-            ranks = contrib.select(
+            base = contrib.join(tele, "node") if tele is not None else contrib
+            ranks = base.select(
                 "node",
                 (teleport + F.lit(damping) * F.col("__in")).alias("rank"),
             )
@@ -437,9 +477,121 @@ def _kcore_oracle_sql() -> str:
     return sql
 
 
+
+
+_PPR_BRAND = "Brand#11"
+
+
+def q_brand_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: relevance of every part to the
+    ``Brand#11`` seed set over the co-purchase graph — the
+    topic-sensitive variant (teleport lands only on seed parts), i.e.
+    "what does this brand's basket neighborhood look like".  Same
+    single-action symmetric chain as ``part_pagerank``; ranks scaled by
+    N (lift vs the uniform distribution) and rounded before the top-50
+    ordering."""
+    configure_runtime(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = cache.track(
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey").cache()
+    )
+    half = pairs.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("pair_count").cast("double").alias("w"),
+    )
+    edges = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    n_parts = edges.select("src").distinct().count()
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _PPR_BRAND)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    pr = pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        weight="w",
+        handle_dangling=False,
+        seeds=seeds,
+    )
+    return (
+        pr.select(
+            F.col("node").alias("part_key"),
+            F.round(F.col("rank") * F.lit(float(n_parts)), 6).alias(
+                "relevance_lift"
+            ),
+        )
+        .orderBy(F.desc("relevance_lift"), F.asc("part_key"))
+        .limit(_PR_TOP)
+    )
+
+
+def _ppr_oracle_sql() -> str:
+    """Seeded unrolled power iteration: teleport rides a per-node tu
+    column (1/|S| on graph-member seeds, 0 elsewhere) instead of the
+    uniform 1/N literal."""
+    d = repr(float(_PR_DAMPING))
+    t = repr(1.0 - float(_PR_DAMPING))
+    sql = f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(count(*) AS DOUBLE) AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        edges AS (SELECT pa AS src, pb AS dst, w FROM pairs
+                  UNION ALL SELECT pb, pa, w FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        outw AS (SELECT src, sum(w) AS o FROM edges GROUP BY 1),
+        norm AS (SELECT e.src, e.dst, e.w / o.o AS frac
+                 FROM edges e JOIN outw o ON e.src = o.src),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        gseeds AS (SELECT n.node FROM nodes n
+                   JOIN (SELECT DISTINCT p_partkey AS node FROM part
+                         WHERE p_brand = '{_PPR_BRAND}') s
+                     ON n.node = s.node),
+        ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM gseeds),
+        tu AS (SELECT n.node,
+                      CASE WHEN g.node IS NOT NULL
+                           THEN CAST(1.0 AS DOUBLE) / (SELECT s FROM ns)
+                           ELSE CAST(0.0 AS DOUBLE) END AS tu
+               FROM nodes n LEFT JOIN gseeds g ON n.node = g.node),
+        r0 AS (SELECT node, tu AS rank FROM tu)"""
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+        r{i} AS (
+          SELECT t.node,
+                 CAST({t} AS DOUBLE) * t.tu
+                 + CAST({d} AS DOUBLE)
+                   * COALESCE(c.i, CAST(0.0 AS DOUBLE)) AS rank
+          FROM tu t LEFT JOIN (
+            SELECT nm.dst AS node, sum(nm.frac * r.rank) AS i
+            FROM norm nm JOIN r{i - 1} r ON nm.src = r.node
+            GROUP BY 1) c
+          ON t.node = c.node)"""
+    sql += f"""
+        SELECT node AS part_key,
+               round(rank * (SELECT n FROM nn), 6) AS relevance_lift
+        FROM r{_PR_ITERS}
+        ORDER BY relevance_lift DESC, part_key ASC
+        LIMIT {_PR_TOP}"""
+    return sql
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "part_pagerank": q_part_pagerank,
+        "brand_part_ppr": q_brand_part_ppr,
         "copurchase_triangles": q_copurchase_triangles,
         "copurchase_core3": q_copurchase_core3,
     }
@@ -448,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "part_pagerank": _pagerank_oracle_sql(),
+        "brand_part_ppr": _ppr_oracle_sql(),
         "copurchase_triangles": _TRIANGLE_ORACLE,
         "copurchase_core3": _kcore_oracle_sql(),
     }
