@@ -262,3 +262,16 @@ def test_dsir_importance_favors_target_language(spark):
     en = [v for d, v in llr.items() if langs[d] == "en"]
     other = [v for d, v in llr.items() if langs[d] != "en"]
     assert statistics.mean(en) > statistics.mean(other)
+
+
+def test_lm_cross_scoring_rejects_empty_training_corpus(spark):
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "two tokens here")], "doc_id long, text string"
+    )
+    empty_train = spark.createDataFrame(
+        [(9, "one"), (10, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="train_docs"):
+        text_ops.lm_bits_per_token(docs, train_docs=empty_train).collect()

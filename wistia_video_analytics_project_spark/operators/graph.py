@@ -255,26 +255,16 @@ from ..session import configure_runtime  # noqa: E402
 from ..sources import load_table  # noqa: E402
 from .analytics import cooccurrence_pairs  # noqa: E402
 
-_PR_ITERS = 6
-_PR_DAMPING = 0.85
-_PR_TOP = 50
-
-
-def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank centrality over the part co-purchase graph: parts are
-    nodes, edge weight = number of orders the pair co-occurs in
-    (symmetrized, so no dangling nodes and the whole power iteration is
-    ONE lazily-chained action).  Ranks scaled by N (≈1.0 for an average
-    part) and rounded to 6 decimals BEFORE the top-50 ordering so the
-    limit boundary is deterministic cross-engine."""
-    configure_runtime(spark)
+def _copurchase_edges(spark: SparkSession, sf_dir: str):
+    """Shared co-purchase graph construction for the PageRank-family
+    bindings: distinct (order, part) -> cached pair table -> symmetrized
+    weighted edges + the node count as a bounded driver scalar.  One
+    definition so part_pagerank and brand_part_ppr can never drift."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    # pair table is reused three times (both edge directions + the node
-    # count) — cache it so the expensive basket pair-gen runs once
     pairs = cache.track(
         cooccurrence_pairs(li, "l_orderkey", "l_partkey").cache()
     )
@@ -288,10 +278,43 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    # node count as a bounded driver scalar (symmetric graph: src set is
-    # the node set) — scaling by a literal avoids re-deriving the whole
-    # 6-iteration lineage a second time for a count aggregate
     n_parts = edges.select("src").distinct().count()
+    return edges, n_parts
+
+
+#: shared oracle CTE prefix: the co-purchase edge graph + normalized
+#: transition fractions (mirrors _copurchase_edges + pagerank's norm)
+_COPURCHASE_CTES = """
+        li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(count(*) AS DOUBLE) AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        edges AS (SELECT pa AS src, pb AS dst, w FROM pairs
+                  UNION ALL SELECT pb, pa, w FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        outw AS (SELECT src, sum(w) AS o FROM edges GROUP BY 1),
+        norm AS (SELECT e.src, e.dst, e.w / o.o AS frac
+                 FROM edges e JOIN outw o ON e.src = o.src),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)"""
+
+
+_PR_ITERS = 6
+_PR_DAMPING = 0.85
+_PR_TOP = 50
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the part co-purchase graph: parts are
+    nodes, edge weight = number of orders the pair co-occurs in
+    (symmetrized, so no dangling nodes and the whole power iteration is
+    ONE lazily-chained action).  Ranks scaled by N (≈1.0 for an average
+    part) and rounded to 6 decimals BEFORE the top-50 ordering so the
+    limit boundary is deterministic cross-engine."""
+    configure_runtime(spark)
+    edges, n_parts = _copurchase_edges(spark, sf_dir)
     pr = pagerank(
         edges,
         iterations=_PR_ITERS,
@@ -319,21 +342,8 @@ def _pagerank_oracle_sql() -> str:
     absorbs float sum-order drift (~1e-13 after 6 iterations)."""
     d = repr(float(_PR_DAMPING))
     t = repr(1.0 - float(_PR_DAMPING))
-    sql = """
-        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        pairs AS (
-          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-                 CAST(count(*) AS DOUBLE) AS w
-          FROM li a JOIN li b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY 1, 2),
-        edges AS (SELECT pa AS src, pb AS dst, w FROM pairs
-                  UNION ALL SELECT pb, pa, w FROM pairs),
-        nodes AS (SELECT DISTINCT src AS node FROM edges),
-        outw AS (SELECT src, sum(w) AS o FROM edges GROUP BY 1),
-        norm AS (SELECT e.src, e.dst, e.w / o.o AS frac
-                 FROM edges e JOIN outw o ON e.src = o.src),
-        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    sql = f"""
+        WITH {_COPURCHASE_CTES},
         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
                FROM nodes)"""
     for i in range(1, _PR_ITERS + 1):
@@ -491,25 +501,7 @@ def q_brand_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     N (lift vs the uniform distribution) and rounded before the top-50
     ordering."""
     configure_runtime(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pairs = cache.track(
-        cooccurrence_pairs(li, "l_orderkey", "l_partkey").cache()
-    )
-    half = pairs.select(
-        F.col("item_a").alias("src"),
-        F.col("item_b").alias("dst"),
-        F.col("pair_count").cast("double").alias("w"),
-    )
-    edges = half.unionByName(
-        half.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-        )
-    )
-    n_parts = edges.select("src").distinct().count()
+    edges, n_parts = _copurchase_edges(spark, sf_dir)
     seeds = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == _PPR_BRAND)
@@ -542,20 +534,7 @@ def _ppr_oracle_sql() -> str:
     d = repr(float(_PR_DAMPING))
     t = repr(1.0 - float(_PR_DAMPING))
     sql = f"""
-        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        pairs AS (
-          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-                 CAST(count(*) AS DOUBLE) AS w
-          FROM li a JOIN li b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY 1, 2),
-        edges AS (SELECT pa AS src, pb AS dst, w FROM pairs
-                  UNION ALL SELECT pb, pa, w FROM pairs),
-        nodes AS (SELECT DISTINCT src AS node FROM edges),
-        outw AS (SELECT src, sum(w) AS o FROM edges GROUP BY 1),
-        norm AS (SELECT e.src, e.dst, e.w / o.o AS frac
-                 FROM edges e JOIN outw o ON e.src = o.src),
-        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        WITH {_COPURCHASE_CTES},
         gseeds AS (SELECT n.node FROM nodes n
                    JOIN (SELECT DISTINCT p_partkey AS node FROM part
                          WHERE p_brand = '{_PPR_BRAND}') s

@@ -75,6 +75,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Top-k corpus neighbors per query vector by cosine similarity.
 
@@ -87,23 +88,37 @@ def brute_force_topk(
     too large to ship to every executor — Spark then plans a distributed
     cartesian join; the O(|Q|·|C|) work is inherent to brute force, but
     neither side ever materializes on one node.
+
+    ``label_col`` switches to hard-negative semantics: only corpus
+    vectors whose label DIFFERS from the query's are candidates (the
+    join predicate becomes the label mismatch, which also excludes
+    self-pairs), and the output carries ``query_label`` /
+    ``neighbor_label`` columns.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+    q_cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")]
+    c_cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")]
+    if label_col is not None:
+        q_cols.insert(1, F.col(label_col).alias("__ql"))
+        c_cols.insert(1, F.col(label_col).alias("__cl"))
+    q = queries.select(*q_cols)
+    c = corpus.select(*c_cols)
     from pyspark.sql import Window
 
     q_side = F.broadcast(q) if broadcast_queries else q
-    scored = (
-        c.join(q_side, F.col("query_id") != F.col("neighbor_id"))
-        .select(
+    if label_col is None:
+        cond = F.col("query_id") != F.col("neighbor_id")
+        out_cols = ["query_id", "neighbor_id"]
+    else:
+        cond = F.col("__ql") != F.col("__cl")
+        out_cols = [
             "query_id",
+            F.col("__ql").alias("query_label"),
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
-        )
+            F.col("__cl").alias("neighbor_label"),
+        ]
+    scored = c.join(q_side, cond).select(
+        *out_cols,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -111,7 +126,6 @@ def brute_force_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
     )
 
 
@@ -128,40 +142,19 @@ def hard_negatives(
     """Hard-negative mining for contrastive training: per query vector,
     the top-``k`` most-similar corpus vectors whose LABEL differs —
     the near-boundary negatives a metric-learning / embedding-training
-    pipeline feeds its loss.  Same broadcast + windowed-rank shape as
-    :func:`brute_force_topk` (the exact baseline); at corpus scale swap
-    the candidate generator for the IVF/SRP paths and keep the
+    pipeline feeds its loss.  Thin wrapper over
+    :func:`brute_force_topk` (the exact baseline) with its
+    ``label_col`` mismatch predicate; at corpus scale swap the
+    candidate generator for the IVF/SRP paths and keep the
     label-mismatch filter, which runs BEFORE ranking either way."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("__ql"),
-        F.col(vec_col).alias("__qv"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("__cl"),
-        F.col(vec_col).alias("__cv"),
-    )
-    from pyspark.sql import Window
-
-    q_side = F.broadcast(q) if broadcast_queries else q
-    scored = c.join(q_side, F.col("__ql") != F.col("__cl")).select(
-        "query_id",
-        F.col("__ql").alias("query_label"),
-        "neighbor_id",
-        F.col("__cl").alias("neighbor_label"),
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "query_id", "query_label", "neighbor_id", "neighbor_label",
-            "cosine_sim", "rnk",
-        )
+    return brute_force_topk(
+        queries,
+        corpus,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        broadcast_queries=broadcast_queries,
+        label_col=label_col,
     )
 
 

@@ -422,9 +422,18 @@ def lm_bits_per_token(
         return base, bg
 
     score_base, bg = _bigrams(docs)
-    train_base, train_bg = (
-        _bigrams(train_docs) if train_docs is not None else (score_base, bg)
-    )
+    if train_docs is not None:
+        train_base, train_bg = _bigrams(train_docs)
+        # fail fast on an empty effective training corpus: V=0 would turn
+        # the smoothed probability into 0.5/0 (NULL bits for every doc,
+        # silently) — one bounded count job on the cross-scoring path only
+        if train_base.limit(1).count() == 0:
+            raise ValueError(
+                "train_docs has no document with >= 2 tokens — "
+                "cannot train the scoring LM"
+            )
+    else:
+        train_base, train_bg = score_base, bg
     bigram_counts = train_bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("__cb")
     )
@@ -628,7 +637,10 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding ``2^(n·llr)`` weights to the existing weighted sampler IS
     importance resampling.  Two passes of the same LM machinery
     (cross-scoring via ``train_docs``), one join; top-100 by (llr desc,
-    doc_id) after round-4 on both bit scores."""
+    doc_id) after round-4 on both bit scores.  Known cost: the two LM
+    calls each rebuild the corpus bigram stream (the heaviest stage) —
+    a shared-stream multi-model scorer would halve the scan+explode
+    work (round-5 item)."""
     docs = _docs(spark, sf_dir)
     target = docs.filter(F.col("lang") == "en")
     corpus_bits = lm_bits_per_token(docs)
