@@ -4405,7 +4405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (b) the round-4 oracle-backed additions (``part_pagerank``,
     ``copurchase_triangles``, ``copurchase_core3``,
     ``ar2_revenue_forecast``, ``dsir_importance``,
-    ``hard_negative_pairs``, ``brand_part_ppr``), then (c) the
+    ``hard_negative_pairs``, ``brand_part_ppr``,
+    ``part_authority_hits``), then (c) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 4 rounds stale by then), then (d) the
     oldest round-2-verified entries — keep cycling so every

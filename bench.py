@@ -137,6 +137,7 @@ SECONDARY = [
     "doc_novelty_hashed",
     "part_pagerank",
     "brand_part_ppr",
+    "part_authority_hits",
     "quality_classifier_train",
     "ar2_revenue_forecast",
     "copurchase_triangles",

@@ -176,3 +176,32 @@ def test_personalized_pagerank_matches_reference(spark):
     for node in want:
         assert got[node] == pytest.approx(want[node], abs=1e-12), node
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_bipartite_reference_and_ordering(spark):
+    """Kleinberg iterations match an in-memory reference exactly, and a
+    part bought by every customer out-authorities niche parts."""
+    edges = [
+        (1, 100), (2, 100), (3, 100),   # part 100: universal
+        (1, 200), (2, 200),             # part 200: popular
+        (3, 300),                       # part 300: niche
+    ]
+    df = spark.createDataFrame(edges, "c long, p long")
+    hubs, auths = graph.hits_bipartite(df, iterations=3,
+                                       hub_col="c", auth_col="p")
+    got_a = {r.auth: r.auth_score for r in auths.collect()}
+    got_h = {r.hub: r.hub_score for r in hubs.collect()}
+
+    import collections
+
+    h = {c: 1.0 for c, _ in edges}
+    for _ in range(3):
+        a = collections.defaultdict(float)
+        for c, p in edges:
+            a[p] += h[c]
+        h = collections.defaultdict(float)
+        for c, p in edges:
+            h[c] += a[p]
+    assert got_a == pytest.approx(dict(a))
+    assert got_h == pytest.approx(dict(h))
+    assert got_a[100] > got_a[200] > got_a[300]

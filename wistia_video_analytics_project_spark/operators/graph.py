@@ -567,10 +567,132 @@ def _ppr_oracle_sql() -> str:
     return sql
 
 
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    iterations: int = 3,
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs-and-authorities on a bipartite edge set
+    ``(hub_side, auth_side)`` — e.g. customers -> parts: a part is
+    authoritative when bought by strong hub customers, a customer is a
+    strong hub when they buy authoritative parts.
+
+    Kleinberg power iteration with the normalization deferred to the
+    END: every update references its predecessor exactly once, so all
+    ``2·iterations`` join+aggregate steps chain lazily into ONE action
+    (values grow as sigma1^(2t) but stay far inside double range for
+    bounded iteration counts).  The caller normalizes — see
+    ``q_part_authority_hits`` — because the L1 mass is a single scalar
+    best collected once, not a per-iteration rescan.
+
+    Returns ``(hubs, authorities)`` frames with raw (unnormalized)
+    scores: ``(hub, hub_score)`` and ``(auth, auth_score)``.
+    """
+    e = cache.track(
+        edges.select(
+            F.col(hub_col).alias("__h"), F.col(auth_col).alias("__a")
+        )
+        .distinct()
+        .cache()
+    )
+    h = e.select("__h").distinct().select("__h", F.lit(1.0).alias("hs"))
+    a = None
+    for _ in range(int(iterations)):
+        a = (
+            e.join(h, "__h")
+            .groupBy("__a")
+            .agg(F.sum("hs").alias("as_"))
+        )
+        h = (
+            e.join(a, "__a")
+            .groupBy("__h")
+            .agg(F.sum("as_").alias("hs"))
+        )
+    hubs = h.select(F.col("__h").alias("hub"), F.col("hs").alias("hub_score"))
+    auths = a.select(
+        F.col("__a").alias("auth"), F.col("as_").alias("auth_score")
+    )
+    return hubs, auths
+
+
+_HITS_ITERS = 3
+
+
+def q_part_authority_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part authority scores from HITS over the bipartite customer ->
+    part purchase graph (3 Kleinberg iterations, one lazy chain).
+    Authority mass is L1-normalized and scaled by the part count
+    (lift vs uniform), rounded to 6 before the deterministic top-50."""
+    configure_runtime(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    _, auths = hits_bipartite(edges, iterations=_HITS_ITERS,
+                              hub_col="c", auth_col="p")
+    auths = cache.track(auths.cache())
+    row = auths.agg(
+        F.sum("auth_score").alias("t"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    total, n_parts = float(row["t"]), int(row["n"])
+    return (
+        auths.select(
+            F.col("auth").alias("part_key"),
+            F.round(
+                F.col("auth_score") / F.lit(total) * F.lit(float(n_parts)), 6
+            ).alias("authority_lift"),
+        )
+        .orderBy(F.desc("authority_lift"), F.asc("part_key"))
+        .limit(50)
+    )
+
+
+def _hits_oracle_sql() -> str:
+    """Unrolled Kleinberg iterations; MATERIALIZED CTEs (the edge set is
+    referenced in every update step)."""
+    sql = """
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        h0 AS MATERIALIZED (
+          SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS hs FROM e)"""
+    for i in range(1, _HITS_ITERS + 1):
+        sql += f""",
+        a{i} AS MATERIALIZED (
+          SELECT p, sum(hs) AS as_ FROM e JOIN h{i - 1} USING (c)
+          GROUP BY 1),
+        h{i} AS MATERIALIZED (
+          SELECT c, sum(as_) AS hs FROM e JOIN a{i} USING (p)
+          GROUP BY 1)"""
+    sql += f"""
+        , tot AS (SELECT sum(as_) AS t,
+                         CAST(count(*) AS DOUBLE) AS n FROM a{_HITS_ITERS})
+        SELECT p AS part_key,
+               round(as_ / (SELECT t FROM tot) * (SELECT n FROM tot), 6)
+                 AS authority_lift
+        FROM a{_HITS_ITERS}
+        ORDER BY authority_lift DESC, part_key ASC
+        LIMIT 50"""
+    return sql
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "part_pagerank": q_part_pagerank,
         "brand_part_ppr": q_brand_part_ppr,
+        "part_authority_hits": q_part_authority_hits,
         "copurchase_triangles": q_copurchase_triangles,
         "copurchase_core3": q_copurchase_core3,
     }
@@ -580,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "part_pagerank": _pagerank_oracle_sql(),
         "brand_part_ppr": _ppr_oracle_sql(),
+        "part_authority_hits": _hits_oracle_sql(),
         "copurchase_triangles": _TRIANGLE_ORACLE,
         "copurchase_core3": _kcore_oracle_sql(),
     }
