@@ -626,3 +626,17 @@ def test_logistic_stats_partial_aggregates_and_bounded_rows(spark):
     plan = plans.executed_plan(flat)
     assert len(re.findall(r"partial_", plan)) >= 1, plan[:3000]
     assert flat.count() == 65 * 65 + 65 + 2
+
+
+def test_graph_chain_plans_no_cartesian(spark):
+    """The PageRank-family chains must stay equi-join + partial-agg
+    ladders: no cartesian/BNL anywhere, partial aggregation before the
+    per-iteration exchanges."""
+    import re
+
+    for name in ("brand_part_ppr", "part_authority_hits"):
+        fn = entrymod.queries()[name]
+        plan = plans.executed_plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, (name, plan[:2000])
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:2000])
+        assert len(re.findall(r"partial_", plan)) >= 2, (name, plan[:2000])
