@@ -91,6 +91,7 @@ SECONDARY = [
     # round-3 operators
     "lm_bits_per_token",
     "dsir_importance",
+    "text_readability",
     "hard_negative_pairs",
     "dedup_winnow",
     "source_divergence",

@@ -275,3 +275,30 @@ def test_lm_cross_scoring_rejects_empty_training_corpus(spark):
     )
     with pytest.raises(ValueError, match="train_docs"):
         text_ops.lm_bits_per_token(docs, train_docs=empty_train).collect()
+
+
+def test_readability_known_values(spark, tmp_path):
+    """FRE on hand-computable texts: short simple sentences score far
+    higher than a long vowel-dense run-on; null/empty rows drop."""
+    from wistia_video_analytics_project_spark.operators import text as text_ops
+
+    rows = [
+        (1, "The cat sat. The dog ran.", "en", "src0", 25),
+        (2, "Extraordinarily convoluted administrative bureaucracies "
+            "continuously reevaluate organizational methodologies",
+         "en", "src0", 104),
+        (3, None, "en", "src0", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r
+           for r in text_ops.q_text_readability(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences) == (6, 2)
+    # six one-syllable words over two sentences: 206.835 - 1.015*3 - 84.6*1
+    assert r1.n_syllables == 6
+    assert r1.reading_ease == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 2)
+    assert out[2].reading_ease < r1.reading_ease

@@ -198,6 +198,40 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    feature of web-corpus quality filters.  All three inputs are exact
+    integer counts (whitespace words, punctuation-run sentences with a
+    floor of 1, vowel-group syllables — vowel runs never span
+    whitespace, so one regexp_count over the text equals the per-word
+    sum); the FRE formula's literals are CAST to double on both engines
+    and the score rounds to 2."""
+    docs = _docs(spark, sf_dir)
+    w = F.size(tokens(F.col("text")))
+    sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    ).cast("long")
+    syl = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(1)
+    ).cast("long")
+    fre = (
+        F.lit(206.835).cast("double")
+        - F.lit(1.015).cast("double") * (w.cast("long") / sent)
+        - F.lit(84.6).cast("double") * (syl / w.cast("long"))
+    )
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            w.cast("long").alias("n_words"),
+            sent.alias("n_sentences"),
+            syl.alias("n_syllables"),
+            F.round(fre, 2).alias("reading_ease"),
+        )
+        .filter(F.col("n_words") >= 1)
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
@@ -704,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
+        "text_readability": q_text_readability,
         "doc_fingerprint": q_doc_fingerprint,
         "top_keywords": q_top_keywords,
         "token_counts": q_token_counts,
@@ -835,6 +870,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_profile": _PROFILE_SQL,
         "text_lang_id": _lang_guess_sql(),
+        "text_readability": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     len(string_split_regex(trim(lower(text)), '\s+'))
+                       AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences,
+                     greatest(len(regexp_extract_all(lower(text),
+                                                     '[aeiouy]+')), 1)
+                       AS n_syllables
+              FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   CAST(n_syllables AS BIGINT) AS n_syllables,
+                   round(CAST(206.835 AS DOUBLE)
+                         - CAST(1.015 AS DOUBLE) * (n_words / n_sentences)
+                         - CAST(84.6 AS DOUBLE) * (n_syllables / n_words), 2)
+                     AS reading_ease
+            FROM base WHERE n_words >= 1
+        """,
         "text_quality": """
             WITH s AS (
               SELECT doc_id,
