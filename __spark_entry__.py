@@ -4406,7 +4406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``copurchase_triangles``, ``copurchase_core3``,
     ``ar2_revenue_forecast``, ``dsir_importance``,
     ``hard_negative_pairs``, ``brand_part_ppr``,
-    ``part_authority_hits``, ``text_readability``), then (c) the
+    ``part_authority_hits``, ``text_readability``,
+    ``copurchase_powerlaw``), then (c) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 4 rounds stale by then), then (d) the
     oldest round-2-verified entries — keep cycling so every

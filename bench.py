@@ -139,6 +139,7 @@ SECONDARY = [
     "part_pagerank",
     "brand_part_ppr",
     "part_authority_hits",
+    "copurchase_powerlaw",
     "quality_classifier_train",
     "ar2_revenue_forecast",
     "copurchase_triangles",

@@ -205,3 +205,25 @@ def test_hits_bipartite_reference_and_ordering(spark):
     assert got_a == pytest.approx(dict(a))
     assert got_h == pytest.approx(dict(h))
     assert got_a[100] > got_a[200] > got_a[300]
+
+
+def test_degree_powerlaw_matches_hand_formula(spark):
+    """CSN alpha on a hand-built degree multiset equals the closed form,
+    and a hub-heavy graph yields a lower (heavier-tailed) alpha than a
+    regular one."""
+    import math
+
+    k4 = [(x, y) for x in range(1, 5) for y in range(x + 1, 5)]  # all deg 3
+    row = graph.degree_powerlaw(
+        spark.createDataFrame(k4, "a long, b long"), dmin=2
+    ).collect()[0]
+    want = 1.0 + 4 / (4 * math.log(3 / 1.5))
+    assert row.alpha_mle == round(want, 4)
+    assert (row.n_nodes, row.n_tail, row.max_degree) == (4, 4, 3)
+
+    star = [(1, leaf) for leaf in range(2, 30)] + [(2, 3), (4, 5)]
+    hubby = graph.degree_powerlaw(
+        spark.createDataFrame(star, "a long, b long"), dmin=2
+    ).collect()[0]
+    assert hubby.max_degree == 28
+    assert hubby.alpha_mle < row.alpha_mle  # heavier tail

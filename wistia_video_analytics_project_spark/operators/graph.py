@@ -688,11 +688,107 @@ def _hits_oracle_sql() -> str:
     return sql
 
 
+
+
+def degree_powerlaw(
+    pairs: DataFrame, a: str = "a", b: str = "b", dmin: int = 2
+) -> DataFrame:
+    """Power-law fit of the undirected degree distribution: the
+    continuous MLE exponent ``alpha = 1 + n / Σ ln(d / (dmin - 1/2))``
+    (Clauset-Shalizi-Newman) over nodes with degree >= ``dmin``, plus
+    the degree summary — the skew diagnostic that tells you whether a
+    graph needs hub guards (salting, degree-ordered orientation)
+    before joins.  One degree aggregate + one summary aggregate; the
+    log runs JVM-side."""
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tail = deg.filter(F.col("deg") >= dmin)
+    denom = F.log(
+        F.col("deg").cast("double") / (F.lit(float(dmin)) - F.lit(0.5))
+    )
+    return (
+        tail.agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.max("deg").alias("max_degree"),
+            F.sum(denom).alias("__s"),
+        )
+        .crossJoin(
+            F.broadcast(
+                deg.agg(
+                    F.count(F.lit(1)).alias("n_nodes"),
+                    (F.round(F.avg(F.col("deg").cast("double")), 4)
+                     + F.lit(0.0)).alias("avg_degree"),
+                )
+            )
+        )
+        .select(
+            "n_nodes",
+            "n_tail",
+            "max_degree",
+            "avg_degree",
+            (
+                F.round(
+                    F.lit(1.0)
+                    + F.col("n_tail").cast("double") / F.col("__s"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("alpha_mle"),
+        )
+    )
+
+
+def q_copurchase_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-skew diagnostic of the co-purchase graph: CSN power-law
+    MLE exponent over the degree->=2 tail plus degree summary."""
+    configure_runtime(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    return degree_powerlaw(pairs, a="item_a", b="item_b", dmin=2)
+
+
+_POWERLAW_ORACLE = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    deg AS (SELECT node, count(*) AS deg FROM (
+              SELECT pa AS node FROM pairs
+              UNION ALL SELECT pb FROM pairs) GROUP BY 1),
+    tail AS (SELECT deg FROM deg WHERE deg >= 2),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+                 CAST(max(deg) AS BIGINT) AS max_degree,
+                 sum(ln(CAST(deg AS DOUBLE)
+                        / (CAST(2.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)))) AS s
+          FROM tail),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 round(avg(CAST(deg AS DOUBLE)), 4)
+                   + CAST(0.0 AS DOUBLE) AS avg_degree
+          FROM deg)
+    SELECT n_nodes, n_tail, max_degree, avg_degree,
+           round(CAST(1.0 AS DOUBLE) + n_tail / s, 4)
+             + CAST(0.0 AS DOUBLE) AS alpha_mle
+    FROM t CROSS JOIN d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "part_pagerank": q_part_pagerank,
         "brand_part_ppr": q_brand_part_ppr,
         "part_authority_hits": q_part_authority_hits,
+        "copurchase_powerlaw": q_copurchase_powerlaw,
         "copurchase_triangles": q_copurchase_triangles,
         "copurchase_core3": q_copurchase_core3,
     }
@@ -703,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank": _pagerank_oracle_sql(),
         "brand_part_ppr": _ppr_oracle_sql(),
         "part_authority_hits": _hits_oracle_sql(),
+        "copurchase_powerlaw": _POWERLAW_ORACLE,
         "copurchase_triangles": _TRIANGLE_ORACLE,
         "copurchase_core3": _kcore_oracle_sql(),
     }
