@@ -4407,7 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``ar2_revenue_forecast``, ``dsir_importance``,
     ``hard_negative_pairs``, ``brand_part_ppr``,
     ``part_authority_hits``, ``text_readability``,
-    ``copurchase_powerlaw``), then (c) the
+    ``copurchase_powerlaw``, ``copurchase_assortativity``), then (c) the
     remaining round-1 tier (``shipping_priority`` ..
     ``view_purchase_conversion``, 4 rounds stale by then), then (d) the
     oldest round-2-verified entries — keep cycling so every

@@ -140,6 +140,7 @@ SECONDARY = [
     "brand_part_ppr",
     "part_authority_hits",
     "copurchase_powerlaw",
+    "copurchase_assortativity",
     "quality_classifier_train",
     "ar2_revenue_forecast",
     "copurchase_triangles",

@@ -227,3 +227,36 @@ def test_degree_powerlaw_matches_hand_formula(spark):
     ).collect()[0]
     assert hubby.max_degree == 28
     assert hubby.alpha_mle < row.alpha_mle  # heavier tail
+
+
+def test_assortativity_signs(spark):
+    """A star is maximally disassortative (r = -1); a clique's degree
+    correlation is undefined-degenerate (denominator 0 -> NULL), and a
+    two-clique chain is assortative-positive."""
+    star = [(1, leaf) for leaf in range(2, 8)]
+    r = graph.degree_assortativity(
+        spark.createDataFrame(star, "a long, b long")
+    ).collect()[0]
+    assert r.n_edges == 6 and r.assortativity == -1.0
+
+    k4 = [(x, y) for x in range(1, 5) for y in range(x + 1, 5)]
+    r = graph.degree_assortativity(
+        spark.createDataFrame(k4, "a long, b long")
+    ).collect()[0]
+    assert r.assortativity is None  # all degrees equal: zero variance
+
+    # hand-computed Pearson over the symmetrized endpoint-degree pairs
+    g = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    import numpy as np
+
+    deg = {}
+    for u, v in g:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    ju = [deg[u] for u, v in g] + [deg[v] for u, v in g]
+    jv = [deg[v] for u, v in g] + [deg[u] for u, v in g]
+    want = round(float(np.corrcoef(ju, jv)[0, 1]), 4)
+    r = graph.degree_assortativity(
+        spark.createDataFrame(g, "a long, b long")
+    ).collect()[0]
+    assert r.assortativity == want

@@ -783,12 +783,99 @@ _POWERLAW_ORACLE = """
 """
 
 
+
+
+def degree_assortativity(
+    pairs: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Degree assortativity of an undirected graph: the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    negative on hub-and-spoke graphs (hubs attach to low-degree
+    periphery), positive on social-style graphs.  Computed from
+    explicit sums (M, Σj, Σj², Σjk) rather than builtin ``corr`` so the
+    statistic is cross-engine comparable (CLAUDE.md corr caveat); by
+    symmetry the j- and k-marginals coincide, collapsing the formula to
+    ``(M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)``."""
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    both = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("ju"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("jv"))
+    sums = (
+        both.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("m"),
+            F.sum(F.col("ju").cast("double")).alias("sj"),
+            F.sum((F.col("ju") * F.col("ju")).cast("double")).alias("sj2"),
+            F.sum((F.col("ju") * F.col("jv")).cast("double")).alias("sjk"),
+        )
+    )
+    # try_divide: a regular (zero-degree-variance) graph has an
+    # undefined correlation — return NULL, don't raise under ANSI mode
+    r = F.try_divide(
+        F.col("m") * F.col("sjk") - F.col("sj") * F.col("sj"),
+        F.col("m") * F.col("sj2") - F.col("sj") * F.col("sj"),
+    )
+    return sums.select(
+        (F.col("m") / F.lit(2.0)).cast("long").alias("n_edges"),
+        (F.round(r, 4) + F.lit(0.0)).alias("assortativity"),
+    )
+
+
+def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-mixing diagnostic of the co-purchase graph."""
+    configure_runtime(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    return degree_assortativity(pairs, a="item_a", b="item_b")
+
+
+_ASSORT_ORACLE = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    deg AS (SELECT node, count(*) AS deg FROM (
+              SELECT pa AS node FROM pairs
+              UNION ALL SELECT pb FROM pairs) GROUP BY 1),
+    eboth AS (SELECT pa AS u, pb AS v FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    sums AS (
+      SELECT CAST(count(*) AS DOUBLE) AS m,
+             sum(CAST(du.deg AS DOUBLE)) AS sj,
+             sum(CAST(du.deg * du.deg AS DOUBLE)) AS sj2,
+             sum(CAST(du.deg * dv.deg AS DOUBLE)) AS sjk
+      FROM eboth
+      JOIN deg du ON eboth.u = du.node
+      JOIN deg dv ON eboth.v = dv.node)
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           round((m * sjk - sj * sj) / (m * sj2 - sj * sj), 4)
+             + CAST(0.0 AS DOUBLE) AS assortativity
+    FROM sums
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "part_pagerank": q_part_pagerank,
         "brand_part_ppr": q_brand_part_ppr,
         "part_authority_hits": q_part_authority_hits,
         "copurchase_powerlaw": q_copurchase_powerlaw,
+        "copurchase_assortativity": q_copurchase_assortativity,
         "copurchase_triangles": q_copurchase_triangles,
         "copurchase_core3": q_copurchase_core3,
     }
@@ -800,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_part_ppr": _ppr_oracle_sql(),
         "part_authority_hits": _hits_oracle_sql(),
         "copurchase_powerlaw": _POWERLAW_ORACLE,
+        "copurchase_assortativity": _ASSORT_ORACLE,
         "copurchase_triangles": _TRIANGLE_ORACLE,
         "copurchase_core3": _kcore_oracle_sql(),
     }
