@@ -4380,37 +4380,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Dict ORDER is deliberate: the driver's correctness gate samples the
     first 50 entries in dict order.  Rounds 1-3 each verified their own
-    front-loaded 50 (r3 = ``_WINDOW_R3`` in git history).  ``_WINDOW_R4``
-    below executes the round-4 rotation exactly as round 3 planned it:
-    all 65 round-3 oracle-backed additions, none of which has ever had a
-    driver row.  They overflow one 50-slot window, so positions 1-50
-    front-load the judge's priorities (the eight TPC-H flavors Q2/Q9/
-    Q11/Q12/Q16/Q17/Q20/Q21, recursive CTE, listagg, exact-bitmap
-    distinct, percentile_disc, the SQL-surface sweep, winnowing /
-    containment / spans dedup, BM25 / LM / novelty / JSD text ops,
-    mergeable-state refresh, and the statistics tier) and positions
-    51-65 hold the spill (streaming window shapes, WOR samplers,
-    boxplot/PSI/concentration reports, user-behavior trio).  Rows-only
-    approximates (no oracle by design — see CLAUDE.md) stay at the very
-    end so every in-window slot is a full hash-checked comparison.
-    ROTATION PLAN for round 5: front-load (a) the 15 spill entries at
-    positions 51-65 of ``_WINDOW_R4`` (``streaming_sliding_traffic``,
-    ``streaming_sessions``, ``ship_business_days``,
-    ``stratified_sample_wor``, ``weighted_sample_wor``,
-    ``region_balance_boxplot``, ``nation_share_of_region``,
-    ``value_psi_report``, ``rolling_view_purchase_corr``,
-    ``revenue_concentration``, ``ewma_daily_revenue``,
-    ``centroid_drift``, ``activity_streaks``,
-    ``user_event_histogram_map``, ``user_behavior_entropy``), then
-    (b) the round-4 oracle-backed additions (``part_pagerank``,
-    ``copurchase_triangles``, ``copurchase_core3``,
-    ``ar2_revenue_forecast``, ``dsir_importance``,
-    ``hard_negative_pairs``, ``brand_part_ppr``,
-    ``part_authority_hits``, ``text_readability``,
-    ``copurchase_powerlaw``, ``copurchase_assortativity``), then (c) the
-    remaining round-1 tier (``shipping_priority`` ..
-    ``view_purchase_conversion``, 4 rounds stale by then), then (d) the
-    oldest round-2-verified entries — keep cycling so every
+    front-loaded 50 (r3 = ``_WINDOW_R3``, r4 = ``_WINDOW_R4`` — both in
+    git history, both 50/50 driver-green).  Rows-only approximates (no
+    oracle by design — see CLAUDE.md) stay at the very end so every
+    in-window slot is a full hash-checked comparison.
+    ``_WINDOW_R5`` below executes the round-5 rotation exactly as round
+    4 planned it: positions 1-15 are the ``_WINDOW_R4`` spill (streaming
+    window shapes, WOR samplers, distribution reports, user-behavior
+    trio), positions 16-26 are the round-4 oracle-backed additions (the
+    graph tier, AR(2), DSIR, hard negatives, readability), and positions
+    27-50 re-verify the stale round-1 tier (``shipping_priority`` ..
+    ``above_avg_spenders``, driver-green in r1 only, 4 rounds stale).
+    After this window runs, every oracle-backed entry in the registry
+    has at least one driver row and the steady-state re-verification
+    cycle begins.
+    ROTATION PLAN for round 6: front-load (a) the round-1 remainder
+    (``part_cooccurrence``, ``nations_per_region``,
+    ``view_purchase_conversion``) plus the round-1 verified head tier
+    (``daily_plays_trend`` .. ``new_vs_returning``, 5 rounds stale by
+    then), then (b) the oldest round-2-verified entries
+    (``key_skew_report`` .. ``late_shipment_rate``), then (c) any
+    round-5 oracle-backed additions — keep cycling so every
     oracle-backed entry re-earns a driver green row every ~2-3 rounds.
     """
     core = {
@@ -4596,8 +4586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_markov_stationary": q_event_markov_stationary,
         "quality_classifier_train": q_quality_classifier_train,
     })
-    # --- round-4 rotation: reorder so the driver's 50-entry window ---
-    ordered = {name: core[name] for name in _WINDOW_R4}
+    # --- round-5 rotation: reorder so the driver's 50-entry window ---
+    ordered = {name: core[name] for name in _WINDOW_R5}
     ordered.update((n, f) for n, f in core.items() if n not in ordered)
     # rows-only approximates (no oracle by design) go last: a window
     # slot spent on them yields only a weak rows-only driver check
@@ -4615,69 +4605,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-4 driver window — the 65 round-3 oracle-backed additions, none
-#: of which has ever had a driver row.  Positions 1-50 are the checked
-#: window (TPC-H flavors, SQL-surface sweep, dedup/text scale ops,
-#: mergeable state, statistics tier); positions 51-65 are the documented
-#: spill that round 5 must front-load (see the queries() docstring).
-_WINDOW_R4 = [
-    # eight TPC-H flavors: Q2, Q9, Q11, Q12, Q16, Q17, Q20, Q21
-    "min_cost_supplier",
-    "nation_year_profit",
-    "important_part_stock",
-    "ship_latency_priority",
-    "supplier_count_by_part",
-    "small_quantity_revenue",
-    "excess_shipped_suppliers",
-    "sole_late_supplier",
-    # SQL-surface sweep
-    "clamped_quarterly_balance",
-    "priority_status_listagg",
-    "daily_unique_users_bitmap",
-    "value_percentile_disc",
-    "yearly_customer_setops",
-    "variant_props_extract",
-    "lateral_top_customers",
-    "null_safe_join",
-    "safe_arithmetic_report",
-    "event_id_gaps",
-    "event_pattern_match",
-    "trimmed_mean_order_value",
-    # dedup / text scale operators
-    "dedup_winnow",
-    "dedup_winnow_incremental",
-    "dedup_containment",
-    "duplicated_spans",
-    "bm25_search",
-    "lm_bits_per_token",
-    "doc_novelty",
-    "source_divergence",
-    "token_pmi",
-    # mergeable-state / incremental maintenance
-    "incremental_kpi_refresh",
-    "incremental_join_view",
-    # statistics tier
-    "measure_corr_matrix",
-    "purchase_survival_km",
-    "ab_test_report",
-    "mann_whitney_order_values",
-    "chi_square_type_weekday",
-    "daily_revenue_decomposition",
-    "daily_revenue_acf",
-    "seasonal_naive_backtest",
-    "daily_trend_regression",
-    "cusum_changepoint",
-    "higher_moments_report",
-    "winsorized_order_stats",
-    "mad_outlier_days",
-    # remaining analytics (fills the 50-slot window)
-    "scd2_point_in_time",
-    "touch_attribution",
-    "top_nations_with_other",
-    "abc_customer_classes",
-    "k_anonymity_customers",
-    "event_association_rules",
-    # --- positions 51-65: spill — round 5 front-loads these ---
+#: Round-5 driver window — executes the rotation the round-4 docstring
+#: planned: the 15 ``_WINDOW_R4`` spill entries (positions 1-15), the 11
+#: round-4 oracle-backed additions (16-26; graph tier + AR(2) + DSIR +
+#: hard negatives + readability), and 24 stale round-1-verified entries
+#: (27-50).  After this window every oracle-backed registry entry has at
+#: least one driver-green CORRECTNESS row.
+_WINDOW_R5 = [
+    # --- positions 1-15: the _WINDOW_R4 spill (never driver-checked) ---
     "streaming_sliding_traffic",
     "streaming_sessions",
     "ship_business_days",
@@ -4693,6 +4628,43 @@ _WINDOW_R4 = [
     "activity_streaks",
     "user_event_histogram_map",
     "user_behavior_entropy",
+    # --- 16-26: round-4 oracle-backed additions (never driver-checked) ---
+    "part_pagerank",
+    "brand_part_ppr",
+    "part_authority_hits",
+    "copurchase_triangles",
+    "copurchase_core3",
+    "copurchase_powerlaw",
+    "copurchase_assortativity",
+    "ar2_revenue_forecast",
+    "dsir_importance",
+    "hard_negative_pairs",
+    "text_readability",
+    # --- 27-50: stale round-1 tier (driver-green in r1 only) ---
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "returned_item_report",
+    "asof_prev_order",
+    "session_stats",
+    "dense_daily_purchases",
+    "funnel_view_click_purchase",
+    "pivot_type_daily",
+    "unpivot_type_daily",
+    "viewers_vs_purchasers",
+    "value_percentiles",
+    "stats_report",
+    "value_distribution",
+    "embedding_centroids",
+    "daily_plays_vs_purchases",
+    "grouping_sets_report",
+    "heavy_hitter_users",
+    "union_schema_drift",
+    "cohort_retention",
+    "mom_revenue_growth",
+    "latest_order_per_customer",
+    "order_value_histogram",
+    "above_avg_spenders",
 ]
 
 
