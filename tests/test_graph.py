@@ -260,3 +260,37 @@ def test_assortativity_signs(spark):
         spark.createDataFrame(g, "a long, b long")
     ).collect()[0]
     assert r.assortativity == want
+
+
+def test_hits_rejects_nonpositive_iterations(spark):
+    """iterations < 1 must raise a clear ValueError at entry, not an
+    AttributeError on the never-assigned authority frame (r4 ADVICE)."""
+    df = spark.createDataFrame([(1, 10), (2, 10)], "hub long, auth long")
+    with pytest.raises(ValueError, match="iterations"):
+        graph.hits_bipartite(df, iterations=0)
+
+
+def test_pagerank_stats_reports_node_count(spark):
+    edges = [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 2, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    stats = {}
+    graph.pagerank(
+        df, weight="w", handle_dangling=False, stats=stats
+    ).collect()
+    assert stats == {"n_nodes": 3}
+
+
+def test_k_core_stats_flags_convergence(spark):
+    # converges quickly: fixpoint inside max_rounds
+    tri = [(1, 2), (2, 3), (1, 3), (3, 9), (9, 10)]
+    df = spark.createDataFrame(tri, "a long, b long")
+    stats = {}
+    graph.k_core(df, 2, stats=stats).collect()
+    assert stats["converged"] is True and stats["rounds"] >= 1
+    # truncated peel: a long chain under 2-core peels one edge per
+    # round from each end; max_rounds=1 cannot reach fixpoint
+    chain = [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    stats = {}
+    graph.k_core(df, 2, max_rounds=1, stats=stats).collect()
+    assert stats["converged"] is False and stats["rounds"] == 1

@@ -90,6 +90,16 @@ def test_sufficient_stats_rejects_wrong_width(spark):
         linalg.sufficient_stats(emb, "embedding", 65)[0]
 
 
+def test_sufficient_stats_rejects_ragged_vectors(spark):
+    """Ragged input builds an object-dtype 1-D array; the intended
+    ValueError diagnostic must surface, not IndexError (r4 ADVICE)."""
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0, 2.0, 3.0],)], "vec array<double>"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="ragged"):
+        linalg.sufficient_stats(df, "vec", 2)
+
+
 def test_transition_matrix_and_stationary(spark):
     pairs = spark.createDataFrame(
         [("a", "b", 9.0), ("b", "a", 3.0), ("b", "c", 3.0), ("c", "a", 1.0)],

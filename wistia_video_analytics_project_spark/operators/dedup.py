@@ -982,10 +982,26 @@ def duplicated_spans(
         .join(F.broadcast(winners.select("__h", "n_occurrences", "n_docs")),
               "__h")
         .groupBy("__h", "n_occurrences", "n_docs")
-        .agg(F.min("span").alias("span"))
+        .agg(
+            F.min("span").alias("span"),
+            F.count_distinct("span").alias("__nspan"),
+        )
     )
+    # a 64-bit collision (distinct spans sharing a hash) would silently
+    # merge phase-1 counts; odds are negligible but fail LOUDLY instead
+    # of silently — the check rides inside the span column (not a
+    # dropped side column Catalyst could prune) and costs one extra
+    # distinct over <= top rows
     return recovered.select(
-        "span", "n_occurrences", "n_docs"
+        F.when(F.col("__nspan") == 1, F.col("span"))
+        .otherwise(
+            F.raise_error(
+                F.lit("xxhash64 span collision detected in duplicated_spans")
+            )
+        )
+        .alias("span"),
+        "n_occurrences",
+        "n_docs",
     ).orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
 
 

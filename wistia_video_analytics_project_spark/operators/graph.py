@@ -49,6 +49,7 @@ def pagerank(
     weight: str | None = None,
     handle_dangling: bool = True,
     seeds: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Weighted PageRank with teleport, fixed ``iterations``.
 
@@ -73,6 +74,12 @@ def pagerank(
     ignored.  The seeded teleport rides a cached per-node column
     (one extra node-keyed join per iteration), so the symmetric lazy
     chain is preserved.
+
+    ``stats``, if given, is populated with ``{"n_nodes": N}`` before
+    returning — the node count is already collected internally for the
+    teleport literal, so callers that need N (e.g. to scale ranks into
+    a lift-vs-uniform) reuse it instead of re-running a distinct+count
+    job over the edge set.
 
     Returns ``(node, rank)``; ranks sum to 1 over the node set.
     """
@@ -102,6 +109,8 @@ def pagerank(
     # bounded driver scalar, one job; inlined as a literal below so no
     # iteration carries a broadcast of the 1-row count frame
     n_nodes = nodes.count()
+    if stats is not None:
+        stats["n_nodes"] = n_nodes
     if n_nodes == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
     tele = None
@@ -195,6 +204,7 @@ def k_core(
     a: str = "a",
     b: str = "b",
     max_rounds: int = 12,
+    stats: dict | None = None,
 ) -> DataFrame:
     """``k``-core of an undirected graph (unique ``a < b`` pairs):
     iteratively peel nodes of degree < ``k`` until fixpoint (or
@@ -209,14 +219,25 @@ def k_core(
     driver checks the edge count for early exit; rounds after
     convergence are idempotent, so a fixed ``max_rounds`` contract
     stays deterministic (and oracle-comparable) regardless of where
-    early exit fires."""
+    early exit fires.
+
+    ``stats``, if given, is populated with ``{"converged": bool,
+    "rounds": int}`` — ``converged`` is True only when a peel round
+    reached fixpoint (edge count unchanged) or the graph emptied.  On a
+    deep graph at large SF a fixed ``max_rounds`` can return a
+    partially-peeled edge set; the flag lets callers distinguish a true
+    k-core from a truncated peel (round-4 ADVICE) without changing the
+    deterministic unrolled contract the oracle mirrors."""
     e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint(
         eager=True
     )
     n_edges = e.count()
+    converged = n_edges == 0
+    rounds = 0
     for _ in range(int(max_rounds)):
         if n_edges == 0:
             break
+        rounds += 1
         deg = (
             e.select(F.col("u").alias("node"))
             .union(e.select(F.col("v").alias("node")))
@@ -232,9 +253,13 @@ def k_core(
         )
         n2 = e2.count()
         e = e2
-        if n2 == n_edges:  # fixpoint: further rounds are idempotent
+        if n2 == n_edges or n2 == 0:  # fixpoint: further rounds idempotent
+            converged = True
             break
         n_edges = n2
+    if stats is not None:
+        stats["converged"] = converged
+        stats["rounds"] = rounds
     return (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -258,8 +283,11 @@ from .analytics import cooccurrence_pairs  # noqa: E402
 def _copurchase_edges(spark: SparkSession, sf_dir: str):
     """Shared co-purchase graph construction for the PageRank-family
     bindings: distinct (order, part) -> cached pair table -> symmetrized
-    weighted edges + the node count as a bounded driver scalar.  One
-    definition so part_pagerank and brand_part_ppr can never drift."""
+    weighted edges.  One definition so part_pagerank and brand_part_ppr
+    can never drift.  The node count is NOT computed here — pagerank()
+    already collects it internally for the teleport literal and hands it
+    back via its ``stats`` out-param, so the bindings reuse that instead
+    of paying a duplicate distinct+count job (round-4 ADVICE)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -278,8 +306,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    n_parts = edges.select("src").distinct().count()
-    return edges, n_parts
+    return edges
 
 
 #: shared oracle CTE prefix: the co-purchase edge graph + normalized
@@ -314,14 +341,17 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     part) and rounded to 6 decimals BEFORE the top-50 ordering so the
     limit boundary is deterministic cross-engine."""
     configure_runtime(spark)
-    edges, n_parts = _copurchase_edges(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
+    pr_stats: dict = {}
     pr = pagerank(
         edges,
         iterations=_PR_ITERS,
         damping=_PR_DAMPING,
         weight="w",
         handle_dangling=False,
+        stats=pr_stats,
     )
+    n_parts = pr_stats["n_nodes"]
     return (
         pr.select(
             F.col("node").alias("part_key"),
@@ -501,12 +531,13 @@ def q_brand_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     N (lift vs the uniform distribution) and rounded before the top-50
     ordering."""
     configure_runtime(spark)
-    edges, n_parts = _copurchase_edges(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
     seeds = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == _PPR_BRAND)
         .select(F.col("p_partkey").alias("node"))
     )
+    pr_stats: dict = {}
     pr = pagerank(
         edges,
         iterations=_PR_ITERS,
@@ -514,7 +545,9 @@ def q_brand_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="w",
         handle_dangling=False,
         seeds=seeds,
+        stats=pr_stats,
     )
+    n_parts = pr_stats["n_nodes"]
     return (
         pr.select(
             F.col("node").alias("part_key"),
@@ -591,6 +624,8 @@ def hits_bipartite(
     Returns ``(hubs, authorities)`` frames with raw (unnormalized)
     scores: ``(hub, hub_score)`` and ``(auth, auth_score)``.
     """
+    if int(iterations) < 1:
+        raise ValueError("iterations must be >= 1")
     e = cache.track(
         edges.select(
             F.col(hub_col).alias("__h"), F.col(auth_col).alias("__a")

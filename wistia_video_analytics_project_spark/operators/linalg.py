@@ -37,13 +37,18 @@ def stats_flat(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            mat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            if mat.shape[1] != d:
+            vals = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            # validate widths BEFORE np.array: ragged input would raise
+            # numpy's opaque inhomogeneous-shape error (or, on older
+            # numpy, build an object array and IndexError on shape[1])
+            # instead of the intended diagnostic (round-4 ADVICE)
+            widths = {v.shape[0] if v.ndim == 1 else -1 for v in vals}
+            if widths != {d}:
                 raise ValueError(
-                    f"expected {d}-wide vectors, got {mat.shape[1]}"
+                    f"expected {d}-wide vectors, got ragged/mismatched "
+                    f"widths {sorted(widths)}"
                 )
+            mat = np.array(vals)
             g[:n_gram] += (mat.T @ mat).ravel()
             g[n_gram : n_gram + d] += mat.sum(axis=0)
             g[n_gram + d] += len(mat)
