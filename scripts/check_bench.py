@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Per-query bench regression guard.
+
+The shared box drifts ±30% run-to-run, so TOTAL wall-clock comparisons
+need a human eye — but a >2x single-query regression is almost always a
+real plan change (lost broadcast, lost pushdown, cache.track without
+.cache()), not box noise.  This script makes that check mechanical:
+
+    python scripts/check_bench.py                 # run bench.py, compare
+    python scripts/check_bench.py CURRENT.json    # compare an existing run
+    python scripts/check_bench.py --record [CURRENT.json]
+                                                  # (re)write the recorded
+                                                  # per-query reference
+
+The recorded reference is ``BENCH_RECORDED.json`` at the repo root: one
+flat ``{query: best_of_N_seconds}`` map over headline + secondary sets,
+captured at sf0.1 on this box.  Comparison rules:
+
+- flag when ``current > ratio * recorded`` AND ``current > floor``
+  (default ratio 2.0, floor 0.5 s — sub-floor queries are dominated by
+  the ~0.3 s/job scheduling constant, where a 2x swing is noise);
+- queries present only on one side are reported informationally, never
+  fatal (new operators land before they're recorded);
+- exit 1 iff at least one query is flagged.
+
+Env knobs: ``BENCH_GUARD_RATIO``, ``BENCH_GUARD_FLOOR``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RECORDED_PATH = os.path.join(REPO, "BENCH_RECORDED.json")
+SECONDARY_PATH = os.path.join(REPO, "BENCH_SECONDARY.json")
+
+
+def compare(
+    recorded: dict[str, float],
+    current: dict[str, float],
+    ratio: float = 2.0,
+    floor: float = 0.5,
+) -> tuple[list[tuple[str, float, float]], list[str], list[str]]:
+    """Return (regressions, only_recorded, only_current).
+
+    A regression is (name, recorded_s, current_s) where the current
+    time exceeds both ``ratio * recorded`` and the absolute ``floor``.
+    """
+    regressions = []
+    for name in sorted(set(recorded) & set(current)):
+        rec, cur = float(recorded[name]), float(current[name])
+        if cur > floor and cur > ratio * rec:
+            regressions.append((name, rec, cur))
+    only_recorded = sorted(set(recorded) - set(current))
+    only_current = sorted(set(current) - set(recorded))
+    return regressions, only_recorded, only_current
+
+
+def _flatten_run(headline_line: dict, secondary: dict | None) -> dict:
+    """One flat {query: seconds} map from bench.py's stdout JSON line
+    plus the BENCH_SECONDARY.json sidecar it writes."""
+    flat = dict(headline_line.get("queries", {}))
+    if secondary:
+        flat.update(secondary.get("queries", {}))
+    return flat
+
+
+def _run_bench() -> dict:
+    print("# running bench.py (a few minutes at sf0.1)...", file=sys.stderr)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"bench.py failed rc={out.returncode}")
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main(argv: list[str]) -> int:
+    record = "--record" in argv
+    argv = [a for a in argv if a != "--record"]
+    ratio = float(os.environ.get("BENCH_GUARD_RATIO", "2.0"))
+    floor = float(os.environ.get("BENCH_GUARD_FLOOR", "0.5"))
+
+    if argv:
+        with open(argv[0]) as f:
+            headline = json.load(f)
+    else:
+        headline = _run_bench()
+    secondary = None
+    if os.path.exists(SECONDARY_PATH):
+        with open(SECONDARY_PATH) as f:
+            secondary = json.load(f)
+    current = _flatten_run(headline, secondary)
+    if not current:
+        raise SystemExit("no per-query timings in the current run")
+
+    if record:
+        with open(RECORDED_PATH, "w") as f:
+            json.dump(
+                {
+                    "note": "per-query best-of-N reference for "
+                    "scripts/check_bench.py (sf0.1, local[32])",
+                    "sf": headline.get("sf"),
+                    "queries": current,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"recorded {len(current)} query timings -> {RECORDED_PATH}")
+        return 0
+
+    if not os.path.exists(RECORDED_PATH):
+        raise SystemExit(
+            f"{RECORDED_PATH} missing — run with --record first"
+        )
+    with open(RECORDED_PATH) as f:
+        recorded = json.load(f)["queries"]
+
+    regs, only_rec, only_cur = compare(recorded, current, ratio, floor)
+    for name in only_rec:
+        print(f"note  {name}: recorded but not in current run")
+    for name in only_cur:
+        print(f"note  {name}: new (unrecorded) — {current[name]:.3f}s")
+    for name, rec, cur in regs:
+        print(
+            f"REGRESSION  {name}: {rec:.3f}s -> {cur:.3f}s "
+            f"({cur / rec:.1f}x, ratio {ratio:g}, floor {floor:g}s)"
+        )
+    if regs:
+        print(f"{len(regs)} per-query regression(s)")
+        return 1
+    print(
+        f"OK: {len(set(recorded) & set(current))} compared, "
+        f"none above {ratio:g}x (floor {floor:g}s)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

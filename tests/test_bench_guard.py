@@ -1,0 +1,59 @@
+"""check_bench.py compare(): flags real per-query regressions, ignores
+scheduling-floor noise and set drift (no Spark session needed)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+spec = importlib.util.spec_from_file_location(
+    "check_bench",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "check_bench.py",
+    ),
+)
+check_bench = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(spec and check_bench)
+
+
+def test_flags_injected_3x_slowdown():
+    recorded = {"q1": 1.0, "q2": 2.0}
+    current = {"q1": 3.0, "q2": 2.1}
+    regs, _, _ = check_bench.compare(recorded, current)
+    assert [(n, r, c) for n, r, c in regs] == [("q1", 1.0, 3.0)]
+
+
+def test_ignores_sub_floor_noise():
+    # 0.1 -> 0.4 s is 4x but under the 0.5 s scheduling floor: not real
+    regs, _, _ = check_bench.compare({"tiny": 0.1}, {"tiny": 0.4})
+    assert regs == []
+    # ... unless it crosses the floor
+    regs, _, _ = check_bench.compare({"tiny": 0.1}, {"tiny": 0.6})
+    assert regs == [("tiny", 0.1, 0.6)]
+
+
+def test_set_drift_is_informational_not_fatal():
+    regs, only_rec, only_cur = check_bench.compare(
+        {"old": 1.0, "both": 1.0}, {"both": 1.0, "new": 9.0}
+    )
+    assert regs == []
+    assert only_rec == ["old"] and only_cur == ["new"]
+
+
+def test_recorded_reference_exists_and_covers_bench_sets():
+    import json
+    import sys
+
+    with open(check_bench.RECORDED_PATH) as f:
+        recorded = json.load(f)["queries"]
+    sys.path.insert(0, check_bench.REPO)
+    import bench
+
+    missing = [
+        q for q in bench.HEADLINE + bench.SECONDARY if q not in recorded
+    ]
+    # new queries may be unrecorded briefly; the HEADLINE set is frozen
+    # so it must always be fully covered
+    assert not [q for q in bench.HEADLINE if q not in recorded], missing
