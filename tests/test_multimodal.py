@@ -189,9 +189,10 @@ def test_decode_bmp_and_ppm_agree_on_pixels():
 
 
 def test_real_decode_still_raises_for_compressed_formats():
-    # JPEG is the remaining documented codec-absent stub (PNG decodes
-    # natively via stdlib zlib since round 4)
-    with pytest.raises(NotImplementedError, match="codec"):
+    # mp3/video remain the documented codec-absent stubs (PNG decodes
+    # natively via stdlib zlib since round 4, baseline JPEG since
+    # round 5 — a truncated JPEG now raises the decoder's ValueError)
+    with pytest.raises(ValueError, match="JPEG"):
         multimodal.real_decode(b"\xff\xd8\xff\xe0jpeg-frame", "image")
     with pytest.raises(NotImplementedError, match="codec"):
         multimodal.real_decode(_bmp_bytes(), "audio")
@@ -417,3 +418,314 @@ def test_png_unsupported_shapes_raise():
     png[8 + 8 + 8] = 16  # IHDR bit depth byte -> 16
     with _pytest.raises(ValueError, match="unsupported PNG shape"):
         multimodal._decode_png(bytes(png))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: independent test-side encoder -> engine decoder roundtrip
+# ---------------------------------------------------------------------------
+
+
+class _JpegWriter:
+    """MSB-first bit writer with JPEG byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def pad(self):
+        while self.nbits:
+            self.bits(1, 1)
+
+
+def _jpeg_tables():
+    """All-length-4 DC codes (12 cats) + all-length-8 AC codes (162
+    symbols) — a valid canonical huffman pair that is deliberately NOT
+    the Annex K tables, so the decoder's DHT parse is exercised on
+    custom tables."""
+    dc_vals = list(range(12))
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+    return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+
+def _canonical_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _fdct_block(block):
+    import numpy as np
+
+    n = np.arange(8)
+    m = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16.0)
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    m *= 0.5
+    return m @ (block - 128.0) @ m.T
+
+
+def _encode_block(w, block, pred, dc_codes, ac_codes, zigzag):
+    import numpy as np
+
+    coef = np.round(_fdct_block(block)).astype(int)
+    zz = coef.flatten()[zigzag]
+
+    def category(v):
+        return int(v).bit_length() if v else 0
+
+    def emit(sym, codes):
+        length, code = codes[sym]
+        w.bits(code, length)
+
+    def emit_val(v, s):
+        if v < 0:
+            v += (1 << s) - 1
+        w.bits(v, s)
+
+    diff = int(zz[0]) - pred
+    s = category(abs(diff)) if diff else 0
+    emit(s, dc_codes)
+    if s:
+        emit_val(diff, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            emit(0xF0, ac_codes)
+            run -= 16
+        s = category(abs(v))
+        emit((run << 4) | s, ac_codes)
+        emit_val(v, s)
+        run = 0
+    if run:
+        emit(0x00, ac_codes)
+    return int(zz[0])
+
+
+def _jpeg_bytes(px, subsample=False, restart=0):
+    """Encode (h, w, 3) uint8 RGB (or (h, w) grayscale) as a baseline
+    JFIF byte string with q=1 quant tables (near-lossless), custom
+    huffman tables, optional 4:2:0 subsampling and restart markers."""
+    import struct
+
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators.multimodal import (
+        _ZIGZAG,
+    )
+
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        flt = px.astype(np.float64)
+        r, g, b = flt[:, :, 0], flt[:, :, 1], flt[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    prepared = []
+    for p, (hs, vs) in zip(planes, samp):
+        if (hs, vs) != (hmax, vmax):
+            # box-average downsample (pad odd dims by edge replication)
+            fy, fx = vmax // vs, hmax // hs
+            ph = -(-p.shape[0] // fy) * fy
+            pw = -(-p.shape[1] // fx) * fx
+            p = np.pad(
+                p,
+                ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                mode="edge",
+            )
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        p = np.pad(
+            p,
+            ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+            mode="edge",
+        )
+        prepared.append(p)
+
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_tables()
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    q = bytes([0]) + bytes([1] * 64)  # table 0, 8-bit precision, all 1s
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(q)) + q
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (hs, vs) in enumerate(samp):
+        sof += struct.pack(">BBB", i + 1, (hs << 4) | vs, 0)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht += bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    wtr = _JpegWriter()
+    preds = [0] * nc
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            wtr.pad()
+            out += wtr.out
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            wtr = _JpegWriter()
+            preds = [0] * nc
+        my, mx = divmod(m, mcux)
+        for ci, (p, (hs, vs)) in enumerate(zip(prepared, samp)):
+            for blk in range(hs * vs):
+                by, bx = divmod(blk, hs)
+                y0 = (my * vs + by) * 8
+                x0 = (mx * hs + bx) * 8
+                preds[ci] = _encode_block(
+                    wtr,
+                    p[y0 : y0 + 8, x0 : x0 + 8],
+                    preds[ci],
+                    dc_codes,
+                    ac_codes,
+                    _ZIGZAG,
+                )
+    wtr.pad()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = ((xx + yy) * 255 // max(h + w - 2, 1)).astype(np.uint8)
+    return np.stack([r, g, b], axis=2)
+
+
+def test_jpeg_roundtrip_rgb_444():
+    import numpy as np
+
+    src = _gradient_rgb(13, 16)  # non-multiple-of-8 height: crop path
+    px = multimodal.decode_image(_jpeg_bytes(src))
+    assert px.shape == src.shape
+    err = np.abs(px.astype(float) - src.astype(float))
+    assert err.max() <= 6 and err.mean() <= 2, (err.max(), err.mean())
+
+
+def test_jpeg_roundtrip_grayscale():
+    import numpy as np
+
+    src = np.tile(np.arange(16, dtype=np.uint8) * 16, (8, 1))
+    px = multimodal.decode_image(_jpeg_bytes(src))
+    assert px.shape == (8, 16, 3)
+    err = np.abs(px[:, :, 0].astype(float) - src.astype(float))
+    assert err.max() <= 3
+    # gray broadcast to 3 identical channels
+    assert (px[:, :, 0] == px[:, :, 1]).all()
+
+
+def test_jpeg_roundtrip_420_subsampled():
+    import numpy as np
+
+    # smooth luma gradient with constant chroma: 4:2:0 loses almost
+    # nothing, so the roundtrip bound stays tight while exercising the
+    # multi-block MCU + upsample path
+    gray = _gradient_rgb(24, 24)[:, :, :1].repeat(3, axis=2)
+    px = multimodal.decode_image(_jpeg_bytes(gray, subsample=True))
+    assert px.shape == gray.shape
+    err = np.abs(px.astype(float) - gray.astype(float))
+    assert err.max() <= 8 and err.mean() <= 2, (err.max(), err.mean())
+
+
+def test_jpeg_restart_markers_match_plain():
+    import numpy as np
+
+    src = _gradient_rgb(16, 32)
+    plain = multimodal.decode_image(_jpeg_bytes(src))
+    rst = multimodal.decode_image(_jpeg_bytes(src, restart=2))
+    assert np.array_equal(plain, rst)
+
+
+def test_jpeg_unsupported_shapes_raise():
+    import struct
+
+    src = _gradient_rgb(8, 8)
+    buf = bytearray(_jpeg_bytes(src))
+    sof = buf.index(b"\xff\xc0")
+    buf[sof + 1] = 0xC2  # progressive
+    with pytest.raises(ValueError, match="SOF"):
+        multimodal.decode_image(bytes(buf))
+    with pytest.raises(ValueError, match="JPEG"):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"xx")
+
+
+def test_jpeg_features_match_equivalent_bmp(spark):
+    """A JPEG payload must featurize from its REAL pixels: the q=1
+    roundtrip of a BMP's pixel content lands within rounding of the
+    BMP's own feature vector, far from the sha256 fake."""
+    import numpy as np
+
+    src = _gradient_rgb(16, 16)
+    jf = multimodal.real_decode(_jpeg_bytes(src), "image")
+    direct = multimodal._pixel_features(src)
+    assert np.abs(np.array(jf) - np.array(direct)).max() < 0.02
+    fake = multimodal._fake_decode(_jpeg_bytes(src))
+    assert np.abs(np.array(jf) - np.array(fake)).max() > 0.05
+
+
+def test_extract_features_degrades_on_corrupt_payload(spark):
+    """A truncated JPEG in a batch must degrade to the deterministic
+    fake vector, never kill the job (fleet-scale robustness contract)."""
+    corrupt = b"\xff\xd8\xff\xe0truncated"
+    rows = [(90, "image", _jpeg_bytes(_gradient_rgb(8, 8)), 1, 1, None, "jpg"),
+            (91, "image", corrupt, 1, 1, None, "jpg")]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, media_type string, payload binary, width int, "
+        "height int, duration_ms int, codec string",
+    )
+    out = {
+        r.asset_id: r.feature
+        for r in multimodal.extract_features(df).collect()
+    }
+    assert out[91] == multimodal._fake_decode(corrupt)
+    assert out[90] != multimodal._fake_decode(rows[0][2])

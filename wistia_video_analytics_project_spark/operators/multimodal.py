@@ -6,15 +6,18 @@ as driver-side objects. Decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` operators.
 
 Decode is REAL for the formats that need no codec library — BMP
-(BI_RGB 24/32bpp) and PPM (P6) parse with pure numpy, and PNG
+(BI_RGB 24/32bpp) and PPM (P6) parse with pure numpy, PNG
 (baseline 8-bit, all five scanline filters) inflates through stdlib
-``zlib`` (:func:`decode_image`) — into actual pixel arrays, which
-featurize (:func:`_pixel_features`) and resample
+``zlib``, and baseline-sequential JPEG (SOF0/SOF1, grayscale or YCbCr
+at any sampling incl. 4:2:0, restart markers) huffman-decodes +
+IDCTs in pure numpy (:func:`_decode_jpeg`) — into actual pixel
+arrays, which featurize (:func:`_pixel_features`) and resample
 (:func:`resize_images`, nearest-neighbor + PPM re-encode) from real
 content. Formats whose codecs genuinely aren't in this container
-(jpeg/audio-compressed/video) still fall back to the deterministic
-sha256 fake decoder / raise through :func:`real_decode`'s documented
-codec-absent branch (no PIL/cv2/ffmpeg — see :data:`HAVE_CODECS`).
+(progressive JPEG/audio-compressed/video) still fall back to the
+deterministic sha256 fake decoder / raise through
+:func:`real_decode`'s documented codec-absent branch (no PIL/cv2/
+ffmpeg — see :data:`HAVE_CODECS`).
 """
 
 from __future__ import annotations
@@ -55,7 +58,8 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 # These two uncompressed formats need no codec library — a header parse
 # plus a strided numpy view — which makes the decode path HONEST for
 # real pixels in this container (PNG additionally inflates via stdlib
-# zlib) while formats needing a true codec library (jpeg/...) still
+# zlib, baseline JPEG decodes via the huffman+IDCT below) while formats
+# needing a true codec library (progressive JPEG/mp3/video) still
 # raise through ``real_decode``'s documented codec-absent branch.
 
 
@@ -238,15 +242,280 @@ def _decode_png(payload: bytes):
     return np.ascontiguousarray(px[:, :, :3])
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_matrix():
+    """Orthonormal 8-point DCT-II basis ``M`` (``pixels = M.T @ F @ M``),
+    the exact inverse of the forward transform in ITU-T T.81 A.3.3."""
+    import numpy as np
+
+    n = np.arange(8)
+    mat = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16.0)
+    mat[0, :] *= 1.0 / np.sqrt(2.0)
+    return mat * 0.5
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (byte
+    stuffing already stripped)."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("JPEG entropy data truncated")
+        b = (self.buf[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            val = table.get((length, code))
+            if val is not None:
+                return val
+        raise ValueError("invalid JPEG huffman code")
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.read_bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_huff_dict(bits, vals) -> dict:
+    """Canonical huffman (T.81 Annex C): 16 length counts + values in
+    code order -> ``{(length, code): value}``."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_jpeg(payload: bytes):
+    """Baseline-sequential JFIF -> (h, w, 3) uint8 RGB array in pure
+    numpy + stdlib — no codec library (the PNG/stdlib-zlib precedent,
+    extended to the DCT family).
+
+    Supports the overwhelmingly common on-disk shape: SOF0/SOF1 frames,
+    8-bit samples, 1 (grayscale) or 3 (YCbCr, any sampling factors incl.
+    4:2:0/4:2:2) components, interleaved single scan, restart markers,
+    byte stuffing. Progressive (SOF2), arithmetic coding, and 12-bit
+    frames raise ValueError — fall back to the fake decoder upstream.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    scan = None
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        data = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT: one or more tables
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq:
+                    tbl = np.frombuffer(
+                        data[i : i + 128], dtype=">u2"
+                    ).astype(np.float64)
+                    i += 128
+                else:
+                    tbl = np.frombuffer(
+                        data[i : i + 64], dtype=np.uint8
+                    ).astype(np.float64)
+                    i += 64
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT: one or more tables
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = data[i + 1 : i + 17]
+                n = sum(bits)
+                vals = data[i + 17 : i + 17 + n]
+                huff[(tc, th)] = _jpeg_huff_dict(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline / ext-sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if h == 0:
+                raise ValueError("DNL-deferred JPEG height unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type SOF{marker & 15}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:  # SOS: scan header, then entropy data
+            ns = data[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = data[1 + 2 * c], data[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 15))
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # split entropy-coded data into restart segments, stripping stuffing
+    segments, cur = [], bytearray()
+    i = pos
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF and i + 1 < len(payload):
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    h, w, comps = frame
+    if len(comps) not in (1, 3):
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    idct = _idct_matrix()
+    planes, order = {}, []
+    for cid, hs, vs, tq in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8))
+        order.append((cid, hs, vs, qt[tq]))
+    tabsel = {cs: (dc, ac) for cs, dc, ac in scan}
+
+    br = _JpegBits(segments[0])
+    seg_idx = 0
+    preds = {cid: 0 for cid, *_ in comps}
+    zz = np.zeros(64)
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG restart segment missing")
+            br = _JpegBits(segments[seg_idx])
+            preds = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(m, mcux)
+        for cid, hs, vs, q in order:
+            dc_t = huff.get((0, tabsel[cid][0]))
+            ac_t = huff.get((1, tabsel[cid][1]))
+            if dc_t is None or ac_t is None:
+                raise ValueError("JPEG huffman table missing")
+            for blk in range(hs * vs):
+                by, bx = divmod(blk, hs)
+                zz[:] = 0.0
+                s = br.read_huff(dc_t)
+                preds[cid] += br.receive_extend(s)
+                zz[0] = preds[cid]
+                k = 1
+                while k < 64:
+                    rs = br.read_huff(ac_t)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            break  # EOB
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC index out of range")
+                    zz[k] = br.receive_extend(s)
+                    k += 1
+                coef = np.zeros(64)
+                coef[_ZIGZAG] = zz * q
+                block = idct.T @ coef.reshape(8, 8) @ idct + 128.0
+                y0 = (my * vs + by) * 8
+                x0 = (mx * hs + bx) * 8
+                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    # upsample each component to full resolution and crop
+    full = []
+    for cid, hs, vs, _ in order:
+        p = planes[cid]
+        if hs != hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs != vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes):
     """payload -> (h, w, 3) uint8 RGB numpy array, or ``None`` when the
-    format isn't one of the dependency-free decoders (BMP/PPM/PNG)."""
+    format isn't one of the dependency-free decoders (BMP/PPM/PNG/
+    baseline JPEG)."""
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
     if payload.startswith(_PNG_SIG):
         return _decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        return _decode_jpeg(payload)
     return None
 
 
@@ -327,11 +596,12 @@ def _audio_features(arr, rate: int) -> list[float]:
 
 
 def real_decode(payload: bytes, media_type: str) -> list[float]:
-    """Real decode path: BMP/PPM/PNG images decode to pixels (numpy +
-    stdlib zlib for PNG)
+    """Real decode path: BMP/PPM/PNG/baseline-JPEG images decode to
+    pixels (numpy + stdlib zlib/huffman)
     and PCM WAV audio decodes to samples (stdlib wave), featurizing
     from actual content; every other format still raises the documented
-    codec-absent branch."""
+    codec-absent branch (malformed payloads of a supported magic raise
+    ValueError from the decoder itself)."""
     if media_type == "image":
         px = decode_image(payload)
         if px is not None:
@@ -343,8 +613,8 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
     raise NotImplementedError(
         "no codec libraries in this environment for "
         f"media_type={media_type!r} with magic {payload[:2]!r}; only "
-        "BMP/PPM/PNG decode natively — other payloads use the "
-        "deterministic fake decoder"
+        "BMP/PPM/PNG/baseline-JPEG and PCM WAV decode natively — other "
+        "payloads use the deterministic fake decoder"
     )
 
 
@@ -360,15 +630,21 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
 
     def decode(payload: bytes, media_type: str) -> list[float]:
         # real pixels whenever the payload is natively decodable
-        # (BMP/PPM/PNG — see decode_image); deterministic fake otherwise
-        if media_type == "image":
-            px = decode_image(payload)
-            if px is not None:
-                return _pixel_features(px)
-        if media_type == "audio":
-            au = decode_audio(payload)
-            if au is not None:
-                return _audio_features(*au)
+        # (BMP/PPM/PNG/baseline JPEG — see decode_image); deterministic
+        # fake otherwise.  Corrupt or unsupported-shape payloads
+        # (ValueError) also degrade to the fake vector: at fleet scale
+        # one truncated file must never kill the whole feature job.
+        try:
+            if media_type == "image":
+                px = decode_image(payload)
+                if px is not None:
+                    return _pixel_features(px)
+            if media_type == "audio":
+                au = decode_audio(payload)
+                if au is not None:
+                    return _audio_features(*au)
+        except ValueError:
+            pass
         return _fake_decode(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
