@@ -31,6 +31,7 @@ from wistia_video_analytics_project_spark.operators import (
     dedup,
     gold,
     graph,
+    langid,
     linalg,
     multimodal,
     quality,
@@ -4442,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     core.update(cleaning.queries())
     core.update(corpus.queries())
     core.update(graph.queries())
+    core.update(langid.queries())
     # --- round-1 driver-VERIFIED tier (green rows in CORRECTNESS_r01) ---
     core.update({
         "daily_plays_trend": q_daily_plays_trend,
@@ -4600,7 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "label_effective_rank", "embedding_mahalanobis",
                        "holt_revenue_trend", "doc_novelty_hashed",
                        "duplicated_spans_hashed",
-                       "quality_classifier_train"):
+                       "quality_classifier_train", "langid_train"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 

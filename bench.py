@@ -174,6 +174,8 @@ SECONDARY = [
     "stratified_sample_wor",
     "holt_revenue_trend",
     "region_balance_boxplot",
+    # round-5 operators
+    "langid_train",
 ]
 
 

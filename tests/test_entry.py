@@ -48,6 +48,10 @@ def test_queries_registry_well_formed(spark):
         # Newton-IRLS training loop — no SQL equivalent; numpy-reference
         # parity pinned in tests/test_linalg.py
         "quality_classifier_train",
+        # shared-scan one-vs-rest IRLS language-ID training — no SQL
+        # equivalent; numpy parity + learnability pinned in
+        # tests/test_langid.py
+        "langid_train",
     }
 
 

@@ -1,0 +1,318 @@
+"""Trainable language identification (fastText-style, Spark-first).
+
+Reference parity note: the reference pipeline has no LID stage — this is
+BASELINE.json's LLM-data-pipeline extension tier (text analysis), the
+trainable upgrade over the stopword-marker heuristic in
+:mod:`.text` (``lang_guess``), which only knows four hard-coded
+languages and returns ``'und'`` for everything else.
+
+Architecture (each stage at its right execution boundary):
+
+- **Featurize** — hashed byte-trigram count vectors, L2-normalized
+  (:func:`hashed_char_ngram_features`): an Arrow-batched ``mapInPandas``
+  map (vectorized FNV-1a over numpy sliding windows).  Featurization is
+  embarrassingly parallel, so the operator shuffles NOTHING — at 100 TB
+  the only data movement is the scan itself.
+- **Train** — one-vs-rest logistic regression by Newton-IRLS
+  (:func:`langid_train`).  The K per-class Hessian/gradient sufficient
+  statistics are computed in a SINGLE shared scan per iteration
+  (:func:`ovr_logistic_stats`) rather than K separate passes: the
+  mapInPandas partial reduces each partition to ``K·((d+1)² + (d+1) +
+  1) + 1`` (class, idx, val) rows which one ``groupBy.sum`` merges, so
+  driver work is O(K·d²) and job count is ``iterations`` — not
+  ``K·iterations``.  Training-shaped (like BPE/Lloyd), bounded collects.
+- **Score** — pure JVM (:func:`langid_score`): per-class margins as
+  literal-array ``zip_with`` dot products and a deterministic argmax
+  ``when``-chain.  No Python anywhere in the scoring hot path, so
+  applying the model to a 100 TB corpus is a codegen'd map.
+
+Rows-only registry entry (``langid_train``): the IRLS loop has no SQL
+equivalent.  Numpy-reference parity of the shared-scan statistics,
+learnability on a separable synthetic corpus (beats the marker
+heuristic), and layout independence are pinned in
+``tests/test_langid.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import cache
+from ..session import configure_runtime
+from ..sources import load_table
+
+#: feature dimensionality (hash buckets) — small enough that the
+#: (dim+1)² Newton systems are driver-trivial, large enough that byte
+#: trigrams of distinct scripts rarely all collide
+DEFAULT_DIM = 64
+_FNV_OFFSET = np.uint64(2166136261)
+_FNV_PRIME = np.uint64(16777619)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def ngram_feature_vector(text: str, dim: int = DEFAULT_DIM, n: int = 3):
+    """Pure-numpy reference featurizer for ONE document: lowercased
+    utf-8 byte ``n``-grams, FNV-1a hashed into ``dim`` buckets, counts
+    L2-normalized.  The distributed path calls exactly this function —
+    tests compare it against an independent re-implementation."""
+    raw = (" " + text.lower() + " ").encode("utf-8")
+    if len(raw) < n:
+        return np.zeros(dim)
+    b = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+    h = np.full(len(b) - n + 1, _FNV_OFFSET, dtype=np.uint64)
+    for k in range(n):
+        h = ((h ^ b[k : len(b) - n + 1 + k]) * _FNV_PRIME) & _MASK32
+    counts = np.bincount((h % np.uint64(dim)).astype(np.int64), minlength=dim)
+    vec = counts.astype(np.float64)
+    norm = float(np.sqrt((vec * vec).sum()))
+    return vec / norm if norm else vec
+
+
+def hashed_char_ngram_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = DEFAULT_DIM,
+    n: int = 3,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(id, features array<double>, *keep_cols)`` — zero-shuffle
+    Arrow-batched featurization (see module docstring)."""
+    import pandas as pd
+
+    keep = [c for c in keep_cols if c != id_col]
+    schema = f"{id_col} long, features array<double>" + "".join(
+        f", {c} string" for c in keep
+    )
+
+    def run(batches):
+        for pdf in batches:
+            feats = [
+                ngram_feature_vector(t or "", dim, n).tolist()
+                for t in pdf[text_col]
+            ]
+            out = {id_col: pdf[id_col], "features": feats}
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col, *keep).mapInPandas(
+        run, schema=schema
+    )
+
+
+def ovr_logistic_stats(
+    feats: DataFrame,
+    vec_col: str,
+    label_col: str,
+    weights: np.ndarray,
+    dim: int,
+) -> DataFrame:
+    """Shared-scan one-vs-rest IRLS sufficient statistics.
+
+    ``weights`` is the (K, dim+1) current model (bias last).  For every
+    class k the partial computes, against the k-vs-rest 0/1 target, the
+    ridge-free Newton quantities at the current weights — flattened
+    Hessian ``Xᵀ diag(p(1-p)) X`` ((dim+1)²), gradient ``Xᵀ(y-p)``
+    (dim+1), summed NLL (1) — plus one shared row-count row.  Output is
+    ``(cls, idx, val)`` with a partial-aggregating ``groupBy`` merge:
+    collect size is K·((dim+1)²+dim+2)+1 rows regardless of data size.
+    """
+    import pandas as pd
+
+    d = int(dim)
+    aug = d + 1
+    n_h = aug * aug
+    w_mat = np.asarray(weights, dtype=np.float64)
+    n_cls = w_mat.shape[0]
+    per_cls = n_h + aug + 1
+
+    def partials(it):
+        acc = np.zeros(n_cls * per_cls + 1)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vals = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            widths = {v.shape[0] if v.ndim == 1 else -1 for v in vals}
+            if widths != {d}:
+                raise ValueError(
+                    f"expected {d}-wide vectors, got widths {sorted(widths)}"
+                )
+            x = np.hstack([np.array(vals), np.ones((len(vals), 1))])
+            labels = pdf[label_col].to_numpy(dtype=np.int64)
+            acc[-1] += len(x)
+            for k in range(n_cls):
+                y = (labels == k).astype(np.float64)
+                z = x @ w_mat[k]
+                p = 1.0 / (1.0 + np.exp(-z))
+                dw = p * (1.0 - p)
+                base = k * per_cls
+                acc[base : base + n_h] += ((x * dw[:, None]).T @ x).ravel()
+                acc[base + n_h : base + n_h + aug] += x.T @ (y - p)
+                # NLL via log1p(exp(-|z|)) for overflow safety
+                acc[base + n_h + aug] += float(
+                    np.sum(np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0) - y * z)
+                )
+        yield pd.DataFrame(
+            {
+                "cls": np.repeat(np.arange(n_cls + 1), [per_cls] * n_cls + [1]),
+                "idx": np.concatenate(
+                    [np.arange(per_cls)] * n_cls + [np.zeros(1, dtype=int)]
+                ),
+                "val": acc,
+            }
+        )
+
+    return (
+        feats.select(vec_col, label_col)
+        .mapInPandas(partials, schema="cls int, idx int, val double")
+        .groupBy("cls", "idx")
+        .agg(F.sum("val").alias("val"))
+    )
+
+
+def langid_train(
+    feats: DataFrame,
+    langs: list[str],
+    vec_col: str = "features",
+    label_col: str = "label_idx",
+    dim: int = DEFAULT_DIM,
+    iterations: int = 3,
+    ridge: float = 1e-3,
+):
+    """One-vs-rest Newton-IRLS over pre-featurized docs.
+
+    ``langs`` fixes the class order (index = position).  Returns
+    ``(weights (K, dim), biases (K,), losses)`` where ``losses[i]`` is
+    the summed per-class mean NLL at iteration i's starting weights.
+    One shared-scan stats job per iteration (see module docstring)."""
+    d = int(dim)
+    aug = d + 1
+    n_h = aug * aug
+    per_cls = n_h + aug + 1
+    n_cls = len(langs)
+    cached = cache.track(feats.select(vec_col, label_col).cache())
+    w = np.zeros((n_cls, aug))
+    losses: list[float] = []
+    for _ in range(int(iterations)):
+        rows = ovr_logistic_stats(cached, vec_col, label_col, w, d).collect()
+        buf = np.zeros(n_cls * per_cls + 1)
+        for r in rows:
+            pos = -1 if r["cls"] >= n_cls else r["cls"] * per_cls + r["idx"]
+            buf[pos] = r["val"]
+        n = buf[-1]
+        if n == 0:
+            raise ValueError("empty training frame")
+        loss = 0.0
+        for k in range(n_cls):
+            base = k * per_cls
+            hess = buf[base : base + n_h].reshape(aug, aug)
+            hess = hess + float(ridge) * np.eye(aug)
+            grad = buf[base + n_h : base + n_h + aug]
+            loss += float(buf[base + n_h + aug] / n)
+            w[k] = w[k] + np.linalg.solve(hess, grad)
+        losses.append(loss)
+    return w[:, :d], w[:, d], losses
+
+
+def langid_score(
+    feats: DataFrame,
+    langs: list[str],
+    weights: np.ndarray,
+    biases: np.ndarray,
+    vec_col: str = "features",
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Argmax one-vs-rest scoring, pure JVM: one literal-array
+    ``zip_with`` dot product per class and a deterministic
+    ``when``-chain argmax (first class in ``langs`` order wins ties).
+    Codegen'd map — no shuffle, no Python."""
+    margins = []
+    for k in range(len(langs)):
+        lit_w = F.array(*[F.lit(float(v)) for v in np.asarray(weights[k])])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        margins.append(dot + F.lit(float(biases[k])))
+    best_expr = F.lit(langs[0])
+    best_val = margins[0]
+    for k in range(1, len(langs)):
+        is_better = margins[k] > best_val
+        best_expr = F.when(is_better, F.lit(langs[k])).otherwise(best_expr)
+        best_val = F.when(is_better, margins[k]).otherwise(best_val)
+    return feats.withColumn(out_col, best_expr)
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract binding
+# ---------------------------------------------------------------------------
+
+_TRAIN_ITERS = 3
+_TRAIN_DIM = DEFAULT_DIM
+
+
+def q_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable LID over the documents table: hashed byte-trigram
+    features -> shared-scan one-vs-rest IRLS against the ``lang``
+    labels -> JVM argmax scoring back over the corpus.  Reports train
+    accuracy vs the majority-class baseline plus per-model summaries.
+    (The synthetic corpus draws every language's text from one shared
+    vocabulary, so accuracy ~= baseline here by construction — the
+    learnability proof on a separable corpus lives in
+    ``tests/test_langid.py``, where the same operators reach >90%
+    accuracy and beat the marker heuristic.)  Rows-only: IRLS has no
+    SQL equivalent."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )
+    idx = {g: i for i, g in enumerate(langs)}
+    feats = hashed_char_ngram_features(
+        docs, dim=_TRAIN_DIM, keep_cols=("lang",)
+    ).withColumn(
+        "label_idx",
+        F.coalesce(
+            *[
+                F.when(F.col("lang") == g, F.lit(i))
+                for g, i in idx.items()
+            ]
+        ).cast("long"),
+    )
+    feats = cache.track(feats.cache())
+    w, b, losses = langid_train(
+        feats, langs, dim=_TRAIN_DIM, iterations=_TRAIN_ITERS
+    )
+    scored = langid_score(feats, langs, w, b)
+    agg = scored.agg(
+        F.round(
+            F.avg((F.col("lang_pred") == F.col("lang")).cast("double")), 4
+        ).alias("acc"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    majority = (
+        feats.groupBy("lang")
+        .count()
+        .agg(F.max("count").alias("m"), F.sum("count").alias("t"))
+        .collect()[0]
+    )
+    rows = [
+        ("train_accuracy", float(agg["acc"])),
+        ("majority_baseline", round(majority["m"] / majority["t"], 4)),
+        ("n_docs", float(agg["n"])),
+        ("n_langs", float(len(langs))),
+        ("final_loss", round(losses[-1], 4)),
+        ("null_loss", round(losses[0], 4)),
+        ("w_norm", round(float(np.linalg.norm(w)), 4)),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {"langid_train": q_langid_train}
