@@ -409,3 +409,70 @@ def test_hard_negatives_labels_always_differ(spark):
         assert [r.rnk for r in rows] == [1, 2, 3]
         sims = [r.cosine_sim for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_compaction_policy_restores_recall(spark, emb, tmp_path):
+    """Continuous-ingestion maintenance: a skewed incremental batch
+    (near-duplicates piling into one frozen cell) trips the health
+    thresholds; compaction re-trains and the rebuilt index's recall
+    equals a from-scratch build on the same corpus (same deterministic
+    training pipeline)."""
+    idx = str(tmp_path / "ivf_maint")
+    base = emb.filter("vec_id < 80")
+    similarity.ivf_write_index(base, idx, n_centroids=8, refine_iterations=2)
+    h0 = similarity.ivf_index_health(spark, idx)
+    assert h0["n_vectors"] == 80 and h0["n_cells"] == 8
+
+    # adversarial batch: 60 jittered copies of one base vector -> all
+    # land in that vector's (frozen) cell
+    seed_vec = base.filter("vec_id = 0").collect()[0]["embedding"]
+    jitter = [
+        (
+            10_000 + i,
+            [float(v) + 1e-4 * ((i + j) % 7) for j, v in enumerate(seed_vec)],
+            0,
+        )
+        for i in range(60)
+    ]
+    batch = spark.createDataFrame(
+        jitter, "vec_id long, embedding array<float>, label long"
+    ).select("vec_id", "embedding", "label")
+    similarity.ivf_add_to_index(spark, idx, batch.select("vec_id", "embedding"))
+
+    h1 = similarity.ivf_index_health(spark, idx)
+    assert h1["n_vectors"] == 140
+    assert h1["skew_ratio"] > h0["skew_ratio"]
+    assert h1["max_cell"] >= 60
+
+    # below-threshold call is a no-op
+    noop = similarity.ivf_compact_index(
+        spark, idx, skew_threshold=h1["skew_ratio"] + 1
+    )
+    assert noop["rebuilt"] is False
+
+    res = similarity.ivf_compact_index(spark, idx, skew_threshold=3.0)
+    assert res["rebuilt"] is True
+    h2 = similarity.ivf_index_health(spark, idx)
+    assert h2["n_vectors"] == 140
+    assert h2["skew_ratio"] <= h1["skew_ratio"]
+
+    # recall after incremental adds + rebuild == from-scratch build on
+    # the union corpus (identical deterministic training pipeline)
+    union = base.select("vec_id", "embedding").unionByName(
+        batch.select("vec_id", "embedding")
+    )
+    fresh = str(tmp_path / "ivf_fresh")
+    similarity.ivf_write_index(union, fresh, n_centroids=8, refine_iterations=2)
+    queries = emb.filter("vec_id < 10").select("vec_id", "embedding")
+
+    def topk(path):
+        return sorted(
+            map(
+                tuple,
+                similarity.ivf_query_index(
+                    spark, path, queries, k=5, nprobe=2
+                ).collect(),
+            )
+        )
+
+    assert topk(idx) == topk(fresh)

@@ -608,6 +608,106 @@ def ivf_add_to_index(
     )
 
 
+def ivf_index_health(spark, path: str) -> dict:
+    """Cell-occupancy diagnostics for a persisted IVF index — the
+    signal the compaction policy reads.
+
+    One per-cell count aggregate over the cells table (cell is the
+    partition column, so the scan reads no vector bytes after column
+    pruning).  ``skew_ratio`` = max cell size / mean over ALL trained
+    cells (empty included): under continuous ingestion with frozen
+    centroids this drifts upward as new data concentrates in stale
+    cells — the probe cost of the hottest cell grows with it, since a
+    query probing that cell scans ``max_cell`` vectors regardless of
+    nprobe.  ``empty_frac`` counts trained cells that no vector maps to
+    (wasted quantizer resolution)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        n_cells = len(json.load(f))
+    counts = (
+        spark.read.parquet(os.path.join(path, "cells"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_vectors = sum(r["n"] for r in counts)
+    max_cell = max((r["n"] for r in counts), default=0)
+    mean_cell = n_vectors / n_cells if n_cells else 0.0
+    return {
+        "n_vectors": n_vectors,
+        "n_cells": n_cells,
+        "n_cells_nonempty": len(counts),
+        "max_cell": max_cell,
+        "skew_ratio": (max_cell / mean_cell) if mean_cell else 0.0,
+        "empty_frac": (n_cells - len(counts)) / n_cells if n_cells else 0.0,
+    }
+
+
+def ivf_compact_index(
+    spark,
+    path: str,
+    skew_threshold: float = 4.0,
+    empty_frac_threshold: float = 0.5,
+    refine_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Compaction / re-train policy for a persisted IVF index under
+    continuous ingestion (:func:`ivf_add_to_index` appends against
+    FROZEN centroids, so cell balance degrades over time — the FAISS
+    "periodic retrain" counterpart, made an explicit operator).
+
+    Reads :func:`ivf_index_health`; when ``skew_ratio`` or
+    ``empty_frac`` exceeds its threshold, re-trains the coarse
+    quantizer on the CURRENT index contents (deterministic sample +
+    Lloyd refinement — identical pipeline to a from-scratch
+    :func:`ivf_write_index`, so post-rebuild recall provably equals a
+    fresh build on the same corpus) and rewrites the cell layout,
+    swapping directories only after the rebuild commits (_SUCCESS):
+    readers never see a half-written index, and a crash mid-rebuild
+    leaves the old index live.  At fleet scale the rebuild is one
+    assign pass + one partitioned write over the index — the same cost
+    as the original build, amortized across the ingestion window that
+    caused the drift.
+
+    Returns the pre-compaction health dict plus ``{"rebuilt": bool}``.
+    """
+    import json
+    import os
+    import shutil
+
+    health = ivf_index_health(spark, path)
+    rebuild = (
+        health["skew_ratio"] > skew_threshold
+        or health["empty_frac"] > empty_frac_threshold
+    )
+    if not rebuild:
+        return {**health, "rebuilt": False}
+
+    cells_dir = os.path.join(path, "cells")
+    corpus = spark.read.parquet(cells_dir).drop("cell")
+    tmp = os.path.join(path, "cells.rebuild")
+    cents = ivf_centroids_refined(
+        corpus, health["n_cells"], refine_iterations, id_col, vec_col
+    )
+    assigned = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+    (
+        corpus.join(assigned, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    old = os.path.join(path, "cells.old")
+    os.rename(cells_dir, old)
+    os.rename(tmp, cells_dir)
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(cents, f)
+    shutil.rmtree(old)
+    return {**health, "rebuilt": True}
+
+
 def ivf_query_index(
     spark,
     path: str,
