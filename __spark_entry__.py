@@ -4339,6 +4339,60 @@ def q_streaming_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_view_purchase_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream JOIN run to completion — the fourth streaming
+    shape next to tumbling/session/sliding windows: purchases join the
+    same user's preceding views within 1 hour (watermarked both sides,
+    so per-key buffered state expires; an unbounded stream-stream join
+    buffers forever).  The inner join emits every matched pair by
+    end-of-stream, so the result is deterministic and the oracle is
+    the equivalent batch range join.  Pair rows land in the memory
+    sink; the daily report aggregates them BATCH-side (aggregating a
+    stream-stream join's append output inside the stream would need a
+    second watermark chain for no semantic gain).  Lead times are exact
+    integer micros divided once (CLAUDE.md timestamp rule); the oracle
+    mirrors Spark's nanos->micros truncation via epoch_ns//1000."""
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+        stream_stream_window_join,
+    )
+
+    stream, tag = _staged_event_stream(spark, sf_dir)
+    p = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    v = stream.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    joined = stream_stream_window_join(
+        p, v, ["user_id"], "ts", "vts", window="1 hour", watermark="2 hours"
+    ).select(
+        F.col("__l.purchase_id").alias("purchase_id"),
+        F.to_date("__l.ts").alias("purchase_date"),
+        (F.unix_micros("__l.ts") - F.unix_micros("__r.vts")).alias(
+            "lead_us"
+        ),
+    )
+    name = f"stream_vp_join_{tag}"
+    run_to_memory_sink(joined, name)
+    pairs = spark.table(name)
+    return pairs.groupBy("purchase_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_distinct("purchase_id").cast("bigint").alias("n_purchases"),
+        F.round(
+            F.sum("lead_us").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0),
+            4,
+        ).alias("avg_lead_seconds"),
+    )
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION-window sessionization run to completion (file
     stream -> session_window(30 min gap) -> memory sink).
@@ -4587,6 +4641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_explained_variance": q_pca_explained_variance,
         "event_markov_stationary": q_event_markov_stationary,
         "quality_classifier_train": q_quality_classifier_train,
+        # round-5 additions
+        "streaming_view_purchase_join": q_streaming_view_purchase_join,
     })
     # --- round-5 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R5}
@@ -6744,6 +6800,28 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_business_days,
                    CAST(max(bd) AS BIGINT) AS max_business_days
             FROM per_line GROUP BY 1 ORDER BY 1
+        """,
+        "streaming_view_purchase_join": """
+            WITH p AS (
+              SELECT user_id, event_id AS purchase_id,
+                     CAST(ts AS DATE) AS purchase_date,
+                     epoch_ns(ts) // 1000 AS p_us
+              FROM events WHERE event_type = 'purchase'),
+            v AS (
+              SELECT user_id, epoch_ns(ts) // 1000 AS v_us
+              FROM events WHERE event_type = 'view'),
+            pairs AS (
+              SELECT p.purchase_id, p.purchase_date,
+                     p.p_us - v.v_us AS lead_us
+              FROM p JOIN v ON p.user_id = v.user_id
+               AND v.v_us >= p.p_us - 3600000000
+               AND v.v_us < p.p_us)
+            SELECT purchase_date,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+                   round(CAST(sum(lead_us) AS DOUBLE) / count(*)
+                         / CAST(1000000.0 AS DOUBLE), 4) AS avg_lead_seconds
+            FROM pairs GROUP BY 1
         """,
         "streaming_sliding_traffic": """
             WITH starts AS (

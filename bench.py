@@ -176,6 +176,8 @@ SECONDARY = [
     "region_balance_boxplot",
     # round-5 operators
     "langid_train",
+    "gopher_quality_report",
+    "streaming_view_purchase_join",
 ]
 
 

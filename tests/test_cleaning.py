@@ -302,3 +302,29 @@ def test_readability_known_values(spark, tmp_path):
     assert r1.n_syllables == 6
     assert r1.reading_ease == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 2)
     assert out[2].reading_ease < r1.reading_ease
+
+
+def test_gopher_rules_flag_each_rule(spark):
+    from wistia_video_analytics_project_spark.operators.cleaning import (
+        GOPHER_RULE_BITS,
+        gopher_rules,
+    )
+
+    good = " ".join(["the"] * 25 + ["with"] * 25)  # 50 words, mean 4, stops
+    rows = [
+        (1, good),
+        (2, " ".join(["the", "with"] * 10)),            # 20 words: too few
+        (3, " ".join(["a"] * 48 + ["the", "with"])),    # mean len < 3
+        (4, good + " " + "# " * 12),                    # symbol ratio
+        (5, " ".join(["the", "with"] + ["123"] * 48)),  # alpha frac < 0.8
+        (6, " ".join(["data"] * 50)),                   # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[1].keep and got[1].fail_mask == 0
+    assert got[2].fail_mask & GOPHER_RULE_BITS["word_count"]
+    assert got[3].fail_mask & GOPHER_RULE_BITS["mean_word_len"]
+    assert got[4].fail_mask & GOPHER_RULE_BITS["symbol_ratio"]
+    assert got[5].fail_mask & GOPHER_RULE_BITS["alpha_frac"]
+    assert got[6].fail_mask & GOPHER_RULE_BITS["stopwords"]
+    assert not got[2].keep

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..session import configure_runtime
 from ..sources import load_table
 from .dedup import _shingle_arrays
-from .text import tokens
+from .text import _occurrences, tokens
 
 # ---------------------------------------------------------------------------
 # PII scrubbing
@@ -455,12 +455,125 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter
+# ---------------------------------------------------------------------------
+
+#: stopword-presence list for the Gopher "contains >=2 stop words" rule
+#: (Rae et al. 2021 §A1.1 use 8 common English function words)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: rule bit positions in the fail mask (0 == document kept)
+GOPHER_RULE_BITS = {
+    "word_count": 1,
+    "mean_word_len": 2,
+    "symbol_ratio": 4,
+    "alpha_frac": 8,
+    "stopwords": 16,
+}
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    symbol_per_10_words: int = 1,
+    alpha_frac_tenths: int = 8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1) as a
+    single-scan, all-JVM filter: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (# and ellipsis), alphabetic-word
+    fraction, stopword presence.
+
+    Every threshold comparison is EXACT INTEGER arithmetic
+    (``total_chars >= 3·n_words`` instead of ``mean >= 3.0``,
+    ``symbol_hits·10 < n_words`` instead of ``ratio < 0.1``), so rule
+    boundaries can never flip under float noise and the DuckDB oracle
+    agrees bit-for-bit.  Output per doc: the counts, a rule-failure
+    bitmask (:data:`GOPHER_RULE_BITS`), and ``keep = mask == 0``.
+    Row-local built-ins only — no UDF, no shuffle; at 100 TB this is a
+    codegen'd map over the corpus scan.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    symbol_hits = _occurrences(padded, "#") + _occurrences(padded, "...")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS))
+    )
+    mask = (
+        F.when(
+            (n_words < min_words) | (n_words > max_words),
+            F.lit(GOPHER_RULE_BITS["word_count"]),
+        ).otherwise(F.lit(0))
+        + F.when(
+            (total_chars < min_mean_word_len * n_words)
+            | (total_chars > max_mean_word_len * n_words),
+            F.lit(GOPHER_RULE_BITS["mean_word_len"]),
+        ).otherwise(F.lit(0))
+        + F.when(
+            symbol_hits * 10 >= n_words * symbol_per_10_words,
+            F.lit(GOPHER_RULE_BITS["symbol_ratio"]),
+        ).otherwise(F.lit(0))
+        + F.when(
+            alpha_words * 10 < n_words * alpha_frac_tenths,
+            F.lit(GOPHER_RULE_BITS["alpha_frac"]),
+        ).otherwise(F.lit(0))
+        + F.when(
+            stop_hits < min_stopword_hits,
+            F.lit(GOPHER_RULE_BITS["stopwords"]),
+        ).otherwise(F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        total_chars.alias("total_word_chars"),
+        alpha_words.cast("bigint").alias("n_alpha_words"),
+        symbol_hits.cast("bigint").alias("symbol_hits"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+        mask.cast("bigint").alias("fail_mask"),
+        (mask == 0).alias("keep"),
+    )
+
+
+def q_gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-rule audit: kept share and per-rule failure
+    counts — the go/no-go dashboard before a pretraining mixture is
+    frozen."""
+    docs = _docs(spark, sf_dir)
+    r = gopher_rules(docs).join(docs.select("doc_id", "source"), "doc_id")
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("bigint").alias("n_kept"),
+    ]
+    for rule, bit in sorted(GOPHER_RULE_BITS.items(), key=lambda kv: kv[1]):
+        agg.append(
+            F.sum(
+                ((F.col("fail_mask").bitwiseAND(F.lit(bit))) > 0).cast("long")
+            )
+            .cast("bigint")
+            .alias(f"fail_{rule}")
+        )
+    return r.groupBy("source").agg(*agg)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contamination_report": q_contamination_report,
         "text_repetition": q_text_repetition,
         "pii_scrub_report": q_pii_scrub_report,
         "line_dedup_report": q_line_dedup_report,
+        "gopher_quality_report": q_gopher_quality_report,
     }
 
 
@@ -596,5 +709,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dropped) AS BIGINT) AS lines_dropped,
                    CAST(sum(length(coalesce(text_clean, ''))) AS BIGINT) AS clean_chars
             FROM per GROUP BY 1
+        """,
+        # every rule boundary is exact integer arithmetic (see
+        # gopher_rules docstring), so the mask agrees bit-for-bit
+        "gopher_quality_report": """
+            WITH tok AS (
+              SELECT doc_id, source, lower(text) AS lotext,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks
+              FROM documents),
+            per AS (
+              SELECT doc_id, source,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(toks, t -> length(t)))
+                          AS BIGINT) AS total_chars,
+                     CAST(len(list_filter(toks,
+                          t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+                       AS alpha_words,
+                     CAST((length(' ' || lotext || ' ')
+                           - length(replace(' ' || lotext || ' ', '#', '')))
+                          AS BIGINT)
+                     + CAST((length(' ' || lotext || ' ')
+                             - length(replace(' ' || lotext || ' ', '...', '')))
+                            / 3 AS BIGINT) AS symbol_hits,
+                     CAST(len(list_filter(toks, t -> list_contains(
+                          ['the','be','to','of','and','that','have','with'],
+                          t))) AS BIGINT) AS stop_hits
+              FROM tok),
+            masked AS (
+              SELECT source,
+                     (CASE WHEN n_words < 50 OR n_words > 100000
+                           THEN 1 ELSE 0 END)
+                     + (CASE WHEN total_chars < 3 * n_words
+                             OR total_chars > 10 * n_words
+                             THEN 2 ELSE 0 END)
+                     + (CASE WHEN symbol_hits * 10 >= n_words
+                             THEN 4 ELSE 0 END)
+                     + (CASE WHEN alpha_words * 10 < n_words * 8
+                             THEN 8 ELSE 0 END)
+                     + (CASE WHEN stop_hits < 2 THEN 16 ELSE 0 END)
+                       AS fail_mask
+              FROM per)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE fail_mask = 0) AS BIGINT)
+                     AS n_kept,
+                   CAST(count(*) FILTER (WHERE fail_mask & 1 > 0) AS BIGINT)
+                     AS fail_word_count,
+                   CAST(count(*) FILTER (WHERE fail_mask & 2 > 0) AS BIGINT)
+                     AS fail_mean_word_len,
+                   CAST(count(*) FILTER (WHERE fail_mask & 4 > 0) AS BIGINT)
+                     AS fail_symbol_ratio,
+                   CAST(count(*) FILTER (WHERE fail_mask & 8 > 0) AS BIGINT)
+                     AS fail_alpha_frac,
+                   CAST(count(*) FILTER (WHERE fail_mask & 16 > 0) AS BIGINT)
+                     AS fail_stopwords
+            FROM masked GROUP BY 1
         """,
     }
