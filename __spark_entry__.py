@@ -4658,7 +4658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "label_effective_rank", "embedding_mahalanobis",
                        "holt_revenue_trend", "doc_novelty_hashed",
                        "duplicated_spans_hashed",
-                       "quality_classifier_train", "langid_train"):
+                       "quality_classifier_train", "langid_train",
+                       "ann_mmr"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 

@@ -178,6 +178,7 @@ SECONDARY = [
     "langid_train",
     "gopher_quality_report",
     "streaming_view_purchase_join",
+    "ann_mmr",
 ]
 
 

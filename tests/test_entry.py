@@ -52,6 +52,9 @@ def test_queries_registry_well_formed(spark):
         # equivalent; numpy parity + learnability pinned in
         # tests/test_langid.py
         "langid_train",
+        # greedy per-query MMR recursion — not SQL-expressible;
+        # invariants + lam=1 degeneracy pinned in tests/test_similarity.py
+        "ann_mmr",
     }
 
 

@@ -476,3 +476,77 @@ def test_ivf_compaction_policy_restores_recall(spark, emb, tmp_path):
         )
 
     assert topk(idx) == topk(fresh)
+
+
+def test_mmr_lambda_one_equals_plain_topk(spark, emb):
+    """lam=1 removes the redundancy term: MMR must reproduce the plain
+    relevance top-k order exactly."""
+    queries = emb.filter("vec_id < 5")
+    plain = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in similarity.brute_force_topk(queries, emb, k=5).collect()
+    }
+    mmr = {
+        (r.query_id, r.mmr_rank): r.neighbor_id
+        for r in similarity.mmr_rerank(
+            queries, emb, k=5, pool=25, lam=1.0
+        ).collect()
+    }
+    assert mmr == plain
+
+
+def test_mmr_first_pick_is_top1_and_deterministic(spark, emb):
+    queries = emb.filter("vec_id < 5")
+    out = similarity.mmr_rerank(queries, emb, k=3, pool=10, lam=0.5)
+    rows = out.collect()
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in similarity.brute_force_topk(queries, emb, k=1).collect()
+    }
+    for r in rows:
+        if r.mmr_rank == 1:
+            # redundancy term is 0 for the first pick -> pure relevance
+            assert r.neighbor_id == top1[r.query_id]
+    again = similarity.mmr_rerank(
+        queries.repartition(3), emb.repartition(5), k=3, pool=10, lam=0.5
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mmr_diversifies_clustered_candidates(spark):
+    """Two tight clusters: plain top-2 stays in the query's cluster;
+    MMR's second pick crosses to the other cluster."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    a = np.array([1.0, 0.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0, 0.0])
+    rows = []
+    for i in range(6):  # cluster A: ids 0-5
+        v = a + 0.01 * rng.randn(4)
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(6, 12):  # cluster B: ids 6-11
+        v = b + 0.01 * rng.randn(4)
+        rows.append((i, [float(x) for x in v], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    q = df.filter("vec_id = 0")
+    plain = [
+        r.neighbor_id
+        for r in sorted(
+            similarity.brute_force_topk(q, df, k=2).collect(),
+            key=lambda r: r.rnk,
+        )
+    ]
+    assert all(n < 6 for n in plain)  # same-cluster near-dups
+    mmr = [
+        r.neighbor_id
+        for r in sorted(
+            similarity.mmr_rerank(df.filter("vec_id = 0"), df, k=2,
+                                  pool=11, lam=0.3).collect(),
+            key=lambda r: r.mmr_rank,
+        )
+    ]
+    assert mmr[0] == plain[0]  # relevance wins the first slot
+    assert mmr[1] >= 6  # diversity pulls the second from cluster B

@@ -130,6 +130,105 @@ def brute_force_topk(
 
 
 
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    pool: int = 25,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the diversity-aware selection used when a
+    training-data pipeline wants representative, non-redundant
+    neighbors rather than ``k`` near-duplicates of the best match.
+
+    Two stages, each at its right boundary:
+
+    1. candidate POOL per query via :func:`brute_force_topk` (swap in
+       the IVF path at scale — any ``(query_id, neighbor_id,
+       cosine_sim)`` producer works): bounds stage 2 at ``pool`` rows
+       per query.
+    2. per-query greedy MMR over the pooled candidates in
+       ``applyInPandas`` — iteratively pick
+       ``argmax lam·rel(d) − (1−lam)·max_sim(d, selected)``.  The loop
+       is O(k·pool²) numpy per QUERY, distributed across queries; no
+       cross-query state, so the only shuffle is the groupBy on
+       query_id that the pool ranking already produced.
+
+    Scores round to 6 decimals with ``neighbor_id`` tie-break at every
+    argmax, so selection is deterministic and layout-independent.
+    ``lam=1.0`` degenerates to the plain relevance top-k (pytested).
+    Rows-only registry contract: the greedy recursion isn't
+    SQL-expressible (invariants + reference parity in
+    tests/test_similarity.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = brute_force_topk(
+        queries, corpus, k=pool, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", "cosine_sim")
+    with_vecs = cand.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
+        "neighbor_id",
+    )
+    out_schema = (
+        "query_id long, neighbor_id long, mmr_rank int, "
+        "relevance double, mmr_score double"
+    )
+    kk, ll = int(k), float(lam)
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cosine_sim", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__cv"]]
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        pair = np.round(unit @ unit.T, 6)  # candidate-candidate cosine
+        rel = pdf["cosine_sim"].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < kk:
+            if selected:
+                red = pair[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                red = np.zeros(len(remaining))
+            mmr = np.round(ll * rel[remaining] - (1.0 - ll) * red, 6)
+            # argmax with neighbor_id tie-break: sort keys (-score, id)
+            order = sorted(
+                range(len(remaining)),
+                key=lambda i: (-mmr[i], ids[remaining[i]]),
+            )
+            pick = remaining[order[0]]
+            scores.append(float(mmr[order[0]]))
+            selected.append(pick)
+            remaining.remove(pick)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(selected), pdf["query_id"].iloc[0]),
+                "neighbor_id": ids[selected],
+                "mmr_rank": np.arange(1, len(selected) + 1),
+                "relevance": rel[selected],
+                "mmr_score": scores,
+            }
+        )
+
+    return with_vecs.groupBy("query_id").applyInPandas(
+        per_query, schema=out_schema
+    )
+
+
 def hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1278,6 +1377,17 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries_df, emb, k=5)
 
 
+def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 for the first 10 query vectors (pool=25,
+    lambda=0.7). Rows-only: greedy per-query recursion (invariants +
+    lam=1 degeneracy pytested in tests/test_similarity.py)."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return mmr_rerank(queries_df, emb, k=5, pool=25, lam=0.7).orderBy(
+        "query_id", "mmr_rank"
+    )
+
+
 def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard negatives: for the first 10 vectors, the top-3
     most-similar vectors of a DIFFERENT label (exact path — the
@@ -1349,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_mmr": q_ann_mmr,
         "semantic_dedup_lsh": q_semantic_dedup_lsh,
     }
 
