@@ -640,3 +640,17 @@ def test_graph_chain_plans_no_cartesian(spark):
         assert "CartesianProduct" not in plan, (name, plan[:2000])
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:2000])
         assert len(re.findall(r"partial_", plan)) >= 2, (name, plan[:2000])
+
+
+def test_gopher_report_single_scan_single_exchange_no_python(spark):
+    """gopher_quality_report: the rule map is all-JVM (no Python eval
+    node), source rides through the map (ONE parquet scan), and the
+    only exchange is the per-source aggregate's."""
+    import re
+
+    fn = entrymod.queries()["gopher_quality_report"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan[:2000]
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) == 1, plan[:3000]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
+    assert len(re.findall(r"partial_", plan)) >= 1, plan[:2000]

@@ -483,6 +483,7 @@ def gopher_rules(
     symbol_per_10_words: int = 1,
     alpha_frac_tenths: int = 8,
     min_stopword_hits: int = 2,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021 §A1.1) as a
     single-scan, all-JVM filter: word-count bounds, mean-word-length
@@ -536,6 +537,7 @@ def gopher_rules(
     )
     return docs.select(
         "doc_id",
+        *passthrough,
         n_words.cast("bigint").alias("n_words"),
         total_chars.alias("total_word_chars"),
         alpha_words.cast("bigint").alias("n_alpha_words"),
@@ -551,7 +553,9 @@ def q_gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the go/no-go dashboard before a pretraining mixture is
     frozen."""
     docs = _docs(spark, sf_dir)
-    r = gopher_rules(docs).join(docs.select("doc_id", "source"), "doc_id")
+    # source rides THROUGH the rule map (passthrough) — one scan, one
+    # exchange; a join back to documents would scan the table twice
+    r = gopher_rules(docs, passthrough=("source",))
     agg = [
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col("keep").cast("long")).cast("bigint").alias("n_kept"),
