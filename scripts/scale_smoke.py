@@ -173,6 +173,18 @@ def bm25(docs):
     return text.bm25_rank(docs, ["spark", "query", "data"], k=10)
 
 
+def gopher(docs):
+    from wistia_video_analytics_project_spark.operators import cleaning
+
+    return cleaning.gopher_rules(docs)
+
+
+def langid_featurize(docs):
+    from wistia_video_analytics_project_spark.operators import langid
+
+    return langid.hashed_char_ngram_features(docs)
+
+
 def doc_ops(k):
     return (
         ("minhash_lsh", dedup_minhash),
@@ -184,6 +196,8 @@ def doc_ops(k):
         ("source_jsd", source_jsd),
         ("dup_spans", dup_spans),
         ("bm25", bm25),
+        ("gopher_rules", gopher),
+        ("langid_feats", langid_featurize),
     )
 
 

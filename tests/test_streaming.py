@@ -794,3 +794,96 @@ def test_sliding_window_traffic_equals_batch(spark, tmp_path):
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
     assert got.count() > 0
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """leftOuter mode: matched pairs equal the inner join exactly, and
+    purchases with no preceding view emit once with a NULL view id —
+    but only those whose match window the final watermark has provably
+    closed (rows inside the horizon are withheld, the standard
+    late-data contract)."""
+    from wistia_video_analytics_project_spark.session import configure_runtime
+    from wistia_video_analytics_project_spark.sources import load_table
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+        stream_stream_window_join,
+    )
+    from pyspark.sql import functions as F
+
+    configure_runtime(spark)
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    stage = str(tmp_path / "sslo_events")
+    events.write.parquet(stage)
+    schema = events.schema
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"), "ts"
+        )
+        v = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("vts"),
+        )
+        return p, v.withColumnRenamed("v_user", "user_id")
+
+    sp, sv = split(spark.readStream.schema(schema).parquet(stage))
+    joined = stream_stream_window_join(
+        sp, sv, ["user_id"], "ts", "vts",
+        window="1 hour", watermark="2 hours", how="leftOuter",
+    ).select(
+        F.col("__l.purchase_id").alias("purchase_id"),
+        F.col("__l.ts").alias("pts"),
+        F.col("__r.view_id").alias("view_id"),
+    )
+    run_to_memory_sink(joined, "sslo_t")
+    rows = spark.sql("SELECT * FROM sslo_t").collect()
+    got_pairs = {
+        (r.purchase_id, r.view_id) for r in rows if r.view_id is not None
+    }
+    got_nulls = {r.purchase_id for r in rows if r.view_id is None}
+
+    bp, bv = split(events)
+    batch = bp.alias("__l").join(
+        bv.alias("__r"),
+        (F.col("__r.user_id") == F.col("__l.user_id"))
+        & (F.col("__r.vts") >= F.col("__l.ts") - F.expr("INTERVAL 1 hour"))
+        & (F.col("__r.vts") < F.col("__l.ts")),
+        "inner",
+    ).select("__l.purchase_id", "__r.view_id")
+    want_pairs = {(r.purchase_id, r.view_id) for r in batch.collect()}
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+
+    unmatched = {
+        r.purchase_id
+        for r in bp.join(
+            batch.select("purchase_id").distinct(), "purchase_id", "left_anti"
+        ).collect()
+    }
+    # every null emission is a genuinely unmatched purchase
+    assert got_nulls <= unmatched
+    # every unmatched purchase safely below the final watermark horizon
+    # (max ts - 2h watermark, minus the 1h window margin) DID emit
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=3)
+    safe = {
+        r.purchase_id
+        for r in bp.filter(F.col("ts") < F.lit(horizon)).join(
+            batch.select("purchase_id").distinct(), "purchase_id", "left_anti"
+        ).collect()
+    }
+    assert safe <= got_nulls and len(safe) > 0
+
+
+def test_stream_stream_join_rejects_unknown_mode(spark):
+    from wistia_video_analytics_project_spark.streaming import (
+        stream_stream_window_join,
+    )
+
+    df = spark.range(1).select(
+        "id", F.current_timestamp().alias("ts")
+    )
+    with pytest.raises(ValueError, match="how"):
+        stream_stream_window_join(df, df, ["id"], "ts", "ts", how="cross")

@@ -254,6 +254,7 @@ def stream_stream_window_join(
     window: str = "1 hour",
     watermark: str = "2 hours",
     strict: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream join — the streaming twin of
     ``temporal.preceding_window_join`` (same pairing semantics:
@@ -265,9 +266,20 @@ def stream_stream_window_join(
     side's watermark passes — REQUIRED: an unbounded stream-stream join
     buffers forever. Equality with the batch operator on a replayed
     history is asserted in tests.
+
+    ``how`` extends to the outer modes (``leftOuter`` / ``rightOuter``
+    / ``fullOuter``): an outer row emits with nulls only once the
+    OTHER side's watermark has passed its whole match window — i.e. the
+    engine can prove no future match exists — so rows inside the final
+    watermark horizon at end-of-stream are withheld, exactly the
+    late-data contract the windowed aggregations follow.  Matched pairs
+    are emitted identically to the inner join (pytested).
     """
     if not on:
         raise ValueError("stream-stream join requires at least one equi-key")
+    allowed = {"inner", "leftOuter", "rightOuter", "fullOuter"}
+    if how not in allowed:
+        raise ValueError(f"how must be one of {sorted(allowed)}")
     l = left.withWatermark(left_ts, watermark).alias("__l")
     r = right.withWatermark(right_ts, watermark).alias("__r")
     l_ts, r_ts = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
@@ -275,7 +287,7 @@ def stream_stream_window_join(
     cond = (r_ts >= l_ts - F.expr(f"INTERVAL {window}")) & upper
     for k in on:
         cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def foreach_batch_parquet_upsert(
