@@ -647,6 +647,51 @@ def q_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / ingestion-corruption screen for financial facts.
+
+    One distributed aggregate keyed on the leading digit (9 groups),
+    totals broadcast back — the skew_report shape.  The leading digit
+    is extracted EXACTLY: integer cents (``floor(x·100 + 0.5)``) cast
+    to string, first character — never ``floor(log10 x)``, whose
+    libm-dependent rounding at exact powers of ten can misclassify a
+    boundary value on one engine.  Benford expectation ``log10(1+1/d)``
+    is engine-computed but rounds at 6 decimals far from any tie.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    by_digit = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    total = by_digit.agg(F.sum("n_orders").alias("total"))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    expected = F.col("total").cast("double") * p
+    return (
+        by_digit.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("obs_share"),
+            F.round(p, 6).alias("benford_share"),
+            F.round(
+                (F.col("n_orders").cast("double") - expected)
+                * (F.col("n_orders").cast("double") - expected)
+                / expected,
+                4,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts — the at-scale replacement for exact
     count-distinct QC (SURVEY.md §4.3). Approximate -> rows-only check;
@@ -4643,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_train": q_quality_classifier_train,
         # round-5 additions
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
+        "benford_order_values": q_benford_order_values,
     })
     # --- round-5 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R5}
@@ -6801,6 +6847,34 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_business_days,
                    CAST(max(bd) AS BIGINT) AS max_business_days
             FROM per_line GROUP BY 1 ORDER BY 1
+        """,
+        "benford_order_values": """
+            WITH d AS (
+              SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                       AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                       AS digit
+              FROM orders),
+            by_digit AS (
+              SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+              FROM d GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total
+                    FROM by_digit)
+            SELECT digit, n_orders,
+                   round(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                     AS obs_share,
+                   round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+                     AS benford_share,
+                   round((CAST(n_orders AS DOUBLE)
+                          - CAST(total AS DOUBLE)
+                            * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                         * (CAST(n_orders AS DOUBLE)
+                            - CAST(total AS DOUBLE)
+                              * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                         / (CAST(total AS DOUBLE)
+                            * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 4)
+                     AS chi2_contrib
+            FROM by_digit CROSS JOIN tot
+            ORDER BY digit
         """,
         "streaming_view_purchase_join": """
             WITH p AS (

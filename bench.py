@@ -179,6 +179,7 @@ SECONDARY = [
     "gopher_quality_report",
     "streaming_view_purchase_join",
     "ann_mmr",
+    "benford_order_values",
 ]
 
 
