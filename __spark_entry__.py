@@ -647,6 +647,68 @@ def q_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_test_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample test comparing order-value
+    distributions of BUILDING-segment customers vs the rest — completes
+    the nonparametric trio next to Mann-Whitney and chi-square.
+
+    Same scale shape as Mann-Whitney: never a global row sort — the
+    fact reduces to per-distinct-value group counts (one shuffle), the
+    cumulative window runs over that aggregated frame, and the D
+    statistic is assembled in EXACT integers: D = max|F_a - F_b| =
+    max|cum_a·n_b - cum_b·n_a| / (n_a·n_b), so the max is over exact
+    integer numerators and both engines pick the same supremum point.
+    Only the final division and the z normalization touch floats
+    (rounded 6/4)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    is_a = F.col("c_mktsegment") == "BUILDING"
+    per_val = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("na_v"),
+            F.sum(F.when(is_a, 0).otherwise(1)).cast("bigint").alias("nb_v"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        F.sum("na_v").over(w_cum).alias("cum_a"),
+        F.sum("nb_v").over(w_cum).alias("cum_b"),
+    )
+    tot = per_val.agg(
+        F.sum("na_v").cast("bigint").alias("n_a"),
+        F.sum("nb_v").cast("bigint").alias("n_b"),
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    res = joined.agg(
+        F.max(
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            )
+        ).alias("d_num"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    return res.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("d_num").cast("double") / (na_d * nb_d), 6).alias(
+            "ks_d"
+        ),
+        F.round(
+            F.col("d_num").cast("double")
+            / F.sqrt(na_d * nb_d * (na_d + nb_d)),
+            4,
+        ).alias("ks_z"),
+    )
+
+
 def q_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit of order totals — the classic
     fabricated-data / ingestion-corruption screen for financial facts.
@@ -4689,6 +4751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
         "benford_order_values": q_benford_order_values,
+        "ks_test_order_values": q_ks_test_order_values,
     })
     # --- round-5 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R5}
@@ -6847,6 +6910,40 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_business_days,
                    CAST(max(bd) AS BIGINT) AS max_business_days
             FROM per_line GROUP BY 1 ORDER BY 1
+        """,
+        "ks_test_order_values": """
+            WITH per_val AS (
+              SELECT o_totalprice AS v,
+                     CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+                     CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                              THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1),
+            cum AS (
+              SELECT sum(na_v) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum_a,
+                     sum(nb_v) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum_b
+              FROM per_val),
+            tot AS (
+              SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+                     CAST(sum(nb_v) AS BIGINT) AS n_b
+              FROM per_val),
+            agg AS (
+              SELECT CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                       AS d_num,
+                     max(n_a) AS n_a, max(n_b) AS n_b
+              FROM cum CROSS JOIN tot)
+            SELECT n_a, n_b,
+                   round(CAST(d_num AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+                     AS ks_d,
+                   round(CAST(d_num AS DOUBLE)
+                         / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                                * (CAST(n_a AS DOUBLE)
+                                   + CAST(n_b AS DOUBLE))), 4) AS ks_z
+            FROM agg
         """,
         "benford_order_values": """
             WITH d AS (

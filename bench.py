@@ -180,6 +180,7 @@ SECONDARY = [
     "streaming_view_purchase_join",
     "ann_mmr",
     "benford_order_values",
+    "ks_test_order_values",
 ]
 
 
