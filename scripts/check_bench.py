@@ -61,10 +61,22 @@ def compare(
 
 def _flatten_run(headline_line: dict, secondary: dict | None) -> dict:
     """One flat {query: seconds} map from bench.py's stdout JSON line
-    plus the BENCH_SECONDARY.json sidecar it writes."""
+    plus the BENCH_SECONDARY.json sidecar it writes.
+
+    The sidecar is only merged when its ``sf`` matches the headline
+    run's — a stale sidecar from a different scale factor would seed
+    the reference with numbers that flag every query (the round-5
+    incident: an sf0.001 sidecar under an sf0.1 headline)."""
     flat = dict(headline_line.get("queries", {}))
     if secondary:
-        flat.update(secondary.get("queries", {}))
+        if secondary.get("sf") == headline_line.get("sf"):
+            flat.update(secondary.get("queries", {}))
+        else:
+            print(
+                f"note  skipping secondary sidecar: sf={secondary.get('sf')}"
+                f" != headline sf={headline_line.get('sf')}",
+                file=sys.stderr,
+            )
     return flat
 
 
@@ -123,7 +135,14 @@ def main(argv: list[str]) -> int:
             f"{RECORDED_PATH} missing — run with --record first"
         )
     with open(RECORDED_PATH) as f:
-        recorded = json.load(f)["queries"]
+        rec_doc = json.load(f)
+    recorded = rec_doc["queries"]
+    if rec_doc.get("sf") != headline.get("sf"):
+        raise SystemExit(
+            f"recorded reference is sf={rec_doc.get('sf')} but the current "
+            f"run is sf={headline.get('sf')} — not comparable; re-record or "
+            "rerun bench.py at the recorded scale factor"
+        )
 
     regs, only_rec, only_cur = compare(recorded, current, ratio, floor)
     for name in only_rec:

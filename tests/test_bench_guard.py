@@ -57,3 +57,12 @@ def test_recorded_reference_exists_and_covers_bench_sets():
     # new queries may be unrecorded briefly; the HEADLINE set is frozen
     # so it must always be fully covered
     assert not [q for q in bench.HEADLINE if q not in recorded], missing
+
+
+def test_flatten_skips_sidecar_at_different_sf():
+    head = {"sf": 0.1, "queries": {"a": 1.0}}
+    side_ok = {"sf": 0.1, "queries": {"b": 2.0}}
+    side_bad = {"sf": 0.001, "queries": {"b": 0.02}}
+    assert check_bench._flatten_run(head, side_ok) == {"a": 1.0, "b": 2.0}
+    # a stale sidecar from another scale factor must NOT seed the map
+    assert check_bench._flatten_run(head, side_bad) == {"a": 1.0}
