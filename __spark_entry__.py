@@ -709,51 +709,6 @@ def q_ks_test_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit audit of order totals — the classic
-    fabricated-data / ingestion-corruption screen for financial facts.
-
-    One distributed aggregate keyed on the leading digit (9 groups),
-    totals broadcast back — the skew_report shape.  The leading digit
-    is extracted EXACTLY: integer cents (``floor(x·100 + 0.5)``) cast
-    to string, first character — never ``floor(log10 x)``, whose
-    libm-dependent rounding at exact powers of ten can misclassify a
-    boundary value on one engine.  Benford expectation ``log10(1+1/d)``
-    is engine-computed but rounds at 6 decimals far from any tie.
-    """
-    orders = _t(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
-    by_digit = (
-        orders.select(digit.alias("digit"))
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-    )
-    total = by_digit.agg(F.sum("n_orders").alias("total"))
-    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
-    expected = F.col("total").cast("double") * p
-    return (
-        by_digit.crossJoin(F.broadcast(total))
-        .select(
-            "digit",
-            "n_orders",
-            F.round(
-                F.col("n_orders").cast("double")
-                / F.col("total").cast("double"),
-                6,
-            ).alias("obs_share"),
-            F.round(p, 6).alias("benford_share"),
-            F.round(
-                (F.col("n_orders").cast("double") - expected)
-                * (F.col("n_orders").cast("double") - expected)
-                / expected,
-                4,
-            ).alias("chi2_contrib"),
-        )
-        .orderBy("digit")
-    )
-
-
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts — the at-scale replacement for exact
     count-distinct QC (SURVEY.md §4.3). Approximate -> rows-only check;
@@ -4750,7 +4705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_train": q_quality_classifier_train,
         # round-5 additions
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
-        "benford_order_values": q_benford_order_values,
         "ks_test_order_values": q_ks_test_order_values,
     })
     # --- round-5 rotation: reorder so the driver's 50-entry window ---
@@ -6944,34 +6898,6 @@ def oracle_sql() -> dict[str, str]:
                                 * (CAST(n_a AS DOUBLE)
                                    + CAST(n_b AS DOUBLE))), 4) AS ks_z
             FROM agg
-        """,
-        "benford_order_values": """
-            WITH d AS (
-              SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
-                                       AS BIGINT) AS VARCHAR), 1, 1) AS INT)
-                       AS digit
-              FROM orders),
-            by_digit AS (
-              SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
-              FROM d GROUP BY 1),
-            tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total
-                    FROM by_digit)
-            SELECT digit, n_orders,
-                   round(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE), 6)
-                     AS obs_share,
-                   round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
-                     AS benford_share,
-                   round((CAST(n_orders AS DOUBLE)
-                          - CAST(total AS DOUBLE)
-                            * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-                         * (CAST(n_orders AS DOUBLE)
-                            - CAST(total AS DOUBLE)
-                              * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-                         / (CAST(total AS DOUBLE)
-                            * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 4)
-                     AS chi2_contrib
-            FROM by_digit CROSS JOIN tot
-            ORDER BY digit
         """,
         "streaming_view_purchase_join": """
             WITH p AS (

@@ -179,7 +179,6 @@ SECONDARY = [
     "gopher_quality_report",
     "streaming_view_purchase_join",
     "ann_mmr",
-    "benford_order_values",
     "ks_test_order_values",
 ]
 

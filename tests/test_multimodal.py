@@ -729,3 +729,36 @@ def test_extract_features_degrades_on_corrupt_payload(spark):
     }
     assert out[91] == multimodal._fake_decode(corrupt)
     assert out[90] != multimodal._fake_decode(rows[0][2])
+
+
+def test_jpeg_malformed_inputs_all_raise_valueerror(spark):
+    """Every malformed-JPEG failure mode must surface as ValueError (and
+    therefore degrade to the fake vector in extract_features) — not
+    struct.error/IndexError/KeyError killing the feature job."""
+    import struct
+
+    cases = {
+        # truncated SOF header: struct.error in the raw parse
+        "trunc_sof": b"\xff\xd8\xff\xc0" + struct.pack(">H", 4) + b"\x08\x08",
+        # truncated DHT table: IndexError in the raw parse
+        "trunc_dht": b"\xff\xd8\xff\xc4" + struct.pack(">H", 5) + b"\x00\x01\x02",
+        # garbage after SOI
+        "garbage": b"\xff\xd8\xff\xe0truncated",
+    }
+    # non-interleaved scan (SOS component not in tabsel): KeyError path
+    src = _gradient_rgb(8, 8)
+    buf = bytearray(_jpeg_bytes(src))
+    sos = buf.index(b"\xff\xda")
+    buf[sos + 5] = 9  # scan references component id 9 (absent)
+    cases["bad_scan_comp"] = bytes(buf)
+    for name, payload in cases.items():
+        with pytest.raises(ValueError, match="JPEG"):
+            multimodal.decode_image(payload)
+        # and the pipeline contract: degrade, don't die
+        assert multimodal.extract_features(
+            spark.createDataFrame(
+                [(1, "image", payload, 1, 1, None, "jpg")],
+                "asset_id long, media_type string, payload binary, "
+                "width int, height int, duration_ms int, codec string",
+            )
+        ).collect()[0].feature == multimodal._fake_decode(payload), name

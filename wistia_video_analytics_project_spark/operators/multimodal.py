@@ -326,7 +326,20 @@ def _decode_jpeg(payload: bytes):
     4:2:0/4:2:2) components, interleaved single scan, restart markers,
     byte stuffing. Progressive (SOF2), arithmetic coding, and 12-bit
     frames raise ValueError — fall back to the fake decoder upstream.
+    EVERY malformed-input failure mode is normalized to ValueError
+    (truncated headers raise struct.error, truncated tables IndexError,
+    non-interleaved scans KeyError from the raw parse), so callers have
+    a single exception type for the corrupt/unsupported contract.
     """
+    import struct
+
+    try:
+        return _decode_jpeg_strict(payload)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"malformed or unsupported JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg_strict(payload: bytes):
     import struct
 
     import numpy as np
