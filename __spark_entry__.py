@@ -4501,24 +4501,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     git history, both 50/50 driver-green).  Rows-only approximates (no
     oracle by design — see CLAUDE.md) stay at the very end so every
     in-window slot is a full hash-checked comparison.
-    ``_WINDOW_R5`` below executes the round-5 rotation exactly as round
-    4 planned it: positions 1-15 are the ``_WINDOW_R4`` spill (streaming
-    window shapes, WOR samplers, distribution reports, user-behavior
-    trio), positions 16-26 are the round-4 oracle-backed additions (the
-    graph tier, AR(2), DSIR, hard negatives, readability), and positions
-    27-50 re-verify the stale round-1 tier (``shipping_priority`` ..
-    ``above_avg_spenders``, driver-green in r1 only, 4 rounds stale).
-    After this window runs, every oracle-backed entry in the registry
-    has at least one driver row and the steady-state re-verification
-    cycle begins.
-    ROTATION PLAN for round 6: front-load (a) the round-1 remainder
-    (``part_cooccurrence``, ``nations_per_region``,
-    ``view_purchase_conversion``) plus the round-1 verified head tier
-    (``daily_plays_trend`` .. ``new_vs_returning``, 5 rounds stale by
-    then), then (b) the oldest round-2-verified entries
-    (``key_skew_report`` .. ``late_shipment_rate``), then (c) any
-    round-5 oracle-backed additions — keep cycling so every
-    oracle-backed entry re-earns a driver green row every ~2-3 rounds.
+    ``_WINDOW_R6`` below executes the round-6 rotation per the round-5
+    VERDICT: positions 1-3 are the only oracle-backed entries that have
+    never had a driver row (``gopher_quality_report``,
+    ``ks_test_order_values``, ``streaming_view_purchase_join`` — added
+    after ``_WINDOW_R5`` froze), positions 4-6 are the round-1 remainder
+    (last driver-green in r1, 5 rounds stale), and positions 7-50 take
+    44 of the 48 entries whose last driver-green row is round 2
+    (4 rounds stale), in registry order.  The 4 round-2-stale spills
+    (``pii_scrub_report``, ``line_dedup_report``, ``stratified_sample``,
+    ``weighted_sample``) must front-load ``_WINDOW_R7``.
+    ROTATION PLAN for round 7: front-load (a) any round-6 oracle-backed
+    additions that miss this window, (b) the 4 spills above, then
+    (c) the round-3-verified tier (``daily_plays_trend`` ..
+    ``dormant_high_balance``, 50 entries — fills the window; overflow
+    spills to round 8) — keep cycling so every oracle-backed entry
+    re-earns a driver green row every ~2-3 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
@@ -4707,8 +4705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
         "ks_test_order_values": q_ks_test_order_values,
     })
-    # --- round-5 rotation: reorder so the driver's 50-entry window ---
-    ordered = {name: core[name] for name in _WINDOW_R5}
+    # --- round-6 rotation: reorder so the driver's 50-entry window ---
+    ordered = {name: core[name] for name in _WINDOW_R6}
     ordered.update((n, f) for n, f in core.items() if n not in ordered)
     # rows-only approximates (no oracle by design) go last: a window
     # slot spent on them yields only a weak rows-only driver check
@@ -4727,66 +4725,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-5 driver window — executes the rotation the round-4 docstring
-#: planned: the 15 ``_WINDOW_R4`` spill entries (positions 1-15), the 11
-#: round-4 oracle-backed additions (16-26; graph tier + AR(2) + DSIR +
-#: hard negatives + readability), and 24 stale round-1-verified entries
-#: (27-50).  After this window every oracle-backed registry entry has at
-#: least one driver-green CORRECTNESS row.
-_WINDOW_R5 = [
-    # --- positions 1-15: the _WINDOW_R4 spill (never driver-checked) ---
-    "streaming_sliding_traffic",
-    "streaming_sessions",
-    "ship_business_days",
-    "stratified_sample_wor",
-    "weighted_sample_wor",
-    "region_balance_boxplot",
-    "nation_share_of_region",
-    "value_psi_report",
-    "rolling_view_purchase_corr",
-    "revenue_concentration",
-    "ewma_daily_revenue",
-    "centroid_drift",
-    "activity_streaks",
-    "user_event_histogram_map",
-    "user_behavior_entropy",
-    # --- 16-26: round-4 oracle-backed additions (never driver-checked) ---
-    "part_pagerank",
-    "brand_part_ppr",
-    "part_authority_hits",
-    "copurchase_triangles",
-    "copurchase_core3",
-    "copurchase_powerlaw",
-    "copurchase_assortativity",
-    "ar2_revenue_forecast",
-    "dsir_importance",
-    "hard_negative_pairs",
-    "text_readability",
-    # --- 27-50: stale round-1 tier (driver-green in r1 only) ---
-    "shipping_priority",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "returned_item_report",
-    "asof_prev_order",
-    "session_stats",
-    "dense_daily_purchases",
-    "funnel_view_click_purchase",
-    "pivot_type_daily",
-    "unpivot_type_daily",
-    "viewers_vs_purchasers",
-    "value_percentiles",
-    "stats_report",
-    "value_distribution",
-    "embedding_centroids",
-    "daily_plays_vs_purchases",
-    "grouping_sets_report",
-    "heavy_hitter_users",
-    "union_schema_drift",
-    "cohort_retention",
-    "mom_revenue_growth",
-    "latest_order_per_customer",
-    "order_value_histogram",
-    "above_avg_spenders",
+#: Round-6 driver window — executes the rotation the round-5 VERDICT
+#: ordered: the 3 never-driver-checked entries (1-3), the round-1
+#: remainder (4-6, 5 rounds stale), and 44 of the 48 round-2-stale
+#: entries (7-50); the 4 spills are named in the ``queries()`` docstring
+#: and must front-load ``_WINDOW_R7``.
+_WINDOW_R6 = [
+    # --- 1-3: never driver-checked (added after _WINDOW_R5 froze) ---
+    "gopher_quality_report",
+    "ks_test_order_values",
+    "streaming_view_purchase_join",
+    # --- 4-6: round-1 remainder (last driver-green in r1) ---
+    "part_cooccurrence",
+    "nations_per_region",
+    "view_purchase_conversion",
+    # --- 7-50: round-2-stale tier, registry order (4 spill to r7) ---
+    "priority_value_spread",
+    "regional_revenue",
+    "orders_above_customer_avg",
+    "user_event_type_sets",
+    "top_event_type_per_user",
+    "balance_segment_report",
+    "customers_no_final_orders",
+    "order_value_percent_rank",
+    "doc_split_assignment",
+    "user_first_last_event",
+    "vocab_coverage",
+    "rolling_7day_range_revenue",
+    "daily_value_locf",
+    "orders_rerun_diff",
+    "benford_first_digit",
+    "rfm_segments",
+    "top_entry_paths",
+    "weekday_profile",
+    "event_expectations",
+    "event_transitions",
+    "fuzzy_part_names",
+    "revenue_share_by_brand",
+    "daily_anomaly_zscore",
+    "cumulative_unique_users",
+    "scd2_customer_batch",
+    "multimodal_metadata",
+    "frame_grid",
+    "streaming_daily_engagement",
+    "dedup_exact",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_cluster_keep",
+    "text_profile",
+    "text_lang_id",
+    "text_quality",
+    "doc_fingerprint",
+    "top_keywords",
+    "token_counts",
+    "doc_chunks",
+    "ann_brute_force",
+    "embedding_cosine_pairs",
+    "contamination_report",
+    "text_repetition",
 ]
 
 
