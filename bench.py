@@ -236,10 +236,22 @@ def main() -> None:
         "sf": float(sf) if sf else None,
     }
     print(json.dumps(sidecar), file=sys.stderr)
+    # One merged {query: seconds} map over BOTH series so
+    # scripts/check_bench.py can always compare every recorded entry —
+    # the headline timings otherwise exist only on this process's stdout
+    # and are lost when the guard is later fed a saved artifact.
+    merged = {
+        "metric": "all_query_wall_clock",
+        "unit": "sec",
+        "queries": {**timings, **secondary},
+        "sf": float(sf) if sf else None,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_SECONDARY.json"), "w") as f:
+        with open(os.path.join(here, "BENCH_SECONDARY.json"), "w") as f:
             json.dump(sidecar, f, indent=1)
+        with open(os.path.join(here, "BENCH_ALLQ.json"), "w") as f:
+            json.dump(merged, f, indent=1)
     except OSError:
         pass  # read-only checkout: stderr copy above still has the data
     print(

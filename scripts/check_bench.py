@@ -36,6 +36,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RECORDED_PATH = os.path.join(REPO, "BENCH_RECORDED.json")
 SECONDARY_PATH = os.path.join(REPO, "BENCH_SECONDARY.json")
+ALLQ_PATH = os.path.join(REPO, "BENCH_ALLQ.json")
 
 
 def compare(
@@ -59,22 +60,28 @@ def compare(
     return regressions, only_recorded, only_current
 
 
-def _flatten_run(headline_line: dict, secondary: dict | None) -> dict:
+def _flatten_run(headline_line: dict, *sidecars: dict | None) -> dict:
     """One flat {query: seconds} map from bench.py's stdout JSON line
-    plus the BENCH_SECONDARY.json sidecar it writes.
+    plus its sidecar files (BENCH_SECONDARY.json and the merged
+    BENCH_ALLQ.json).
 
-    The sidecar is only merged when its ``sf`` matches the headline
-    run's — a stale sidecar from a different scale factor would seed
-    the reference with numbers that flag every query (the round-5
-    incident: an sf0.001 sidecar under an sf0.1 headline)."""
+    The given run is authoritative: sidecars only FILL names it lacks
+    (so feeding an old artifact never has its values silently replaced
+    by a newer sidecar's).  A sidecar is only consulted when its ``sf``
+    matches the run's — a stale sidecar from a different scale factor
+    would seed the reference with numbers that flag every query (the
+    round-5 incident: an sf0.001 sidecar under an sf0.1 headline)."""
     flat = dict(headline_line.get("queries", {}))
-    if secondary:
-        if secondary.get("sf") == headline_line.get("sf"):
-            flat.update(secondary.get("queries", {}))
+    for sc in sidecars:
+        if not sc:
+            continue
+        if sc.get("sf") == headline_line.get("sf"):
+            for name, secs in sc.get("queries", {}).items():
+                flat.setdefault(name, secs)
         else:
             print(
-                f"note  skipping secondary sidecar: sf={secondary.get('sf')}"
-                f" != headline sf={headline_line.get('sf')}",
+                f"note  skipping sidecar ({sc.get('metric')}):"
+                f" sf={sc.get('sf')} != run sf={headline_line.get('sf')}",
                 file=sys.stderr,
             )
     return flat
@@ -106,11 +113,12 @@ def main(argv: list[str]) -> int:
             headline = json.load(f)
     else:
         headline = _run_bench()
-    secondary = None
-    if os.path.exists(SECONDARY_PATH):
-        with open(SECONDARY_PATH) as f:
-            secondary = json.load(f)
-    current = _flatten_run(headline, secondary)
+    sidecars = []
+    for path in (SECONDARY_PATH, ALLQ_PATH):
+        if os.path.exists(path):
+            with open(path) as f:
+                sidecars.append(json.load(f))
+    current = _flatten_run(headline, *sidecars)
     if not current:
         raise SystemExit("no per-query timings in the current run")
 
