@@ -526,17 +526,10 @@ def _encode_block(w, block, pred, dc_codes, ac_codes, zigzag):
     return int(zz[0])
 
 
-def _jpeg_bytes(px, subsample=False, restart=0):
-    """Encode (h, w, 3) uint8 RGB (or (h, w) grayscale) as a baseline
-    JFIF byte string with q=1 quant tables (near-lossless), custom
-    huffman tables, optional 4:2:0 subsampling and restart markers."""
-    import struct
-
+def _jpeg_prepare(px, subsample):
+    """Shared encoder front-end: color transform, subsample, pad to the
+    MCU grid.  Returns (h, w, samp, hmax, vmax, mcux, mcuy, prepared)."""
     import numpy as np
-
-    from wistia_video_analytics_project_spark.operators.multimodal import (
-        _ZIGZAG,
-    )
 
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -576,6 +569,25 @@ def _jpeg_bytes(px, subsample=False, restart=0):
             mode="edge",
         )
         prepared.append(p)
+    return h, w, samp, hmax, vmax, mcux, mcuy, prepared
+
+
+def _jpeg_bytes(px, subsample=False, restart=0):
+    """Encode (h, w, 3) uint8 RGB (or (h, w) grayscale) as a baseline
+    JFIF byte string with q=1 quant tables (near-lossless), custom
+    huffman tables, optional 4:2:0 subsampling and restart markers."""
+    import struct
+
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators.multimodal import (
+        _ZIGZAG,
+    )
+
+    h, w, samp, hmax, vmax, mcux, mcuy, prepared = _jpeg_prepare(
+        px, subsample
+    )
+    planes = prepared
 
     (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_tables()
     dc_codes = _canonical_codes(dc_bits, dc_vals)
@@ -627,6 +639,245 @@ def _jpeg_bytes(px, subsample=False, restart=0):
                 )
     wtr.pad()
     out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_progressive_bytes(px, subsample=False, al=0):
+    """Encode as a PROGRESSIVE (SOF2) JFIF byte string: interleaved DC
+    scan, then per-component AC scans in two spectral bands (1-5 and
+    6-63 — the high band is mostly zero on smooth images, exercising
+    EOBRUN accumulation across blocks).  With ``al=1``, every first
+    pass drops the low bit (successive approximation) and refinement
+    scans (DC: one bit per block; AC: correction bits + newly
+    significant ±1, libjpeg-compatible) restore full precision, so the
+    decoded result must be IDENTICAL to the baseline encoding's."""
+    import struct
+
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators.multimodal import (
+        _ZIGZAG,
+    )
+
+    h, w, samp, hmax, vmax, mcux, mcuy, prepared = _jpeg_prepare(
+        px, subsample
+    )
+    nc = len(prepared)
+
+    def _jpeg_tables_prog():
+        """Like ``_jpeg_tables`` but the AC table also carries the EOBn
+        symbols (r<<4, r=1..14) progressive EOBRUN coding needs."""
+        dc_vals = list(range(12))
+        dc_bits = [0] * 16
+        dc_bits[3] = 12
+        ac_vals = [r << 4 for r in range(15)] + [0xF0] + [
+            (r << 4) | s for r in range(16) for s in range(1, 11)
+        ]
+        ac_bits = [0] * 16
+        ac_bits[7] = len(ac_vals)
+        return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+    # full-precision quantized (q=1) coefficient tensors, zigzag order
+    coef = []
+    for p, (hs, vs) in zip(prepared, samp):
+        nby, nbx = mcuy * vs, mcux * hs
+        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                c = np.round(
+                    _fdct_block(p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
+                ).astype(np.int64)
+                arr[by, bx] = c.flatten()[_ZIGZAG]
+        coef.append(arr)
+
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_tables_prog()
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    def category(v):
+        return int(v).bit_length() if v else 0
+
+    def emit(wtr, sym, codes):
+        length, code = codes[sym]
+        wtr.bits(code, length)
+
+    def emit_val(wtr, v, s):
+        if v < 0:
+            v += (1 << s) - 1
+        wtr.bits(v, s)
+
+    out = bytearray(b"\xff\xd8")
+    q = bytes([0]) + bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(q)) + q
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (hs, vs) in enumerate(samp):
+        sof += struct.pack(">BBB", i + 1, (hs << 4) | vs, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht += bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos_header(comps_tt, ss, se, ah, al_):
+        sos = bytes([len(comps_tt)])
+        for cid, tt in comps_tt:
+            sos += bytes([cid, tt])
+        sos += bytes([ss, se, (ah << 4) | al_])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def comp_block_grid(ci):
+        hs, vs = samp[ci]
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        return -(-ch // 8), -(-cw // 8)  # (bh, bw)
+
+    # --- scan 1: interleaved DC first pass (Al=al) ---
+    out += sos_header([(i + 1, 0x00) for i in range(nc)], 0, 0, 0, al)
+    wtr = _JpegWriter()
+    preds = [0] * nc
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            hs, vs = samp[ci]
+            for blk_i in range(hs * vs):
+                by, bx = divmod(blk_i, hs)
+                v = int(coef[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = category(abs(diff)) if diff else 0
+                emit(wtr, s, dc_codes)
+                if s:
+                    emit_val(wtr, diff, s)
+    wtr.pad()
+    out += wtr.out
+
+    # --- AC first passes: two bands per component (Al=al) ---
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([(ci + 1, 0x00)], ss, se, 0, al)
+            wtr = _JpegWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                while eobrun > 0:
+                    r = min(eobrun.bit_length() - 1, 14)
+                    emit(wtr, r << 4, ac_codes)
+                    if r:
+                        wtr.bits(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            bh, bw = comp_block_grid(ci)
+            for m in range(bh * bw):
+                by, bx = divmod(m, bw)
+                band = [
+                    int(v) >> al if v >= 0 else -((-int(v)) >> al)
+                    for v in coef[ci][by, bx, ss : se + 1]
+                ]
+                if not any(band):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for v in band:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        emit(wtr, 0xF0, ac_codes)
+                        run -= 16
+                    s = category(abs(v))
+                    emit(wtr, (run << 4) | s, ac_codes)
+                    emit_val(wtr, v, s)
+                    run = 0
+                if run:
+                    eobrun = 1
+            flush_eob()
+            wtr.pad()
+            out += wtr.out
+
+    if al:
+        # --- DC refinement: one appended bit per block, interleaved ---
+        for bit in range(al - 1, -1, -1):
+            out += sos_header(
+                [(i + 1, 0x00) for i in range(nc)], 0, 0, bit + 1, bit
+            )
+            wtr = _JpegWriter()
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci in range(nc):
+                    hs, vs = samp[ci]
+                    for blk_i in range(hs * vs):
+                        by, bx = divmod(blk_i, hs)
+                        v = int(coef[ci][my * vs + by, mx * hs + bx, 0])
+                        wtr.bits((v >> bit) & 1, 1)
+            wtr.pad()
+            out += wtr.out
+
+        # --- AC refinement per component, single 1-63 band ---
+        for bit in range(al - 1, -1, -1):
+            p1 = 1 << bit
+            for ci in range(nc):
+                out += sos_header([(ci + 1, 0x00)], 1, 63, bit + 1, bit)
+                wtr = _JpegWriter()
+                eobrun = 0
+                pending_br: list[int] = []
+
+                def flush_eob_refine():
+                    nonlocal eobrun
+                    if eobrun > 0:
+                        r = min(eobrun.bit_length() - 1, 14)
+                        emit(wtr, r << 4, ac_codes)
+                        if r:
+                            wtr.bits(eobrun - (1 << r), r)
+                        eobrun = 0
+                    for b in pending_br:
+                        wtr.bits(b, 1)
+                    pending_br.clear()
+
+                bh, bw = comp_block_grid(ci)
+                for m in range(bh * bw):
+                    by, bx = divmod(m, bw)
+                    vals = [int(v) for v in coef[ci][by, bx, 1:64]]
+                    absv = [abs(v) >> bit for v in vals]
+                    eob_k = -1
+                    for k, t in enumerate(absv):
+                        if t == 1:
+                            eob_k = k
+                    r = 0
+                    br_bits: list[int] = []
+                    for k, t in enumerate(absv):
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob_k:
+                            flush_eob_refine()
+                            emit(wtr, 0xF0, ac_codes)
+                            r -= 16
+                            for b in br_bits:
+                                wtr.bits(b, 1)
+                            br_bits = []
+                        if t > 1:
+                            br_bits.append(t & 1)
+                            continue
+                        flush_eob_refine()
+                        emit(wtr, (r << 4) | 1, ac_codes)
+                        wtr.bits(1 if vals[k] > 0 else 0, 1)
+                        for b in br_bits:
+                            wtr.bits(b, 1)
+                        br_bits = []
+                        r = 0
+                    if r > 0 or br_bits:
+                        eobrun += 1
+                        pending_br.extend(br_bits)
+                        if eobrun == 0x7FFF:
+                            flush_eob_refine()
+                flush_eob_refine()
+                wtr.pad()
+                out += wtr.out
+
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -691,11 +942,89 @@ def test_jpeg_unsupported_shapes_raise():
     src = _gradient_rgb(8, 8)
     buf = bytearray(_jpeg_bytes(src))
     sof = buf.index(b"\xff\xc0")
-    buf[sof + 1] = 0xC2  # progressive
+    buf[sof + 1] = 0xC9  # arithmetic-coded sequential
     with pytest.raises(ValueError, match="SOF"):
+        multimodal.decode_image(bytes(buf))
+    # a baseline stream relabeled SOF2 is malformed progressive (a DC
+    # scan may not carry Se=63) — must still be a clean ValueError
+    buf[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="JPEG"):
         multimodal.decode_image(bytes(buf))
     with pytest.raises(ValueError, match="JPEG"):
         multimodal.decode_image(b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"xx")
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_spectral_equals_baseline():
+    """Spectral-selection-only progressive (Al=0) carries the SAME
+    quantized coefficients as the baseline encoding, so the decodes
+    must be bit-identical — this pins the scan split / EOBRUN / band
+    bookkeeping with zero tolerance."""
+    import numpy as np
+
+    src = _gradient_rgb(13, 16)  # non-multiple-of-8: crop path
+    prog = multimodal.decode_image(_jpeg_progressive_bytes(src))
+    base = multimodal.decode_image(_jpeg_bytes(src))
+    assert np.array_equal(prog, base)
+    # and the roundtrip bound vs the source guards against a bug
+    # symmetric between the test encoder and the engine decoder
+    err = np.abs(prog.astype(float) - src.astype(float))
+    assert err.max() <= 6 and err.mean() <= 2, (err.max(), err.mean())
+
+
+@pytest.mark.parametrize("al", [1, 2])
+def test_jpeg_progressive_successive_approx_equals_baseline(al):
+    """First passes at Al>0 drop low bits; DC/AC refinement scans must
+    restore full precision exactly, so the final decode is identical to
+    the baseline decode of the same image."""
+    import numpy as np
+
+    src = _gradient_rgb(16, 13)
+    prog = multimodal.decode_image(_jpeg_progressive_bytes(src, al=al))
+    base = multimodal.decode_image(_jpeg_bytes(src))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_grayscale():
+    """Single-component frame: every scan is non-interleaved (block
+    walk), including DC."""
+    import numpy as np
+
+    src = np.tile(np.arange(16, dtype=np.uint8) * 16, (8, 1))
+    prog = multimodal.decode_image(_jpeg_progressive_bytes(src, al=1))
+    base = multimodal.decode_image(_jpeg_bytes(src))
+    assert np.array_equal(prog, base)
+    assert prog.shape == (8, 16, 3)
+
+
+def test_jpeg_progressive_420_subsampled():
+    """4:2:0: interleaved DC over multi-block MCUs, per-component AC
+    scans over DIFFERENT block grids (chroma grid smaller than the
+    MCU-padded array — T.81 A.2.2 non-interleaved dimensions)."""
+    import numpy as np
+
+    gray = _gradient_rgb(24, 24)[:, :, :1].repeat(3, axis=2)
+    prog = multimodal.decode_image(
+        _jpeg_progressive_bytes(gray, subsample=True, al=1)
+    )
+    base = multimodal.decode_image(_jpeg_bytes(gray, subsample=True))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_high_band_eobrun():
+    """A smooth image's 6-63 band is mostly zero, so the band scan is
+    dominated by EOBRUN runs spanning many blocks; a constant image
+    makes EVERY high-band block zero (one EOBRUN for the whole scan)."""
+    import numpy as np
+
+    src = np.full((32, 32, 3), 127, dtype=np.uint8)
+    prog = multimodal.decode_image(_jpeg_progressive_bytes(src, al=1))
+    base = multimodal.decode_image(_jpeg_bytes(src))
+    assert np.array_equal(prog, base)
 
 
 def test_jpeg_features_match_equivalent_bmp(spark):

@@ -8,13 +8,15 @@ run as Arrow-batched ``mapInPandas`` operators.
 Decode is REAL for the formats that need no codec library — BMP
 (BI_RGB 24/32bpp) and PPM (P6) parse with pure numpy, PNG
 (baseline 8-bit, all five scanline filters) inflates through stdlib
-``zlib``, and baseline-sequential JPEG (SOF0/SOF1, grayscale or YCbCr
-at any sampling incl. 4:2:0, restart markers) huffman-decodes +
-IDCTs in pure numpy (:func:`_decode_jpeg`) — into actual pixel
+``zlib``, and JPEG — baseline/extended sequential (SOF0/SOF1) AND
+progressive (SOF2, spectral selection + successive approximation),
+grayscale or YCbCr at any sampling incl. 4:2:0, restart markers —
+huffman-decodes + IDCTs in pure numpy (:func:`_decode_jpeg`) — into actual pixel
 arrays, which featurize (:func:`_pixel_features`) and resample
 (:func:`resize_images`, nearest-neighbor + PPM re-encode) from real
 content. Formats whose codecs genuinely aren't in this container
-(progressive JPEG/audio-compressed/video) still fall back to the
+(audio-compressed/video, 12-bit or arithmetic-coded JPEG) still
+fall back to the
 deterministic sha256 fake decoder / raise through
 :func:`real_decode`'s documented codec-absent branch (no PIL/cv2/
 ffmpeg — see :data:`HAVE_CODECS`).
@@ -58,8 +60,9 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 # These two uncompressed formats need no codec library — a header parse
 # plus a strided numpy view — which makes the decode path HONEST for
 # real pixels in this container (PNG additionally inflates via stdlib
-# zlib, baseline JPEG decodes via the huffman+IDCT below) while formats
-# needing a true codec library (progressive JPEG/mp3/video) still
+# zlib, sequential + progressive JPEG decode via the huffman+IDCT
+# machinery below) while formats
+# needing a true codec library (mp3/video) still
 # raise through ``real_decode``'s documented codec-absent branch.
 
 
@@ -317,15 +320,17 @@ def _jpeg_huff_dict(bits, vals) -> dict:
 
 
 def _decode_jpeg(payload: bytes):
-    """Baseline-sequential JFIF -> (h, w, 3) uint8 RGB array in pure
-    numpy + stdlib — no codec library (the PNG/stdlib-zlib precedent,
-    extended to the DCT family).
+    """JFIF -> (h, w, 3) uint8 RGB array in pure numpy + stdlib — no
+    codec library (the PNG/stdlib-zlib precedent, extended to the DCT
+    family).
 
-    Supports the overwhelmingly common on-disk shape: SOF0/SOF1 frames,
-    8-bit samples, 1 (grayscale) or 3 (YCbCr, any sampling factors incl.
-    4:2:0/4:2:2) components, interleaved single scan, restart markers,
-    byte stuffing. Progressive (SOF2), arithmetic coding, and 12-bit
-    frames raise ValueError — fall back to the fake decoder upstream.
+    Supports the two common on-disk shapes: baseline/extended
+    sequential (SOF0/SOF1) and progressive (SOF2, round 6 — spectral
+    selection + successive approximation, per T.81 Annex G), 8-bit
+    samples, 1 (grayscale) or 3 (YCbCr, any sampling factors incl.
+    4:2:0/4:2:2) components, restart markers, byte stuffing.
+    Lossless/hierarchical frames, arithmetic coding, and 12-bit frames
+    raise ValueError — fall back to the fake decoder upstream.
     EVERY malformed-input failure mode is normalized to ValueError
     (truncated headers raise struct.error, truncated tables IndexError,
     non-interleaved scans KeyError from the raw parse), so callers have
@@ -334,9 +339,37 @@ def _decode_jpeg(payload: bytes):
     import struct
 
     try:
+        if _jpeg_frame_marker(payload) == 0xC2:
+            return _decode_jpeg_progressive_strict(payload)
         return _decode_jpeg_strict(payload)
     except (struct.error, IndexError, KeyError) as exc:
         raise ValueError(f"malformed or unsupported JPEG: {exc!r}") from exc
+
+
+def _jpeg_frame_marker(payload: bytes) -> int:
+    """Light marker walk up to the first SOFn: returns its marker byte
+    so ``_decode_jpeg`` can dispatch sequential vs progressive.  SOF
+    always precedes the first SOS, so this never touches entropy data."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                      0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return marker
+        if marker in (0xD9, 0xDA):  # hit SOS/EOI without a frame header
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        pos += seglen
+    raise ValueError("JPEG missing SOF")
 
 
 def _decode_jpeg_strict(payload: bytes):
@@ -418,26 +451,7 @@ def _decode_jpeg_strict(payload: bytes):
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
 
-    # split entropy-coded data into restart segments, stripping stuffing
-    segments, cur = [], bytearray()
-    i = pos
-    while i < len(payload):
-        b = payload[i]
-        if b == 0xFF and i + 1 < len(payload):
-            nxt = payload[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
+    segments, _ = _jpeg_split_entropy(payload, pos)
 
     h, w, comps = frame
     if len(comps) not in (1, 3):
@@ -497,7 +511,333 @@ def _decode_jpeg_strict(payload: bytes):
                 x0 = (mx * hs + bx) * 8
                 planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
 
-    # upsample each component to full resolution and crop
+    return _jpeg_reconstruct(order, planes, h, w, hmax, vmax)
+
+
+def _decode_jpeg_progressive_strict(payload: bytes):
+    """Progressive JPEG (SOF2, T.81 Annex G): huffman-coded spectral
+    selection + successive approximation.
+
+    Coefficients accumulate across scans into per-component int32 block
+    arrays (zigzag order); dequantization + IDCT run once at the end.
+    Scan kinds, mirroring the libjpeg-compatible semantics:
+
+    - DC first (Ss=0, Ah=0): huffman DC diffs, value ``diff << Al``;
+      interleaved over MCUs when the scan has >1 component.
+    - DC refinement (Ah>0): one appended bit per block (``|= 1 << Al``).
+    - AC first (Ss>0, Ah=0): single-component, EOBRUN run-length coding
+      over whole blocks, values ``v << Al``.
+    - AC refinement (Ss>0, Ah>0): correction bit per already-nonzero
+      coefficient, newly-significant coefficients ±``1 << Al``.
+
+    Restart markers reset DC predictors and EOBRUN.  Tables may be
+    redefined between scans, so scans decode inline during the marker
+    walk.  The marker walk deliberately mirrors ``_decode_jpeg_strict``
+    (shared helpers for entropy-splitting and reconstruction); the
+    sequential path stays byte-identical to its round-5 tested form.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    pos = 2
+    coefs: dict[int, object] = {}  # cid -> (rows, cols, 64) int32, zigzag
+    grid = None  # (mcux, mcuy, hmax, vmax)
+
+    def refine_nonzero(br, blk, k, se, p1, m1):
+        """Append one correction bit to every already-nonzero coefficient
+        in blk[k..se]; returns the index after se."""
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit():
+                    if (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        return k
+
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        data = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq:
+                    tbl = np.frombuffer(
+                        data[i : i + 128], dtype=">u2"
+                    ).astype(np.float64)
+                    i += 128
+                else:
+                    tbl = np.frombuffer(
+                        data[i : i + 64], dtype=np.uint8
+                    ).astype(np.float64)
+                    i += 64
+                qt[tq] = tbl
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = data[i + 1 : i + 17]
+                n = sum(bits)
+                vals = data[i + 17 : i + 17 + n]
+                huff[(tc, th)] = _jpeg_huff_dict(bits, vals)
+                i += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if h == 0:
+                raise ValueError("DNL-deferred JPEG height unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            frame = (h, w, comps)
+            grid = (mcux, mcuy, hmax, vmax)
+            for cid, hs, vs, _tq in comps:
+                coefs[cid] = np.zeros(
+                    (mcuy * vs, mcux * hs, 64), dtype=np.int64
+                )
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unexpected JPEG frame type SOF{marker & 15}")
+        elif marker == 0xDD:
+            (restart,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            h, w, comps = frame
+            mcux, mcuy, hmax, vmax = grid
+            byc = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+            ns = data[0]
+            scomps = []
+            for c in range(ns):
+                cs, tt = data[1 + 2 * c], data[2 + 2 * c]
+                scomps.append((cs, tt >> 4, tt & 15))
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
+            if ss > se or se > 63:
+                raise ValueError("bad JPEG spectral selection")
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "bad JPEG progressive scan: DC scan requires Se=0"
+                )
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be 1-component")
+            pos += seglen
+            segments, pos = _jpeg_split_entropy(payload, pos)
+            p1, m1 = 1 << al, -1 << al
+
+            if ns > 1:
+                # interleaved DC scan: MCU walk
+                n_units = mcux * mcuy
+            else:
+                # non-interleaved: one block per data unit over the
+                # component's own ceil(dim/8) grid (T.81 A.2.2)
+                cs0, _, _ = scomps[0]
+                hs, vs = byc[cs0]
+                cw = -(-(w * hs) // hmax)
+                ch = -(-(h * vs) // vmax)
+                bw = -(-cw // 8)
+                bh = -(-ch // 8)
+                n_units = bw * bh
+
+            br = _JpegBits(segments[0])
+            seg_idx = 0
+            preds = {cs: 0 for cs, _, _ in scomps}
+            eobrun = 0
+            for m in range(n_units):
+                if restart and m and m % restart == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG restart segment missing")
+                    br = _JpegBits(segments[seg_idx])
+                    preds = {cs: 0 for cs, _, _ in scomps}
+                    eobrun = 0
+                if ss == 0 and ns > 1:
+                    # interleaved DC: all scan components' blocks per MCU
+                    my, mx = divmod(m, mcux)
+                    for cs, dct, _act in scomps:
+                        hs, vs = byc[cs]
+                        arr = coefs[cs]
+                        for blk_i in range(hs * vs):
+                            by, bx = divmod(blk_i, hs)
+                            blk = arr[my * vs + by, mx * hs + bx]
+                            if ah == 0:
+                                tbl = huff.get((0, dct))
+                                if tbl is None:
+                                    raise ValueError("JPEG DC table missing")
+                                s = br.read_huff(tbl)
+                                preds[cs] += br.receive_extend(s)
+                                blk[0] = preds[cs] << al
+                            else:
+                                if br.read_bit():
+                                    blk[0] |= p1
+                    continue
+                # non-interleaved scan (DC or AC) over one component
+                cs, dct, act = scomps[0]
+                arr = coefs[cs]
+                rowlen = arr.shape[1]
+                by, bx = divmod(m, bw)
+                if bx >= rowlen or by >= arr.shape[0]:
+                    raise ValueError("JPEG block index out of range")
+                blk = arr[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        tbl = huff.get((0, dct))
+                        if tbl is None:
+                            raise ValueError("JPEG DC table missing")
+                        s = br.read_huff(tbl)
+                        preds[cs] += br.receive_extend(s)
+                        blk[0] = preds[cs] << al
+                    else:
+                        if br.read_bit():
+                            blk[0] |= p1
+                    continue
+                ac_t = huff.get((1, act))
+                if ac_t is None:
+                    raise ValueError("JPEG AC table missing")
+                if ah == 0:
+                    # AC first pass
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = br.read_huff(ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            k += 16
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index out of range")
+                        blk[k] = br.receive_extend(s) << al
+                        k += 1
+                else:
+                    # AC refinement pass
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = br.read_huff(ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break  # tail refinement below
+                                newval = 0  # ZRL: 16 zero-history skips
+                            elif s == 1:
+                                newval = p1 if br.read_bit() else m1
+                            else:
+                                raise ValueError(
+                                    "bad JPEG refinement magnitude"
+                                )
+                            while k <= se:
+                                if blk[k] != 0:
+                                    if br.read_bit():
+                                        if (blk[k] & p1) == 0:
+                                            blk[k] += (
+                                                p1 if blk[k] >= 0 else m1
+                                            )
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s and k <= se:
+                                blk[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        refine_nonzero(br, blk, k, se, p1, m1)
+                        eobrun -= 1
+            continue  # pos already advanced past entropy data
+        pos += seglen
+
+    if frame is None or not coefs:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    mcux, mcuy, hmax, vmax = grid
+    idct = _idct_matrix()
+    planes, order = {}, []
+    for cid, hs, vs, tq in comps:
+        arr = coefs[cid]
+        q = qt[tq]
+        nby, nbx = arr.shape[0], arr.shape[1]
+        deq = arr.reshape(-1, 64).astype(np.float64) * q[None, :]
+        blocks = np.zeros((deq.shape[0], 64))
+        blocks[:, _ZIGZAG] = deq
+        blocks = blocks.reshape(-1, 8, 8)
+        px = np.einsum("ij,njk,kl->nil", idct.T, blocks, idct) + 128.0
+        plane = (
+            px.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        planes[cid] = plane
+        order.append((cid, hs, vs, q))
+    return _jpeg_reconstruct(order, planes, h, w, hmax, vmax)
+
+
+def _jpeg_split_entropy(payload: bytes, pos: int):
+    """Split one scan's entropy-coded data starting at ``pos`` into
+    restart-interval segments with byte stuffing stripped.  Returns
+    ``(segments, next_pos)`` where ``next_pos`` is the offset of the
+    0xFF of the first non-RST marker after the scan (or EOF)."""
+    segments, cur = [], bytearray()
+    i = pos
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF and i + 1 < len(payload):
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _jpeg_reconstruct(order, planes, h: int, w: int, hmax: int, vmax: int):
+    """Shared sequential/progressive tail: upsample each component plane
+    to full resolution, crop to (h, w), and convert to uint8 RGB."""
+    import numpy as np
+
     full = []
     for cid, hs, vs, _ in order:
         p = planes[cid]
@@ -520,7 +860,7 @@ def _decode_jpeg_strict(payload: bytes):
 def decode_image(payload: bytes):
     """payload -> (h, w, 3) uint8 RGB numpy array, or ``None`` when the
     format isn't one of the dependency-free decoders (BMP/PPM/PNG/
-    baseline JPEG)."""
+    sequential/progressive JPEG)."""
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
     if payload.startswith(b"P6"):
@@ -609,7 +949,7 @@ def _audio_features(arr, rate: int) -> list[float]:
 
 
 def real_decode(payload: bytes, media_type: str) -> list[float]:
-    """Real decode path: BMP/PPM/PNG/baseline-JPEG images decode to
+    """Real decode path: BMP/PPM/PNG/JPEG (sequential + progressive) images decode to
     pixels (numpy + stdlib zlib/huffman)
     and PCM WAV audio decodes to samples (stdlib wave), featurizing
     from actual content; every other format still raises the documented
@@ -626,7 +966,8 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
     raise NotImplementedError(
         "no codec libraries in this environment for "
         f"media_type={media_type!r} with magic {payload[:2]!r}; only "
-        "BMP/PPM/PNG/baseline-JPEG and PCM WAV decode natively — other "
+        "BMP/PPM/PNG/JPEG (sequential+progressive) and PCM WAV decode "
+        "natively — other "
         "payloads use the deterministic fake decoder"
     )
 
@@ -643,7 +984,8 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
 
     def decode(payload: bytes, media_type: str) -> list[float]:
         # real pixels whenever the payload is natively decodable
-        # (BMP/PPM/PNG/baseline JPEG — see decode_image); deterministic
+        # (BMP/PPM/PNG/sequential+progressive JPEG — see decode_image);
+        # deterministic
         # fake otherwise.  Corrupt or unsupported-shape payloads
         # (ValueError) also degrade to the fake vector: at fleet scale
         # one truncated file must never kill the whole feature job.
