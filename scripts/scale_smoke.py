@@ -185,6 +185,31 @@ def langid_featurize(docs):
     return langid.hashed_char_ngram_features(docs)
 
 
+def langid_train_smoke(docs):
+    """Full train loop (featurize -> 2 IRLS iterations).  The langid
+    100 TB posture is featurize-linear / train-jobs-CONSTANT: each IRLS
+    iteration is ONE shared-scan sufficient-stats job regardless of
+    class count or corpus size, so wall-clock should grow only with the
+    scan, never with iteration-count x corpus interplay."""
+    from wistia_video_analytics_project_spark.operators import langid
+
+    langs = ["en", "de"]
+    feats = langid.hashed_char_ngram_features(
+        docs.filter(F.col("lang").isin(langs)), dim=256,
+        keep_cols=("lang",),
+    ).withColumn(
+        "label_idx",
+        F.when(F.col("lang") == "en", F.lit(0)).otherwise(F.lit(1))
+        .cast("long"),
+    )
+    w, b, _losses = langid.langid_train(
+        feats, langs, dim=256, iterations=2
+    )
+    # return a 1-action frame so the harness's count() drives nothing
+    # extra: training already ran its own jobs above
+    return feats.limit(1)
+
+
 def doc_ops(k):
     return (
         ("minhash_lsh", dedup_minhash),
@@ -198,6 +223,7 @@ def doc_ops(k):
         ("bm25", bm25),
         ("gopher_rules", gopher),
         ("langid_feats", langid_featurize),
+        ("langid_train", langid_train_smoke),
     )
 
 
