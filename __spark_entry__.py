@@ -22,7 +22,7 @@ from collections.abc import Callable
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from wistia_video_analytics_project_spark import schemas
+from wistia_video_analytics_project_spark import cache, schemas
 from wistia_video_analytics_project_spark.operators import (
     analytics,
     cleaning,
@@ -706,6 +706,171 @@ def q_ks_test_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(na_d * nb_d * (na_d + nb_d)),
             4,
         ).alias("ks_z"),
+    )
+
+
+def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue over 1995: the
+    median of all pairwise slopes, which a single anomalous day cannot
+    move (OLS slope reported beside it for contrast — the breakdown
+    point is the whole point of the estimator).
+
+    Scale shape: the fact reduces to ONE row per day (exact integer
+    cents) before any pairing, so the O(days²) self-join runs over a
+    bounded per-day aggregate (365 rows -> 66k pairs), never over raw
+    orders — at 100 TB the pair stage is unchanged because the day
+    count doesn't grow with fact volume. Slopes divide exact integers
+    (cents by day-gaps·100) so both engines interpolate the median over
+    identical doubles; outputs round to 6."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    daily = cache.track(daily.cache())
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("cents").alias("c1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("cents").alias("c2")
+    )
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.datediff(F.col("d2"), F.col("d1")) * 100).cast("double")
+        ).alias("slope")
+    )
+    start = F.lit("1995-01-01").cast("date")
+    ols = daily.select(
+        F.datediff(F.col("day"), start).cast("double").alias("x"),
+        (F.col("cents").cast("double") / F.lit(100).cast("double")).alias(
+            "y"
+        ),
+    )
+    med = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.round(F.expr("percentile(slope, 0.5)"), 6) + F.lit(0.0)
+        ).alias("ts_slope"),
+    )
+    fit = ols.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.round(F.regr_slope(F.col("y"), F.col("x")), 6) + F.lit(0.0)).alias(
+            "ols_slope"
+        ),
+    )
+    return fit.crossJoin(F.broadcast(med)).select(
+        "n_days", "n_pairs", "ts_slope", "ols_slope"
+    )
+
+
+def q_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line price and quantity —
+    the monotone-association complement to the Pearson matrix
+    (`measure_corr_matrix`). Average ranks handle the heavy quantity
+    ties exactly: avg_rank = min_rank + (ties-1)/2, both terms integer
+    window aggregates, so both engines feed IDENTICAL rank doubles
+    into one pass of corr. No raw-row sort survives the plan — ranks
+    come from two window functions over the fact, and the result is a
+    single corr aggregate (rounded 6, +0.0)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wp = Window.orderBy("l_extendedprice")
+    wq = Window.orderBy("l_quantity")
+    ranked = li.select(
+        (
+            F.rank().over(wp).cast("double")
+            + (F.count(F.lit(1)).over(
+                Window.partitionBy("l_extendedprice")
+            ).cast("double") - 1.0) / 2.0
+        ).alias("rp"),
+        (
+            F.rank().over(wq).cast("double")
+            + (F.count(F.lit(1)).over(
+                Window.partitionBy("l_quantity")
+            ).cast("double") - 1.0) / 2.0
+        ).alias("rq"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.corr("rp", "rq"), 6) + F.lit(0.0)).alias("spearman_rho"),
+    )
+
+
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily view counts and daily purchase
+    counts — concordance over day pairs, tie-corrected. Everything up
+    to the final sqrt is EXACT integer arithmetic (concordant /
+    discordant / tie pair counts over the O(days²) self-join of a
+    per-day aggregate), so the gate compares integers plus one rounded
+    float. Same bounded-pair scale argument as Theil-Sen: the pair
+    stage never touches raw events."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("views"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("purchases"),
+    )
+    daily = cache.track(daily.cache())
+    a = daily.select(
+        F.col("day").alias("d1"),
+        F.col("views").alias("x1"),
+        F.col("purchases").alias("y1"),
+    )
+    b = daily.select(
+        F.col("day").alias("d2"),
+        F.col("views").alias("x2"),
+        F.col("purchases").alias("y2"),
+    )
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    counts = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(F.when(dx * dy > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("concordant"),
+            F.sum(F.when(dx * dy < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("discordant"),
+            F.sum(
+                F.when((dx == 0) & (dy != 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ties_x"),
+            F.sum(
+                F.when((dy == 0) & (dx != 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ties_y"),
+            F.sum(
+                F.when((dx == 0) & (dy == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ties_xy"),
+        )
+    )
+    c, d = F.col("concordant"), F.col("discordant")
+    tx, ty = F.col("ties_x"), F.col("ties_y")
+    denom = F.sqrt(
+        (c + d + tx).cast("double") * (c + d + ty).cast("double")
+    )
+    return counts.select(
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        "ties_xy",
+        (
+            F.round((c - d).cast("double") / denom, 6) + F.lit(0.0)
+        ).alias("kendall_tau_b"),
     )
 
 
@@ -4704,6 +4869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
         "ks_test_order_values": q_ks_test_order_values,
+        # round-6 additions (front-load _WINDOW_R7 per the docstring)
+        "theilsen_revenue_trend": q_theilsen_revenue_trend,
+        "spearman_price_qty": q_spearman_price_qty,
+        "kendall_tau_daily": q_kendall_tau_daily,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -6894,6 +7063,82 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
                                 * (CAST(n_a AS DOUBLE)
                                    + CAST(n_b AS DOUBLE))), 4) AS ks_z
+            FROM agg
+        """,
+        "theilsen_revenue_trend": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+            pairs AS (
+              SELECT CAST(b.cents - a.cents AS DOUBLE)
+                     / CAST(date_diff('day', a.day, b.day) * 100 AS DOUBLE)
+                       AS slope
+              FROM daily a JOIN daily b ON a.day < b.day),
+            med AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                     round(quantile_cont(slope, 0.5), 6)
+                       + CAST(0.0 AS DOUBLE) AS ts_slope
+              FROM pairs),
+            fit AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_days,
+                     round(regr_slope(
+                         CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE),
+                         CAST(date_diff('day', DATE '1995-01-01', day)
+                              AS DOUBLE)), 6)
+                       + CAST(0.0 AS DOUBLE) AS ols_slope
+              FROM daily)
+            SELECT n_days, n_pairs, ts_slope, ols_slope
+            FROM fit CROSS JOIN med
+        """,
+        "spearman_price_qty": """
+            WITH ranked AS (
+              SELECT CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE)
+                       + (CAST(count(*) OVER (PARTITION BY l_extendedprice)
+                               AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                         / CAST(2.0 AS DOUBLE) AS rp,
+                     CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE)
+                       + (CAST(count(*) OVER (PARTITION BY l_quantity)
+                               AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                         / CAST(2.0 AS DOUBLE) AS rq
+              FROM lineitem)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   round(corr(rp, rq), 6) + CAST(0.0 AS DOUBLE)
+                     AS spearman_rho
+            FROM ranked
+        """,
+        "kendall_tau_daily": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(sum(CASE WHEN event_type = 'view'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS views,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+              FROM events GROUP BY 1),
+            p AS (
+              SELECT b.views - a.views AS dx,
+                     b.purchases - a.purchases AS dy
+              FROM daily a JOIN daily b ON a.day < b.day),
+            agg AS (
+              SELECT CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS concordant,
+                     CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS discordant,
+                     CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ties_x,
+                     CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ties_y,
+                     CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ties_xy
+              FROM p)
+            SELECT concordant, discordant, ties_x, ties_y, ties_xy,
+                   round(CAST(concordant - discordant AS DOUBLE)
+                         / sqrt(CAST(concordant + discordant + ties_x
+                                     AS DOUBLE)
+                                * CAST(concordant + discordant + ties_y
+                                       AS DOUBLE)), 6)
+                     + CAST(0.0 AS DOUBLE) AS kendall_tau_b
             FROM agg
         """,
         "streaming_view_purchase_join": """

@@ -180,6 +180,13 @@ SECONDARY = [
     "streaming_view_purchase_join",
     "ann_mmr",
     "ks_test_order_values",
+    # round-6 operators
+    "theilsen_revenue_trend",
+    "spearman_price_qty",
+    "kendall_tau_daily",
+    "char_entropy_report",
+    "hapax_legomena_report",
+    "zipf_slope_tokens",
 ]
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import configure_runtime
@@ -733,6 +733,133 @@ def q_lm_bits_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_bits_per_token(_docs(spark, sf_dir))
 
 
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy in bits — the
+    classic gibberish / compression-junk detector for a pretraining
+    corpus (natural prose sits ~4-4.5 bits/char; base64 blobs and
+    repeated-character junk land far above / below).
+
+    Shape: one explode to (doc, char) rows, one partial-agg count, one
+    per-doc aggregate — all JVM, entropy assembled from exact integer
+    counts as ``log2(n) - Σ c·log2(c) / n`` (single division, stable
+    under reordering).  ``sequence(1, length)`` auto-reverses on empty
+    text in Spark (CLAUDE.md), so empty docs are filtered before the
+    explode on BOTH engines."""
+    chars = (
+        docs.filter(F.length(text_col) >= 1)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col))
+            ).alias("i"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"substring({text_col}, i, 1)").alias("ch"),
+        )
+    )
+    per_char = chars.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = F.sum("c").cast("long")
+    s = F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+    return (
+        per_char.groupBy(id_col)
+        .agg(
+            n.alias("n_chars_counted"),
+            (
+                F.round(
+                    F.log2(n.cast("double")) - s / n.cast("double"), 4
+                )
+                + F.lit(0.0)
+            ).alias("entropy_bits"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def hapax_report(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-source vocabulary concentration: total tokens, distinct
+    types, hapax legomena (frequency-1 types), type-token ratio and
+    hapax share — the corpus-health profile that flags both boilerplate
+    floods (TTR collapses) and OCR noise (hapax share explodes).
+
+    Two hash aggregations ((group, token) then group), integer counts
+    throughout, ratios as one rounded division each."""
+    toks = docs.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_tok = toks.groupBy(group_col, "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_tokens = F.sum("c").cast("long")
+    n_types = F.count(F.lit(1)).cast("long")
+    n_hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    return (
+        per_tok.groupBy(group_col)
+        .agg(
+            n_tokens.alias("n_tokens"),
+            n_types.alias("n_types"),
+            n_hapax.alias("n_hapax"),
+            F.round(
+                n_types.cast("double") / n_tokens.cast("double"), 6
+            ).alias("ttr"),
+            F.round(
+                n_hapax.cast("double") / n_types.cast("double"), 6
+            ).alias("hapax_share"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def zipf_slope(
+    docs: DataFrame, text_col: str = "text", top: int = 200
+) -> DataFrame:
+    """Zipf log-log fit over the top-``top`` token frequencies: slope
+    of ``ln(freq) ~ ln(rank)`` (natural prose ~ -1; a corpus whose
+    slope drifts toward 0 is template/boilerplate-heavy, steeper than
+    -1.5 suggests vocabulary collapse).  Rank ties break on token text
+    so both engines rank identically; the regression runs over
+    ``top`` bounded rows via the closed-form regr_* aggregates."""
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = counts.select(
+        F.row_number().over(w).alias("rnk"), "c"
+    ).filter(F.col("rnk") <= top)
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.round(F.regr_slope(y, x), 6) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round(F.regr_intercept(y, x), 6) + F.lit(0.0)).alias(
+            "zipf_intercept"
+        ),
+        (F.round(F.regr_r2(y, x), 4) + F.lit(0.0)).alias("zipf_r2"),
+    )
+
+
+def q_char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_entropy(_docs(spark, sf_dir))
+
+
+def q_hapax_legomena_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hapax_report(_docs(spark, sf_dir))
+
+
+def q_zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_slope(_docs(spark, sf_dir), top=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_profile": q_text_profile,
@@ -750,6 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "doc_novelty": q_doc_novelty,
         "doc_novelty_hashed": q_doc_novelty_hashed,
+        "char_entropy_report": q_char_entropy_report,
+        "hapax_legomena_report": q_hapax_legomena_report,
+        "zipf_slope_tokens": q_zipf_slope_tokens,
     }
 
 
@@ -797,6 +927,68 @@ def _lang_guess_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "char_entropy_report": """
+            WITH chars AS (
+              SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
+              FROM documents,
+                   unnest(generate_series(1, length(text))) AS t(i)
+              WHERE length(text) >= 1),
+            cnt AS (
+              SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+              FROM chars GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                     sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS s
+              FROM cnt GROUP BY 1)
+            SELECT doc_id, n AS n_chars_counted,
+                   round(log2(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 4)
+                     + CAST(0.0 AS DOUBLE) AS entropy_bits
+            FROM agg ORDER BY doc_id
+        """,
+        "hapax_legomena_report": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS tok
+              FROM documents),
+            per AS (
+              SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+              FROM toks WHERE tok <> '' GROUP BY 1, 2)
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax,
+                   round(CAST(count(*) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+                   round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+            FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "zipf_slope_tokens": r"""
+            WITH counts AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                                     '\s+')) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1),
+            ranked AS (
+              SELECT row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk, c
+              FROM counts
+              QUALIFY rnk <= 200)
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   round(regr_slope(ln(CAST(c AS DOUBLE)),
+                                    ln(CAST(rnk AS DOUBLE))), 6)
+                     + CAST(0.0 AS DOUBLE) AS zipf_slope,
+                   round(regr_intercept(ln(CAST(c AS DOUBLE)),
+                                        ln(CAST(rnk AS DOUBLE))), 6)
+                     + CAST(0.0 AS DOUBLE) AS zipf_intercept,
+                   round(regr_r2(ln(CAST(c AS DOUBLE)),
+                                 ln(CAST(rnk AS DOUBLE))), 4)
+                     + CAST(0.0 AS DOUBLE) AS zipf_r2
+            FROM ranked
+        """,
         "doc_chunks": """
             WITH base AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
