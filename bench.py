@@ -187,6 +187,7 @@ SECONDARY = [
     "char_entropy_report",
     "hapax_legomena_report",
     "zipf_slope_tokens",
+    "truncated_dim_recall",
 ]
 
 

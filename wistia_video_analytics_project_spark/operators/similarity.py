@@ -23,7 +23,7 @@ representable in double) so results are engine-comparable.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Callable, Iterator
+from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1398,6 +1398,120 @@ def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(queries_df, emb, k=3)
 
 
+def truncated_dim_recall(
+    emb: DataFrame,
+    dims: Sequence[int] = (8, 16, EMB_DIM),
+    n_queries: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation ablation: recall@k of cosine top-k
+    computed on only the first ``d`` embedding dimensions vs the
+    full-dimension truth, for each ``d`` in ``dims`` (the last entry
+    should be the full dim, whose recall is 1.0 by construction — a
+    built-in sanity row).  This is the measurement that justifies
+    shipping truncated vectors at serving time (a 4x smaller index for
+    a known recall cost).
+
+    One element-explode self-join computes ALL truncation levels'
+    dot products and norms as conditional sums in a single aggregation
+    (no per-dim rescan); ranking uses the rounded-6 cosine with
+    neighbor-id tiebreak exactly like :func:`brute_force_topk`, so the
+    result is engine-exact and oracle-checkable.  Scale: the pair
+    stage is bounded by ``n_queries x corpus``, the same shape as the
+    exact ANN baseline — the corpus-scale swap is running the same
+    ablation over an IVF shortlist."""
+    from pyspark.sql import Window
+
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    ).select(
+        "vid", (F.col("pos") + 1).alias("i"), F.col("v").cast("double")
+    )
+    qe = e.filter(F.col("vid") < n_queries)
+    dots = (
+        qe.alias("a")
+        .join(e.alias("b"), F.expr("a.i = b.i AND a.vid <> b.vid"))
+        .groupBy(
+            F.col("a.vid").alias("query_id"),
+            F.col("b.vid").alias("neighbor_id"),
+        )
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("a.i") <= d, F.col("a.v") * F.col("b.v"))
+                ).alias(f"dp{d}")
+                for d in dims
+            ]
+        )
+    )
+    norms = e.groupBy(F.col("vid")).agg(
+        *[
+            F.sqrt(
+                F.sum(F.when(F.col("i") <= d, F.col("v") * F.col("v")))
+            ).alias(f"nrm{d}")
+            for d in dims
+        ]
+    )
+    na = norms.select(
+        F.col("vid").alias("query_id"),
+        *[F.col(f"nrm{d}").alias(f"na{d}") for d in dims],
+    )
+    nb = norms.select(
+        F.col("vid").alias("neighbor_id"),
+        *[F.col(f"nrm{d}").alias(f"nb{d}") for d in dims],
+    )
+    sims = dots.join(F.broadcast(na), "query_id").join(
+        F.broadcast(nb), "neighbor_id"
+    )
+    full = dims[-1]
+
+    def topk(d: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            sims.select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    F.col(f"dp{d}") / (F.col(f"na{d}") * F.col(f"nb{d}")), 6
+                ).alias("cos"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = topk(full)
+    out = None
+    for d in dims:
+        overlap = (
+            topk(d)
+            .join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("sum_overlap"))
+            .select(
+                F.lit(d).cast("int").alias("trunc_dim"),
+                "sum_overlap",
+                F.round(
+                    F.col("sum_overlap").cast("double")
+                    / F.lit(n_queries * k).cast("double"),
+                    4,
+                ).alias("recall_at_k"),
+            )
+        )
+        out = overlap if out is None else out.unionByName(overlap)
+    return out.orderBy("trunc_dim")
+
+
+def q_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation ablation at d=8/16/64 over the first 20 query
+    vectors (recall@5 vs the full 64-dim truth)."""
+    return truncated_dim_recall(_emb(spark, sf_dir))
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded slice: exact all-pairs is the oracle path, not the scale path
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
@@ -1453,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_pairs": q_hard_negative_pairs,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "semantic_dedup_keep": q_semantic_dedup_keep,
+        "truncated_dim_recall": q_truncated_dim_recall,
         # approximate; driver records rows-only, recall vs brute force /
         # exact dedup is asserted in tests/test_similarity.py
         "ann_lsh": q_ann_lsh,
@@ -1539,6 +1654,68 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON id_a = na.vec_id
             JOIN norms nb ON id_b = nb.vec_id
             WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.4
+        """,
+        "truncated_dim_recall": """
+            WITH e AS (
+              SELECT vec_id AS vid, CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+            dots AS (
+              SELECT a.vid AS query_id, b.vid AS neighbor_id,
+                     sum(CASE WHEN a.i <= 8 THEN a.v * b.v END) AS dp8,
+                     sum(CASE WHEN a.i <= 16 THEN a.v * b.v END) AS dp16,
+                     sum(a.v * b.v) AS dp64
+              FROM e a JOIN e b ON a.i = b.i AND a.vid <> b.vid
+              WHERE a.vid < 20
+              GROUP BY 1, 2),
+            norms AS (
+              SELECT vid,
+                     sqrt(sum(CASE WHEN i <= 8 THEN v * v END)) AS nrm8,
+                     sqrt(sum(CASE WHEN i <= 16 THEN v * v END)) AS nrm16,
+                     sqrt(sum(v * v)) AS nrm64
+              FROM e GROUP BY 1),
+            sims AS (
+              SELECT query_id, neighbor_id,
+                     round(dp8 / (na.nrm8 * nb.nrm8), 6) AS cos8,
+                     round(dp16 / (na.nrm16 * nb.nrm16), 6) AS cos16,
+                     round(dp64 / (na.nrm64 * nb.nrm64), 6) AS cos64
+              FROM dots
+              JOIN norms na ON query_id = na.vid
+              JOIN norms nb ON neighbor_id = nb.vid),
+            t8 AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cos8 DESC, neighbor_id ASC) AS r
+                FROM sims) WHERE r <= 5),
+            t16 AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cos16 DESC, neighbor_id ASC) AS r
+                FROM sims) WHERE r <= 5),
+            t64 AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cos64 DESC, neighbor_id ASC) AS r
+                FROM sims) WHERE r <= 5)
+            SELECT CAST(8 AS INT) AS trunc_dim,
+                   CAST(count(*) AS BIGINT) AS sum_overlap,
+                   round(CAST(count(*) AS DOUBLE)
+                         / CAST(100 AS DOUBLE), 4) AS recall_at_k
+            FROM t8 JOIN t64 USING (query_id, neighbor_id)
+            UNION ALL
+            SELECT CAST(16 AS INT),
+                   CAST(count(*) AS BIGINT),
+                   round(CAST(count(*) AS DOUBLE) / CAST(100 AS DOUBLE), 4)
+            FROM t16 JOIN t64 USING (query_id, neighbor_id)
+            UNION ALL
+            SELECT CAST(64 AS INT),
+                   CAST(count(*) AS BIGINT),
+                   round(CAST(count(*) AS DOUBLE) / CAST(100 AS DOUBLE), 4)
+            FROM t64 a JOIN t64 b USING (query_id, neighbor_id)
+            ORDER BY trunc_dim
         """,
         "semantic_dedup_keep": f"""
             WITH {_COSINE_CTES},
