@@ -727,9 +727,11 @@ def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.year("o_orderdate") == 1995)
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-                "cents"
-            )
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("cents")
         )
     )
     daily = cache.track(daily.cache())
@@ -773,27 +775,36 @@ def q_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between line price and quantity —
     the monotone-association complement to the Pearson matrix
     (`measure_corr_matrix`). Average ranks handle the heavy quantity
-    ties exactly: avg_rank = min_rank + (ties-1)/2, both terms integer
-    window aggregates, so both engines feed IDENTICAL rank doubles
-    into one pass of corr. No raw-row sort survives the plan — ranks
-    come from two window functions over the fact, and the result is a
-    single corr aggregate (rounded 6, +0.0)."""
+    ties exactly: avg_rank = cum_count_before + (ties+1)/2, assembled
+    from exact integers, so both engines feed IDENTICAL rank doubles
+    into one pass of corr (rounded 6, +0.0).
+
+    Scale shape: NO raw-row global sort — ranks come from cumulative
+    windows over the per-distinct-value AGGREGATES (the
+    ks_test_order_values precedent: the unpartitioned window runs over
+    a distinct-value frame bounded by cardinality, not fact volume),
+    and the rank maps join back to the fact as ordinary parallel
+    equi-joins before a single corr aggregate."""
     li = _t(spark, sf_dir, "lineitem")
-    wp = Window.orderBy("l_extendedprice")
-    wq = Window.orderBy("l_quantity")
-    ranked = li.select(
-        (
-            F.rank().over(wp).cast("double")
-            + (F.count(F.lit(1)).over(
-                Window.partitionBy("l_extendedprice")
-            ).cast("double") - 1.0) / 2.0
-        ).alias("rp"),
-        (
-            F.rank().over(wq).cast("double")
-            + (F.count(F.lit(1)).over(
-                Window.partitionBy("l_quantity")
-            ).cast("double") - 1.0) / 2.0
-        ).alias("rq"),
+
+    def rank_map(col: str, alias: str) -> DataFrame:
+        per = li.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return per.select(
+            F.col(col),
+            (
+                (F.sum("__c").over(w) - F.col("__c")).cast("double")
+                + (F.col("__c").cast("double") + 1.0) / 2.0
+            ).alias(alias),
+        )
+    ranked = li.select("l_extendedprice", "l_quantity").join(
+        rank_map("l_extendedprice", "rp"), "l_extendedprice"
+    ).join(
+        F.broadcast(rank_map("l_quantity", "rq")), "l_quantity"
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -7068,8 +7079,8 @@ def oracle_sql() -> dict[str, str]:
         "theilsen_revenue_trend": """
             WITH daily AS (
               SELECT CAST(o_orderdate AS DATE) AS day,
-                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                          AS BIGINT) AS cents
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
               FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
             pairs AS (
               SELECT CAST(b.cents - a.cents AS DOUBLE)
@@ -7093,16 +7104,31 @@ def oracle_sql() -> dict[str, str]:
             FROM fit CROSS JOIN med
         """,
         "spearman_price_qty": """
-            WITH ranked AS (
-              SELECT CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE)
-                       + (CAST(count(*) OVER (PARTITION BY l_extendedprice)
-                               AS DOUBLE) - CAST(1.0 AS DOUBLE))
-                         / CAST(2.0 AS DOUBLE) AS rp,
-                     CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE)
-                       + (CAST(count(*) OVER (PARTITION BY l_quantity)
-                               AS DOUBLE) - CAST(1.0 AS DOUBLE))
+            WITH pv AS (
+              SELECT l_extendedprice, CAST(count(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1),
+            pr AS (
+              SELECT l_extendedprice,
+                     CAST(sum(c) OVER (ORDER BY l_extendedprice
+                            ROWS UNBOUNDED PRECEDING) - c AS DOUBLE)
+                       + (CAST(c AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                         / CAST(2.0 AS DOUBLE) AS rp
+              FROM pv),
+            qv AS (
+              SELECT l_quantity, CAST(count(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1),
+            qr AS (
+              SELECT l_quantity,
+                     CAST(sum(c) OVER (ORDER BY l_quantity
+                            ROWS UNBOUNDED PRECEDING) - c AS DOUBLE)
+                       + (CAST(c AS DOUBLE) + CAST(1.0 AS DOUBLE))
                          / CAST(2.0 AS DOUBLE) AS rq
-              FROM lineitem)
+              FROM qv),
+            ranked AS (
+              SELECT rp, rq
+              FROM lineitem
+              JOIN pr USING (l_extendedprice)
+              JOIN qr USING (l_quantity))
             SELECT CAST(count(*) AS BIGINT) AS n,
                    round(corr(rp, rq), 6) + CAST(0.0 AS DOUBLE)
                      AS spearman_rho

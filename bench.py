@@ -232,6 +232,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Run identity: sidecars are only trustworthy companions of the
+    # stdout line from the SAME process — check_bench refuses to
+    # backfill a saved artifact with sidecar timings from a different
+    # run (cross-run contamination, the round-5 sf-mismatch incident's
+    # commit-axis twin).
+    run_id = f"{int(time.time())}-{os.getpid()}"
     # Keep the driver-parsed stdout line SMALL: round 3's line carried the
     # full 86-entry secondary map and overflowed the driver's bounded tail
     # capture (BENCH_r03.json "parsed": null).  The per-query secondary
@@ -242,6 +248,7 @@ def main() -> None:
         "unit": "sec",
         "queries": secondary,
         "sf": float(sf) if sf else None,
+        "run_id": run_id,
     }
     print(json.dumps(sidecar), file=sys.stderr)
     # One merged {query: seconds} map over BOTH series so
@@ -253,6 +260,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {**timings, **secondary},
         "sf": float(sf) if sf else None,
+        "run_id": run_id,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -271,6 +279,7 @@ def main() -> None:
                 "queries": timings,
                 "secondary_total": round(sum(secondary.values()), 3),
                 "sf": float(sf) if sf else None,
+                "run_id": run_id,
             }
         )
     )

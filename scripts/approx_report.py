@@ -25,7 +25,9 @@ Metrics (higher recall is better; errors are relative/rank errors):
 - ``semantic_dedup_lsh``: drop-set recall vs the exact drop set.
 - ``hll``: max relative error of 7-day rolling distinct users.
 - ``kll``: max rank error at p50/p90 of event values.
-- ``theta``: max relative error across the 6 set-cardinality outputs.
+- ``theta``: max relative error across the 5 set-cardinality outputs
+  (n_a, n_b, n_both, n_either, n_only_a — everything
+  ``segment_overlap_theta`` emits).
 
 All inputs are the driver-generated parquet tables; every metric is
 deterministic (fixed seeds in the operators), so a changed number in

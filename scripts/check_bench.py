@@ -67,23 +67,36 @@ def _flatten_run(headline_line: dict, *sidecars: dict | None) -> dict:
 
     The given run is authoritative: sidecars only FILL names it lacks
     (so feeding an old artifact never has its values silently replaced
-    by a newer sidecar's).  A sidecar is only consulted when its ``sf``
-    matches the run's — a stale sidecar from a different scale factor
-    would seed the reference with numbers that flag every query (the
-    round-5 incident: an sf0.001 sidecar under an sf0.1 headline)."""
+    by a newer sidecar's).  A sidecar is only consulted when BOTH its
+    ``sf`` and its ``run_id`` match the run's — a stale sidecar from a
+    different scale factor would seed the reference with numbers that
+    flag every query (the round-5 incident: an sf0.001 sidecar under an
+    sf0.1 headline), and a sidecar from a DIFFERENT run/commit would
+    silently attribute another build's timings to the given artifact
+    (the commit-axis twin of the same incident).  Artifacts predating
+    run_id stamping get no sidecar fill, with a note."""
     flat = dict(headline_line.get("queries", {}))
+    run_id = headline_line.get("run_id")
     for sc in sidecars:
         if not sc:
             continue
-        if sc.get("sf") == headline_line.get("sf"):
-            for name, secs in sc.get("queries", {}).items():
-                flat.setdefault(name, secs)
-        else:
+        if sc.get("sf") != headline_line.get("sf"):
             print(
                 f"note  skipping sidecar ({sc.get('metric')}):"
                 f" sf={sc.get('sf')} != run sf={headline_line.get('sf')}",
                 file=sys.stderr,
             )
+            continue
+        if run_id is None or sc.get("run_id") != run_id:
+            print(
+                f"note  skipping sidecar ({sc.get('metric')}):"
+                f" run_id={sc.get('run_id')} != run's {run_id} — "
+                "sidecars only complete the run that wrote them",
+                file=sys.stderr,
+            )
+            continue
+        for name, secs in sc.get("queries", {}).items():
+            flat.setdefault(name, secs)
     return flat
 
 

@@ -228,6 +228,8 @@ def doc_ops(k):
 
 
 def main() -> None:
+    from wistia_video_analytics_project_spark.cache import release_caches
+
     spark = get_spark("scale-smoke")
     base = load_table(spark, SF_DIR, "events")
     base.count()  # warm
@@ -237,6 +239,9 @@ def main() -> None:
             best = min(
                 _time(lambda: fn(ev).count()) for _ in range(2)
             )
+            # operator-internal cache.track registrations must not stay
+            # pinned while the NEXT op is timed (bench.py precedent)
+            release_caches()
             rows = ev.count()
             print(f"x{k:>2} ({rows:>9,} rows) {name:12s}: {best:6.2f}s "
                   f"({rows / best / 1e6:6.1f} M rows/s)")
@@ -246,6 +251,7 @@ def main() -> None:
         dd = multiply_docs(docs, k)
         for name, fn in doc_ops(k):
             best = min(_time(lambda: fn(dd).count()) for _ in range(2))
+            release_caches()
             rows = dd.count()
             print(f"x{k:>2} ({rows:>9,} docs) {name:14s}: {best:6.2f}s "
                   f"({rows / best / 1e3:6.1f} K docs/s)")
