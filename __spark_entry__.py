@@ -885,6 +885,84 @@ def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequential_pattern_support(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequential-pattern mining (PrefixSpan-style support counting for
+    length-3 patterns): for every ordered event-type triple (a, b, c),
+    the number and share of users whose history contains a then b then
+    c as a subsequence — the generalization of the fixed
+    view→click→purchase funnel to ALL 125 type triples at once.
+
+    Subsequence existence uses the greedy-earliest argument (a triple
+    embeds iff taking the FIRST a, then the first b after it, then any
+    c after that succeeds), which turns an exponential subsequence
+    search into three bounded levels of min-aggregation:
+    level 1 is one groupBy over the fact, level 2 joins the fact to the
+    (user × ~5 types) level-1 frame, level 3 to the (user × ~25 pairs)
+    level-2 frame — intermediate sizes are fact × type-count, never
+    fact², and type-count is small and fixed at any corpus scale.
+    Timestamps compare as integer micros on both engines (CLAUDE.md:
+    the events parquet is nanos in DuckDB, micros in Spark)."""
+    events = _t(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    ev = cache.track(ev.cache())
+    lvl1 = ev.groupBy(
+        "user_id", F.col("event_type").alias("a")
+    ).agg(F.min("us").alias("ta"))
+    lvl2 = (
+        ev.alias("e")
+        .join(
+            lvl1.alias("l1"),
+            (F.col("e.user_id") == F.col("l1.user_id"))
+            & (F.col("e.us") > F.col("l1.ta")),
+        )
+        .groupBy(
+            F.col("e.user_id").alias("user_id"),
+            "a",
+            F.col("e.event_type").alias("b"),
+        )
+        .agg(F.min("e.us").alias("tb"))
+    )
+    hits = (
+        ev.alias("e")
+        .join(
+            lvl2.alias("l2"),
+            (F.col("e.user_id") == F.col("l2.user_id"))
+            & (F.col("e.us") > F.col("l2.tb")),
+        )
+        .groupBy("a", "b", F.col("e.event_type").alias("c"))
+        .agg(
+            F.countDistinct(F.col("e.user_id"))
+            .cast("long")
+            .alias("n_users")
+        )
+    )
+    total = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("total_users")
+    )
+    return (
+        hits.crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "c",
+            "n_users",
+            "total_users",
+            F.round(
+                F.col("n_users").cast("double")
+                / F.col("total_users").cast("double"),
+                6,
+            ).alias("support"),
+        )
+        .orderBy("a", "b", "c")
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts — the at-scale replacement for exact
     count-distinct QC (SURVEY.md §4.3). Approximate -> rows-only check;
@@ -4884,6 +4962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_revenue_trend": q_theilsen_revenue_trend,
         "spearman_price_qty": q_spearman_price_qty,
         "kendall_tau_daily": q_kendall_tau_daily,
+        "sequential_pattern_support": q_sequential_pattern_support,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -7166,6 +7245,34 @@ def oracle_sql() -> dict[str, str]:
                                        AS DOUBLE)), 6)
                      + CAST(0.0 AS DOUBLE) AS kendall_tau_b
             FROM agg
+        """,
+        "sequential_pattern_support": """
+            WITH ev AS (
+              SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+              FROM events),
+            lvl1 AS (
+              SELECT user_id, event_type AS a, min(us) AS ta
+              FROM ev GROUP BY 1, 2),
+            lvl2 AS (
+              SELECT e.user_id, l1.a, e.event_type AS b, min(e.us) AS tb
+              FROM ev e JOIN lvl1 l1
+                ON e.user_id = l1.user_id AND e.us > l1.ta
+              GROUP BY 1, 2, 3),
+            hits AS (
+              SELECT l2.a, l2.b, e.event_type AS c,
+                     CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+              FROM ev e JOIN lvl2 l2
+                ON e.user_id = l2.user_id AND e.us > l2.tb
+              GROUP BY 1, 2, 3),
+            total AS (
+              SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS total_users
+              FROM ev)
+            SELECT a, b, c, n_users, total_users,
+                   round(CAST(n_users AS DOUBLE)
+                         / CAST(total_users AS DOUBLE), 6) AS support
+            FROM hits CROSS JOIN total
+            ORDER BY a, b, c
         """,
         "streaming_view_purchase_join": """
             WITH p AS (

@@ -188,6 +188,7 @@ SECONDARY = [
     "hapax_legomena_report",
     "zipf_slope_tokens",
     "truncated_dim_recall",
+    "sequential_pattern_support",
 ]
 
 
