@@ -41,6 +41,7 @@ from wistia_video_analytics_project_spark.operators import (
     sketch,
     temporal,
     text,
+    unigram,
 )
 from wistia_video_analytics_project_spark.session import configure_runtime
 from wistia_video_analytics_project_spark.sources import load_table
@@ -4963,6 +4964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_price_qty": q_spearman_price_qty,
         "kendall_tau_daily": q_kendall_tau_daily,
         "sequential_pattern_support": q_sequential_pattern_support,
+        "unigram_tokenizer_train": unigram.q_unigram_tokenizer_train,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -4979,7 +4981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "holt_revenue_trend", "doc_novelty_hashed",
                        "duplicated_spans_hashed",
                        "quality_classifier_train", "langid_train",
-                       "ann_mmr"):
+                       "ann_mmr", "unigram_tokenizer_train"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 

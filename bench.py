@@ -189,6 +189,7 @@ SECONDARY = [
     "zipf_slope_tokens",
     "truncated_dim_recall",
     "sequential_pattern_support",
+    "unigram_tokenizer_train",
 ]
 
 

@@ -55,6 +55,10 @@ def test_queries_registry_well_formed(spark):
         # greedy per-query MMR recursion — not SQL-expressible;
         # invariants + lam=1 degeneracy pinned in tests/test_similarity.py
         "ann_mmr",
+        # unigram-LM EM tokenizer training — no SQL equivalent;
+        # lattice exactness vs brute-force enumeration, pure-Python EM
+        # parity, and loglik monotonicity pinned in tests/test_unigram.py
+        "unigram_tokenizer_train",
     }
 
 
