@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wistia_video_analytics_project_spark import cache, schemas
 from wistia_video_analytics_project_spark.operators import (
+    als,
     analytics,
     cleaning,
     conform,
@@ -4965,6 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_daily": q_kendall_tau_daily,
         "sequential_pattern_support": q_sequential_pattern_support,
         "unigram_tokenizer_train": unigram.q_unigram_tokenizer_train,
+        "als_part_recommender": als.q_als_part_recommender,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -4981,7 +4983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "holt_revenue_trend", "doc_novelty_hashed",
                        "duplicated_spans_hashed",
                        "quality_classifier_train", "langid_train",
-                       "ann_mmr", "unigram_tokenizer_train"):
+                       "ann_mmr", "unigram_tokenizer_train",
+                       "als_part_recommender"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 

@@ -1,0 +1,138 @@
+"""ALS factorization: pure-numpy reference parity, loss monotonicity,
+recommendation invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wistia_video_analytics_project_spark.operators import als
+
+RATINGS = [
+    (1, 10, 5.0), (1, 11, 3.0), (1, 12, 1.0),
+    (2, 10, 4.0), (2, 13, 2.0),
+    (3, 11, 1.0), (3, 12, 5.0), (3, 13, 4.0),
+    (4, 10, 2.0), (4, 12, 3.0), (4, 13, 5.0), (4, 14, 1.0),
+]
+
+
+def _ref_als(ratings, item0: dict, k: int, iterations: int, reg: float):
+    """Pure-numpy reference with the SAME update order as the engine:
+    per-entity normal equations accumulated over partner ids in sorted
+    order (matching the engine's mergesort-by-partner determinism)."""
+    by_user: dict[int, list] = {}
+    by_item: dict[int, list] = {}
+    for u, i, r in ratings:
+        by_user.setdefault(u, []).append((i, r))
+        by_item.setdefault(i, []).append((u, r))
+    item_f = {i: np.array(v, dtype=np.float64) for i, v in item0.items()}
+    user_f: dict[int, np.ndarray] = {}
+    for _ in range(iterations):
+        for u, pairs in by_user.items():
+            pairs = sorted(pairs)
+            y = np.array([item_f[i] for i, _ in pairs])
+            r = np.array([r_ for _, r_ in pairs])
+            user_f[u] = np.linalg.solve(
+                y.T @ y + reg * np.eye(k), y.T @ r
+            )
+        for i, pairs in by_item.items():
+            pairs = sorted(pairs)
+            x = np.array([user_f[u] for u, _ in pairs])
+            r = np.array([r_ for _, r_ in pairs])
+            item_f[i] = np.linalg.solve(
+                x.T @ x + reg * np.eye(k), x.T @ r
+            )
+    return user_f, item_f
+
+
+def _ref_loss(ratings, user_f, item_f, reg):
+    sse = sum(
+        (r - float(user_f[u] @ item_f[i])) ** 2 for u, i, r in ratings
+    )
+    rt = sum(float(v @ v) for v in user_f.values()) + sum(
+        float(v @ v) for v in item_f.values()
+    )
+    return sse + reg * rt
+
+
+@pytest.fixture(scope="module")
+def ratings_df(spark):
+    return spark.createDataFrame(
+        RATINGS, "user long, item long, rating double"
+    )
+
+
+def test_als_matches_numpy_reference(spark, ratings_df):
+    k, reg, iters = 3, 0.1, 2
+    item0 = {
+        r["item"]: list(r["factors"])
+        for r in als.init_factors(
+            ratings_df.select("item").distinct(), "item", k
+        ).collect()
+    }
+    uf, itf, losses = als.als_train(
+        ratings_df, k=k, iterations=iters, reg=reg
+    )
+    got_u = {r["user"]: np.array(r["factors"]) for r in uf.collect()}
+    want_u, want_i = _ref_als(RATINGS, item0, k, iters, reg)
+    got_i = {r["item"]: np.array(r["factors"]) for r in itf.collect()}
+    assert got_u.keys() == want_u.keys()
+    assert got_i.keys() == want_i.keys()
+    for u in want_u:
+        assert got_u[u] == pytest.approx(want_u[u], rel=1e-9), u
+    for i in want_i:
+        assert got_i[i] == pytest.approx(want_i[i], rel=1e-9), i
+    # distributed loss == reference loss at the final factors
+    assert losses[-1] == pytest.approx(
+        _ref_loss(RATINGS, want_u, want_i, reg), rel=1e-9
+    )
+
+
+def test_als_loss_non_increasing(spark, ratings_df):
+    _, _, losses = als.als_train(
+        ratings_df, k=3, iterations=4, reg=0.1
+    )
+    assert len(losses) == 4
+    for a, b in zip(losses, losses[1:]):
+        assert b <= a + 1e-9, losses
+
+
+def test_als_fits_low_rank_data(spark):
+    """Rank-2 synthetic ratings must be reconstructed nearly exactly
+    with k=2 and tiny regularization."""
+    rng_u = {u: np.array([1.0 + u / 7.0, (u % 3) - 1.0]) for u in range(6)}
+    rng_i = {i: np.array([(i % 4) / 2.0, 1.0 - i / 9.0]) for i in range(8)}
+    rows = [
+        (u, i, float(rng_u[u] @ rng_i[i]))
+        for u in rng_u
+        for i in rng_i
+        if (u + i) % 3 != 0  # holdout pattern, still well-posed
+    ]
+    ratings = spark.createDataFrame(
+        rows, "user long, item long, rating double"
+    )
+    uf, itf, losses = als.als_train(
+        ratings, k=2, iterations=6, reg=1e-6
+    )
+    # ALS on an incomplete matrix converges geometrically after the
+    # first sweep's big drop; demand a >20x objective reduction and a
+    # small absolute residual (observed: 2.24 -> 0.05 by sweep 2)
+    assert losses[-1] < losses[0] / 20, losses
+    assert losses[-1] < 0.1, losses
+
+
+def test_recommend_topk_invariants(spark, ratings_df):
+    uf, itf, _ = als.als_train(ratings_df, k=3, iterations=2, reg=0.1)
+    recs = als.recommend_topk(uf, itf, ratings_df, n=2).collect()
+    seen = {(u, i) for u, i, _ in RATINGS}
+    by_user: dict[int, list] = {}
+    for r in recs:
+        assert (r["user"], r["item"]) not in seen
+        by_user.setdefault(r["user"], []).append(r)
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rows) <= 2

@@ -59,6 +59,10 @@ def test_queries_registry_well_formed(spark):
         # lattice exactness vs brute-force enumeration, pure-Python EM
         # parity, and loglik monotonicity pinned in tests/test_unigram.py
         "unigram_tokenizer_train",
+        # alternating least-squares factor solves — no SQL equivalent;
+        # numpy-reference parity + loss monotonicity pinned in
+        # tests/test_als.py
+        "als_part_recommender",
     }
 
 

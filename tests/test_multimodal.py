@@ -643,7 +643,7 @@ def _jpeg_bytes(px, subsample=False, restart=0):
     return bytes(out)
 
 
-def _jpeg_progressive_bytes(px, subsample=False, al=0):
+def _jpeg_progressive_bytes(px, subsample=False, al=0, restart=0):
     """Encode as a PROGRESSIVE (SOF2) JFIF byte string: interleaved DC
     scan, then per-component AC scans in two spectral bands (1-5 and
     6-63 — the high band is mostly zero on smooth images, exercising
@@ -651,7 +651,10 @@ def _jpeg_progressive_bytes(px, subsample=False, al=0):
     pass drops the low bit (successive approximation) and refinement
     scans (DC: one bit per block; AC: correction bits + newly
     significant ±1, libjpeg-compatible) restore full precision, so the
-    decoded result must be IDENTICAL to the baseline encoding's."""
+    decoded result must be IDENTICAL to the baseline encoding's.
+    ``restart`` emits RST markers every that-many data units in EVERY
+    scan (with DC-predictor/EOBRUN resets), exercising the decoder's
+    progressive restart segmentation."""
     import struct
 
     import numpy as np
@@ -717,6 +720,8 @@ def _jpeg_progressive_bytes(px, subsample=False, al=0):
     dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
     dht += bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
 
     def sos_header(comps_tt, ss, se, ah, al_):
         sos = bytes([len(comps_tt)])
@@ -735,7 +740,15 @@ def _jpeg_progressive_bytes(px, subsample=False, al=0):
     out += sos_header([(i + 1, 0x00) for i in range(nc)], 0, 0, 0, al)
     wtr = _JpegWriter()
     preds = [0] * nc
+    rst = 0
     for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            wtr.pad()
+            out += wtr.out
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            wtr = _JpegWriter()
+            preds = [0] * nc
         my, mx = divmod(m, mcux)
         for ci in range(nc):
             hs, vs = samp[ci]
@@ -768,7 +781,16 @@ def _jpeg_progressive_bytes(px, subsample=False, al=0):
                     eobrun = 0
 
             bh, bw = comp_block_grid(ci)
+            rst = 0
             for m in range(bh * bw):
+                if restart and m and m % restart == 0:
+                    flush_eob()
+                    wtr.pad()
+                    out += wtr.out
+                    out += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    wtr = _JpegWriter()
+                    eobrun = 0
                 by, bx = divmod(m, bw)
                 band = [
                     int(v) >> al if v >= 0 else -((-int(v)) >> al)
@@ -805,7 +827,14 @@ def _jpeg_progressive_bytes(px, subsample=False, al=0):
                 [(i + 1, 0x00) for i in range(nc)], 0, 0, bit + 1, bit
             )
             wtr = _JpegWriter()
+            rst = 0
             for m in range(mcux * mcuy):
+                if restart and m and m % restart == 0:
+                    wtr.pad()
+                    out += wtr.out
+                    out += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    wtr = _JpegWriter()
                 my, mx = divmod(m, mcux)
                 for ci in range(nc):
                     hs, vs = samp[ci]
@@ -838,7 +867,16 @@ def _jpeg_progressive_bytes(px, subsample=False, al=0):
                     pending_br.clear()
 
                 bh, bw = comp_block_grid(ci)
+                rst = 0
                 for m in range(bh * bw):
+                    if restart and m and m % restart == 0:
+                        flush_eob_refine()
+                        wtr.pad()
+                        out += wtr.out
+                        out += bytes([0xFF, 0xD0 + (rst % 8)])
+                        rst += 1
+                        wtr = _JpegWriter()
+                        eobrun = 0
                     by, bx = divmod(m, bw)
                     vals = [int(v) for v in coef[ci][by, bx, 1:64]]
                     absv = [abs(v) >> bit for v in vals]
@@ -1013,6 +1051,22 @@ def test_jpeg_progressive_420_subsampled():
     )
     base = multimodal.decode_image(_jpeg_bytes(gray, subsample=True))
     assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_restart_markers_match_plain():
+    """RST markers every 2 data units in EVERY scan (DC predictor and
+    EOBRUN reset per segment) must decode identically to the
+    unsegmented progressive stream."""
+    import numpy as np
+
+    src = _gradient_rgb(16, 32)
+    plain = multimodal.decode_image(_jpeg_progressive_bytes(src, al=1))
+    rst = multimodal.decode_image(
+        _jpeg_progressive_bytes(src, al=1, restart=2)
+    )
+    assert np.array_equal(plain, rst)
+    base = multimodal.decode_image(_jpeg_bytes(src))
+    assert np.array_equal(rst, base)
 
 
 def test_jpeg_progressive_high_band_eobrun():
