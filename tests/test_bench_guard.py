@@ -60,9 +60,30 @@ def test_recorded_reference_exists_and_covers_bench_sets():
 
 
 def test_flatten_skips_sidecar_at_different_sf():
-    head = {"sf": 0.1, "queries": {"a": 1.0}}
-    side_ok = {"sf": 0.1, "queries": {"b": 2.0}}
-    side_bad = {"sf": 0.001, "queries": {"b": 0.02}}
+    head = {"sf": 0.1, "run_id": "r1", "queries": {"a": 1.0}}
+    side_ok = {"sf": 0.1, "run_id": "r1", "queries": {"b": 2.0}}
+    side_bad = {"sf": 0.001, "run_id": "r1", "queries": {"b": 0.02}}
     assert check_bench._flatten_run(head, side_ok) == {"a": 1.0, "b": 2.0}
     # a stale sidecar from another scale factor must NOT seed the map
     assert check_bench._flatten_run(head, side_bad) == {"a": 1.0}
+
+
+def test_flatten_skips_sidecar_from_different_run():
+    head = {"sf": 0.1, "run_id": "r1", "queries": {"a": 1.0}}
+    other_run = {"sf": 0.1, "run_id": "r2", "queries": {"b": 2.0}}
+    # same sf but a different run/commit: refusing the fill prevents
+    # attributing another build's timings to this artifact
+    assert check_bench._flatten_run(head, other_run) == {"a": 1.0}
+
+
+def test_flatten_gives_no_fill_to_unstamped_artifacts():
+    legacy = {"sf": 0.1, "queries": {"a": 1.0}}  # pre-run_id artifact
+    side = {"sf": 0.1, "run_id": "r1", "queries": {"b": 2.0}}
+    assert check_bench._flatten_run(legacy, side) == {"a": 1.0}
+
+
+def test_flatten_given_run_is_authoritative_over_sidecar():
+    head = {"sf": 0.1, "run_id": "r1", "queries": {"a": 1.0}}
+    side = {"sf": 0.1, "run_id": "r1", "queries": {"a": 9.0, "b": 2.0}}
+    # sidecars only FILL missing names, never replace the run's values
+    assert check_bench._flatten_run(head, side) == {"a": 1.0, "b": 2.0}
