@@ -190,6 +190,7 @@ SECONDARY = [
     "truncated_dim_recall",
     "sequential_pattern_support",
     "unigram_tokenizer_train",
+    "als_part_recommender",
 ]
 
 

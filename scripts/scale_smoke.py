@@ -77,7 +77,66 @@ def mergeable_state(events):
     return mergeable.state_report(mergeable.daily_state(events))
 
 
+def kendall_daily(events):
+    """O(days²) pair stage over a per-day aggregate: the pair count is
+    CONSTANT as events grow (same day span), so wall-clock must stay
+    scan-bound — the round-6 bounded-pairing design claim."""
+    from pyspark.sql import functions as F
+
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("y"),
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"),
+                     F.col("y").alias("y1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"),
+                     F.col("y").alias("y2"))
+    dx, dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    return a.join(b, F.col("d1") < F.col("d2")).agg(
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).alias("d"),
+    )
+
+
+def seq_patterns(events):
+    """Three min-aggregation levels; intermediates = fact x type-count,
+    so growth must track the scan, never square."""
+    from pyspark.sql import functions as F
+
+    ev = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    lvl1 = ev.groupBy("user_id", F.col("event_type").alias("a")).agg(
+        F.min("us").alias("ta")
+    )
+    lvl2 = (
+        ev.alias("e")
+        .join(
+            lvl1.alias("l1"),
+            (F.col("e.user_id") == F.col("l1.user_id"))
+            & (F.col("e.us") > F.col("l1.ta")),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"), "a",
+                 F.col("e.event_type").alias("b"))
+        .agg(F.min("e.us").alias("tb"))
+    )
+    return (
+        ev.alias("e")
+        .join(
+            lvl2.alias("l2"),
+            (F.col("e.user_id") == F.col("l2.user_id"))
+            & (F.col("e.us") > F.col("l2.tb")),
+        )
+        .groupBy("a", "b", F.col("e.event_type").alias("c"))
+        .agg(F.countDistinct(F.col("e.user_id")).alias("n_users"))
+    )
+
+
 OPS = (
+    ("kendall_daily", kendall_daily),
+    ("seq_patterns", seq_patterns),
     ("fact_build", fact_build),
     ("daily_trend", daily_trend),
     ("funnel_1pass", funnel),
