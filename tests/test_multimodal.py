@@ -1145,3 +1145,412 @@ def test_jpeg_malformed_inputs_all_raise_valueerror(spark):
                 "width int, height int, duration_ms int, codec string",
             )
         ).collect()[0].feature == multimodal._fake_decode(payload), name
+
+
+# --- FLAC: test-side subset encoder + native-decoder roundtrips -------------
+#
+# The encoder below writes spec-conformant FLAC (STREAMINFO + fixed-
+# blocking frames, CRC-8/CRC-16, rice residuals) covering every subframe
+# type and channel assignment the decoder supports. FLAC is lossless, so
+# every roundtrip asserts EXACT sample equality.
+
+
+class _FlacWriter:
+    """MSB-first bit writer (no byte stuffing)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, value: int, n: int):
+        value &= (1 << n) - 1
+        self.acc = (self.acc << n) | value
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self):
+        if self.nbits:
+            self.bits(0, 8 - self.nbits)
+
+    def data(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+def _flac_streaminfo(rate, channels, bps, total, blocksize) -> bytes:
+    w = _FlacWriter()
+    w.bits(blocksize, 16)
+    w.bits(blocksize, 16)
+    w.bits(0, 24)
+    w.bits(0, 24)
+    w.bits(rate, 20)
+    w.bits(channels - 1, 3)
+    w.bits(bps - 1, 5)
+    w.bits(total, 36)
+    for _ in range(16):
+        w.bits(0, 8)  # md5 unset (zeros = unverified, allowed)
+    return b"\x80\x00\x00\x22" + w.data()  # last-block flag, type 0, len 34
+
+
+def _rice_params(res, pbits):
+    u = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in res]
+    param = max((v.bit_length() for v in u), default=1)
+    return min(max(param - 1, 0), (1 << pbits) - 2), u
+
+
+def _flac_residual_bits(w, res, porder, order, blocksize):
+    w.bits(0, 2)  # rice method 0 (4-bit params)
+    w.bits(porder, 4)
+    nparts = 1 << porder
+    start = 0
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        part = res[start : start + n]
+        start += n
+        param, u = _rice_params(part, 4)
+        w.bits(param, 4)
+        for v in u:
+            q = v >> param
+            w.bits(0, q) if q else None
+            w.bits(1, 1)
+            w.bits(v & ((1 << param) - 1), param)
+
+
+def _flac_subframe_bits(
+    w, samples, bps, kind="fixed2", porder=0, wasted=0, blocksize=None
+):
+    blocksize = blocksize or len(samples)
+    w.bits(0, 1)
+    if wasted:
+        assert all(s % (1 << wasted) == 0 for s in samples)
+        samples = [s >> wasted for s in samples]
+        bps -= wasted
+    if kind == "constant":
+        w.bits(0, 6)
+        w.bits(1 if wasted else 0, 1)
+        if wasted:
+            w.bits(1, wasted)  # unary wasted-1 zeros then a 1
+        w.bits(samples[0], bps)
+        assert all(s == samples[0] for s in samples)
+        return
+    if kind == "verbatim":
+        w.bits(1, 6)
+        w.bits(1 if wasted else 0, 1)
+        if wasted:
+            w.bits(1, wasted)
+        for s in samples:
+            w.bits(s, bps)
+        return
+    if kind.startswith("fixed"):
+        order = int(kind[5:])
+        w.bits(8 + order, 6)
+        w.bits(1 if wasted else 0, 1)
+        if wasted:
+            w.bits(1, wasted)
+        coefs = multimodal._FLAC_FIXED_COEFS[order]
+        for s in samples[:order]:
+            w.bits(s, bps)
+        res = [
+            samples[i]
+            - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(samples))
+        ]
+        _flac_residual_bits(w, res, porder, order, blocksize)
+        return
+    if kind == "lpc2":
+        order, precision, shift = 2, 12, 5
+        coefs = [1843, -819]  # arbitrary: lossless for ANY coefs
+        w.bits(32 + order - 1, 6)
+        w.bits(1 if wasted else 0, 1)
+        if wasted:
+            w.bits(1, wasted)
+        for s in samples[:order]:
+            w.bits(s, bps)
+        w.bits(precision - 1, 4)
+        w.bits(shift, 5)
+        for c in coefs:
+            w.bits(c, precision)
+        res = [
+            samples[i]
+            - (
+                sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+                >> shift
+            )
+            for i in range(order, len(samples))
+        ]
+        _flac_residual_bits(w, res, porder, order, blocksize)
+        return
+    raise AssertionError(kind)
+
+
+def _flac_bytes(
+    arr,
+    rate=8000,
+    mode="independent",
+    kind="fixed2",
+    blocksize=64,
+    porder=0,
+    wasted=0,
+):
+    """int-sample array (n, ch) -> FLAC stream. mode: independent /
+    left_side / right_side / mid_side."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    total, channels = arr.shape
+    bps = 16
+    out = bytearray(b"fLaC")
+    out += _flac_streaminfo(rate, channels, bps, total, blocksize)
+    ch_code = {
+        "independent": channels - 1,
+        "left_side": 8,
+        "right_side": 9,
+        "mid_side": 10,
+    }[mode]
+    for idx in range(0, (total + blocksize - 1) // blocksize):
+        chunk = arr[idx * blocksize : (idx + 1) * blocksize]
+        bs = len(chunk)
+        w = _FlacWriter()
+        w.bits(0x3FFE, 14)
+        w.bits(0, 1)
+        w.bits(0, 1)  # fixed blocking
+        w.bits(6, 4)  # 8-bit blocksize-1 follows
+        w.bits(0, 4)  # sample rate from STREAMINFO
+        w.bits(ch_code, 4)
+        w.bits(4, 3)  # 16 bps
+        w.bits(0, 1)
+        assert idx < 128
+        w.bits(idx, 8)  # coded frame number (single byte)
+        w.bits(bs - 1, 8)
+        hdr = w.data()
+        hdr += bytes([multimodal._flac_crc8(hdr)])
+        w = _FlacWriter()
+        if mode == "independent":
+            slots = [(chunk[:, k].tolist(), bps) for k in range(channels)]
+        else:
+            left = chunk[:, 0].astype(int).tolist()
+            right = chunk[:, 1].astype(int).tolist()
+            side = [l - r for l, r in zip(left, right)]
+            if mode == "left_side":
+                slots = [(left, bps), (side, bps + 1)]
+            elif mode == "right_side":
+                slots = [(side, bps + 1), (right, bps)]
+            else:
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                slots = [(mid, bps), (side, bps + 1)]
+        for samples, sbps in slots:
+            _flac_subframe_bits(
+                w,
+                [int(s) for s in samples],
+                sbps,
+                kind=kind,
+                porder=porder,
+                wasted=wasted,
+                blocksize=bs,
+            )
+        w.pad()
+        frame = hdr + w.data()
+        crc16 = multimodal._flac_crc16(frame)
+        out += frame + bytes([crc16 >> 8, crc16 & 0xFF])
+    return bytes(out)
+
+
+def _flac_signal(n, channels=1, seed=7, scale=8000):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    base = np.stack(
+        [
+            (np.sin(2 * np.pi * t * (0.013 + 0.002 * k)) * scale).astype(int)
+            + rng.randint(-40, 41, size=n)
+            for k in range(channels)
+        ],
+        axis=1,
+    )
+    return base.astype(np.int64)
+
+
+def _flac_roundtrip(arr, **kw):
+    import numpy as np
+
+    samples, rate = multimodal._decode_flac(_flac_bytes(arr, **kw))
+    got = np.round(samples * 32768.0).astype(np.int64)
+    assert got.shape == arr.shape
+    assert (got == arr).all()
+    return rate
+
+
+@pytest.mark.parametrize(
+    "kind", ["constant", "verbatim", "fixed0", "fixed1", "fixed2",
+             "fixed3", "fixed4", "lpc2"]
+)
+def test_flac_roundtrip_subframe_types(kind):
+    import numpy as np
+
+    if kind == "constant":
+        arr = np.full((162, 1), -1234, dtype=np.int64)
+    else:
+        # 3 frames at blocksize 64; the last is short (34 samples) but
+        # still longer than any predictor order, as the spec requires
+        arr = _flac_signal(162)
+    assert _flac_roundtrip(arr, kind=kind) == 8000
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_flac_roundtrip_stereo_modes(mode):
+    arr = _flac_signal(200, channels=2, seed=11)
+    _flac_roundtrip(arr, mode=mode)
+
+
+def test_flac_rice_partitions_and_wasted_bits():
+    arr = _flac_signal(256, seed=3)
+    _flac_roundtrip(arr, porder=2)
+    _flac_roundtrip(arr * 4, wasted=2)
+
+
+def test_flac_crc_corruption_raises():
+    payload = bytearray(_flac_bytes(_flac_signal(64)))
+    payload[-20] ^= 0x40  # flip a bit inside the last frame's residual
+    with pytest.raises(ValueError, match="FLAC"):
+        multimodal._decode_flac(bytes(payload))
+
+
+def test_flac_decode_audio_dispatch_and_features():
+    """decode_audio routes on the fLaC magic and the features come from
+    REAL samples: a FLAC and a WAV of the same signal must featurize
+    identically (both decode to the same int16 PCM)."""
+    import numpy as np
+
+    arr = _flac_signal(400, seed=5)
+    flac = _flac_bytes(arr, rate=8000)
+    samples, rate = multimodal.decode_audio(flac)
+    assert rate == 8000 and samples.shape == (400, 1)
+    pcm = arr.astype("<i2").tobytes()
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(pcm)
+    f_flac = multimodal.real_decode(flac, "audio")
+    f_wav = multimodal.real_decode(buf.getvalue(), "audio")
+    assert f_flac == f_wav
+
+
+# --- MJPEG AVI: test-side muxer + native video decode -----------------------
+
+
+def _avi_bytes(jpeg_frames, fps=25):
+    """Wrap pre-encoded JPEG frames in a minimal spec-shaped AVI
+    container (RIFF / hdrl+avih / movi with 00dc chunks)."""
+    import struct
+
+    def chunk(fcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype, data):
+        return chunk(b"LIST", ltype + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        int(1e6 / fps),  # dwMicroSecPerFrame
+        0, 0, 0,
+        len(jpeg_frames),  # dwTotalFrames
+        0, 1, 0, 0, 0,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_frames(n=3, h=16, w=16):
+    import numpy as np
+
+    frames = []
+    for k in range(n):
+        px = _gradient_rgb(h, w).astype(np.int64)
+        px = np.clip(px + 40 * k, 0, 255).astype(np.uint8)  # motion
+        frames.append(px)
+    return frames
+
+
+def test_avi_mjpeg_decode_matches_per_frame_jpeg():
+    import numpy as np
+
+    frames = _avi_frames()
+    jpegs = [_jpeg_bytes(f) for f in frames]
+    decoded, fps = multimodal.decode_video(_avi_bytes(jpegs, fps=25))
+    assert fps == pytest.approx(25.0, rel=1e-4)
+    assert len(decoded) == 3
+    for d, j in zip(decoded, jpegs):
+        assert (d == multimodal.decode_image(j)).all()
+        assert isinstance(d, np.ndarray) and d.shape == (16, 16, 3)
+
+
+def test_video_features_motion_and_static():
+    frames = _avi_frames()
+    moving = multimodal.real_decode(
+        _avi_bytes([_jpeg_bytes(f) for f in frames]), "video"
+    )
+    static = multimodal.real_decode(
+        _avi_bytes([_jpeg_bytes(frames[0])] * 3), "video"
+    )
+    assert len(moving) == multimodal.FEATURE_DIM
+    assert moving[2] > 0.0  # motion energy
+    assert static[2] == 0.0
+    assert static[1] == 0.0  # temporal luminance std
+    # frame-count and fps clocks
+    assert static[4] == pytest.approx(3 / 1e4)
+    assert static[5] == round(25 / 120, 6)  # features round to 6 dp
+
+
+def test_extract_video_frames_real_rows(spark):
+    frames = _avi_frames(n=4)
+    avi = _avi_bytes([_jpeg_bytes(f) for f in frames], fps=10)
+    assets = spark.createDataFrame(
+        [
+            (1, "video", avi, 16, 16, 400, "mjpg"),
+            (2, "video", b"\x00\x00\x00\x18ftypmp42-not-decodable", 0, 0,
+             1000, "h264"),
+            (3, "image", _bmp_bytes(), 2, 2, None, "bmp"),
+        ],
+        "asset_id long, media_type string, payload binary, width int, "
+        "height int, duration_ms int, codec string",
+    )
+    rows = multimodal.extract_video_frames(assets, every_n=2).collect()
+    # decodable video only; every 2nd frame of 4; ms follows the 10 fps clock
+    assert [(r.asset_id, r.frame_idx, r.frame_ms) for r in rows] == [
+        (1, 0, 0),
+        (1, 2, 200),
+    ]
+    want = multimodal._pixel_features(
+        multimodal.decode_image(_jpeg_bytes(frames[2]))
+    )
+    assert list(rows[1].feature) == want
+
+
+def test_video_codec_stub_and_malformed_avi():
+    # non-AVI video containers keep the documented codec-absent branch
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.real_decode(b"\x00\x00\x00\x18ftypmp42", "video")
+    # truncated chunk inside the container surfaces as ValueError
+    avi = bytearray(_avi_bytes([_jpeg_bytes(_avi_frames(1)[0])]))
+    import struct
+
+    avi[4:8] = struct.pack("<I", len(avi) + 64)  # lie about RIFF size
+    truncated = bytes(avi) + b"\x00" * 0
+    with pytest.raises(ValueError, match="AVI"):
+        multimodal._decode_avi_mjpeg(truncated[: len(truncated) - 6])

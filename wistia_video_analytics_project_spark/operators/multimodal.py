@@ -14,8 +14,12 @@ grayscale or YCbCr at any sampling incl. 4:2:0, restart markers —
 huffman-decodes + IDCTs in pure numpy (:func:`_decode_jpeg`) — into actual pixel
 arrays, which featurize (:func:`_pixel_features`) and resample
 (:func:`resize_images`, nearest-neighbor + PPM re-encode) from real
-content. Formats whose codecs genuinely aren't in this container
-(audio-compressed/video, 12-bit or arithmetic-coded JPEG) still
+content. Audio decodes natively too: PCM WAV through stdlib ``wave``
+and FLAC through a pure-Python subset decoder (:func:`_decode_flac`:
+rice residuals, FIXED + LPC predictors, all four stereo assignments,
+CRC-8/16 verified — lossless, so tests assert exact sample equality).
+Formats whose codecs genuinely aren't in this container
+(mp3/aac/video, 12-bit or arithmetic-coded JPEG) still
 fall back to the
 deterministic sha256 fake decoder / raise through
 :func:`real_decode`'s documented codec-absent branch (no PIL/cv2/
@@ -917,11 +921,293 @@ def _decode_wav(payload: bytes):
     return arr.reshape(-1, ch), rate
 
 
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC frame
+    header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — the FLAC
+    whole-frame checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                (crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1
+            ) & 0xFFFF
+    return crc
+
+
+class _FlacBits:
+    """MSB-first bit reader over the raw stream (no byte stuffing —
+    unlike :class:`_JpegBits`), tracking the byte position so CRCs can
+    be computed over exact byte ranges."""
+
+    def __init__(self, buf: bytes, byte_pos: int = 0):
+        self.buf = buf
+        self.pos = byte_pos * 8
+
+    @property
+    def byte_pos(self) -> int:
+        return self.pos // 8
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.buf):
+                raise ValueError("FLAC: bitstream truncated")
+            v = (v << 1) | ((self.buf[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read_bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read_bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+_FLAC_BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+
+def _flac_residual(br: _FlacBits, blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual: 2-bit method (4- or 5-bit params), 4-bit
+    partition order, 2^p partitions with per-partition rice parameter
+    or raw-escape."""
+    method = br.read_bits(2)
+    if method > 1:
+        raise ValueError(f"FLAC: reserved residual method {method}")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = br.read_bits(4)
+    nparts = 1 << porder
+    if blocksize % nparts or (blocksize >> porder) - order <= 0:
+        raise ValueError("FLAC: invalid partition order")
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        param = br.read_bits(pbits)
+        if param == escape:
+            raw = br.read_bits(5)
+            out.extend(
+                br.read_signed(raw) if raw else 0 for _ in range(n)
+            )
+        else:
+            for _ in range(n):
+                q = br.read_unary()
+                v = (q << param) | br.read_bits(param)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> list[int]:
+    """One subframe -> ``blocksize`` ints (wasted bits restored)."""
+    if br.read_bits(1):
+        raise ValueError("FLAC: subframe padding bit set")
+    code = br.read_bits(6)
+    wasted = 0
+    if br.read_bits(1):
+        wasted = br.read_unary() + 1
+    bps -= wasted
+    if code == 0:  # CONSTANT
+        samples = [br.read_signed(bps)] * blocksize
+    elif code == 1:  # VERBATIM
+        samples = [br.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= code <= 12:  # FIXED, order 0-4
+        order = code - 8
+        samples = [br.read_signed(bps) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for r in res:
+            pred = sum(
+                c * samples[-1 - j] for j, c in enumerate(coefs)
+            )
+            samples.append(r + pred)
+    elif code >= 32:  # LPC, order 1-32
+        order = (code & 31) + 1
+        samples = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read_bits(4) + 1
+        if precision == 16:
+            raise ValueError("FLAC: invalid LPC precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        for r in res:
+            pred = sum(
+                c * samples[-1 - j] for j, c in enumerate(coefs)
+            ) >> shift
+            samples.append(r + pred)
+    else:
+        raise ValueError(f"FLAC: reserved subframe type {code}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def _decode_flac(payload: bytes):
+    """Native FLAC -> ((n_frames, channels) float64 in [-1, 1], rate).
+
+    Full subset decoder in pure Python/numpy: STREAMINFO metadata walk,
+    frame-header parse with CRC-8 verification, CONSTANT / VERBATIM /
+    FIXED(0-4) / LPC(1-32) subframes, 4- and 5-bit rice residuals with
+    partition orders and raw escapes, wasted-bits restore, all four
+    channel assignments (independent, left/side, right/side, mid/side),
+    and whole-frame CRC-16 verification.  Spec: the public FLAC format
+    documents (RFC 9639)."""
+    import numpy as np
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("FLAC: bad magic")
+    i, info = 4, None
+    while True:
+        if i + 4 > len(payload):
+            raise ValueError("FLAC: truncated metadata")
+        hdr = payload[i]
+        ln = int.from_bytes(payload[i + 1 : i + 4], "big")
+        body = payload[i + 4 : i + 4 + ln]
+        i += 4 + ln
+        if hdr & 0x7F == 0:  # STREAMINFO
+            if ln != 34:
+                raise ValueError("FLAC: bad STREAMINFO length")
+            info = body
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("FLAC: missing STREAMINFO")
+    b = _FlacBits(info)
+    b.read_bits(16), b.read_bits(16)  # min/max block size
+    b.read_bits(24), b.read_bits(24)  # min/max frame size
+    rate = b.read_bits(20)
+    channels = b.read_bits(3) + 1
+    bps = b.read_bits(5) + 1
+    total = b.read_bits(36)
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    decoded = 0
+    while decoded < total and i < len(payload):
+        frame_start = i
+        br = _FlacBits(payload, i)
+        if br.read_bits(14) != 0x3FFE:
+            raise ValueError("FLAC: lost frame sync")
+        br.read_bits(1)  # reserved
+        br.read_bits(1)  # blocking strategy
+        bs_code = br.read_bits(4)
+        sr_code = br.read_bits(4)
+        ch_code = br.read_bits(4)
+        ss_code = br.read_bits(3)
+        br.read_bits(1)  # reserved
+        first = br.read_bits(8)  # UTF-8-style coded frame/sample number
+        extra = 0
+        if first >= 0xC0:
+            n = first
+            while n & 0x40:
+                extra, n = extra + 1, n << 1
+        for _ in range(extra):
+            br.read_bits(8)
+        if bs_code == 0:
+            raise ValueError("FLAC: reserved block size code")
+        elif bs_code == 6:
+            blocksize = br.read_bits(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read_bits(16) + 1
+        elif bs_code in _FLAC_BLOCK_SIZES:
+            blocksize = _FLAC_BLOCK_SIZES[bs_code]
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            br.read_bits(8)
+        elif sr_code in (13, 14):
+            br.read_bits(16)
+        elif sr_code == 15:
+            raise ValueError("FLAC: invalid sample rate code")
+        if ss_code:
+            bps_f = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
+            if bps_f is None:
+                raise ValueError("FLAC: reserved sample size code")
+        else:
+            bps_f = bps
+        crc8 = br.read_bits(8)
+        if crc8 != _flac_crc8(payload[frame_start : br.byte_pos - 1]):
+            raise ValueError("FLAC: frame header CRC-8 mismatch")
+        if ch_code < 8:
+            if ch_code + 1 != channels:
+                raise ValueError("FLAC: channel count mismatch")
+            sub = [
+                _flac_subframe(br, blocksize, bps_f)
+                for _ in range(channels)
+            ]
+        elif ch_code in (8, 9, 10):
+            if channels != 2:
+                raise ValueError("FLAC: stereo assignment in non-stereo")
+            # the SIDE channel carries one extra bit
+            side_slot = 1 if ch_code in (8, 10) else 0
+            sub = [
+                _flac_subframe(
+                    br, blocksize, bps_f + (1 if k == side_slot else 0)
+                )
+                for k in range(2)
+            ]
+            if ch_code == 8:  # left/side
+                sub = [sub[0], [l - s for l, s in zip(sub[0], sub[1])]]
+            elif ch_code == 9:  # right/side (side is slot 0)
+                sub = [[r + s for s, r in zip(sub[0], sub[1])], sub[1]]
+            else:  # mid/side
+                left, right = [], []
+                for m, s in zip(sub[0], sub[1]):
+                    m = (m << 1) | (s & 1)
+                    left.append((m + s) >> 1)
+                    right.append((m - s) >> 1)
+                sub = [left, right]
+        else:
+            raise ValueError(f"FLAC: reserved channel assignment {ch_code}")
+        br.align()
+        crc16 = br.read_bits(16)
+        if crc16 != _flac_crc16(payload[frame_start : br.byte_pos - 2]):
+            raise ValueError("FLAC: frame CRC-16 mismatch")
+        for k in range(channels):
+            chans[k].extend(sub[k])
+        decoded += blocksize
+        i = br.byte_pos
+    arr = np.array(chans, dtype=np.float64).T[:total]
+    return arr / float(1 << (bps - 1)), rate
+
+
 def decode_audio(payload: bytes):
-    """payload -> (samples, rate) for PCM WAV, ``None`` for formats that
-    need a codec library (mp3/aac/...)."""
+    """payload -> (samples, rate) for PCM WAV and native FLAC,
+    ``None`` for formats that need a codec library (mp3/aac/...)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        return _decode_flac(payload)
     return None
 
 
@@ -948,11 +1234,163 @@ def _audio_features(arr, rate: int) -> list[float]:
     return [round(f, 6) for f in feats]
 
 
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, data_start, data_len) over a RIFF chunk run —
+    chunks are word-aligned (odd lengths carry one pad byte)."""
+    i = start
+    while i + 8 <= end:
+        fcc = buf[i : i + 4]
+        ln = int.from_bytes(buf[i + 4 : i + 8], "little")
+        if i + 8 + ln > end:
+            raise ValueError("AVI: chunk overruns container")
+        yield fcc, i + 8, ln
+        i += 8 + ln + (ln & 1)
+
+
+def _decode_avi_mjpeg(payload: bytes):
+    """Motion-JPEG AVI -> (list of (h, w, 3) uint8 frames, fps).
+
+    Walks the RIFF container (``hdrl``'s ``avih`` main header for the
+    frame clock, the ``movi`` list for ``..dc``/``..db`` frame chunks)
+    and feeds each frame chunk to the native JPEG decoder — the video
+    tier reuses the image tier's machinery, which is exactly how MJPEG
+    is defined."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("AVI: bad magic")
+    fps = 0.0
+    frame_chunks: list[bytes] = []
+
+    def walk(start: int, end: int):
+        nonlocal fps
+        for fcc, ds, ln in _riff_chunks(payload, start, end):
+            if fcc == b"LIST":
+                walk(ds + 4, ds + ln)
+            elif fcc == b"avih" and ln >= 4:
+                usec = int.from_bytes(payload[ds : ds + 4], "little")
+                fps = 1e6 / usec if usec else 0.0
+            elif len(fcc) == 4 and fcc[2:4] in (b"dc", b"db") and ln > 0:
+                frame_chunks.append(payload[ds : ds + ln])
+
+    walk(12, len(payload))
+    if not frame_chunks:
+        raise ValueError("AVI: no video frame chunks")
+    frames = [_decode_jpeg(c) for c in frame_chunks]
+    return frames, fps
+
+
+def decode_video(payload: bytes):
+    """payload -> (frames, fps) for MJPEG AVI, ``None`` for containers/
+    codecs that need a codec library (mp4/h264/...)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _decode_avi_mjpeg(payload)
+    return None
+
+
+def _video_features(frames, fps: float) -> list[float]:
+    """Decoded frames -> FEATURE_DIM deterministic floats: temporal
+    luminance statistics + motion energy (mean absolute per-pixel
+    difference between successive frames) + clock/shape summaries.
+    Rounded to 6 decimals (same stability contract as
+    :func:`_pixel_features`)."""
+    import numpy as np
+
+    grays = [
+        (f.astype(np.float64) / 255.0) @ np.array([0.299, 0.587, 0.114])
+        for f in frames
+    ]
+    means = np.array([g.mean() for g in grays])
+    motion = (
+        float(
+            np.mean(
+                [np.abs(b - a).mean() for a, b in zip(grays, grays[1:])]
+            )
+        )
+        if len(grays) > 1
+        else 0.0
+    )
+    grad = float(
+        np.mean(
+            [
+                np.abs(np.diff(g, axis=1)).mean() if g.shape[1] > 1 else 0.0
+                for g in grays
+            ]
+        )
+    )
+    h, w = frames[0].shape[:2]
+    feats = [
+        float(means.mean()),
+        float(means.std()),
+        motion,
+        grad,
+        min(1.0, len(frames) / 1.0e4),
+        min(1.0, fps / 120.0),
+        w / (w + h),
+        min(1.0, (w * h) / 1.0e6),
+    ]
+    return [round(f, 6) for f in feats]
+
+
+def extract_video_frames(
+    assets: DataFrame, every_n: int = 1
+) -> DataFrame:
+    """REAL frame extraction for decodable video payloads: one row per
+    sampled frame (every ``every_n``-th), carrying the frame's pixel
+    features — the decode stage :func:`sample_frames`'s metadata grid
+    plans for.  Arrow ``mapInPandas``; payloads never reach the driver;
+    undecodable payloads degrade to zero rows rather than failing the
+    job (same contract as :func:`extract_features`'s fake-vector
+    fallback, but a frame ROW would be meaningless)."""
+    import pandas as pd
+
+    step = max(int(every_n), 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mss, feats = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    decoded = decode_video(bytes(payload))
+                except ValueError:
+                    decoded = None
+                if decoded is None:
+                    continue
+                frames, fps = decoded
+                for k in range(0, len(frames), step):
+                    ids.append(aid)
+                    idxs.append(k)
+                    mss.append(
+                        int(round(k * 1000.0 / fps)) if fps else 0
+                    )
+                    feats.append(_pixel_features(frames[k]))
+            if ids:  # an all-undecodable batch yields no rows at all
+                yield pd.DataFrame(
+                    {
+                        "asset_id": ids,
+                        "frame_idx": idxs,
+                        "frame_ms": mss,
+                        # object dtype: Arrow must see python lists, not
+                        # a float64 block, for array<double>
+                        "feature": pd.Series(feats, dtype=object),
+                    }
+                )
+
+    return (
+        assets.filter(F.col("media_type") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            run,
+            "asset_id long, frame_idx int, frame_ms int, "
+            "feature array<double>",
+        )
+    )
+
+
 def real_decode(payload: bytes, media_type: str) -> list[float]:
-    """Real decode path: BMP/PPM/PNG/JPEG (sequential + progressive) images decode to
-    pixels (numpy + stdlib zlib/huffman)
-    and PCM WAV audio decodes to samples (stdlib wave), featurizing
-    from actual content; every other format still raises the documented
+    """Real decode path: BMP/PPM/PNG/JPEG (sequential + progressive)
+    images decode to pixels (numpy + stdlib zlib/huffman), and PCM WAV
+    (stdlib wave) plus native FLAC (pure-Python rice/LPC bitstream
+    decoder, CRC-verified) audio decodes to samples, featurizing from
+    actual content; every other format still raises the documented
     codec-absent branch (malformed payloads of a supported magic raise
     ValueError from the decoder itself)."""
     if media_type == "image":
@@ -963,11 +1401,15 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
         au = decode_audio(payload)
         if au is not None:
             return _audio_features(*au)
+    if media_type == "video":
+        vi = decode_video(payload)
+        if vi is not None:
+            return _video_features(*vi)
     raise NotImplementedError(
         "no codec libraries in this environment for "
         f"media_type={media_type!r} with magic {payload[:2]!r}; only "
-        "BMP/PPM/PNG/JPEG (sequential+progressive) and PCM WAV decode "
-        "natively — other "
+        "BMP/PPM/PNG/JPEG (sequential+progressive) images, PCM WAV + "
+        "FLAC audio and MJPEG-AVI video decode natively — other "
         "payloads use the deterministic fake decoder"
     )
 
