@@ -1554,3 +1554,220 @@ def test_video_codec_stub_and_malformed_avi():
     truncated = bytes(avi) + b"\x00" * 0
     with pytest.raises(ValueError, match="AVI"):
         multimodal._decode_avi_mjpeg(truncated[: len(truncated) - 6])
+
+
+# --- GIF: test-side LZW encoder + native decode -----------------------------
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """GIF-variant LZW compressor (LSB-first variable-width codes),
+    width growth mirroring the decoder's table-size clock."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    n = clear + 2  # decoder-side table length
+    width = min_code_size + 1
+    emit(clear, width)
+    first = True
+
+    def after_emit():
+        nonlocal n, width, first
+        if first:
+            first = False  # decoder doesn't append on the first code
+            return
+        n += 1
+        if n == (1 << width) and width < 12:
+            width += 1
+
+    prev = ()
+    for k in indices:
+        cur = prev + (int(k),)
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        after_emit()
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+        prev = (int(k),)
+    if prev:
+        emit(table[prev], width)
+        after_emit()
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_PALETTE = [
+    (0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+    (255, 255, 0), (255, 0, 255), (0, 255, 255), (255, 255, 255),
+]
+
+
+def _gif_bytes(
+    frames,
+    palette=None,
+    interlace=False,
+    delays_cs=None,
+    transparent=None,
+    rects=None,
+    local_palettes=None,
+):
+    """index-arrays -> GIF89a. frames: list of (h, w) numpy int arrays
+    of palette indices; rects: per-frame (left, top) placement."""
+    import struct
+
+    import numpy as np
+
+    palette = palette or _GIF_PALETTE
+    npal = len(palette)
+    assert npal & (npal - 1) == 0 and npal >= 2
+    pbits = npal.bit_length() - 1
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (pbits - 1), 0, 0])  # GCT flag+size, bg 0
+    for r, g, b in palette:
+        out += bytes([r, g, b])
+    for fi, fr in enumerate(frames):
+        if delays_cs or transparent is not None:
+            flags = 0
+            tidx = 0
+            if transparent is not None and fi > 0:
+                flags |= 1
+                tidx = transparent
+            delay = (delays_cs or [0] * len(frames))[fi]
+            out += bytes([0x21, 0xF9, 4, flags]) + struct.pack(
+                "<H", delay
+            ) + bytes([tidx, 0])
+        fx, fy = (rects or [(0, 0)] * len(frames))[fi]
+        fh, fw = fr.shape
+        lp = (local_palettes or {}).get(fi)
+        fpacked = (0x40 if interlace else 0)
+        if lp is not None:
+            lbits = len(lp).bit_length() - 1
+            fpacked |= 0x80 | (lbits - 1)
+        out += bytes([0x2C]) + struct.pack("<HHHH", fx, fy, fw, fh)
+        out += bytes([fpacked])
+        if lp is not None:
+            for r, g, b in lp:
+                out += bytes([r, g, b])
+        rows = fr
+        if interlace:
+            order = []
+            for first, step in multimodal._GIF_INTERLACE:
+                order.extend(range(first, fh, step))
+            rows = fr[np.array(order)]
+        min_code = max(pbits if lp is None else len(lp).bit_length() - 1, 2)
+        data = _gif_lzw_encode(rows.flatten().tolist(), min_code)
+        out += bytes([min_code])
+        for off in range(0, len(data), 255):
+            part = data[off : off + 255]
+            out += bytes([len(part)]) + part
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def _gif_index_frame(h, w, seed=0):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((xx + 2 * yy + seed) % len(_GIF_PALETTE)).astype(np.int32)
+
+
+def test_gif_static_roundtrip_exact():
+    import numpy as np
+
+    idx = _gif_index_frame(13, 17)
+    px = multimodal.decode_image(_gif_bytes([idx]))
+    want = np.array(_GIF_PALETTE, dtype=np.uint8)[idx]
+    assert (px == want).all()
+
+
+def test_gif_interlaced_roundtrip_exact():
+    import numpy as np
+
+    idx = _gif_index_frame(16, 9, seed=3)
+    px = multimodal.decode_image(_gif_bytes([idx], interlace=True))
+    want = np.array(_GIF_PALETTE, dtype=np.uint8)[idx]
+    assert (px == want).all()
+
+
+def test_gif_animated_composition_and_video_dispatch():
+    import numpy as np
+
+    base = _gif_index_frame(10, 10)
+    patch = np.full((4, 4), 7, dtype=np.int32)
+    patch[1:3, 1:3] = 5  # 5 will be declared transparent on frame 2
+    gif = _gif_bytes(
+        [base, patch],
+        delays_cs=[5, 5],
+        transparent=5,
+        rects=[(0, 0), (3, 3)],
+    )
+    frames, fps = multimodal.decode_video(gif)
+    assert fps == pytest.approx(20.0)  # 5 cs -> 20 fps
+    assert len(frames) == 2
+    pal = np.array(_GIF_PALETTE, dtype=np.uint8)
+    assert (frames[0] == pal[base]).all()
+    # frame 2: patch composited at (3,3); transparent cells keep frame 1
+    want = pal[base].copy()
+    want[3:7, 3:7] = pal[patch]
+    want[4:6, 4:6] = pal[base][4:6, 4:6]
+    assert (frames[1] == want).all()
+    # and an animated GIF featurizes through the video tier
+    feats = multimodal.real_decode(gif, "video")
+    assert len(feats) == multimodal.FEATURE_DIM and feats[2] > 0.0
+
+
+def test_gif_local_palette_frame():
+    import numpy as np
+
+    base = _gif_index_frame(6, 6)
+    lp = [(10, 20, 30), (200, 100, 50)]
+    patch = np.array([[0, 1], [1, 0]], dtype=np.int32)
+    gif = _gif_bytes(
+        [base, patch], rects=[(0, 0), (2, 2)], local_palettes={1: lp}
+    )
+    frames, _ = multimodal.decode_video(gif)
+    want = np.array(_GIF_PALETTE, dtype=np.uint8)[base].copy()
+    want[2:4, 2:4] = np.array(lp, dtype=np.uint8)[patch]
+    assert (frames[1] == want).all()
+
+
+def test_gif_features_match_equivalent_ppm():
+    import numpy as np
+
+    idx = _gif_index_frame(8, 8, seed=1)
+    px = np.array(_GIF_PALETTE, dtype=np.uint8)[idx]
+    gif_feats = multimodal.real_decode(_gif_bytes([idx]), "image")
+    ppm_feats = multimodal.real_decode(multimodal.encode_ppm(px), "image")
+    assert gif_feats == ppm_feats
+
+
+def test_gif_malformed_raises():
+    good = _gif_bytes([_gif_index_frame(8, 8)])
+    with pytest.raises(ValueError, match="GIF"):
+        multimodal._decode_gif(good[:20])  # truncated mid-structure
+    bad = bytearray(good)
+    bad[-10] ^= 0xFF  # scramble LZW tail
+    try:
+        multimodal._decode_gif(bytes(bad))
+    except (ValueError, IndexError):
+        pass  # either decode error is acceptable for corrupt entropy data

@@ -864,7 +864,7 @@ def _jpeg_reconstruct(order, planes, h: int, w: int, hmax: int, vmax: int):
 def decode_image(payload: bytes):
     """payload -> (h, w, 3) uint8 RGB numpy array, or ``None`` when the
     format isn't one of the dependency-free decoders (BMP/PPM/PNG/
-    sequential/progressive JPEG)."""
+    sequential/progressive JPEG/GIF)."""
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
     if payload.startswith(b"P6"):
@@ -873,6 +873,8 @@ def decode_image(payload: bytes):
         return _decode_png(payload)
     if payload.startswith(b"\xff\xd8"):
         return _decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     return None
 
 
@@ -1234,6 +1236,180 @@ def _audio_features(arr, rate: int) -> list[float]:
     return [round(f, 6) for f in feats]
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: variable-width codes packed LSB-first, clear /
+    end-of-information codes, dictionary capped at 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = min_code_size + 1
+    prev: list[int] | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("GIF: bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                raise ValueError("GIF: LZW code out of range")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif_frames(payload: bytes):
+    """GIF87a/89a -> (list of (h, w, 3) uint8 canvases, fps).
+
+    Pure-Python LZW with palette lookup, interlace passes, and
+    frame-rectangle composition onto the running canvas (disposal
+    "leave in place"; restore-to-background fills the rect with the
+    background color). Transparency composites by keeping the
+    underlying canvas pixel. fps derives from the first Graphic
+    Control Extension delay (GIF's centisecond clock; 10 fps when
+    unset, the browser convention)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad magic")
+    if len(payload) < 13:
+        raise ValueError("GIF: truncated header")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    bg_idx = payload[11]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if i + 3 * n > len(payload):
+            raise ValueError("GIF: truncated color table")
+        gct = np.frombuffer(
+            payload[i : i + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        i += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:, :] = gct[bg_idx]
+    frames: list = []
+    delay_cs = 0
+    transparent = None
+    disposal = 0
+    while i < len(payload):
+        block = payload[i]
+        i += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[i]
+            i += 1
+            subs = []
+            while payload[i]:
+                ln = payload[i]
+                subs.append(payload[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            i += 1  # block terminator
+            if label == 0xF9 and subs:  # Graphic Control Extension
+                gce = subs[0]
+                disposal = (gce[0] >> 2) & 7
+                if not delay_cs:
+                    delay_cs = int.from_bytes(gce[1:3], "little")
+                transparent = gce[3] if gce[0] & 1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{block:02x}")
+        if i + 9 > len(payload):
+            raise ValueError("GIF: truncated image descriptor")
+        fx = int.from_bytes(payload[i : i + 2], "little")
+        fy = int.from_bytes(payload[i + 2 : i + 4], "little")
+        fw = int.from_bytes(payload[i + 4 : i + 6], "little")
+        fh = int.from_bytes(payload[i + 6 : i + 8], "little")
+        fpacked = payload[i + 8]
+        i += 9
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 7)
+            if i + 3 * n > len(payload):
+                raise ValueError("GIF: truncated color table")
+            pal = np.frombuffer(
+                payload[i : i + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            i += 3 * n
+        if pal is None:
+            raise ValueError("GIF: no color table")
+        min_code = payload[i]
+        i += 1
+        data = bytearray()
+        while payload[i]:
+            ln = payload[i]
+            data += payload[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        i += 1
+        idx = _gif_lzw_decode(bytes(data), min_code)
+        if len(idx) < fw * fh:
+            raise ValueError("GIF: not enough pixel data")
+        arr = np.array(idx[: fw * fh], dtype=np.int32).reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows arrive in the 4 passes
+            out_rows = np.empty_like(arr)
+            src = 0
+            for first, step in _GIF_INTERLACE:
+                for r in range(first, fh, step):
+                    out_rows[r] = arr[src]
+                    src += 1
+            arr = out_rows
+        if (arr >= len(pal)).any():
+            raise ValueError("GIF: palette index out of range")
+        rect = canvas[fy : fy + fh, fx : fx + fw]
+        px = pal[arr]
+        if transparent is not None:
+            mask = arr == transparent
+            px = np.where(mask[:, :, None], rect, px)
+        canvas[fy : fy + fh, fx : fx + fw] = px
+        frames.append(canvas.copy())
+        if disposal == 2 and gct is not None and bg_idx < len(gct):
+            canvas[fy : fy + fh, fx : fx + fw] = gct[bg_idx]
+        transparent = None
+    if not frames:
+        raise ValueError("GIF: no image frames")
+    fps = 100.0 / delay_cs if delay_cs else 10.0
+    return frames, fps
+
+
+def _decode_gif(payload: bytes):
+    """Static entry point: first (usually only) frame of a GIF."""
+    return _decode_gif_frames(payload)[0][0]
+
+
 def _riff_chunks(buf: bytes, start: int, end: int):
     """Yield (fourcc, data_start, data_len) over a RIFF chunk run —
     chunks are word-aligned (odd lengths carry one pad byte)."""
@@ -1279,10 +1455,13 @@ def _decode_avi_mjpeg(payload: bytes):
 
 
 def decode_video(payload: bytes):
-    """payload -> (frames, fps) for MJPEG AVI, ``None`` for containers/
-    codecs that need a codec library (mp4/h264/...)."""
+    """payload -> (frames, fps) for MJPEG AVI and animated GIF,
+    ``None`` for containers/codecs that need a codec library
+    (mp4/h264/...)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return _decode_avi_mjpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_frames(payload)
     return None
 
 
