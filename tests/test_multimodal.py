@@ -1627,6 +1627,7 @@ def _gif_bytes(
     transparent=None,
     rects=None,
     local_palettes=None,
+    disposals=None,
 ):
     """index-arrays -> GIF89a. frames: list of (h, w) numpy int arrays
     of palette indices; rects: per-frame (left, top) placement."""
@@ -1645,8 +1646,9 @@ def _gif_bytes(
     for r, g, b in palette:
         out += bytes([r, g, b])
     for fi, fr in enumerate(frames):
-        if delays_cs or transparent is not None:
-            flags = 0
+        disp = (disposals or {}).get(fi)
+        if delays_cs or transparent is not None or disp is not None:
+            flags = (disp or 0) << 2
             tidx = 0
             if transparent is not None and fi > 0:
                 flags |= 1
@@ -1767,7 +1769,68 @@ def test_gif_malformed_raises():
         multimodal._decode_gif(good[:20])  # truncated mid-structure
     bad = bytearray(good)
     bad[-10] ^= 0xFF  # scramble LZW tail
-    try:
+    with pytest.raises(ValueError):  # IndexError normalized per contract
         multimodal._decode_gif(bytes(bad))
-    except (ValueError, IndexError):
-        pass  # either decode error is acceptable for corrupt entropy data
+    # truncation right after an extension introducer / inside the
+    # block walk must also surface as ValueError, never IndexError
+    for cut in (good[:37] + b"\x21", good[: len(good) - 3]):
+        with pytest.raises(ValueError):
+            multimodal._decode_gif(bytes(cut))
+
+
+def test_extract_video_frames_null_payload_skipped(spark):
+    """A NULL video payload degrades to zero rows like an undecodable
+    one — it must not crash the batch (bytes(None) is a TypeError)."""
+    frames = _avi_frames(n=2)
+    avi = _avi_bytes([_jpeg_bytes(f) for f in frames], fps=10)
+    assets = spark.createDataFrame(
+        [(1, "video", None, 0, 0, 0, "mjpg"),
+         (2, "video", avi, 16, 16, 200, "mjpg")],
+        "asset_id long, media_type string, payload binary, width int, "
+        "height int, duration_ms int, codec string",
+    )
+    rows = multimodal.extract_video_frames(assets, every_n=1).collect()
+    assert sorted({r.asset_id for r in rows}) == [2]
+
+
+def test_extract_features_uses_real_video_path(spark):
+    """extract_features delegates to real_decode — a decodable video
+    payload gets content features, not the sha256 fake vector."""
+    gif = _gif_bytes(
+        [_gif_index_frame(8, 8), _gif_index_frame(8, 8, seed=3)],
+        delays_cs=[5, 5],
+    )
+    df = spark.createDataFrame(
+        [(1, "video", gif, 8, 8, 100, "gif")],
+        "asset_id long, media_type string, payload binary, width int, "
+        "height int, duration_ms int, codec string",
+    )
+    [row] = multimodal.extract_features(df).collect()
+    assert list(row.feature) == multimodal.real_decode(gif, "video")
+    assert list(row.feature) != multimodal._fake_decode(gif)
+
+
+def test_gif_disposal_applies_to_one_frame_only():
+    """A GCE's disposal method covers only the image that follows
+    (GIF89a): disposal=2 on frame 1 must not keep wiping the rects of
+    later GCE-less frames."""
+    import numpy as np
+
+    pal = np.array(_GIF_PALETTE, dtype=np.uint8)
+    base = _gif_index_frame(10, 10)
+    p1 = np.full((3, 3), 1, dtype=np.int32)
+    p2 = np.full((3, 3), 2, dtype=np.int32)
+    p3 = np.full((2, 2), 3, dtype=np.int32)
+    gif = _gif_bytes(
+        [base, p1, p2, p3],
+        rects=[(0, 0), (0, 0), (4, 4), (8, 8)],
+        disposals={1: 2},  # only frame 1 restores-to-background
+    )
+    frames, _ = multimodal.decode_video(gif)
+    assert len(frames) == 4
+    # frame 1's rect was restored to background (index 0) before frame 2
+    assert (frames[2][0:3, 0:3] == pal[0]).all()
+    assert (frames[2][4:7, 4:7] == pal[p2]).all()
+    # frame 2 had NO GCE: its rect must still be visible in frame 3
+    assert (frames[3][4:7, 4:7] == pal[p2]).all()
+    assert (frames[3][8:10, 8:10] == pal[p3]).all()

@@ -283,7 +283,7 @@ def q_als_part_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
     (binding trains on a BOUNDED id slice — 1000 customers x 5000
     parts — so the registry entry's cost is constant across SFs; the
     operator itself has no such bound), 2 sweeps, then top-3
-    unseen-part recommendations for the first 100 customers.
+    unseen-part recommendations for the customers with custkey < 100.
     Rows-only: alternating solves have no SQL equivalent
     (numpy-reference parity + loss monotonicity pinned in
     tests/test_als.py)."""

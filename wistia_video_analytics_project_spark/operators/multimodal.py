@@ -985,10 +985,6 @@ class _FlacBits:
 
 
 _FLAC_BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
-_FLAC_RATES = {
-    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
-    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
-}
 
 
 def _flac_residual(br: _FlacBits, blocksize: int, order: int) -> list[int]:
@@ -1297,7 +1293,18 @@ def _decode_gif_frames(payload: bytes):
     background color). Transparency composites by keeping the
     underlying canvas pixel. fps derives from the first Graphic
     Control Extension delay (GIF's centisecond clock; 10 fps when
-    unset, the browser convention)."""
+    unset, the browser convention). EVERY malformed-input failure mode
+    is normalized to ValueError (the JPEG-wrapper precedent: a payload
+    truncated mid-block-walk raises IndexError from the raw parse), so
+    one corrupt file degrades to the fake/skip path instead of killing
+    the feature job."""
+    try:
+        return _decode_gif_frames_strict(payload)
+    except IndexError as exc:
+        raise ValueError(f"GIF: truncated payload: {exc!r}") from exc
+
+
+def _decode_gif_frames_strict(payload: bytes):
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1398,7 +1405,11 @@ def _decode_gif_frames(payload: bytes):
         frames.append(canvas.copy())
         if disposal == 2 and gct is not None and bg_idx < len(gct):
             canvas[fy : fy + fh, fx : fx + fw] = gct[bg_idx]
+        # a GCE applies only to the single rendering block that follows
+        # (GIF89a §23) — reset BOTH fields, or one disposal=2 frame
+        # would keep wiping every later GCE-less frame's rect
         transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF: no image frames")
     fps = 100.0 / delay_cs if delay_cs else 10.0
@@ -1527,6 +1538,8 @@ def extract_video_frames(
         for pdf in batches:
             ids, idxs, mss, feats = [], [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:  # NULL payload row: skip, don't crash
+                    continue
                 try:
                     decoded = decode_video(bytes(payload))
                 except ValueError:
@@ -1604,24 +1617,16 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
     import pandas as pd
 
     def decode(payload: bytes, media_type: str) -> list[float]:
-        # real pixels whenever the payload is natively decodable
-        # (BMP/PPM/PNG/sequential+progressive JPEG — see decode_image);
-        # deterministic
-        # fake otherwise.  Corrupt or unsupported-shape payloads
-        # (ValueError) also degrade to the fake vector: at fleet scale
-        # one truncated file must never kill the whole feature job.
+        # real content features whenever the payload is natively
+        # decodable (real_decode owns the single image/audio/video
+        # dispatch — no second copy to drift); corrupt payloads
+        # (ValueError) and codec-absent formats (NotImplementedError)
+        # degrade to the deterministic fake vector: at fleet scale one
+        # truncated file must never kill the whole feature job.
         try:
-            if media_type == "image":
-                px = decode_image(payload)
-                if px is not None:
-                    return _pixel_features(px)
-            if media_type == "audio":
-                au = decode_audio(payload)
-                if au is not None:
-                    return _audio_features(*au)
-        except ValueError:
-            pass
-        return _fake_decode(payload)
+            return real_decode(payload, media_type)
+        except (ValueError, NotImplementedError):
+            return _fake_decode(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -39,6 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import track
 from .bpe import word_frequencies
 
 __all__ = [
@@ -83,6 +84,9 @@ def candidate_vocab(
         .agg(F.sum("freq").cast("long").alias("count"))
         .withColumn("is_char", F.length("piece") == 1)
     )
+    # the chars/multi branches below would otherwise each re-run the
+    # substring explode + sum shuffle — cache the aggregate once
+    pieces = track(pieces.cache())
     chars = pieces.filter(F.col("is_char"))
     multi = (
         pieces.filter(~F.col("is_char"))
