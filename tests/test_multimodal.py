@@ -1552,7 +1552,7 @@ def test_video_codec_stub_and_malformed_avi():
 
     avi[4:8] = struct.pack("<I", len(avi) + 64)  # lie about RIFF size
     truncated = bytes(avi) + b"\x00" * 0
-    with pytest.raises(ValueError, match="AVI"):
+    with pytest.raises(ValueError, match="RIFF"):
         multimodal._decode_avi_mjpeg(truncated[: len(truncated) - 6])
 
 
@@ -1834,3 +1834,229 @@ def test_gif_disposal_applies_to_one_frame_only():
     # frame 2 had NO GCE: its rect must still be visible in frame 3
     assert (frames[3][4:7, 4:7] == pal[p2]).all()
     assert (frames[3][8:10, 8:10] == pal[p3]).all()
+
+
+# --- WAV beyond PCM: G.711 mu-law/A-law, IMA ADPCM, float, 24-bit ----------
+
+
+def _wav_raw_bytes(tag, ch, rate, bps, block_align, data, fact=None,
+                   extensible=False):
+    """Hand-assembled RIFF/WAVE container around a raw data chunk."""
+    import struct
+
+    if extensible:
+        # WAVE_FORMAT_EXTENSIBLE: real tag moves into the SubFormat GUID
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, ch, rate, rate * block_align,
+            block_align, bps, 22, bps, 0,
+        ) + struct.pack("<H", tag) + b"\x00" * 14
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", tag, ch, rate, rate * block_align, block_align, bps
+        )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) & 1:
+        chunks += b"\x00"
+    if fact is not None:
+        chunks += b"fact" + struct.pack("<II", 4, fact)
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _mulaw_compress(x):
+    """G.711 linear2ulaw (CCITT reference: 14-bit domain, bias 33)."""
+    x >>= 2
+    if x < 0:
+        x, mask = -x, 0x7F
+    else:
+        mask = 0xFF
+    x = min(x, 8159) + 33
+    ends = (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF)
+    for seg in range(8):
+        if x <= ends[seg]:
+            break
+    return ((seg << 4) | ((x >> (seg + 1)) & 0x0F)) ^ mask
+
+
+def _alaw_compress(x):
+    """G.711 linear2alaw (CCITT reference: 13-bit domain)."""
+    x >>= 3
+    if x >= 0:
+        mask = 0xD5
+    else:
+        mask, x = 0x55, -x - 1
+    ends = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+    for seg in range(8):
+        if x <= ends[seg]:
+            break
+    else:
+        return 0x7F ^ mask
+    aval = (seg << 4) | ((x >> 1 if seg < 2 else x >> seg) & 0x0F)
+    return aval ^ mask
+
+
+def test_g711_expand_reference_points():
+    """Canonical G.711 pins: both all-1s codes decode to 0, the
+    extreme codes hit the documented full-scale magnitudes."""
+    import numpy as np
+
+    mu = multimodal._mulaw_expand(np.arange(256, dtype=np.uint8), np)
+    assert mu[0xFF] == 0 and mu[0x7F] == 0
+    assert mu[0x80] == 32124 and mu[0x00] == -32124
+    al = multimodal._alaw_expand(np.arange(256, dtype=np.uint8), np)
+    assert al[0xD5] == 8 and al[0x55] == -8
+    assert al[0xAA] == 32256 and al[0x2A] == -32256
+    # audioop (when present) is an independent oracle for all 256 codes
+    try:
+        import audioop
+    except ImportError:
+        return
+    for c in range(256):
+        assert mu[c] == int.from_bytes(
+            audioop.ulaw2lin(bytes([c]), 2), "little", signed=True
+        )
+        assert al[c] == int.from_bytes(
+            audioop.alaw2lin(bytes([c]), 2), "little", signed=True
+        )
+
+
+def test_wav_g711_decode_roundtrip():
+    """mu-law/A-law WAV payloads decode through decode_audio; the
+    compand->expand error is bounded by the G.711 step size."""
+    import math
+
+    import numpy as np
+
+    pcm = [
+        int(20000 * math.sin(2 * math.pi * 440 * t / 8000))
+        for t in range(400)
+    ]
+    for tag, compress in ((7, _mulaw_compress), (6, _alaw_compress)):
+        data = bytes(compress(x) for x in pcm)
+        wav = _wav_raw_bytes(tag, 1, 8000, 8, 1, data)
+        arr, rate = multimodal.decode_audio(wav)
+        assert rate == 8000 and arr.shape == (400, 1)
+        err = np.abs(arr[:, 0] * 32768.0 - np.array(pcm, dtype=np.float64))
+        # worst-case segment step at |x|~20000 is 1024 (mu) / 1024 (A)
+        assert float(err.max()) < 1100.0
+    # extensible wrapper resolves to the inner tag
+    data = bytes(_mulaw_compress(x) for x in pcm)
+    plain, _ = multimodal.decode_audio(_wav_raw_bytes(7, 1, 8000, 8, 1, data))
+    ext, _ = multimodal.decode_audio(
+        _wav_raw_bytes(7, 1, 8000, 8, 1, data, extensible=True)
+    )
+    assert (plain == ext).all()
+
+
+def _adpcm_encode_block(samples, predictor, index):
+    """Reference IMA ADPCM encoder for one channel's nibble run —
+    returns (nibbles, reconstructed_samples, final_index)."""
+    nibbles, recon = [], []
+    for s in samples:
+        step = multimodal._ADPCM_STEPS[index]
+        diff = s - predictor
+        nib = 8 if diff < 0 else 0
+        if diff < 0:
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        [predictor] = multimodal._adpcm_expand_nibbles([nib], predictor, index)
+        index = max(0, min(88, index + multimodal._ADPCM_INDEX[nib]))
+        nibbles.append(nib)
+        recon.append(predictor)
+    return nibbles, recon, index
+
+
+def test_wav_ima_adpcm_mono_bit_exact_and_close():
+    import math
+    import struct
+
+    import numpy as np
+
+    pcm = [
+        int(4000 * math.sin(2 * math.pi * 100 * t / 8000))
+        for t in range(1 + 8 + 8)  # header sample + 2 nibble words
+    ]
+    # start index 35 (step 190): per-sample slope of this sine is ~314,
+    # inside the encodable range, so no slope-overload transient
+    nibbles, recon, _ = _adpcm_encode_block(pcm[1:], pcm[0], 35)
+    block = struct.pack("<hBB", pcm[0], 35, 0)
+    for k in range(0, len(nibbles), 2):
+        block += bytes([nibbles[k] | (nibbles[k + 1] << 4)])
+    wav = _wav_raw_bytes(0x11, 1, 8000, 4, len(block), block)
+    arr, rate = multimodal.decode_audio(wav)
+    want = [pcm[0]] + recon  # decoder must reproduce the encoder's
+    got = np.round(arr[:, 0] * 32768.0).astype(int)  # reconstruction
+    assert got.tolist() == want
+    err = np.abs(np.array(want) - np.array(pcm))
+    assert float(err.max()) < 800.0  # lossy, step-bounded
+
+
+def test_wav_ima_adpcm_stereo_and_fact_truncation():
+    import struct
+
+    import numpy as np
+
+    left = [100 * k for k in range(9)]
+    right = [-80 * k for k in range(9)]
+    nl, rl, _ = _adpcm_encode_block(left[1:], left[0], 0)
+    nr, rr, _ = _adpcm_encode_block(right[1:], right[0], 0)
+    block = struct.pack("<hBB", left[0], 0, 0)
+    block += struct.pack("<hBB", right[0], 0, 0)
+    for words in (nl, nr):  # one 4-byte word per channel, interleaved
+        for k in range(0, 8, 2):
+            block += bytes([words[k] | (words[k + 1] << 4)])
+    wav = _wav_raw_bytes(0x11, 2, 8000, 4, len(block), block, fact=7)
+    arr, _ = multimodal.decode_audio(wav)
+    assert arr.shape == (7, 2)  # fact chunk truncates the padded block
+    got = np.round(arr * 32768.0).astype(int)
+    assert got[:, 0].tolist() == ([left[0]] + rl)[:7]
+    assert got[:, 1].tolist() == ([right[0]] + rr)[:7]
+
+
+def test_wav_float_and_24bit_exact():
+    import struct
+
+    import numpy as np
+
+    vals = [0.0, 0.25, -0.5, 0.875]
+    wav = _wav_raw_bytes(3, 1, 44100, 32, 4, struct.pack("<4f", *vals))
+    arr, rate = multimodal.decode_audio(wav)
+    assert rate == 44100 and arr[:, 0].tolist() == vals
+    ints = [0, 1 << 22, -(1 << 23), (1 << 23) - 1]
+    data = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in ints
+    )
+    arr, _ = multimodal.decode_audio(_wav_raw_bytes(1, 1, 8000, 24, 3, data))
+    assert (np.round(arr[:, 0] * (1 << 23)).astype(int) == ints).all()
+
+
+def test_wav_unsupported_and_malformed_raise_valueerror(spark):
+    import struct
+
+    # MS ADPCM (tag 2) is NOT implemented: ValueError, never wave.Error
+    wav = _wav_raw_bytes(2, 1, 8000, 4, 256, b"\x00" * 256)
+    with pytest.raises(ValueError, match="WAV"):
+        multimodal.decode_audio(wav)
+    # truncated fmt chunk
+    bad = b"RIFF" + struct.pack("<I", 12) + b"WAVE" + b"fmt " + struct.pack(
+        "<I", 4
+    ) + b"\x00" * 4
+    with pytest.raises(ValueError, match="WAV"):
+        multimodal.decode_audio(bad)
+    # and through the distributed path both degrade to the fake vector
+    df = spark.createDataFrame(
+        [(1, "audio", wav, None, None, 100, "ms-adpcm")],
+        "asset_id long, media_type string, payload binary, width int, "
+        "height int, duration_ms int, codec string",
+    )
+    [row] = multimodal.extract_features(df).collect()
+    assert list(row.feature) == multimodal._fake_decode(wav)

@@ -14,7 +14,8 @@ grayscale or YCbCr at any sampling incl. 4:2:0, restart markers —
 huffman-decodes + IDCTs in pure numpy (:func:`_decode_jpeg`) — into actual pixel
 arrays, which featurize (:func:`_pixel_features`) and resample
 (:func:`resize_images`, nearest-neighbor + PPM re-encode) from real
-content. Audio decodes natively too: PCM WAV through stdlib ``wave``
+content. Audio decodes natively too: WAV through a hand-parsed RIFF
+reader (integer PCM, IEEE float, G.711 mu-law/A-law, IMA ADPCM)
 and FLAC through a pure-Python subset decoder (:func:`_decode_flac`:
 rice residuals, FIXED + LPC predictors, all four stereo assignments,
 CRC-8/16 verified — lossless, so tests assert exact sample equality).
@@ -902,24 +903,173 @@ def _pixel_features(px) -> list[float]:
     return [round(f, 6) for f in feats]
 
 
+#: IMA/DVI ADPCM quantizer step sizes (89 entries) and index
+#: adjustments — the tables from the IMA ADPCM reference algorithm.
+_ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_ADPCM_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _mulaw_expand(codes, np):
+    """G.711 mu-law byte codes -> int32 linear samples (ulaw2linear)."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _alaw_expand(codes, np):
+    """G.711 A-law byte codes -> int32 linear samples (alaw2linear)."""
+    a = codes.astype(np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t)
+
+
+def _adpcm_expand_nibbles(nibbles, predictor: int, index: int):
+    """IMA ADPCM inner loop: 4-bit codes -> int16 samples, adapting the
+    step-size index per sample (the reference decode recurrence)."""
+    out = []
+    for nib in nibbles:
+        step = _ADPCM_STEPS[index]
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        predictor = predictor - diff if nib & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _ADPCM_INDEX[nib]))
+        out.append(predictor)
+    return out
+
+
+def _decode_wav_adpcm(data: bytes, ch: int, block_align: int, np):
+    """IMA/DVI ADPCM (WAV format tag 0x11) ``data`` chunk -> (n, ch)
+    int16 array. Per block and channel: a 4-byte header (int16 first
+    sample + step index), then channel-interleaved 4-byte nibble words
+    (low nibble first)."""
+    if block_align < 4 * ch + 4 * ch or block_align % (4 * ch):
+        raise ValueError(f"WAV: bad ADPCM block align {block_align}")
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    for off in range(0, len(data) - (4 * ch) + 1, block_align):
+        block = data[off : off + block_align]
+        preds, idxs = [], []
+        for c in range(ch):
+            preds.append(
+                int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+            )
+            idx = block[4 * c + 2]
+            if idx > 88:
+                raise ValueError(f"WAV: ADPCM step index {idx} > 88")
+            idxs.append(idx)
+            chans[c].append(preds[c])
+        body = block[4 * ch :]
+        nibs: list[list[int]] = [[] for _ in range(ch)]
+        for word in range(0, len(body), 4 * ch):
+            for c in range(ch):
+                for b in body[word + 4 * c : word + 4 * c + 4]:
+                    nibs[c].append(b & 0x0F)
+                    nibs[c].append(b >> 4)
+        for c in range(ch):
+            chans[c].extend(
+                _adpcm_expand_nibbles(nibs[c], preds[c], idxs[c])
+            )
+    n = min(len(x) for x in chans)
+    return np.array([x[:n] for x in chans], dtype=np.int64).T
+
+
 def _decode_wav(payload: bytes):
-    """PCM WAV -> ((n_frames, channels) float64 in [-1, 1], sample_rate)
-    via the stdlib ``wave`` module — no codec library needed."""
-    import io
-    import wave
+    """WAV -> ((n_frames, channels) float64 in [-1, 1], sample_rate).
+
+    Hand-parsed RIFF (the stdlib ``wave`` module only accepts PCM and
+    raises non-ValueError ``wave.Error`` for everything else, escaping
+    the corrupt-file guards). Format tags: 1 PCM (8/16/24/32-bit),
+    3 IEEE float (32/64-bit), 6 A-law, 7 mu-law, 0x11 IMA ADPCM, and
+    WAVE_FORMAT_EXTENSIBLE wrapping any of those. Anything else raises
+    ValueError -> the fake-decoder fallback upstream."""
+    import struct
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n, ch = w.getnframes(), w.getnchannels()
-        sw, rate = w.getsampwidth(), w.getframerate()
-        raw = w.readframes(n)
-    if sw == 2:
-        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif sw == 1:
-        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("WAV: bad RIFF/WAVE magic")
+    fmt = data = None
+    fact_samples = None
+    try:
+        for fcc, start, ln in _riff_chunks(payload, 12, len(payload)):
+            if fcc == b"fmt ":
+                fmt = payload[start : start + ln]
+            elif fcc == b"data":
+                data = payload[start : start + ln]
+            elif fcc == b"fact" and ln >= 4:
+                (fact_samples,) = struct.unpack_from("<I", payload, start)
+    except ValueError:
+        raise
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV: missing fmt/data chunk")
+    tag, ch, rate, _byte_rate, block_align, bps = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID head
+        if len(fmt) < 26:
+            raise ValueError("WAV: truncated extensible fmt")
+        (tag,) = struct.unpack_from("<H", fmt, 24)
+    if ch < 1:
+        raise ValueError("WAV: zero channels")
+    if tag == 1:  # integer PCM
+        if bps == 8:
+            arr = np.frombuffer(data, dtype=np.uint8)
+            arr = (arr.astype(np.float64) - 128.0) / 128.0
+        elif bps == 16:
+            arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bps == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+            v = (
+                raw[:, 0].astype(np.int64)
+                | (raw[:, 1].astype(np.int64) << 8)
+                | (raw[:, 2].astype(np.int64) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            arr = v.astype(np.float64) / float(1 << 23)
+        elif bps == 32:
+            arr = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(
+                1 << 31
+            )
+        else:
+            raise ValueError(f"WAV: unsupported PCM depth {bps}")
+    elif tag == 3:  # IEEE float
+        if bps == 32:
+            arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bps == 64:
+            arr = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"WAV: unsupported float depth {bps}")
+    elif tag == 6:  # G.711 A-law
+        arr = _alaw_expand(np.frombuffer(data, dtype=np.uint8), np)
+        arr = arr.astype(np.float64) / 32768.0
+    elif tag == 7:  # G.711 mu-law
+        arr = _mulaw_expand(np.frombuffer(data, dtype=np.uint8), np)
+        arr = arr.astype(np.float64) / 32768.0
+    elif tag == 0x11:  # IMA ADPCM
+        frames = _decode_wav_adpcm(data, ch, block_align, np)
+        if fact_samples is not None:
+            frames = frames[:fact_samples]
+        return frames.astype(np.float64) / 32768.0, rate
     else:
-        raise ValueError(f"unsupported WAV sample width {sw} bytes")
+        raise ValueError(f"WAV: unsupported format tag 0x{tag:x}")
+    arr = arr[: len(arr) - len(arr) % ch]
     return arr.reshape(-1, ch), rate
 
 
@@ -1200,8 +1350,9 @@ def _decode_flac(payload: bytes):
 
 
 def decode_audio(payload: bytes):
-    """payload -> (samples, rate) for PCM WAV and native FLAC,
-    ``None`` for formats that need a codec library (mp3/aac/...)."""
+    """payload -> (samples, rate) for WAV (PCM / IEEE float / G.711
+    mu-law + A-law / IMA ADPCM) and native FLAC, ``None`` for formats
+    that need a codec library (mp3/aac/...)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     if payload[:4] == b"fLaC":
@@ -1429,7 +1580,7 @@ def _riff_chunks(buf: bytes, start: int, end: int):
         fcc = buf[i : i + 4]
         ln = int.from_bytes(buf[i + 4 : i + 8], "little")
         if i + 8 + ln > end:
-            raise ValueError("AVI: chunk overruns container")
+            raise ValueError("RIFF: chunk overruns container")
         yield fcc, i + 8, ln
         i += 8 + ln + (ln & 1)
 
@@ -1578,13 +1729,14 @@ def extract_video_frames(
 
 
 def real_decode(payload: bytes, media_type: str) -> list[float]:
-    """Real decode path: BMP/PPM/PNG/JPEG (sequential + progressive)
-    images decode to pixels (numpy + stdlib zlib/huffman), and PCM WAV
-    (stdlib wave) plus native FLAC (pure-Python rice/LPC bitstream
-    decoder, CRC-verified) audio decodes to samples, featurizing from
-    actual content; every other format still raises the documented
-    codec-absent branch (malformed payloads of a supported magic raise
-    ValueError from the decoder itself)."""
+    """Real decode path: BMP/PPM/PNG/GIF/JPEG (sequential +
+    progressive) images decode to pixels (numpy + stdlib zlib/huffman),
+    WAV (PCM / IEEE float / G.711 / IMA ADPCM) plus native FLAC
+    (pure-Python rice/LPC bitstream decoder, CRC-verified) audio
+    decodes to samples, and MJPEG-AVI / animated-GIF video decodes to
+    frames, featurizing from actual content; every other format still
+    raises the documented codec-absent branch (malformed payloads of a
+    supported magic raise ValueError from the decoder itself)."""
     if media_type == "image":
         px = decode_image(payload)
         if px is not None:
@@ -1600,9 +1752,10 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
     raise NotImplementedError(
         "no codec libraries in this environment for "
         f"media_type={media_type!r} with magic {payload[:2]!r}; only "
-        "BMP/PPM/PNG/JPEG (sequential+progressive) images, PCM WAV + "
-        "FLAC audio and MJPEG-AVI video decode natively — other "
-        "payloads use the deterministic fake decoder"
+        "BMP/PPM/PNG/GIF/JPEG (sequential+progressive) images, WAV "
+        "(PCM/float/G.711/ADPCM) + FLAC audio and MJPEG-AVI / "
+        "animated-GIF video decode natively — other payloads use the "
+        "deterministic fake decoder"
     )
 
 
