@@ -4489,6 +4489,66 @@ def q_higher_moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_haar_revenue_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar multi-resolution decomposition of daily revenue: per level
+    k (1..8, block size 2^k days), the number of detail coefficients
+    and their energy — a seasonality fingerprint (weekly cycles light
+    up level 3, monthly level 5) next to the ACF/periodogram-free
+    forecasting set.
+
+    EXACT integer arithmetic end-to-end: daily revenue lands in cents
+    (long), level-(k-1) block sums pair into unnormalized details
+    ``d = s_even - s_odd`` (still integer cents), and the energy sums
+    ``d^2`` in DECIMAL(38,0) on Spark / HUGEINT in DuckDB — both exact,
+    both casting the SAME integer to double at the very end, so the
+    hash matches bit-for-bit. Missing days are implicit zeros: a pair
+    whose blocks are BOTH empty contributes zero energy and is simply
+    absent (hence ``n_nonzero_pairs``, not a dense coefficient count —
+    energies are identical to the dense-spine Haar, pinned against a
+    zero-filled numpy reference in tests/test_stats.py). Every level is its own independent groupBy over the
+    CACHED ~|date-domain| daily spine: 8 tiny shuffles over a
+    calendar-bounded frame, never a second scan of orders."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    idx = (
+        daily.crossJoin(F.broadcast(d0))
+        .select(F.datediff("day", "d0").alias("i"), "cents")
+    )
+    idx = cache.track(idx.cache())
+    levels = []
+    for k in range(1, 9):
+        half = 1 << (k - 1)
+        blocks = idx.groupBy(
+            F.expr(f"i div {half}").alias("b")
+        ).agg(F.sum("cents").alias("s"))
+        det = blocks.groupBy(F.expr("b div 2").alias("p")).agg(
+            F.sum(
+                F.when(F.col("b") % 2 == 0, F.col("s")).otherwise(
+                    -F.col("s")
+                )
+            ).alias("d")
+        )
+        dd = F.col("d").cast("decimal(38,0)")
+        levels.append(
+            det.agg(
+                F.lit(k).alias("level"),
+                F.count(F.lit(1)).alias("n_nonzero_pairs"),
+                F.round(
+                    F.sum(dd * dd).cast("double") / F.lit(10000.0), 2
+                ).alias("energy_usd2"),
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.orderBy("level")
+
+
 def q_ar2_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AR(2) autoregressive forecast of daily revenue — the lag-structure
     member of the forecasting set (next to seasonal-naive and Holt):
@@ -4967,6 +5027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequential_pattern_support": q_sequential_pattern_support,
         "unigram_tokenizer_train": unigram.q_unigram_tokenizer_train,
         "als_part_recommender": als.q_als_part_recommender,
+        "haar_revenue_wavelet": q_haar_revenue_wavelet,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -7650,6 +7711,37 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
     }
+    sql["haar_revenue_wavelet"] = (
+        """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE)
+                   - (SELECT min(CAST(o_orderdate AS DATE)) FROM orders)
+                   AS i,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1)
+        SELECT * FROM (
+        """
+        + "\nUNION ALL\n".join(
+            f"""
+            SELECT {k} AS level,
+                   CAST(count(*) AS BIGINT) AS n_nonzero_pairs,
+                   round(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                         / CAST(10000 AS DOUBLE), 2) AS energy_usd2
+            FROM (
+              SELECT b // 2 AS p,
+                     CAST(sum(CASE WHEN b % 2 = 0 THEN s ELSE -s END)
+                          AS BIGINT) AS d
+              FROM (
+                SELECT i // {1 << (k - 1)} AS b,
+                       CAST(sum(cents) AS BIGINT) AS s
+                FROM daily GROUP BY 1)
+              GROUP BY 1)
+            """
+            for k in range(1, 9)
+        )
+        + ") ORDER BY level"
+    )
     sql.update(dedup.oracle_sql())
     sql.update(text.oracle_sql())
     sql.update(similarity.oracle_sql())

@@ -191,6 +191,8 @@ SECONDARY = [
     "sequential_pattern_support",
     "unigram_tokenizer_train",
     "als_part_recommender",
+    "temperature_mixture",
+    "haar_revenue_wavelet",
 ]
 
 

@@ -186,3 +186,43 @@ def test_weighted_sample_wor_exact_size_and_bias(spark):
     assert heavy > 30
     with pytest.raises(ValueError):
         corpus.weighted_sample_wor(df, "w", 0, key_col="id")
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    # 3 sources with very uneven counts; alpha<1 must give the small
+    # source a HIGHER keep fraction than proportional sampling would
+    df = spark.range(0, 3300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3000, "big")
+        .when(F.col("id") < 3200, "mid")
+        .otherwise("small")
+        .alias("source"),
+    )
+    out = corpus.temperature_mixture_sample(df, 0.5, 600.0, key_col="doc_id")
+    by = {s: 0 for s in ("big", "mid", "small")}
+    for r in out.collect():
+        by[r.source] += 1
+    # proportional (alpha=1) would give small ~600*100/3300 = 18 docs;
+    # alpha=0.5 weights ~ sqrt(n): w_small = 10/(54.8+14.1+10) = 0.127
+    # -> target ~76 of its 100 docs
+    assert by["small"] > 40
+    assert by["big"] < 550
+    # deterministic and layout-independent
+    again = {
+        r.doc_id
+        for r in corpus.temperature_mixture_sample(
+            df.repartition(11), 0.5, 600.0, key_col="doc_id"
+        ).collect()
+    }
+    assert again == {r.doc_id for r in out.collect()}
+
+
+def test_temperature_mixture_alpha_bounds_and_saturation(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("only").alias("source")
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        corpus.temperature_mixture_sample(df, 1.5, 10.0)
+    # budget above corpus size: everything kept (frac caps at 1)
+    kept = corpus.temperature_mixture_sample(df, 0.7, 1_000.0).count()
+    assert kept == 100

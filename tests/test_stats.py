@@ -199,3 +199,55 @@ def test_ar2_matches_numpy_lstsq(spark):
     assert row.intercept == pytest.approx(coef[2], abs=0.02)
     f1 = coef[2] + coef[0] * ser[-1] + coef[1] * ser[-2]
     assert row.forecast_1 == pytest.approx(f1, abs=0.02)
+
+
+def test_haar_wavelet_matches_numpy_reference(spark):
+    """Per-level detail energies must equal an integer-exact numpy Haar
+    computed from the same daily-cents series."""
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    rel = duckdb.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM '{SF_SMOKE}/orders.parquet'
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    d0 = rel[0][0]
+    n = (rel[-1][0] - d0).days + 1
+    series = np.zeros(n, dtype=object)  # python ints: no overflow
+    for day, cents in rel:
+        series[(day - d0).days] = int(cents)
+    rows = entrymod.q_haar_revenue_wavelet(spark, SF_SMOKE).collect()
+    assert [r.level for r in rows] == list(range(1, 9))
+    for r in rows:
+        half = 1 << (r.level - 1)
+        nblocks = -(-n // half)
+        blocks = [
+            int(series[b * half : (b + 1) * half].sum())
+            for b in range(nblocks)
+        ]
+        present = [
+            bool((series[b * half : (b + 1) * half] != 0).any())
+            for b in range(nblocks)
+        ]
+        details = [
+            blocks[2 * p] - (blocks[2 * p + 1] if 2 * p + 1 < nblocks else 0)
+            for p in range(-(-nblocks // 2))
+        ]
+        nonzero_pairs = sum(
+            1
+            for p in range(-(-nblocks // 2))
+            if present[2 * p]
+            or (2 * p + 1 < nblocks and present[2 * p + 1])
+        )
+        assert r.n_nonzero_pairs == nonzero_pairs
+        # dense-spine energies equal the sparse ones: empty pairs add 0
+        want = round(sum(d * d for d in details) / 10000.0, 2)
+        assert r.energy_usd2 == pytest.approx(want, abs=0.02)

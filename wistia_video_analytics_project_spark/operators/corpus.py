@@ -213,6 +213,57 @@ def mixture_sample(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    alpha: float,
+    total_docs: float,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing: per-source sampling weight
+    ``w_s = n_s^alpha / sum_t(n_t^alpha)`` (the multilingual-LM
+    standard — alpha=1 is proportional, alpha=0 uniform across sources,
+    alpha~0.7 the usual low-resource upweighting), target
+    ``total_docs * w_s`` docs per source, applied as a deterministic
+    md5-threshold Bernoulli keep.
+
+    Where :func:`mixture_sample` takes an EXPLICIT weight spec, this
+    derives the spec from the data — the knob is one scalar.  Parity
+    design: ``pow`` is not correctly-rounded across engines, so the
+    keep fraction is ``round(..., 6)`` BEFORE the threshold compare
+    (the CLAUDE.md computed-threshold rule); everything after the round
+    is IEEE-exact multiply/compare.  One tiny per-source count
+    aggregate broadcast back over the corpus — no corpus shuffle.
+    """
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))).alias(
+            "__z"
+        )
+    )
+    frac = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(total_docs))
+            * F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+            / F.col("__z")
+            / F.col("__n").cast("double"),
+        ),
+        6,
+    )
+    keep = uniform_int32(key_col).cast("double") < frac * F.lit(
+        float(1 << (4 * _HEX_WIDTH))
+    )
+    return (
+        df.join(F.broadcast(counts), source_col)
+        .crossJoin(F.broadcast(z))
+        .filter(keep)
+        .drop("__n", "__z")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
@@ -393,6 +444,20 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: temperature + doc budget for the driver binding (and its oracle)
+TEMP_ALPHA = 0.7
+TEMP_BUDGET = 300.0
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (n^0.7) mixture sample of the documents
+    corpus — small sources upweighted relative to proportional."""
+    docs = _docs(spark, sf_dir)
+    return temperature_mixture_sample(
+        docs, TEMP_ALPHA, TEMP_BUDGET
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the corpus into 512-token windows; report per-bucket packing
     efficiency (packs, docs, fill rate). Greedy packing is not
@@ -441,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_wor": q_weighted_sample_wor,
         "stratified_sample_wor": q_stratified_sample_wor,
         "mixture_sample": q_mixture_sample,
+        "temperature_mixture": q_temperature_mixture,
         "pack_sequences": q_pack_sequences,
     }
 
@@ -513,6 +579,28 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS DOUBLE)
                   < least(CAST(1 AS DOUBLE),
                           target / CAST(src_total AS DOUBLE)) * 4294967296.0
+        """,
+        "temperature_mixture": f"""
+            WITH counts AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1),
+            z AS (
+              SELECT sum(pow(CAST(n AS DOUBLE), CAST({TEMP_ALPHA!r} AS DOUBLE)))
+                       AS z
+              FROM counts),
+            fr AS (
+              SELECT source,
+                     round(least(CAST(1 AS DOUBLE),
+                         CAST({TEMP_BUDGET!r} AS DOUBLE)
+                         * pow(CAST(n AS DOUBLE), CAST({TEMP_ALPHA!r} AS DOUBLE))
+                         / z / CAST(n AS DOUBLE)), 6) AS frac
+              FROM counts, z)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN fr USING (source)
+            WHERE CAST(CAST(concat('0x',
+                     substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS DOUBLE)
+                  < frac * 4294967296.0
         """,
         # pack_sequences: greedy FFD is imperative — rows-only by design
     }
