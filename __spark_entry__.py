@@ -5045,7 +5045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "duplicated_spans_hashed",
                        "quality_classifier_train", "langid_train",
                        "ann_mmr", "unigram_tokenizer_train",
-                       "als_part_recommender"):
+                       "als_part_recommender", "part_communities"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 

@@ -193,6 +193,7 @@ SECONDARY = [
     "als_part_recommender",
     "temperature_mixture",
     "haar_revenue_wavelet",
+    "part_communities",
 ]
 
 

@@ -63,6 +63,10 @@ def test_queries_registry_well_formed(spark):
         # numpy-reference parity + loss monotonicity pinned in
         # tests/test_als.py
         "als_part_recommender",
+        # iterative label-propagation rounds — no SQL equivalent;
+        # determinism + planted-partition recovery pinned in
+        # tests/test_graph.py
+        "part_communities",
     }
 
 

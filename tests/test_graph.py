@@ -294,3 +294,64 @@ def test_k_core_stats_flags_convergence(spark):
     stats = {}
     graph.k_core(df, 2, max_rounds=1, stats=stats).collect()
     assert stats["converged"] is False and stats["rounds"] == 1
+
+
+# --- label propagation ------------------------------------------------------
+
+
+def _two_clique_graph(spark):
+    from itertools import combinations
+
+    edges = [(a, b, 5.0) for a, b in combinations(range(0, 5), 2)]
+    edges += [(a, b, 5.0) for a, b in combinations(range(10, 15), 2)]
+    edges.append((4, 10, 1.0))  # weak bridge
+    return spark.createDataFrame(edges, "a long, b long, w double")
+
+
+def test_label_propagation_recovers_planted_partition(spark):
+    df = _two_clique_graph(spark)
+    labels = {
+        r.node: r.community
+        for r in graph.label_propagation(df, weight="w", rounds=5).collect()
+    }
+    left = {labels[n] for n in range(0, 5)}
+    right = {labels[n] for n in range(10, 15)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+    # deterministic ties -> every label is the community's smallest id
+    assert left == {0} and right == {10}
+
+
+def test_label_propagation_deterministic_and_rounds_contract(spark):
+    df = _two_clique_graph(spark)
+    a = sorted(
+        (r.node, r.community)
+        for r in graph.label_propagation(df, weight="w", rounds=3).collect()
+    )
+    b = sorted(
+        (r.node, r.community)
+        for r in graph.label_propagation(
+            df.repartition(7), weight="w", rounds=3
+        ).collect()
+    )
+    assert a == b
+    # rounds=0: every node keeps its own id
+    own = graph.label_propagation(df, weight="w", rounds=0).collect()
+    assert all(r.node == r.community for r in own)
+
+
+def test_community_summary_modularity_signs(spark):
+    from pyspark.sql import functions as F
+
+    df = _two_clique_graph(spark)
+    labels = graph.label_propagation(df, weight="w", rounds=5)
+    edges = df.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    )
+    rows = graph.community_summary(labels, edges).collect()
+    assert {r.community for r in rows} == {0, 10}
+    for r in rows:
+        assert r.n_nodes == 5
+        # two near-disjoint cliques: each contributes positive modularity
+        assert r.modularity_part > 0.1
+        assert r.internal_w == 50.0  # C(5,2)=10 edges x weight 5

@@ -904,6 +904,153 @@ _ASSORT_ORACLE = """
 """
 
 
+def label_propagation(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    weight: str | None = None,
+    rounds: int = 5,
+) -> DataFrame:
+    """Deterministic semi-synchronous label propagation (community
+    detection): labels start as node ids; each round every node adopts
+    the label with the highest total incident edge weight among its
+    neighbors' CURRENT labels, ties broken by the SMALLEST label id.
+    Classic async LPA is run-order-dependent; fixing the update to
+    synchronous rounds with a total tie order makes the result a pure
+    function of (graph, rounds) — reproducible across layouts, which
+    is what a 100 TB rerun needs.  Iterative and heuristic, so no SQL
+    oracle (rows-only; determinism + planted-partition recovery pinned
+    in tests/test_graph.py).
+
+    Each round: one edge->label equi-join + one (node, label) weight
+    aggregate + one max_by per node — two shuffles on integer keys.
+    The label chain is LINEAR (each round's frame is referenced exactly
+    once by the next), so the whole propagation stays lazily chained
+    into ONE action, the pagerank idiom — no per-round materialization
+    jobs; only the static edge frame (referenced every round) is
+    cached.
+
+    Returns (node, community) — community is the final label.
+    """
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    half = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"), w.alias("w"))
+    edges = cache.track(
+        half.unionByName(
+            half.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        ).cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+    )
+    for _ in range(int(rounds)):
+        tally = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"),
+                    F.col("community").alias("nbr_label"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "nbr_label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        # max struct = (highest weight, then smallest label via negation)
+        labels = (
+            tally.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("wsum"), (-F.col("nbr_label")).alias("nl")
+                    )
+                ).alias("best")
+            )
+            .select("node", (-F.col("best.nl")).alias("community"))
+        )
+    return labels
+
+
+def community_summary(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-community report over a node->community assignment: size,
+    internal edge weight, and the community's modularity contribution
+    ``w_in/(2m) - (deg_c/(2m))^2``.  Pure aggregates — two shuffles."""
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    lab = labels.select(
+        F.col("node").alias("src"), F.col("community").alias("c_src")
+    )
+    labd = labels.select(
+        F.col("node").alias("dst"), F.col("community").alias("c_dst")
+    )
+    joined = sym.join(lab, "src").join(labd, "dst")
+    two_m = joined.agg(F.sum("w").alias("m2"))
+    per = joined.groupBy(F.col("c_src").alias("community")).agg(
+        F.sum(F.when(F.col("c_src") == F.col("c_dst"), F.col("w")).otherwise(0.0)).alias("w_in"),
+        F.sum("w").alias("deg_w"),
+    )
+    sizes = labels.groupBy("community").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        per.join(sizes, "community")
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            "community",
+            "n_nodes",
+            F.round(F.col("w_in") / 2.0, 1).alias("internal_w"),
+            F.round(
+                F.col("w_in") / F.col("m2")
+                - (F.col("deg_w") / F.col("m2"))
+                * (F.col("deg_w") / F.col("m2")),
+                6,
+            ).alias("modularity_part"),
+        )
+    )
+
+
+def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities of the strong co-purchase graph
+    (pairs co-occurring in >= 2 orders), 5 deterministic rounds; top-20
+    communities by size with their modularity contribution.  Rows-only
+    (iterative heuristic — see label_propagation)."""
+    configure_runtime(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey").filter(
+        F.col("pair_count") >= 2
+    )
+    # the summary joins the label frame twice (src + dst side): cache
+    # the END of the lazy propagation chain once (not per round)
+    labels = cache.track(
+        label_propagation(
+            pairs, a="item_a", b="item_b", weight="pair_count", rounds=5
+        ).cache()
+    )
+    edges = pairs.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("pair_count").cast("double").alias("w"),
+    )
+    return (
+        community_summary(labels, edges)
+        .orderBy(
+            F.col("n_nodes").desc(), F.col("community").asc()
+        )
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "part_pagerank": q_part_pagerank,
@@ -913,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_assortativity": q_copurchase_assortativity,
         "copurchase_triangles": q_copurchase_triangles,
         "copurchase_core3": q_copurchase_core3,
+        "part_communities": q_part_communities,
     }
 
 
