@@ -4549,6 +4549,85 @@ def q_haar_revenue_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("level")
 
 
+#: candidate cycles for the periodogram binding (and its oracle)
+_PERIODOGRAM_PERIODS = (7, 14, 30, 91, 365)
+
+
+def q_revenue_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram of daily revenue at candidate business
+    cycles (weekly/fortnight/monthly/quarterly/annual): per period P,
+    the variance fraction ``2*(C^2+S^2)/(n*sum(dev^2))`` that a
+    sinusoid at P explains (the Fourier-frequency R^2), and the implied
+    cycle amplitude, where ``C/S`` are the cos/sin projections of the
+    mean-centered daily series.
+
+    Float-parity choices: the phase is ``2*pi * (i mod P) / P`` — the
+    mod keeps cos/sin arguments in [0, 2*pi) where both engines'
+    correctly-rounded-to-~1ulp libm agree (naive ``2*pi*i/P`` at
+    i~2400 loses the argument reduction battle); 2*pi enters as the
+    exact double literal (string-cast in the oracle); the mean divides
+    the exact integer cents total ONCE; power shares round at 6
+    decimals, far above the summation-order noise floor (~1e-12
+    relative). Two scans of the cached daily spine (stats + projection)
+    — the |periods| x |days| explode is calendar-bounded, never
+    data-bounded."""
+    two_pi = 6.283185307179586
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    daily = cache.track(daily.cache())
+    stats = daily.agg(
+        F.min("day").alias("d0"),
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    base = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            F.datediff("day", "d0").alias("i"),
+            (
+                F.col("cents").cast("double") / F.lit(100.0)
+                - F.col("tot").cast("double")
+                / (F.col("n").cast("double") * F.lit(100.0))
+            ).alias("dev"),
+            F.col("n").cast("double").alias("nd"),
+        )
+    )
+    per = base.select(
+        "i", "dev", "nd",
+        F.explode(
+            F.array(*[F.lit(p) for p in _PERIODOGRAM_PERIODS])
+        ).alias("p"),
+    ).withColumn(
+        "theta",
+        (F.col("i") % F.col("p")).cast("double")
+        * F.lit(two_pi)
+        / F.col("p").cast("double"),
+    )
+    agg = per.groupBy("p").agg(
+        F.sum(F.col("dev") * F.cos("theta")).alias("c"),
+        F.sum(F.col("dev") * F.sin("theta")).alias("s"),
+        F.sum(F.col("dev") * F.col("dev")).alias("ss"),
+        F.max("nd").alias("nd"),
+    )
+    pw = F.col("c") * F.col("c") + F.col("s") * F.col("s")
+    return agg.select(
+        F.col("p").alias("period"),
+        (
+            F.round(
+                F.lit(2.0) * pw / (F.col("nd") * F.col("ss")), 6
+            )
+            + F.lit(0.0)
+        ).alias("power_share"),
+        (F.round(F.lit(2.0) * F.sqrt(pw) / F.col("nd"), 2) + F.lit(0.0)).alias(
+            "amplitude_usd"
+        ),
+    ).orderBy("period")
+
+
 def q_ar2_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AR(2) autoregressive forecast of daily revenue — the lag-structure
     member of the forecasting set (next to seasonal-naive and Holt):
@@ -5028,6 +5107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenizer_train": unigram.q_unigram_tokenizer_train,
         "als_part_recommender": als.q_als_part_recommender,
         "haar_revenue_wavelet": q_haar_revenue_wavelet,
+        "revenue_periodogram": q_revenue_periodogram,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -7742,6 +7822,42 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") ORDER BY level"
     )
+    periods_values = ", ".join(f"({p})" for p in _PERIODOGRAM_PERIODS)
+    sql["revenue_periodogram"] = f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        stats AS (
+          SELECT min(day) AS d0,
+                 CAST(sum(cents) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM daily),
+        base AS (
+          SELECT day - d0 AS i,
+                 CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE)
+                   - CAST(tot AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE)) AS dev,
+                 CAST(n AS DOUBLE) AS nd
+          FROM daily, stats),
+        per AS (
+          SELECT i, dev, nd, p,
+                 CAST(i % p AS DOUBLE)
+                   * CAST('6.283185307179586' AS DOUBLE)
+                   / CAST(p AS DOUBLE) AS theta
+          FROM base, (VALUES {periods_values}) t(p)),
+        agg AS (
+          SELECT p, sum(dev * cos(theta)) AS c, sum(dev * sin(theta)) AS s,
+                 sum(dev * dev) AS ss, max(nd) AS nd
+          FROM per GROUP BY 1)
+        SELECT p AS period,
+               round(CAST(2 AS DOUBLE) * (c * c + s * s) / (nd * ss), 6)
+                 + CAST(0 AS DOUBLE) AS power_share,
+               round(CAST(2 AS DOUBLE) * sqrt(c * c + s * s) / nd, 2)
+                 + CAST(0 AS DOUBLE) AS amplitude_usd
+        FROM agg ORDER BY period
+    """
     sql.update(dedup.oracle_sql())
     sql.update(text.oracle_sql())
     sql.update(similarity.oracle_sql())

@@ -194,6 +194,7 @@ SECONDARY = [
     "temperature_mixture",
     "haar_revenue_wavelet",
     "part_communities",
+    "revenue_periodogram",
 ]
 
 

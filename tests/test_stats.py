@@ -251,3 +251,40 @@ def test_haar_wavelet_matches_numpy_reference(spark):
         # dense-spine energies equal the sparse ones: empty pairs add 0
         want = round(sum(d * d for d in details) / 10000.0, 2)
         assert r.energy_usd2 == pytest.approx(want, abs=0.02)
+
+
+def test_periodogram_matches_numpy_reference(spark):
+    """Power shares must match a numpy periodogram of the same
+    mean-centered daily-cents series at each candidate period."""
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    rel = duckdb.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM '{SF_SMOKE}/orders.parquet'
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    d0 = rel[0][0]
+    i = np.array([(day - d0).days for day, _ in rel])
+    rev = np.array([c for _, c in rel], dtype=np.float64) / 100.0
+    dev = rev - rev.mean()
+    rows = entrymod.q_revenue_periodogram(spark, SF_SMOKE).collect()
+    assert [r.period for r in rows] == [7, 14, 30, 91, 365]
+    for r in rows:
+        theta = 2 * np.pi * (i % r.period) / r.period
+        c = float((dev * np.cos(theta)).sum())
+        s = float((dev * np.sin(theta)).sum())
+        share = (
+            2.0 * (c * c + s * s) / (len(dev) * float((dev * dev).sum()))
+        )
+        assert r.power_share == pytest.approx(share, abs=2e-6)
+        amp = 2.0 * (c * c + s * s) ** 0.5 / len(dev)
+        assert r.amplitude_usd == pytest.approx(amp, abs=0.02)
+        assert 0.0 <= r.power_share <= 1.0
