@@ -4549,6 +4549,53 @@ def q_haar_revenue_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("level")
 
 
+def q_isotonic_late_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration curve: P(order has a late line | price
+    bucket), fitted monotone non-decreasing with PAVA — the standard
+    score-calibration shape (bucket-aggregate sufficient stats, driver
+    PAVA over the BOUNDED bucket frame, broadcast the step function
+    back; the corpus never hits the driver — linalg.isotonic_fit).
+    Rows-only: PAVA's sequential pooling has no SQL equivalent;
+    optimality and invariants are pinned in tests/test_linalg.py."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    # synthetic lineitem carries only l_shipdate (TESTDATA caveat:
+    # dates are independent of o_orderdate) — "late" = any line shipped
+    # more than 30 days after the order date
+    per_line = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = per_line.groupBy("o_orderkey").agg(
+        F.max(
+            (
+                F.datediff(
+                    F.to_date("l_shipdate"), F.to_date("o_orderdate")
+                )
+                > 30
+            ).cast("int")
+        ).alias("late"),
+        F.first("o_totalprice").alias("o_totalprice"),
+    )
+    per_order = late.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 20000).cast("long"), F.lit(27)
+        ).alias("bucket"),
+        "late",
+    )
+    buckets = per_order.groupBy("bucket").agg(
+        F.sum("late").cast("long").alias("n_late"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    fitted = linalg.isotonic_fit(buckets, "bucket", "n_late", "n_orders")
+    return fitted.select(
+        "bucket",
+        "n_orders",
+        F.round(F.col("n_late") / F.col("n_orders"), 6).alias("raw_rate"),
+        F.round("iso_rate", 6).alias("iso_rate"),
+    ).orderBy("bucket")
+
+
 #: candidate cycles for the periodogram binding (and its oracle)
 _PERIODOGRAM_PERIODS = (7, 14, 30, 91, 365)
 
@@ -5108,6 +5155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "als_part_recommender": als.q_als_part_recommender,
         "haar_revenue_wavelet": q_haar_revenue_wavelet,
         "revenue_periodogram": q_revenue_periodogram,
+        "isotonic_late_by_price": q_isotonic_late_by_price,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -5125,7 +5173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "duplicated_spans_hashed",
                        "quality_classifier_train", "langid_train",
                        "ann_mmr", "unigram_tokenizer_train",
-                       "als_part_recommender", "part_communities"):
+                       "als_part_recommender", "part_communities",
+                       "isotonic_late_by_price"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 

@@ -195,6 +195,7 @@ SECONDARY = [
     "haar_revenue_wavelet",
     "part_communities",
     "revenue_periodogram",
+    "isotonic_late_by_price",
 ]
 
 

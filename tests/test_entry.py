@@ -67,6 +67,9 @@ def test_queries_registry_well_formed(spark):
         # determinism + planted-partition recovery pinned in
         # tests/test_graph.py
         "part_communities",
+        # PAVA's sequential pooling — no SQL equivalent; optimality vs
+        # brute force + invariants pinned in tests/test_linalg.py
+        "isotonic_late_by_price",
     }
 
 

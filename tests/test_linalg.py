@@ -273,3 +273,76 @@ def test_logistic_train_separates_linear_data(spark):
         | ((F.col("margin") < 0) & (F.col("y") == 1.0))
     ).count()
     assert wrong == 0
+
+
+# --- isotonic (PAVA) --------------------------------------------------------
+
+
+def _brute_isotonic(ys, ws):
+    """O(n^2) exact isotonic LSE via the minimax formula:
+    fit_i = max_{j<=i} min_{k>=j} weighted_mean(y[j..k])."""
+    n = len(ys)
+    out = []
+    for i in range(n):
+        best = -float("inf")
+        for j in range(i + 1):
+            m = float("inf")
+            for k in range(i, n):
+                num = sum(ys[t] * ws[t] for t in range(j, k + 1))
+                den = sum(ws[t] for t in range(j, k + 1))
+                if den > 0:
+                    m = min(m, num / den)
+            best = max(best, m)
+        out.append(best)
+    return out
+
+
+def test_pava_matches_minimax_brute_force():
+    from wistia_video_analytics_project_spark.operators import linalg
+
+    ys = [3.0, 1.0, 2.0, 5.0, 4.0, 4.0, 0.5, 9.0]
+    ws = [1.0, 2.0, 1.0, 3.0, 1.0, 2.0, 1.0, 1.0]
+    got = linalg.pava(ys, ws)
+    want = _brute_isotonic(ys, ws)
+    assert got == pytest.approx(want, abs=1e-12)
+    # monotone, weighted-mean preserving, L2 no worse than constant fit
+    assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))
+    assert sum(g * w for g, w in zip(got, ws)) == pytest.approx(
+        sum(y * w for y, w in zip(ys, ws))
+    )
+
+
+def test_pava_sorted_input_is_identity_and_zero_weights():
+    from wistia_video_analytics_project_spark.operators import linalg
+
+    ys = [1.0, 2.0, 3.0]
+    assert linalg.pava(ys, [1.0, 1.0, 1.0]) == ys
+    # zero-weight entries fold into neighbors without crashing
+    out = linalg.pava([5.0, 0.0, 6.0], [1.0, 0.0, 1.0])
+    assert all(a <= b + 1e-12 for a, b in zip(out, out[1:]))
+    with pytest.raises(ValueError, match="length"):
+        linalg.pava([1.0], [1.0, 2.0])
+    with pytest.raises(ValueError, match="non-negative"):
+        linalg.pava([1.0], [-1.0])
+
+
+def test_isotonic_fit_dataframe_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from wistia_video_analytics_project_spark.operators import linalg
+
+    buckets = spark.createDataFrame(
+        [(0, 2, 10), (1, 8, 10), (2, 4, 10), (3, 9, 10)],
+        "bucket long, n_late long, n_orders long",
+    )
+    out = {
+        r.bucket: r.iso_rate
+        for r in linalg.isotonic_fit(
+            buckets, "bucket", "n_late", "n_orders"
+        ).collect()
+    }
+    # buckets 1 and 2 violate (0.8 > 0.4) -> pooled to 0.6
+    assert out[0] == pytest.approx(0.2)
+    assert out[1] == pytest.approx(0.6)
+    assert out[2] == pytest.approx(0.6)
+    assert out[3] == pytest.approx(0.9)

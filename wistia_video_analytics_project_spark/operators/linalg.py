@@ -433,3 +433,66 @@ def logistic_margin(
         lambda acc, x: acc + x,
     )
     return df.withColumn(out_col, dot + F.lit(float(bias)))
+
+
+def pava(ys: "list[float]", ws: "list[float]") -> "list[float]":
+    """Weighted pool-adjacent-violators: the isotonic (non-decreasing)
+    least-squares fit of ``ys`` with weights ``ws``.  Classic stack
+    algorithm, O(n): adjacent blocks merge while out of order; each
+    input's fitted value is its block's weighted mean.  Exact float
+    determinism: merges always combine in index order."""
+    if len(ys) != len(ws):
+        raise ValueError("ys and ws must be the same length")
+    # blocks of (weighted sum, weight, count)
+    sums: list[float] = []
+    wts: list[float] = []
+    cnts: list[int] = []
+    for y, w in zip(ys, ws):
+        if w < 0:
+            raise ValueError("weights must be non-negative")
+        sums.append(float(y) * float(w))
+        wts.append(float(w))
+        cnts.append(1)
+        # merge on violation (cross-multiplied: exact, no division);
+        # zero-weight blocks are unconstrained and fold into a neighbor
+        while len(sums) > 1 and (
+            wts[-2] == 0
+            or wts[-1] == 0
+            or sums[-2] * wts[-1] > sums[-1] * wts[-2]  # mean_prev > mean_cur
+        ):
+            sums[-2:] = [sums[-2] + sums[-1]]
+            wts[-2:] = [wts[-2] + wts[-1]]
+            cnts[-2:] = [cnts[-2] + cnts[-1]]
+    out: list[float] = []
+    for s, w, c in zip(sums, wts, cnts):
+        v = s / w if w > 0 else 0.0
+        out.extend([v] * c)
+    return out
+
+
+def isotonic_fit(
+    buckets: DataFrame,
+    x_col: str,
+    y_sum_col: str,
+    n_col: str,
+) -> DataFrame:
+    """Isotonic calibration over pre-aggregated buckets: collect the
+    BOUNDED (bucket, sum_y, n) frame ordered by ``x_col``, run PAVA on
+    the driver (O(buckets) — bucket count is a design constant,
+    independent of data size: the standard distributed-isotonic shape),
+    and return the frame with a ``iso_rate`` column.  The raw corpus is
+    never collected; only sufficient statistics cross the driver
+    boundary."""
+    rows = buckets.select(x_col, y_sum_col, n_col).orderBy(x_col).collect()
+    ys = [
+        (float(r[y_sum_col]) / float(r[n_col])) if r[n_col] else 0.0
+        for r in rows
+    ]
+    ws = [float(r[n_col]) for r in rows]
+    fitted = pava(ys, ws)
+    spark = buckets.sparkSession
+    fit_df = spark.createDataFrame(
+        [(r[x_col], f) for r, f in zip(rows, fitted)],
+        f"{x_col} long, iso_rate double",
+    )
+    return buckets.join(F.broadcast(fit_df), x_col)
