@@ -2060,3 +2060,284 @@ def test_wav_unsupported_and_malformed_raise_valueerror(spark):
     )
     [row] = multimodal.extract_features(df).collect()
     assert list(row.feature) == multimodal._fake_decode(wav)
+
+
+# --- TIFF: test-side writer (LZW early-change + PackBits) + native decode ---
+
+
+def _tiff_lzw_encode(data):
+    """TIFF-variant LZW compressor: MSB-first, 9-bit start, Clear/EOI,
+    EARLY width change mirroring the decoder's clock."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    n = 258  # decoder-side table length
+    first = True
+
+    def after_emit():
+        nonlocal n, width, first
+        if first:
+            first = False
+            return
+        n += 1
+        if n == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        after_emit()
+        if next_code < 4094:
+            table[cur] = next_code
+            next_code += 1
+        prev = bytes([byte])
+    if prev:
+        emit(table[prev], width)
+        after_emit()
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data):
+    """Simple PackBits: runs of >=3 identical bytes as repeats, the
+    rest as literal groups of <=128."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        while (
+            i < len(data)
+            and i - lit_start < 128
+            and not (
+                i + 2 < len(data) and data[i] == data[i + 1] == data[i + 2]
+            )
+        ):
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def _tiff_bytes(px, comp=1, big_endian=False, predictor=1, photometric=None,
+                colormap=None, rows_per_strip=None):
+    """(h, w[, spp]) uint8 array -> single-IFD TIFF."""
+    import struct
+
+    import numpy as np
+
+    bo = ">" if big_endian else "<"
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, spp = px.shape
+    if photometric is None:
+        photometric = 2 if spp == 3 else 1
+    rps = rows_per_strip or h
+    arr = px
+    if predictor == 2:
+        d = arr.astype(np.int16)
+        d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+        arr = (d % 256).astype(np.uint8)
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = arr[r0 : r0 + rps].tobytes()
+        if comp == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif comp == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    entries = []  # (tag, type, count, value-or-bytes)
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(256, 3, [w])
+    entry(257, 3, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [comp])
+    entry(262, 3, [photometric])
+    entry(277, 3, [spp])
+    entry(278, 3, [rps])
+    if predictor != 1:
+        entry(317, 3, [predictor])
+    if colormap is not None:
+        entry(320, 3, list(colormap))
+    # layout: header(8) + IFD + extra values + strip data
+    n_ent = len(entries) + 2  # + StripOffsets/StripByteCounts
+    ifd_off = 8
+    sz = {3: 2, 4: 4}
+    extra = bytearray()
+    extra_base = ifd_off + 2 + 12 * n_ent + 4
+
+    def pack_entry(tag, typ, vals):
+        cnt = len(vals)
+        total = sz[typ] * cnt
+        fmt = {3: "H", 4: "I"}[typ]
+        if total <= 4:
+            buf = struct.pack(bo + fmt * cnt, *vals)
+            buf += b"\x00" * (4 - total)
+            return struct.pack(bo + "HHI", tag, typ, cnt) + buf
+        off = extra_base + len(extra)
+        extra.extend(struct.pack(bo + fmt * cnt, *vals))
+        if len(extra) & 1:
+            extra.append(0)
+        return struct.pack(bo + "HHI", tag, typ, cnt) + struct.pack(
+            bo + "I", off
+        )
+
+    # strip offsets come after we know the extra-values length; reserve
+    # by building entries twice: first pass with dummy offsets
+    dummy = [0] * len(strips)
+    all_entries = entries + [(273, 4, dummy), (279, 4, [len(s) for s in strips])]
+    all_entries.sort(key=lambda t: t[0])
+    packed_once = b"".join(pack_entry(*e) for e in all_entries)
+    data_base = extra_base + len(extra)
+    offs = []
+    pos = data_base
+    for s in strips:
+        offs.append(pos)
+        pos += len(s) + (len(s) & 1)
+    # second pass with real offsets (extra regenerated identically)
+    extra2 = bytearray()
+    extra_base2 = extra_base
+
+    def pack_entry2(tag, typ, vals):
+        cnt = len(vals)
+        total = sz[typ] * cnt
+        fmt = {3: "H", 4: "I"}[typ]
+        if total <= 4:
+            buf = struct.pack(bo + fmt * cnt, *vals)
+            buf += b"\x00" * (4 - total)
+            return struct.pack(bo + "HHI", tag, typ, cnt) + buf
+        off = extra_base2 + len(extra2)
+        extra2.extend(struct.pack(bo + fmt * cnt, *vals))
+        if len(extra2) & 1:
+            extra2.append(0)
+        return struct.pack(bo + "HHI", tag, typ, cnt) + struct.pack(
+            bo + "I", off
+        )
+
+    all_entries = entries + [(273, 4, offs), (279, 4, [len(s) for s in strips])]
+    all_entries.sort(key=lambda t: t[0])
+    ifd = struct.pack(bo + "H", n_ent)
+    ifd += b"".join(pack_entry2(*e) for e in all_entries)
+    ifd += struct.pack(bo + "I", 0)  # no next IFD
+    out = bytearray()
+    out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
+    out += struct.pack(bo + "I", ifd_off)
+    out += ifd
+    out += extra2
+    for s in strips:
+        out += s
+        if len(s) & 1:
+            out += b"\x00"
+    return bytes(out)
+
+
+def _tiff_test_image(h=13, w=17, spp=3, seed=0):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (7 * xx + 13 * yy + seed).astype(np.uint8)
+    if spp == 1:
+        return base
+    return np.stack([base, base[::-1, :], (base * 3 + 1)], axis=2).astype(
+        np.uint8
+    )
+
+
+def test_tiff_uncompressed_rgb_both_endians():
+    import numpy as np
+
+    px = _tiff_test_image()
+    for be in (False, True):
+        got = multimodal.decode_image(_tiff_bytes(px, big_endian=be))
+        assert (got == px).all()
+    # multi-strip layout
+    got = multimodal.decode_image(_tiff_bytes(px, rows_per_strip=4))
+    assert (got == px).all()
+
+
+def test_tiff_lzw_and_predictor_roundtrip():
+    import numpy as np
+
+    px = _tiff_test_image(16, 21)
+    assert (multimodal.decode_image(_tiff_bytes(px, comp=5)) == px).all()
+    assert (
+        multimodal.decode_image(_tiff_bytes(px, comp=5, predictor=2)) == px
+    ).all()
+    # LZW exercise with low-entropy data that grows the code width
+    flat = np.tile(np.arange(256, dtype=np.uint8), 40).reshape(40, 256)
+    assert (
+        multimodal.decode_image(_tiff_bytes(flat, comp=5))[:, :, 0]
+        == flat
+    ).all()
+
+
+def test_tiff_packbits_gray_and_palette():
+    import numpy as np
+
+    gray = _tiff_test_image(9, 11, spp=1)
+    got = multimodal.decode_image(_tiff_bytes(gray, comp=32773))
+    assert (got[:, :, 0] == gray).all() and (got[:, :, 1] == gray).all()
+    # WhiteIsZero inverts
+    got0 = multimodal.decode_image(
+        _tiff_bytes(gray, comp=32773, photometric=0)
+    )
+    assert (got0[:, :, 0] == 255 - gray).all()
+    # palette: 16-bit colormap, decoder scales >>8
+    idx = (gray % 8).astype(np.uint8)
+    cmap = [0] * 768
+    for i in range(8):
+        cmap[i] = i * 0x1100          # red plane
+        cmap[256 + i] = i * 0x0700    # green
+        cmap[512 + i] = i * 0x1F00    # blue
+    got = multimodal.decode_image(
+        _tiff_bytes(idx, photometric=3, colormap=cmap)
+    )
+    import numpy as np
+    pal = np.array(
+        [[(i * 0x1100) >> 8, (i * 0x0700) >> 8, (i * 0x1F00) >> 8]
+         for i in range(8)],
+        dtype=np.uint8,
+    )
+    assert (got == pal[idx]).all()
+
+
+def test_tiff_unsupported_and_malformed():
+    px = _tiff_test_image()
+    good = _tiff_bytes(px)
+    with pytest.raises(ValueError, match="TIFF"):
+        multimodal._decode_tiff(good[:6])
+    with pytest.raises(ValueError, match="TIFF"):
+        multimodal._decode_tiff(good[:40])  # truncated IFD
+    bad_comp = _tiff_bytes(px, comp=7)  # JPEG-in-TIFF: unsupported
+    with pytest.raises(ValueError, match="compression"):
+        multimodal._decode_tiff(bad_comp)
+    feats = multimodal.real_decode(good, "image")
+    assert feats == multimodal._pixel_features(px)

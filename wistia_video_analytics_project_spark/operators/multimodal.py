@@ -250,6 +250,210 @@ def _decode_png(payload: bytes):
     return np.ascontiguousarray(px[:, :, :3])
 
 
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (ISO 12639 / TIFF 6.0 §13): 8-bit symbols,
+    MSB-first packed variable-width codes starting at 9 bits, Clear=256,
+    EOI=257, table grows from 258, and the EARLY-CHANGE width bump
+    (width increments when the next code WOULD reach 2^width - 1 —
+    one code earlier than GIF)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("TIFF: bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("TIFF: LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:  # early change
+                width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (Apple RLE): n in 0..127 -> copy n+1 literals;
+    n in -127..-1 -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("TIFF: PackBits run truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("TIFF: PackBits output short")
+    return bytes(out[:expected])
+
+
+def _decode_tiff(payload: bytes):
+    """Baseline TIFF 6.0 -> (h, w, 3) uint8 RGB: both byte orders
+    (II/MM), first IFD only, strip-based storage, compressions 1 (none)
+    / 5 (LZW, with horizontal-differencing predictor 2) / 32773
+    (PackBits), photometrics 0/1 (grayscale, 8-bit), 2 (RGB, 8-bit per
+    sample), 3 (palette, 16-bit colormap scaled >>8).  Tiled TIFFs,
+    16-bit samples, and planar configuration 2 raise ValueError (the
+    fake-decoder fallback upstream)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] == b"II\x2a\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00\x2a":
+        bo = ">"
+    else:
+        raise ValueError("TIFF: bad magic")
+    if len(payload) < 8:
+        raise ValueError("TIFF: truncated header")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF: IFD offset out of range")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, tuple[int, list[int]]] = {}
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    for e in range(n_entries):
+        off = ifd_off + 2 + 12 * e
+        if off + 12 > len(payload):
+            raise ValueError("TIFF: IFD entry out of range")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+        if typ not in _SZ:
+            continue
+        total = _SZ[typ] * cnt
+        if total <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", payload, off + 8)
+        if voff + total > len(payload):
+            raise ValueError("TIFF: tag value out of range")
+        if typ == 3:
+            vals = list(
+                struct.unpack_from(bo + f"{cnt}H", payload, voff)
+            )
+        elif typ == 4:
+            vals = list(
+                struct.unpack_from(bo + f"{cnt}I", payload, voff)
+            )
+        elif typ == 1:
+            vals = list(payload[voff : voff + cnt])
+        else:
+            continue  # rationals/ascii not needed
+        tags[tag] = (typ, vals)
+
+    def tv(tag, default=None):
+        t = tags.get(tag)
+        return t[1] if t is not None else default
+
+    if 322 in tags or 323 in tags:
+        raise ValueError("TIFF: tiled layout unsupported")
+    w = tv(256, [None])[0]
+    h = tv(257, [None])[0]
+    if not w or not h:
+        raise ValueError("TIFF: missing dimensions")
+    bits = tv(258, [8])
+    comp = tv(259, [1])[0]
+    photo = tv(262, [1])[0]
+    offsets = tv(273)
+    spp = tv(277, [1])[0]
+    rows_per_strip = tv(278, [h])[0] or h
+    counts = tv(279)
+    planar = tv(284, [1])[0]
+    predictor = tv(317, [1])[0]
+    cmap = tv(320)
+    if offsets is None or counts is None or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing strip layout")
+    if any(b != 8 for b in bits):
+        raise ValueError(f"TIFF: only 8-bit samples (got {bits})")
+    if planar != 1:
+        raise ValueError("TIFF: planar configuration 2 unsupported")
+    if photo not in (0, 1, 2, 3):
+        raise ValueError(f"TIFF: photometric {photo} unsupported")
+    if photo == 2 and spp < 3:
+        raise ValueError("TIFF: RGB needs 3+ samples per pixel")
+    stride = w * spp
+    raster = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        if so + sc > len(payload):
+            raise ValueError("TIFF: strip out of range")
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        if nrows <= 0:
+            break
+        expected = nrows * stride
+        chunk = payload[so : so + sc]
+        if comp == 1:
+            if len(chunk) < expected:
+                raise ValueError("TIFF: strip short")
+            raw = chunk[:expected]
+        elif comp == 5:
+            raw = _tiff_lzw_decode(chunk)
+            if len(raw) < expected:
+                raise ValueError("TIFF: LZW strip short")
+            raw = raw[:expected]
+        elif comp == 32773:
+            raw = _packbits_decode(chunk, expected)
+        else:
+            raise ValueError(f"TIFF: compression {comp} unsupported")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(nrows, w, spp)
+        if predictor == 2:
+            arr = np.cumsum(arr.astype(np.int64), axis=1).astype(
+                np.uint8
+            )  # undo horizontal differencing (mod-256)
+        raster += arr.tobytes()
+    px = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w, spp)
+    if photo == 2:
+        return np.ascontiguousarray(px[:, :, :3])
+    if photo == 3:
+        if cmap is None or len(cmap) < 3 * 256:
+            raise ValueError("TIFF: palette image without full ColorMap")
+        pal = (
+            np.array(cmap[: 3 * 256], dtype=np.uint16)
+            .reshape(3, 256)
+            .T
+            >> 8
+        ).astype(np.uint8)
+        return np.ascontiguousarray(pal[px[:, :, 0]])
+    gray = px[:, :, 0]
+    if photo == 0:  # WhiteIsZero
+        gray = 255 - gray
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -865,7 +1069,7 @@ def _jpeg_reconstruct(order, planes, h: int, w: int, hmax: int, vmax: int):
 def decode_image(payload: bytes):
     """payload -> (h, w, 3) uint8 RGB numpy array, or ``None`` when the
     format isn't one of the dependency-free decoders (BMP/PPM/PNG/
-    sequential/progressive JPEG/GIF)."""
+    sequential/progressive JPEG/GIF/TIFF)."""
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
     if payload.startswith(b"P6"):
@@ -876,6 +1080,8 @@ def decode_image(payload: bytes):
         return _decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return _decode_tiff(payload)
     return None
 
 
@@ -1729,7 +1935,7 @@ def extract_video_frames(
 
 
 def real_decode(payload: bytes, media_type: str) -> list[float]:
-    """Real decode path: BMP/PPM/PNG/GIF/JPEG (sequential +
+    """Real decode path: BMP/PPM/PNG/GIF/TIFF/JPEG (sequential +
     progressive) images decode to pixels (numpy + stdlib zlib/huffman),
     WAV (PCM / IEEE float / G.711 / IMA ADPCM) plus native FLAC
     (pure-Python rice/LPC bitstream decoder, CRC-verified) audio
@@ -1752,7 +1958,7 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
     raise NotImplementedError(
         "no codec libraries in this environment for "
         f"media_type={media_type!r} with magic {payload[:2]!r}; only "
-        "BMP/PPM/PNG/GIF/JPEG (sequential+progressive) images, WAV "
+        "BMP/PPM/PNG/GIF/TIFF/JPEG (sequential+progressive) images, WAV "
         "(PCM/float/G.711/ADPCM) + FLAC audio and MJPEG-AVI / "
         "animated-GIF video decode natively — other payloads use the "
         "deterministic fake decoder"
