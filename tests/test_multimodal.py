@@ -415,7 +415,15 @@ def test_png_unsupported_shapes_raise():
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     png = bytearray(_png_bytes(px, 2, [0]))
-    png[8 + 8 + 8] = 16  # IHDR bit depth byte -> 16
+    png[8 + 8 + 8] = 3  # IHDR bit depth byte -> 3 (not a legal depth)
+    with _pytest.raises(ValueError, match="unsupported PNG depth"):
+        multimodal._decode_png(bytes(png))
+    png = bytearray(_png_bytes(px, 2, [0]))
+    png[8 + 8 + 8] = 4  # depth 4 is gray/palette-only, not RGB
+    with _pytest.raises(ValueError, match="unsupported PNG depth"):
+        multimodal._decode_png(bytes(png))
+    png = bytearray(_png_bytes(px, 2, [0]))
+    png[8 + 8 + 12] = 2  # interlace method 2 does not exist
     with _pytest.raises(ValueError, match="unsupported PNG shape"):
         multimodal._decode_png(bytes(png))
 
@@ -2341,3 +2349,124 @@ def test_tiff_unsupported_and_malformed():
         multimodal._decode_tiff(bad_comp)
     feats = multimodal.real_decode(good, "image")
     assert feats == multimodal._pixel_features(px)
+
+
+# --- PNG: Adam7 interlace, sub-byte and 16-bit depths -----------------------
+
+
+def _png_bytes2(samples, color_type, depth, interlace=0):
+    """Extended fixture encoder: ``samples`` is (h, w, ch) int array of
+    RAW sample values (palette indices / gray levels / 16-bit words).
+    Filter type 0 everywhere; optional Adam7 interlacing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = samples.shape
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def pack_rows(sub):
+        hs, ws, _ = sub.shape
+        out = bytearray()
+        for y in range(hs):
+            out.append(0)  # filter type None
+            if depth == 16:
+                for v in sub[y].reshape(-1):
+                    out += struct.pack(">H", int(v))
+            elif depth == 8:
+                out += bytes(int(v) & 0xFF for v in sub[y].reshape(-1))
+            else:
+                acc = nb = 0
+                for v in sub[y].reshape(-1):
+                    acc = (acc << depth) | (int(v) & ((1 << depth) - 1))
+                    nb += depth
+                    if nb == 8:
+                        out.append(acc)
+                        acc = nb = 0
+                if nb:
+                    out.append(acc << (8 - nb))
+        return bytes(out)
+
+    if interlace == 0:
+        raster = pack_rows(samples)
+    else:
+        raster = b""
+        for x0, y0, dx, dy in multimodal._ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raster += pack_rows(sub)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, interlace
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_rgb_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    want = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    got = multimodal.decode_image(
+        _png_bytes2(want.astype(np.int64), 2, 8, interlace=1)
+    )
+    assert np.array_equal(got, want)
+    # 1x1 and degenerate sizes exercise the empty-pass skips
+    one = np.array([[[1, 2, 3]]], dtype=np.int64)
+    assert np.array_equal(
+        multimodal.decode_image(_png_bytes2(one, 2, 8, interlace=1)),
+        np.array([[[1, 2, 3]]], dtype=np.uint8),
+    )
+
+
+def test_png_16bit_keeps_high_byte():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    hi = rng.integers(0, 256, size=(6, 4, 3), dtype=np.int64)
+    lo = rng.integers(0, 256, size=(6, 4, 3), dtype=np.int64)
+    got = multimodal.decode_image(_png_bytes2((hi << 8) | lo, 2, 16))
+    assert np.array_equal(got, hi.astype(np.uint8))
+    # 16-bit gray, interlaced
+    g = rng.integers(0, 65536, size=(7, 5, 1), dtype=np.int64)
+    got = multimodal.decode_image(_png_bytes2(g, 0, 16, interlace=1))
+    assert np.array_equal(got[:, :, 0], (g[:, :, 0] >> 8).astype(np.uint8))
+
+
+def test_png_subbyte_gray_and_palette():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # 4-bit gray scales by 17, 1-bit by 255
+    g4 = np.arange(16, dtype=np.int64).reshape(4, 4)[:, :, None] % 16
+    got = multimodal.decode_image(_png_bytes2(g4, 0, 4))
+    assert np.array_equal(got[:, :, 0], (g4[:, :, 0] * 17).astype(np.uint8))
+    g1 = (np.indices((5, 9)).sum(axis=0) % 2)[:, :, None].astype(np.int64)
+    got = multimodal.decode_image(_png_bytes2(g1, 0, 1))
+    assert np.array_equal(got[:, :, 0], (g1[:, :, 0] * 255).astype(np.uint8))
+    # 2-bit palette (+ Adam7): indices resolve through PLTE unscaled
+    rng = np.random.default_rng(9)
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(9, 7, 1), dtype=np.int64)
+    png = _png_bytes2(idx, 3, 2, interlace=1)
+    plte_data = plte.tobytes()
+    plte_chunk = (
+        struct.pack(">I", len(plte_data)) + b"PLTE" + plte_data
+        + struct.pack(">I", zlib.crc32(b"PLTE" + plte_data) & 0xFFFFFFFF)
+    )
+    ihdr_end = 8 + 12 + 13
+    png = png[:ihdr_end] + plte_chunk + png[ihdr_end:]
+    got = multimodal.decode_image(png)
+    assert np.array_equal(got, plte[idx[:, :, 0]])

@@ -199,11 +199,21 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
     return out
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, in stream order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _decode_png(payload: bytes):
     """PNG -> (h, w, 3) uint8 RGB array via stdlib ``zlib`` + numpy —
-    no codec library.  Supports the baseline non-interlaced 8-bit-depth
-    color types: grayscale (0), RGB (2), palette (3), gray+alpha (4),
-    RGBA (6); alpha is dropped, gray broadcast to RGB."""
+    no codec library.  All five color types (grayscale, RGB, palette,
+    gray+alpha, RGBA; alpha dropped, gray broadcast), bit depths
+    1/2/4 (gray scaled to 8-bit, palette indices raw), 8, and 16
+    (high byte kept), and BOTH interlace methods (none / Adam7 — the
+    seven per-pass sub-rasters each carry their own filtered scanline
+    run and scatter back onto the full grid)."""
     import struct
     import zlib
 
@@ -232,19 +242,67 @@ def _decode_png(payload: bytes):
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = hdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+    if channels is None or comp != 0 or filt != 0 or interlace > 1:
         raise ValueError(
-            f"unsupported PNG shape depth={depth} color={color} interlace={interlace}"
+            f"unsupported PNG shape color={color} interlace={interlace}"
         )
-    stride = w * channels
+    if depth not in (1, 2, 4, 8, 16) or (
+        depth < 8 and color not in (0, 3)
+    ) or (depth == 16 and color == 3):
+        raise ValueError(f"unsupported PNG depth={depth} for color={color}")
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
-    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+
+    def read_sub(pos: int, ws: int, hs: int):
+        """One (sub-)raster: ``hs`` filtered scanlines at width ``ws``
+        starting at ``pos`` in the decompressed stream -> ((hs, ws,
+        channels) uint8, next pos)."""
+        bits_pp = depth * channels
+        stride = (ws * bits_pp + 7) // 8
+        bpp = max(1, bits_pp // 8)
+        need = hs * (stride + 1)
+        if pos + need > len(raw):
+            raise ValueError("PNG raster size mismatch")
+        rows = _png_unfilter(raw[pos : pos + need], hs, stride, bpp)
+        if depth == 8:
+            px = rows[:, : ws * channels].reshape(hs, ws, channels)
+        elif depth == 16:
+            px = rows[:, : ws * channels * 2 : 2].reshape(
+                hs, ws, channels
+            )  # network byte order: even positions are the high bytes
+        else:
+            bits = np.unpackbits(rows, axis=1)[:, : ws * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (
+                bits.reshape(hs, ws, depth).astype(np.uint16) * weights
+            ).sum(axis=2)
+            if color == 0:  # scale 1/2/4-bit gray to full 8-bit range
+                vals = vals * (255 // ((1 << depth) - 1))
+            px = vals[:, :, None]
+        return px.astype(np.uint8), pos + need
+
+    if interlace == 0:
+        px, end = read_sub(0, w, h)
+        if end != len(raw):
+            raise ValueError("PNG raster size mismatch")
+    else:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ws = (w - x0 + dx - 1) // dx
+            hs = (h - y0 + dy - 1) // dy
+            if ws <= 0 or hs <= 0:
+                continue
+            sub, pos2 = read_sub(pos2, ws, hs)
+            px[y0::dy, x0::dx] = sub
+        if pos2 != len(raw):
+            raise ValueError("PNG raster size mismatch")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
-        return np.ascontiguousarray(plte[px[:, :, 0]])
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return np.ascontiguousarray(plte[idx])
     if color in (0, 4):
         return np.repeat(px[:, :, :1], 3, axis=2)
     return np.ascontiguousarray(px[:, :, :3])
