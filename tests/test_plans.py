@@ -654,3 +654,50 @@ def test_gopher_report_single_scan_single_exchange_no_python(spark):
     assert len(re.findall(r"Scan parquet|FileScan", plan)) == 1, plan[:3000]
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
     assert len(re.findall(r"partial_", plan)) >= 1, plan[:2000]
+
+
+def test_temperature_mixture_broadcasts_no_corpus_shuffle(spark):
+    """temperature_mixture: the corpus joins the tiny per-source count
+    via broadcast (+ the 1-row normalizer); the only hash exchange is
+    the count aggregate's own — the document rows never shuffle."""
+    import re
+
+    fn = entrymod.queries()["temperature_mixture"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    # the per-source count agg is CACHED and consumed twice (join + z
+    # normalizer) — both consumers must hit the cache, not re-aggregate
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2, plan[:3000]
+
+
+def test_haar_wavelet_caches_daily_spine(spark):
+    """haar_revenue_wavelet: all 8 levels re-aggregate the CACHED daily
+    spine (InMemoryRelation), never re-scanning orders per level."""
+    fn = entrymod.queries()["haar_revenue_wavelet"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert "InMemoryTableScan" in plan, plan[:3000]
+
+
+def test_periodogram_single_scan_broadcast_stats(spark):
+    """revenue_periodogram: daily spine cached once; the stats row
+    reaches the projection via broadcast, not a shuffle join."""
+    import re
+
+    fn = entrymod.queries()["revenue_periodogram"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    # both the stats row and the projection read the cached spine
+    # (explain prints the InMemoryRelation's child FileScan per use, so
+    # count the cache hits, not the embedded scan text)
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan[:3000]
+    )
+
+
+def test_label_propagation_single_action_no_python(spark):
+    """part_communities: the propagation rounds compile into one plan
+    with no Python eval nodes (all-JVM joins/aggregates)."""
+    fn = entrymod.queries()["part_communities"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan[:2000]

@@ -14,6 +14,7 @@ from collections.abc import Callable, Iterator, Mapping
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..session import configure_runtime
 from ..sources import load_table
 from .text import tokens
@@ -237,7 +238,12 @@ def temperature_mixture_sample(
     """
     if not 0.0 <= float(alpha) <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    # the count aggregate feeds BOTH the broadcast join and the z
+    # normalizer — cache the (tiny, per-source) frame so the corpus
+    # scan happens once, not twice
+    counts = track(
+        df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")).cache()
+    )
     z = counts.agg(
         F.sum(F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))).alias(
             "__z"
