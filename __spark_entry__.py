@@ -4596,6 +4596,70 @@ def q_isotonic_late_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def q_brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand log-log price elasticity: OLS slope of ln(quantity) on
+    ln(unit price) over that brand's order lines — the classic demand
+    curve diagnostic (elasticity < 0 = normal good; synthetic data is
+    price-independent so slopes hover near 0, which is itself the
+    honest read-out).  TWO-pass centering per brand (means first,
+    centered cross-products second — the ar2 idiom) keeps cross-engine
+    drift at summation-order level instead of the cancellation-prone
+    one-pass form; slope/intercept round at 4, means at 6."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rows = (
+        lineitem.filter(
+            (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.log(F.col("l_quantity")).alias("ly"),
+            F.log(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("lx"),
+        )
+    )
+    rows = cache.track(rows.cache())
+    means = rows.groupBy("p_brand").agg(
+        F.avg("lx").alias("mx"),
+        F.avg("ly").alias("my"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cs = (
+        rows.join(F.broadcast(means), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                (F.col("lx") - F.col("mx")) * (F.col("lx") - F.col("mx"))
+            ).alias("sxx"),
+            F.sum(
+                (F.col("lx") - F.col("mx")) * (F.col("ly") - F.col("my"))
+            ).alias("sxy"),
+            F.first("mx").alias("mx"),
+            F.first("my").alias("my"),
+            F.first("n").alias("n"),
+        )
+    )
+    return cs.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        (F.round(F.col("sxy") / F.col("sxx"), 4) + F.lit(0.0)).alias(
+            "elasticity"
+        ),
+        (
+            F.round(
+                F.col("my") - F.col("sxy") / F.col("sxx") * F.col("mx"), 4
+            )
+            + F.lit(0.0)
+        ).alias("intercept"),
+        (F.round("mx", 6) + F.lit(0.0)).alias("mean_ln_price"),
+    ).orderBy("p_brand")
+
+
 #: candidate cycles for the periodogram binding (and its oracle)
 _PERIODOGRAM_PERIODS = (7, 14, 30, 91, 365)
 
@@ -5156,6 +5220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haar_revenue_wavelet": q_haar_revenue_wavelet,
         "revenue_periodogram": q_revenue_periodogram,
         "isotonic_late_by_price": q_isotonic_late_by_price,
+        "brand_price_elasticity": q_brand_price_elasticity,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -7871,6 +7936,33 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") ORDER BY level"
     )
+    sql["brand_price_elasticity"] = """
+        WITH rows_ AS (
+          SELECT p.p_brand,
+                 ln(CAST(l.l_quantity AS DOUBLE)) AS ly,
+                 ln(CAST(l.l_extendedprice AS DOUBLE)
+                    / CAST(l.l_quantity AS DOUBLE)) AS lx
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+        means AS (
+          SELECT p_brand, avg(lx) AS mx, avg(ly) AS my,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM rows_ GROUP BY 1),
+        cs AS (
+          SELECT r.p_brand,
+                 sum((r.lx - m.mx) * (r.lx - m.mx)) AS sxx,
+                 sum((r.lx - m.mx) * (r.ly - m.my)) AS sxy,
+                 any_value(m.mx) AS mx, any_value(m.my) AS my,
+                 any_value(m.n) AS n
+          FROM rows_ r JOIN means m USING (p_brand)
+          GROUP BY 1)
+        SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+               round(sxy / sxx, 4) + CAST(0.0 AS DOUBLE) AS elasticity,
+               round(my - sxy / sxx * mx, 4) + CAST(0.0 AS DOUBLE)
+                 AS intercept,
+               round(mx, 6) + CAST(0.0 AS DOUBLE) AS mean_ln_price
+        FROM cs ORDER BY p_brand
+    """
     periods_values = ", ".join(f"({p})" for p in _PERIODOGRAM_PERIODS)
     sql["revenue_periodogram"] = f"""
         WITH daily AS (

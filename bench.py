@@ -196,6 +196,8 @@ SECONDARY = [
     "part_communities",
     "revenue_periodogram",
     "isotonic_late_by_price",
+    "token_burstiness",
+    "brand_price_elasticity",
 ]
 
 

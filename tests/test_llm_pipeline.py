@@ -142,3 +142,22 @@ def test_bpe_budgeting_stage(spark):
     for r in rows:
         assert r.n_bpe_tokens >= r.n_tokens  # at least one subword per word
     wt.unpersist()
+
+
+def test_token_burstiness_detects_clumped_tokens(spark):
+    from wistia_video_analytics_project_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(i, "the quick fox " + ("zebra " * 6 if i % 5 == 0 else ""))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = {r.tok: r for r in t.token_burstiness(docs, min_df=3, top=10).collect()}
+    # 'zebra' appears 6x in each of 4 docs -> burstiness 6; spread
+    # words appear once per doc -> burstiness 1
+    assert out["zebra"].df == 4 and out["zebra"].cf == 24
+    assert out["zebra"].burstiness == 6.0
+    assert out["the"].burstiness == 1.0
+    # ranked first by burstiness
+    ranked = t.token_burstiness(docs, min_df=3, top=1).collect()
+    assert ranked[0].tok == "zebra"

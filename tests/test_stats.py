@@ -288,3 +288,32 @@ def test_periodogram_matches_numpy_reference(spark):
         amp = 2.0 * (c * c + s * s) ** 0.5 / len(dev)
         assert r.amplitude_usd == pytest.approx(amp, abs=0.02)
         assert 0.0 <= r.power_share <= 1.0
+
+
+def test_brand_elasticity_matches_numpy_lstsq(spark):
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    rows = entrymod.q_brand_price_elasticity(spark, SF_SMOKE).collect()
+    assert rows
+    brand = rows[0].p_brand
+    rel = duckdb.sql(
+        f"""
+        SELECT ln(CAST(l.l_quantity AS DOUBLE)) AS ly,
+               ln(CAST(l.l_extendedprice AS DOUBLE)
+                  / CAST(l.l_quantity AS DOUBLE)) AS lx
+        FROM '{SF_SMOKE}/lineitem.parquet' l
+        JOIN '{SF_SMOKE}/part.parquet' p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = '{brand}'
+          AND l.l_quantity > 0 AND l.l_extendedprice > 0
+        """
+    ).fetchnumpy()
+    lx, ly = rel["lx"], rel["ly"]
+    design = np.column_stack([lx, np.ones_like(lx)])
+    coef, *_ = np.linalg.lstsq(design, ly, rcond=None)
+    assert rows[0].n_lines == len(lx)
+    assert rows[0].elasticity == pytest.approx(coef[0], abs=2e-4)
+    assert rows[0].intercept == pytest.approx(coef[1], abs=2e-4)

@@ -817,6 +817,51 @@ def hapax_report(
     )
 
 
+def token_burstiness(
+    docs: DataFrame,
+    min_df: int = 5,
+    top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Church-Gale burstiness: per token, ``cf / df`` (mean occurrences
+    per CONTAINING document).  Function words spread evenly
+    (burstiness ~ 1); content/topical words clump — the classic cheap
+    content-word detector for keyword extraction and stopword-list
+    induction.  One (doc, token) aggregate then one token aggregate —
+    two hash shuffles, integer counts throughout, the ratio is a single
+    rounded integer division (cross-engine exact at 6 decimals).
+    ``min_df`` floors the document frequency (df-1 tokens are trivially
+    "bursty"); top-k by burstiness with the token as tiebreaker."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_tok = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+    )
+    return (
+        per_tok.filter(F.col("df") >= int(min_df))
+        .select(
+            "tok",
+            "df",
+            "cf",
+            F.round(
+                F.col("cf").cast("double") / F.col("df").cast("double"), 6
+            ).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), F.col("tok").asc())
+        .limit(int(top))
+    )
+
+
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_burstiness(_docs(spark, sf_dir), min_df=5, top=20)
+
+
 def zipf_slope(
     docs: DataFrame, text_col: str = "text", top: int = 200
 ) -> DataFrame:
@@ -880,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_report": q_char_entropy_report,
         "hapax_legomena_report": q_hapax_legomena_report,
         "zipf_slope_tokens": q_zipf_slope_tokens,
+        "token_burstiness": q_token_burstiness,
     }
 
 
@@ -965,6 +1011,25 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE)
                          / CAST(count(*) AS DOUBLE), 6) AS hapax_share
             FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "token_burstiness": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS tok
+              FROM documents),
+            per_doc AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+              FROM toks WHERE tok <> '' GROUP BY 1, 2),
+            per_tok AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(c) AS BIGINT) AS cf
+              FROM per_doc GROUP BY 1)
+            SELECT tok, df, cf,
+                   round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6)
+                     AS burstiness
+            FROM per_tok WHERE df >= 5
+            ORDER BY burstiness DESC, tok ASC LIMIT 20
         """,
         "zipf_slope_tokens": r"""
             WITH counts AS (
