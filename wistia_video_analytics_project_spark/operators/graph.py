@@ -993,7 +993,9 @@ def community_summary(labels: DataFrame, edges: DataFrame) -> DataFrame:
         F.col("node").alias("dst"), F.col("community").alias("c_dst")
     )
     joined = sym.join(lab, "src").join(labd, "dst")
-    two_m = joined.agg(F.sum("w").alias("m2"))
+    # 2m needs only the edge weights — don't force the label joins
+    # into its scan
+    two_m = sym.agg(F.sum("w").alias("m2"))
     per = joined.groupBy(F.col("c_src").alias("community")).agg(
         F.sum(F.when(F.col("c_src") == F.col("c_dst"), F.col("w")).otherwise(0.0)).alias("w_in"),
         F.sum("w").alias("deg_w"),
@@ -1027,8 +1029,12 @@ def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey").filter(
-        F.col("pair_count") >= 2
+    # the pair build (basket self-join + count agg) feeds BOTH the
+    # propagation's edge frame and the summary's — cache it once
+    pairs = cache.track(
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter(F.col("pair_count") >= 2)
+        .cache()
     )
     # the summary joins the label frame twice (src + dst side): cache
     # the END of the lazy propagation chain once (not per round)

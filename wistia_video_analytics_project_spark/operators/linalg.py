@@ -482,7 +482,12 @@ def isotonic_fit(
     independent of data size: the standard distributed-isotonic shape),
     and return the frame with a ``iso_rate`` column.  The raw corpus is
     never collected; only sufficient statistics cross the driver
-    boundary."""
+    boundary.  The bucket frame is consumed twice (driver collect +
+    the returned join), so it is cached through ``cache.track``."""
+    from ..cache import track
+    from pyspark.sql import types as T
+
+    buckets = track(buckets.cache())
     rows = buckets.select(x_col, y_sum_col, n_col).orderBy(x_col).collect()
     ys = [
         (float(r[y_sum_col]) / float(r[n_col])) if r[n_col] else 0.0
@@ -493,6 +498,11 @@ def isotonic_fit(
     spark = buckets.sparkSession
     fit_df = spark.createDataFrame(
         [(r[x_col], f) for r, f in zip(rows, fitted)],
-        f"{x_col} long, iso_rate double",
+        T.StructType(
+            [
+                T.StructField(x_col, buckets.schema[x_col].dataType),
+                T.StructField("iso_rate", T.DoubleType()),
+            ]
+        ),
     )
     return buckets.join(F.broadcast(fit_df), x_col)

@@ -1270,16 +1270,13 @@ def _decode_wav(payload: bytes):
         raise ValueError("WAV: bad RIFF/WAVE magic")
     fmt = data = None
     fact_samples = None
-    try:
-        for fcc, start, ln in _riff_chunks(payload, 12, len(payload)):
-            if fcc == b"fmt ":
-                fmt = payload[start : start + ln]
-            elif fcc == b"data":
-                data = payload[start : start + ln]
-            elif fcc == b"fact" and ln >= 4:
-                (fact_samples,) = struct.unpack_from("<I", payload, start)
-    except ValueError:
-        raise
+    for fcc, start, ln in _riff_chunks(payload, 12, len(payload)):
+        if fcc == b"fmt ":
+            fmt = payload[start : start + ln]
+        elif fcc == b"data":
+            data = payload[start : start + ln]
+        elif fcc == b"fact" and ln >= 4:
+            (fact_samples,) = struct.unpack_from("<I", payload, start)
     if fmt is None or data is None or len(fmt) < 16:
         raise ValueError("WAV: missing fmt/data chunk")
     tag, ch, rate, _byte_rate, block_align, bps = struct.unpack_from(
