@@ -286,6 +286,27 @@ def doc_ops(k):
     )
 
 
+def multiply_pairs(pairs, k: int):
+    """Id-shifted disjoint replicas of the co-purchase edge set: each
+    copy preserves the community structure, so LPA work should scale
+    linearly in edges with constant rounds."""
+    out = pairs
+    for i in range(1, k):
+        out = out.unionByName(
+            pairs.withColumn("item_a", F.col("item_a") + i * 10_000_000)
+            .withColumn("item_b", F.col("item_b") + i * 10_000_000)
+        )
+    return out
+
+
+def lpa_rounds5(pairs):
+    from wistia_video_analytics_project_spark.operators import graph
+
+    return graph.label_propagation(
+        pairs, a="item_a", b="item_b", weight="pair_count", rounds=5
+    )
+
+
 def main() -> None:
     from wistia_video_analytics_project_spark.cache import release_caches
 
@@ -314,6 +335,25 @@ def main() -> None:
             rows = dd.count()
             print(f"x{k:>2} ({rows:>9,} docs) {name:14s}: {best:6.2f}s "
                   f"({rows / best / 1e3:6.1f} K docs/s)")
+    from wistia_video_analytics_project_spark.operators.graph import (
+        cooccurrence_pairs,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    base_pairs = (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter(F.col("pair_count") >= 2)
+        .localCheckpoint(eager=True)  # freeze: time the LPA, not the build
+    )
+    for k in (1, 4, 8):
+        pp = multiply_pairs(base_pairs, k)
+        best = min(_time(lambda: lpa_rounds5(pp).count()) for _ in range(2))
+        release_caches()
+        edges = pp.count()
+        print(f"x{k:>2} ({edges:>9,} edges) lpa_rounds5  : {best:6.2f}s "
+              f"({edges / best / 1e3:6.1f} K edges/s)")
     spark.stop()
 
 
