@@ -6,23 +6,29 @@ as driver-side objects. Decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` operators.
 
 Decode is REAL for the formats that need no codec library — BMP
-(BI_RGB 24/32bpp) and PPM (P6) parse with pure numpy, PNG
-(baseline 8-bit, all five scanline filters) inflates through stdlib
-``zlib``, and JPEG — baseline/extended sequential (SOF0/SOF1) AND
-progressive (SOF2, spectral selection + successive approximation),
-grayscale or YCbCr at any sampling incl. 4:2:0, restart markers —
-huffman-decodes + IDCTs in pure numpy (:func:`_decode_jpeg`) — into actual pixel
-arrays, which featurize (:func:`_pixel_features`) and resample
+(BI_RGB 24/32bpp) and PPM (P6) parse with pure numpy; PNG (all five
+color types, depths 1/2/4/8/16, all five scanline filters, Adam7
+interlace) inflates through stdlib ``zlib``; GIF87a/89a (variable-width
+LZW, interlace, animation composition with disposal/transparency)
+and baseline TIFF (both byte orders, LZW early-change, PackBits,
+horizontal predictor, palette) parse in pure Python/numpy; and JPEG —
+baseline/extended sequential (SOF0/SOF1) AND progressive (SOF2,
+spectral selection + successive approximation), grayscale or YCbCr at
+any sampling incl. 4:2:0, restart markers — huffman-decodes + IDCTs in
+pure numpy (:func:`_decode_jpeg`) — into actual pixel arrays, which
+featurize (:func:`_pixel_features`) and resample
 (:func:`resize_images`, nearest-neighbor + PPM re-encode) from real
 content. Audio decodes natively too: WAV through a hand-parsed RIFF
 reader (integer PCM, IEEE float, G.711 mu-law/A-law, IMA ADPCM)
 and FLAC through a pure-Python subset decoder (:func:`_decode_flac`:
 rice residuals, FIXED + LPC predictors, all four stereo assignments,
-CRC-8/16 verified — lossless, so tests assert exact sample equality).
-Formats whose codecs genuinely aren't in this container
-(mp3/aac/video, 12-bit or arithmetic-coded JPEG) still
-fall back to the
-deterministic sha256 fake decoder / raise through
+CRC-8/16 verified — lossless, so tests assert exact sample equality);
+video decodes for MJPEG-AVI containers and animated GIFs. The
+remaining codec-absent formats are the ones whose spec embeds
+non-derivable constant tables or patent-era entropy coders
+(mp3/aac/vorbis audio, h264/vp9-class video, 12-bit or
+arithmetic-coded JPEG, tiled/16-bit TIFF) — those still fall back to
+the deterministic sha256 fake decoder / raise through
 :func:`real_decode`'s documented codec-absent branch (no PIL/cv2/
 ffmpeg — see :data:`HAVE_CODECS`).
 """
