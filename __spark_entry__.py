@@ -4596,6 +4596,30 @@ def q_isotonic_late_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def q_embedding_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA-whiten the embedding corpus and report the post-whitening
+    per-dimension variance for the first 8 dims — the identity-
+    covariance acceptance check a pipeline runs before trusting
+    whitened cosines (values ~1 up to the eps regularizer).  One
+    sufficient-stats pass + driver 64x64 eigenproblem + pure-JVM
+    projection (linalg.zca_whiten).  Rows-only (no eigendecomposition
+    in SQL); numpy parity pinned in tests/test_linalg.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    whitened, _, _ = linalg.zca_whiten(emb, "embedding", 64)
+    per_dim = whitened.select(
+        F.posexplode("whitened").alias("dim", "v")
+    ).filter(F.col("dim") < 8)
+    return (
+        per_dim.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.var_samp("v"), 3) + F.lit(0.0)).alias("variance"),
+            (F.round(F.avg("v"), 3) + F.lit(0.0)).alias("mean"),
+        )
+        .orderBy("dim")
+    )
+
+
 def q_brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand log-log price elasticity: OLS slope of ln(quantity) on
     ln(unit price) over that brand's order lines — the classic demand
@@ -5221,6 +5245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_periodogram": q_revenue_periodogram,
         "isotonic_late_by_price": q_isotonic_late_by_price,
         "brand_price_elasticity": q_brand_price_elasticity,
+        "embedding_whiten_check": q_embedding_whiten_check,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -5239,7 +5264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "quality_classifier_train", "langid_train",
                        "ann_mmr", "unigram_tokenizer_train",
                        "als_part_recommender", "part_communities",
-                       "isotonic_late_by_price"):
+                       "isotonic_late_by_price", "embedding_whiten_check"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered
 

@@ -198,6 +198,7 @@ SECONDARY = [
     "isotonic_late_by_price",
     "token_burstiness",
     "brand_price_elasticity",
+    "embedding_whiten_check",
 ]
 
 

@@ -70,6 +70,10 @@ def test_queries_registry_well_formed(spark):
         # PAVA's sequential pooling — no SQL equivalent; optimality vs
         # brute force + invariants pinned in tests/test_linalg.py
         "isotonic_late_by_price",
+        # ZCA whitening needs a driver eigendecomposition — no SQL
+        # equivalent; numpy parity + identity-covariance pinned in
+        # tests/test_linalg.py
+        "embedding_whiten_check",
     }
 
 

@@ -346,3 +346,48 @@ def test_isotonic_fit_dataframe_roundtrip(spark):
     assert out[1] == pytest.approx(0.6)
     assert out[2] == pytest.approx(0.6)
     assert out[3] == pytest.approx(0.9)
+
+
+def test_zca_whiten_matches_numpy_and_decorrelates(spark):
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import linalg
+
+    rng = np.random.default_rng(13)
+    # correlated 2-factor data in 5 dims
+    factors = rng.normal(size=(300, 2))
+    mix = rng.normal(size=(2, 5))
+    x = factors @ mix + 0.1 * rng.normal(size=(300, 5))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, vec array<double>",
+    )
+    out, w, mu = linalg.zca_whiten(df, "vec", 5, eps=1e-6)
+    got = np.array(
+        [r.whitened for r in out.orderBy("id").collect()], dtype=np.float64
+    )
+    # numpy reference
+    mur = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    wr = vecs @ np.diag(1.0 / np.sqrt(vals + 1e-6)) @ vecs.T
+    want = (x - mur) @ wr.T
+    assert np.allclose(mu, mur, atol=1e-9)
+    assert np.allclose(w, wr, atol=1e-7)
+    assert np.allclose(got, want, atol=1e-6)
+    # whitened covariance ~ identity
+    c2 = np.cov(got, rowvar=False)
+    assert np.allclose(c2, np.eye(5), atol=0.05)
+    with pytest.raises(ValueError, match="2 rows"):
+        linalg.zca_whiten(df.limit(1), "vec", 5)
+
+
+def test_whiten_check_binding_unit_variance(spark):
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    rows = entrymod.q_embedding_whiten_check(spark, SF_SMOKE).collect()
+    assert [r.dim for r in rows] == list(range(8))
+    for r in rows:
+        assert abs(r.variance - 1.0) < 0.05, r
+        assert abs(r.mean) < 0.05, r
