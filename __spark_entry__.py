@@ -4596,6 +4596,45 @@ def q_isotonic_late_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def q_conformal_revenue_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction interval for next-day revenue
+    under the seasonal-naive (lag-7) forecaster: the calibration set is
+    every day with a lag-7 partner, the conformity score is the
+    absolute residual in EXACT integer cents, and the interval is
+    ``point +- q90`` where q90 is ``percentile_disc(0.9)`` of the
+    scores — an ACTUAL set element (the established cross-engine-exact
+    discrete-percentile idiom), so the whole computation divides
+    identical integers and rounds once for display.  Distribution-free
+    coverage is the conformal guarantee; the pytest checks the
+    empirical leave-out coverage."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    daily.createOrReplaceTempView("__daily_conf")
+    return spark.sql("""
+        WITH cal AS (
+          SELECT abs(d.cents - p.cents) AS ar
+          FROM __daily_conf d
+          JOIN __daily_conf p ON d.day = date_add(p.day, 7)),
+        q AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_calib,
+                 percentile_disc(0.9) WITHIN GROUP (ORDER BY ar) AS q90
+          FROM cal),
+        nxt AS (
+          SELECT cents AS pred_next FROM __daily_conf
+          WHERE day = (SELECT date_add(max(day), -6) FROM __daily_conf))
+        SELECT n_calib,
+               round(q90 / CAST(100 AS DOUBLE), 2) AS q90_abs_resid,
+               round(pred_next / CAST(100 AS DOUBLE), 2) AS point_forecast,
+               round((pred_next - q90) / CAST(100 AS DOUBLE), 2) AS lo,
+               round((pred_next + q90) / CAST(100 AS DOUBLE), 2) AS hi
+        FROM q, nxt
+    """)
+
+
 def q_embedding_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA-whiten the embedding corpus and report the post-whitening
     per-dimension variance for the first 8 dims — the identity-
@@ -5246,6 +5285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_late_by_price": q_isotonic_late_by_price,
         "brand_price_elasticity": q_brand_price_elasticity,
         "embedding_whiten_check": q_embedding_whiten_check,
+        "conformal_revenue_interval": q_conformal_revenue_interval,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -7961,6 +8001,29 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") ORDER BY level"
     )
+    sql["conformal_revenue_interval"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        cal AS (
+          SELECT abs(d.cents - p.cents) AS ar
+          FROM daily d JOIN daily p ON d.day = p.day + 7),
+        q AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_calib,
+                 percentile_disc(0.9) WITHIN GROUP (ORDER BY ar) AS q90
+          FROM cal),
+        nxt AS (
+          SELECT cents AS pred_next FROM daily
+          WHERE day = (SELECT max(day) - 6 FROM daily))
+        SELECT n_calib,
+               round(q90 / CAST(100 AS DOUBLE), 2) AS q90_abs_resid,
+               round(pred_next / CAST(100 AS DOUBLE), 2) AS point_forecast,
+               round((pred_next - q90) / CAST(100 AS DOUBLE), 2) AS lo,
+               round((pred_next + q90) / CAST(100 AS DOUBLE), 2) AS hi
+        FROM q, nxt
+    """
     sql["brand_price_elasticity"] = """
         WITH rows_ AS (
           SELECT p.p_brand,

@@ -199,6 +199,7 @@ SECONDARY = [
     "token_burstiness",
     "brand_price_elasticity",
     "embedding_whiten_check",
+    "conformal_revenue_interval",
 ]
 
 

@@ -317,3 +317,36 @@ def test_brand_elasticity_matches_numpy_lstsq(spark):
     assert rows[0].n_lines == len(lx)
     assert rows[0].elasticity == pytest.approx(coef[0], abs=2e-4)
     assert rows[0].intercept == pytest.approx(coef[1], abs=2e-4)
+
+
+def test_conformal_interval_coverage_and_quantile(spark):
+    """q90 must be the discrete 0.9-quantile of the |lag-7 residual|
+    set (an actual element), and calibration coverage >= 90% by
+    construction."""
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    [row] = entrymod.q_conformal_revenue_interval(spark, SF_SMOKE).collect()
+    rel = duckdb.sql(
+        f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM '{SF_SMOKE}/orders.parquet' GROUP BY 1)
+        SELECT abs(d.cents - p.cents) AS ar
+        FROM daily d JOIN daily p ON d.day = p.day + 7
+        """
+    ).fetchnumpy()["ar"].astype(np.int64)
+    assert row.n_calib == len(rel)
+    srt = np.sort(rel)
+    # discrete quantile: smallest element with cumdist >= 0.9
+    q = int(srt[int(np.ceil(0.9 * len(srt))) - 1])
+    assert row.q90_abs_resid == pytest.approx(q / 100.0, abs=0.005)
+    coverage = float((rel <= q).mean())
+    assert coverage >= 0.9
+    assert row.lo == pytest.approx(row.point_forecast - row.q90_abs_resid, abs=0.02)
+    assert row.hi == pytest.approx(row.point_forecast + row.q90_abs_resid, abs=0.02)
