@@ -4596,6 +4596,78 @@ def q_isotonic_late_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day: sessionize (30-min gap,
+    gaps-and-islands), decompose each session into +1/-1 boundary
+    events, and take the daily max of the running active count.
+
+    The scale shape is the TWO-PHASE prefix sum: boundaries are
+    partitioned by day (a day-keyed window, parallel across days) and
+    the cross-day carry-in comes from a second cumulative window over
+    the tiny per-day net frame — no unpartitioned window ever touches
+    a data-sized frame, which is what makes a running count survive
+    100 TB (the single global orderBy window would serialize).  All
+    ordering runs on integer micros (unix_micros/epoch_us) with full
+    deterministic tiebreaks (ends after starts at the same instant:
+    delta DESC counts the touching pair as concurrent)."""
+    events = _t(spark, sf_dir, "events")
+    events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    ).createOrReplaceTempView("__ev_pc")
+    return spark.sql("""
+        WITH lagged AS (
+          SELECT user_id, us,
+                 lag(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS prev_us
+          FROM __ev_pc),
+        flagged AS (
+          SELECT user_id, us,
+                 CASE WHEN prev_us IS NULL
+                           OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM lagged),
+        sess AS (
+          SELECT user_id, us,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid
+          FROM flagged),
+        spans AS (
+          SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+          FROM sess GROUP BY 1, 2),
+        bounds AS (
+          SELECT user_id, sid, s_us AS us, 1 AS delta FROM spans
+          UNION ALL
+          SELECT user_id, sid, e_us, -1 FROM spans),
+        daybound AS (
+          SELECT CAST(timestamp_micros(us) AS DATE) AS day,
+                 us, delta, user_id, sid
+          FROM bounds),
+        day_net AS (
+          SELECT day, CAST(sum(delta) AS BIGINT) AS net
+          FROM daybound GROUP BY 1),
+        carry AS (
+          SELECT day,
+                 CAST(sum(net) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT) AS carry_in
+          FROM day_net),
+        running AS (
+          SELECT b.day,
+                 coalesce(c.carry_in, 0)
+                   + sum(b.delta) OVER (PARTITION BY b.day
+                       ORDER BY b.us, b.delta DESC, b.user_id, b.sid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS active
+          FROM daybound b JOIN carry c ON b.day = c.day)
+        SELECT day,
+               CAST(max(active) AS BIGINT) AS peak_concurrency
+        FROM running GROUP BY day ORDER BY day
+    """)
+
+
 def q_conformal_revenue_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal 90% prediction interval for next-day revenue
     under the seasonal-naive (lag-7) forecaster: the calibration set is
@@ -5286,6 +5358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_price_elasticity": q_brand_price_elasticity,
         "embedding_whiten_check": q_embedding_whiten_check,
         "conformal_revenue_interval": q_conformal_revenue_interval,
+        "peak_concurrency_daily": q_peak_concurrency_daily,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -8001,6 +8074,58 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") ORDER BY level"
     )
+    sql["peak_concurrency_daily"] = """
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        lagged AS (
+          SELECT user_id, us,
+                 lag(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS prev_us
+          FROM ev),
+        flagged AS (
+          SELECT user_id, us,
+                 CASE WHEN prev_us IS NULL
+                           OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM lagged),
+        sess AS (
+          SELECT user_id, us,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid
+          FROM flagged),
+        spans AS (
+          SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+          FROM sess GROUP BY 1, 2),
+        bounds AS (
+          SELECT user_id, sid, s_us AS us, 1 AS delta FROM spans
+          UNION ALL
+          SELECT user_id, sid, e_us, -1 FROM spans),
+        daybound AS (
+          SELECT CAST(make_timestamp(us) AS DATE) AS day,
+                 us, delta, user_id, sid
+          FROM bounds),
+        day_net AS (
+          SELECT day, CAST(sum(delta) AS BIGINT) AS net
+          FROM daybound GROUP BY 1),
+        carry AS (
+          SELECT day,
+                 CAST(sum(net) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT) AS carry_in
+          FROM day_net),
+        running AS (
+          SELECT b.day,
+                 coalesce(c.carry_in, 0)
+                   + sum(b.delta) OVER (PARTITION BY b.day
+                       ORDER BY b.us, b.delta DESC, b.user_id, b.sid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS active
+          FROM daybound b JOIN carry c ON b.day = c.day)
+        SELECT day,
+               CAST(max(active) AS BIGINT) AS peak_concurrency
+        FROM running GROUP BY day ORDER BY day
+    """
     sql["conformal_revenue_interval"] = """
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS day,

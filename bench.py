@@ -200,6 +200,7 @@ SECONDARY = [
     "brand_price_elasticity",
     "embedding_whiten_check",
     "conformal_revenue_interval",
+    "peak_concurrency_daily",
 ]
 
 
