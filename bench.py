@@ -201,6 +201,7 @@ SECONDARY = [
     "embedding_whiten_check",
     "conformal_revenue_interval",
     "peak_concurrency_daily",
+    "heaps_law_fit",
 ]
 
 

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from wistia_video_analytics_project_spark.llm_pipeline import prepare_training_corpus
@@ -161,3 +162,73 @@ def test_token_burstiness_detects_clumped_tokens(spark):
     # ranked first by burstiness
     ranked = t.token_burstiness(docs, min_df=3, top=1).collect()
     assert ranked[0].tok == "zebra"
+
+
+def test_heaps_law_fit_reasonable_and_matches_numpy(spark):
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    [row] = entrymod.queries()["heaps_law_fit"](spark, SF_SMOKE).collect()
+    assert row.n_points == 10
+    # the synthetic corpus has a CLOSED template lexicon (31 types over
+    # ~28k tokens): vocabulary saturates at the first checkpoint and
+    # beta ~ 0 — the documented degenerate diagnostic, still sub-linear
+    assert 0.0 <= row.heaps_beta < 1.0
+    # rebuild the 10 checkpoint pairs independently and refit
+    rel = duckdb.sql(
+        f"""
+        WITH tok2 AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM '{SF_SMOKE}/documents.parquet'),
+        tok AS (SELECT doc_id, t FROM tok2 WHERE t <> ''),
+        per_doc AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        first_seen AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY 1),
+        new_types AS (
+          SELECT fd AS doc_id, count(*) AS nt FROM first_seen GROUP BY 1),
+        ord AS (
+          SELECT sum(d.n) OVER (ORDER BY d.doc_id) AS ct,
+                 sum(coalesce(t.nt, 0)) OVER (ORDER BY d.doc_id) AS cv,
+                 row_number() OVER (ORDER BY d.doc_id) AS rn,
+                 count(*) OVER () AS nd
+          FROM per_doc d LEFT JOIN new_types t ON d.doc_id = t.doc_id)
+        SELECT ct, cv FROM ord
+        JOIN (SELECT unnest(generate_series(1, 10)) AS k)
+          ON rn = CAST(floor(nd * k / 10.0) AS BIGINT)
+        """
+    ).fetchall()
+    x = np.log(np.array([r[0] for r in rel], dtype=np.float64))
+    y = np.log(np.array([r[1] for r in rel], dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.heaps_beta == pytest.approx(slope, abs=2e-5)
+    assert row.heaps_k == pytest.approx(float(np.exp(intercept)), abs=0.05)
+    assert row.total_tokens == rel[-1][0] and row.total_types == rel[-1][1]
+
+
+def test_heaps_law_fit_growing_vocabulary(spark):
+    """On a corpus whose vocabulary genuinely grows, the fitted beta
+    lands in the sub-linear growth band (textbook 0.3-0.9)."""
+    import random
+
+    from wistia_video_analytics_project_spark.operators import text as t
+
+    rng = random.Random(42)
+    docs = []
+    vocab_counter = 0
+    for d in range(120):
+        words = []
+        for _ in range(40):
+            if rng.random() < 0.3:
+                vocab_counter += 1
+                words.append(f"new{vocab_counter}")
+            else:
+                words.append(f"w{rng.randrange(max(1, vocab_counter))}")
+        docs.append((d, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    [row] = t.heaps_law_fit(df).collect()
+    assert row.n_points == 10
+    assert 0.3 < row.heaps_beta < 1.0
+    assert row.total_types > 1000

@@ -862,6 +862,68 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_burstiness(_docs(spark, sf_dir), min_df=5, top=20)
 
 
+def heaps_law_fit(docs: DataFrame) -> DataFrame:
+    """Heaps' law fit ``V = K * N^beta``: vocabulary size vs corpus
+    token count at 10 cumulative checkpoints along the doc_id order,
+    log-log slope via ``regr_slope`` (the zipf_slope precedent) — the
+    vocabulary-growth exponent that sizes tokenizer vocab and hash
+    spaces before a full-corpus pass (English prose beta ~ 0.4-0.6;
+    a template corpus with a closed lexicon saturates to beta ~ 0,
+    which is itself the diagnostic).
+
+    Exact integer counts throughout: per-doc token counts and each
+    type's first-seen doc feed cumulative sums over the doc order; the
+    10 checkpoint rows are picked by row_number, and only the final
+    2-parameter regression touches floats.  The cumulative window runs
+    over the per-DOC frame (not tokens); at 100 TB the same query runs
+    on a doc-id-bucketed pre-aggregate (sum per bucket + tiny
+    cumulative over buckets — the peak_concurrency two-phase shape)."""
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("__docs_heaps")
+    return spark.sql(r"""
+        WITH tok AS (
+          SELECT doc_id, explode(split(trim(lower(text)), '\\s+')) AS t
+          FROM __docs_heaps),
+        tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n FROM tok2 GROUP BY 1),
+        first_seen AS (
+          SELECT t, min(doc_id) AS fd FROM tok2 GROUP BY 1),
+        new_types AS (
+          SELECT fd AS doc_id, count(*) AS nt FROM first_seen GROUP BY 1),
+        ord AS (
+          SELECT d.doc_id,
+                 sum(d.n) OVER (ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens,
+                 sum(coalesce(t.nt, 0)) OVER (ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_types,
+                 row_number() OVER (ORDER BY d.doc_id) AS rn,
+                 count(*) OVER () AS nd
+          FROM per_doc d LEFT JOIN new_types t ON d.doc_id = t.doc_id),
+        pts AS (
+          SELECT CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                 CAST(cum_types AS BIGINT) AS cum_types
+          FROM ord JOIN (SELECT explode(sequence(1, 10)) AS k)
+            ON rn = CAST(floor(nd * k / CAST(10 AS DOUBLE)) AS BIGINT))
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
+               CAST(max(cum_types) AS BIGINT) AS total_types,
+               round(regr_slope(ln(CAST(cum_types AS DOUBLE)),
+                                ln(CAST(cum_tokens AS DOUBLE))), 6)
+                 + CAST(0.0 AS DOUBLE) AS heaps_beta,
+               round(exp(regr_intercept(ln(CAST(cum_types AS DOUBLE)),
+                                        ln(CAST(cum_tokens AS DOUBLE)))), 2)
+                 + CAST(0.0 AS DOUBLE) AS heaps_k
+        FROM pts
+    """)
+
+
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heaps_law_fit(_docs(spark, sf_dir))
+
+
 def zipf_slope(
     docs: DataFrame, text_col: str = "text", top: int = 200
 ) -> DataFrame:
@@ -926,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hapax_legomena_report": q_hapax_legomena_report,
         "zipf_slope_tokens": q_zipf_slope_tokens,
         "token_burstiness": q_token_burstiness,
+        "heaps_law_fit": q_heaps_law_fit,
     }
 
 
@@ -1011,6 +1074,48 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE)
                          / CAST(count(*) AS DOUBLE), 6) AS hapax_share
             FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "heaps_law_fit": r"""
+            WITH tok2 AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS t
+              FROM documents),
+            tok AS (SELECT doc_id, t FROM tok2 WHERE t <> ''),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+            first_seen AS (
+              SELECT t, min(doc_id) AS fd FROM tok GROUP BY 1),
+            new_types AS (
+              SELECT fd AS doc_id, count(*) AS nt FROM first_seen
+              GROUP BY 1),
+            ord AS (
+              SELECT d.doc_id,
+                     sum(d.n) OVER (ORDER BY d.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens,
+                     sum(coalesce(t.nt, 0)) OVER (ORDER BY d.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_types,
+                     row_number() OVER (ORDER BY d.doc_id) AS rn,
+                     count(*) OVER () AS nd
+              FROM per_doc d LEFT JOIN new_types t ON d.doc_id = t.doc_id),
+            pts AS (
+              SELECT CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                     CAST(cum_types AS BIGINT) AS cum_types
+              FROM ord JOIN (SELECT unnest(generate_series(1, 10)) AS k)
+                ON rn = CAST(floor(nd * k / CAST(10 AS DOUBLE)) AS BIGINT))
+            SELECT CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
+                   CAST(max(cum_types) AS BIGINT) AS total_types,
+                   round(regr_slope(ln(CAST(cum_types AS DOUBLE)),
+                                    ln(CAST(cum_tokens AS DOUBLE))), 6)
+                     + CAST(0.0 AS DOUBLE) AS heaps_beta,
+                   round(exp(regr_intercept(
+                             ln(CAST(cum_types AS DOUBLE)),
+                             ln(CAST(cum_tokens AS DOUBLE)))), 2)
+                     + CAST(0.0 AS DOUBLE) AS heaps_k
+            FROM pts
         """,
         "token_burstiness": r"""
             WITH toks AS (
