@@ -202,6 +202,7 @@ SECONDARY = [
     "conformal_revenue_interval",
     "peak_concurrency_daily",
     "heaps_law_fit",
+    "vocab_overlap_sources",
 ]
 
 

@@ -232,3 +232,24 @@ def test_heaps_law_fit_growing_vocabulary(spark):
     assert row.n_points == 10
     assert 0.3 < row.heaps_beta < 1.0
     assert row.total_types > 1000
+
+
+def test_vocab_overlap_sources_exact(spark):
+    from wistia_video_analytics_project_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "c d e f", "s2"),
+            (3, "x y", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.src_a, r.src_b): r for r in
+            t.vocab_overlap_sources(docs).collect()}
+    r12 = rows[("s1", "s2")]
+    assert (r12.na, r12.nb, r12.n_inter) == (4, 4, 2)
+    assert r12.jaccard == pytest.approx(2 / 6, abs=1e-6)
+    # disjoint vocab pairs produce NO row (inner join on types) — the
+    # caller reads absent pairs as jaccard 0
+    assert ("s1", "s3") not in rows and ("s2", "s3") not in rows

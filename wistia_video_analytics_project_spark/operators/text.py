@@ -924,6 +924,68 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_law_fit(_docs(spark, sf_dir))
 
 
+def vocab_overlap_sources(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: |Va ∩ Vb| /
+    |Va ∪ Vb| over distinct token TYPE sets — the cheap corpus-mixing
+    diagnostic (near-1 pairs are the same distribution twice; near-0
+    pairs genuinely diversify the mixture).  One distinct (source,
+    type) frame, a type-keyed self-join for intersections (types are
+    the join key — never a cross join of sources), and exact integer
+    division at the end."""
+    vocab = (
+        docs.select(
+            F.col(group_col), F.explode(tokens(text_col)).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    from ..cache import track
+
+    vocab = track(vocab.cache())  # consumed by sizes AND both join sides
+    sizes = vocab.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    a = vocab.select(F.col(group_col).alias("src_a"), "tok")
+    b = vocab.select(F.col(group_col).alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col(group_col).alias("src_a"), F.col("n_types").alias("na")
+    )
+    sb = sizes.select(
+        F.col(group_col).alias("src_b"), F.col("n_types").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "na",
+            "nb",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def q_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_overlap_sources(_docs(spark, sf_dir))
+
+
 def zipf_slope(
     docs: DataFrame, text_col: str = "text", top: int = 200
 ) -> DataFrame:
@@ -989,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope_tokens": q_zipf_slope_tokens,
         "token_burstiness": q_token_burstiness,
         "heaps_law_fit": q_heaps_law_fit,
+        "vocab_overlap_sources": q_vocab_overlap_sources,
     }
 
 
@@ -1074,6 +1137,33 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE)
                          / CAST(count(*) AS DOUBLE), 6) AS hapax_share
             FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "vocab_overlap_sources": r"""
+            WITH vocab AS (
+              SELECT DISTINCT source, tok FROM (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)), '\s+'))
+                         AS tok
+                FROM documents)
+              WHERE tok <> ''),
+            sizes AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_types
+              FROM vocab GROUP BY 1),
+            inter AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(count(*) AS BIGINT) AS n_inter
+              FROM vocab a JOIN vocab b
+                ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT i.src_a, i.src_b,
+                   sa.n_types AS na, sb.n_types AS nb, i.n_inter,
+                   round(CAST(i.n_inter AS DOUBLE)
+                         / CAST(sa.n_types + sb.n_types - i.n_inter
+                                AS DOUBLE), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.source = i.src_a
+            JOIN sizes sb ON sb.source = i.src_b
+            ORDER BY i.src_a, i.src_b
         """,
         "heaps_law_fit": r"""
             WITH tok2 AS (
