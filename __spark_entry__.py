@@ -4596,6 +4596,49 @@ def q_isotonic_late_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def q_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of event time-of-day per event type: the
+    mean direction (peak hour, UTC) and resultant length R (0 =
+    uniform around the clock, 1 = all events at the same instant) —
+    the correct average for angles, where the arithmetic mean of 23:00
+    and 01:00 wrongly lands at noon.
+
+    Parity: the angle is ``us_in_day * 2pi / 86400e6`` with
+    ``us_in_day`` an exact integer (unix_micros mod a day), the same
+    libm-safe bounded-argument trick as the periodogram; ``atan2`` on
+    the two engine-identical-to-1ulp sums is continuous away from the
+    branch cut, and outputs round at 2/4 decimals."""
+    two_pi = 6.283185307179586
+    events = _t(spark, sf_dir, "events")
+    ang = (
+        (F.unix_micros("ts") % F.lit(86400000000)).cast("double")
+        * F.lit(two_pi)
+        / F.lit(86400000000.0)
+    )
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.cos(ang)).alias("c"),
+        F.sum(F.sin(ang)).alias("s"),
+    )
+    theta = F.atan2(F.col("s"), F.col("c"))
+    theta = (theta + F.lit(two_pi)) % F.lit(two_pi)
+    return agg.select(
+        "event_type",
+        "n",
+        (
+            F.round(theta * F.lit(24.0) / F.lit(two_pi), 2) + F.lit(0.0)
+        ).alias("peak_hour_utc"),
+        (
+            F.round(
+                F.sqrt(F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+                / F.col("n").cast("double"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("resultant_r"),
+    ).orderBy("event_type")
+
+
 def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per day: sessionize (30-min gap,
     gaps-and-islands), decompose each session into +1/-1 boundary
@@ -5359,6 +5402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_whiten_check": q_embedding_whiten_check,
         "conformal_revenue_interval": q_conformal_revenue_interval,
         "peak_concurrency_daily": q_peak_concurrency_daily,
+        "circadian_profile": q_circadian_profile,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -8074,6 +8118,27 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") ORDER BY level"
     )
+    sql["circadian_profile"] = """
+        WITH ang AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+                   * CAST('6.283185307179586' AS DOUBLE)
+                   / CAST(86400000000 AS DOUBLE) AS a
+          FROM events),
+        agg AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(cos(a)) AS c, sum(sin(a)) AS s
+          FROM ang GROUP BY 1)
+        SELECT event_type, n,
+               round(((atan2(s, c) + CAST('6.283185307179586' AS DOUBLE))
+                      % CAST('6.283185307179586' AS DOUBLE))
+                     * CAST(24 AS DOUBLE)
+                     / CAST('6.283185307179586' AS DOUBLE), 2)
+                 + CAST(0.0 AS DOUBLE) AS peak_hour_utc,
+               round(sqrt(c * c + s * s) / CAST(n AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS resultant_r
+        FROM agg ORDER BY event_type
+    """
     sql["peak_concurrency_daily"] = """
         WITH ev AS (
           SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -203,6 +203,7 @@ SECONDARY = [
     "peak_concurrency_daily",
     "heaps_law_fit",
     "vocab_overlap_sources",
+    "circadian_profile",
 ]
 
 

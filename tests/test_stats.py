@@ -350,3 +350,32 @@ def test_conformal_interval_coverage_and_quantile(spark):
     assert coverage >= 0.9
     assert row.lo == pytest.approx(row.point_forecast - row.q90_abs_resid, abs=0.02)
     assert row.hi == pytest.approx(row.point_forecast + row.q90_abs_resid, abs=0.02)
+
+
+def test_circadian_profile_matches_numpy_circular_stats(spark):
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    ev = _events()
+    rows = entrymod.q_circadian_profile(spark, SF_SMOKE).collect()
+    got = {r.event_type: r for r in rows}
+    # pandas reads the nanos parquet as datetime64[us]: int64 IS micros
+    assert str(ev.ts.dtype) == "datetime64[us]"
+    us = ev.ts.astype("int64") % 86_400_000_000
+    theta = us.to_numpy() * 2 * np.pi / 86_400_000_000
+    for etype, grp in ev.groupby("event_type"):
+        th = theta[ev.event_type == etype]
+        c, s = float(np.cos(th).sum()), float(np.sin(th).sum())
+        r = got[etype]
+        assert r.n == len(th)
+        mean = (np.arctan2(s, c) + 2 * np.pi) % (2 * np.pi)
+        assert r.peak_hour_utc == pytest.approx(
+            mean * 24 / (2 * np.pi), abs=0.01
+        )
+        assert r.resultant_r == pytest.approx(
+            np.hypot(c, s) / len(th), abs=1e-3
+        )
+        # synthetic timestamps are uniform around the clock: R ~ 0
+        assert r.resultant_r < 0.1
