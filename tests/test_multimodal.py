@@ -2470,3 +2470,24 @@ def test_png_subbyte_gray_and_palette():
     png = png[:ihdr_end] + plte_chunk + png[ihdr_end:]
     got = multimodal.decode_image(png)
     assert np.array_equal(got, plte[idx[:, :, 0]])
+
+
+def test_gif_disposal_restore_to_previous():
+    """disposal=3: the frame's rect reverts to the PRE-frame canvas
+    before the next frame composites (the sprite-overlay pattern)."""
+    import numpy as np
+
+    pal = np.array(_GIF_PALETTE, dtype=np.uint8)
+    base = _gif_index_frame(8, 8)
+    sprite = np.full((3, 3), 7, dtype=np.int32)
+    dot = np.full((2, 2), 2, dtype=np.int32)
+    gif = _gif_bytes(
+        [base, sprite, dot],
+        rects=[(0, 0), (2, 2), (6, 6)],
+        disposals={1: 3},
+    )
+    frames, _ = multimodal.decode_video(gif)
+    assert (frames[1][2:5, 2:5] == pal[sprite]).all()  # sprite visible
+    # frame 2: sprite rect restored to the ORIGINAL base pixels
+    assert (frames[2][2:5, 2:5] == pal[base][2:5, 2:5]).all()
+    assert (frames[2][6:8, 6:8] == pal[dot]).all()

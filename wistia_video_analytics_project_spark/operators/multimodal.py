@@ -1815,6 +1815,7 @@ def _decode_gif_frames_strict(payload: bytes):
         if (arr >= len(pal)).any():
             raise ValueError("GIF: palette index out of range")
         rect = canvas[fy : fy + fh, fx : fx + fw]
+        prev_rect = rect.copy() if disposal == 3 else None
         px = pal[arr]
         if transparent is not None:
             mask = arr == transparent
@@ -1823,6 +1824,8 @@ def _decode_gif_frames_strict(payload: bytes):
         frames.append(canvas.copy())
         if disposal == 2 and gct is not None and bg_idx < len(gct):
             canvas[fy : fy + fh, fx : fx + fw] = gct[bg_idx]
+        elif disposal == 3:  # restore-to-previous: undo this frame
+            canvas[fy : fy + fh, fx : fx + fw] = prev_rect
         # a GCE applies only to the single rendering block that follows
         # (GIF89a §23) — reset BOTH fields, or one disposal=2 frame
         # would keep wiping every later GCE-less frame's rect
