@@ -4596,6 +4596,93 @@ def q_isotonic_late_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B surface: per user, the
+    pre-period event count is the covariate X and the post-period
+    count the metric Y (split at day 15 of the event window);
+    ``theta = Sxy/Sxx`` over ALL users, the adjusted metric is
+    ``Y' = Y - theta*(X - mean(X))``, and the report carries per-
+    variant raw vs adjusted means plus the global variance-reduction
+    ratio ``rho^2 = Sxy^2/(Sxx*Syy)`` — the standard pre-experiment-
+    data trick that shrinks experiment runtimes.
+
+    Parity: X/Y are exact integer counts; means and centered sums use
+    the TWO-pass ar2 idiom; every reported float rounds (4/6) far
+    above summation-order noise."""
+    events = _t(spark, sf_dir, "events")
+    split = events.agg(
+        F.date_add(F.to_date(F.min("ts")), 15).alias("cut")
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(split))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.to_date("ts") < F.col("cut"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.to_date("ts") >= F.col("cut"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    per_user = cache.track(per_user.cache())
+    means = per_user.agg(
+        F.avg("x").alias("mx"), F.avg("y").alias("my")
+    )
+    stats = (
+        per_user.crossJoin(F.broadcast(means))
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+            ).alias("sxx"),
+            F.sum(
+                (F.col("x") - F.col("mx")) * (F.col("y") - F.col("my"))
+            ).alias("sxy"),
+            F.sum(
+                (F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))
+            ).alias("syy"),
+            F.first("mx").alias("mx"),
+        )
+        .select(
+            (F.col("sxy") / F.col("sxx")).alias("theta"),
+            (
+                F.col("sxy")
+                * F.col("sxy")
+                / (F.col("sxx") * F.col("syy"))
+            ).alias("rho2"),
+            "mx",
+        )
+    )
+    per_variant = (
+        per_user.crossJoin(F.broadcast(stats))
+        .groupBy((F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.round(F.avg("y"), 4) + F.lit(0.0)).alias("mean_y"),
+            (
+                F.round(
+                    F.avg(
+                        F.col("y")
+                        - F.col("theta") * (F.col("x") - F.col("mx"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("mean_y_cuped"),
+            (F.round(F.first("theta"), 6) + F.lit(0.0)).alias("theta"),
+            (F.round(F.first("rho2"), 6) + F.lit(0.0)).alias(
+                "var_reduction"
+            ),
+        )
+        .orderBy("variant")
+    )
+    return per_variant
+
+
 def q_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Circular statistics of event time-of-day per event type: the
     mean direction (peak hour, UTC) and resultant length R (0 =
@@ -5403,6 +5490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_revenue_interval": q_conformal_revenue_interval,
         "peak_concurrency_daily": q_peak_concurrency_daily,
         "circadian_profile": q_circadian_profile,
+        "cuped_adjusted_ab": q_cuped_adjusted_ab,
     })
     # --- round-6 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R6}
@@ -8118,6 +8206,40 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") ORDER BY level"
     )
+    sql["cuped_adjusted_ab"] = """
+        WITH cut AS (
+          SELECT CAST(min(ts) AS DATE) + 15 AS cut FROM events),
+        per_user AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN CAST(ts AS DATE) < c.cut
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN CAST(ts AS DATE) >= c.cut
+                               THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events, cut c GROUP BY user_id),
+        means AS (SELECT avg(x) AS mx, avg(y) AS my FROM per_user),
+        stats AS (
+          SELECT sum((u.x - m.mx) * (u.x - m.mx)) AS sxx,
+                 sum((u.x - m.mx) * (u.y - m.my)) AS sxy,
+                 sum((u.y - m.my) * (u.y - m.my)) AS syy,
+                 any_value(m.mx) AS mx
+          FROM per_user u, means m),
+        par AS (
+          SELECT sxy / sxx AS theta,
+                 sxy * sxy / (sxx * syy) AS rho2, mx
+          FROM stats)
+        SELECT user_id % 2 AS variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(avg(CAST(y AS DOUBLE)), 4) + CAST(0.0 AS DOUBLE)
+                 AS mean_y,
+               round(avg(CAST(y AS DOUBLE)
+                         - p.theta * (CAST(x AS DOUBLE) - p.mx)), 4)
+                 + CAST(0.0 AS DOUBLE) AS mean_y_cuped,
+               round(any_value(p.theta), 6) + CAST(0.0 AS DOUBLE) AS theta,
+               round(any_value(p.rho2), 6) + CAST(0.0 AS DOUBLE)
+                 AS var_reduction
+        FROM per_user, par p
+        GROUP BY 1 ORDER BY 1
+    """
     sql["circadian_profile"] = """
         WITH ang AS (
           SELECT event_type,

@@ -204,6 +204,7 @@ SECONDARY = [
     "heaps_law_fit",
     "vocab_overlap_sources",
     "circadian_profile",
+    "cuped_adjusted_ab",
 ]
 
 

@@ -379,3 +379,37 @@ def test_circadian_profile_matches_numpy_circular_stats(spark):
         )
         # synthetic timestamps are uniform around the clock: R ~ 0
         assert r.resultant_r < 0.1
+
+
+def test_cuped_reduces_variance_and_matches_numpy(spark):
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    ev = _events()
+    cut = ev.ts.min().normalize() + pd.Timedelta(days=15)
+    g = ev.groupby("user_id")
+    x = g.ts.apply(lambda s: int((s.dt.normalize() < cut).sum()))
+    y = g.ts.apply(lambda s: int((s.dt.normalize() >= cut).sum()))
+    xv, yv = x.to_numpy(np.float64), y.to_numpy(np.float64)
+    mx, my = xv.mean(), yv.mean()
+    sxx = ((xv - mx) ** 2).sum()
+    sxy = ((xv - mx) * (yv - my)).sum()
+    syy = ((yv - my) ** 2).sum()
+    theta = sxy / sxx
+    rho2 = sxy * sxy / (sxx * syy)
+    rows = {r.variant: r for r in
+            entrymod.q_cuped_adjusted_ab(spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1}
+    for v, r in rows.items():
+        mask = (x.index.to_numpy() % 2) == v
+        assert r.n_users == int(mask.sum())
+        assert r.mean_y == pytest.approx(yv[mask].mean(), abs=1e-3)
+        adj = yv[mask] - theta * (xv[mask] - mx)
+        assert r.mean_y_cuped == pytest.approx(adj.mean(), abs=1e-3)
+        assert r.theta == pytest.approx(theta, abs=1e-5)
+        assert r.var_reduction == pytest.approx(rho2, abs=1e-5)
+    # the adjusted per-user metric must genuinely shrink variance
+    adj_all = yv - theta * (xv - mx)
+    assert adj_all.var() < yv.var()
