@@ -4709,12 +4709,15 @@ def q_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     theta = F.atan2(F.col("s"), F.col("c"))
     theta = (theta + F.lit(two_pi)) % F.lit(two_pi)
+    hour = F.round(theta * F.lit(24.0) / F.lit(two_pi), 2)
+    # snap the circular wrap: a mean within noise of midnight can land
+    # on either side of the s-sign branch (0.00 on one engine, 24.00 on
+    # the other) — normalize the boundary BEFORE comparison
+    hour = F.when(hour >= 24.0, hour - F.lit(24.0)).otherwise(hour)
     return agg.select(
         "event_type",
         "n",
-        (
-            F.round(theta * F.lit(24.0) / F.lit(two_pi), 2) + F.lit(0.0)
-        ).alias("peak_hour_utc"),
+        (hour + F.lit(0.0)).alias("peak_hour_utc"),
         (
             F.round(
                 F.sqrt(F.col("c") * F.col("c") + F.col("s") * F.col("s"))
@@ -4771,10 +4774,22 @@ def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT user_id, sid, s_us AS us, 1 AS delta FROM spans
           UNION ALL
           SELECT user_id, sid, e_us, -1 FROM spans),
-        daybound AS (
+        rawbound AS (
           SELECT CAST(timestamp_micros(us) AS DATE) AS day,
                  us, delta, user_id, sid
           FROM bounds),
+        -- EVERY day in the span gets a zero-delta midnight row: a day
+        -- whose only activity is carried in from sessions spanning
+        -- midnight (or that lies wholly inside a long session) must
+        -- still report its carry plateau as the peak
+        spine AS (
+          SELECT explode(sequence(min(day), max(day))) AS day
+          FROM rawbound),
+        daybound AS (
+          SELECT day, us, delta, user_id, sid FROM rawbound
+          UNION ALL
+          SELECT day, unix_micros(CAST(day AS TIMESTAMP)), 0, -1, -1
+          FROM spine),
         day_net AS (
           SELECT day, CAST(sum(delta) AS BIGINT) AS net
           FROM daybound GROUP BY 1),
@@ -4846,10 +4861,12 @@ def q_embedding_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (linalg.zca_whiten).  Rows-only (no eigendecomposition
     in SQL); numpy parity pinned in tests/test_linalg.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    whitened, _, _ = linalg.zca_whiten(emb, "embedding", 64)
+    # only the first 8 output dims are checked: truncate the emitted
+    # projection (1/8 the per-row JVM work; W itself is unchanged)
+    whitened, _, _ = linalg.zca_whiten(emb, "embedding", 64, out_dims=8)
     per_dim = whitened.select(
         F.posexplode("whitened").alias("dim", "v")
-    ).filter(F.col("dim") < 8)
+    )
     return (
         per_dim.groupBy("dim")
         .agg(
@@ -8251,15 +8268,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                  sum(cos(a)) AS c, sum(sin(a)) AS s
           FROM ang GROUP BY 1)
+        , hr AS (
+          SELECT event_type, n, c, s,
+                 round(((atan2(s, c) + CAST('6.283185307179586' AS DOUBLE))
+                        % CAST('6.283185307179586' AS DOUBLE))
+                       * CAST(24 AS DOUBLE)
+                       / CAST('6.283185307179586' AS DOUBLE), 2) AS h
+          FROM agg)
         SELECT event_type, n,
-               round(((atan2(s, c) + CAST('6.283185307179586' AS DOUBLE))
-                      % CAST('6.283185307179586' AS DOUBLE))
-                     * CAST(24 AS DOUBLE)
-                     / CAST('6.283185307179586' AS DOUBLE), 2)
+               (CASE WHEN h >= CAST(24 AS DOUBLE)
+                     THEN h - CAST(24 AS DOUBLE) ELSE h END)
                  + CAST(0.0 AS DOUBLE) AS peak_hour_utc,
                round(sqrt(c * c + s * s) / CAST(n AS DOUBLE), 4)
                  + CAST(0.0 AS DOUBLE) AS resultant_r
-        FROM agg ORDER BY event_type
+        FROM hr ORDER BY event_type
     """
     sql["peak_concurrency_daily"] = """
         WITH ev AS (
@@ -8288,10 +8310,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, sid, s_us AS us, 1 AS delta FROM spans
           UNION ALL
           SELECT user_id, sid, e_us, -1 FROM spans),
-        daybound AS (
+        rawbound AS (
           SELECT CAST(make_timestamp(us) AS DATE) AS day,
                  us, delta, user_id, sid
           FROM bounds),
+        spine AS (
+          SELECT unnest(generate_series(min(day), max(day),
+                                        INTERVAL 1 DAY)) AS day
+          FROM rawbound),
+        daybound AS (
+          SELECT day, us, delta, user_id, sid FROM rawbound
+          UNION ALL
+          SELECT CAST(day AS DATE), epoch_us(CAST(day AS TIMESTAMP)),
+                 0, -1, -1
+          FROM spine),
         day_net AS (
           SELECT day, CAST(sum(delta) AS BIGINT) AS net
           FROM daybound GROUP BY 1),

@@ -84,14 +84,21 @@ def sufficient_stats(df: DataFrame, vec_col: str, dim: int):
     return n, buf[n_gram : n_gram + d], buf[:n_gram].reshape(d, d)
 
 
-def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
-    """Sample covariance from the one-pass sufficient statistics:
-    ``(XᵀX − n·μμᵀ) / (n−1)`` — no centering pass over the data."""
+def _mean_cov(df: DataFrame, vec_col: str, dim: int):
+    """(n, mean, sample covariance) from the one-pass sufficient
+    statistics ``(XᵀX − n·μμᵀ) / (n−1)`` — the single shared body for
+    covariance_matrix and zca_whiten (no centering pass over data)."""
     n, s, g = sufficient_stats(df, vec_col, dim)
     if n < 2:
         raise ValueError(f"need >= 2 rows for covariance, got {n}")
     mean = s / n
-    return (g - n * np.outer(mean, mean)) / (n - 1)
+    return n, mean, (g - n * np.outer(mean, mean)) / (n - 1)
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
+    """Sample covariance from the one-pass sufficient statistics:
+    ``(XᵀX − n·μμᵀ) / (n−1)`` — no centering pass over the data."""
+    return _mean_cov(df, vec_col, dim)[2]
 
 
 def pca(df: DataFrame, vec_col: str, dim: int, k: int):
@@ -141,6 +148,7 @@ def zca_whiten(
     dim: int,
     eps: float = 1e-5,
     out_col: str = "whitened",
+    out_dims: int | None = None,
 ):
     """ZCA whitening of an embedding column: ``x' = W (x - mu)`` with
     ``W = U diag(1/sqrt(lambda+eps)) U^T`` from the covariance
@@ -153,13 +161,12 @@ def zca_whiten(
     collect), an O(d^3) driver eigendecomposition, then a pure-JVM
     ``zip_with`` projection against literal rows of W — the corpus
     never leaves the executors and scoring runs no Python.  Returns
-    ``(df_with_out_col, W, mu)``.
+    ``(df_with_out_col, W, mu)``.  ``out_dims`` truncates the emitted
+    projection to W's first rows (the full W is still returned) — a
+    caller checking only a few output dims shouldn't pay the full
+    d x d multiply per row.
     """
-    n, s, g = sufficient_stats(df, vec_col, dim)
-    if n < 2:
-        raise ValueError(f"need >= 2 rows to whiten, got {n}")
-    mu = s / n
-    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    _, mu, cov = _mean_cov(df, vec_col, dim)
     vals, vecs = np.linalg.eigh(cov)
     w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 0.0) + eps)) @ vecs.T
     centered = F.zip_with(
@@ -168,7 +175,7 @@ def zca_whiten(
         lambda x, m: x - m,
     )
     rows = []
-    for wrow in w:
+    for wrow in (w if out_dims is None else w[: int(out_dims)]):
         lit = F.array(*[F.lit(float(x)) for x in wrow])
         rows.append(
             F.aggregate(

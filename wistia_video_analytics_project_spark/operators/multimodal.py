@@ -1706,10 +1706,11 @@ def _decode_gif_frames(payload: bytes):
     """GIF87a/89a -> (list of (h, w, 3) uint8 canvases, fps).
 
     Pure-Python LZW with palette lookup, interlace passes, and
-    frame-rectangle composition onto the running canvas (disposal
-    "leave in place"; restore-to-background fills the rect with the
-    background color). Transparency composites by keeping the
-    underlying canvas pixel. fps derives from the first Graphic
+    frame-rectangle composition onto the running canvas (all three
+    real disposal methods: leave-in-place, restore-to-background
+    fills the rect with the background color, restore-to-previous
+    reverts the rect to the pre-frame canvas). Transparency composites
+    by keeping the underlying canvas pixel. fps derives from the first Graphic
     Control Extension delay (GIF's centisecond clock; 10 fps when
     unset, the browser convention). EVERY malformed-input failure mode
     is normalized to ValueError (the JPEG-wrapper precedent: a payload

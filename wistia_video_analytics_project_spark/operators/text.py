@@ -903,10 +903,11 @@ def heaps_law_fit(docs: DataFrame) -> DataFrame:
                  count(*) OVER () AS nd
           FROM per_doc d LEFT JOIN new_types t ON d.doc_id = t.doc_id),
         pts AS (
-          SELECT CAST(cum_tokens AS BIGINT) AS cum_tokens,
-                 CAST(cum_types AS BIGINT) AS cum_types
+          SELECT DISTINCT CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                 CAST(cum_types AS BIGINT) AS cum_types, rn
           FROM ord JOIN (SELECT explode(sequence(1, 10)) AS k)
-            ON rn = CAST(floor(nd * k / CAST(10 AS DOUBLE)) AS BIGINT))
+            ON rn = greatest(CAST(1 AS BIGINT),
+                   CAST(floor(nd * k / CAST(10 AS DOUBLE)) AS BIGINT)))
         SELECT CAST(count(*) AS BIGINT) AS n_points,
                CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
                CAST(max(cum_types) AS BIGINT) AS total_types,
@@ -1191,10 +1192,11 @@ def oracle_sql() -> dict[str, str]:
                      count(*) OVER () AS nd
               FROM per_doc d LEFT JOIN new_types t ON d.doc_id = t.doc_id),
             pts AS (
-              SELECT CAST(cum_tokens AS BIGINT) AS cum_tokens,
-                     CAST(cum_types AS BIGINT) AS cum_types
+              SELECT DISTINCT CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                     CAST(cum_types AS BIGINT) AS cum_types, rn
               FROM ord JOIN (SELECT unnest(generate_series(1, 10)) AS k)
-                ON rn = CAST(floor(nd * k / CAST(10 AS DOUBLE)) AS BIGINT))
+                ON rn = greatest(CAST(1 AS BIGINT),
+                       CAST(floor(nd * k / CAST(10 AS DOUBLE)) AS BIGINT)))
             SELECT CAST(count(*) AS BIGINT) AS n_points,
                    CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
                    CAST(max(cum_types) AS BIGINT) AS total_types,
