@@ -5289,21 +5289,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     git history, both 50/50 driver-green).  Rows-only approximates (no
     oracle by design — see CLAUDE.md) stay at the very end so every
     in-window slot is a full hash-checked comparison.
-    ``_WINDOW_R6`` below executes the round-6 rotation per the round-5
-    VERDICT: positions 1-3 are the only oracle-backed entries that have
-    never had a driver row (``gopher_quality_report``,
-    ``ks_test_order_values``, ``streaming_view_purchase_join`` — added
-    after ``_WINDOW_R5`` froze), positions 4-6 are the round-1 remainder
-    (last driver-green in r1, 5 rounds stale), and positions 7-50 take
-    44 of the 48 entries whose last driver-green row is round 2
-    (4 rounds stale), in registry order.  The 4 round-2-stale spills
+    ``_WINDOW_R7`` below executes the round-7 rotation per the round-6
+    VERDICT: positions 1-19 are the round-6 oracle-backed additions
+    that have never had a driver row (added after ``_WINDOW_R6``
+    froze), positions 20-23 are the four round-2-stale spills
     (``pii_scrub_report``, ``line_dedup_report``, ``stratified_sample``,
-    ``weighted_sample``) must front-load ``_WINDOW_R7``.
-    ROTATION PLAN for round 7: front-load (a) any round-6 oracle-backed
-    additions that miss this window, (b) the 4 spills above, then
-    (c) the round-3-verified tier (``daily_plays_trend`` ..
-    ``dormant_high_balance``, 50 entries — fills the window; overflow
-    spills to round 8) — keep cycling so every oracle-backed entry
+    ``weighted_sample`` — last driver-green in r2), and positions 24-50
+    take the first 27 of the 50 entries whose last driver-green row is
+    round 3, in registry order (head = ``gold_fact_decimal`` ..
+    ``purchase_view_coincidence``).
+    ROTATION PLAN for round 8: front-load (a) any round-7 oracle-backed
+    additions that miss this window, (b) the 23 round-3-stale entries
+    this window could not fit (``daily_value_interp`` ..
+    ``dormant_high_balance``, registry order), then (c) the head of the
+    round-4-verified tier — keep cycling so every oracle-backed entry
     re-earns a driver green row every ~2-3 rounds.
     """
     core = {
@@ -5509,8 +5508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circadian_profile": q_circadian_profile,
         "cuped_adjusted_ab": q_cuped_adjusted_ab,
     })
-    # --- round-6 rotation: reorder so the driver's 50-entry window ---
-    ordered = {name: core[name] for name in _WINDOW_R6}
+    # --- round-7 rotation: reorder so the driver's 50-entry window ---
+    ordered = {name: core[name] for name in _WINDOW_R7}
     ordered.update((n, f) for n, f in core.items() if n not in ordered)
     # rows-only approximates (no oracle by design) go last: a window
     # slot spent on them yields only a weak rows-only driver check
@@ -5531,65 +5530,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-6 driver window — executes the rotation the round-5 VERDICT
-#: ordered: the 3 never-driver-checked entries (1-3), the round-1
-#: remainder (4-6, 5 rounds stale), and 44 of the 48 round-2-stale
-#: entries (7-50); the 4 spills are named in the ``queries()`` docstring
-#: and must front-load ``_WINDOW_R7``.
-_WINDOW_R6 = [
-    # --- 1-3: never driver-checked (added after _WINDOW_R5 froze) ---
-    "gopher_quality_report",
-    "ks_test_order_values",
-    "streaming_view_purchase_join",
-    # --- 4-6: round-1 remainder (last driver-green in r1) ---
-    "part_cooccurrence",
-    "nations_per_region",
-    "view_purchase_conversion",
-    # --- 7-50: round-2-stale tier, registry order (4 spill to r7) ---
-    "priority_value_spread",
-    "regional_revenue",
-    "orders_above_customer_avg",
-    "user_event_type_sets",
-    "top_event_type_per_user",
-    "balance_segment_report",
-    "customers_no_final_orders",
-    "order_value_percent_rank",
-    "doc_split_assignment",
-    "user_first_last_event",
-    "vocab_coverage",
-    "rolling_7day_range_revenue",
-    "daily_value_locf",
-    "orders_rerun_diff",
-    "benford_first_digit",
-    "rfm_segments",
-    "top_entry_paths",
-    "weekday_profile",
-    "event_expectations",
-    "event_transitions",
-    "fuzzy_part_names",
-    "revenue_share_by_brand",
-    "daily_anomaly_zscore",
-    "cumulative_unique_users",
-    "scd2_customer_batch",
-    "multimodal_metadata",
-    "frame_grid",
-    "streaming_daily_engagement",
-    "dedup_exact",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_cluster_keep",
-    "text_profile",
-    "text_lang_id",
-    "text_quality",
-    "doc_fingerprint",
-    "top_keywords",
-    "token_counts",
-    "doc_chunks",
-    "ann_brute_force",
-    "embedding_cosine_pairs",
-    "contamination_report",
-    "text_repetition",
+#: Round-7 driver window — executes the rotation the round-6 VERDICT
+#: ordered: the 19 never-driver-checked round-6 additions (1-19), the
+#: four round-2-stale spills (20-23), and the first 27 round-3-stale
+#: entries in registry order (24-50); the remaining 23 round-3-stale
+#: entries must front-load ``_WINDOW_R8`` (see the ``queries()``
+#: docstring).
+_WINDOW_R7 = [
+    # --- 1-19: never driver-checked (added after _WINDOW_R6 froze) ---
+    "char_entropy_report",
+    "hapax_legomena_report",
+    "zipf_slope_tokens",
+    "token_burstiness",
+    "heaps_law_fit",
+    "vocab_overlap_sources",
+    "truncated_dim_recall",
+    "temperature_mixture",
+    "theilsen_revenue_trend",
+    "spearman_price_qty",
+    "kendall_tau_daily",
+    "sequential_pattern_support",
+    "haar_revenue_wavelet",
+    "revenue_periodogram",
+    "brand_price_elasticity",
+    "conformal_revenue_interval",
+    "peak_concurrency_daily",
+    "circadian_profile",
+    "cuped_adjusted_ab",
+    # --- 20-23: round-2-stale spills from _WINDOW_R6 ---
+    "pii_scrub_report",
+    "line_dedup_report",
+    "stratified_sample",
+    "weighted_sample",
+    # --- 24-50: round-3-stale tier, registry order (23 spill to r8) ---
+    "gold_fact_decimal",
+    "embedding_quantize",
+    "dedup_incremental",
+    "similar_documents",
+    "semantic_dedup_keep",
+    "mixture_sample",
+    "daily_plays_trend",
+    "fact_engagement_build",
+    "engagement_kpis",
+    "tumbling_hourly",
+    "rollup_type_daily",
+    "cube_type_daily",
+    "json_props_extract",
+    "dim_media_conform",
+    "dim_visitor_conform",
+    "pk_repair",
+    "null_empty_audit",
+    "keep_first_dedup",
+    "duplicate_audit",
+    "uniqueness_report",
+    "plays_by_channel",
+    "customers_without_orders",
+    "order_priority_counts",
+    "top10_media",
+    "rank_in_channel",
+    "trailing_7day_plays",
+    "new_vs_returning",
 ]
 
 
