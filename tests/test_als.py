@@ -122,6 +122,146 @@ def test_als_fits_low_rank_data(spark):
     assert losses[-1] < 0.1, losses
 
 
+def test_als_skewed_sum_accumulation_matches_sorted(spark):
+    """A power-law hot item must flip ``accumulation="auto"`` to the
+    skew-safe plain-sum path, and that path must agree with the
+    bit-deterministic sorted fold to float-accumulation tolerance."""
+    rows = [(u, 99, 1.0 + (u % 5)) for u in range(40)] + [
+        (u, u % 7, 2.0 + (u % 3)) for u in range(40)
+    ]
+    ratings = spark.createDataFrame(
+        rows, "user long, item long, rating double"
+    )
+    uf_s, if_s, losses_s = als.als_train(
+        ratings, k=3, iterations=2, reg=0.1, accumulation="sorted"
+    )
+    # item 99 has degree 40 > 10 -> auto must pick the sum path
+    uf_a, if_a, losses_a = als.als_train(
+        ratings,
+        k=3,
+        iterations=2,
+        reg=0.1,
+        accumulation="auto",
+        skew_degree_threshold=10,
+    )
+    got_s = {r["user"]: np.array(r["factors"]) for r in uf_s.collect()}
+    got_a = {r["user"]: np.array(r["factors"]) for r in uf_a.collect()}
+    assert got_s.keys() == got_a.keys()
+    for u in got_s:
+        assert got_a[u] == pytest.approx(got_s[u], rel=1e-6, abs=1e-9), u
+    gi_s = {r["item"]: np.array(r["factors"]) for r in if_s.collect()}
+    gi_a = {r["item"]: np.array(r["factors"]) for r in if_a.collect()}
+    for i in gi_s:
+        assert gi_a[i] == pytest.approx(gi_s[i], rel=1e-6, abs=1e-9), i
+    for a, b in zip(losses_a, losses_a[1:]):
+        assert b <= a + 1e-9, losses_a
+
+
+def test_als_auto_below_threshold_is_sorted_bitexact(spark, ratings_df):
+    """Below the degree threshold, auto == sorted exactly (the default
+    path stays bit-deterministic)."""
+    uf_s, _, _ = als.als_train(
+        ratings_df, k=3, iterations=2, reg=0.1, accumulation="sorted",
+        track_loss=False,
+    )
+    uf_a, _, _ = als.als_train(
+        ratings_df, k=3, iterations=2, reg=0.1, accumulation="auto",
+        track_loss=False,
+    )
+    got_s = {r["user"]: list(r["factors"]) for r in uf_s.collect()}
+    got_a = {r["user"]: list(r["factors"]) for r in uf_a.collect()}
+    assert got_s == got_a
+
+
+def _clustered_factors(spark, n_users=24, n_items=64, n_clusters=8):
+    """Deterministic clustered factor frames in R^4: cluster centers on
+    distinct axis mixes, members perturbed by a small arithmetic offset
+    (no RNG — reproducible across runs)."""
+    def center(c):
+        return [
+            1.0 if j == c % 4 else (0.25 if c >= 4 else 0.0)
+            for j in range(4)
+        ]
+
+    def perturb(idx, vec):
+        return [
+            v + 0.01 * (((idx * 7 + j * 3) % 13) - 6) / 6.0
+            for j, v in enumerate(vec)
+        ]
+
+    items = [
+        (i, perturb(i, center(i % n_clusters))) for i in range(n_items)
+    ]
+    users = [
+        (u, perturb(u + 1000, center(u % n_clusters)))
+        for u in range(n_users)
+    ]
+    item_f = spark.createDataFrame(
+        items, "item long, factors array<double>"
+    )
+    user_f = spark.createDataFrame(
+        users, "user long, factors array<double>"
+    )
+    return user_f, item_f
+
+
+def test_recommend_topk_ann_full_probe_equals_exact(spark, ratings_df):
+    """nprobe == n_centroids degenerates ANN serving to the exact path
+    bit-for-bit (same scores, same ranks)."""
+    uf, itf, _ = als.als_train(
+        ratings_df, k=3, iterations=2, reg=0.1, track_loss=False
+    )
+    uf = uf.localCheckpoint(eager=True)
+    itf = itf.localCheckpoint(eager=True)
+    exact = als.recommend_topk(
+        uf, itf, ratings_df, n=2, method="exact"
+    ).collect()
+    ann = als.recommend_topk_ann(
+        uf, itf, ratings_df, n=2, n_centroids=4, nprobe=4
+    ).collect()
+    assert [tuple(r) for r in ann] == [tuple(r) for r in exact]
+
+
+def test_recommend_topk_ann_recall_on_clustered_factors(spark):
+    """Probing 2 of 8 cells over clustered item factors must retain
+    >=80% of the exact top-3 (in practice the clusters align with cells
+    and recall is ~1)."""
+    user_f, item_f = _clustered_factors(spark)
+    seen = spark.createDataFrame([], "user long, item long")
+    exact = als.recommend_topk(
+        user_f, item_f, seen, n=3, method="exact"
+    ).collect()
+    ann = als.recommend_topk_ann(
+        user_f, item_f, seen, n=3, n_centroids=8, nprobe=2
+    ).collect()
+    want = {(r["user"], r["item"]) for r in exact}
+    got = {(r["user"], r["item"]) for r in ann}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, (recall, sorted(want - got))
+
+
+def test_recommend_topk_auto_routes_by_catalog_size(spark, ratings_df):
+    """auto == exact under the threshold; over it, auto produces the
+    ANN result (same frame shape, unseen-only, ranked)."""
+    uf, itf, _ = als.als_train(
+        ratings_df, k=3, iterations=1, reg=0.1, track_loss=False
+    )
+    uf = uf.localCheckpoint(eager=True)
+    itf = itf.localCheckpoint(eager=True)
+    exact = als.recommend_topk(
+        uf, itf, ratings_df, n=2, method="exact"
+    ).collect()
+    auto_small = als.recommend_topk(
+        uf, itf, ratings_df, n=2, method="auto"
+    ).collect()
+    assert [tuple(r) for r in auto_small] == [tuple(r) for r in exact]
+    auto_big = als.recommend_topk(
+        uf, itf, ratings_df, n=2, method="auto", ann_threshold=2,
+        n_centroids=4, nprobe=4,
+    ).collect()
+    assert [tuple(r) for r in auto_big] == [tuple(r) for r in exact]
+
+
 def test_recommend_topk_invariants(spark, ratings_df):
     uf, itf, _ = als.als_train(ratings_df, k=3, iterations=2, reg=0.1)
     recs = als.recommend_topk(uf, itf, ratings_df, n=2).collect()

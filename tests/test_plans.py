@@ -701,3 +701,27 @@ def test_label_propagation_single_action_no_python(spark):
     fn = entrymod.queries()["part_communities"]
     plan = plans.executed_plan(fn(spark, SF_SMOKE))
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan[:2000]
+
+
+def test_als_ann_serving_no_cartesian(spark):
+    """ANN-served ALS recommendations: candidate generation is an
+    equi-join on the IVF cell key — no user x catalog cartesian or
+    broadcast nested loop anywhere in the serving plan."""
+    from wistia_video_analytics_project_spark.operators import als
+
+    ratings = spark.createDataFrame(
+        [(u, i, 1.0 + ((u + i) % 4)) for u in range(8) for i in range(12)
+         if (u + i) % 3 != 0],
+        "user long, item long, rating double",
+    )
+    uf, itf, _ = als.als_train(
+        ratings, k=3, iterations=1, reg=0.1, track_loss=False
+    )
+    df = als.recommend_topk_ann(
+        uf.localCheckpoint(eager=True),
+        itf.localCheckpoint(eager=True),
+        ratings, n=2, n_centroids=4, nprobe=2,
+    )
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]

@@ -22,10 +22,22 @@ explicit-weight variant), built Spark-first:
   sorted partner-id order, so float summation order — the only
   nondeterminism the shuffle would otherwise introduce — is fixed.
   The pytest pins the whole trainer against a pure-numpy reference.
-  (At extreme scale the sorted fold can be swapped for k²+k plain
-  ``sum`` aggregates — map-side combine shrinks the shuffle from
-  ratings·k² to entities·k² doubles — at the cost of last-ulp
-  shuffle-order nondeterminism; documented, not default.)
+- **Skew-safe by default**: the sorted fold buffers one entity's whole
+  contribution list (degree x (k²+k) doubles) in a single aggregation
+  state, which a power-law hot item can blow up.  ``als_train``
+  therefore probes the max entity degree once up front and, above
+  ``skew_degree_threshold``, switches to k²+k plain ``sum`` aggregates
+  — map-side combine shrinks the shuffle from ratings·k² to
+  entities·k² doubles and bounds every aggregation state at k²+k —
+  at the cost of last-ulp shuffle-order nondeterminism (the skewed
+  pytest pins the two paths against each other at 1e-6).
+- **Serving scales through the ANN tier, not a cartesian**: the exact
+  ``recommend_topk`` scores user x catalog (fine for bounded
+  catalogs, and the oracle path); above ``ann_threshold`` items the
+  ``method="auto"`` default routes to :func:`recommend_topk_ann`,
+  which IVF-partitions the item factors (max-inner-product reduced to
+  cosine by the Neyshabur-Srebro norm-augmentation) so each user
+  scores only ``nprobe / n_centroids`` of the catalog.
 - **Loss is one distributed pass** (join + squared-error aggregate),
   reported per iteration; ALS guarantees it non-increasing, which the
   test asserts.
@@ -44,7 +56,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["init_factors", "als_train", "als_loss", "recommend_topk"]
+__all__ = [
+    "init_factors",
+    "als_train",
+    "als_loss",
+    "recommend_topk",
+    "recommend_topk_ann",
+]
 
 
 def _hash_unit(seed_col: str, k: int) -> list:
@@ -75,6 +93,7 @@ def _solve_side(
     fixed_id: str,
     k: int,
     reg: float,
+    accumulation: str = "sorted",
 ) -> DataFrame:
     """One ALS half-step: solve ``solve_for``'s factors given the
     ``fixed`` side.  ratings = (user, item, rating); fixed =
@@ -84,11 +103,21 @@ def _solve_side(
 
     1. per-rating contribution (pure JVM): the flattened k² outer
        product ``y·yᵀ`` concatenated with the k-vector ``r·y``;
-    2. per-entity reduce (pure JVM): ``collect_list`` the
-       contributions, ``sort_array`` by partner id (bit-deterministic
-       summation order), fold with ``aggregate``+``zip_with``.  An
-       entity's buffer is its rating count x (k²+k) doubles — the
-       same per-entity bound the lattice the solve needs anyway;
+    2. per-entity reduce (pure JVM), two interchangeable strategies:
+
+       - ``accumulation="sorted"`` (bit-deterministic): ``collect_list``
+         the contributions, ``sort_array`` by partner id, fold with
+         ``aggregate``+``zip_with``.  An entity's buffer is its rating
+         count x (k²+k) doubles — fine at moderate degree, a hazard for
+         a power-law hot entity (one aggregation state holds the whole
+         list);
+       - ``accumulation="sum"`` (skew-safe): k²+k plain ``sum``
+         aggregates over the contribution elements.  Map-side combine
+         applies, so the shuffle carries entities·(k²+k) doubles
+         instead of ratings·(k²+k) and every aggregation state is a
+         fixed k²+k floats no matter the degree.  Summation order
+         follows shuffle arrival — last-ulp nondeterminism only.
+
     3. batched solve: ``mapInPandas`` stacks each batch into
        ``(n, k, k)`` / ``(n, k)`` arrays and calls ``np.linalg.solve``
        ONCE (LAPACK batch), so per-entity Python dispatch is gone.
@@ -107,23 +136,39 @@ def _solve_side(
             F.transform("__yf", lambda a: a * F.col("rating")),
         ).alias("__c"),
     )
-    zero = F.array(*[F.lit(0.0) for _ in range(k * k + k)])
-    acc = (
-        contrib.groupBy(solve_for)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("__p"), F.col("__c")))
-            ).alias("__l")
+    if accumulation == "sum":
+        n_terms = k * k + k
+        acc = (
+            contrib.groupBy(solve_for)
+            .agg(
+                *[
+                    F.sum(F.col("__c")[i]).alias(f"__s{i}")
+                    for i in range(n_terms)
+                ]
+            )
+            .select(
+                solve_for,
+                F.array(*[f"__s{i}" for i in range(n_terms)]).alias("__ab"),
+            )
         )
-        .select(
-            solve_for,
-            F.aggregate(
-                "__l",
-                zero,
-                lambda a, s: F.zip_with(a, s["__c"], lambda x, y: x + y),
-            ).alias("__ab"),
+    else:
+        zero = F.array(*[F.lit(0.0) for _ in range(k * k + k)])
+        acc = (
+            contrib.groupBy(solve_for)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__p"), F.col("__c")))
+                ).alias("__l")
+            )
+            .select(
+                solve_for,
+                F.aggregate(
+                    "__l",
+                    zero,
+                    lambda a, s: F.zip_with(a, s["__c"], lambda x, y: x + y),
+                ).alias("__ab"),
+            )
         )
-    )
     kk, regf = int(k), float(reg)
 
     def solve_batches(
@@ -203,31 +248,64 @@ def als_train(
     user_col: str = "user",
     item_col: str = "item",
     track_loss: bool = True,
+    accumulation: str = "auto",
+    skew_degree_threshold: int = 10000,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """Train rank-``k`` factors over (user, item, rating).
 
     Returns (user_factors, item_factors, per-iteration losses —
     measured AFTER each full user+item sweep).  Each half-step
     localCheckpoints its factor frame (CLAUDE.md: iterative loops must
-    not chain cached lineage)."""
+    not chain cached lineage).
+
+    ``accumulation="auto"`` probes the max entity degree once (a single
+    cheap aggregate over the ratings) and picks the bit-deterministic
+    sorted fold below ``skew_degree_threshold``, the skew-safe plain-sum
+    path above it (see :func:`_solve_side`) — so one power-law hot item
+    cannot blow up a ``collect_list`` buffer.  Pass ``"sorted"`` /
+    ``"sum"`` to force a strategy."""
     r = ratings.select(
         F.col(user_col).alias("user"),
         F.col(item_col).alias("item"),
         F.col("rating").cast("double"),
     ).localCheckpoint(eager=True)
+    if accumulation == "auto":
+        deg = r.groupBy("user").count().agg(F.max("count")).collect()[0][0]
+        deg_i = r.groupBy("item").count().agg(F.max("count")).collect()[0][0]
+        max_deg = max(int(deg or 0), int(deg_i or 0))
+        accumulation = (
+            "sum" if max_deg > int(skew_degree_threshold) else "sorted"
+        )
     item_f = init_factors(
         r.select("item").distinct(), "item", k
     ).localCheckpoint(eager=True)
     user_f = init_factors(r.select("user").distinct(), "user", k)
     losses: list[float] = []
     for _ in range(int(iterations)):
-        user_f = _solve_side(r, item_f, "user", "item", k, reg)
+        user_f = _solve_side(r, item_f, "user", "item", k, reg, accumulation)
         user_f = user_f.localCheckpoint(eager=True)
-        item_f = _solve_side(r, user_f, "item", "user", k, reg)
+        item_f = _solve_side(r, user_f, "item", "user", k, reg, accumulation)
         item_f = item_f.localCheckpoint(eager=True)
         if track_loss:
             losses.append(als_loss(r, user_f, item_f, reg))
     return user_f, item_f, losses
+
+
+def _rank_topn(
+    scores: DataFrame, n: int, user_col: str, item_col: str
+) -> DataFrame:
+    """Shared ranking tail: rounded-6 score desc, item-id tiebreak —
+    output order is engine-stable for both serving paths."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("score").desc(), F.col(item_col).asc()
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n)
+        .orderBy(user_col, "rnk")
+    )
 
 
 def recommend_topk(
@@ -237,14 +315,34 @@ def recommend_topk(
     n: int = 5,
     user_col: str = "user",
     item_col: str = "item",
+    method: str = "auto",
+    ann_threshold: int = 10000,
+    n_centroids: int = 16,
+    nprobe: int = 4,
 ) -> DataFrame:
-    """Top-``n`` unseen items per user by factor dot product.  The
-    score matrix is a join of the two factor frames (broadcast the
-    item side — catalog-bounded) minus an anti-join on ``seen``;
-    ranking uses the rounded-6 score with item-id tiebreak so output
-    order is engine-stable."""
-    from pyspark.sql import Window
+    """Top-``n`` unseen items per user by factor dot product.
 
+    ``method="exact"`` scores every (user, item) pair: a broadcast
+    nested-loop of the two factor frames (catalog-bounded — the small-
+    catalog / oracle path) minus an anti-join on ``seen``.
+    ``method="ann"`` serves through :func:`recommend_topk_ann` (IVF
+    over item factors — the 100 TB path).  ``method="auto"`` (default)
+    counts the catalog once and picks ANN above ``ann_threshold``
+    items, so the operator never silently runs a user x catalog
+    cartesian at scale."""
+    if method == "auto":
+        method = "ann" if item_f.count() > int(ann_threshold) else "exact"
+    if method == "ann":
+        return recommend_topk_ann(
+            user_f,
+            item_f,
+            seen,
+            n,
+            user_col=user_col,
+            item_col=item_col,
+            n_centroids=n_centroids,
+            nprobe=nprobe,
+        )
     scores = (
         user_f.select(F.col(user_col), F.col("factors").alias("__xu"))
         .crossJoin(
@@ -268,14 +366,95 @@ def recommend_topk(
         )
         .join(seen.select(user_col, item_col), [user_col, item_col], "left_anti")
     )
-    w = Window.partitionBy(user_col).orderBy(
-        F.col("score").desc(), F.col(item_col).asc()
+    return _rank_topn(scores, n, user_col, item_col)
+
+
+def recommend_topk_ann(
+    user_f: DataFrame,
+    item_f: DataFrame,
+    seen: DataFrame,
+    n: int = 5,
+    user_col: str = "user",
+    item_col: str = "item",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN-served top-``n``: IVF over the item factors instead of a
+    user x catalog cartesian.
+
+    Max-inner-product search reduces to cosine NN by norm augmentation
+    (Neyshabur & Srebro, "On Symmetric and Asymmetric LSHs for Inner
+    Product Search"): append ``sqrt(M² − |y|²)`` to every item factor
+    (``M`` = max item-factor norm, one bounded aggregate) and ``0.0``
+    to every user factor — the augmented item norms are all ``M``, so
+    cosine against an augmented user vector orders identically to the
+    raw inner product.  The augmented item vectors are cell-partitioned
+    with the similarity tier's deterministic coarse quantizer
+    (:func:`~.similarity.ivf_centroids`); each user probes its
+    ``nprobe`` nearest cells and scores only those cells' items with
+    the EXACT dot product (same rounding + tiebreak as the exact path).
+
+    Per-user work is ~``nprobe / n_centroids`` of the catalog and the
+    plan is equi-joins on ``cell`` — no cartesian (pinned in
+    tests/test_plans.py).  Recall loss comes only from cell probing:
+    ``nprobe == n_centroids`` reproduces the exact path bit-for-bit
+    (asserted in tests/test_als.py)."""
+    from .similarity import ivf_assign, ivf_centroids
+
+    norm2 = F.aggregate("factors", F.lit(0.0), lambda a, v: a + v * v)
+    m2 = float(
+        item_f.agg(F.max(norm2).alias("m2")).collect()[0]["m2"] or 0.0
     )
-    return (
-        scores.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= n)
-        .orderBy(user_col, "rnk")
+    aug_item = item_f.select(
+        F.col(item_col),
+        F.col("factors"),
+        F.concat(
+            "factors",
+            F.array(F.sqrt(F.greatest(F.lit(m2) - norm2, F.lit(0.0)))),
+        ).alias("__aug"),
     )
+    aug_user = user_f.select(
+        F.col(user_col),
+        F.col("factors"),
+        F.concat("factors", F.array(F.lit(0.0))).alias("__aug"),
+    )
+    cents = ivf_centroids(
+        aug_item.select(
+            F.col(item_col).alias("vec_id"), F.col("__aug").alias("embedding")
+        ),
+        n_centroids,
+    )
+    item_cells = ivf_assign(
+        aug_item, cents, nprobe=1, id_col=item_col, vec_col="__aug"
+    )
+    user_cells = ivf_assign(
+        aug_user, cents, nprobe=nprobe, id_col=user_col, vec_col="__aug"
+    )
+    # items carry ONE cell each, users nprobe cells -> the cell equi-join
+    # yields each (user, item) candidate at most once
+    items_c = item_f.select(
+        F.col(item_col), F.col("factors").alias("__yi")
+    ).join(item_cells, item_col)
+    users_c = user_f.select(
+        F.col(user_col), F.col("factors").alias("__xu")
+    ).join(user_cells, user_col)
+    scores = (
+        users_c.join(items_c, "cell")
+        .select(
+            user_col,
+            item_col,
+            F.round(
+                F.aggregate(
+                    F.zip_with("__xu", "__yi", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("score"),
+        )
+        .join(seen.select(user_col, item_col), [user_col, item_col], "left_anti")
+    )
+    return _rank_topn(scores, n, user_col, item_col)
 
 
 def q_als_part_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,6 +489,6 @@ def q_als_part_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_f, item_f, _ = als_train(
         ratings, k=8, iterations=2, reg=0.1, track_loss=False
     )
-    return recommend_topk(user_f, item_f, ratings, n=3).filter(
-        F.col("user") < 100
-    )
+    return recommend_topk(
+        user_f, item_f, ratings, n=3, method="exact"
+    ).filter(F.col("user") < 100)
