@@ -208,6 +208,38 @@ SECONDARY = [
 ]
 
 
+def calibration_probe(spark) -> float:
+    """Fixed-shape box-speed probe: the SAME synthetic job every round
+    (range -> project -> hash-agg over ~10k keys, 32 partitions, no
+    repo code, no file I/O), best-of-3 after one warm run.
+
+    The shared box drifts ±40% between rounds; per-query ratios against
+    the recorded reference inherit that drift wholesale (round 6 burned
+    three adjudication runs on DISJOINT false >2x flag sets).  The probe
+    gives scripts/check_bench.py a denominator: it normalizes each
+    query's current/recorded ratio by the probe's current/recorded
+    ratio, so "the whole box is 40% slower" cancels while a real 3x
+    single-query regression still flags."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                ((F.col("id") * 2654435761) % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .count()
+        )
+        return time.perf_counter() - t0
+
+    once()  # warm codegen for the probe plan itself
+    return round(min(once() for _ in range(3)), 3)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from wistia_video_analytics_project_spark.session import get_spark
@@ -218,6 +250,8 @@ def main() -> None:
     # query at the smallest SF, so fixed session startup isn't attributed
     # to whichever headline query happens to run first.
     qs[HEADLINE[0]](spark, "/root/testdata/sf0.001").count()
+    calibration = calibration_probe(spark)
+    print(f"# calibration_probe: {calibration:.3f}s", file=sys.stderr)
 
     from wistia_video_analytics_project_spark.cache import release_caches
 
@@ -278,6 +312,7 @@ def main() -> None:
         "queries": {**timings, **secondary},
         "sf": float(sf) if sf else None,
         "run_id": run_id,
+        "calibration": calibration,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -297,6 +332,7 @@ def main() -> None:
                 "secondary_total": round(sum(secondary.values()), 3),
                 "sf": float(sf) if sf else None,
                 "run_id": run_id,
+                "calibration": calibration,
             }
         )
     )

@@ -16,14 +16,24 @@ The recorded reference is ``BENCH_RECORDED.json`` at the repo root: one
 flat ``{query: best_of_N_seconds}`` map over headline + secondary sets,
 captured at sf0.1 on this box.  Comparison rules:
 
-- flag when ``current > ratio * recorded`` AND ``current > floor``
-  (default ratio 2.0, floor 0.5 s — sub-floor queries are dominated by
-  the ~0.3 s/job scheduling constant, where a 2x swing is noise);
+- **box-speed normalization**: bench.py runs a fixed-shape calibration
+  probe (same synthetic job every round) and stamps its best-of-3 into
+  the run; when both the recorded reference and the current run carry
+  one, every current timing is divided by
+  ``clamp(cal_current / cal_recorded, 0.5, 3.0)`` before comparison —
+  a uniformly slower box (round 6 measured -40%) cancels out, while a
+  single-query plan regression does not (the probe moved, the query
+  moved MORE);
+- flag when ``normalized > ratio * recorded`` AND ``normalized >
+  floor`` (default ratio 2.0, floor 0.5 s — sub-floor queries are
+  dominated by the ~0.3 s/job scheduling constant, where a 2x swing is
+  noise);
 - queries present only on one side are reported informationally, never
   fatal (new operators land before they're recorded);
 - exit 1 iff at least one query is flagged.
 
-Env knobs: ``BENCH_GUARD_RATIO``, ``BENCH_GUARD_FLOOR``.
+Env knobs: ``BENCH_GUARD_RATIO``, ``BENCH_GUARD_FLOOR``,
+``BENCH_GUARD_NO_CAL=1`` (disable normalization).
 """
 
 from __future__ import annotations
@@ -44,20 +54,39 @@ def compare(
     current: dict[str, float],
     ratio: float = 2.0,
     floor: float = 0.5,
+    cal_ratio: float = 1.0,
 ) -> tuple[list[tuple[str, float, float]], list[str], list[str]]:
     """Return (regressions, only_recorded, only_current).
 
-    A regression is (name, recorded_s, current_s) where the current
-    time exceeds both ``ratio * recorded`` and the absolute ``floor``.
+    A regression is (name, recorded_s, current_s) where the
+    box-normalized current time (``current / cal_ratio``) exceeds both
+    ``ratio * recorded`` and the absolute ``floor``.  ``cal_ratio`` is
+    the calibration probe's current/recorded ratio (1.0 = same box
+    speed, >1 = current box slower).
     """
     regressions = []
     for name in sorted(set(recorded) & set(current)):
         rec, cur = float(recorded[name]), float(current[name])
-        if cur > floor and cur > ratio * rec:
+        ncur = cur / cal_ratio
+        if ncur > floor and ncur > ratio * rec:
             regressions.append((name, rec, cur))
     only_recorded = sorted(set(recorded) - set(current))
     only_current = sorted(set(current) - set(recorded))
     return regressions, only_recorded, only_current
+
+
+def calibration_ratio(
+    recorded_cal: float | None, current_cal: float | None
+) -> float:
+    """Probe-based box-speed ratio, clamped to [0.5, 3.0] so probe
+    noise or a pathological probe run can't swing the guard more than
+    the box plausibly drifts.  Returns 1.0 (no normalization) when
+    either side lacks a probe measurement or it is non-positive."""
+    if not recorded_cal or not current_cal:
+        return 1.0
+    if recorded_cal <= 0 or current_cal <= 0:
+        return 1.0
+    return min(3.0, max(0.5, float(current_cal) / float(recorded_cal)))
 
 
 def _flatten_run(headline_line: dict, *sidecars: dict | None) -> dict:
@@ -142,6 +171,7 @@ def main(argv: list[str]) -> int:
                     "note": "per-query best-of-N reference for "
                     "scripts/check_bench.py (sf0.1, local[32])",
                     "sf": headline.get("sf"),
+                    "calibration": headline.get("calibration"),
                     "queries": current,
                 },
                 f,
@@ -165,7 +195,21 @@ def main(argv: list[str]) -> int:
             "rerun bench.py at the recorded scale factor"
         )
 
-    regs, only_rec, only_cur = compare(recorded, current, ratio, floor)
+    if os.environ.get("BENCH_GUARD_NO_CAL"):
+        cal = 1.0
+    else:
+        cal = calibration_ratio(
+            rec_doc.get("calibration"), headline.get("calibration")
+        )
+    if cal != 1.0:
+        print(
+            f"note  box-speed normalization: probe "
+            f"{rec_doc.get('calibration')}s recorded vs "
+            f"{headline.get('calibration')}s current -> dividing current "
+            f"timings by {cal:.2f}"
+        )
+
+    regs, only_rec, only_cur = compare(recorded, current, ratio, floor, cal)
     for name in only_rec:
         print(f"note  {name}: recorded but not in current run")
     for name in only_cur:
@@ -173,14 +217,15 @@ def main(argv: list[str]) -> int:
     for name, rec, cur in regs:
         print(
             f"REGRESSION  {name}: {rec:.3f}s -> {cur:.3f}s "
-            f"({cur / rec:.1f}x, ratio {ratio:g}, floor {floor:g}s)"
+            f"({cur / rec:.1f}x raw, {cur / cal / rec:.1f}x box-normalized, "
+            f"ratio {ratio:g}, floor {floor:g}s)"
         )
     if regs:
         print(f"{len(regs)} per-query regression(s)")
         return 1
     print(
         f"OK: {len(set(recorded) & set(current))} compared, "
-        f"none above {ratio:g}x (floor {floor:g}s)"
+        f"none above {ratio:g}x (floor {floor:g}s, cal {cal:.2f})"
     )
     return 0
 

@@ -87,3 +87,47 @@ def test_flatten_given_run_is_authoritative_over_sidecar():
     side = {"sf": 0.1, "run_id": "r1", "queries": {"a": 9.0, "b": 2.0}}
     # sidecars only FILL missing names, never replace the run's values
     assert check_bench._flatten_run(head, side) == {"a": 1.0, "b": 2.0}
+
+
+def test_calibration_cancels_uniform_box_slowdown():
+    """Replay of the round-6 incident shape: the whole box runs 40%
+    slower (probe 1.0 -> 1.4s), every query drifts up proportionally —
+    the normalized guard must NOT flag, while the raw guard would."""
+    recorded = {"q1": 1.0, "q2": 3.0, "q3": 0.8}
+    current = {"q1": 1.45, "q2": 4.1, "q3": 1.15}  # ~1.4x across the board
+    # raw: q3 0.8 -> 1.15 is under 2x; but make one cross 2x raw
+    current["q1"] = 2.3  # 2.3x raw — the false-flag case
+    raw, _, _ = check_bench.compare(recorded, current)
+    assert raw, "sanity: raw guard would flag"
+    cal = check_bench.calibration_ratio(1.0, 1.4)
+    normalized, _, _ = check_bench.compare(recorded, current, cal_ratio=cal)
+    assert normalized == [], normalized
+
+
+def test_calibration_keeps_real_regression_flagged():
+    """A genuine 3x single-query regression on the SAME 40%-slower box
+    still flags: the probe moved 1.4x, the query moved 4.2x."""
+    recorded = {"q1": 1.0, "q2": 3.0}
+    current = {"q1": 4.2, "q2": 4.1}
+    cal = check_bench.calibration_ratio(1.0, 1.4)
+    regs, _, _ = check_bench.compare(recorded, current, cal_ratio=cal)
+    assert [n for n, _, _ in regs] == ["q1"], regs
+
+
+def test_calibration_ratio_clamps_and_defaults():
+    assert check_bench.calibration_ratio(None, 1.0) == 1.0
+    assert check_bench.calibration_ratio(1.0, None) == 1.0
+    assert check_bench.calibration_ratio(0.0, 1.0) == 1.0
+    assert check_bench.calibration_ratio(1.0, 10.0) == 3.0   # clamp high
+    assert check_bench.calibration_ratio(10.0, 1.0) == 0.5   # clamp low
+    assert check_bench.calibration_ratio(2.0, 2.8) == 1.4
+
+
+def test_faster_box_tightens_the_guard():
+    """cal < 1 (current box faster) normalizes current timings UP, so a
+    regression masked by a faster box is still caught."""
+    recorded = {"q1": 1.0}
+    current = {"q1": 1.9}  # under 2x raw...
+    cal = check_bench.calibration_ratio(1.0, 0.6)  # box 40% faster
+    regs, _, _ = check_bench.compare(recorded, current, cal_ratio=cal)
+    assert [n for n, _, _ in regs] == ["q1"], regs
