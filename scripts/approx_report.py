@@ -20,8 +20,16 @@ Metrics (higher recall is better; errors are relative/rank errors):
   threshold 0.1; mean |est - exact| Jaccard on the recalled pairs.
 - ``simhash``: recall of exact-Jaccard>=0.5 pairs at hamming<=8.
 - ``srp_lsh`` / ``ivf`` / ``pq`` / ``ivf_pq``: mean recall@5 vs the
-  exact brute-force top-5 over a fixed 20-query set (IVF/IVFADC at
-  nprobe=4 of 16 cells — the partial-probe scale path).
+  exact brute-force top-5 over a fixed 20-query set.  IVF/IVFADC are
+  measured at TWO operating points: the SPEED point (nprobe=4 of 16
+  cells, unrefined centroids — 25% corpus scan, the cheapest partial
+  probe; on the synthetic near-uniform embeddings, IVF's worst case,
+  recall sits near the scan fraction by construction) and the QUALITY
+  point (nprobe=8 of 16, 2 Lloyd refinements, IVFADC rerank shortlist
+  100 — target recall@5 >= 0.7, asserted in tests/test_similarity.py;
+  measured 0.81 for both, i.e. cell-limited, the PQ shortlist loses
+  nothing).  Real clustered embeddings
+  land between the two; both dials are caller-visible parameters.
 - ``semantic_dedup_lsh``: drop-set recall vs the exact drop set.
 - ``hll``: max relative error of 7-day rolling distinct users.
 - ``kll``: max rank error at p50/p90 of event values.
@@ -126,6 +134,10 @@ def main() -> int:
         "recall_at_5_nprobe4of16": _mean_recall(truth, _topk_sets(
             similarity.ann_ivf_topk(
                 queries, emb, k=k, n_centroids=16, nprobe=4).collect()), k),
+        "recall_at_5_nprobe8of16_refined2": _mean_recall(truth, _topk_sets(
+            similarity.ann_ivf_topk(
+                queries, emb, k=k, n_centroids=16, nprobe=8,
+                refine_iterations=2).collect()), k),
     }
     report["pq"] = {
         "recall_at_5": _mean_recall(truth, _topk_sets(
@@ -135,6 +147,11 @@ def main() -> int:
         "recall_at_5_nprobe4of16": _mean_recall(truth, _topk_sets(
             similarity.ann_ivf_pq_topk(
                 queries, emb, k=k, n_centroids=16, nprobe=4).collect()), k),
+        "recall_at_5_nprobe8of16_refined2_sl100": _mean_recall(
+            truth, _topk_sets(
+                similarity.ann_ivf_pq_topk(
+                    queries, emb, k=k, n_centroids=16, nprobe=8,
+                    shortlist=100, refine_iterations=2).collect()), k),
     }
 
     # --- semantic dedup drop-set recall --------------------------------

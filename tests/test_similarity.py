@@ -611,3 +611,37 @@ def test_mmr_diversifies_clustered_candidates(spark):
     ]
     assert mmr[0] == plain[0]  # relevance wins the first slot
     assert mmr[1] >= 6  # diversity pulls the second from cluster B
+
+
+def test_ivf_quality_operating_point_recall(spark, emb):
+    """The documented QUALITY operating point (nprobe 8/16 cells, 2
+    Lloyd refinements) must reach recall@5 >= 0.7 for both IVF-flat and
+    IVFADC on the synthetic embeddings — the worst-case (near-uniform)
+    data for IVF.  The speed point (nprobe 4/16, unrefined) is measured
+    separately in APPROX_REPORT.json and intentionally sits near its
+    25% scan fraction."""
+    queries = emb.filter("vec_id < 20")
+    brute = similarity.brute_force_topk(queries, emb, k=5).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def mean_recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(truth[q] & got.get(q, set())) / 5 for q in truth
+        ) / len(truth)
+
+    ivf = similarity.ann_ivf_topk(
+        queries, emb, k=5, n_centroids=16, nprobe=8, refine_iterations=2
+    ).collect()
+    r_ivf = mean_recall(ivf)
+    assert r_ivf >= 0.7, f"ivf quality-point recall {r_ivf}"
+    ivfadc = similarity.ann_ivf_pq_topk(
+        queries, emb, k=5, n_centroids=16, nprobe=8, shortlist=100,
+        refine_iterations=2,
+    ).collect()
+    r_adc = mean_recall(ivfadc)
+    assert r_adc >= 0.7, f"ivf_pq quality-point recall {r_adc}"

@@ -1194,6 +1194,7 @@ def ann_ivf_pq_topk(
     shortlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """IVFADC — the published billion-scale recipe, composed from this
     module's IVF and PQ pieces: the coarse quantizer prunes the corpus
@@ -1205,7 +1206,9 @@ def ann_ivf_pq_topk(
     (cell-partitioned code table); per query the scan cost is
     (nprobe / n_centroids) x |corpus| LUT lookups over 8-byte codes —
     both pruning dials (nprobe, shortlist) degrade recall continuously
-    and measurably (tests).
+    and measurably (tests).  ``refine_iterations`` Lloyd-refines the
+    coarse quantizer (the quality operating point measured in
+    APPROX_REPORT.json uses 2).
     """
     import numpy as np
     import pandas as pd
@@ -1213,7 +1216,12 @@ def ann_ivf_pq_topk(
     from pyspark.sql import Window
 
     L = shortlist if shortlist is not None else 10 * k
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if refine_iterations > 0:
+        cents = ivf_centroids_refined(
+            corpus, n_centroids, refine_iterations, id_col, vec_col
+        )
+    else:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     books = pq_train(corpus, m, n_codes, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(corpus, books, id_col, vec_col)
     corpus_cells = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
@@ -1542,6 +1550,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benched at the SPEED operating point (nprobe 4/16, unrefined):
+    the cheapest partial probe, kept deliberately so the bench series
+    tracks the minimum-scan cost shape.  On the synthetic near-uniform
+    embeddings recall@5 at this point ~= the 25% scan fraction (IVF's
+    worst-case data); the QUALITY point (nprobe 8/16 + 2 Lloyd
+    refinements, recall@5 >= 0.7) is measured alongside it in
+    APPROX_REPORT.json and pinned in tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ann_ivf_topk(queries_df, emb, k=5, n_centroids=16, nprobe=4)
