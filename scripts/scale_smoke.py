@@ -307,53 +307,159 @@ def lpa_rounds5(pairs):
     )
 
 
-def main() -> None:
-    from wistia_video_analytics_project_spark.cache import release_caches
-
-    spark = get_spark("scale-smoke")
-    base = load_table(spark, SF_DIR, "events")
-    base.count()  # warm
-    for k in (1, 10, 30):
-        ev = multiply(base, k)
-        for name, fn in OPS:
-            best = min(
-                _time(lambda: fn(ev).count()) for _ in range(2)
+def multiply_docs_mutated(docs, k: int):
+    """Id-shifted doc replicas with a PER-REPLICA letter substitution
+    (a frequent letter translated to a rare one), so each replica
+    contributes a distinct word population — the unigram trainer's
+    distinct-word table grows ~k-fold, unlike verbatim replication
+    (which only inflates counts and leaves the EM work constant)."""
+    out = docs
+    for i in range(1, k):
+        out = out.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+            .withColumn(
+                "text",
+                F.translate(
+                    F.col("text"),
+                    "etaoins"[(i - 1) % 7],
+                    "zqxjkvw"[(i - 1) % 7],
+                ),
             )
-            # operator-internal cache.track registrations must not stay
-            # pinned while the NEXT op is timed (bench.py precedent)
-            release_caches()
-            rows = ev.count()
-            print(f"x{k:>2} ({rows:>9,} rows) {name:12s}: {best:6.2f}s "
-                  f"({rows / best / 1e6:6.1f} M rows/s)")
+        )
+    return out
+
+
+def multiply_ratings(ratings, k: int):
+    """Disjoint id-shifted replicas of the (user, item, rating) matrix:
+    entity count scales k-fold, per-entity degree stays constant, so
+    ALS's join/accumulate scan should scale linearly while the batched
+    solve keeps its constant per-batch overhead."""
+    out = ratings
+    for i in range(1, k):
+        out = out.unionByName(
+            ratings.withColumn("user", F.col("user") + i * 10_000_000)
+            .withColumn("item", F.col("item") + i * 10_000_000)
+        )
+    return out
+
+
+def als_ladder(spark, release_caches) -> None:
+    from wistia_video_analytics_project_spark.operators import als
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    base = (
+        li.filter(F.col("l_partkey") <= 10000)
+        .join(
+            orders.select("o_orderkey", "o_custkey").filter(
+                F.col("o_custkey") <= 3000
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.log1p(F.sum("l_quantity")).alias("rating"))
+        .localCheckpoint(eager=True)  # freeze: time the trainer, not the build
+    )
+    for k in (1, 4, 8):
+        rr = multiply_ratings(base, k)
+        best = min(
+            _time(
+                lambda: als.als_train(
+                    rr, k=8, iterations=2, reg=0.1, track_loss=False
+                )[0].count()
+            )
+            for _ in range(2)
+        )
+        release_caches()
+        n = rr.count()
+        print(f"x{k:>2} ({n:>9,} ratings) als_train2   : {best:6.2f}s "
+              f"({n / best / 1e3:6.1f} K ratings/s)")
+
+
+def unigram_ladder(spark, release_caches) -> None:
+    from wistia_video_analytics_project_spark.operators import unigram
+
     docs = load_table(spark, SF_DIR, "documents")
     docs.count()
     for k in (1, 4, 8):
-        dd = multiply_docs(docs, k)
-        for name, fn in doc_ops(k):
-            best = min(_time(lambda: fn(dd).count()) for _ in range(2))
-            release_caches()
-            rows = dd.count()
-            print(f"x{k:>2} ({rows:>9,} docs) {name:14s}: {best:6.2f}s "
-                  f"({rows / best / 1e3:6.1f} K docs/s)")
-    from wistia_video_analytics_project_spark.operators.graph import (
-        cooccurrence_pairs,
-    )
-
-    li = load_table(spark, SF_DIR, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    base_pairs = (
-        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
-        .filter(F.col("pair_count") >= 2)
-        .localCheckpoint(eager=True)  # freeze: time the LPA, not the build
-    )
-    for k in (1, 4, 8):
-        pp = multiply_pairs(base_pairs, k)
-        best = min(_time(lambda: lpa_rounds5(pp).count()) for _ in range(2))
+        dd = multiply_docs_mutated(docs, k)
+        best = min(
+            _time(
+                lambda: unigram.train_unigram(
+                    dd, max_vocab=400, iterations=2, min_word_freq=2
+                )
+            )
+            for _ in range(2)
+        )
         release_caches()
-        edges = pp.count()
-        print(f"x{k:>2} ({edges:>9,} edges) lpa_rounds5  : {best:6.2f}s "
-              f"({edges / best / 1e3:6.1f} K edges/s)")
+        n = dd.count()
+        print(f"x{k:>2} ({n:>9,} docs) unigram_em2  : {best:6.2f}s "
+              f"({n / best / 1e3:6.1f} K docs/s)")
+
+
+def main() -> None:
+    from wistia_video_analytics_project_spark.cache import release_caches
+
+    sections = set(sys.argv[1:]) or {"events", "docs", "lpa", "als", "unigram"}
+    spark = get_spark("scale-smoke")
+    if "als" in sections:
+        als_ladder(spark, release_caches)
+    if "unigram" in sections:
+        unigram_ladder(spark, release_caches)
+    if not sections & {"events", "docs", "lpa"}:
+        spark.stop()
+        return
+    if "events" in sections:
+        base = load_table(spark, SF_DIR, "events")
+        base.count()  # warm
+        for k in (1, 10, 30):
+            ev = multiply(base, k)
+            for name, fn in OPS:
+                best = min(
+                    _time(lambda: fn(ev).count()) for _ in range(2)
+                )
+                # operator-internal cache.track registrations must not stay
+                # pinned while the NEXT op is timed (bench.py precedent)
+                release_caches()
+                rows = ev.count()
+                print(f"x{k:>2} ({rows:>9,} rows) {name:12s}: {best:6.2f}s "
+                      f"({rows / best / 1e6:6.1f} M rows/s)")
+    if "docs" in sections:
+        docs = load_table(spark, SF_DIR, "documents")
+        docs.count()
+        for k in (1, 4, 8):
+            dd = multiply_docs(docs, k)
+            for name, fn in doc_ops(k):
+                best = min(_time(lambda: fn(dd).count()) for _ in range(2))
+                release_caches()
+                rows = dd.count()
+                print(f"x{k:>2} ({rows:>9,} docs) {name:14s}: {best:6.2f}s "
+                      f"({rows / best / 1e3:6.1f} K docs/s)")
+    if "lpa" in sections:
+        from wistia_video_analytics_project_spark.operators.graph import (
+            cooccurrence_pairs,
+        )
+
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).distinct()
+        base_pairs = (
+            cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+            .filter(F.col("pair_count") >= 2)
+            .localCheckpoint(eager=True)  # freeze: time the LPA, not the build
+        )
+        for k in (1, 4, 8):
+            pp = multiply_pairs(base_pairs, k)
+            best = min(
+                _time(lambda: lpa_rounds5(pp).count()) for _ in range(2)
+            )
+            release_caches()
+            edges = pp.count()
+            print(f"x{k:>2} ({edges:>9,} edges) lpa_rounds5  : {best:6.2f}s "
+                  f"({edges / best / 1e3:6.1f} K edges/s)")
     spark.stop()
 
 
