@@ -257,16 +257,34 @@ def main() -> None:
 
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
 
+    def _njobs() -> int | None:
+        """Total Spark jobs submitted so far (AppStatusStore) — the
+        per-entry delta exposes the jobs x scheduling-constant term
+        that dominates cheap queries on a slow box (SCALE.md round-7
+        streaming note)."""
+        try:
+            return spark.sparkContext._jsc.sc().statusStore().jobsList(
+                None
+            ).size()
+        except Exception:
+            return None
+
+    jobs_per_query: dict[str, int] = {}
+
     def run_set(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
             fn = qs[name]
             best, n = float("inf"), 0
             for _ in range(max(repeat, 1)):
+                j0 = _njobs()
                 t0 = time.perf_counter()
                 df = fn(spark, SF_DIR)
                 n = df.count()
                 best = min(best, time.perf_counter() - t0)
+                j1 = _njobs()
+                if j0 is not None and j1 is not None:
+                    jobs_per_query[name] = j1 - j0
             # release AFTER the repeats, not between them: best-of-N
             # deliberately measures the warm path (Spark's cache manager
             # rematches identical logical plans across repeats — the
@@ -313,6 +331,7 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "run_id": run_id,
         "calibration": calibration,
+        "jobs": jobs_per_query,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     try:
