@@ -5271,6 +5271,331 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-7 tier: trend/changepoint tests, experimentation guardrails,
+# resampling, recommender evaluation
+# ---------------------------------------------------------------------------
+
+
+def _daily_cents_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared spine for the trend-test tier: 1995 daily order revenue
+    in EXACT integer cents (the theilsen/kendall precedent — the fact
+    reduces to one row per day before any pairing/windowing, so every
+    downstream stage is bounded by day count, not fact volume)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on 1995 daily revenue:
+    S = Σ_{i<j} sign(x_j − x_i) (exact integer over the bounded
+    day-pair join), tie-corrected variance
+    var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 assembled from
+    exact integers, and the continuity-corrected z = (S∓1)/√var(S).
+    Complements Theil-Sen (which estimates the slope MK tests).
+
+    Scale shape: same bounded-pairing posture as `theilsen` — the
+    O(days²) stage runs over the per-day aggregate, never raw orders."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    a = daily.select(F.col("day").alias("d1"), F.col("cents").alias("c1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("cents").alias("c2"))
+    s_stat = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(F.signum((F.col("c2") - F.col("c1")).cast("double")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term"),
+        )
+    )
+    joined = ties.crossJoin(F.broadcast(s_stat))
+    n = F.col("n_days")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double")
+        / F.lit(18.0)
+    )
+    s = F.col("s_stat")
+    z = (
+        F.when(s > 0, (s - 1).cast("double") / F.sqrt(var_s))
+        .when(s < 0, (s + 1).cast("double") / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "n_days",
+        "s_stat",
+        var_s.alias("var_s"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
+    )
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the A/B surface: the
+    parity-hash assignment (`ab_test_report`'s split) is designed
+    50/50, so the observed (n_a, n_b) must pass a one-df chi-square
+    against equal expecteds — χ² = (n_a−n_b)²/(n_a+n_b), every input
+    an exact integer, flag at the 0.001 critical value 10.828 on the
+    4-decimal-rounded statistic (CLAUDE.md threshold rule).  SRM is
+    the first thing a real experimentation pipeline checks before any
+    lift number is allowed to ship."""
+    events = _t(spark, sf_dir, "events")
+    agg = (
+        events.select("user_id")
+        .distinct()
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    d = (F.col("n_a") - F.col("n_b")).cast("double")
+    tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    chi2 = F.round(d * d / tot, 4) + F.lit(0.0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        F.when(chi2 > 10.828, F.lit("SRM")).otherwise(F.lit("OK")).alias(
+            "verdict"
+        ),
+    )
+
+
+def q_sprt_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability-ratio test on the 3-day conversion
+    rate, processed in first-event-day cohort order: H0 p=0.50 vs
+    H1 p=0.55, α=β=0.05.  The log-likelihood ratio after cohort day t
+    is conv_t·ln(p1/p0) + (n_t−conv_t)·ln(q1/q0) — both cumulative
+    counts are exact integers (window sums of integers), the two ln
+    constants are evaluated once per engine (≤1 ulp apart, scaled by
+    ~1e4 counts → 1e-13 noise vs the 1e-6 rounding), and the decision
+    bounds are ±ln(19).  Emits the per-day LLR path with the running
+    decision — the operator a real dashboard polls daily instead of
+    peeking a fixed-horizon z-test."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day"),
+        F.when(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            <= F.min("ts") + F.expr("INTERVAL 3 DAY"),
+            1,
+        )
+        .otherwise(0)
+        .alias("__conv"),
+    )
+    daily = per_user.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_day"),
+        F.sum("__conv").cast("long").alias("conv_day"),
+    )
+    w = Window.orderBy("cohort_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = daily.select(
+        "cohort_day",
+        F.sum("n_day").over(w).alias("n_t"),
+        F.sum("conv_day").over(w).alias("conv_t"),
+    )
+    k1 = F.log(F.lit(0.55) / F.lit(0.50))
+    k2 = F.log(F.lit(0.45) / F.lit(0.50))
+    llr = (
+        F.col("conv_t").cast("double") * k1
+        + (F.col("n_t") - F.col("conv_t")).cast("double") * k2
+    )
+    bound = F.round(F.log(F.lit(19.0)), 6)
+    return cum.select(
+        "cohort_day",
+        "n_t",
+        "conv_t",
+        (F.round(llr, 6) + F.lit(0.0)).alias("llr"),
+        F.when(F.round(llr, 6) >= bound, F.lit("accept_h1"))
+        .when(F.round(llr, 6) <= -bound, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("cohort_day")
+
+
+def q_bootstrap_ci_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap CI for the mean daily revenue of 1995:
+    200 deterministic resamples of the n-day series, each drawing n
+    days with replacement via a Lehmer LCG over (resample, draw)
+    (x = 48271·(b·1000003 + i) mod 2³¹−1 — pure integer arithmetic
+    both engines reproduce exactly; no RNG, no hash builtins).  Each
+    resample mean divides an exact integer cent sum by n·100, so both
+    engines interpolate percentiles over identical doubles.
+
+    Scale shape: the fact collapses to the per-day spine FIRST; the
+    resample grid is days×B rows (~73k) joined to the spine on the
+    day index — bounded by the day count, independent of fact volume."""
+    daily = _daily_cents_1995(spark, sf_dir)
+    wd = Window.orderBy("day")
+    indexed = cache.track(
+        daily.select(
+            F.row_number().over(wd).alias("idx"), "cents"
+        ).cache()
+    )
+    n_row = indexed.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        n_row.select(
+            "n", F.explode(F.sequence(F.lit(1), F.lit(200))).alias("b")
+        )
+        .select(
+            "n", "b", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i")
+        )
+        .select(
+            "n",
+            "b",
+            (
+                (
+                    F.lit(48271)
+                    * (F.col("b") * F.lit(1000003) + F.col("i"))
+                )
+                % F.lit(2147483647)
+            )
+            % F.col("n")
+            + 1,
+        )
+        .toDF("n", "b", "idx")
+    )
+    means = (
+        grid.join(F.broadcast(indexed), "idx")
+        .groupBy("b")
+        .agg(
+            (
+                F.sum("cents").cast("double")
+                / (F.max("n") * 100).cast("double")
+            ).alias("mean_rev")
+        )
+    )
+    point = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.sum("cents").cast("double")
+            / (F.count(F.lit(1)) * 100).cast("double")
+        ).alias("mean_rev"),
+    )
+    ci = means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        (F.round(F.expr("percentile(mean_rev, 0.025)"), 4) + F.lit(0.0)).alias(
+            "ci_lo"
+        ),
+        (F.round(F.expr("percentile(mean_rev, 0.5)"), 4) + F.lit(0.0)).alias(
+            "boot_median"
+        ),
+        (F.round(F.expr("percentile(mean_rev, 0.975)"), 4) + F.lit(0.0)).alias(
+            "ci_hi"
+        ),
+    )
+    return point.select(
+        "n_days", (F.round(F.col("mean_rev"), 4) + F.lit(0.0)).alias("mean_rev")
+    ).crossJoin(F.broadcast(ci))
+
+
+def q_recsys_eval_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender evaluation harness on a leave-last-order-out split:
+    for every customer with ≥2 orders, the LAST order (orderdate,
+    orderkey tiebreak) is held out; the popularity baseline recommends
+    the 20 parts appearing in the most TRAINING orders (count desc,
+    partkey tiebreak); report hit-rate@20, mean precision@20 and mean
+    recall@20 over evaluated customers.  This is the evaluation
+    counterpart to `als_part_recommender` — every serving change needs
+    a baseline number to beat, and popularity IS that baseline.
+
+    All counts are exact integers; the per-user rational metrics are
+    averaged once (1e-16 float noise vs 1e-6 rounding).  Lineitem's
+    duplicate (orderkey, linenumber) caveat is absorbed by DISTINCT
+    (order, part) pairs before any counting."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    wc = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(wc).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("__n"),
+    ).filter(F.col("__n") >= 2)
+    holdout = ranked.filter(F.col("__r") == 1).select(
+        "o_custkey", "o_orderkey"
+    )
+    train = ranked.filter(F.col("__r") > 1).select("o_orderkey")
+    pairs = li.select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey"
+    ).distinct()
+    top20 = (
+        train.join(pairs, "o_orderkey")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("l_partkey"))
+        .limit(20)
+        .select("l_partkey")
+    )
+    test_items = holdout.join(pairs, "o_orderkey").select(
+        "o_custkey", "l_partkey"
+    )
+    per_user = (
+        test_items.join(
+            F.broadcast(top20.withColumn("__hit", F.lit(1))),
+            "l_partkey",
+            "left",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (
+            F.round(
+                F.avg(
+                    F.when(F.col("n_hit") > 0, 1.0).otherwise(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("hit_rate_20"),
+        (
+            F.round(
+                F.avg(F.col("n_hit").cast("double") / F.lit(20.0)), 6
+            )
+            + F.lit(0.0)
+        ).alias("precision_20"),
+        (
+            F.round(
+                F.avg(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_test").cast("double")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("recall_20"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5507,6 +5832,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency_daily": q_peak_concurrency_daily,
         "circadian_profile": q_circadian_profile,
         "cuped_adjusted_ab": q_cuped_adjusted_ab,
+        # round-7 additions (front-load _WINDOW_R8 per the docstring)
+        "mann_kendall_trend": q_mann_kendall_trend,
+        "srm_check": q_srm_check,
+        "sprt_conversion_test": q_sprt_conversion_test,
+        "bootstrap_ci_daily_revenue": q_bootstrap_ci_daily_revenue,
+        "recsys_eval_popularity": q_recsys_eval_popularity,
     })
     # --- round-7 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R7}
@@ -8430,6 +8761,169 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(2 AS DOUBLE) * sqrt(c * c + s * s) / nd, 2)
                  + CAST(0 AS DOUBLE) AS amplitude_usd
         FROM agg ORDER BY period
+    """
+    sql["mann_kendall_trend"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        s AS (
+          SELECT CAST(sum(sign(b.cents - a.cents)) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b ON a.day < b.day),
+        ties AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                FROM daily GROUP BY cents)),
+        v AS (
+          SELECT n_days, s_stat,
+                 CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                      AS DOUBLE) / CAST(18.0 AS DOUBLE) AS var_s
+          FROM ties CROSS JOIN s)
+        SELECT n_days, s_stat, var_s,
+               round(CASE WHEN s_stat > 0
+                          THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+                          WHEN s_stat < 0
+                          THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+                          ELSE CAST(0.0 AS DOUBLE) END, 6)
+                 + CAST(0.0 AS DOUBLE) AS z_stat
+        FROM v
+    """
+    sql["srm_check"] = """
+        WITH agg AS (
+          SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b
+          FROM (SELECT DISTINCT user_id FROM events)),
+        c AS (
+          SELECT n_a, n_b,
+                 round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE), 4)
+                   + CAST(0.0 AS DOUBLE) AS chi2
+          FROM agg)
+        SELECT n_a, n_b, chi2,
+               CASE WHEN chi2 > CAST(10.828 AS DOUBLE)
+                    THEN 'SRM' ELSE 'OK' END AS verdict
+        FROM c
+    """
+    sql["sprt_conversion_test"] = """
+        WITH per_user AS (
+          SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day,
+                 CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                    THEN ts END)
+                           <= min(ts) + INTERVAL 3 DAY
+                      THEN 1 ELSE 0 END AS conv
+          FROM events GROUP BY 1),
+        daily AS (
+          SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_day,
+                 CAST(sum(conv) AS BIGINT) AS conv_day
+          FROM per_user GROUP BY 1),
+        cum AS (
+          SELECT cohort_day,
+                 CAST(sum(n_day) OVER (ORDER BY cohort_day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_t,
+                 CAST(sum(conv_day) OVER (ORDER BY cohort_day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conv_t
+          FROM daily),
+        path AS (
+          SELECT cohort_day, n_t, conv_t,
+                 round(CAST(conv_t AS DOUBLE)
+                         * ln(CAST(0.55 AS DOUBLE) / CAST(0.50 AS DOUBLE))
+                       + CAST(n_t - conv_t AS DOUBLE)
+                         * ln(CAST(0.45 AS DOUBLE) / CAST(0.50 AS DOUBLE)),
+                       6) + CAST(0.0 AS DOUBLE) AS llr
+          FROM cum)
+        SELECT cohort_day, n_t, conv_t, llr,
+               CASE WHEN llr >= round(ln(CAST(19.0 AS DOUBLE)), 6)
+                    THEN 'accept_h1'
+                    WHEN llr <= -round(ln(CAST(19.0 AS DOUBLE)), 6)
+                    THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM path ORDER BY cohort_day
+    """
+    sql["bootstrap_ci_daily_revenue"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        indexed AS (
+          SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+                 cents
+          FROM daily),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM indexed),
+        grid AS (
+          SELECT n, b, i,
+                 (CAST(48271 AS BIGINT) * (b * CAST(1000003 AS BIGINT) + i))
+                   % CAST(2147483647 AS BIGINT) % n + 1 AS idx
+          FROM (SELECT n, unnest(generate_series(CAST(1 AS BIGINT),
+                                                 CAST(200 AS BIGINT))) AS b
+                FROM nn),
+               LATERAL (SELECT unnest(generate_series(CAST(1 AS BIGINT), n))
+                        AS i)),
+        means AS (
+          SELECT b, CAST(sum(cents) AS DOUBLE)
+                      / CAST(max(n) * 100 AS DOUBLE) AS mean_rev
+          FROM grid JOIN indexed USING (idx) GROUP BY b),
+        ci AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+                 round(quantile_cont(mean_rev, 0.025), 4)
+                   + CAST(0.0 AS DOUBLE) AS ci_lo,
+                 round(quantile_cont(mean_rev, 0.5), 4)
+                   + CAST(0.0 AS DOUBLE) AS boot_median,
+                 round(quantile_cont(mean_rev, 0.975), 4)
+                   + CAST(0.0 AS DOUBLE) AS ci_hi
+          FROM means),
+        pt AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 round(CAST(sum(cents) AS DOUBLE)
+                         / CAST(count(*) * 100 AS DOUBLE), 4)
+                   + CAST(0.0 AS DOUBLE) AS mean_rev
+          FROM daily)
+        SELECT n_days, mean_rev, n_resamples, ci_lo, boot_median, ci_hi
+        FROM pt CROSS JOIN ci
+    """
+    sql["recsys_eval_popularity"] = """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC,
+                                             o_orderkey DESC) AS r,
+                 count(*) OVER (PARTITION BY o_custkey) AS n
+          FROM orders),
+        eligible AS (SELECT * FROM ranked WHERE n >= 2),
+        pairs AS (
+          SELECT DISTINCT l_orderkey AS o_orderkey, l_partkey
+          FROM lineitem),
+        top20 AS (
+          SELECT l_partkey
+          FROM (SELECT o_orderkey FROM eligible WHERE r > 1)
+          JOIN pairs USING (o_orderkey)
+          GROUP BY l_partkey
+          ORDER BY count(*) DESC, l_partkey ASC
+          LIMIT 20),
+        test_items AS (
+          SELECT e.o_custkey, p.l_partkey
+          FROM (SELECT o_custkey, o_orderkey FROM eligible WHERE r = 1) e
+          JOIN pairs p USING (o_orderkey)),
+        per_user AS (
+          SELECT t.o_custkey,
+                 CAST(count(*) AS BIGINT) AS n_test,
+                 CAST(sum(CASE WHEN k.l_partkey IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM test_items t LEFT JOIN top20 k ON t.l_partkey = k.l_partkey
+          GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               round(avg(CASE WHEN n_hit > 0 THEN CAST(1.0 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END), 6)
+                 + CAST(0.0 AS DOUBLE) AS hit_rate_20,
+               round(avg(CAST(n_hit AS DOUBLE) / CAST(20.0 AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS precision_20,
+               round(avg(CAST(n_hit AS DOUBLE) / CAST(n_test AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS recall_20
+        FROM per_user
     """
     sql.update(dedup.oracle_sql())
     sql.update(text.oracle_sql())
