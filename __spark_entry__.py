@@ -5344,6 +5344,43 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 binary segmentation of 1995 daily revenue (operators/
+    changepoint.py): the level-1 split maximizes the between-segment
+    SSE reduction over exact integer cents, then each half splits
+    again — the multi-changepoint hierarchy CUSUM's single split can't
+    express.  Gains are reported in USD² (cents²/10⁴, rounded 2); the
+    bit-identical-gain argument lives in the operator docstring."""
+    from wistia_video_analytics_project_spark.operators import changepoint
+
+    daily = _daily_cents_1995(spark, sf_dir)
+    wd = Window.orderBy("day")
+    indexed = cache.track(
+        daily.select(
+            F.row_number().over(wd).alias("idx"), "day", "cents"
+        ).cache()
+    )
+    splits = changepoint.binary_segmentation(
+        indexed, idx_col="idx", val_col="cents", depth=2
+    )
+    return (
+        splits.join(
+            indexed.select("idx", "day"),
+            splits["cp_idx"] == F.col("idx"),
+        )
+        .select(
+            "level",
+            "seg",
+            F.col("day").alias("cp_day"),
+            (
+                F.round(F.col("gain") / F.lit(10000.0).cast("double"), 2)
+                + F.lit(0.0)
+            ).alias("gain_usd2"),
+        )
+        .orderBy("level", "seg")
+    )
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for the A/B surface: the
     parity-hash assignment (`ab_test_report`'s split) is designed
@@ -5833,6 +5870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circadian_profile": q_circadian_profile,
         "cuped_adjusted_ab": q_cuped_adjusted_ab,
         # round-7 additions (front-load _WINDOW_R8 per the docstring)
+        "binseg_changepoints": q_binseg_changepoints,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -8789,6 +8827,73 @@ def oracle_sql() -> dict[str, str]:
                           ELSE CAST(0.0 AS DOUBLE) END, 6)
                  + CAST(0.0 AS DOUBLE) AS z_stat
         FROM v
+    """
+    sql["binseg_changepoints"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        indexed AS (
+          SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+                 day, cents
+          FROM daily),
+        l1 AS (
+          SELECT idx,
+                 CAST(sum(cents) OVER (ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(row_number() OVER (ORDER BY idx) AS BIGINT) AS k,
+                 CAST(sum(cents) OVER () AS BIGINT) AS tot,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM indexed),
+        g1 AS (
+          SELECT idx,
+                 CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE)
+                   / CAST(k AS DOUBLE)
+                 + CAST(tot - cum AS DOUBLE) * CAST(tot - cum AS DOUBLE)
+                   / CAST(n - k AS DOUBLE)
+                 - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS gain
+          FROM l1 WHERE k < n),
+        b1 AS (
+          SELECT idx AS cp_idx, gain FROM g1
+          ORDER BY gain DESC, idx ASC LIMIT 1),
+        assigned AS (
+          SELECT i.idx, i.cents,
+                 CASE WHEN i.idx > b1.cp_idx THEN 1 ELSE 0 END AS seg
+          FROM indexed i CROSS JOIN b1),
+        l2 AS (
+          SELECT seg, idx,
+                 CAST(sum(cents) OVER (PARTITION BY seg ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(row_number() OVER (PARTITION BY seg ORDER BY idx)
+                      AS BIGINT) AS k,
+                 CAST(sum(cents) OVER (PARTITION BY seg) AS BIGINT) AS tot,
+                 CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+          FROM assigned),
+        g2 AS (
+          SELECT seg, idx,
+                 CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE)
+                   / CAST(k AS DOUBLE)
+                 + CAST(tot - cum AS DOUBLE) * CAST(tot - cum AS DOUBLE)
+                   / CAST(n - k AS DOUBLE)
+                 - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS gain
+          FROM l2 WHERE k < n),
+        b2 AS (
+          SELECT seg, idx AS cp_idx, gain,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY gain DESC, idx ASC) AS r
+          FROM g2 QUALIFY r = 1),
+        splits AS (
+          SELECT 1 AS level, 0 AS seg, cp_idx, gain FROM b1
+          UNION ALL
+          SELECT 2 AS level, seg, cp_idx, gain FROM b2)
+        SELECT s.level, s.seg, d.day AS cp_day,
+               round(s.gain / CAST(10000.0 AS DOUBLE), 2)
+                 + CAST(0.0 AS DOUBLE) AS gain_usd2
+        FROM splits s JOIN indexed d ON d.idx = s.cp_idx
+        ORDER BY s.level, s.seg
     """
     sql["srm_check"] = """
         WITH agg AS (
