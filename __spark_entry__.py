@@ -5381,6 +5381,147 @@ def q_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of 1995 daily revenue by classical rescaled-range
+    (R/S) analysis: for block sizes b ∈ {8,16,32,64}, consecutive
+    full b-day blocks yield R (range of cumulative deviations) and S
+    (block stddev); H is the slope of mean log₂(R/S) against log₂ b.
+    H≈0.5 is a memoryless series; persistent demand trends push H up.
+
+    Parity discipline: within a block, cumulative deviations are the
+    EXACT integers b·cum_k − k·total (the CLAUDE.md integer-cents
+    trick), so R is an exact rational; S squares those integers cast
+    to double (magnitudes ≤1e10, exactly representable — squaring in
+    BIGINT would overflow at sf≥0.1) and the only cross-engine noise
+    is the Σd² summation order (~1e-15 relative vs the 1e-4 rounding).
+    The final slope regresses the ROUNDED per-b means so both engines
+    see identical regression inputs.  Everything is windows/aggregates
+    over the bounded per-day spine."""
+    daily = _daily_cents_1995(spark, sf_dir)
+    wd = Window.orderBy("day")
+    indexed = cache.track(
+        daily.select(
+            (F.row_number().over(wd) - 1).alias("i"), "cents"
+        ).cache()
+    )
+    sizes = spark.createDataFrame(
+        [(8, 3), (16, 4), (32, 5), (64, 6)], "b long, e long"
+    )
+    blocks = indexed.crossJoin(F.broadcast(sizes)).select(
+        "b",
+        (F.col("i") / F.col("b")).cast("long").alias("blk"),
+        ((F.col("i") % F.col("b")) + 1).alias("k"),
+        "cents",
+    )
+    wb = Window.partitionBy("b", "blk")
+    wk = wb.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    stats = blocks.select(
+        "b",
+        "blk",
+        "k",
+        "cents",
+        F.sum("cents").over(wk).alias("__cum"),
+        F.sum("cents").over(wb).alias("__tot"),
+        F.count(F.lit(1)).over(wb).alias("__n"),
+    ).filter(F.col("__n") == F.col("b"))
+    dev = F.col("b") * F.col("__cum") - F.col("k") * F.col("__tot")
+    sq = F.col("b") * F.col("cents") - F.col("__tot")
+    per_block = stats.groupBy("b", "blk").agg(
+        (
+            (F.max(dev) - F.min(dev)).cast("double")
+            / F.max("b").cast("double")
+        ).alias("__r"),
+        F.sqrt(
+            F.sum(sq.cast("double") * sq.cast("double"))
+            / (
+                F.max("b").cast("double")
+                * F.max("b").cast("double")
+                * F.max("b").cast("double")
+            )
+        ).alias("__s"),
+    )
+    per_b = (
+        per_block.filter((F.col("__r") > 0) & (F.col("__s") > 0))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            (
+                F.round(
+                    F.avg(F.log2(F.col("__r") / F.col("__s"))), 4
+                )
+                + F.lit(0.0)
+            ).alias("mean_log2_rs"),
+        )
+    )
+    per_b = cache.track(
+        per_b.join(F.broadcast(sizes), "b").cache()
+    )
+    # regress on the exact integer exponent e (= log2 b), not a libm
+    # log2 of b — engines may differ in the last ulp even on powers of 2
+    h = per_b.agg(
+        (
+            F.round(
+                F.regr_slope(
+                    F.col("mean_log2_rs"), F.col("e").cast("double")
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("hurst_h")
+    )
+    return (
+        per_b.crossJoin(F.broadcast(h))
+        .select("b", "n_blocks", "mean_log2_rs", "hurst_h")
+        .orderBy("b")
+    )
+
+
+def q_sentence_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sentence-length profile: documents split into sentences
+    on ``[.!?]+`` runs, each sentence measured in whitespace tokens —
+    the Gopher-style readability signal at sentence grain (LLM-corpus
+    curation watches the tail: one-word fragments and run-on monsters
+    both mark low-quality text).
+
+    One explode per doc into sentences, one aggregate — all JVM; the
+    identical split regex runs on both engines, empty/whitespace-only
+    fragments are filtered explicitly BEFORE counting on both sides,
+    and percentiles interpolate over exact integer token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    sent = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("__s"),
+        )
+        .filter(F.trim(F.col("__s")) != "")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("__s")), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).cast("long").alias("n_words"),
+        )
+    )
+    return sent.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        (
+            F.round(F.avg("n_words").cast("decimal(18,6)"), 2)
+            .cast("double")
+        ).alias("avg_words"),
+        (F.round(F.expr("percentile(n_words, 0.5)"), 4) + F.lit(0.0)).alias(
+            "p50_words"
+        ),
+        (F.round(F.expr("percentile(n_words, 0.9)"), 4) + F.lit(0.0)).alias(
+            "p90_words"
+        ),
+        F.max("n_words").alias("max_words"),
+    )
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for the A/B surface: the
     parity-hash assignment (`ab_test_report`'s split) is designed
@@ -5871,6 +6012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjusted_ab": q_cuped_adjusted_ab,
         # round-7 additions (front-load _WINDOW_R8 per the docstring)
         "binseg_changepoints": q_binseg_changepoints,
+        "hurst_rs_daily": q_hurst_rs_daily,
+        "sentence_length_stats": q_sentence_length_stats,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -8894,6 +9037,78 @@ def oracle_sql() -> dict[str, str]:
                  + CAST(0.0 AS DOUBLE) AS gain_usd2
         FROM splits s JOIN indexed d ON d.idx = s.cp_idx
         ORDER BY s.level, s.seg
+    """
+    sql["hurst_rs_daily"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        indexed AS (
+          SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i,
+                 cents
+          FROM daily),
+        sizes AS (
+          SELECT unnest(generate_series(CAST(3 AS BIGINT),
+                                        CAST(6 AS BIGINT))) AS e),
+        blocks AS (
+          SELECT CAST(1 << e AS BIGINT) AS b, e,
+                 CAST(i // (1 << e) AS BIGINT) AS blk,
+                 CAST(i % (1 << e) + 1 AS BIGINT) AS k,
+                 cents
+          FROM indexed CROSS JOIN sizes),
+        st AS (
+          SELECT b, blk, k, cents,
+                 CAST(sum(cents) OVER (PARTITION BY b, blk ORDER BY k
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(sum(cents) OVER (PARTITION BY b, blk) AS BIGINT)
+                   AS tot,
+                 CAST(count(*) OVER (PARTITION BY b, blk) AS BIGINT) AS n
+          FROM blocks),
+        per_block AS (
+          SELECT b, blk,
+                 CAST(max(b * cum - k * tot) - min(b * cum - k * tot)
+                      AS DOUBLE) / CAST(max(b) AS DOUBLE) AS r,
+                 sqrt(sum(CAST(b * cents - tot AS DOUBLE)
+                          * CAST(b * cents - tot AS DOUBLE))
+                      / (CAST(max(b) AS DOUBLE) * CAST(max(b) AS DOUBLE)
+                         * CAST(max(b) AS DOUBLE))) AS s
+          FROM st WHERE n = b GROUP BY b, blk),
+        per_b AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS n_blocks,
+                 round(avg(log2(r / s)), 4) + CAST(0.0 AS DOUBLE)
+                   AS mean_log2_rs
+          FROM per_block WHERE r > 0 AND s > 0 GROUP BY b),
+        withe AS (
+          SELECT per_b.b, per_b.n_blocks, per_b.mean_log2_rs, sizes.e
+          FROM per_b JOIN sizes ON CAST(1 << sizes.e AS BIGINT) = per_b.b),
+        h AS (
+          SELECT round(regr_slope(mean_log2_rs, CAST(e AS DOUBLE)), 4)
+                   + CAST(0.0 AS DOUBLE) AS hurst_h
+          FROM withe)
+        SELECT b, n_blocks, mean_log2_rs, hurst_h
+        FROM withe CROSS JOIN h ORDER BY b
+    """
+    sql["sentence_length_stats"] = r"""
+        WITH sent AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(
+                        string_split_regex(trim(s), '\s+'),
+                        t -> t <> '')) AS BIGINT) AS n_words
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(text, '[.!?]+')) AS s
+                FROM documents WHERE text IS NOT NULL)
+          WHERE trim(s) <> '')
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_sentences,
+               CAST(round(CAST(avg(n_words) AS DECIMAL(18,6)), 2)
+                    AS DOUBLE) AS avg_words,
+               round(quantile_cont(n_words, 0.5), 4)
+                 + CAST(0.0 AS DOUBLE) AS p50_words,
+               round(quantile_cont(n_words, 0.9), 4)
+                 + CAST(0.0 AS DOUBLE) AS p90_words,
+               CAST(max(n_words) AS BIGINT) AS max_words
+        FROM sent
     """
     sql["srm_check"] = """
         WITH agg AS (
