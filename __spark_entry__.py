@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from wistia_video_analytics_project_spark import cache, schemas
 from wistia_video_analytics_project_spark.operators import (
     als,
+    ngram_lm,
     analytics,
     cleaning,
     conform,
@@ -6014,6 +6015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binseg_changepoints": q_binseg_changepoints,
         "hurst_rs_daily": q_hurst_rs_daily,
         "sentence_length_stats": q_sentence_length_stats,
+        "kneser_ney_bigram": ngram_lm.q_kneser_ney_bigram,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -9109,6 +9111,47 @@ def oracle_sql() -> dict[str, str]:
                  + CAST(0.0 AS DOUBLE) AS p90_words,
                CAST(max(n_words) AS BIGINT) AS max_words
         FROM sent
+    """
+    sql["kneser_ney_bigram"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents
+          WHERE text IS NOT NULL
+            AND len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        e AS (
+          SELECT doc_id, unnest(t) AS w,
+                 generate_subscripts(t, 1) AS i
+          FROM base),
+        bg AS (
+          SELECT a.doc_id, a.w AS w1, b.w AS w2
+          FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        bc AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bg GROUP BY 1, 2),
+        ctx AS (
+          SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS n_follow
+          FROM bc GROUP BY 1),
+        cont AS (
+          SELECT w2, CAST(count(*) AS BIGINT) AS n_precede
+          FROM bc GROUP BY 1),
+        types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc)
+        SELECT w1, w2, c12, c1, n_follow,
+               round(CAST(n_precede AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS p_cont,
+               round(greatest(CAST(c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                              CAST(0.0 AS DOUBLE))
+                       / CAST(c1 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * CAST(n_follow AS DOUBLE)
+                       / CAST(c1 AS DOUBLE)
+                       * (CAST(n_precede AS DOUBLE)
+                          / CAST(n_types AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS p_kn
+        FROM bc JOIN ctx USING (w1) JOIN cont USING (w2)
+             CROSS JOIN types
+        ORDER BY c12 DESC, w1 ASC, w2 ASC
+        LIMIT 30
     """
     sql["srm_check"] = """
         WITH agg AS (
