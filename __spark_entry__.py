@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from wistia_video_analytics_project_spark import cache, schemas
 from wistia_video_analytics_project_spark.operators import (
     als,
+    keyphrase,
     ngram_lm,
     analytics,
     cleaning,
@@ -6016,6 +6017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hurst_rs_daily": q_hurst_rs_daily,
         "sentence_length_stats": q_sentence_length_stats,
         "kneser_ney_bigram": ngram_lm.q_kneser_ney_bigram,
+        "rake_keyphrases": keyphrase.q_rake_keyphrases,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -9288,6 +9290,7 @@ def oracle_sql() -> dict[str, str]:
                  + CAST(0.0 AS DOUBLE) AS recall_20
         FROM per_user
     """
+    sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())
     sql.update(text.oracle_sql())
     sql.update(similarity.oracle_sql())
