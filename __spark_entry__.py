@@ -5524,6 +5524,103 @@ def q_sentence_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: for hub-item pairs
+    (top-100 by degree) NOT currently connected, score the classic
+    triad — common-neighbor count, Jaccard overlap, Adamic-Adar
+    (Σ 1/ln deg(x) over shared neighbors, the inverse-log weighting
+    that down-ranks promiscuous hubs) — the "customers also bought"
+    candidate generator next to the descriptive `part_cooccurrence`.
+
+    Edges are DISTINCT-(order, part) co-occurrence with pair_count ≥ 2
+    (the LPA graph); candidates are generated THROUGH the shared
+    neighbor (adj ⋈ adj on x, u < v), so only pairs with ≥1 common
+    neighbor ever materialize — no hub×hub cartesian.  Every ranking
+    key is an exact integer (cn desc, item ids); Jaccard is an exact
+    rational; AA sums ≤deg terms of 1/ln(int) (1e-16 noise vs 1e-4
+    rounding).  AA skips degree-1 neighbors (ln 1 = 0) on both sides.
+
+    Scale: adjacency and degree frames are hash-partitioned aggregates;
+    the hub filter broadcasts 100 ids; the x-join shuffles on the
+    shared-neighbor key like any neighborhood-intersection job."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("__pc"))
+        .filter(F.col("__pc") >= 2)
+        .select("u", "v")
+    )
+    edges = cache.track(edges.cache())
+    adj = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    hubs = (
+        deg.orderBy(F.desc("deg"), F.asc("u"))
+        .limit(100)
+        .select(F.col("u").alias("hub"))
+    )
+    t1 = adj.select(F.col("v").alias("x"), F.col("u").alias("ia"))
+    t2 = adj.select(F.col("v").alias("x"), F.col("u").alias("ib"))
+    thru = (
+        t1.join(t2, "x")
+        .filter(F.col("ia") < F.col("ib"))
+        .join(F.broadcast(hubs.withColumnRenamed("hub", "ia")), "ia")
+        .join(F.broadcast(hubs.withColumnRenamed("hub", "ib")), "ib")
+        .join(
+            edges.select(
+                F.col("u").alias("ia"), F.col("v").alias("ib")
+            ),
+            ["ia", "ib"],
+            "left_anti",
+        )
+        .join(deg.select(F.col("u").alias("x"), F.col("deg").alias("dx")), "x")
+    )
+    scored = thru.groupBy("ia", "ib").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum(
+            F.when(
+                F.col("dx") > 1,
+                F.lit(1.0) / F.log(F.col("dx").cast("double")),
+            ).otherwise(F.lit(0.0))
+        ).alias("__aa"),
+    )
+    withdeg = (
+        scored.join(deg.select(F.col("u").alias("ia"), F.col("deg").alias("deg_a")), "ia")
+        .join(deg.select(F.col("u").alias("ib"), F.col("deg").alias("deg_b")), "ib")
+    )
+    return (
+        withdeg.select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            "cn",
+            "deg_a",
+            "deg_b",
+            (
+                F.round(
+                    F.col("cn").cast("double")
+                    / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast(
+                        "double"
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+            (F.round(F.col("__aa"), 4) + F.lit(0.0)).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("cn"), F.asc("item_a"), F.asc("item_b"))
+        .limit(30)
+    )
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for the A/B surface: the
     parity-hash assignment (`ab_test_report`'s split) is designed
@@ -6018,6 +6115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_length_stats": q_sentence_length_stats,
         "kneser_ney_bigram": ngram_lm.q_kneser_ney_bigram,
         "rake_keyphrases": keyphrase.q_rake_keyphrases,
+        "copurchase_link_prediction": q_copurchase_link_prediction,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -9289,6 +9387,52 @@ def oracle_sql() -> dict[str, str]:
                round(avg(CAST(n_hit AS DOUBLE) / CAST(n_test AS DOUBLE)), 6)
                  + CAST(0.0 AS DOUBLE) AS recall_20
         FROM per_user
+    """
+    sql["copurchase_link_prediction"] = """
+        WITH pairs AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM pairs a JOIN pairs b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= 2),
+        adj AS (
+          SELECT u, v FROM edges
+          UNION ALL
+          SELECT v AS u, u AS v FROM edges),
+        deg AS (
+          SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        hubs AS (
+          SELECT u AS hub FROM deg ORDER BY deg DESC, u ASC LIMIT 100),
+        thru AS (
+          SELECT t1.u AS ia, t2.u AS ib, t1.v AS x
+          FROM adj t1 JOIN adj t2 ON t1.v = t2.v
+          WHERE t1.u < t2.u
+            AND t1.u IN (SELECT hub FROM hubs)
+            AND t2.u IN (SELECT hub FROM hubs)
+            AND NOT EXISTS (SELECT 1 FROM edges e
+                            WHERE e.u = t1.u AND e.v = t2.u)),
+        scored AS (
+          SELECT ia, ib,
+                 CAST(count(*) AS BIGINT) AS cn,
+                 sum(CASE WHEN d.deg > 1
+                          THEN CAST(1.0 AS DOUBLE)
+                               / ln(CAST(d.deg AS DOUBLE))
+                          ELSE CAST(0.0 AS DOUBLE) END) AS aa
+          FROM thru JOIN deg d ON d.u = thru.x
+          GROUP BY 1, 2)
+        SELECT s.ia AS item_a, s.ib AS item_b, s.cn,
+               da.deg AS deg_a, db.deg AS deg_b,
+               round(CAST(s.cn AS DOUBLE)
+                     / CAST(da.deg + db.deg - s.cn AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS jaccard,
+               round(s.aa, 4) + CAST(0.0 AS DOUBLE) AS adamic_adar
+        FROM scored s
+        JOIN deg da ON da.u = s.ia
+        JOIN deg db ON db.u = s.ib
+        ORDER BY s.cn DESC, item_a ASC, item_b ASC
+        LIMIT 30
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())
