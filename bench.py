@@ -205,6 +205,18 @@ SECONDARY = [
     "vocab_overlap_sources",
     "circadian_profile",
     "cuped_adjusted_ab",
+    # round-7 operators
+    "binseg_changepoints",
+    "mann_kendall_trend",
+    "hurst_rs_daily",
+    "sentence_length_stats",
+    "kneser_ney_bigram",
+    "rake_keyphrases",
+    "copurchase_link_prediction",
+    "srm_check",
+    "sprt_conversion_test",
+    "bootstrap_ci_daily_revenue",
+    "recsys_eval_popularity",
 ]
 
 
