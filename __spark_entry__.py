@@ -5621,6 +5621,201 @@ def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the Social-Capital decomposition every
+    product dashboard runs): each week's active users split exactly
+    into NEW (first-ever week), RETAINED (also active the prior week)
+    and RESURRECTED (returning after a gap), plus the prior week's
+    CHURNED complement and the quick ratio
+    (new + resurrected) / churned.  The engagement-analytics capstone
+    over the same distinct (user, week) frame WAU uses.
+
+    All set sizes are exact integers from one distinct activity frame
+    self-joined at a 7-day shift; the quick ratio is a single rational
+    rounded 4 with a churn=0 guard.  Weeks truncate Monday-anchored on
+    both engines (`date_trunc('week')` parity)."""
+    events = _t(spark, sf_dir, "events")
+    act = cache.track(
+        events.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        )
+        .distinct()
+        .cache()
+    )
+    firstw = act.groupBy("user_id").agg(F.min("week").alias("fw"))
+    prev = act.select(
+        "user_id", F.date_add(F.col("week"), 7).alias("week")
+    ).withColumn("__prev", F.lit(1))
+    flags = (
+        act.join(firstw, "user_id")
+        .join(prev, ["user_id", "week"], "left")
+        .select(
+            "week",
+            F.when(F.col("fw") == F.col("week"), 1).otherwise(0).alias("__new"),
+            F.when(F.col("__prev").isNotNull(), 1).otherwise(0).alias("__ret"),
+            F.when(
+                F.col("__prev").isNull() & (F.col("fw") < F.col("week")), 1
+            )
+            .otherwise(0)
+            .alias("__res"),
+        )
+    )
+    weekly = flags.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("active"),
+        F.sum("__new").cast("long").alias("n_new"),
+        F.sum("__ret").cast("long").alias("n_retained"),
+        F.sum("__res").cast("long").alias("n_resurrected"),
+    )
+    churn = (
+        prev.join(act, ["user_id", "week"], "left_anti")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    out = weekly.join(churn, "week", "left").select(
+        "week",
+        "active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0)).cast("long").alias(
+            "n_churned"
+        ),
+    )
+    qr = F.when(
+        F.col("n_churned") > 0,
+        F.round(
+            (F.col("n_new") + F.col("n_resurrected")).cast("double")
+            / F.col("n_churned").cast("double"),
+            4,
+        )
+        + F.lit(0.0),
+    )
+    return out.withColumn("quick_ratio", qr).orderBy("week")
+
+
+def q_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power analysis fed by the observed baseline: the
+    3-day conversion rate p̂ (the `ab_test_report` metric) becomes the
+    control rate, and for absolute lifts δ ∈ {1%, 2%, 5%} the required
+    per-arm sample size at α=0.05 (two-sided), power 0.8 is the
+    closed-form  n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))² / δ²
+    with the two z constants fixed literals (1.959964, 0.841621).
+    Reports observed N beside required N, and whether the experiment
+    is feasible on current traffic — the go/no-go a real A/B platform
+    computes before assignment, not after.
+
+    Every input is an exact integer count or a fixed literal; the n
+    formula is elementwise double arithmetic (identical both engines),
+    ceil'd to an exact integer."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.when(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            <= F.min("ts") + F.expr("INTERVAL 3 DAY"),
+            1,
+        )
+        .otherwise(0)
+        .alias("__conv")
+    )
+    base = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("__conv").cast("long").alias("n_conv"),
+    )
+    lifts = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.05,)], "lift double"
+    )
+    g = base.crossJoin(F.broadcast(lifts))
+    p1 = F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+    p2 = p1 + F.col("lift")
+    pbar = (p1 + p2) / F.lit(2.0)
+    za = F.lit(1.959964)
+    zb = F.lit(0.841621)
+    # explicit x*x, never pow(x, 2): CLAUDE.md libm-parity rule
+    root = (
+        za * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+        + zb * F.sqrt(p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
+    ) / F.col("lift")
+    n_req = F.ceil(root * root).cast("long")
+    return g.select(
+        "lift",
+        "n_users",
+        (F.round(p1, 6) + F.lit(0.0)).alias("baseline_rate"),
+        n_req.alias("n_required_per_arm"),
+        F.when(
+            (F.col("n_users") / 2).cast("long") >= n_req, F.lit("feasible")
+        )
+        .otherwise(F.lit("underpowered"))
+        .alias("verdict"),
+    ).orderBy("lift")
+
+
+def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a monotone trend in the late-shipment
+    rate (shipped >60 days after the order date — the synthetic tables
+    carry no commit/receipt dates) across the FIVE ordinal order
+    priorities (1-URGENT … 5-LOW):
+    with ordinal scores wᵢ = i, counts nᵢ (lines) and rᵢ (late lines),
+    T = Σwᵢ(rᵢ·N − R·nᵢ),  var(T) = R(N−R)/N · [N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²]
+    and z = T/√var — the categorical-trend complement to Mann-Kendall's
+    time trend.  T and both variance brackets are EXACT integers
+    (cents-trick style); only the final ratio is floating point.
+
+    One scan groups lineitem⋈orders to five rows; everything after is
+    constant-size arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per = (
+        li.join(
+            orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1)
+            .cast("long")
+            .alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("r_i"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_i").cast("long").alias("nn"),
+        F.sum("r_i").cast("long").alias("rr"),
+        F.sum(F.col("w") * F.col("r_i")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("n_i")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i"))
+        .cast("long")
+        .alias("swwn"),
+    )
+    t = (F.col("swr") * F.col("nn") - F.col("rr") * F.col("swn")).cast(
+        "double"
+    )
+    var_t = (
+        (F.col("rr") * (F.col("nn") - F.col("rr"))).cast("double")
+        / F.col("nn").cast("double")
+        * (
+            F.col("nn") * F.col("swwn") - F.col("swn") * F.col("swn")
+        ).cast("double")
+    )
+    return agg.select(
+        "n_groups",
+        "nn",
+        "rr",
+        (F.round(t / F.sqrt(var_t), 6) + F.lit(0.0)).alias("z_trend"),
+    )
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for the A/B surface: the
     parity-hash assignment (`ab_test_report`'s split) is designed
@@ -6116,6 +6311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_bigram": ngram_lm.q_kneser_ney_bigram,
         "rake_keyphrases": keyphrase.q_rake_keyphrases,
         "copurchase_link_prediction": q_copurchase_link_prediction,
+        "growth_accounting_weekly": q_growth_accounting_weekly,
+        "ab_power_analysis": q_ab_power_analysis,
+        "cochran_armitage_trend": q_cochran_armitage_trend,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -9433,6 +9631,114 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg db ON db.u = s.ib
         ORDER BY s.cn DESC, item_a ASC, item_b ASC
         LIMIT 30
+    """
+    sql["growth_accounting_weekly"] = """
+        WITH act AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events),
+        firstw AS (
+          SELECT user_id, min(week) AS fw FROM act GROUP BY 1),
+        prev AS (
+          SELECT user_id, week + INTERVAL 7 DAY AS week, 1 AS p
+          FROM act),
+        flags AS (
+          SELECT a.week,
+                 CASE WHEN f.fw = a.week THEN 1 ELSE 0 END AS is_new,
+                 CASE WHEN p.p IS NOT NULL THEN 1 ELSE 0 END AS is_ret,
+                 CASE WHEN p.p IS NULL AND f.fw < a.week
+                      THEN 1 ELSE 0 END AS is_res
+          FROM act a
+          JOIN firstw f USING (user_id)
+          LEFT JOIN prev p
+            ON p.user_id = a.user_id AND p.week = a.week),
+        weekly AS (
+          SELECT week,
+                 CAST(count(*) AS BIGINT) AS active,
+                 CAST(sum(is_new) AS BIGINT) AS n_new,
+                 CAST(sum(is_ret) AS BIGINT) AS n_retained,
+                 CAST(sum(is_res) AS BIGINT) AS n_resurrected
+          FROM flags GROUP BY 1),
+        churn AS (
+          SELECT p.week, CAST(count(*) AS BIGINT) AS n_churned
+          FROM prev p
+          LEFT JOIN act a ON a.user_id = p.user_id AND a.week = p.week
+          WHERE a.user_id IS NULL
+          GROUP BY 1)
+        SELECT w.week, w.active, w.n_new, w.n_retained, w.n_resurrected,
+               CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned,
+               CASE WHEN coalesce(c.n_churned, 0) > 0
+                    THEN round(CAST(w.n_new + w.n_resurrected AS DOUBLE)
+                               / CAST(c.n_churned AS DOUBLE), 4)
+                         + CAST(0.0 AS DOUBLE)
+                    ELSE NULL END AS quick_ratio
+        FROM weekly w LEFT JOIN churn c USING (week)
+        ORDER BY w.week
+    """
+    sql["ab_power_analysis"] = """
+        WITH per_user AS (
+          SELECT user_id,
+                 CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                    THEN ts END)
+                           <= min(ts) + INTERVAL 3 DAY
+                      THEN 1 ELSE 0 END AS conv
+          FROM events GROUP BY 1),
+        base AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(conv) AS BIGINT) AS n_conv
+          FROM per_user),
+        g AS (
+          SELECT base.*, CAST(lift AS DOUBLE) AS lift
+          FROM base, (VALUES (0.01), (0.02), (0.05)) t(lift)),
+        calc AS (
+          SELECT lift, n_users,
+                 CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p1
+          FROM g),
+        c2 AS (
+          SELECT lift, n_users, p1, p1 + lift AS p2,
+                 (p1 + p1 + lift) / CAST(2.0 AS DOUBLE) AS pbar
+          FROM calc),
+        c3 AS (
+          SELECT lift, n_users, p1,
+                 (CAST(1.959964 AS DOUBLE)
+                    * sqrt(CAST(2.0 AS DOUBLE) * pbar
+                           * (CAST(1.0 AS DOUBLE) - pbar))
+                  + CAST(0.841621 AS DOUBLE)
+                    * sqrt(p1 * (CAST(1.0 AS DOUBLE) - p1)
+                           + p2 * (CAST(1.0 AS DOUBLE) - p2)))
+                 / lift AS root
+          FROM c2)
+        SELECT lift, n_users,
+               round(p1, 6) + CAST(0.0 AS DOUBLE) AS baseline_rate,
+               CAST(ceil(root * root) AS BIGINT) AS n_required_per_arm,
+               CASE WHEN n_users // 2 >= CAST(ceil(root * root) AS BIGINT)
+                    THEN 'feasible' ELSE 'underpowered' END AS verdict
+        FROM c3 ORDER BY lift
+    """
+    sql["cochran_armitage_trend"] = """
+        WITH per AS (
+          SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS w,
+                 CAST(count(*) AS BIGINT) AS n_i,
+                 CAST(sum(CASE WHEN l.l_shipdate
+                                    > o.o_orderdate + INTERVAL 60 DAY
+                               THEN 1 ELSE 0 END) AS BIGINT) AS r_i
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(n_i) AS BIGINT) AS nn,
+                 CAST(sum(r_i) AS BIGINT) AS rr,
+                 CAST(sum(w * r_i) AS BIGINT) AS swr,
+                 CAST(sum(w * n_i) AS BIGINT) AS swn,
+                 CAST(sum(w * w * n_i) AS BIGINT) AS swwn
+          FROM per)
+        SELECT n_groups, nn, rr,
+               round(CAST(swr * nn - rr * swn AS DOUBLE)
+                     / sqrt(CAST(rr * (nn - rr) AS DOUBLE)
+                            / CAST(nn AS DOUBLE)
+                            * CAST(nn * swwn - swn * swn AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS z_trend
+        FROM agg
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())
