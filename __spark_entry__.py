@@ -5816,6 +5816,114 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_log_odds_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source by log-odds with a Dirichlet
+    prior (Monroe, Colaresi & Quinn 2008 — "Fightin' Words"): for each
+    source s and word w, the smoothed log-odds delta vs the REST of the
+    corpus, z-scored by its estimated variance
+    1/(y_sw+α) + 1/(y_rw+α).  The statistically-sound replacement for
+    raw tf-idf source comparisons (it shrinks rare-word noise instead
+    of amplifying it) — corpus-mixture drift debugging in one query.
+
+    Counts are exact integers; α is a fixed 0.01 literal; the ln/sqrt
+    arithmetic is elementwise (1-2 ulp) against a 1e-4 rounding.  Top
+    5 words per source by rounded z (word tiebreak)."""
+    docs = _t(spark, sf_dir, "documents")
+    wcounts = (
+        docs.filter(F.col("text").isNotNull())
+        .select("source", F.explode(text.tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("y_sw"))
+    )
+    wcounts = cache.track(wcounts.cache())
+    totals = wcounts.groupBy("source").agg(
+        F.sum("y_sw").cast("long").alias("n_s")
+    )
+    corpus = wcounts.groupBy("w").agg(
+        F.sum("y_sw").cast("long").alias("y_w")
+    )
+    grand = corpus.agg(
+        F.sum("y_w").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    alpha = F.lit(0.01)
+    j = (
+        wcounts.join(totals, "source")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "w",
+            "y_sw",
+            (F.col("y_w") - F.col("y_sw")).alias("y_rw"),
+            "n_s",
+            (F.col("n_tot") - F.col("n_s")).alias("n_r"),
+            (alpha * F.col("v").cast("double")).alias("a0"),
+        )
+    )
+    ys = F.col("y_sw").cast("double") + alpha
+    yr = F.col("y_rw").cast("double") + alpha
+    ds = F.col("n_s").cast("double") + F.col("a0") - ys
+    dr = F.col("n_r").cast("double") + F.col("a0") - yr
+    delta = F.log(ys / ds) - F.log(yr / dr)
+    sigma = F.sqrt(F.lit(1.0) / ys + F.lit(1.0) / yr)
+    scored = j.select(
+        "source",
+        "w",
+        "y_sw",
+        (F.round(delta / sigma, 4) + F.lit(0.0)).alias("z_logodds"),
+    )
+    wsrc = Window.partitionBy("source").orderBy(
+        F.desc("z_logodds"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wsrc))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "rnk", "w", "y_sw", "z_logodds")
+        .orderBy("source", "rnk")
+    )
+
+
+def q_streaming_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIFTH streaming shape: watermarked stream DEDUPLICATION
+    chained into a windowed aggregate (two stateful operators in one
+    query — Spark 3.4+ chained-stateful support).  Each (user, type,
+    day) is kept once by ``dropDuplicates`` under a 1-hour watermark,
+    then tumbling daily windows count unique users per event type;
+    append mode emits exactly the windows the final watermark closed,
+    so the result equals the batch DISTINCT aggregate over closed days
+    and the entry stays fully hash-checked like the other four
+    streaming entries."""
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+    )
+
+    stream, tag = _staged_event_stream(spark, sf_dir)
+    dedup = (
+        stream.withColumn("date", F.to_date("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "date"])
+    )
+    agg = (
+        dedup.groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unique_users"))
+        .select(
+            F.to_date(F.col("w.start")).alias("date"),
+            "event_type",
+            "n_unique_users",
+        )
+    )
+    name = f"stream_dedup_{tag}"
+    run_to_memory_sink(agg, name)
+    return spark.sql(
+        f"SELECT date, event_type, n_unique_users FROM {name}"
+    )
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for the A/B surface: the
     parity-hash assignment (`ab_test_report`'s split) is designed
@@ -6314,6 +6422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "growth_accounting_weekly": q_growth_accounting_weekly,
         "ab_power_analysis": q_ab_power_analysis,
         "cochran_armitage_trend": q_cochran_armitage_trend,
+        "source_log_odds_words": q_source_log_odds_words,
+        "streaming_dedup_report": q_streaming_dedup_report,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -9739,6 +9849,67 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(nn * swwn - swn * swn AS DOUBLE)), 6)
                  + CAST(0.0 AS DOUBLE) AS z_trend
         FROM agg
+    """
+    sql["source_log_odds_words"] = r"""
+        WITH wcounts AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS y_sw
+          FROM (SELECT source,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\s+')) AS w
+                FROM documents WHERE text IS NOT NULL)
+          WHERE w <> '' GROUP BY 1, 2),
+        totals AS (
+          SELECT source, CAST(sum(y_sw) AS BIGINT) AS n_s
+          FROM wcounts GROUP BY 1),
+        corpus AS (
+          SELECT w, CAST(sum(y_sw) AS BIGINT) AS y_w
+          FROM wcounts GROUP BY 1),
+        grand AS (
+          SELECT CAST(sum(y_w) AS BIGINT) AS n_tot,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM corpus),
+        j AS (
+          SELECT wc.source, wc.w, wc.y_sw,
+                 c.y_w - wc.y_sw AS y_rw,
+                 t.n_s, g.n_tot - t.n_s AS n_r,
+                 CAST(0.01 AS DOUBLE) * CAST(g.v AS DOUBLE) AS a0
+          FROM wcounts wc
+          JOIN totals t USING (source)
+          JOIN corpus c USING (w)
+          CROSS JOIN grand g),
+        scored AS (
+          SELECT source, w, y_sw,
+                 round(
+                   (ln((CAST(y_sw AS DOUBLE) + CAST(0.01 AS DOUBLE))
+                       / (CAST(n_s AS DOUBLE) + a0
+                          - (CAST(y_sw AS DOUBLE) + CAST(0.01 AS DOUBLE))))
+                    - ln((CAST(y_rw AS DOUBLE) + CAST(0.01 AS DOUBLE))
+                         / (CAST(n_r AS DOUBLE) + a0
+                            - (CAST(y_rw AS DOUBLE)
+                               + CAST(0.01 AS DOUBLE)))))
+                   / sqrt(CAST(1.0 AS DOUBLE)
+                            / (CAST(y_sw AS DOUBLE) + CAST(0.01 AS DOUBLE))
+                          + CAST(1.0 AS DOUBLE)
+                            / (CAST(y_rw AS DOUBLE)
+                               + CAST(0.01 AS DOUBLE))), 4)
+                 + CAST(0.0 AS DOUBLE) AS z_logodds
+          FROM j),
+        ranked AS (
+          SELECT source, w, y_sw, z_logodds,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY z_logodds DESC, w ASC) AS rnk
+          FROM scored QUALIFY rnk <= 5)
+        SELECT source, CAST(rnk AS BIGINT) AS rnk, w, y_sw, z_logodds
+        FROM ranked ORDER BY source, rnk
+    """
+    sql["streaming_dedup_report"] = """
+        SELECT date, event_type, CAST(count(*) AS BIGINT) AS n_unique_users
+        FROM (SELECT DISTINCT user_id, event_type,
+                     CAST(ts AS DATE) AS date
+              FROM events)
+        GROUP BY 1, 2
+        HAVING date + INTERVAL 1 DAY
+                 <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())
