@@ -217,6 +217,11 @@ SECONDARY = [
     "sprt_conversion_test",
     "bootstrap_ci_daily_revenue",
     "recsys_eval_popularity",
+    "growth_accounting_weekly",
+    "ab_power_analysis",
+    "cochran_armitage_trend",
+    "source_log_odds_words",
+    "streaming_dedup_report",
 ]
 
 
