@@ -725,3 +725,47 @@ def test_als_ann_serving_no_cartesian(spark):
     plan = plans.executed_plan(df)
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_link_prediction_broadcasts_hubs_no_cartesian(spark):
+    """copurchase_link_prediction: hub filtering is two broadcast
+    semi-joins, candidates materialize only through the shared-neighbor
+    equi-join — no cartesian/BNL anywhere."""
+    fn = entrymod.queries()["copurchase_link_prediction"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_kneser_ney_all_jvm_with_cached_bigram_counts(spark):
+    """kneser_ney_bigram: no Python eval nodes (pure JVM counts), and
+    the bigram-count frame is cached and reused by the ctx/cont/types
+    aggregates instead of re-exploding the corpus."""
+    fn = entrymod.queries()["kneser_ney_bigram"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, (
+        plan[:2000]
+    )
+    assert plan.count("InMemoryTableScan") >= 3, plan[:3000]
+
+
+def test_rake_all_jvm_and_caches_phrases(spark):
+    """rake_keyphrases: gaps-and-islands segmentation stays JVM-side;
+    the phrase frame is cached (reused by member join and final
+    assembly)."""
+    fn = entrymod.queries()["rake_keyphrases"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, (
+        plan[:2000]
+    )
+    assert "InMemoryTableScan" in plan, plan[:3000]
+
+
+def test_binseg_single_scan_cached_spine(spark):
+    """binseg_changepoints: both levels re-aggregate the CACHED daily
+    spine; the per-level split join is a broadcast."""
+    fn = entrymod.queries()["binseg_changepoints"]
+    plan = plans.executed_plan(fn(spark, SF_SMOKE))
+    assert "InMemoryTableScan" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
