@@ -5924,6 +5924,129 @@ def q_streaming_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_anova_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of 1995 daily revenue against two calendar
+    factors (weekday, month): per factor, the between-group F statistic
+    and effect size η² — the "is there a weekday effect worth
+    modeling?" gate before seasonal decomposition.
+
+    Sums of squares use the binseg identity ΣS_g²/n_g − S²/N over
+    EXACT integer cent sums (per-term double arithmetic identical
+    across engines; the ≤12-term outer sums carry ~1e-15 relative
+    noise vs the 1e-4 rounding).  Weekday parity: Spark weekday()+1 ==
+    DuckDB isodow (CLAUDE.md date-part rule)."""
+    daily = cache.track(
+        _daily_cents_1995(spark, sf_dir)
+        .select(
+            "day",
+            "cents",
+            (F.weekday("day") + 1).cast("long").alias("wd"),
+            F.month("day").cast("long").alias("mo"),
+        )
+        .cache()
+    )
+
+    def one_way(col: str, label: str) -> DataFrame:
+        grp = daily.groupBy(col).agg(
+            F.sum("cents").cast("long").alias("s_g"),
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+        )
+        tot = daily.agg(
+            F.sum("cents").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.col("cents").cast("double") * F.col("cents").cast("double")
+            ).alias("ss_raw"),
+        )
+        agg = grp.agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(
+                F.col("s_g").cast("double")
+                * F.col("s_g").cast("double")
+                / F.col("n_g").cast("double")
+            ).alias("ss_grp"),
+        ).crossJoin(F.broadcast(tot))
+        ss_between = F.col("ss_grp") - (
+            F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        ss_total = F.col("ss_raw") - (
+            F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        ss_within = ss_total - ss_between
+        fstat = (ss_between / (F.col("k") - 1).cast("double")) / (
+            ss_within / (F.col("n") - F.col("k")).cast("double")
+        )
+        return agg.select(
+            F.lit(label).alias("factor"),
+            "k",
+            "n",
+            (F.round(fstat, 4) + F.lit(0.0)).alias("f_stat"),
+            (F.round(ss_between / ss_total, 4) + F.lit(0.0)).alias(
+                "eta_sq"
+            ),
+        )
+
+    return one_way("wd", "weekday").unionByName(
+        one_way("mo", "month")
+    ).orderBy("factor")
+
+
+def q_categorical_mi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between categorical order columns (priority,
+    status, order-year) for every pair — the dependency profiler that
+    catches redundant columns before feature engineering (MI=0 ⇒
+    independent; MI ≈ min entropy ⇒ one determines the other).
+    Plug-in estimator I = Σ p_xy·ln(p_xy/(p_x·p_y)) in nats from exact
+    joint/marginal counts (N cancels: each term is
+    c_xy/N · ln(c_xy·N/(c_x·c_y)) — all-integer ratios inside the ln).
+
+    One scan per pair over a 3-column projection; joint tables are
+    tiny (≤5×12) and the marginals broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    base = cache.track(
+        orders.select(
+            F.substring("o_orderpriority", 1, 1).alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+            F.year("o_orderdate").cast("string").alias("oyear"),
+        ).cache()
+    )
+
+    def mi(a: str, b: str) -> DataFrame:
+        joint = base.groupBy(a, b).agg(
+            F.count(F.lit(1)).cast("long").alias("c_xy")
+        )
+        ma = base.groupBy(a).agg(F.count(F.lit(1)).cast("long").alias("c_x"))
+        mb = base.groupBy(b).agg(F.count(F.lit(1)).cast("long").alias("c_y"))
+        n = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        j = (
+            joint.join(F.broadcast(ma), a)
+            .join(F.broadcast(mb), b)
+            .crossJoin(F.broadcast(n))
+        )
+        term = (
+            F.col("c_xy").cast("double") / F.col("n").cast("double")
+        ) * F.log(
+            (F.col("c_xy").cast("double") * F.col("n").cast("double"))
+            / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+        )
+        return j.agg(
+            F.max(F.lit(f"{a}~{b}")).alias("pair"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            (F.round(F.sum(term), 6) + F.lit(0.0)).alias("mi_nats"),
+        )
+
+    return (
+        mi("prio", "status")
+        .unionByName(mi("prio", "oyear"))
+        .unionByName(mi("status", "oyear"))
+        .orderBy("pair")
+    )
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for the A/B surface: the
     parity-hash assignment (`ab_test_report`'s split) is designed
@@ -6203,12 +6326,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     take the first 27 of the 50 entries whose last driver-green row is
     round 3, in registry order (head = ``gold_fact_decimal`` ..
     ``purchase_view_coincidence``).
-    ROTATION PLAN for round 8: front-load (a) any round-7 oracle-backed
-    additions that miss this window, (b) the 23 round-3-stale entries
-    this window could not fit (``daily_value_interp`` ..
-    ``dormant_high_balance``, registry order), then (c) the head of the
-    round-4-verified tier — keep cycling so every oracle-backed entry
-    re-earns a driver green row every ~2-3 rounds.
+    ROTATION PLAN for round 8: front-load (a) the 16 round-7
+    oracle-backed additions (``binseg_changepoints`` ..
+    ``recsys_eval_popularity`` — added after ``_WINDOW_R7`` froze, so
+    never driver-checked), (b) the 23 round-3-stale entries this
+    window could not fit (``pricing_summary`` .. registry order), then
+    (c) the head of the round-4-verified tier (11 slots) — keep
+    cycling so every oracle-backed entry re-earns a driver green row
+    every ~2-3 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
@@ -6424,6 +6549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_armitage_trend": q_cochran_armitage_trend,
         "source_log_odds_words": q_source_log_odds_words,
         "streaming_dedup_report": q_streaming_dedup_report,
+        "revenue_anova_factors": q_revenue_anova_factors,
+        "categorical_mi_matrix": q_categorical_mi_matrix,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -9910,6 +10037,119 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
         HAVING date + INTERVAL 1 DAY
                  <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+    """
+    sql["revenue_anova_factors"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        lab AS (
+          SELECT day, cents,
+                 CAST(isodow(day) AS BIGINT) AS wd,
+                 CAST(month(day) AS BIGINT) AS mo
+          FROM daily),
+        tot AS (
+          SELECT CAST(sum(cents) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE))
+                   AS ss_raw
+          FROM lab),
+        gw AS (
+          SELECT wd, CAST(sum(cents) AS BIGINT) AS s_g,
+                 CAST(count(*) AS BIGINT) AS n_g
+          FROM lab GROUP BY 1),
+        gm AS (
+          SELECT mo, CAST(sum(cents) AS BIGINT) AS s_g,
+                 CAST(count(*) AS BIGINT) AS n_g
+          FROM lab GROUP BY 1),
+        aw AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                     / CAST(n_g AS DOUBLE)) AS ss_grp
+          FROM gw),
+        am AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                     / CAST(n_g AS DOUBLE)) AS ss_grp
+          FROM gm),
+        calc AS (
+          SELECT 'weekday' AS factor, aw.k, tot.n,
+                 aw.ss_grp - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                               / CAST(tot.n AS DOUBLE) AS ssb,
+                 tot.ss_raw - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                               / CAST(tot.n AS DOUBLE) AS sst
+          FROM aw CROSS JOIN tot
+          UNION ALL
+          SELECT 'month' AS factor, am.k, tot.n,
+                 am.ss_grp - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                               / CAST(tot.n AS DOUBLE) AS ssb,
+                 tot.ss_raw - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                               / CAST(tot.n AS DOUBLE) AS sst
+          FROM am CROSS JOIN tot)
+        SELECT factor, k, n,
+               round((ssb / CAST(k - 1 AS DOUBLE))
+                     / ((sst - ssb) / CAST(n - k AS DOUBLE)), 4)
+                 + CAST(0.0 AS DOUBLE) AS f_stat,
+               round(ssb / sst, 4) + CAST(0.0 AS DOUBLE) AS eta_sq
+        FROM calc ORDER BY factor
+    """
+    sql["categorical_mi_matrix"] = """
+        WITH base AS (
+          SELECT substring(o_orderpriority, 1, 1) AS prio,
+                 o_orderstatus AS status,
+                 CAST(year(o_orderdate) AS VARCHAR) AS oyear
+          FROM orders),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        mi_ps AS (
+          SELECT 'prio~status' AS pair,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 round(sum((CAST(c_xy AS DOUBLE) / CAST(n.n AS DOUBLE))
+                           * ln(CAST(c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)
+                                / (CAST(c_x AS DOUBLE)
+                                   * CAST(c_y AS DOUBLE)))), 6)
+                   + CAST(0.0 AS DOUBLE) AS mi_nats
+          FROM (SELECT prio, status, CAST(count(*) AS BIGINT) AS c_xy
+                FROM base GROUP BY 1, 2) j
+          JOIN (SELECT prio, CAST(count(*) AS BIGINT) AS c_x
+                FROM base GROUP BY 1) a USING (prio)
+          JOIN (SELECT status, CAST(count(*) AS BIGINT) AS c_y
+                FROM base GROUP BY 1) b USING (status)
+          CROSS JOIN n GROUP BY n.n),
+        mi_py AS (
+          SELECT 'prio~oyear' AS pair,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 round(sum((CAST(c_xy AS DOUBLE) / CAST(n.n AS DOUBLE))
+                           * ln(CAST(c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)
+                                / (CAST(c_x AS DOUBLE)
+                                   * CAST(c_y AS DOUBLE)))), 6)
+                   + CAST(0.0 AS DOUBLE) AS mi_nats
+          FROM (SELECT prio, oyear, CAST(count(*) AS BIGINT) AS c_xy
+                FROM base GROUP BY 1, 2) j
+          JOIN (SELECT prio, CAST(count(*) AS BIGINT) AS c_x
+                FROM base GROUP BY 1) a USING (prio)
+          JOIN (SELECT oyear, CAST(count(*) AS BIGINT) AS c_y
+                FROM base GROUP BY 1) b USING (oyear)
+          CROSS JOIN n GROUP BY n.n),
+        mi_sy AS (
+          SELECT 'status~oyear' AS pair,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 round(sum((CAST(c_xy AS DOUBLE) / CAST(n.n AS DOUBLE))
+                           * ln(CAST(c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)
+                                / (CAST(c_x AS DOUBLE)
+                                   * CAST(c_y AS DOUBLE)))), 6)
+                   + CAST(0.0 AS DOUBLE) AS mi_nats
+          FROM (SELECT status, oyear, CAST(count(*) AS BIGINT) AS c_xy
+                FROM base GROUP BY 1, 2) j
+          JOIN (SELECT status, CAST(count(*) AS BIGINT) AS c_x
+                FROM base GROUP BY 1) a USING (status)
+          JOIN (SELECT oyear, CAST(count(*) AS BIGINT) AS c_y
+                FROM base GROUP BY 1) b USING (oyear)
+          CROSS JOIN n GROUP BY n.n)
+        SELECT * FROM mi_ps
+        UNION ALL SELECT * FROM mi_py
+        UNION ALL SELECT * FROM mi_sy
+        ORDER BY pair
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -222,6 +222,8 @@ SECONDARY = [
     "cochran_armitage_trend",
     "source_log_odds_words",
     "streaming_dedup_report",
+    "revenue_anova_factors",
+    "categorical_mi_matrix",
 ]
 
 
