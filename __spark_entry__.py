@@ -6047,6 +6047,69 @@ def q_categorical_mi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmental type-token ratio (MSTTR-100): raw corpus TTR shrinks
+    with length (Heaps' law — `heaps_law_fit`), so the comparable
+    diversity signal averages the TTR of consecutive 100-token
+    segments, discarding the ragged tail segment.  Reports corpus TTR
+    beside MSTTR with segment counts — the pair a curation pipeline
+    thresholds on for template/boilerplate detection.
+
+    Exact integer counts throughout; the two ratios and the ≤1 final
+    average are the only float ops."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(text.tokens("text")).alias("pos0", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    segs = toks.select(
+        "doc_id",
+        (F.col("pos0") / 100).cast("long").alias("seg"),
+        "tok",
+    )
+    per_seg = segs.groupBy("doc_id", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.count_distinct("tok").cast("long").alias("n_typ"),
+    )
+    full = per_seg.filter(F.col("n_tok") == 100)
+    msttr = full.agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        (
+            F.round(
+                F.avg(
+                    F.col("n_typ").cast("double") / F.lit(100.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("msttr_100"),
+    )
+    corpus = toks.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct("tok").cast("long").alias("n_types"),
+    )
+    return corpus.crossJoin(F.broadcast(msttr)).select(
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        (
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("corpus_ttr"),
+        "n_segments",
+        "msttr_100",
+    )
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for the A/B surface: the
     parity-hash assignment (`ab_test_report`'s split) is designed
@@ -6551,6 +6614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_report": q_streaming_dedup_report,
         "revenue_anova_factors": q_revenue_anova_factors,
         "categorical_mi_matrix": q_categorical_mi_matrix,
+        "lexical_diversity_report": q_lexical_diversity_report,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -10150,6 +10214,36 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT * FROM mi_py
         UNION ALL SELECT * FROM mi_sy
         ORDER BY pair
+    """
+    sql["lexical_diversity_report"] = r"""
+        WITH toks AS (
+          SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos0,
+                 unnest(t) AS tok
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS t
+                FROM documents WHERE text IS NOT NULL)),
+        nz AS (SELECT doc_id, pos0, tok FROM toks WHERE tok <> ''),
+        per_seg AS (
+          SELECT doc_id, CAST(pos0 // 100 AS BIGINT) AS seg,
+                 CAST(count(*) AS BIGINT) AS n_tok,
+                 CAST(count(DISTINCT tok) AS BIGINT) AS n_typ
+          FROM nz GROUP BY 1, 2),
+        msttr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_segments,
+                 round(avg(CAST(n_typ AS DOUBLE)
+                           / CAST(100.0 AS DOUBLE)), 6)
+                   + CAST(0.0 AS DOUBLE) AS msttr_100
+          FROM per_seg WHERE n_tok = 100),
+        corpus AS (
+          SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+          FROM nz)
+        SELECT n_docs, n_tokens, n_types,
+               round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS corpus_ttr,
+               n_segments, msttr_100
+        FROM corpus CROSS JOIN msttr
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -224,6 +224,7 @@ SECONDARY = [
     "streaming_dedup_report",
     "revenue_anova_factors",
     "categorical_mi_matrix",
+    "lexical_diversity_report",
 ]
 
 
