@@ -2491,3 +2491,187 @@ def test_gif_disposal_restore_to_previous():
     # frame 2: sprite rect restored to the ORIGINAL base pixels
     assert (frames[2][2:5, 2:5] == pal[base][2:5, 2:5]).all()
     assert (frames[2][6:8, 6:8] == pal[dot]).all()
+
+
+# ---------------------------------------------------------------------------
+# TGA (types 2 + 10) and AIFF PCM — round-7 codec additions
+# ---------------------------------------------------------------------------
+
+
+def _encode_tga(px, rle=False, top_left=True, alpha=False):
+    """Spec-conformant TGA 2.0 writer for the tests: 24/32-bit
+    truecolor, optional RLE (type 10), footer signature included."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ch = 4 if alpha else 3
+    desc = 0x20 if top_left else 0x00
+    if alpha:
+        desc |= 0x08
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB",
+        0, 0, 10 if rle else 2, 0, 0, 0, 0, 0, w, h, ch * 8, desc
+    )
+    rows = px if top_left else px[::-1]
+    bgr = rows[:, :, ::-1]
+    if alpha:
+        a = np.full((h, w, 1), 255, dtype=np.uint8)
+        bgr = np.concatenate([bgr, a], axis=2)
+    flat = bgr.reshape(-1, ch)
+    if not rle:
+        body = flat.tobytes()
+    else:
+        out = bytearray()
+        i = 0
+        n = len(flat)
+        while i < n:
+            # repeated run
+            j = i
+            while (
+                j + 1 < n
+                and (flat[j + 1] == flat[i]).all()
+                and j + 1 - i < 127
+            ):
+                j += 1
+            if j > i:
+                out.append(0x80 | (j - i))
+                out += flat[i].tobytes()
+                i = j + 1
+            else:
+                # literal run until next repeat
+                k = i
+                while (
+                    k + 1 < n
+                    and not (flat[k + 1] == flat[k]).all()
+                    and k - i < 127
+                ):
+                    k += 1
+                out.append(k - i)
+                out += flat[i : k + 1].tobytes()
+                i = k + 1
+        body = bytes(out)
+    footer = b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+    return hdr + body + footer
+
+
+def _tga_pixels():
+    import numpy as np
+
+    rng = np.arange(7 * 5 * 3, dtype=np.uint8).reshape(7, 5, 3) * 3 % 251
+    return rng.astype(np.uint8)
+
+
+def test_tga_uncompressed_and_rle_roundtrip():
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import multimodal
+
+    px = _tga_pixels()
+    for rle in (False, True):
+        for top in (True, False):
+            got = multimodal.decode_image(
+                _encode_tga(px, rle=rle, top_left=top)
+            )
+            assert got is not None and got.shape == px.shape, (rle, top)
+            assert np.array_equal(got, px), (rle, top)
+
+
+def test_tga_32bit_alpha_dropped():
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import multimodal
+
+    px = _tga_pixels()
+    got = multimodal.decode_image(_encode_tga(px, rle=True, alpha=True))
+    assert np.array_equal(got, px)
+
+
+def test_tga_without_footer_is_not_dispatched():
+    from wistia_video_analytics_project_spark.operators import multimodal
+
+    payload = _encode_tga(_tga_pixels())[: -26]  # strip the footer
+    assert multimodal.decode_image(payload) is None
+
+
+def test_tga_truncated_raises():
+    import pytest
+
+    from wistia_video_analytics_project_spark.operators import multimodal
+
+    good = _encode_tga(_tga_pixels())
+    bad = good[:20] + good[-26:]  # keep footer, drop pixels
+    with pytest.raises(ValueError):
+        multimodal._decode_tga(bad)
+
+
+def _encode_aiff(samples, rate, bps=16):
+    """Minimal AIFF writer: COMM with 80-bit extended rate + SSND."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    n_frames, ch = arr.shape
+    # 80-bit IEEE extended: exponent 16383+30, mantissa rate<<(63-30)
+    e = 16383 + 30
+    mant = rate << (63 - 30)
+    ext = struct.pack(">H", e) + mant.to_bytes(8, "big")
+    comm = b"COMM" + struct.pack(">I", 18) + struct.pack(
+        ">hLh", ch, n_frames, bps
+    ) + ext
+    if bps == 16:
+        data = arr.astype(">i2").tobytes()
+    elif bps == 8:
+        data = arr.astype(np.int8).tobytes()
+    else:
+        raise ValueError(bps)
+    ssnd = b"SSND" + struct.pack(">I", 8 + len(data)) + struct.pack(
+        ">LL", 0, 0
+    ) + data
+    if len(ssnd) % 2:
+        ssnd += b"\x00"
+    form = b"AIFF" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(form)) + form
+
+
+def test_aiff_pcm16_roundtrip_bit_exact():
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import multimodal
+
+    want = np.array(
+        [[0, 100], [-32768, 32767], [1234, -4321], [7, -7]], dtype=np.int64
+    )
+    arr, rate = multimodal.decode_audio(_encode_aiff(want, 8000))
+    assert rate == 8000
+    assert arr.shape == (4, 2)
+    assert np.array_equal((arr * 32768.0).astype(np.int64), want)
+
+
+def test_aiff_pcm8_and_odd_chunk_padding():
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import multimodal
+
+    want = np.array([[5], [-5], [127]], dtype=np.int64)  # odd data length
+    arr, rate = multimodal.decode_audio(
+        _encode_aiff(want, 44100, bps=8)
+    )
+    assert rate == 44100
+    assert np.array_equal((arr * 128.0).astype(np.int64), want)
+
+
+def test_aiff_malformed_raises_valueerror():
+    import pytest
+
+    from wistia_video_analytics_project_spark.operators import multimodal
+
+    good = _encode_aiff([[1, 2]], 8000)
+    for bad in (
+        good[:11] + b"X" + good[12:],          # wrong form type
+        good[:20],                             # truncated chunks
+    ):
+        with pytest.raises(ValueError):
+            multimodal._decode_aiff(bad)

@@ -1130,10 +1130,139 @@ def _jpeg_reconstruct(order, planes, h: int, w: int, hmax: int, vmax: int):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def _decode_tga(payload: bytes):
+    """Truevision TGA (types 2 uncompressed / 10 RLE, 24/32-bit
+    truecolor) -> (h, w, 3) uint8 RGB array.
+
+    TGA has NO leading magic — dispatch keys on the TGA 2.0 footer
+    signature (last 18 bytes), which every modern writer emits; the
+    18-byte header is then validated (no colormap, truecolor type,
+    24/32 bpp).  Descriptor bit 5 selects top-left origin; RLE packets
+    are the 1-byte header + (repeated | literal) pixel runs of the
+    classic spec."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 18 + len(_TGA_FOOTER):
+        raise ValueError("TGA: truncated header")
+    id_len, cmap_type, img_type = payload[0], payload[1], payload[2]
+    if cmap_type != 0:
+        raise ValueError("TGA: colormapped images unsupported")
+    if img_type not in (2, 10):
+        raise ValueError(f"TGA: unsupported image type {img_type}")
+    w, h = struct.unpack_from("<HH", payload, 12)
+    bpp, desc = payload[16], payload[17]
+    if bpp not in (24, 32):
+        raise ValueError(f"TGA: unsupported depth {bpp}")
+    if w <= 0 or h <= 0:
+        raise ValueError("TGA: degenerate dimensions")
+    ch = bpp // 8
+    off = 18 + id_len
+    n = w * h
+    if img_type == 2:
+        need = off + n * ch
+        if len(payload) < need:
+            raise ValueError("TGA: truncated pixel data")
+        raw = np.frombuffer(payload, dtype=np.uint8, count=n * ch, offset=off)
+    else:
+        out = bytearray()
+        pos = off
+        while len(out) < n * ch:
+            if pos >= len(payload):
+                raise ValueError("TGA: truncated RLE stream")
+            hdr = payload[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:
+                px = payload[pos : pos + ch]
+                if len(px) < ch:
+                    raise ValueError("TGA: truncated RLE pixel")
+                out += px * count
+                pos += ch
+            else:
+                lit = payload[pos : pos + count * ch]
+                if len(lit) < count * ch:
+                    raise ValueError("TGA: truncated literal run")
+                out += lit
+                pos += count * ch
+        raw = np.frombuffer(bytes(out[: n * ch]), dtype=np.uint8)
+    px = raw.reshape(h, w, ch)
+    if not (desc & 0x20):  # bottom-up unless top-left bit set
+        px = px[::-1]
+    return np.ascontiguousarray(px[:, :, 2::-1][:, :, :3])
+
+
+def _decode_aiff(payload: bytes):
+    """AIFF (FORM/AIFF, uncompressed PCM) -> ((frames, ch) float64 in
+    [-1, 1], rate).  Big-endian IFF chunks: COMM carries channels /
+    sample size / an 80-bit IEEE-extended sample rate (parsed exactly:
+    mantissa · 2^(exp−16383−63)); SSND carries offset/blocksize then
+    big-endian PCM.  8/16/24/32-bit widths."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("AIFF: bad FORM/AIFF magic")
+    comm = ssnd = None
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from(">I", payload, 4)[0])
+    while pos + 8 <= end:
+        fcc = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from(">I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if fcc == b"COMM":
+            comm = body
+        elif fcc == b"SSND":
+            ssnd = body
+        pos += 8 + ln + (ln & 1)  # chunks pad to even length
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        raise ValueError("AIFF: missing COMM/SSND chunk")
+    ch, n_frames, bps = struct.unpack_from(">hLh", comm, 0)
+    if ch < 1:
+        raise ValueError("AIFF: zero channels")
+    ext = comm[8:18]
+    exp = ((ext[0] & 0x7F) << 8 | ext[1]) - 16383
+    mant = int.from_bytes(ext[2:10], "big")
+    rate = int(round(mant * 2.0 ** (exp - 63))) if mant else 0
+    if rate <= 0:
+        raise ValueError("AIFF: bad sample rate")
+    data_off, _block = struct.unpack_from(">LL", ssnd, 0)
+    data = ssnd[8 + data_off :]
+    if bps == 8:
+        arr = (
+            np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+        )
+    elif bps == 16:
+        arr = np.frombuffer(data, dtype=">i2").astype(np.float64) / 32768.0
+    elif bps == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+        v = (
+            (raw[:, 0].astype(np.int64) << 16)
+            | (raw[:, 1].astype(np.int64) << 8)
+            | raw[:, 2].astype(np.int64)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        arr = v.astype(np.float64) / float(1 << 23)
+    elif bps == 32:
+        arr = np.frombuffer(data, dtype=">i4").astype(np.float64) / float(
+            1 << 31
+        )
+    else:
+        raise ValueError(f"AIFF: unsupported sample size {bps}")
+    arr = arr[: len(arr) - len(arr) % ch]
+    frames = arr.reshape(-1, ch)
+    return frames[:n_frames], rate
+
+
 def decode_image(payload: bytes):
     """payload -> (h, w, 3) uint8 RGB numpy array, or ``None`` when the
     format isn't one of the dependency-free decoders (BMP/PPM/PNG/
-    sequential/progressive JPEG/GIF/TIFF)."""
+    sequential/progressive JPEG/GIF/TIFF/TGA-with-footer)."""
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
     if payload.startswith(b"P6"):
@@ -1146,6 +1275,8 @@ def decode_image(payload: bytes):
         return _decode_gif(payload)
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return _decode_tiff(payload)
+    if len(payload) > 44 and payload[-18:] == _TGA_FOOTER:
+        return _decode_tga(payload)
     return None
 
 
@@ -1624,6 +1755,8 @@ def decode_audio(payload: bytes):
         return _decode_wav(payload)
     if payload[:4] == b"fLaC":
         return _decode_flac(payload)
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return _decode_aiff(payload)
     return None
 
 
