@@ -5568,13 +5568,18 @@ def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(F.col("u").alias("hub"))
     )
-    t1 = adj.select(F.col("v").alias("x"), F.col("u").alias("ia"))
-    t2 = adj.select(F.col("v").alias("x"), F.col("u").alias("ib"))
+    # hub semi-filters BEFORE the wedge join: the x-join otherwise
+    # materializes Σ deg(x)² rows for the whole graph and discards all
+    # but the hub-hub pairs afterwards (review finding, round 7)
+    t1 = adj.select(F.col("v").alias("x"), F.col("u").alias("ia")).join(
+        F.broadcast(hubs.withColumnRenamed("hub", "ia")), "ia"
+    )
+    t2 = adj.select(F.col("v").alias("x"), F.col("u").alias("ib")).join(
+        F.broadcast(hubs.withColumnRenamed("hub", "ib")), "ib"
+    )
     thru = (
         t1.join(t2, "x")
         .filter(F.col("ia") < F.col("ib"))
-        .join(F.broadcast(hubs.withColumnRenamed("hub", "ia")), "ia")
-        .join(F.broadcast(hubs.withColumnRenamed("hub", "ib")), "ib")
         .join(
             edges.select(
                 F.col("u").alias("ia"), F.col("v").alias("ib")
@@ -5727,7 +5732,10 @@ def q_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = base.crossJoin(F.broadcast(lifts))
     p1 = F.col("n_conv").cast("double") / F.col("n_users").cast("double")
-    p2 = p1 + F.col("lift")
+    # clamp: the synthetic events' conversion metrics saturate
+    # (CLAUDE.md caveat) — an unclamped p1+lift > 1 would NaN the Spark
+    # sqrt and ERROR the DuckDB one (driver-red, not degraded)
+    p2 = F.least(p1 + F.col("lift"), F.lit(1.0))
     pbar = (p1 + p2) / F.lit(2.0)
     za = F.lit(1.959964)
     zb = F.lit(0.841621)
@@ -9995,10 +10003,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT lift, n_users,
                  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p1
           FROM g),
-        c2 AS (
-          SELECT lift, n_users, p1, p1 + lift AS p2,
-                 (p1 + p1 + lift) / CAST(2.0 AS DOUBLE) AS pbar
+        c2a AS (
+          SELECT lift, n_users, p1,
+                 least(p1 + lift, CAST(1.0 AS DOUBLE)) AS p2
           FROM calc),
+        c2 AS (
+          SELECT lift, n_users, p1, p2,
+                 (p1 + p2) / CAST(2.0 AS DOUBLE) AS pbar
+          FROM c2a),
         c3 AS (
           SELECT lift, n_users, p1,
                  (CAST(1.959964 AS DOUBLE)

@@ -403,7 +403,14 @@ def unigram_ladder(spark, release_caches) -> None:
 def main() -> None:
     from wistia_video_analytics_project_spark.cache import release_caches
 
-    sections = set(sys.argv[1:]) or {"events", "docs", "lpa", "als", "unigram"}
+    known = {"events", "docs", "lpa", "als", "unigram"}
+    sections = set(sys.argv[1:]) or set(known)
+    unknown = sections - known
+    if unknown:
+        raise SystemExit(
+            f"unknown section(s) {sorted(unknown)}; choose from "
+            f"{sorted(known)}"
+        )
     spark = get_spark("scale-smoke")
     if "als" in sections:
         als_ladder(spark, release_caches)
