@@ -6118,6 +6118,171 @@ def q_lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIXTH streaming shape: a stream-STATIC enrichment join —
+    the streaming events join a batch-computed dimension (each user's
+    first-seen cohort week) with no state on the static side (Spark
+    re-broadcasts the batch frame per micro-batch), then a watermarked
+    daily window counts events and distinct users per cohort.  This is
+    the canonical "enrich the stream against the warehouse dim" job;
+    the oracle is the identical batch join restricted to closed
+    windows."""
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+    )
+
+    events_batch = _t(spark, sf_dir, "events")
+    cohorts = events_batch.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    stream, tag = _staged_event_stream(spark, sf_dir)
+    enriched = stream.join(cohorts, "user_id").withWatermark("ts", "1 hour")
+    agg = (
+        enriched.groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("cohort_week")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.to_date(F.col("w.start")).alias("date"),
+            "cohort_week",
+            "n_events",
+        )
+    )
+    name = f"stream_enrich_{tag}"
+    run_to_memory_sink(agg, name)
+    return spark.sql(
+        f"SELECT date, cohort_week, n_events FROM {name}"
+    )
+
+
+def q_inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration triple over per-customer 1995 revenue:
+    Theil-T entropy index Σ(x/X)·ln(x·N/X), Atkinson(ε=0.5)
+    1 − (Σ√x / N)²/μ, and the top-decile share — the inequality
+    measures that decompose where the Gini (already in
+    `revenue_concentration`) cannot.  Customer revenue is exact
+    integer cents; √ and ln are correctly-rounded unaries over exact
+    inputs feeding a rounded 6 output; the decile cut uses ntile over
+    a deterministic (cents, custkey) order."""
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+    )
+    per = cache.track(per.cache())
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("x_tot"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    theil_term = (
+        F.col("cents").cast("double") / F.col("x_tot").cast("double")
+    ) * F.log(
+        F.col("cents").cast("double")
+        * F.col("n").cast("double")
+        / F.col("x_tot").cast("double")
+    )
+    sums = j.agg(
+        F.max("n").alias("n_customers"),
+        F.sum(theil_term).alias("__theil"),
+        F.sum(F.sqrt(F.col("cents").cast("double"))).alias("__sqrt_sum"),
+        F.max("x_tot").alias("__xt"),
+    )
+    mean = F.col("__xt").cast("double") / F.col("n_customers").cast("double")
+    sq_mean = F.col("__sqrt_sum") / F.col("n_customers").cast("double")
+    atkinson = F.lit(1.0) - (sq_mean * sq_mean) / mean
+    # unpartitioned window over the per-CUSTOMER aggregate — the
+    # spearman/ks precedent: bounded by entity cardinality, never raw
+    # fact rows; floor(n/10) rank cut gives engine-identical ties
+    wt = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    deciled = per.select(
+        "cents", F.row_number().over(wt).alias("__r")
+    ).crossJoin(F.broadcast(tot.select(F.col("n").alias("__n"))))
+    top_share = deciled.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("__r") <= F.floor(F.col("__n") / 10), F.col("cents")
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum("cents").cast("double")
+        ).alias("ts")
+    )
+    return (
+        sums.crossJoin(F.broadcast(top_share))
+        .select(
+            "n_customers",
+            (F.round(F.col("__theil"), 6) + F.lit(0.0)).alias("theil_t"),
+            (F.round(atkinson, 6) + F.lit(0.0)).alias("atkinson_05"),
+            (F.round(F.col("ts"), 6) + F.lit(0.0)).alias(
+                "top_decile_share"
+            ),
+        )
+    )
+
+
+def q_views_purchases_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily view counts and daily
+    purchase counts at lags −7…+7 (positive lag = views LEAD
+    purchases): the operator that answers "how many days after a view
+    spike does the purchase spike land?" — the temporal complement to
+    the contemporaneous `rolling_view_purchase_corr`.
+
+    Both series are exact integer daily counts on a dense day spine;
+    each lag's Pearson r runs over the inner-joined overlap via one
+    `corr` aggregate per lag (15 bounded aggregates over the per-day
+    frame — no raw-event work after the first reduction)."""
+    events = _t(spark, sf_dir, "events")
+    daily = cache.track(
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_view"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_buy"),
+        )
+        .cache()
+    )
+    lags = spark.createDataFrame(
+        [(lag,) for lag in range(-7, 8)], "lag long"
+    )
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.date_add(F.col("day"), F.col("lag").cast("int")).alias("day"),
+        F.col("n_view").alias("v"),
+    )
+    joined = shifted.join(
+        daily.select("day", F.col("n_buy").alias("b")), "day"
+    )
+    return (
+        joined.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.round(
+                    F.corr(F.col("v").cast("double"), F.col("b").cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for the A/B surface: the
     parity-hash assignment (`ab_test_report`'s split) is designed
@@ -6623,6 +6788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_anova_factors": q_revenue_anova_factors,
         "categorical_mi_matrix": q_categorical_mi_matrix,
         "lexical_diversity_report": q_lexical_diversity_report,
+        "streaming_static_enrich": q_streaming_static_enrich,
+        "inequality_indices": q_inequality_indices,
+        "views_purchases_ccf": q_views_purchases_ccf,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -10256,6 +10424,83 @@ def oracle_sql() -> dict[str, str]:
                  + CAST(0.0 AS DOUBLE) AS corpus_ttr,
                n_segments, msttr_100
         FROM corpus CROSS JOIN msttr
+    """
+    sql["streaming_static_enrich"] = """
+        WITH cohorts AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY 1)
+        SELECT CAST(e.ts AS DATE) AS date, c.cohort_week,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events e JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2
+        HAVING CAST(e.ts AS DATE) + INTERVAL 1 DAY
+                 <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+    """
+    sql["inequality_indices"] = """
+        WITH per AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders WHERE year(o_orderdate) = 1995
+          GROUP BY 1 HAVING sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) > 0),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS x_tot
+          FROM per),
+        sums AS (
+          SELECT max(n) AS n_customers,
+                 sum((CAST(cents AS DOUBLE) / CAST(x_tot AS DOUBLE))
+                     * ln(CAST(cents AS DOUBLE) * CAST(n AS DOUBLE)
+                          / CAST(x_tot AS DOUBLE))) AS theil,
+                 sum(sqrt(CAST(cents AS DOUBLE))) AS sqrt_sum,
+                 max(x_tot) AS xt
+          FROM per CROSS JOIN tot),
+        deciled AS (
+          SELECT cents,
+                 row_number() OVER (ORDER BY cents DESC,
+                                    o_custkey ASC) AS r,
+                 (SELECT n FROM tot) AS nn
+          FROM per),
+        ts AS (
+          SELECT CAST(sum(CASE WHEN r <= nn // 10 THEN cents
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(cents) AS DOUBLE) AS ts
+          FROM deciled)
+        SELECT CAST(n_customers AS BIGINT) AS n_customers,
+               round(theil, 6) + CAST(0.0 AS DOUBLE) AS theil_t,
+               round(CAST(1.0 AS DOUBLE)
+                     - (sqrt_sum / CAST(n_customers AS DOUBLE))
+                       * (sqrt_sum / CAST(n_customers AS DOUBLE))
+                       / (CAST(xt AS DOUBLE)
+                          / CAST(n_customers AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS atkinson_05,
+               round(ts, 6) + CAST(0.0 AS DOUBLE) AS top_decile_share
+        FROM sums CROSS JOIN ts
+    """
+    sql["views_purchases_ccf"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_buy
+          FROM events GROUP BY 1),
+        lags AS (
+          SELECT unnest(generate_series(CAST(-7 AS BIGINT),
+                                        CAST(7 AS BIGINT))) AS lag),
+        shifted AS (
+          SELECT lag, CAST(day + lag * INTERVAL 1 DAY AS DATE) AS day,
+                 n_view AS v
+          FROM daily CROSS JOIN lags),
+        joined AS (
+          SELECT s.lag, s.v, d.n_buy AS b
+          FROM shifted s JOIN daily d USING (day))
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+               round(corr(CAST(v AS DOUBLE), CAST(b AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS ccf
+        FROM joined GROUP BY 1 ORDER BY lag
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

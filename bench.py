@@ -225,6 +225,9 @@ SECONDARY = [
     "revenue_anova_factors",
     "categorical_mi_matrix",
     "lexical_diversity_report",
+    "streaming_static_enrich",
+    "inequality_indices",
+    "views_purchases_ccf",
 ]
 
 
