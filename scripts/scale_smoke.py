@@ -400,10 +400,31 @@ def unigram_ladder(spark, release_caches) -> None:
               f"({n / best / 1e3:6.1f} K docs/s)")
 
 
+def kn_ladder(spark, release_caches) -> None:
+    from wistia_video_analytics_project_spark.operators import ngram_lm
+
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.count()
+    for k in (1, 4, 8):
+        dd = multiply_docs_mutated(docs, k)
+        best = min(
+            _time(
+                lambda: ngram_lm.kneser_ney_bigram(
+                    dd, top_k=30
+                ).count()
+            )
+            for _ in range(2)
+        )
+        release_caches()
+        n = dd.count()
+        print(f"x{k:>2} ({n:>9,} docs) kn_bigram    : {best:6.2f}s "
+              f"({n / best / 1e3:6.1f} K docs/s)")
+
+
 def main() -> None:
     from wistia_video_analytics_project_spark.cache import release_caches
 
-    known = {"events", "docs", "lpa", "als", "unigram"}
+    known = {"events", "docs", "lpa", "als", "unigram", "kn"}
     sections = set(sys.argv[1:]) or set(known)
     unknown = sections - known
     if unknown:
@@ -416,6 +437,8 @@ def main() -> None:
         als_ladder(spark, release_caches)
     if "unigram" in sections:
         unigram_ladder(spark, release_caches)
+    if "kn" in sections:
+        kn_ladder(spark, release_caches)
     if not sections & {"events", "docs", "lpa"}:
         spark.stop()
         return
