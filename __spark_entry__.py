@@ -6791,6 +6791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_enrich": q_streaming_static_enrich,
         "inequality_indices": q_inequality_indices,
         "views_purchases_ccf": q_views_purchases_ccf,
+        "als_ann_recommender": als.q_als_ann_recommender,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -6813,7 +6814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "duplicated_spans_hashed",
                        "quality_classifier_train", "langid_train",
                        "ann_mmr", "unigram_tokenizer_train",
-                       "als_part_recommender", "part_communities",
+                       "als_part_recommender", "als_ann_recommender",
+                       "part_communities",
                        "isotonic_late_by_price", "embedding_whiten_check"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered

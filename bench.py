@@ -228,6 +228,7 @@ SECONDARY = [
     "streaming_static_enrich",
     "inequality_indices",
     "views_purchases_ccf",
+    "als_ann_recommender",
 ]
 
 

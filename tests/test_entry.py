@@ -63,6 +63,10 @@ def test_queries_registry_well_formed(spark):
         # numpy-reference parity + loss monotonicity pinned in
         # tests/test_als.py
         "als_part_recommender",
+        # ANN-served variant: ALS (above) + approximate IVF cell probe;
+        # nprobe==cells exactness, clustered recall, and the
+        # no-cartesian plan pinned in tests/test_als.py / test_plans.py
+        "als_ann_recommender",
         # iterative label-propagation rounds — no SQL equivalent;
         # determinism + planted-partition recovery pinned in
         # tests/test_graph.py

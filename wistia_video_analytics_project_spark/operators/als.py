@@ -457,22 +457,17 @@ def recommend_topk_ann(
     return _rank_topn(scores, n, user_col, item_col)
 
 
-def q_als_part_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-8 ALS over the (customer, part, ln(1+qty)) purchase matrix
-    (binding trains on a BOUNDED id slice — 1000 customers x 5000
-    parts — so the registry entry's cost is constant across SFs; the
-    operator itself has no such bound), 2 sweeps, then top-3
-    unseen-part recommendations for the customers with custkey < 100.
-    Rows-only: alternating solves have no SQL equivalent
-    (numpy-reference parity + loss monotonicity pinned in
-    tests/test_als.py)."""
+def _bounded_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared bounded (customer, part, ln(1+qty)) slice for the two
+    recommender bindings — 1000 customers x 5000 parts keeps registry
+    cost SF-constant; the operators themselves carry no such bound."""
     from ..session import configure_runtime
     from ..sources import load_table
 
     configure_runtime(spark)
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    ratings = (
+    return (
         lineitem.filter(F.col("l_partkey") <= 5000)
         .join(
             orders.select("o_orderkey", "o_custkey").filter(
@@ -486,6 +481,36 @@ def q_als_part_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.log1p(F.sum("l_quantity")).alias("rating"))
     )
+
+
+def q_als_ann_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE serving path of `als_part_recommender`: identical
+    bounded training, but top-3 recommendations served through the IVF
+    index over norm-augmented item factors (nprobe 8 of 16 cells)
+    instead of the user x catalog broadcast loop.  Rows-only: ALS has
+    no SQL equivalent and the cell probe is approximate — exactness at
+    nprobe == n_centroids plus clustered-factor recall are pinned in
+    tests/test_als.py, and the no-cartesian plan shape in
+    tests/test_plans.py."""
+    ratings = _bounded_ratings(spark, sf_dir)
+    user_f, item_f, _ = als_train(
+        ratings, k=8, iterations=2, reg=0.1, track_loss=False
+    )
+    return recommend_topk_ann(
+        user_f, item_f, ratings, n=3, n_centroids=16, nprobe=8
+    ).filter(F.col("user") < 100)
+
+
+def q_als_part_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-8 ALS over the (customer, part, ln(1+qty)) purchase matrix
+    (binding trains on a BOUNDED id slice — 1000 customers x 5000
+    parts — so the registry entry's cost is constant across SFs; the
+    operator itself has no such bound), 2 sweeps, then top-3
+    unseen-part recommendations for the customers with custkey < 100.
+    Rows-only: alternating solves have no SQL equivalent
+    (numpy-reference parity + loss monotonicity pinned in
+    tests/test_als.py)."""
+    ratings = _bounded_ratings(spark, sf_dir)
     user_f, item_f, _ = als_train(
         ratings, k=8, iterations=2, reg=0.1, track_loss=False
     )
