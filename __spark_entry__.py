@@ -6010,7 +6010,10 @@ def q_categorical_mi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent; MI ≈ min entropy ⇒ one determines the other).
     Plug-in estimator I = Σ p_xy·ln(p_xy/(p_x·p_y)) in nats from exact
     joint/marginal counts (N cancels: each term is
-    c_xy/N · ln(c_xy·N/(c_x·c_y)) — all-integer ratios inside the ln).
+    c_xy/N · ln(c_xy·N/(c_x·c_y)) — all-integer ratios inside the ln),
+    with Cramér's V beside it (χ² over the same cells normalized by
+    N·min(r−1, c−1) — the bounded-[0,1] association strength MI's
+    nats don't directly give).
 
     One scan per pair over a 3-column projection; joint tables are
     tiny (≤5×12) and the marginals broadcast."""
@@ -6041,10 +6044,29 @@ def q_categorical_mi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_xy").cast("double") * F.col("n").cast("double"))
             / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
         )
-        return j.agg(
+        # chi² over ALL cells collapses to N·(Σ c_xy²/(c_x·c_y) − 1)
+        # (missing cells' o=0 contributions fold into the −1), so the
+        # observed-cell sum suffices
+        vterm = (
+            F.col("c_xy").cast("double") * F.col("c_xy").cast("double")
+        ) / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+        agg = j.agg(
             F.max(F.lit(f"{a}~{b}")).alias("pair"),
             F.count(F.lit(1)).cast("long").alias("n_cells"),
             (F.round(F.sum(term), 6) + F.lit(0.0)).alias("mi_nats"),
+            F.sum(vterm).alias("__s2"),
+            F.count_distinct(a).cast("long").alias("__r"),
+            F.count_distinct(b).cast("long").alias("__c"),
+        )
+        v = F.sqrt(
+            (F.col("__s2") - F.lit(1.0))
+            / (F.least(F.col("__r"), F.col("__c")) - 1).cast("double")
+        )
+        return agg.select(
+            "pair",
+            "n_cells",
+            "mi_nats",
+            (F.round(v, 6) + F.lit(0.0)).alias("cramers_v"),
         )
 
     return (
@@ -10354,7 +10376,16 @@ def oracle_sql() -> dict[str, str]:
                            * ln(CAST(c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)
                                 / (CAST(c_x AS DOUBLE)
                                    * CAST(c_y AS DOUBLE)))), 6)
-                   + CAST(0.0 AS DOUBLE) AS mi_nats
+                   + CAST(0.0 AS DOUBLE) AS mi_nats,
+                 round(sqrt((sum(CAST(c_xy AS DOUBLE)
+                                 * CAST(c_xy AS DOUBLE)
+                                 / (CAST(c_x AS DOUBLE)
+                                    * CAST(c_y AS DOUBLE)))
+                             - CAST(1.0 AS DOUBLE))
+                            / CAST(least(count(DISTINCT prio),
+                                         count(DISTINCT status)) - 1
+                                   AS DOUBLE)), 6)
+                   + CAST(0.0 AS DOUBLE) AS cramers_v
           FROM (SELECT prio, status, CAST(count(*) AS BIGINT) AS c_xy
                 FROM base GROUP BY 1, 2) j
           JOIN (SELECT prio, CAST(count(*) AS BIGINT) AS c_x
@@ -10369,7 +10400,16 @@ def oracle_sql() -> dict[str, str]:
                            * ln(CAST(c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)
                                 / (CAST(c_x AS DOUBLE)
                                    * CAST(c_y AS DOUBLE)))), 6)
-                   + CAST(0.0 AS DOUBLE) AS mi_nats
+                   + CAST(0.0 AS DOUBLE) AS mi_nats,
+                 round(sqrt((sum(CAST(c_xy AS DOUBLE)
+                                 * CAST(c_xy AS DOUBLE)
+                                 / (CAST(c_x AS DOUBLE)
+                                    * CAST(c_y AS DOUBLE)))
+                             - CAST(1.0 AS DOUBLE))
+                            / CAST(least(count(DISTINCT prio),
+                                         count(DISTINCT oyear)) - 1
+                                   AS DOUBLE)), 6)
+                   + CAST(0.0 AS DOUBLE) AS cramers_v
           FROM (SELECT prio, oyear, CAST(count(*) AS BIGINT) AS c_xy
                 FROM base GROUP BY 1, 2) j
           JOIN (SELECT prio, CAST(count(*) AS BIGINT) AS c_x
@@ -10384,7 +10424,16 @@ def oracle_sql() -> dict[str, str]:
                            * ln(CAST(c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)
                                 / (CAST(c_x AS DOUBLE)
                                    * CAST(c_y AS DOUBLE)))), 6)
-                   + CAST(0.0 AS DOUBLE) AS mi_nats
+                   + CAST(0.0 AS DOUBLE) AS mi_nats,
+                 round(sqrt((sum(CAST(c_xy AS DOUBLE)
+                                 * CAST(c_xy AS DOUBLE)
+                                 / (CAST(c_x AS DOUBLE)
+                                    * CAST(c_y AS DOUBLE)))
+                             - CAST(1.0 AS DOUBLE))
+                            / CAST(least(count(DISTINCT status),
+                                         count(DISTINCT oyear)) - 1
+                                   AS DOUBLE)), 6)
+                   + CAST(0.0 AS DOUBLE) AS cramers_v
           FROM (SELECT status, oyear, CAST(count(*) AS BIGINT) AS c_xy
                 FROM base GROUP BY 1, 2) j
           JOIN (SELECT status, CAST(count(*) AS BIGINT) AS c_x
