@@ -6814,6 +6814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inequality_indices": q_inequality_indices,
         "views_purchases_ccf": q_views_purchases_ccf,
         "als_ann_recommender": als.q_als_ann_recommender,
+        "embedding_fd_sketch": linalg.q_embedding_fd_sketch,
         "mann_kendall_trend": q_mann_kendall_trend,
         "srm_check": q_srm_check,
         "sprt_conversion_test": q_sprt_conversion_test,
@@ -6837,7 +6838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "quality_classifier_train", "langid_train",
                        "ann_mmr", "unigram_tokenizer_train",
                        "als_part_recommender", "als_ann_recommender",
-                       "part_communities",
+                       "embedding_fd_sketch", "part_communities",
                        "isotonic_late_by_price", "embedding_whiten_check"):
         ordered[_rows_only] = ordered.pop(_rows_only)
     return ordered

@@ -229,6 +229,7 @@ SECONDARY = [
     "inequality_indices",
     "views_purchases_ccf",
     "als_ann_recommender",
+    "embedding_fd_sketch",
 ]
 
 

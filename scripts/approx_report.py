@@ -212,6 +212,25 @@ def main() -> int:
         ), 4),
     }
 
+    # --- Frequent-Directions sketch: achieved Gram error vs bound -----
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import linalg
+
+    emb_d = emb.selectExpr(
+        "CAST(embedding AS array<double>) AS embedding"
+    )
+    b = linalg.frequent_directions(emb_d, "embedding", ell=16, dim=64)
+    a = np.array(
+        [list(r.embedding) for r in emb_d.collect()], dtype=np.float64
+    )
+    gap = float(np.linalg.norm(a.T @ a - b.T @ b, 2))
+    budget = float((a * a).sum() / 16.0)
+    report["frequent_directions"] = {
+        "gram_err_over_budget_ell16": round(gap / budget, 4),
+        "bound_holds": gap <= budget + 1e-6,
+    }
+
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "APPROX_REPORT.json",

@@ -67,6 +67,10 @@ def test_queries_registry_well_formed(spark):
         # nprobe==cells exactness, clustered recall, and the
         # no-cartesian plan pinned in tests/test_als.py / test_plans.py
         "als_ann_recommender",
+        # Frequent-Directions SVD shrink — no SQL equivalent; the
+        # spectral error bound + merge invariance pinned in
+        # tests/test_linalg.py
+        "embedding_fd_sketch",
         # iterative label-propagation rounds — no SQL equivalent;
         # determinism + planted-partition recovery pinned in
         # tests/test_graph.py

@@ -391,3 +391,85 @@ def test_whiten_check_binding_unit_variance(spark):
     for r in rows:
         assert abs(r.variance - 1.0) < 0.05, r
         assert abs(r.mean) < 0.05, r
+
+
+# ---------------------------------------------------------------------------
+# Frequent Directions sketch
+# ---------------------------------------------------------------------------
+
+
+def _fd_matrix_df(spark, rows):
+    return spark.createDataFrame(
+        [(r.tolist(),) for r in rows], "embedding array<double>"
+    )
+
+
+def test_fd_spectral_error_bound(spark):
+    """The Liberty bound: ||A'A - B'B||_2 <= ||A||_F^2 / ell, checked
+    on a deterministic spiked matrix."""
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import linalg
+
+    d, n, ell = 12, 300, 6
+    # spiked: two strong directions + structured noise, no RNG
+    u1 = np.array([1.0 if j % 2 == 0 else 0.5 for j in range(d)])
+    u2 = np.array([(-1.0) ** j * (j + 1) / d for j in range(d)])
+    rows = np.array([
+        ((i % 7) + 1) * u1 + ((i % 5) - 2) * u2
+        + 0.05 * np.array([((i * 31 + j * 17) % 13) - 6 for j in range(d)])
+        for i in range(n)
+    ])
+    a = rows
+    b = linalg.frequent_directions(
+        _fd_matrix_df(spark, rows).repartition(5), "embedding", ell, d
+    )
+    gap = np.linalg.norm(a.T @ a - b.T @ b, 2)
+    budget = (a * a).sum() / ell
+    assert gap <= budget + 1e-6, (gap, budget)
+    assert b.shape[1] == d and b.shape[0] <= ell
+
+
+def test_fd_merge_invariant_under_partitioning(spark):
+    """Different partition layouts must both satisfy the bound (FD
+    sketches are mergeable — the sketch itself may differ, the
+    guarantee may not)."""
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import linalg
+
+    d, n, ell = 8, 120, 4
+    rows = np.array([
+        [((i * 7 + j * 3) % 11) - 5.0 for j in range(d)] for i in range(n)
+    ])
+    a = rows
+    budget = (a * a).sum() / ell
+    for parts in (1, 3, 8):
+        b = linalg.frequent_directions(
+            _fd_matrix_df(spark, rows).repartition(parts),
+            "embedding", ell, d,
+        )
+        gap = np.linalg.norm(a.T @ a - b.T @ b, 2)
+        assert gap <= budget + 1e-6, (parts, gap, budget)
+
+
+def test_fd_recovers_dominant_direction(spark):
+    """On a strongly spiked matrix the sketch's top direction aligns
+    with the true top singular vector."""
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import linalg
+
+    d, n, ell = 10, 200, 4
+    u = np.array([1.0] * d) / np.sqrt(d)
+    rows = np.array([
+        10.0 * ((i % 3) + 1) * u
+        + 0.1 * np.array([((i * 13 + j * 7) % 9) - 4 for j in range(d)])
+        for i in range(n)
+    ])
+    b = linalg.frequent_directions(
+        _fd_matrix_df(spark, rows), "embedding", ell, d
+    )
+    _, _, vt = np.linalg.svd(b, full_matrices=False)
+    cos = abs(float(vt[0] @ u))
+    assert cos > 0.99, cos

@@ -558,3 +558,120 @@ def isotonic_fit(
         ),
     )
     return buckets.join(F.broadcast(fit_df), x_col)
+
+
+# ---------------------------------------------------------------------------
+# Frequent Directions matrix sketch (Liberty 2013; Ghashami et al. 2016)
+# ---------------------------------------------------------------------------
+
+
+def fd_shrink(mat: np.ndarray, ell: int) -> np.ndarray:
+    """One FD shrink step: SVD the buffer, subtract the ell-th squared
+    singular value from every squared singular value (floor 0), and
+    keep the top ell directions.  Returns an (<=ell, d) array whose
+    Gram underestimates the buffer's by at most sigma_ell^2 per unit
+    direction — the invariant the error bound telescopes over."""
+    if mat.shape[0] <= ell:
+        return mat
+    _, s, vt = np.linalg.svd(mat, full_matrices=False)
+    delta = s[ell - 1] ** 2 if len(s) >= ell else 0.0
+    s2 = np.maximum(s * s - delta, 0.0)[:ell]
+    return (np.sqrt(s2)[:, None] * vt[:ell])[s2 > 0]
+
+
+def frequent_directions(
+    df: DataFrame, vec_col: str, ell: int, dim: int
+) -> np.ndarray:
+    """Distributed Frequent-Directions sketch of the (rows x dim)
+    matrix held in ``vec_col``: a deterministic (<=ell, dim) matrix B
+    with  ‖AᵀA − BᵀB‖₂ ≤ ‖A‖²_F / ell  (Liberty 2013), i.e. a
+    covariance/Gram summary whose size is independent of row count —
+    the STREAMING/mergeable counterpart to the exact d² sufficient
+    statistics ``pca`` uses (relevant once d is too large for d²
+    shuffles, or when the sketch must be maintained incrementally).
+
+    Scale shape: each partition folds its rows through a 2ℓ-row buffer
+    (Arrow batches, one SVD per ℓ new rows — O(rows·ℓ·d) work, O(ℓ·d)
+    state), emits its ≤ℓ sketch rows, and the driver merges the
+    partition sketches with the same shrink (FD sketches are mergeable
+    with the same bound — Ghashami et al.).  Driver traffic is
+    partitions × ℓ × d floats, never row-scaled."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ell_i, d = int(ell), int(dim)
+
+    def sketch_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        buf = np.zeros((0, d))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = np.vstack(
+                pdf[vec_col].map(np.asarray).values
+            ).astype(np.float64)
+            start = 0
+            while start < len(rows):
+                take = min(len(rows) - start, 2 * ell_i - len(buf))
+                buf = np.vstack([buf, rows[start : start + take]])
+                start += take
+                if len(buf) >= 2 * ell_i:
+                    buf = fd_shrink(buf, ell_i)
+        buf = fd_shrink(buf, ell_i)
+        if len(buf):
+            yield pd.DataFrame({"row": [r.tolist() for r in buf]})
+
+    parts = df.select(vec_col).mapInPandas(
+        sketch_partition, schema="row array<double>"
+    ).collect()
+    if not parts:
+        return np.zeros((0, d))
+    merged = np.array([r["row"] for r in parts], dtype=np.float64)
+    # driver merge: concatenation + the same shrink, applied in ell-row
+    # bites so the buffer never exceeds 2*ell
+    out = np.zeros((0, d))
+    for i in range(0, len(merged), ell_i):
+        out = fd_shrink(np.vstack([out, merged[i : i + ell_i]]), ell_i)
+    return out
+
+
+def q_embedding_fd_sketch(spark, sf_dir: str):
+    """Frequent-Directions (ell=16) sketch of the embeddings matrix:
+    per retained direction, its singular value and share of the
+    sketch's squared Frobenius mass, plus the FD error budget
+    ‖A‖²_F/ell each row's Gram error is bounded by.  Rows-only: the
+    SVD shrink has no SQL equivalent; the spectral error bound and
+    merge-invariance are pinned in tests/test_linalg.py."""
+    from ..session import configure_runtime
+    from ..sources import load_table
+    from .similarity import EMB_DIM
+
+    configure_runtime(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b = frequent_directions(emb, "embedding", ell=16, dim=EMB_DIM)
+    fro_a = emb.select(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, v: a + v * v
+        ).alias("n2")
+    ).agg(F.sum("n2")).collect()[0][0]
+    s = np.sqrt(np.maximum(np.sum(b * b, axis=1), 0.0))
+    order = np.argsort(-s)
+    total = float(np.sum(s * s)) or 1.0
+    rows = [
+        (
+            int(i + 1),
+            round(float(s[j]), 4),
+            round(float(s[j] * s[j] / total), 6),
+            round(float(fro_a or 0.0) / 16.0, 2),
+        )
+        for i, j in enumerate(order)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, singular_value double, energy_share double, "
+        "gram_error_budget double",
+    )
