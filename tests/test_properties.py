@@ -407,3 +407,31 @@ def test_jpeg_roundtrip_property(h, w, seed, subsample):
     assert px.shape == src.shape
     err = np.abs(px.astype(float) - src.astype(float))
     assert err.max() <= 14, (err.max(), h, w, seed, subsample)
+
+
+@given(
+    n=st.integers(5, 60),
+    d=st.integers(2, 10),
+    ell=st.integers(2, 8),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_fd_shrink_psd_sandwich_property(n, d, ell, seed):
+    """The FD shrink invariant on arbitrary matrices: 0 ⪯ A'A − B'B ⪯
+    σ_ell²·I — the per-step guarantee the Liberty error bound
+    telescopes over (no Spark needed; pure numpy)."""
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators.linalg import (
+        fd_shrink,
+    )
+
+    rng = np.random.RandomState(seed)
+    a = rng.randn(n, d) * rng.randint(1, 10)
+    b = fd_shrink(a, ell)
+    diff = a.T @ a - b.T @ b
+    eig = np.linalg.eigvalsh(diff)
+    s = np.linalg.svd(a, compute_uv=False)
+    delta = s[ell - 1] ** 2 if len(s) >= ell and n > ell else 0.0
+    assert eig.min() >= -1e-8 * max(1.0, eig.max()), eig.min()
+    assert eig.max() <= delta + 1e-6 * max(1.0, delta), (eig.max(), delta)
