@@ -6305,6 +6305,100 @@ def q_views_purchases_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor order-up-to levels for the five highest-volume parts:
+    with underage:overage cost 9:1 the optimal stock is the 0.9
+    critical fractile of daily demand — the inventory-decision query a
+    supply-chain consumer of this engine runs daily.  Demand = summed
+    ship-date quantities over OBSERVED demand days (documented; zero
+    days excluded).  Quantities are exact integers; the percentile
+    interpolates identical doubles; top-5 selection ties break on
+    partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = cache.track(
+        li.groupBy(
+            F.col("l_partkey"), F.to_date("l_shipdate").alias("day")
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("demand"))
+        .cache()
+    )
+    top5 = (
+        daily.groupBy("l_partkey")
+        .agg(F.sum("demand").cast("long").alias("__vol"))
+        .orderBy(F.desc("__vol"), F.asc("l_partkey"))
+        .limit(5)
+        .select("l_partkey")
+    )
+    return (
+        daily.join(F.broadcast(top5), "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("demand").cast("long").alias("total_demand"),
+            (
+                F.round(
+                    F.avg("demand").cast("decimal(18,6)"), 2
+                ).cast("double")
+            ).alias("mean_daily"),
+            (
+                F.round(F.expr("percentile(demand, 0.9)"), 4) + F.lit(0.0)
+            ).alias("stock_level_q90"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+def q_user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-user event inter-arrival profile: per-user gaps between
+    consecutive events ((ts, event_id) order — duplicate timestamps
+    tie-break deterministically), pooled into corpus percentiles — the
+    activity-cadence signal behind session-gap tuning and bot
+    screening.  Gaps are computed in EXACT integer micros (CLAUDE.md
+    timestamp rule) and divided once into seconds."""
+    events = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    gaps = (
+        events.select(
+            "user_id",
+            (
+                F.unix_micros("ts")
+                - F.lag(F.unix_micros("ts")).over(wu)
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        (
+            F.round(
+                F.expr("percentile(gap_us, 0.5)") / F.lit(1000000.0).cast("double"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("p50_gap_s"),
+        (
+            F.round(
+                F.expr("percentile(gap_us, 0.9)") / F.lit(1000000.0).cast("double"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("p90_gap_s"),
+        (
+            F.round(
+                (
+                    F.sum("gap_us").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                / F.lit(1000000.0).cast("double"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("mean_gap_s"),
+    )
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for the A/B surface: the
     parity-hash assignment (`ab_test_report`'s split) is designed
@@ -6813,6 +6907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_enrich": q_streaming_static_enrich,
         "inequality_indices": q_inequality_indices,
         "views_purchases_ccf": q_views_purchases_ccf,
+        "newsvendor_stock_levels": q_newsvendor_stock_levels,
+        "user_interarrival_stats": q_user_interarrival_stats,
         "als_ann_recommender": als.q_als_ann_recommender,
         "embedding_fd_sketch": linalg.q_embedding_fd_sketch,
         "mann_kendall_trend": q_mann_kendall_trend,
@@ -10553,6 +10649,46 @@ def oracle_sql() -> dict[str, str]:
                round(corr(CAST(v AS DOUBLE), CAST(b AS DOUBLE)), 6)
                  + CAST(0.0 AS DOUBLE) AS ccf
         FROM joined GROUP BY 1 ORDER BY lag
+    """
+    sql["newsvendor_stock_levels"] = """
+        WITH daily AS (
+          SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+                 CAST(sum(l_quantity) AS BIGINT) AS demand
+          FROM lineitem GROUP BY 1, 2),
+        top5 AS (
+          SELECT l_partkey
+          FROM daily GROUP BY 1
+          ORDER BY CAST(sum(demand) AS BIGINT) DESC, l_partkey ASC
+          LIMIT 5)
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(demand) AS BIGINT) AS total_demand,
+               CAST(round(CAST(avg(demand) AS DECIMAL(18,6)), 2)
+                    AS DOUBLE) AS mean_daily,
+               round(quantile_cont(demand, 0.9), 4)
+                 + CAST(0.0 AS DOUBLE) AS stock_level_q90
+        FROM daily JOIN top5 USING (l_partkey)
+        GROUP BY 1 ORDER BY 1
+    """
+    sql["user_interarrival_stats"] = """
+        WITH gaps AS (
+          SELECT epoch_us(ts)
+                 - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts),
+                                                    event_id) AS gap_us
+          FROM events)
+        SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+               round(quantile_cont(gap_us, 0.5)
+                     / CAST(1000000.0 AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS p50_gap_s,
+               round(quantile_cont(gap_us, 0.9)
+                     / CAST(1000000.0 AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS p90_gap_s,
+               round((CAST(sum(gap_us) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE))
+                     / CAST(1000000.0 AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS mean_gap_s
+        FROM gaps WHERE gap_us IS NOT NULL
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -230,6 +230,8 @@ SECONDARY = [
     "views_purchases_ccf",
     "als_ann_recommender",
     "embedding_fd_sketch",
+    "newsvendor_stock_levels",
+    "user_interarrival_stats",
 ]
 
 
