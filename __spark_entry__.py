@@ -6678,12 +6678,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     take the first 27 of the 50 entries whose last driver-green row is
     round 3, in registry order (head = ``gold_fact_decimal`` ..
     ``purchase_view_coincidence``).
-    ROTATION PLAN for round 8: front-load (a) the 22 round-7
+    ROTATION PLAN for round 8: front-load (a) the 24 round-7
     oracle-backed additions (``binseg_changepoints`` ..
-    ``views_purchases_ccf`` — added after ``_WINDOW_R7`` froze, so
+    ``user_interarrival_stats`` — added after ``_WINDOW_R7`` froze, so
     never driver-checked), (b) the 23 round-3-stale entries this
     window could not fit (``pricing_summary`` .. registry order), then
-    (c) the head of the round-4-verified tier (5 slots) — keep
+    (c) the head of the round-4-verified tier (3 slots) — keep
     cycling so every oracle-backed entry re-earns a driver green row
     every ~2-3 rounds.
     """
