@@ -6145,7 +6145,7 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming events join a batch-computed dimension (each user's
     first-seen cohort week) with no state on the static side (Spark
     re-broadcasts the batch frame per micro-batch), then a watermarked
-    daily window counts events and distinct users per cohort.  This is
+    daily window counts events per cohort.  This is
     the canonical "enrich the stream against the warehouse dim" job;
     the oracle is the identical batch join restricted to closed
     windows."""

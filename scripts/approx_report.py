@@ -217,15 +217,21 @@ def main() -> int:
 
     from wistia_video_analytics_project_spark.operators import linalg
 
+    from wistia_video_analytics_project_spark.operators.similarity import (
+        EMB_DIM as _EMB_DIM,
+    )
+
     emb_d = emb.selectExpr(
         "CAST(embedding AS array<double>) AS embedding"
     )
-    b = linalg.frequent_directions(emb_d, "embedding", ell=16, dim=64)
+    b = linalg.frequent_directions(
+        emb_d, "embedding", ell=linalg.FD_SKETCH_ELL, dim=_EMB_DIM
+    )
     a = np.array(
         [list(r.embedding) for r in emb_d.collect()], dtype=np.float64
     )
     gap = float(np.linalg.norm(a.T @ a - b.T @ b, 2))
-    budget = float((a * a).sum() / 16.0)
+    budget = float((a * a).sum() / linalg.FD_SKETCH_ELL)
     report["frequent_directions"] = {
         "gram_err_over_budget_ell16": round(gap / budget, 4),
         "bound_holds": gap <= budget + 1e-6,

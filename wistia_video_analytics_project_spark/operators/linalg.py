@@ -565,6 +565,10 @@ def isotonic_fit(
 # ---------------------------------------------------------------------------
 
 
+#: the registry/report operating point (ell rows retained)
+FD_SKETCH_ELL = 16
+
+
 def fd_shrink(mat: np.ndarray, ell: int) -> np.ndarray:
     """One FD shrink step: SVD the buffer, subtract the ell-th squared
     singular value from every squared singular value (floor 0), and
@@ -580,8 +584,12 @@ def fd_shrink(mat: np.ndarray, ell: int) -> np.ndarray:
 
 
 def frequent_directions(
-    df: DataFrame, vec_col: str, ell: int, dim: int
-) -> np.ndarray:
+    df: DataFrame,
+    vec_col: str,
+    ell: int,
+    dim: int,
+    with_frobenius: bool = False,
+):
     """Distributed Frequent-Directions sketch of the (rows x dim)
     matrix held in ``vec_col``: a deterministic (<=ell, dim) matrix B
     with  ‖AᵀA − BᵀB‖₂ ≤ ‖A‖²_F / ell  (Liberty 2013), i.e. a
@@ -595,7 +603,11 @@ def frequent_directions(
     state), emits its ≤ℓ sketch rows, and the driver merges the
     partition sketches with the same shrink (FD sketches are mergeable
     with the same bound — Ghashami et al.).  Driver traffic is
-    partitions × ℓ × d floats, never row-scaled."""
+    partitions × ℓ × d floats, never row-scaled.
+
+    ``with_frobenius=True`` additionally returns ‖A‖²_F (accumulated
+    inside the SAME pass — the error-budget denominator costs no
+    second scan) as ``(B, fro2)``."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -606,12 +618,14 @@ def frequent_directions(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         buf = np.zeros((0, d))
+        fro2 = 0.0
         for pdf in batches:
             if not len(pdf):
                 continue
             rows = np.vstack(
                 pdf[vec_col].map(np.asarray).values
             ).astype(np.float64)
+            fro2 += float((rows * rows).sum())
             start = 0
             while start < len(rows):
                 take = min(len(rows) - start, 2 * ell_i - len(buf))
@@ -621,20 +635,28 @@ def frequent_directions(
                     buf = fd_shrink(buf, ell_i)
         buf = fd_shrink(buf, ell_i)
         if len(buf):
-            yield pd.DataFrame({"row": [r.tolist() for r in buf]})
+            # the partition's ||A_p||_F^2 rides on its first sketch row
+            yield pd.DataFrame(
+                {
+                    "row": [r.tolist() for r in buf],
+                    "fro2": [fro2] + [0.0] * (len(buf) - 1),
+                }
+            )
 
     parts = df.select(vec_col).mapInPandas(
-        sketch_partition, schema="row array<double>"
+        sketch_partition, schema="row array<double>, fro2 double"
     ).collect()
     if not parts:
-        return np.zeros((0, d))
+        empty = np.zeros((0, d))
+        return (empty, 0.0) if with_frobenius else empty
     merged = np.array([r["row"] for r in parts], dtype=np.float64)
+    total_fro2 = float(sum(r["fro2"] for r in parts))
     # driver merge: concatenation + the same shrink, applied in ell-row
     # bites so the buffer never exceeds 2*ell
     out = np.zeros((0, d))
     for i in range(0, len(merged), ell_i):
         out = fd_shrink(np.vstack([out, merged[i : i + ell_i]]), ell_i)
-    return out
+    return (out, total_fro2) if with_frobenius else out
 
 
 def q_embedding_fd_sketch(spark, sf_dir: str):
@@ -652,12 +674,10 @@ def q_embedding_fd_sketch(spark, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("embedding")
     )
-    b = frequent_directions(emb, "embedding", ell=16, dim=EMB_DIM)
-    fro_a = emb.select(
-        F.aggregate(
-            "embedding", F.lit(0.0), lambda a, v: a + v * v
-        ).alias("n2")
-    ).agg(F.sum("n2")).collect()[0][0]
+    b, fro_a = frequent_directions(
+        emb, "embedding", ell=FD_SKETCH_ELL, dim=EMB_DIM,
+        with_frobenius=True,
+    )
     s = np.sqrt(np.maximum(np.sum(b * b, axis=1), 0.0))
     order = np.argsort(-s)
     total = float(np.sum(s * s)) or 1.0
@@ -666,7 +686,7 @@ def q_embedding_fd_sketch(spark, sf_dir: str):
             int(i + 1),
             round(float(s[j]), 4),
             round(float(s[j] * s[j] / total), 6),
-            round(float(fro_a or 0.0) / 16.0, 2),
+            round(float(fro_a) / FD_SKETCH_ELL, 2),
         )
         for i, j in enumerate(order)
     ]
