@@ -6399,6 +6399,122 @@ def q_user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series residual diagnostics for the weekday-adjusted 1995
+    daily revenue — the three classical "is anything left in the
+    residuals?" tests run after any seasonal adjustment:
+    Durbin-Watson (lag-1), Ljung-Box Q over lags 1-7, and the
+    Wald-Wolfowitz runs test on residual signs.
+
+    Residuals are exact rationals (cents − weekday-group mean, both
+    exact integers divided once); lag pairs come from an idx self-join
+    over the bounded day spine; the runs statistic and its moments are
+    pure integers — only the final ratios are floats (round 4)."""
+    daily = _daily_cents_1995(spark, sf_dir)
+    wd = daily.select(
+        "day", "cents", (F.weekday("day") + 1).alias("wd")
+    )
+    grp = wd.groupBy("wd").agg(
+        F.sum("cents").cast("long").alias("s_g"),
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+    )
+    wdx = Window.orderBy("day")
+    resid = cache.track(
+        wd.join(F.broadcast(grp), "wd")
+        .select(
+            F.row_number().over(wdx).alias("idx"),
+            (
+                F.col("cents").cast("double")
+                - F.col("s_g").cast("double") / F.col("n_g").cast("double")
+            ).alias("r"),
+        )
+        .cache()
+    )
+    base = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("r") * F.col("r")).alias("__ss"),
+    )
+    lagged = resid.alias("a").join(
+        resid.alias("b"), F.col("a.idx") == F.col("b.idx") + 1
+    )
+    dw = lagged.agg(
+        F.sum(
+            (F.col("a.r") - F.col("b.r")) * (F.col("a.r") - F.col("b.r"))
+        ).alias("__num")
+    )
+    lags = spark.createDataFrame([(k,) for k in range(1, 8)], "k long")
+    pairs = (
+        resid.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            resid.alias("b"),
+            F.col("a.idx") == F.col("b.idx") + F.col("k"),
+        )
+        .groupBy("k")
+        .agg(F.sum(F.col("a.r") * F.col("b.r")).alias("__num"))
+    )
+    lb = (
+        pairs.crossJoin(F.broadcast(base))
+        .select(
+            "k",
+            (
+                (F.col("__num") / F.col("__ss"))
+                * (F.col("__num") / F.col("__ss"))
+                / (F.col("n_days") - F.col("k")).cast("double")
+            ).alias("__t"),
+        )
+        .agg(F.sum("__t").alias("__lbsum"))
+    )
+    signs = resid.select(
+        "idx", F.when(F.col("r") > 0, 1).otherwise(0).alias("s")
+    )
+    runs = (
+        signs.alias("a")
+        .join(signs.alias("b"), F.col("a.idx") == F.col("b.idx") + 1)
+        .agg(
+            F.sum(
+                F.when(F.col("a.s") != F.col("b.s"), 1).otherwise(0)
+            ).cast("long").alias("__changes")
+        )
+    )
+    nsign = signs.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n2"),
+    )
+    j = (
+        base.crossJoin(F.broadcast(dw))
+        .crossJoin(F.broadcast(lb))
+        .crossJoin(F.broadcast(runs))
+        .crossJoin(F.broadcast(nsign))
+    )
+    n = F.col("n_days").cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    r_obs = (F.col("__changes") + 1).cast("double")
+    e_r = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var_r = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    return j.select(
+        "n_days",
+        (F.round(F.col("__num") / F.col("__ss"), 4) + F.lit(0.0)).alias(
+            "durbin_watson"
+        ),
+        (
+            F.round(n * (n + F.lit(2.0)) * F.col("__lbsum"), 4)
+            + F.lit(0.0)
+        ).alias("ljung_box_q7"),
+        r_obs.cast("long").alias("n_runs"),
+        (
+            F.round((r_obs - e_r) / F.sqrt(var_r), 4) + F.lit(0.0)
+        ).alias("runs_z"),
+    )
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for the A/B surface: the
     parity-hash assignment (`ab_test_report`'s split) is designed
@@ -6678,12 +6794,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     take the first 27 of the 50 entries whose last driver-green row is
     round 3, in registry order (head = ``gold_fact_decimal`` ..
     ``purchase_view_coincidence``).
-    ROTATION PLAN for round 8: front-load (a) the 24 round-7
+    ROTATION PLAN for round 8: front-load (a) the 25 round-7
     oracle-backed additions (``binseg_changepoints`` ..
-    ``user_interarrival_stats`` — added after ``_WINDOW_R7`` froze, so
+    ``residual_diagnostics`` — added after ``_WINDOW_R7`` froze, so
     never driver-checked), (b) the 23 round-3-stale entries this
     window could not fit (``pricing_summary`` .. registry order), then
-    (c) the head of the round-4-verified tier (3 slots) — keep
+    (c) the head of the round-4-verified tier (2 slots) — keep
     cycling so every oracle-backed entry re-earns a driver green row
     every ~2-3 rounds.
     """
@@ -6909,6 +7025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "views_purchases_ccf": q_views_purchases_ccf,
         "newsvendor_stock_levels": q_newsvendor_stock_levels,
         "user_interarrival_stats": q_user_interarrival_stats,
+        "residual_diagnostics": q_residual_diagnostics,
         "als_ann_recommender": als.q_als_ann_recommender,
         "embedding_fd_sketch": linalg.q_embedding_fd_sketch,
         "mann_kendall_trend": q_mann_kendall_trend,
@@ -10689,6 +10806,78 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(1000000.0 AS DOUBLE), 4)
                  + CAST(0.0 AS DOUBLE) AS mean_gap_s
         FROM gaps WHERE gap_us IS NOT NULL
+    """
+    sql["residual_diagnostics"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        wd AS (
+          SELECT day, cents, isodow(day) AS wd FROM daily),
+        grp AS (
+          SELECT wd, CAST(sum(cents) AS BIGINT) AS s_g,
+                 CAST(count(*) AS BIGINT) AS n_g
+          FROM wd GROUP BY 1),
+        resid AS (
+          SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+                 CAST(cents AS DOUBLE)
+                   - CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS r
+          FROM wd JOIN grp USING (wd)),
+        base AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 sum(r * r) AS ss
+          FROM resid),
+        dw AS (
+          SELECT sum((a.r - b.r) * (a.r - b.r)) AS num
+          FROM resid a JOIN resid b ON a.idx = b.idx + 1),
+        pairs AS (
+          SELECT k, sum(a.r * b.r) AS num
+          FROM resid a
+          CROSS JOIN (SELECT unnest(generate_series(CAST(1 AS BIGINT),
+                                                    CAST(7 AS BIGINT)))
+                      AS k) lags
+          JOIN resid b ON a.idx = b.idx + k
+          GROUP BY k),
+        lb AS (
+          SELECT sum((num / ss) * (num / ss)
+                     / CAST(n_days - k AS DOUBLE)) AS lbsum
+          FROM pairs CROSS JOIN base),
+        signs AS (
+          SELECT idx, CASE WHEN r > 0 THEN 1 ELSE 0 END AS s
+          FROM resid),
+        runs AS (
+          SELECT CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END)
+                      AS BIGINT) AS changes
+          FROM signs a JOIN signs b ON a.idx = b.idx + 1),
+        nsign AS (
+          SELECT CAST(sum(s) AS BIGINT) AS n1,
+                 CAST(sum(1 - s) AS BIGINT) AS n2
+          FROM signs)
+        SELECT n_days,
+               round(dw.num / base.ss, 4) + CAST(0.0 AS DOUBLE)
+                 AS durbin_watson,
+               round(CAST(n_days AS DOUBLE)
+                     * (CAST(n_days AS DOUBLE) + CAST(2.0 AS DOUBLE))
+                     * lb.lbsum, 4) + CAST(0.0 AS DOUBLE)
+                 AS ljung_box_q7,
+               CAST(runs.changes + 1 AS BIGINT) AS n_runs,
+               round((CAST(runs.changes + 1 AS DOUBLE)
+                      - (CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                         * CAST(n2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+                         + CAST(1.0 AS DOUBLE)))
+                     / sqrt(CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                            * CAST(n2 AS DOUBLE)
+                            * (CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                               * CAST(n2 AS DOUBLE)
+                               - CAST(n_days AS DOUBLE))
+                            / (CAST(n_days AS DOUBLE)
+                               * CAST(n_days AS DOUBLE)
+                               * (CAST(n_days AS DOUBLE)
+                                  - CAST(1.0 AS DOUBLE)))), 4)
+                 + CAST(0.0 AS DOUBLE) AS runs_z
+        FROM base CROSS JOIN dw CROSS JOIN lb
+             CROSS JOIN runs CROSS JOIN nsign
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -232,6 +232,7 @@ SECONDARY = [
     "embedding_fd_sketch",
     "newsvendor_stock_levels",
     "user_interarrival_stats",
+    "residual_diagnostics",
 ]
 
 
