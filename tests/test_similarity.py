@@ -645,3 +645,76 @@ def test_ivf_quality_operating_point_recall(spark, emb):
     ).collect()
     r_adc = mean_recall(ivfadc)
     assert r_adc >= 0.7, f"ivf_pq quality-point recall {r_adc}"
+
+
+def test_ivf_delete_tombstones_and_compaction(spark, emb, tmp_path):
+    """Full delete lifecycle: tombstoned ids vanish from queries
+    IMMEDIATELY (no rewrite), health reports the tombstone debt,
+    compaction triggered by tombstone fraction physically removes the
+    rows and clears the set, and the post-compact index equals a fresh
+    build on the surviving corpus."""
+    path = str(tmp_path / "ivf_del")
+    corpus = emb.filter("vec_id < 400")
+    similarity.ivf_write_index(corpus, path, n_centroids=8)
+    queries = emb.filter("vec_id >= 400 AND vec_id < 410")
+
+    before = similarity.ivf_query_index(
+        spark, path, queries, k=5, nprobe=8
+    ).collect()
+    victim_ids = sorted({r.neighbor_id for r in before})[:10]
+    similarity.ivf_delete_from_index(spark, path, victim_ids)
+
+    # 1) deletes visible immediately, no cell rewrite
+    after = similarity.ivf_query_index(
+        spark, path, queries, k=5, nprobe=8
+    ).collect()
+    assert not {r.neighbor_id for r in after} & set(victim_ids)
+
+    # 2) health reports the debt
+    h = similarity.ivf_index_health(spark, path)
+    assert h["n_tombstones"] == len(victim_ids)
+    assert h["tombstone_frac"] > 0
+
+    # 3) compaction triggered by tombstone fraction alone (skew/empty
+    # thresholds set un-trippable) physically removes rows + clears set
+    res = similarity.ivf_compact_index(
+        spark, path,
+        skew_threshold=1e9, empty_frac_threshold=1.1,
+        tombstone_frac_threshold=h["tombstone_frac"] / 2,
+    )
+    assert res["rebuilt"] is True
+    h2 = similarity.ivf_index_health(spark, path)
+    assert h2["n_tombstones"] == 0
+    assert h2["n_vectors"] == h["n_vectors"] - len(victim_ids)
+
+    # 4) post-compact equals a fresh build on the surviving corpus
+    fresh = str(tmp_path / "ivf_fresh")
+    surviving = corpus.filter(~F.col("vec_id").isin(victim_ids))
+    similarity.ivf_write_index(
+        surviving, fresh, n_centroids=8, refine_iterations=2
+    )
+    got = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in similarity.ivf_query_index(
+            spark, path, queries, k=5, nprobe=8
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in similarity.ivf_query_index(
+            spark, fresh, queries, k=5, nprobe=8
+        ).collect()
+    }
+    assert got == want
+
+    # 5) deleting via a DataFrame also works and no-ops on absent ids
+    df_ids = spark.createDataFrame([(99999,)], "vec_id long")
+    similarity.ivf_delete_from_index(spark, path, df_ids)
+    again = similarity.ivf_query_index(
+        spark, path, queries, k=5, nprobe=8
+    ).collect()
+    assert {
+        (r.query_id, r.rnk, r.neighbor_id) for r in again
+    } == {
+        (q, r, n) for (q, r), n in got.items()
+    }

@@ -707,6 +707,42 @@ def ivf_add_to_index(
     )
 
 
+def ivf_delete_from_index(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> None:
+    """Delete vectors from a persisted IVF index by TOMBSTONE (the
+    LSM/FAISS-IDSelector pattern): the ids append to
+    ``path/tombstones`` and take effect on the next query — no cell
+    partition is rewritten, so a delete costs O(batch) regardless of
+    index size.  Physical removal happens at the next
+    :func:`ivf_compact_index` (which also triggers on tombstone
+    fraction), keeping the read amplification bounded: a query pays
+    one broadcast anti-join against the tombstone set."""
+    import os
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    ids.select(id_col).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+
+
+def _ivf_tombstones(spark, path: str, id_col: str = "vec_id"):
+    """The index's tombstone set as a DataFrame, or ``None`` when no
+    delete has ever been issued."""
+    import os
+
+    tomb_dir = os.path.join(path, "tombstones")
+    if not os.path.exists(tomb_dir):
+        return None
+    return spark.read.parquet(tomb_dir).select(id_col).distinct()
+
+
 def ivf_index_health(spark, path: str) -> dict:
     """Cell-occupancy diagnostics for a persisted IVF index — the
     signal the compaction policy reads.
@@ -734,6 +770,8 @@ def ivf_index_health(spark, path: str) -> dict:
     n_vectors = sum(r["n"] for r in counts)
     max_cell = max((r["n"] for r in counts), default=0)
     mean_cell = n_vectors / n_cells if n_cells else 0.0
+    tomb = _ivf_tombstones(spark, path)
+    n_tombstones = tomb.count() if tomb is not None else 0
     return {
         "n_vectors": n_vectors,
         "n_cells": n_cells,
@@ -741,6 +779,8 @@ def ivf_index_health(spark, path: str) -> dict:
         "max_cell": max_cell,
         "skew_ratio": (max_cell / mean_cell) if mean_cell else 0.0,
         "empty_frac": (n_cells - len(counts)) / n_cells if n_cells else 0.0,
+        "n_tombstones": n_tombstones,
+        "tombstone_frac": (n_tombstones / n_vectors) if n_vectors else 0.0,
     }
 
 
@@ -749,6 +789,7 @@ def ivf_compact_index(
     path: str,
     skew_threshold: float = 4.0,
     empty_frac_threshold: float = 0.5,
+    tombstone_frac_threshold: float = 0.2,
     refine_iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -781,12 +822,17 @@ def ivf_compact_index(
     rebuild = (
         health["skew_ratio"] > skew_threshold
         or health["empty_frac"] > empty_frac_threshold
+        or health["tombstone_frac"] > tombstone_frac_threshold
     )
     if not rebuild:
         return {**health, "rebuilt": False}
 
     cells_dir = os.path.join(path, "cells")
     corpus = spark.read.parquet(cells_dir).drop("cell")
+    tomb = _ivf_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # physical removal: tombstoned rows never enter the rebuild
+        corpus = corpus.join(tomb, id_col, "left_anti")
     tmp = os.path.join(path, "cells.rebuild")
     cents = ivf_centroids_refined(
         corpus, health["n_cells"], refine_iterations, id_col, vec_col
@@ -804,6 +850,12 @@ def ivf_compact_index(
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(cents, f)
     shutil.rmtree(old)
+    # tombstones are applied — clear them AFTER the swap commits (a
+    # crash before this point leaves them active against the old data,
+    # which is correct either way)
+    tomb_dir = os.path.join(path, "tombstones")
+    if os.path.exists(tomb_dir):
+        shutil.rmtree(tomb_dir)
     return {**health, "rebuilt": True}
 
 
@@ -831,6 +883,11 @@ def ivf_query_index(
     index = spark.read.parquet(os.path.join(path, "cells")).filter(
         F.col("cell").isin(probed)  # partition-pruned scan
     )
+    tomb = _ivf_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # deletes take effect immediately (broadcast anti-join against
+        # the tombstone set); physical removal waits for compaction
+        index = index.join(F.broadcast(tomb), id_col, "left_anti")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).join(q_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id")
