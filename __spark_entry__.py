@@ -4502,8 +4502,10 @@ def q_haar_revenue_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     (long), level-(k-1) block sums pair into unnormalized details
     ``d = s_even - s_odd`` (still integer cents), and the energy sums
     ``d^2`` in DECIMAL(38,0) on Spark / HUGEINT in DuckDB — both exact,
-    both casting the SAME integer to double at the very end, so the
-    hash matches bit-for-bit. Missing days are implicit zeros: a pair
+    and SERIALIZED AS THE EXACT INTEGER DIGIT STRING (round-7 driver
+    fail: energies reach 2.7e16 cents² > 2^51 where double ulp ≥ 0.5,
+    and Spark's BigDecimal HALF_UP vs DuckDB's multiply-based round()
+    diverge by one ulp — never round() a double above ~2^50). Missing days are implicit zeros: a pair
     whose blocks are BOTH empty contributes zero energy and is simply
     absent (hence ``n_nonzero_pairs``, not a dense coefficient count —
     energies are identical to the dense-spine Haar, pinned against a
@@ -4540,9 +4542,7 @@ def q_haar_revenue_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
             det.agg(
                 F.lit(k).alias("level"),
                 F.count(F.lit(1)).alias("n_nonzero_pairs"),
-                F.round(
-                    F.sum(dd * dd).cast("double") / F.lit(10000.0), 2
-                ).alias("energy_usd2"),
+                F.sum(dd * dd).cast("string").alias("energy_cents2"),
             )
         )
     out = levels[0]
@@ -6785,21 +6785,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     git history, both 50/50 driver-green).  Rows-only approximates (no
     oracle by design — see CLAUDE.md) stay at the very end so every
     in-window slot is a full hash-checked comparison.
-    ``_WINDOW_R7`` below executes the round-7 rotation per the round-6
-    VERDICT: positions 1-19 are the round-6 oracle-backed additions
-    that have never had a driver row (added after ``_WINDOW_R6``
-    froze), positions 20-23 are the four round-2-stale spills
-    (``pii_scrub_report``, ``line_dedup_report``, ``stratified_sample``,
-    ``weighted_sample`` — last driver-green in r2), and positions 24-50
-    take the first 27 of the 50 entries whose last driver-green row is
-    round 3, in registry order (head = ``gold_fact_decimal`` ..
-    ``purchase_view_coincidence``).
-    ROTATION PLAN for round 8: front-load (a) the 25 round-7
-    oracle-backed additions (``binseg_changepoints`` ..
-    ``residual_diagnostics`` — added after ``_WINDOW_R7`` froze, so
-    never driver-checked), (b) the 23 round-3-stale entries this
-    window could not fit (``pricing_summary`` .. registry order), then
-    (c) the head of the round-4-verified tier (2 slots) — keep
+    ``_WINDOW_R8`` below executes the round-8 rotation per the round-7
+    VERDICT: position 1 re-checks the re-fixed round-7 red row
+    (``haar_revenue_wavelet``), positions 2-26 are the 25 round-7
+    oracle-backed additions that have never had a driver row
+    (``binseg_changepoints`` .. ``residual_diagnostics``, including
+    streaming shapes five and six), positions 27-49 are the 23
+    round-3-stale entries ``_WINDOW_R7`` could not fit
+    (``pricing_summary`` .. ``latest_order_per_customer``, registry
+    order), and position 50 takes the head of the next stale tier
+    (``order_value_histogram``).
+    ROTATION PLAN for round 9: front-load (a) any round-8 additions
+    (added after ``_WINDOW_R8`` froze, so never driver-checked), (b)
+    the round-3/4-stale continuation in registry order
+    (``above_avg_spenders`` onward: ``part_cooccurrence``,
+    ``nations_per_region``, ``view_purchase_conversion``,
+    ``key_skew_report``, ``purchase_view_coincidence``, then the
+    mid-round-2 tier ``daily_value_interp`` ..), filling all
+    remaining slots — keep
     cycling so every oracle-backed entry re-earns a driver green row
     every ~2-3 rounds.
     """
@@ -7034,8 +7037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci_daily_revenue": q_bootstrap_ci_daily_revenue,
         "recsys_eval_popularity": q_recsys_eval_popularity,
     })
-    # --- round-7 rotation: reorder so the driver's 50-entry window ---
-    ordered = {name: core[name] for name in _WINDOW_R7}
+    # --- round-8 rotation: reorder so the driver's 50-entry window ---
+    ordered = {name: core[name] for name in _WINDOW_R8}
     ordered.update((n, f) for n, f in core.items() if n not in ordered)
     # rows-only approximates (no oracle by design) go last: a window
     # slot spent on them yields only a weak rows-only driver check
@@ -7057,66 +7060,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-7 driver window — executes the rotation the round-6 VERDICT
-#: ordered: the 19 never-driver-checked round-6 additions (1-19), the
-#: four round-2-stale spills (20-23), and the first 27 round-3-stale
-#: entries in registry order (24-50); the remaining 23 round-3-stale
-#: entries must front-load ``_WINDOW_R8`` (see the ``queries()``
-#: docstring).
-_WINDOW_R7 = [
-    # --- 1-19: never driver-checked (added after _WINDOW_R6 froze) ---
-    "char_entropy_report",
-    "hapax_legomena_report",
-    "zipf_slope_tokens",
-    "token_burstiness",
-    "heaps_law_fit",
-    "vocab_overlap_sources",
-    "truncated_dim_recall",
-    "temperature_mixture",
-    "theilsen_revenue_trend",
-    "spearman_price_qty",
-    "kendall_tau_daily",
-    "sequential_pattern_support",
-    "haar_revenue_wavelet",
-    "revenue_periodogram",
-    "brand_price_elasticity",
-    "conformal_revenue_interval",
-    "peak_concurrency_daily",
-    "circadian_profile",
-    "cuped_adjusted_ab",
-    # --- 20-23: round-2-stale spills from _WINDOW_R6 ---
-    "pii_scrub_report",
-    "line_dedup_report",
-    "stratified_sample",
-    "weighted_sample",
-    # --- 24-50: round-3-stale tier, registry order (23 spill to r8) ---
-    "gold_fact_decimal",
-    "embedding_quantize",
-    "dedup_incremental",
-    "similar_documents",
-    "semantic_dedup_keep",
-    "mixture_sample",
-    "daily_plays_trend",
-    "fact_engagement_build",
-    "engagement_kpis",
-    "tumbling_hourly",
-    "rollup_type_daily",
-    "cube_type_daily",
-    "json_props_extract",
-    "dim_media_conform",
-    "dim_visitor_conform",
-    "pk_repair",
-    "null_empty_audit",
-    "keep_first_dedup",
-    "duplicate_audit",
-    "uniqueness_report",
-    "plays_by_channel",
-    "customers_without_orders",
-    "order_priority_counts",
-    "top10_media",
-    "rank_in_channel",
-    "trailing_7day_plays",
-    "new_vs_returning",
+#: Round-8 driver window — executes the rotation the round-7 VERDICT
+#: ordered: the 25 never-driver-checked round-7 oracle-backed
+#: additions plus the re-fixed round-7 red row ``haar_revenue_wavelet``
+#: (1-26, including streaming shapes five and six), the 23
+#: round-3-stale spills ``_WINDOW_R7`` could not fit (27-49,
+#: ``pricing_summary`` .. ``latest_order_per_customer`` in registry
+#: order), and the head of the next stale tier (50).  Round-9
+#: continuation is documented in the ``queries()`` docstring.
+_WINDOW_R8 = [
+    # --- 1-26: haar re-check + never driver-checked r7 additions ---
+    "haar_revenue_wavelet",  # round-7 red row, re-fixed this round
+    "binseg_changepoints",
+    "mann_kendall_trend",
+    "hurst_rs_daily",
+    "sentence_length_stats",
+    "kneser_ney_bigram",
+    "rake_keyphrases",
+    "copurchase_link_prediction",
+    "growth_accounting_weekly",
+    "srm_check",
+    "sprt_conversion_test",
+    "ab_power_analysis",
+    "cochran_armitage_trend",
+    "source_log_odds_words",
+    "bootstrap_ci_daily_revenue",
+    "recsys_eval_popularity",
+    "streaming_dedup_report",
+    "streaming_static_enrich",
+    "revenue_anova_factors",
+    "categorical_mi_matrix",
+    "lexical_diversity_report",
+    "inequality_indices",
+    "views_purchases_ccf",
+    "newsvendor_stock_levels",
+    "user_interarrival_stats",
+    "residual_diagnostics",
+    # --- 26-48: round-3-stale spills from _WINDOW_R7, registry order ---
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "returned_item_report",
+    "asof_prev_order",
+    "session_stats",
+    "dense_daily_purchases",
+    "funnel_view_click_purchase",
+    "pivot_type_daily",
+    "unpivot_type_daily",
+    "viewers_vs_purchasers",
+    "value_percentiles",
+    "stats_report",
+    "value_distribution",
+    "embedding_centroids",
+    "daily_plays_vs_purchases",
+    "grouping_sets_report",
+    "heavy_hitter_users",
+    "union_schema_drift",
+    "cohort_retention",
+    "mom_revenue_growth",
+    "latest_order_per_customer",
+    # --- 50: head of the next stale tier ---
+    "order_value_histogram",
 ]
 
 
@@ -9734,8 +9739,8 @@ def oracle_sql() -> dict[str, str]:
             f"""
             SELECT {k} AS level,
                    CAST(count(*) AS BIGINT) AS n_nonzero_pairs,
-                   round(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
-                         / CAST(10000 AS DOUBLE), 2) AS energy_usd2
+                   CAST(CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT)
+                        AS VARCHAR) AS energy_cents2
             FROM (
               SELECT b // 2 AS p,
                      CAST(sum(CASE WHEN b % 2 = 0 THEN s ELSE -s END)

@@ -286,14 +286,18 @@ def main() -> None:
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
 
     def _njobs() -> int | None:
-        """Total Spark jobs submitted so far (AppStatusStore) — the
-        per-entry delta exposes the jobs x scheduling-constant term
-        that dominates cheap queries on a slow box (SCALE.md round-7
-        streaming note)."""
+        """Total Spark jobs submitted so far — the per-entry delta
+        exposes the jobs x scheduling-constant term that dominates
+        cheap queries on a slow box (SCALE.md round-7 streaming note).
+
+        Reads the DAGScheduler's monotonic nextJobId counter, NOT
+        statusStore().jobsList().size(): the status store is bounded
+        by spark.ui.retainedJobs, so once eviction starts mid-query
+        the size DELTA goes negative (round-7 BENCH_ALLQ recorded
+        clamped_quarterly_balance jobs=-59 exactly this way)."""
         try:
-            return spark.sparkContext._jsc.sc().statusStore().jobsList(
-                None
-            ).size()
+            n = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+            return int(n)
         except Exception:
             return None
 

@@ -36,7 +36,10 @@ def canon(rows, cols) -> tuple[str, int]:
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                vals.append(f"{v:.9g}")
+                # %.17g = driver-equivalent sensitivity (round-7 escape:
+                # %.9g locally PASSED a one-ulp divergence the driver
+                # flagged). 17 significant digits round-trips any double.
+                vals.append(f"{v:.17g}")
             elif isinstance(v, bool):
                 vals.append(str(int(v)))
             else:

@@ -718,3 +718,68 @@ def test_ivf_delete_tombstones_and_compaction(spark, emb, tmp_path):
     } == {
         (q, r, n) for (q, r), n in got.items()
     }
+
+
+def test_ivf_delete_then_readd_resurrects(spark, emb, tmp_path):
+    """Round-7 ADVICE (medium): tombstones are epoch-sequenced, so
+    re-adding a previously deleted id (a) serves the NEW vector
+    immediately, (b) keeps the pre-delete rows of that id hidden, and
+    (c) survives compaction (the old anti-join-on-id design hid the
+    fresh rows and the next compaction physically stripped them)."""
+    path = str(tmp_path / "ivf_readd")
+    corpus = emb.filter("vec_id < 200").select("vec_id", "embedding")
+    similarity.ivf_write_index(corpus, path, n_centroids=8)
+    queries = emb.filter("vec_id >= 400 AND vec_id < 405").select(
+        "vec_id", "embedding"
+    )
+
+    # pick a victim that actually serves: the top-1 neighbor of q0
+    full = similarity.ivf_query_index(spark, path, queries, k=3, nprobe=8)
+    victim = sorted(
+        (r.rnk, r.neighbor_id) for r in full.collect() if r.rnk == 1
+    )[0][1]
+    similarity.ivf_delete_from_index(spark, path, [victim])
+    gone = similarity.ivf_query_index(spark, path, queries, k=3, nprobe=8)
+    assert victim not in {r.neighbor_id for r in gone.collect()}
+
+    # re-add the SAME id with the exact embedding of one query vector:
+    # if the new row serves, it must rank at cosine ~1.0 for that query
+    q0 = queries.orderBy("vec_id").collect()[0]
+    readd = spark.createDataFrame(
+        [(int(victim), [float(v) for v in q0.embedding])],
+        "vec_id long, embedding array<float>",
+    )
+    similarity.ivf_add_to_index(spark, path, readd)
+    back = similarity.ivf_query_index(
+        spark, path, queries.filter(F.col("vec_id") == q0.vec_id),
+        k=1, nprobe=8,
+    ).collect()
+    assert len(back) == 1 and back[0].neighbor_id == victim
+    assert back[0].cosine_sim == pytest.approx(1.0, abs=1e-5)
+    # exactly ONE row of the victim id serves (old pre-delete row stays
+    # tombstoned), so no duplicate id can appear in a k=3 result either
+    k3 = similarity.ivf_query_index(
+        spark, path, queries.filter(F.col("vec_id") == q0.vec_id),
+        k=3, nprobe=8,
+    ).collect()
+    assert sum(1 for r in k3 if r.neighbor_id == victim) == 1
+
+    # compaction physically strips the dead row but KEEPS the re-added
+    # one, and its return value is post-rebuild health (ADVICE: the old
+    # return showed the pre-rebuild tombstone debt)
+    h = similarity.ivf_index_health(spark, path)
+    res = similarity.ivf_compact_index(
+        spark, path,
+        skew_threshold=1e9, empty_frac_threshold=1.1,
+        tombstone_frac_threshold=h["tombstone_frac"] / 2,
+    )
+    assert res["rebuilt"] is True
+    assert res["n_tombstones"] == 0 and res["tombstone_frac"] == 0.0
+    assert res["trigger_health"]["n_tombstones"] == 1
+    assert res["n_vectors"] == 200  # 200 - 1 deleted + 1 re-added
+    still = similarity.ivf_query_index(
+        spark, path, queries.filter(F.col("vec_id") == q0.vec_id),
+        k=1, nprobe=8,
+    ).collect()
+    assert still[0].neighbor_id == victim
+    assert still[0].cosine_sim == pytest.approx(1.0, abs=1e-5)

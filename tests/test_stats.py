@@ -248,9 +248,11 @@ def test_haar_wavelet_matches_numpy_reference(spark):
             or (2 * p + 1 < nblocks and present[2 * p + 1])
         )
         assert r.n_nonzero_pairs == nonzero_pairs
-        # dense-spine energies equal the sparse ones: empty pairs add 0
-        want = round(sum(d * d for d in details) / 10000.0, 2)
-        assert r.energy_usd2 == pytest.approx(want, abs=0.02)
+        # dense-spine energies equal the sparse ones: empty pairs add 0;
+        # emitted as the exact integer digit string (cents^2) — doubles
+        # above 2^50 round differently per engine (round-7 driver fail)
+        want = sum(d * d for d in details)
+        assert r.energy_cents2 == str(want)
 
 
 def test_periodogram_matches_numpy_reference(spark):

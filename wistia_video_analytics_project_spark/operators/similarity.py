@@ -580,7 +580,13 @@ def ivf_assign(
             ids = np.repeat(pdf[id_col].values, k)
             yield pd.DataFrame({"id": ids, "cell": cells[top].ravel()})
 
-    out = vecs.select(id_col, vec_col).mapInPandas(assign, schema="id long, cell long")
+    # the output id column inherits the INPUT id type (round-7 ADVICE:
+    # a hard-coded "id long" broke string/decimal ids the moment the
+    # ALS auto-router switched a catalog onto the ANN path)
+    id_type = vecs.schema[id_col].dataType.simpleString()
+    out = vecs.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"id {id_type}, cell long"
+    )
     return out.withColumnRenamed("id", id_col)
 
 
@@ -662,6 +668,7 @@ def ivf_write_index(
     """
     import json
     import os
+    import shutil
 
     if refine_iterations > 0:
         cents = ivf_centroids_refined(corpus, n_centroids, refine_iterations, id_col, vec_col)
@@ -669,7 +676,8 @@ def ivf_write_index(
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
     (
-        corpus.join(assigned, id_col)
+        corpus.withColumn("__epoch", F.lit(0).cast("long"))
+        .join(assigned, id_col)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "cells"))
@@ -677,6 +685,11 @@ def ivf_write_index(
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(cents, f)
+    # a fresh build supersedes any prior lifecycle state at this path
+    tomb_dir = os.path.join(path, "tombstones")
+    if os.path.exists(tomb_dir):
+        shutil.rmtree(tomb_dir)
+    _ivf_meta_write(path, {"next_epoch": 1})
 
 
 def ivf_add_to_index(
@@ -692,15 +705,27 @@ def ivf_add_to_index(
     drift is handled by periodic re-trains, not per-batch; FAISS
     add-with-ids semantics).  Work is proportional to the batch, never
     the index; dynamic partition overwrite is NOT needed because
-    appends are additive."""
+    appends are additive.
+
+    Rows are stamped with the index's monotone write epoch, so
+    re-adding a previously deleted id RESURRECTS it: a tombstone only
+    hides rows written before the delete (round-7 ADVICE — the plain
+    id anti-join hid the fresh rows too, and the next compaction then
+    physically stripped them).  The epoch counter bumps BEFORE the
+    append commits: a crash in between burns an epoch number, never
+    mis-stamps a row."""
     import json
     import os
 
     with open(os.path.join(path, "centroids.json")) as f:
         cents = [(int(cid), vec) for cid, vec in json.load(f)]
+    meta = _ivf_meta_read(path)
+    epoch = meta["next_epoch"]
+    _ivf_meta_write(path, {**meta, "next_epoch": epoch + 1})
     assigned = ivf_assign(new_vectors, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
     (
-        new_vectors.join(assigned, id_col)
+        new_vectors.withColumn("__epoch", F.lit(epoch).cast("long"))
+        .join(assigned, id_col)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(os.path.join(path, "cells"))
@@ -720,27 +745,85 @@ def ivf_delete_from_index(
     index size.  Physical removal happens at the next
     :func:`ivf_compact_index` (which also triggers on tombstone
     fraction), keeping the read amplification bounded: a query pays
-    one broadcast anti-join against the tombstone set."""
+    one broadcast join against the tombstone set.
+
+    Tombstones are EPOCH-SEQUENCED: each records the index's write
+    epoch at delete time and hides only rows written before it, so a
+    later :func:`ivf_add_to_index` of the same id is visible again
+    (upsert semantics — the old rows stay hidden, the new row serves).
+    """
     import os
 
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame(
             [(int(i),) for i in ids], f"{id_col} long"
         )
-    ids.select(id_col).write.mode("append").parquet(
-        os.path.join(path, "tombstones")
-    )
+    meta = _ivf_meta_read(path)
+    epoch = meta["next_epoch"]
+    _ivf_meta_write(path, {**meta, "next_epoch": epoch + 1})
+    ids.select(id_col).withColumn(
+        "del_epoch", F.lit(epoch).cast("long")
+    ).write.mode("append").parquet(os.path.join(path, "tombstones"))
+
+
+def _ivf_meta_read(path: str) -> dict:
+    """Index lifecycle metadata (monotone write-epoch counter).  A
+    missing file means a pre-epoch index: next_epoch starts at 1 so
+    every existing row (implicit epoch 0) sorts before any new write."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        return {"next_epoch": 1}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def _ivf_meta_write(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
 
 
 def _ivf_tombstones(spark, path: str, id_col: str = "vec_id"):
-    """The index's tombstone set as a DataFrame, or ``None`` when no
-    delete has ever been issued."""
+    """The index's tombstone set as an (id, del_epoch) DataFrame with
+    one row per id (latest delete wins), or ``None`` when no delete
+    has ever been issued."""
     import os
 
     tomb_dir = os.path.join(path, "tombstones")
     if not os.path.exists(tomb_dir):
         return None
-    return spark.read.parquet(tomb_dir).select(id_col).distinct()
+    return (
+        spark.read.parquet(tomb_dir)
+        .groupBy(id_col)
+        .agg(F.max("del_epoch").alias("del_epoch"))
+    )
+
+
+def _ivf_apply_tombstones(index: DataFrame, tomb, id_col: str) -> DataFrame:
+    """Epoch-aware delete filter: keep a row unless a tombstone for its
+    id was issued AFTER the row was written.  Broadcast join — the
+    tombstone set is delete-batch-sized, never index-sized."""
+    if tomb is None:
+        return index
+    if "__epoch" not in index.columns:
+        # pre-epoch index layout: every row predates every tombstone
+        index = index.withColumn("__epoch", F.lit(0).cast("long"))
+    return (
+        index.join(F.broadcast(tomb), id_col, "left")
+        .filter(
+            F.col("del_epoch").isNull()
+            | (F.col("__epoch") >= F.col("del_epoch"))
+        )
+        .drop("del_epoch")
+    )
 
 
 def ivf_index_health(spark, path: str) -> dict:
@@ -812,7 +895,12 @@ def ivf_compact_index(
     as the original build, amortized across the ingestion window that
     caused the drift.
 
-    Returns the pre-compaction health dict plus ``{"rebuilt": bool}``.
+    Returns the CURRENT health dict plus ``{"rebuilt": bool}``: on the
+    no-op path that is the health just measured; after a rebuild it is
+    RECOMPUTED post-rebuild (round-7 ADVICE: returning the pre-rebuild
+    trigger snapshot showed nonzero tombstone debt right after the
+    compaction that cleared it), with the trigger snapshot preserved
+    under ``"trigger_health"``.
     """
     import json
     import os
@@ -829,10 +917,13 @@ def ivf_compact_index(
 
     cells_dir = os.path.join(path, "cells")
     corpus = spark.read.parquet(cells_dir).drop("cell")
-    tomb = _ivf_tombstones(spark, path, id_col)
-    if tomb is not None:
-        # physical removal: tombstoned rows never enter the rebuild
-        corpus = corpus.join(tomb, id_col, "left_anti")
+    # physical removal: epoch-dead rows never enter the rebuild; rows
+    # RE-ADDED after their delete survive it (round-7 ADVICE fix).
+    # Surviving rows keep their write epochs so a crash between the
+    # directory swap and the tombstone clear below stays correct.
+    corpus = _ivf_apply_tombstones(
+        corpus, _ivf_tombstones(spark, path, id_col), id_col
+    )
     tmp = os.path.join(path, "cells.rebuild")
     cents = ivf_centroids_refined(
         corpus, health["n_cells"], refine_iterations, id_col, vec_col
@@ -856,7 +947,11 @@ def ivf_compact_index(
     tomb_dir = os.path.join(path, "tombstones")
     if os.path.exists(tomb_dir):
         shutil.rmtree(tomb_dir)
-    return {**health, "rebuilt": True}
+    return {
+        **ivf_index_health(spark, path),
+        "rebuilt": True,
+        "trigger_health": health,
+    }
 
 
 def ivf_query_index(
@@ -883,11 +978,12 @@ def ivf_query_index(
     index = spark.read.parquet(os.path.join(path, "cells")).filter(
         F.col("cell").isin(probed)  # partition-pruned scan
     )
-    tomb = _ivf_tombstones(spark, path, id_col)
-    if tomb is not None:
-        # deletes take effect immediately (broadcast anti-join against
-        # the tombstone set); physical removal waits for compaction
-        index = index.join(F.broadcast(tomb), id_col, "left_anti")
+    # deletes take effect immediately (epoch-aware broadcast join
+    # against the tombstone set — a re-added id serves its post-delete
+    # rows); physical removal waits for compaction
+    index = _ivf_apply_tombstones(
+        index, _ivf_tombstones(spark, path, id_col), id_col
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).join(q_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id")
