@@ -5542,9 +5542,21 @@ def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: adjacency and degree frames are hash-partitioned aggregates;
     the hub filter broadcasts 100 ids; the x-join shuffles on the
-    shared-neighbor key like any neighborhood-intersection job."""
+    shared-neighbor key like any neighborhood-intersection job.  The
+    edge self-join is Σ basket² — TPC-H baskets are ≤7 lines so every
+    order survives the 50-line cap unchanged at test scale (oracle
+    hash identical), but the cap is what keeps a skewed real-world
+    basket (a 10⁵-line B2B order) from detonating into 10¹⁰ pairs at
+    100× data (round-7 VERDICT item; same guard as the PMI binding)."""
     li = _t(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    all_pairs = li.select("l_orderkey", "l_partkey").distinct()
+    small = (
+        all_pairs.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") <= 50)
+        .select("l_orderkey")
+    )
+    pairs = all_pairs.join(small, "l_orderkey")
     a = pairs.alias("a")
     b = pairs.alias("b")
     edges = (
@@ -5739,18 +5751,25 @@ def q_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     pbar = (p1 + p2) / F.lit(2.0)
     za = F.lit(1.959964)
     zb = F.lit(0.841621)
+    # divide by the EFFECTIVE (post-clamp) delta, not the nominal lift:
+    # when p1+lift saturates past 1 the nominal-lift n corresponds to an
+    # unattainable effect size (round-7 ADVICE) — such rows also carry a
+    # 'saturated' verdict, and a fully saturated baseline (p1 = 1) gets
+    # a NULL n instead of a division by zero
+    eff = p2 - p1
     # explicit x*x, never pow(x, 2): CLAUDE.md libm-parity rule
     root = (
         za * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
         + zb * F.sqrt(p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
-    ) / F.col("lift")
-    n_req = F.ceil(root * root).cast("long")
+    ) / eff
+    n_req = F.when(eff > F.lit(0.0), F.ceil(root * root).cast("long"))
     return g.select(
         "lift",
         "n_users",
         (F.round(p1, 6) + F.lit(0.0)).alias("baseline_rate"),
         n_req.alias("n_required_per_arm"),
-        F.when(
+        F.when(p1 + F.col("lift") > F.lit(1.0), F.lit("saturated"))
+        .when(
             (F.col("n_users") / 2).cast("long") >= n_req, F.lit("feasible")
         )
         .otherwise(F.lit("underpowered"))
@@ -10307,8 +10326,13 @@ def oracle_sql() -> dict[str, str]:
         FROM per_user
     """
     sql["copurchase_link_prediction"] = """
-        WITH pairs AS (
+        WITH all_pairs AS (
           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          -- basket-size cap mirror: no-op at TPC-H scale (baskets <=7)
+          SELECT p.* FROM all_pairs p
+          JOIN (SELECT l_orderkey FROM all_pairs
+                GROUP BY 1 HAVING count(*) <= 50) s USING (l_orderkey)),
         edges AS (
           SELECT a.l_partkey AS u, b.l_partkey AS v
           FROM pairs a JOIN pairs b ON a.l_orderkey = b.l_orderkey
@@ -10423,19 +10447,23 @@ def oracle_sql() -> dict[str, str]:
                  (p1 + p2) / CAST(2.0 AS DOUBLE) AS pbar
           FROM c2a),
         c3 AS (
-          SELECT lift, n_users, p1,
+          SELECT lift, n_users, p1, p2 - p1 AS eff,
+                 CASE WHEN p2 - p1 > CAST(0.0 AS DOUBLE) THEN
                  (CAST(1.959964 AS DOUBLE)
                     * sqrt(CAST(2.0 AS DOUBLE) * pbar
                            * (CAST(1.0 AS DOUBLE) - pbar))
                   + CAST(0.841621 AS DOUBLE)
                     * sqrt(p1 * (CAST(1.0 AS DOUBLE) - p1)
                            + p2 * (CAST(1.0 AS DOUBLE) - p2)))
-                 / lift AS root
+                 / (p2 - p1) END AS root
           FROM c2)
         SELECT lift, n_users,
                round(p1, 6) + CAST(0.0 AS DOUBLE) AS baseline_rate,
-               CAST(ceil(root * root) AS BIGINT) AS n_required_per_arm,
-               CASE WHEN n_users // 2 >= CAST(ceil(root * root) AS BIGINT)
+               CASE WHEN eff > CAST(0.0 AS DOUBLE)
+                    THEN CAST(ceil(root * root) AS BIGINT)
+                    END AS n_required_per_arm,
+               CASE WHEN p1 + lift > CAST(1.0 AS DOUBLE) THEN 'saturated'
+                    WHEN n_users // 2 >= CAST(ceil(root * root) AS BIGINT)
                     THEN 'feasible' ELSE 'underpowered' END AS verdict
         FROM c3 ORDER BY lift
     """

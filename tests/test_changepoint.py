@@ -84,3 +84,13 @@ def test_binseg_short_segments_produce_no_split(spark):
     levels = sorted(r["level"] for r in rows)
     assert levels[0] == 1
     assert len(rows) <= 2
+
+
+def test_binseg_depth_zero_rejected(spark):
+    """depth < 1 is a usage error, not an AssertionError (round-7
+    ADVICE): validated up front with a clear message."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "idx long, val long")
+    with pytest.raises(ValueError, match="depth >= 1"):
+        changepoint.binary_segmentation(df, depth=0)
+    with pytest.raises(ValueError, match="depth >= 1"):
+        changepoint.binary_segmentation(df, depth=-3)

@@ -206,13 +206,16 @@ def test_cooccurrence_grouped_two_exchanges_and_takeordered(spark):
 
 
 def test_cohort_retention_no_second_fact_shuffle(spark):
-    """First-activity frame joins back via broadcast — the fact must not
-    shuffle twice on the entity key."""
+    """Round-8 rework: the matrix computes from distinct
+    (entity, month) + a window min — NO join back to the fact at all
+    (the previous broadcast-join shape still shuffled the fact once
+    and ran a countDistinct), and at most 3 exchanges total (one
+    fact-sized with map-side partial agg, two matrix-sized)."""
     import re
 
     df = entrymod.q_cohort_retention(spark, SF_SMOKE)
     plan = plans.executed_plan(df)
-    plans.assert_broadcast_join(df)
+    assert "Join" not in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
 
 

@@ -346,24 +346,40 @@ def cohort_retention(
     binary new/returning label, the full (cohort_month, month_offset) →
     distinct-entity matrix.
 
-    Plan shape: one groupBy on the entity key for first-activity, joined
-    back on the same key (co-partitioned — AQE plans it after the
-    aggregate without a second full shuffle of the fact), then one
-    aggregate on (cohort, offset). Month arithmetic is integer
+    Plan shape (round-8 rework of the watch-listed regression): the
+    fact collapses ONCE to distinct (entity, activity-month) rows —
+    month granularity is all the matrix reads, so this is the smallest
+    sufficient frame (~|entities| x |months|) — then a window min over
+    the entity key finds each entity's cohort month and a count over
+    (cohort, offset) finishes.  No fact-sized join-back and no
+    countDistinct (rows are already distinct per entity-month): one
+    fact-sized shuffle with map-side partial aggregation, then two
+    shuffles of the tiny matrix frame.  Month arithmetic is integer
     ``year*12+month`` on both sides — no fractional months_between, so
     the DuckDB oracle matches exactly.
     """
-    month_no = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
-    firsts = df.groupBy(entity_col).agg(F.min(date_col).alias("__first"))
-    joined = df.join(firsts, entity_col)
+    month_no = F.year(date_col) * 12 + F.month(date_col)
+    em = df.select(
+        F.col(entity_col).alias("__e"), month_no.alias("__m")
+    ).distinct()
+    w = Window.partitionBy("__e")
+    with_first = em.select(
+        "__m", F.min("__m").over(w).alias("__f")
+    )
+    # reconstruct "yyyy-MM" from the integer cohort month:
+    # year = (m-1) div 12, month = (m-1) % 12 + 1
+    yr = ((F.col("__f") - 1) / 12).cast("int")
+    mo = ((F.col("__f") - 1) % 12) + 1
     return (
-        joined.groupBy(
-            F.date_format("__first", "yyyy-MM").alias("cohort_month"),
-            (month_no(F.col(date_col)) - month_no(F.col("__first")))
-            .cast("int")
-            .alias("month_offset"),
+        with_first.groupBy(
+            F.concat(
+                yr.cast("string"),
+                F.lit("-"),
+                F.lpad(mo.cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            (F.col("__m") - F.col("__f")).cast("int").alias("month_offset"),
         )
-        .agg(F.countDistinct(entity_col).alias("entities"))
+        .agg(F.count(F.lit(1)).cast("long").alias("entities"))
     )
 
 

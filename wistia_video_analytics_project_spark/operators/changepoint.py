@@ -51,6 +51,10 @@ def binary_segmentation(
     the SSE reduction in squared value units (bit-identical across
     engines — see module docstring).  Segments shorter than 2 points
     produce no split."""
+    if int(depth) < 1:
+        raise ValueError(
+            f"binary_segmentation requires depth >= 1, got {depth}"
+        )
     cur = series.select(
         F.col(idx_col).alias("idx"),
         F.col(val_col).cast("long").alias("val"),
