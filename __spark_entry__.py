@@ -6785,6 +6785,528 @@ def q_recsys_eval_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purchase_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival spine: per-user whole-day time-to-first-purchase
+    (right-censored at the last observed event) with the parity-hash
+    segment — the `purchase_survival_km` derivation plus the A/B split.
+    One groupBy over events; every duration is an integer datediff."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__first"),
+        F.max(F.to_date("ts")).alias("__last"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("__purchase"),
+    )
+    return per_user.select(
+        F.coalesce(
+            F.datediff("__purchase", "__first"),
+            F.datediff("__last", "__first"),
+        ).alias("t"),
+        F.col("__purchase").isNotNull().alias("observed"),
+        (F.col("user_id") % 2).cast("int").alias("seg"),
+    )
+
+
+def q_logrank_purchase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logrank (Mantel-Cox) test comparing time-to-first-purchase
+    between the two parity-hash segments — the survival-analysis
+    counterpart of `ab_test_report`'s proportion z-test, sharing the
+    `purchase_survival_km` duration derivation.
+
+    At each event day t: observed segment-A deaths d_a, expected under
+    H0 e_a = d·n_a/n (hypergeometric mean), variance
+    v = d·n_a·n_b·(n−d) / (n²·(n−1)).  All risk-set quantities are
+    exact integers from window sums over the ≤31-row day table (the
+    events window spans 30 days), the per-day products stay below 2^53
+    so the doubles are exact, and both engines sum the same ≤31 terms.
+    χ² = (O_a−E_a)²/V on one df.
+
+    Scale shape: the fact collapses to per-user rows once, then to a
+    day-count-bounded risk table — identical posture to KM."""
+    dur = _purchase_durations(spark, sf_dir)
+    risk = dur.groupBy("t").agg(
+        F.sum(
+            F.when(F.col("observed") & (F.col("seg") == 0), 1).otherwise(0)
+        ).cast("long").alias("d_a"),
+        F.sum(
+            F.when(F.col("observed") & (F.col("seg") == 1), 1).otherwise(0)
+        ).cast("long").alias("d_b"),
+        F.sum(F.when(F.col("seg") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("seg") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    w_after = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    with_n = risk.select(
+        "t",
+        "d_a",
+        "d_b",
+        F.sum("x_a").over(w_after).alias("n_a"),
+        F.sum("x_b").over(w_after).alias("n_b"),
+    ).filter((F.col("d_a") + F.col("d_b")) > 0)
+    d = (F.col("d_a") + F.col("d_b")).cast("double")
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    terms = with_n.select(
+        F.col("d_a").alias("__oa"),
+        (d * n_a / n).alias("__ea"),
+        F.when(
+            n > F.lit(1.0),
+            d * n_a * n_b * (n - d) / (n * n * (n - F.lit(1.0))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__v"),
+    )
+    agg = terms.agg(
+        F.sum("__oa").cast("long").alias("observed_a"),
+        F.sum("__ea").alias("__E"),
+        F.sum("__v").alias("__V"),
+    )
+    diff = F.col("observed_a").cast("double") - F.col("__E")
+    return agg.select(
+        "observed_a",
+        (F.round(F.col("__E"), 4) + F.lit(0.0)).alias("expected_a"),
+        (F.round(diff / F.sqrt(F.col("__V")), 4) + F.lit(0.0)).alias(
+            "logrank_z"
+        ),
+        (F.round(diff * diff / F.col("__V"), 4) + F.lit(0.0)).alias(
+            "logrank_chi2"
+        ),
+    )
+
+
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for time-to-first-
+    purchase: H(t) = Σ_{t'≤t} d/n over the same per-day risk table the
+    KM curve uses — the hazard-scale view KM's survival scale hides
+    (and the standard input to proportional-hazards eyeballing).
+
+    Each increment d/n divides exact integers ONCE; the cumulative sum
+    runs in deterministic t order on both engines (identical sequential
+    double additions), so round(6) is bit-stable."""
+    dur = _purchase_durations(spark, sf_dir)
+    risk = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.count(F.lit(1)).cast("long").alias("__exits"),
+    )
+    w_after = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_upto = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_n = risk.withColumn("n_at_risk", F.sum("__exits").over(w_after))
+    return (
+        with_n.withColumn(
+            "__h", F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+        )
+        .select(
+            "t",
+            "d",
+            "n_at_risk",
+            (F.round(F.sum("__h").over(w_upto), 6) + F.lit(0.0)).alias(
+                "cum_hazard"
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .orderBy("t")
+    )
+
+
+def q_wilcoxon_halfyear_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test pairing each 1995 day with the day 183
+    days later (first half vs second half, same weekday phase mod 7 —
+    183 ≡ 1 (mod 7) keeps the weekday drift to one step): the
+    nonparametric paired complement to the unpaired Mann-Whitney entry.
+
+    EXACT integer arithmetic throughout: diffs are integer cents, tied
+    |diff| groups get average ranks carried as 2×rank integers
+    (2·minrank + t − 1), W⁺ accumulates in that doubled scale, and the
+    tie-corrected variance numerator 2n(n+1)(2n+1) − Σ(t³−t) is one
+    integer — both engines divide identical integers exactly once for
+    z.  The pair stage is day-bounded (≤182 rows)."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    wi = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(wi).alias("i"), F.col("cents")
+    )
+    pairs = (
+        idx.alias("a")
+        .join(idx.alias("b"), F.col("b.i") == F.col("a.i") + 183)
+        .select(
+            (F.col("b.cents") - F.col("a.cents")).alias("diff")
+        )
+        .filter(F.col("diff") != 0)
+    )
+    wr = Window.orderBy(F.abs(F.col("diff")))
+    wt = Window.partitionBy(F.abs(F.col("diff")))
+    ranked = pairs.select(
+        "diff",
+        F.rank().over(wr).alias("__mr"),
+        F.count(F.lit(1)).over(wt).alias("__t"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(
+                F.col("diff") > 0,
+                F.lit(2) * F.col("__mr") + F.col("__t") - 1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("__w2"),
+        # each tie group of size t contributes t·(t³−t) summed per ROW;
+        # divide by t once: sum (t³−t) per distinct group = sum over
+        # rows of (t²−1)
+        F.sum(F.col("__t") * F.col("__t") - 1).cast("long").alias("__ties"),
+    )
+    n = F.col("n_pairs")
+    var_num = (
+        F.lit(2) * n * (n + 1) * (2 * n + 1) - F.col("__ties")
+    ).cast("double")
+    w_plus = F.col("__w2").cast("double") / F.lit(2.0)
+    mean_w = (n * (n + 1)).cast("double") / F.lit(4.0)
+    z = (w_plus - mean_w) / F.sqrt(var_num / F.lit(48.0))
+    return agg.select(
+        "n_pairs",
+        (F.round(w_plus, 1) + F.lit(0.0)).alias("w_plus"),
+        (F.round(z, 4) + F.lit(0.0)).alias("wilcoxon_z"),
+    )
+
+
+def q_bh_fdr_event_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over the five per-event-type share-drift
+    tests (first 15 days vs last 15 of the events window, two-proportion
+    pooled z) — the multiple-testing control layer every metrics
+    platform needs on top of the single-test entries (ab_test_report,
+    srm_check).
+
+    Engine parity without erf: BH at α=0.05, m=5 compares p_(k) ≤
+    0.05·k/5, which on the z scale is |z|_(k) ≥ z_crit(0.01·k) — five
+    FIXED two-sided critical literals, so no normal CDF is evaluated.
+    |z| rounds to 4 before every comparison (CLAUDE.md threshold rule);
+    ranking ties break on event_type.  All counts are exact integers;
+    the step-up "largest passing rank" is a window max over 5 rows."""
+    events = _t(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.to_date("ts")).alias("__d0"))
+    flagged = events.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.when(
+            F.to_date("ts") < F.date_add(F.col("__d0"), 15), 1
+        ).otherwise(0).alias("__h1"),
+    )
+    per_type = flagged.groupBy("event_type").agg(
+        F.sum("__h1").cast("long").alias("n_first"),
+        F.sum(F.lit(1) - F.col("__h1")).cast("long").alias("n_second"),
+    )
+    tot = flagged.agg(
+        F.sum("__h1").cast("long").alias("__N1"),
+        F.sum(F.lit(1) - F.col("__h1")).cast("long").alias("__N2"),
+    )
+    g = per_type.crossJoin(F.broadcast(tot))
+    p1 = F.col("n_first").cast("double") / F.col("__N1").cast("double")
+    p2 = F.col("n_second").cast("double") / F.col("__N2").cast("double")
+    pooled = (F.col("n_first") + F.col("n_second")).cast("double") / (
+        F.col("__N1") + F.col("__N2")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("__N1").cast("double")
+            + F.lit(1.0) / F.col("__N2").cast("double")
+        )
+    )
+    scored = g.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        (F.round(F.abs((p2 - p1) / se), 4) + F.lit(0.0)).alias("z_abs"),
+    )
+    wrank = Window.orderBy(F.desc("z_abs"), F.asc("event_type"))
+    crit = (
+        F.when(F.col("bh_rank") == 1, F.lit(2.575829))
+        .when(F.col("bh_rank") == 2, F.lit(2.326348))
+        .when(F.col("bh_rank") == 3, F.lit(2.170090))
+        .when(F.col("bh_rank") == 4, F.lit(2.053749))
+        .otherwise(F.lit(1.959964))
+    )
+    ranked = scored.withColumn(
+        "bh_rank", F.row_number().over(wrank)
+    ).withColumn(
+        "__pass_rank",
+        F.when(F.col("z_abs") >= crit, F.col("bh_rank")).otherwise(0),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        ranked.withColumn("__kstar", F.max("__pass_rank").over(wall))
+        .select(
+            "event_type",
+            "n_first",
+            "n_second",
+            "z_abs",
+            "bh_rank",
+            F.when(F.col("bh_rank") <= F.col("__kstar"), F.lit("reject"))
+            .otherwise(F.lit("keep"))
+            .alias("bh_verdict"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+def q_theil_u2_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality scorecard for the seasonal-naive (t−7) forecast
+    of 1995 daily revenue: Theil's U2 (forecast relative errors over
+    naive-1 relative errors — U2 < 1 means the forecast beats "no
+    change") and MASE with the naive-1 denominator — the two
+    scale-free accuracy metrics every backtest report carries,
+    complementing `seasonal_naive_backtest`'s raw errors.
+
+    MASE is a ratio of EXACT integer |diff| sums (one division per
+    side); U2's per-day relative errors divide exact integer cents
+    pairs once each, and the two ≤358-term square sums round at 6 far
+    above accumulation noise.  Day-bounded lag self-joins on the cached
+    spine — fact volume never enters the pair stage."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    wi = Window.orderBy("day")
+    idx = daily.select(F.row_number().over(wi).alias("i"), "cents")
+    a = idx.alias("a")
+    l1 = idx.select(F.col("i").alias("__i1"), F.col("cents").alias("c1"))
+    l7 = idx.select(F.col("i").alias("__i7"), F.col("cents").alias("c7"))
+    j = (
+        a.join(l1, F.col("a.i") == F.col("__i1") + 1)
+        .join(l7, F.col("a.i") == F.col("__i7") + 7)
+        .select(F.col("a.cents").alias("c0"), "c1", "c7")
+    )
+    fe = (F.col("c7") - F.col("c0")).cast("double") / F.col("c1").cast(
+        "double"
+    )
+    ne = (F.col("c0") - F.col("c1")).cast("double") / F.col("c1").cast(
+        "double"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(fe * fe).alias("__sf"),
+        F.sum(ne * ne).alias("__sn"),
+        F.sum(F.abs(F.col("c7") - F.col("c0"))).cast("long").alias("__a7"),
+        F.sum(F.abs(F.col("c0") - F.col("c1"))).cast("long").alias("__a1"),
+    )
+    return agg.select(
+        "n_days",
+        (
+            F.round(F.sqrt(F.col("__sf") / F.col("__sn")), 6) + F.lit(0.0)
+        ).alias("theil_u2"),
+        (
+            F.round(
+                F.col("__a7").cast("double") / F.col("__a1").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mase_seasonal7"),
+    )
+
+
+def q_spectral_entropy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy over the candidate-cycle periodogram
+    (`revenue_periodogram`'s five business periods): H = −Σ q ln q /
+    ln(5) on the power shares renormalized to sum 1 — the single-number
+    "how concentrated is the seasonality" signal (0 = one pure cycle,
+    1 = white), plus the dominant period.  Same float-parity posture as
+    the periodogram (mod-reduced phase, exact-cents mean, round 6);
+    the entropy adds five more ln terms."""
+    two_pi = 6.283185307179586
+    daily = cache.track(
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("cents")
+        )
+        .cache()
+    )
+    stats = daily.agg(
+        F.min("day").alias("d0"),
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    base = daily.crossJoin(F.broadcast(stats)).select(
+        F.datediff("day", "d0").alias("i"),
+        (
+            F.col("cents").cast("double") / F.lit(100.0)
+            - F.col("tot").cast("double")
+            / (F.col("n").cast("double") * F.lit(100.0))
+        ).alias("dev"),
+        F.col("n").cast("double").alias("nd"),
+    )
+    per = base.select(
+        "i", "dev", "nd",
+        F.explode(
+            F.array(*[F.lit(p) for p in _PERIODOGRAM_PERIODS])
+        ).alias("p"),
+    ).withColumn(
+        "theta",
+        (F.col("i") % F.col("p")).cast("double")
+        * F.lit(two_pi)
+        / F.col("p").cast("double"),
+    )
+    agg = per.groupBy("p").agg(
+        F.sum(F.col("dev") * F.cos("theta")).alias("c"),
+        F.sum(F.col("dev") * F.sin("theta")).alias("s"),
+        F.sum(F.col("dev") * F.col("dev")).alias("ss"),
+        F.max("nd").alias("nd"),
+    )
+    pw = F.col("c") * F.col("c") + F.col("s") * F.col("s")
+    shares = agg.select(
+        "p",
+        (F.lit(2.0) * pw / (F.col("nd") * F.col("ss"))).alias("sh"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    qn = F.col("sh") / F.sum("sh").over(wall)
+    normed = shares.select(
+        "p", "sh", qn.alias("q"), (-qn * F.log(qn)).alias("__h")
+    )
+    wtop = Window.orderBy(F.desc("sh"), F.asc("p"))
+    top = normed.withColumn("__r", F.row_number().over(wtop)).filter(
+        F.col("__r") == 1
+    )
+    ent = normed.agg(F.sum("__h").alias("__ent_total"))
+    return top.crossJoin(F.broadcast(ent)).select(
+        F.col("p").cast("long").alias("dominant_period"),
+        (F.round(F.col("sh"), 6) + F.lit(0.0)).alias("dominant_share"),
+        (
+            F.round(F.col("__ent_total") / F.log(F.lit(5.0)), 6)
+            + F.lit(0.0)
+        ).alias("spectral_entropy_norm"),
+    )
+
+
+def q_seasonal_strength_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's weekly seasonal-strength F_s = max(0, 1 −
+    Var(remainder)/Var(detrended)) from the additive decomposition
+    (`daily_revenue_decomposition`'s exact ×7-scaled integer pipeline)
+    — the scalar that says whether the weekday cycle is worth modeling,
+    next to the per-day decomposition rows.
+
+    Detrended values are EXACT ×7-scaled integers; the remainder
+    subtracts the per-weekday mean (one exact division per row);
+    the two variances are scale-invariant ratios rounded at 6, four
+    orders above the ~1e-13 relative summation noise."""
+    daily = _daily_purchase_cents(spark, sf_dir).select(
+        "day",
+        F.col("cents").alias("__cents"),
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("__dn"),
+        (F.weekday("day") + 1).alias("isodow"),
+    )
+    w7 = Window.orderBy("__dn").rangeBetween(-3, 3)
+    detr = (
+        daily.select(
+            "isodow",
+            (
+                F.lit(7) * F.col("__cents")
+                - F.when(
+                    F.count(F.lit(1)).over(w7) == 7,
+                    F.sum("__cents").over(w7),
+                )
+            ).alias("__detr"),
+        )
+        .filter(F.col("__detr").isNotNull())
+    )
+    w_dow = Window.partitionBy("isodow")
+    # F.avg(long) == DuckDB avg(BIGINT) — the pairing the decomposition
+    # entry already hash-validates
+    rem = detr.select(
+        F.col("__detr").cast("double").alias("x"),
+        (F.col("__detr").cast("double") - F.avg("__detr").over(w_dow)).alias(
+            "r"
+        ),
+    )
+    agg = rem.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").alias("__sx"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+        F.sum("r").alias("__sr"),
+        F.sum(F.col("r") * F.col("r")).alias("__srr"),
+    )
+    nd = F.col("n_days").cast("double")
+    var_x = F.col("__sxx") / nd - (F.col("__sx") / nd) * (F.col("__sx") / nd)
+    var_r = F.col("__srr") / nd - (F.col("__sr") / nd) * (F.col("__sr") / nd)
+    return agg.select(
+        "n_days",
+        (
+            F.round(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_x), 6)
+            + F.lit(0.0)
+        ).alias("seasonal_strength"),
+    )
+
+
+def q_value_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the 1995 and 1996 order-value
+    distributions over 20 fixed 25k-wide bins — the numeric-drift
+    monitor beside the PSI report (JSD is bounded [0, ln 2] and
+    symmetric, so it never explodes on empty bins the way PSI's ln
+    ratio does).
+
+    Bin counts are exact integers; p, q, m divide them once; the ≤40
+    ln terms (zero-count terms contribute exactly 0 and are filtered,
+    not coalesced) round at 6."""
+    orders = _t(spark, sf_dir, "orders")
+    binned = orders.filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    ).select(
+        F.year("o_orderdate").alias("yr"),
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == 1995, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("long").alias("__N1"),
+        F.sum("c2").cast("long").alias("__N2"),
+    )
+    g = counts.crossJoin(F.broadcast(tot))
+    p = F.col("c1").cast("double") / F.col("__N1").cast("double")
+    q = F.col("c2").cast("double") / F.col("__N2").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.when(F.col("c1") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("c2") > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(
+        F.lit(0.0)
+    )
+    agg = g.agg(
+        F.max("__N1").alias("n_1995"),
+        F.max("__N2").alias("n_1996"),
+        F.sum(term).alias("__jsd"),
+    )
+    return agg.select(
+        "n_1995",
+        "n_1996",
+        (F.round(F.col("__jsd"), 6) + F.lit(0.0)).alias("jsd_nats"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7055,6 +7577,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt_conversion_test": q_sprt_conversion_test,
         "bootstrap_ci_daily_revenue": q_bootstrap_ci_daily_revenue,
         "recsys_eval_popularity": q_recsys_eval_popularity,
+        # round-8 additions (front-load _WINDOW_R9 per the docstring)
+        "logrank_purchase_segments": q_logrank_purchase_segments,
+        "nelson_aalen_hazard": q_nelson_aalen_hazard,
+        "wilcoxon_halfyear_revenue": q_wilcoxon_halfyear_revenue,
+        "bh_fdr_event_shares": q_bh_fdr_event_shares,
+        "theil_u2_seasonal_naive": q_theil_u2_seasonal_naive,
+        "spectral_entropy_revenue": q_spectral_entropy_revenue,
+        "seasonal_strength_weekly": q_seasonal_strength_weekly,
+        "value_drift_jsd": q_value_drift_jsd,
     })
     # --- round-8 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R8}
@@ -10911,6 +11442,349 @@ def oracle_sql() -> dict[str, str]:
                  + CAST(0.0 AS DOUBLE) AS runs_z
         FROM base CROSS JOIN dw CROSS JOIN lb
              CROSS JOIN runs CROSS JOIN nsign
+    """
+    # --- round-8 additions ---
+    sql["logrank_purchase_segments"] = """
+        WITH per_user AS (
+          SELECT user_id,
+                 min(CAST(ts AS DATE)) AS fd,
+                 max(CAST(ts AS DATE)) AS ld,
+                 min(CASE WHEN event_type = 'purchase'
+                          THEN CAST(ts AS DATE) END) AS pd
+          FROM events GROUP BY 1),
+        dur AS (
+          SELECT coalesce(pd - fd, ld - fd) AS t,
+                 pd IS NOT NULL AS observed,
+                 CAST(user_id % 2 AS INT) AS seg
+          FROM per_user),
+        risk AS (
+          SELECT t,
+                 CAST(sum(CASE WHEN observed AND seg = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS d_a,
+                 CAST(sum(CASE WHEN observed AND seg = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS d_b,
+                 CAST(sum(CASE WHEN seg = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x_a,
+                 CAST(sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x_b
+          FROM dur GROUP BY 1),
+        with_n AS (
+          SELECT t, d_a, d_b,
+                 CAST(sum(x_a) OVER (ORDER BY t
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                      AS BIGINT) AS n_a,
+                 CAST(sum(x_b) OVER (ORDER BY t
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                      AS BIGINT) AS n_b
+          FROM risk),
+        terms AS (
+          SELECT d_a AS oa,
+                 CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE) AS ea,
+                 CASE WHEN n_a + n_b > 1 THEN
+                   CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+                     * CAST(n_b AS DOUBLE)
+                     * CAST(n_a + n_b - d_a - d_b AS DOUBLE)
+                   / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+                      * CAST(n_a + n_b - 1 AS DOUBLE))
+                 ELSE CAST(0.0 AS DOUBLE) END AS v
+          FROM with_n WHERE d_a + d_b > 0),
+        agg AS (
+          SELECT CAST(sum(oa) AS BIGINT) AS observed_a,
+                 sum(ea) AS e, sum(v) AS v
+          FROM terms)
+        SELECT observed_a,
+               round(e, 4) + CAST(0.0 AS DOUBLE) AS expected_a,
+               round((CAST(observed_a AS DOUBLE) - e) / sqrt(v), 4)
+                 + CAST(0.0 AS DOUBLE) AS logrank_z,
+               round((CAST(observed_a AS DOUBLE) - e)
+                     * (CAST(observed_a AS DOUBLE) - e) / v, 4)
+                 + CAST(0.0 AS DOUBLE) AS logrank_chi2
+        FROM agg
+    """
+    sql["nelson_aalen_hazard"] = """
+        WITH per_user AS (
+          SELECT user_id,
+                 min(CAST(ts AS DATE)) AS fd,
+                 max(CAST(ts AS DATE)) AS ld,
+                 min(CASE WHEN event_type = 'purchase'
+                          THEN CAST(ts AS DATE) END) AS pd
+          FROM events GROUP BY 1),
+        dur AS (
+          SELECT coalesce(pd - fd, ld - fd) AS t,
+                 pd IS NOT NULL AS observed
+          FROM per_user),
+        risk AS (
+          SELECT t,
+                 CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS exits
+          FROM dur GROUP BY 1),
+        with_n AS (
+          SELECT t, d,
+                 CAST(sum(exits) OVER (ORDER BY t
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                      AS BIGINT) AS n_at_risk
+          FROM risk)
+        SELECT t, d, n_at_risk,
+               round(sum(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+                     OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW), 6)
+                 + CAST(0.0 AS DOUBLE) AS cum_hazard
+        FROM with_n
+        QUALIFY d > 0
+        ORDER BY t
+    """
+    sql["wilcoxon_halfyear_revenue"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+          GROUP BY 1),
+        idx AS (
+          SELECT row_number() OVER (ORDER BY day) AS i, cents FROM daily),
+        pairs AS (
+          SELECT CAST(b.cents - a.cents AS BIGINT) AS diff
+          FROM idx a JOIN idx b ON b.i = a.i + 183
+          WHERE b.cents <> a.cents),
+        ranked AS (
+          SELECT diff,
+                 rank() OVER (ORDER BY abs(diff)) AS mr,
+                 count(*) OVER (PARTITION BY abs(diff)) AS t
+          FROM pairs),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN diff > 0 THEN 2 * mr + t - 1
+                               ELSE 0 END) AS BIGINT) AS w2,
+                 CAST(sum(t * t - 1) AS BIGINT) AS ties
+          FROM ranked)
+        SELECT n_pairs,
+               round(CAST(w2 AS DOUBLE) / CAST(2.0 AS DOUBLE), 1)
+                 + CAST(0.0 AS DOUBLE) AS w_plus,
+               round((CAST(w2 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                      - CAST(n_pairs * (n_pairs + 1) AS DOUBLE)
+                        / CAST(4.0 AS DOUBLE))
+                     / sqrt(CAST(2 * n_pairs * (n_pairs + 1)
+                                 * (2 * n_pairs + 1) - ties AS DOUBLE)
+                            / CAST(48.0 AS DOUBLE)), 4)
+                 + CAST(0.0 AS DOUBLE) AS wilcoxon_z
+        FROM agg
+    """
+    sql["bh_fdr_event_shares"] = """
+        WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        flagged AS (
+          SELECT event_type,
+                 CASE WHEN CAST(ts AS DATE) < d0.d0 + 15
+                      THEN 1 ELSE 0 END AS h1
+          FROM events, d0),
+        per_type AS (
+          SELECT event_type,
+                 CAST(sum(h1) AS BIGINT) AS n_first,
+                 CAST(sum(1 - h1) AS BIGINT) AS n_second
+          FROM flagged GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(h1) AS BIGINT) AS nn1,
+                 CAST(sum(1 - h1) AS BIGINT) AS nn2
+          FROM flagged),
+        scored AS (
+          SELECT event_type, n_first, n_second,
+                 round(abs(
+                   (CAST(n_second AS DOUBLE) / CAST(nn2 AS DOUBLE)
+                    - CAST(n_first AS DOUBLE) / CAST(nn1 AS DOUBLE))
+                   / sqrt(
+                       (CAST(n_first + n_second AS DOUBLE)
+                        / CAST(nn1 + nn2 AS DOUBLE))
+                       * (CAST(1.0 AS DOUBLE)
+                          - CAST(n_first + n_second AS DOUBLE)
+                            / CAST(nn1 + nn2 AS DOUBLE))
+                       * (CAST(1.0 AS DOUBLE) / CAST(nn1 AS DOUBLE)
+                          + CAST(1.0 AS DOUBLE) / CAST(nn2 AS DOUBLE)))
+                 ), 4) + CAST(0.0 AS DOUBLE) AS z_abs
+          FROM per_type CROSS JOIN tot),
+        ranked AS (
+          SELECT *,
+                 CAST(row_number() OVER (ORDER BY z_abs DESC, event_type)
+                      AS INT) AS bh_rank
+          FROM scored),
+        flaggedr AS (
+          SELECT *,
+                 CASE WHEN z_abs >= (CASE bh_rank
+                        WHEN 1 THEN CAST(2.575829 AS DOUBLE)
+                        WHEN 2 THEN CAST(2.326348 AS DOUBLE)
+                        WHEN 3 THEN CAST(2.170090 AS DOUBLE)
+                        WHEN 4 THEN CAST(2.053749 AS DOUBLE)
+                        ELSE CAST(1.959964 AS DOUBLE) END)
+                      THEN bh_rank ELSE 0 END AS pass_rank
+          FROM ranked)
+        SELECT event_type, n_first, n_second, z_abs, bh_rank,
+               CASE WHEN bh_rank <= max(pass_rank) OVER ()
+                    THEN 'reject' ELSE 'keep' END AS bh_verdict
+        FROM flaggedr
+        ORDER BY bh_rank
+    """
+    sql["theil_u2_seasonal_naive"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+          GROUP BY 1),
+        idx AS (
+          SELECT row_number() OVER (ORDER BY day) AS i, cents FROM daily),
+        j AS (
+          SELECT a.cents AS c0, l1.cents AS c1, l7.cents AS c7
+          FROM idx a
+          JOIN idx l1 ON a.i = l1.i + 1
+          JOIN idx l7 ON a.i = l7.i + 7),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 sum((CAST(c7 - c0 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                     * (CAST(c7 - c0 AS DOUBLE) / CAST(c1 AS DOUBLE)))
+                   AS sf,
+                 sum((CAST(c0 - c1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                     * (CAST(c0 - c1 AS DOUBLE) / CAST(c1 AS DOUBLE)))
+                   AS sn,
+                 CAST(sum(abs(c7 - c0)) AS BIGINT) AS a7,
+                 CAST(sum(abs(c0 - c1)) AS BIGINT) AS a1
+          FROM j)
+        SELECT n_days,
+               round(sqrt(sf / sn), 6) + CAST(0.0 AS DOUBLE) AS theil_u2,
+               round(CAST(a7 AS DOUBLE) / CAST(a1 AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS mase_seasonal7
+        FROM agg
+    """
+    sql["spectral_entropy_revenue"] = f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        stats AS (
+          SELECT min(day) AS d0,
+                 CAST(sum(cents) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM daily),
+        base AS (
+          SELECT day - d0 AS i,
+                 CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE)
+                   - CAST(tot AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE)) AS dev,
+                 CAST(n AS DOUBLE) AS nd
+          FROM daily, stats),
+        per AS (
+          SELECT i, dev, nd, p,
+                 CAST(i % p AS DOUBLE)
+                   * CAST('6.283185307179586' AS DOUBLE)
+                   / CAST(p AS DOUBLE) AS theta
+          FROM base, (VALUES {{periods_values}}) t(p)),
+        agg AS (
+          SELECT p, sum(dev * cos(theta)) AS c, sum(dev * sin(theta)) AS s,
+                 sum(dev * dev) AS ss, max(nd) AS nd
+          FROM per GROUP BY 1),
+        shares AS (
+          SELECT p,
+                 CAST(2 AS DOUBLE) * (c * c + s * s) / (nd * ss) AS sh
+          FROM agg),
+        normed AS (
+          SELECT p, sh,
+                 sh / sum(sh) OVER () AS q
+          FROM shares),
+        ent AS (
+          SELECT sum(-q * ln(q)) AS h FROM normed),
+        top AS (
+          SELECT p, sh FROM normed ORDER BY sh DESC, p ASC LIMIT 1)
+        SELECT CAST(top.p AS BIGINT) AS dominant_period,
+               round(top.sh, 6) + CAST(0.0 AS DOUBLE) AS dominant_share,
+               round(ent.h / ln(CAST(5.0 AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS spectral_entropy_norm
+        FROM top CROSS JOIN ent
+    """.replace("{periods_values}", ", ".join(f"({p})" for p in _PERIODOGRAM_PERIODS))
+    sql["seasonal_strength_weekly"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(floor(round(coalesce(sum(value),
+                                           CAST(0.0 AS DOUBLE)), 2) * 100
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        d2 AS (
+          SELECT day, cents,
+                 datediff('day', DATE '1970-01-01', day) AS dn,
+                 isodow(day) AS isodow
+          FROM daily),
+        t AS (
+          SELECT isodow,
+                 CASE WHEN count(*) OVER w7 = 7
+                      THEN 7 * cents - CAST(sum(cents) OVER w7 AS BIGINT)
+                 END AS detr
+          FROM d2
+          WINDOW w7 AS (ORDER BY dn RANGE BETWEEN 3 PRECEDING
+                                           AND 3 FOLLOWING)),
+        rem AS (
+          SELECT CAST(detr AS DOUBLE) AS x,
+                 CAST(detr AS DOUBLE)
+                   - avg(detr) OVER (PARTITION BY isodow) AS r
+          FROM t WHERE detr IS NOT NULL),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 sum(x) AS sx, sum(x * x) AS sxx,
+                 sum(r) AS sr, sum(r * r) AS srr
+          FROM rem)
+        SELECT n_days,
+               round(greatest(CAST(0.0 AS DOUBLE),
+                     CAST(1.0 AS DOUBLE)
+                     - (srr / CAST(n_days AS DOUBLE)
+                        - (sr / CAST(n_days AS DOUBLE))
+                          * (sr / CAST(n_days AS DOUBLE)))
+                       / (sxx / CAST(n_days AS DOUBLE)
+                          - (sx / CAST(n_days AS DOUBLE))
+                            * (sx / CAST(n_days AS DOUBLE)))), 6)
+                 + CAST(0.0 AS DOUBLE) AS seasonal_strength
+        FROM agg
+    """
+    sql["value_drift_jsd"] = """
+        WITH binned AS (
+          SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+                 least(CAST(floor(o_totalprice
+                                  / CAST(25000.0 AS DOUBLE)) AS BIGINT),
+                       CAST(19 AS BIGINT)) AS bin
+          FROM orders
+          WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)),
+        counts AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c2
+          FROM binned GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS nn1,
+                 CAST(sum(c2) AS BIGINT) AS nn2
+          FROM counts),
+        terms AS (
+          SELECT nn1, nn2,
+                 CASE WHEN c1 > 0 THEN
+                   CAST(0.5 AS DOUBLE)
+                   * (CAST(c1 AS DOUBLE) / CAST(nn1 AS DOUBLE))
+                   * ln((CAST(c1 AS DOUBLE) / CAST(nn1 AS DOUBLE))
+                        / ((CAST(c1 AS DOUBLE) / CAST(nn1 AS DOUBLE)
+                            + CAST(c2 AS DOUBLE) / CAST(nn2 AS DOUBLE))
+                           / CAST(2.0 AS DOUBLE)))
+                 ELSE CAST(0.0 AS DOUBLE) END
+                 +
+                 CASE WHEN c2 > 0 THEN
+                   CAST(0.5 AS DOUBLE)
+                   * (CAST(c2 AS DOUBLE) / CAST(nn2 AS DOUBLE))
+                   * ln((CAST(c2 AS DOUBLE) / CAST(nn2 AS DOUBLE))
+                        / ((CAST(c1 AS DOUBLE) / CAST(nn1 AS DOUBLE)
+                            + CAST(c2 AS DOUBLE) / CAST(nn2 AS DOUBLE))
+                           / CAST(2.0 AS DOUBLE)))
+                 ELSE CAST(0.0 AS DOUBLE) END AS term
+          FROM counts CROSS JOIN tot)
+        SELECT max(nn1) AS n_1995, max(nn2) AS n_1996,
+               round(sum(term), 6) + CAST(0.0 AS DOUBLE) AS jsd_nats
+        FROM terms
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())
