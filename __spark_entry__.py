@@ -7307,6 +7307,382 @@ def q_value_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the Kneser-Ney bigram LM: train on
+    doc_id % 10 ≠ 0, score the % 10 = 0 split — bits/bigram and
+    perplexity, the number that actually decides between two corpus
+    mixes (the KN trainer alone just fits one).  Eval bigrams whose
+    context or continuation word is out of the train vocabulary are
+    EXCLUDED and reported as ``oov_rate`` (closed-vocab evaluation,
+    documented); unseen (w1,w2) PAIRS with in-vocab words score through
+    the KN backoff (c12 = 0 → pure continuation mass), which is the
+    whole point of the smoothing.
+
+    Every KN quantity is an exact integer count (module precedent:
+    operators/ngram_lm.py); the per-bigram ln terms accumulate ~1e-13
+    relative noise against a round-4 output.  One bigram explode per
+    split, vocabulary-sized joins, 1-row broadcast for n_types — the
+    lm_bits_per_token posture."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    bc = cache.track(ngram_lm.bigram_counts(train).cache())
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n_follow"),
+    )
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_precede")
+    )
+    types = bc.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    ec = ngram_lm.bigram_counts(eval_docs).withColumnRenamed("c12", "ec")
+    scored = (
+        ec.join(ctx, "w1")
+        .join(cont, "w2")
+        .join(bc, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "ec",
+            (
+                F.greatest(
+                    F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+                    - F.lit(0.75),
+                    F.lit(0.0),
+                )
+                / F.col("c1").cast("double")
+                + F.lit(0.75)
+                * F.col("n_follow").cast("double")
+                / F.col("c1").cast("double")
+                * (
+                    F.col("n_precede").cast("double")
+                    / F.col("n_types").cast("double")
+                )
+            ).alias("__p"),
+        )
+    )
+    totals = ec.agg(F.sum("ec").cast("long").alias("__n_all"))
+    agg = scored.agg(
+        F.sum("ec").cast("long").alias("n_scored_bigrams"),
+        F.sum(-F.col("ec").cast("double") * F.log("__p")).alias("__nll"),
+    )
+    ln2 = 0.6931471805599453
+    bits = F.col("__nll") / F.lit(ln2) / F.col("n_scored_bigrams").cast(
+        "double"
+    )
+    return agg.crossJoin(F.broadcast(totals)).select(
+        "n_scored_bigrams",
+        (
+            F.round(
+                F.lit(1.0)
+                - F.col("n_scored_bigrams").cast("double")
+                / F.col("__n_all").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("oov_rate"),
+        (F.round(bits, 4) + F.lit(0.0)).alias("bits_per_bigram"),
+        (
+            F.round(
+                F.exp(
+                    F.col("__nll") / F.col("n_scored_bigrams").cast("double")
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("perplexity"),
+    )
+
+
+def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering report: documents ranked by token density
+    (whitespace tokens per character — short-token-dense text first is
+    the classic easy-to-hard proxy) and cut into 10 explicit-arithmetic
+    deciles ``(rn−1)·10 div n + 1`` — NOT ntile(), whose remainder
+    placement is engine-defined.  Per decile: doc count, density range,
+    token budget — what a staged-training data loader consumes.
+
+    The global rank window sorts |docs| skinny rows on one partition —
+    bounded by corpus row count, not bytes (tokens come from one
+    size(split()) pass, no explode).  Ordering is fully deterministic
+    (density, doc_id)."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    )
+    scored = docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("__toks"),
+        (
+            text.token_count("text").cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("__density"),
+    )
+    wr = Window.orderBy(F.asc("__density"), F.asc("doc_id"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = scored.select(
+        "__toks",
+        "__density",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    return (
+        ranked.groupBy(
+            (
+                ((F.col("__rn") - 1) * 10).cast("long")
+                / F.col("__n")
+            )
+            .cast("long")
+            .alias("__d0")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.round(F.min("__density"), 6) + F.lit(0.0)).alias(
+                "min_density"
+            ),
+            (F.round(F.max("__density"), 6) + F.lit(0.0)).alias(
+                "max_density"
+            ),
+            F.sum("__toks").cast("long").alias("total_tokens"),
+        )
+        .select(
+            (F.col("__d0") + 1).cast("int").alias("decile"),
+            "n_docs",
+            "min_density",
+            "max_density",
+            "total_tokens",
+        )
+        .orderBy("decile")
+    )
+
+
+def q_tokenizer_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility per source: BPE-ish tokens per whitespace
+    word (the HF "fertility" metric — how much a subword tokenizer
+    inflates a corpus) plus chars/token, the numbers a token-budget
+    planner reads before mixing sources.  Pure size(regexp/split)
+    aggregates — exact integers, two divisions per source."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    per = docs.select(
+        "source",
+        text.token_count("text").cast("long").alias("__ws"),
+        text.bpe_ish_token_count("text").cast("long").alias("__bpe"),
+        F.length("text").cast("long").alias("__chars"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ws").cast("long").alias("ws_tokens"),
+        F.sum("__bpe").cast("long").alias("bpe_tokens"),
+        F.sum("__chars").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        (
+            F.round(
+                F.col("bpe_tokens").cast("double")
+                / F.col("ws_tokens").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("fertility"),
+        (
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("bpe_tokens").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("chars_per_token"),
+    ).orderBy("source")
+
+
+def q_timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: view → click within 1 HOUR of the first
+    view → purchase within 24 HOURS of that click — the
+    `funnel_view_click_purchase` shape with the real-world deadline
+    semantics every growth team actually specifies.  All stage
+    comparisons run in EXACT integer micros (CLAUDE.md timestamp rule);
+    stage frames join on user_id (two key-partitioned joins of
+    per-user minima, no window over the raw stream)."""
+    events = _t(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("__v_us"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("__c_us")
+    )
+    first_click = (
+        views.join(clicks, "user_id")
+        .filter(
+            (F.col("__c_us") > F.col("__v_us"))
+            & (F.col("__c_us") <= F.col("__v_us") + F.lit(3_600_000_000))
+        )
+        .groupBy("user_id")
+        .agg(F.min("__c_us").alias("__fc_us"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("__p_us")
+    )
+    converted = (
+        first_click.join(purchases, "user_id")
+        .filter(
+            (F.col("__p_us") > F.col("__fc_us"))
+            & (
+                F.col("__p_us")
+                <= F.col("__fc_us") + F.lit(86_400_000_000)
+            )
+        )
+        .select("user_id")
+        .distinct()
+    )
+    nv = views.agg(F.count(F.lit(1)).cast("long").alias("n_viewers"))
+    nc = first_click.agg(
+        F.count(F.lit(1)).cast("long").alias("n_click_1h")
+    )
+    np_ = converted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchase_24h")
+    )
+    j = nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+    return j.select(
+        "n_viewers",
+        "n_click_1h",
+        "n_purchase_24h",
+        (
+            F.round(
+                F.col("n_click_1h").cast("double")
+                / F.col("n_viewers").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("click_rate_1h"),
+        (
+            F.round(
+                F.col("n_purchase_24h").cast("double")
+                / F.col("n_click_1h").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("purchase_rate_24h"),
+    )
+
+
+def q_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention-decay fit: pooled customer retention at
+    month offsets 1-6 from the cohort matrix (`cohort_retention`'s
+    frame), log-linear OLS ln r_k = a + b·k, reporting the monthly
+    decay slope and implied half-life — the one-line summary a
+    retention dashboard fits over the full matrix.  Pooling over all
+    cohorts (right-edge truncation affects both numerator and
+    denominator identically at this 6-year span; documented).  The six
+    (k, ln r_k) points use exact integer entity counts; the closed-form
+    OLS over K = 6 fixed abscissae is constant arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    matrix = analytics.cohort_retention(orders, "o_custkey", "o_orderdate")
+    per_off = matrix.filter(F.col("month_offset") <= 6).groupBy(
+        "month_offset"
+    ).agg(F.sum("entities").cast("long").alias("__s"))
+    base = per_off.filter(F.col("month_offset") == 0).select(
+        F.col("__s").alias("__s0")
+    )
+    pts = (
+        per_off.filter(F.col("month_offset") >= 1)
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("month_offset").cast("double").alias("k"),
+            F.log(
+                F.col("__s").cast("double") / F.col("__s0").cast("double")
+            ).alias("y"),
+        )
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("k").alias("__sk"),
+        F.sum("y").alias("__sy"),
+        F.sum(F.col("k") * F.col("y")).alias("__sky"),
+        F.sum(F.col("k") * F.col("k")).alias("__skk"),
+    )
+    nk = F.col("n_points").cast("double")
+    slope = (F.col("__sky") - F.col("__sk") * F.col("__sy") / nk) / (
+        F.col("__skk") - F.col("__sk") * F.col("__sk") / nk
+    )
+    return agg.select(
+        "n_points",
+        (F.round(slope, 6) + F.lit(0.0)).alias("decay_slope"),
+        (
+            F.round(F.lit(-0.6931471805599453) / slope, 4) + F.lit(0.0)
+        ).alias("half_life_months"),
+    )
+
+
+def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over the co-purchase graph (the
+    "customers also bought" scorer): cos(u,v) = co_count /
+    √(deg_u·deg_v) where deg counts the distinct orders containing the
+    part — normalizing away hub popularity, which raw `part_cooccurrence`
+    counts can't.  Top-20 by (rounded cosine, u, v) — fully
+    deterministic.  Same Σ basket² guard as the link-prediction entry:
+    baskets are capped at 50 lines before the pair join (no-op at
+    TPC-H basket sizes, survival at skewed real-world ones)."""
+    li = _t(spark, sf_dir, "lineitem")
+    all_pairs = li.select("l_orderkey", "l_partkey").distinct()
+    small = (
+        all_pairs.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") <= 50)
+        .select("l_orderkey")
+    )
+    pairs = cache.track(all_pairs.join(small, "l_orderkey").cache())
+    deg = pairs.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    co = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("co_count"))
+        .filter(F.col("co_count") >= 2)
+    )
+    withdeg = co.join(
+        deg.select(F.col("l_partkey").alias("item_a"), F.col("deg").alias("deg_a")),
+        "item_a",
+    ).join(
+        deg.select(F.col("l_partkey").alias("item_b"), F.col("deg").alias("deg_b")),
+        "item_b",
+    )
+    cos = F.round(
+        F.col("co_count").cast("double")
+        / F.sqrt(
+            F.col("deg_a").cast("double") * F.col("deg_b").cast("double")
+        ),
+        6,
+    ) + F.lit(0.0)
+    return (
+        withdeg.select(
+            "item_a", "item_b", "co_count", "deg_a", "deg_b",
+            cos.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7586,6 +7962,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_entropy_revenue": q_spectral_entropy_revenue,
         "seasonal_strength_weekly": q_seasonal_strength_weekly,
         "value_drift_jsd": q_value_drift_jsd,
+        "kn_bigram_perplexity": q_kn_bigram_perplexity,
+        "curriculum_deciles": q_curriculum_deciles,
+        "tokenizer_fertility_by_source": q_tokenizer_fertility_by_source,
+        "timed_funnel_conversion": q_timed_funnel_conversion,
+        "retention_decay_fit": q_retention_decay_fit,
+        "item_item_cosine": q_item_item_cosine,
     })
     # --- round-8 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R8}
@@ -11785,6 +12167,210 @@ def oracle_sql() -> dict[str, str]:
         SELECT max(nn1) AS n_1995, max(nn2) AS n_1996,
                round(sum(term), 6) + CAST(0.0 AS DOUBLE) AS jsd_nats
         FROM terms
+    """
+    sql["kn_bigram_perplexity"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents
+          WHERE text IS NOT NULL
+            AND len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        e AS (
+          SELECT doc_id, unnest(t) AS w,
+                 generate_subscripts(t, 1) AS i
+          FROM base),
+        bg AS (
+          SELECT a.doc_id, a.w AS w1, b.w AS w2
+          FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        bc AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bg WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        ctx AS (
+          SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS n_follow
+          FROM bc GROUP BY 1),
+        cont AS (
+          SELECT w2, CAST(count(*) AS BIGINT) AS n_precede
+          FROM bc GROUP BY 1),
+        types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc),
+        ec AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS ec
+          FROM bg WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+        scored AS (
+          SELECT ec.ec,
+                 greatest(CAST(coalesce(bc.c12, 0) AS DOUBLE)
+                          - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                   / CAST(ctx.c1 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE)
+                   / CAST(ctx.c1 AS DOUBLE)
+                   * (CAST(cont.n_precede AS DOUBLE)
+                      / CAST(types.n_types AS DOUBLE)) AS p
+          FROM ec
+          JOIN ctx USING (w1)
+          JOIN cont USING (w2)
+          LEFT JOIN bc USING (w1, w2)
+          CROSS JOIN types),
+        totals AS (SELECT CAST(sum(ec) AS BIGINT) AS n_all FROM ec),
+        agg AS (
+          SELECT CAST(sum(ec) AS BIGINT) AS n_scored_bigrams,
+                 sum(-CAST(ec AS DOUBLE) * ln(p)) AS nll
+          FROM scored)
+        SELECT n_scored_bigrams,
+               round(CAST(1.0 AS DOUBLE)
+                     - CAST(n_scored_bigrams AS DOUBLE)
+                       / CAST(n_all AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS oov_rate,
+               round(nll / CAST('0.6931471805599453' AS DOUBLE)
+                     / CAST(n_scored_bigrams AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS bits_per_bigram,
+               round(exp(nll / CAST(n_scored_bigrams AS DOUBLE)), 4)
+                 + CAST(0.0 AS DOUBLE) AS perplexity
+        FROM agg CROSS JOIN totals
+    """
+    sql["curriculum_deciles"] = r"""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                      AS BIGINT) AS toks,
+                 CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                      AS DOUBLE) / CAST(n_chars AS DOUBLE) AS density
+          FROM documents
+          WHERE text IS NOT NULL AND n_chars > 0),
+        ranked AS (
+          SELECT toks, density,
+                 row_number() OVER (ORDER BY density ASC, doc_id ASC)
+                   AS rn,
+                 count(*) OVER () AS n
+          FROM scored)
+        SELECT CAST((rn - 1) * 10 // n + 1 AS INT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(min(density), 6) + CAST(0.0 AS DOUBLE) AS min_density,
+               round(max(density), 6) + CAST(0.0 AS DOUBLE) AS max_density,
+               CAST(sum(toks) AS BIGINT) AS total_tokens
+        FROM ranked
+        GROUP BY 1 ORDER BY 1
+    """
+    sql["tokenizer_fertility_by_source"] = r"""
+        WITH per AS (
+          SELECT source,
+                 CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                      AS BIGINT) AS ws,
+                 CAST(len(regexp_extract_all(text,
+                      ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))
+                      AS BIGINT) AS bpe,
+                 CAST(length(text) AS BIGINT) AS chars
+          FROM documents WHERE text IS NOT NULL),
+        agg AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                 CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                 CAST(sum(chars) AS BIGINT) AS n_chars
+          FROM per GROUP BY 1)
+        SELECT source, n_docs, ws_tokens, bpe_tokens,
+               round(CAST(bpe_tokens AS DOUBLE)
+                     / CAST(ws_tokens AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS fertility,
+               round(CAST(n_chars AS DOUBLE)
+                     / CAST(bpe_tokens AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS chars_per_token
+        FROM agg ORDER BY source
+    """
+    sql["timed_funnel_conversion"] = """
+        WITH views AS (
+          SELECT user_id, min(epoch_us(ts)) AS v_us
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+        first_click AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS fc_us
+          FROM events e JOIN views v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND epoch_us(e.ts) > v.v_us
+            AND epoch_us(e.ts) <= v.v_us + 3600000000
+          GROUP BY 1),
+        converted AS (
+          SELECT DISTINCT e.user_id
+          FROM events e JOIN first_click c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) > c.fc_us
+            AND epoch_us(e.ts) <= c.fc_us + 86400000000),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS n_viewers FROM views),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_click_1h
+               FROM first_click),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n_purchase_24h
+               FROM converted)
+        SELECT n_viewers, n_click_1h, n_purchase_24h,
+               round(CAST(n_click_1h AS DOUBLE)
+                     / CAST(n_viewers AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS click_rate_1h,
+               round(CAST(n_purchase_24h AS DOUBLE)
+                     / CAST(n_click_1h AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS purchase_rate_24h
+        FROM nv CROSS JOIN nc CROSS JOIN np
+    """
+    sql["retention_decay_fit"] = """
+        WITH firsts AS (
+          SELECT o_custkey, min(o_orderdate) AS first_dt
+          FROM orders GROUP BY 1),
+        matrix AS (
+          SELECT CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                      - (year(first_dt) * 12 + month(first_dt)) AS INT)
+                   AS month_offset,
+                 CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS entities
+          FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+          GROUP BY 1),
+        per_off AS (
+          SELECT month_offset, CAST(sum(entities) AS BIGINT) AS s
+          FROM matrix WHERE month_offset <= 6 GROUP BY 1),
+        base AS (
+          SELECT s AS s0 FROM per_off WHERE month_offset = 0),
+        pts AS (
+          SELECT CAST(month_offset AS DOUBLE) AS k,
+                 ln(CAST(s AS DOUBLE) / CAST(s0 AS DOUBLE)) AS y
+          FROM per_off CROSS JOIN base
+          WHERE month_offset >= 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_points,
+                 sum(k) AS sk, sum(y) AS sy,
+                 sum(k * y) AS sky, sum(k * k) AS skk
+          FROM pts)
+        SELECT n_points,
+               round((sky - sk * sy / CAST(n_points AS DOUBLE))
+                     / (skk - sk * sk / CAST(n_points AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS decay_slope,
+               round(-CAST('0.6931471805599453' AS DOUBLE)
+                     / ((sky - sk * sy / CAST(n_points AS DOUBLE))
+                        / (skk - sk * sk / CAST(n_points AS DOUBLE))), 4)
+                 + CAST(0.0 AS DOUBLE) AS half_life_months
+        FROM agg
+    """
+    sql["item_item_cosine"] = """
+        WITH all_pairs AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT p.* FROM all_pairs p
+          JOIN (SELECT l_orderkey FROM all_pairs
+                GROUP BY 1 HAVING count(*) <= 50) s USING (l_orderkey)),
+        deg AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS deg
+          FROM pairs GROUP BY 1),
+        co AS (
+          SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                 CAST(count(*) AS BIGINT) AS co_count
+          FROM pairs a JOIN pairs b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= 2)
+        SELECT co.item_a, co.item_b, co.co_count,
+               da.deg AS deg_a, db.deg AS deg_b,
+               round(CAST(co_count AS DOUBLE)
+                     / sqrt(CAST(da.deg AS DOUBLE)
+                            * CAST(db.deg AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS cosine
+        FROM co
+        JOIN deg da ON da.l_partkey = co.item_a
+        JOIN deg db ON db.l_partkey = co.item_b
+        ORDER BY cosine DESC, item_a ASC, item_b ASC
+        LIMIT 20
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

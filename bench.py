@@ -233,6 +233,21 @@ SECONDARY = [
     "newsvendor_stock_levels",
     "user_interarrival_stats",
     "residual_diagnostics",
+    # round-8 operators
+    "logrank_purchase_segments",
+    "nelson_aalen_hazard",
+    "wilcoxon_halfyear_revenue",
+    "bh_fdr_event_shares",
+    "theil_u2_seasonal_naive",
+    "spectral_entropy_revenue",
+    "seasonal_strength_weekly",
+    "value_drift_jsd",
+    "kn_bigram_perplexity",
+    "curriculum_deciles",
+    "tokenizer_fertility_by_source",
+    "timed_funnel_conversion",
+    "retention_decay_fit",
+    "item_item_cosine",
 ]
 
 
