@@ -7683,6 +7683,223 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on 1995 daily revenue — the
+    null-of-stationary complement to Mann-Kendall/Hurst (KPSS rejects
+    when a unit root is present; MK rejects on monotone trend):
+    η = Σ S_t² / (n²·σ̂²_lrv) with S_t the partial sums of deviations
+    and σ̂²_lrv the Bartlett-kernel long-run variance at bandwidth 7.
+
+    Exactness: n·e_t = n·x_t − Σx is an EXACT integer (the CLAUDE.md
+    cumulative-share trick), its cumulative sum is a deterministic-
+    order window over the day spine, and every γ_k pairs those exact
+    integers through the bounded idx self-join — only the ≤365-term
+    double square-sums carry ~1e-13 relative noise against round-4
+    outputs.  Flag at the 5% critical value 0.463 on the rounded
+    statistic."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    stats = daily.agg(
+        F.sum("cents").cast("long").alias("__tot"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    wi = Window.orderBy("day")
+    base = daily.crossJoin(F.broadcast(stats)).select(
+        F.row_number().over(wi).alias("i"),
+        (F.col("__n") * F.col("cents") - F.col("__tot")).alias("__ne"),
+        "__n",
+    )
+    w_upto = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scaled = cache.track(
+        base.select(
+            "i",
+            "__n",
+            F.col("__ne").cast("double").alias("e"),
+            F.sum("__ne").over(w_upto).cast("double").alias("s"),
+        ).cache()
+    )
+    nd = F.col("__n").cast("double")
+    # Σ S_t² and γ0 from the same frame; S and e carry the ×n scale,
+    # which cancels in η (S²/n² vs γ·n²)
+    g0 = scaled.agg(
+        F.max("__n").alias("n_days"),
+        F.sum(F.col("s") * F.col("s")).alias("__ss2"),
+        F.sum(F.col("e") * F.col("e")).alias("__g0"),
+    )
+    lags = spark.createDataFrame([(k,) for k in range(1, 8)], "k long")
+    gk = (
+        scaled.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            scaled.alias("b"),
+            F.col("b.i") == F.col("a.i") + F.col("k"),
+        )
+        .groupBy("k")
+        .agg(F.sum(F.col("a.e") * F.col("b.e")).alias("__gk"))
+    )
+    wsum = gk.select(
+        (
+            F.lit(2.0)
+            * (F.lit(1.0) - F.col("k").cast("double") / F.lit(8.0))
+            * F.col("__gk")
+        ).alias("__wgk")
+    ).agg(F.sum("__wgk").alias("__gsum"))
+    j = g0.crossJoin(F.broadcast(wsum))
+    n_days_d = F.col("n_days").cast("double")
+    lrv = (F.col("__g0") + F.col("__gsum")) / n_days_d
+    eta = F.round(
+        (F.col("__ss2") / (n_days_d * n_days_d)) / lrv, 4
+    ) + F.lit(0.0)
+    return j.select(
+        "n_days",
+        eta.alias("kpss_eta"),
+        F.when(eta > 0.463, F.lit("non-stationary"))
+        .otherwise(F.lit("stationary"))
+        .alias("verdict_5pct"),
+    )
+
+
+def q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (no augmentation) on 1995 daily
+    revenue: OLS of Δx_t on x_{t−1} with intercept, reporting β̂ and
+    the DF t-statistic (compare to the τ_μ table; −2.87 at 5%) — the
+    reject-direction twin of KPSS above.
+
+    BIT-EXACT cross-engine: all five regression moments (Σx, Σy, Σxy,
+    Σx², Σy², m) accumulate in DECIMAL(38,0)/HUGEINT — order-free exact
+    integer sums (the haar lesson applied proactively) — and β̂/t are
+    then elementwise double arithmetic on identical inputs, so even the
+    catastrophic cancellation in Sxx is identical on both engines."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    wi = Window.orderBy("day")
+    idx = daily.select(F.row_number().over(wi).alias("i"), "cents")
+    pairs = (
+        idx.alias("a")
+        .join(idx.alias("b"), F.col("a.i") == F.col("b.i") + 1)
+        .select(
+            F.col("b.cents").alias("x"),
+            (F.col("a.cents") - F.col("b.cents")).alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(xd).cast("decimal(38,0)").alias("__sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("__sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("__sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("__sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("__syy"),
+    )
+    md = F.col("m").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    cxx = sxx - sx * sx / md
+    cxy = sxy - sx * sy / md
+    cyy = syy - sy * sy / md
+    beta = cxy / cxx
+    rss = cyy - beta * cxy
+    se = F.sqrt(rss / (md - F.lit(2.0)) / cxx)
+    t = F.round(beta / se, 4) + F.lit(0.0)
+    return mom.select(
+        "m",
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        t.alias("df_t_stat"),
+        F.when(t < -2.87, F.lit("reject-unit-root"))
+        .otherwise(F.lit("unit-root-plausible"))
+        .alias("verdict_5pct"),
+    )
+
+
+def q_vocab_chao1_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 nonparametric vocabulary-richness estimate per source:
+    V̂ = V + F1(F1−1)/(2(F2+1)) from the observed type count and the
+    singleton/doubleton frequencies — "how much vocabulary haven't we
+    sampled yet", the capture-recapture answer to Heaps-law
+    extrapolation (`heaps_law_fit`).  Exact integer counts end-to-end;
+    one rational per source."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "source", F.explode(text.tokens("text")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v_observed"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    chao = F.col("v_observed").cast("double") + (
+        F.col("f1").cast("double") * (F.col("f1") - 1).cast("double")
+    ) / (F.lit(2.0) * (F.col("f2") + 1).cast("double"))
+    return agg.select(
+        "source",
+        "v_observed",
+        "f1",
+        "f2",
+        (F.round(chao, 4) + F.lit(0.0)).alias("chao1_estimate"),
+        (
+            F.round(F.col("v_observed").cast("double") / chao, 6)
+            + F.lit(0.0)
+        ).alias("coverage"),
+    ).orderBy("source")
+
+
+def q_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing adjusted counts over the corpus BIGRAM frequency
+    spectrum: for each raw count r ≤ 10, N_r and the Turing estimate
+    r* = (r+1)·N_{r+1}/N_r, plus the probability mass each band
+    carries — the smoothing table KN's fixed discount approximates and
+    the standard coverage diagnostic for corpus sampling.  Bigrams, not
+    unigrams: the synthetic corpus reuses a ~31-word vocabulary whose
+    unigram counts all exceed 10 (empty spectrum), while its bigram
+    table has a real low-count tail.  Exact integer
+    frequency-of-frequencies; two divisions per row."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tf = ngram_lm.bigram_counts(docs).withColumnRenamed("c12", "c")
+    nr = tf.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    tot = tf.agg(F.sum("c").cast("long").alias("__N"))
+    nxt = nr.select(
+        (F.col("c") - 1).alias("c"), F.col("n_r").alias("__n_r1")
+    )
+    j = (
+        nr.join(nxt, "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("c") >= 1) & (F.col("c") <= 10))
+    )
+    r_star = (
+        (F.col("c") + 1).cast("double")
+        * F.coalesce(F.col("__n_r1"), F.lit(0)).cast("double")
+        / F.col("n_r").cast("double")
+    )
+    return j.select(
+        F.col("c").cast("long").alias("r"),
+        "n_r",
+        (F.round(r_star, 6) + F.lit(0.0)).alias("r_star"),
+        (
+            F.round(
+                (F.col("c") * F.col("n_r")).cast("double")
+                / F.col("__N").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("band_mass"),
+    ).orderBy("r")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7968,6 +8185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timed_funnel_conversion": q_timed_funnel_conversion,
         "retention_decay_fit": q_retention_decay_fit,
         "item_item_cosine": q_item_item_cosine,
+        "kpss_stationarity": q_kpss_stationarity,
+        "dickey_fuller": q_dickey_fuller,
+        "vocab_chao1_by_source": q_vocab_chao1_by_source,
+        "good_turing_counts": q_good_turing_counts,
     })
     # --- round-8 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R8}
@@ -12371,6 +12592,163 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg db ON db.l_partkey = co.item_b
         ORDER BY cosine DESC, item_a ASC, item_b ASC
         LIMIT 20
+    """
+    sql["kpss_stationarity"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+          GROUP BY 1),
+        stats AS (
+          SELECT CAST(sum(cents) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM daily),
+        base AS (
+          SELECT row_number() OVER (ORDER BY day) AS i,
+                 CAST(n * cents - tot AS BIGINT) AS ne, n
+          FROM daily, stats),
+        scaled AS (
+          SELECT i, n, CAST(ne AS DOUBLE) AS e,
+                 CAST(sum(ne) OVER (ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) AS s
+          FROM base),
+        g0 AS (
+          SELECT max(n) AS n_days,
+                 sum(s * s) AS ss2,
+                 sum(e * e) AS gg0
+          FROM scaled),
+        gk AS (
+          SELECT k, sum(a.e * b.e) AS gsum_k
+          FROM scaled a, (VALUES (1),(2),(3),(4),(5),(6),(7)) t(k)
+          JOIN scaled b ON b.i = a.i + k
+          GROUP BY k),
+        wsum AS (
+          SELECT sum(CAST(2.0 AS DOUBLE)
+                     * (CAST(1.0 AS DOUBLE)
+                        - CAST(k AS DOUBLE) / CAST(8.0 AS DOUBLE))
+                     * gsum_k) AS gsum
+          FROM gk),
+        j AS (
+          SELECT n_days,
+                 round((ss2 / (CAST(n_days AS DOUBLE)
+                               * CAST(n_days AS DOUBLE)))
+                       / ((gg0 + gsum) / CAST(n_days AS DOUBLE)), 4)
+                   + CAST(0.0 AS DOUBLE) AS kpss_eta
+          FROM g0 CROSS JOIN wsum)
+        SELECT n_days, kpss_eta,
+               CASE WHEN kpss_eta > CAST(0.463 AS DOUBLE)
+                    THEN 'non-stationary' ELSE 'stationary' END
+                 AS verdict_5pct
+        FROM j
+    """
+    sql["dickey_fuller"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+          GROUP BY 1),
+        idx AS (
+          SELECT row_number() OVER (ORDER BY day) AS i, cents FROM daily),
+        pairs AS (
+          SELECT CAST(b.cents AS HUGEINT) AS x,
+                 CAST(a.cents - b.cents AS HUGEINT) AS y
+          FROM idx a JOIN idx b ON a.i = b.i + 1),
+        mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx,
+                 CAST(sum(y * y) AS DOUBLE) AS syy
+          FROM pairs),
+        c AS (
+          SELECT m,
+                 sxx - sx * sx / CAST(m AS DOUBLE) AS cxx,
+                 sxy - sx * sy / CAST(m AS DOUBLE) AS cxy,
+                 syy - sy * sy / CAST(m AS DOUBLE) AS cyy
+          FROM mom),
+        fit AS (
+          SELECT m, cxy / cxx AS beta,
+                 round(
+                   (cxy / cxx)
+                   / sqrt((cyy - (cxy / cxx) * cxy)
+                          / (CAST(m AS DOUBLE) - CAST(2.0 AS DOUBLE))
+                          / cxx), 4) + CAST(0.0 AS DOUBLE) AS df_t_stat
+          FROM c)
+        SELECT m,
+               round(beta, 6) + CAST(0.0 AS DOUBLE) AS beta,
+               df_t_stat,
+               CASE WHEN df_t_stat < CAST(-2.87 AS DOUBLE)
+                    THEN 'reject-unit-root'
+                    ELSE 'unit-root-plausible' END AS verdict_5pct
+        FROM fit
+    """
+    sql["vocab_chao1_by_source"] = r"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          FROM documents WHERE text IS NOT NULL),
+        tf AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS c
+          FROM tok WHERE w <> '' GROUP BY 1, 2),
+        agg AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS v_observed,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2
+          FROM tf GROUP BY 1)
+        SELECT source, v_observed, f1, f2,
+               round(CAST(v_observed AS DOUBLE)
+                     + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+                       / (CAST(2.0 AS DOUBLE) * CAST(f2 + 1 AS DOUBLE)),
+                     4) + CAST(0.0 AS DOUBLE) AS chao1_estimate,
+               round(CAST(v_observed AS DOUBLE)
+                     / (CAST(v_observed AS DOUBLE)
+                        + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+                          / (CAST(2.0 AS DOUBLE)
+                             * CAST(f2 + 1 AS DOUBLE))), 6)
+                 + CAST(0.0 AS DOUBLE) AS coverage
+        FROM agg ORDER BY source
+    """
+    sql["good_turing_counts"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents
+          WHERE text IS NOT NULL
+            AND len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        e AS (
+          SELECT doc_id, unnest(t) AS w,
+                 generate_subscripts(t, 1) AS i
+          FROM base),
+        bg AS (
+          SELECT a.doc_id, a.w AS w1, b.w AS w2
+          FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        tf AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+          FROM bg GROUP BY 1, 2),
+        nr AS (
+          SELECT c, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS nn FROM tf)
+        SELECT CAST(nr.c AS BIGINT) AS r, nr.n_r,
+               round(CAST(nr.c + 1 AS DOUBLE)
+                     * CAST(coalesce(nx.n_r, 0) AS DOUBLE)
+                     / CAST(nr.n_r AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS r_star,
+               round(CAST(nr.c * nr.n_r AS DOUBLE)
+                     / CAST(tot.nn AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS band_mass
+        FROM nr
+        LEFT JOIN nr nx ON nx.c = nr.c + 1
+        CROSS JOIN tot
+        WHERE nr.c BETWEEN 1 AND 10
+        ORDER BY r
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -248,6 +248,10 @@ SECONDARY = [
     "timed_funnel_conversion",
     "retention_decay_fit",
     "item_item_cosine",
+    "kpss_stationarity",
+    "dickey_fuller",
+    "vocab_chao1_by_source",
+    "good_turing_counts",
 ]
 
 
