@@ -363,7 +363,7 @@ def als_ladder(spark, release_caches) -> None:
         .agg(F.log1p(F.sum("l_quantity")).alias("rating"))
         .localCheckpoint(eager=True)  # freeze: time the trainer, not the build
     )
-    for k in (1, 4, 8):
+    for k in (1, 4, 8, 16):
         rr = multiply_ratings(base, k)
         best = min(
             _time(
@@ -384,7 +384,7 @@ def unigram_ladder(spark, release_caches) -> None:
 
     docs = load_table(spark, SF_DIR, "documents")
     docs.count()
-    for k in (1, 4, 8):
+    for k in (1, 4, 8, 16):
         dd = multiply_docs_mutated(docs, k)
         best = min(
             _time(
