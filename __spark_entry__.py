@@ -7900,6 +7900,166 @@ def q_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("r")
 
 
+def q_streaming_abandoned_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming shape SEVEN: left-OUTER stream-stream join run to
+    completion — purchases that had NO view in the preceding hour
+    ("dark" conversions) next to the matched ones, per day.  Outer
+    null rows emit only once the watermark proves no future match can
+    arrive, so the deterministic comparable set is purchases strictly
+    below the final horizon (max ts − 2 h watermark − 1 h window);
+    BOTH the streaming result and the oracle restrict to it — inside
+    the horizon Spark legitimately withholds, and that zone is
+    excluded on both sides rather than approximated (the
+    test_streaming leftOuter pins emit-below-horizon ⊆/⊇ exactly).
+    State expires on both sides via the watermark + range condition —
+    an unbounded outer join buffers forever."""
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+        stream_stream_window_join,
+    )
+
+    stream, tag = _staged_event_stream(spark, sf_dir)
+    p = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    v = stream.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    joined = stream_stream_window_join(
+        p, v, ["user_id"], "ts", "vts",
+        window="1 hour", watermark="2 hours", how="leftOuter",
+    ).select(
+        F.col("__l.purchase_id").alias("purchase_id"),
+        F.to_date("__l.ts").alias("purchase_date"),
+        F.unix_micros("__l.ts").alias("p_us"),
+        F.col("__r.view_id").alias("view_id"),
+    )
+    name = f"stream_abandon_{tag}"
+    run_to_memory_sink(joined, name)
+    rows = spark.table(name)
+    events = _t(spark, sf_dir, "events")
+    # the global watermark is the MIN across both input streams' maxima
+    # (each side tracks its own), and Spark advances it at millisecond
+    # grain with ±1 ms state-boundary adjustments — hence the extra
+    # 10 ms margin: any horizon strictly inside the guaranteed-emit
+    # zone works, because BOTH sides filter at the same constant
+    horizon = events.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("__mx")
+    ).agg(
+        (F.min("__mx") - F.lit(10_800_000_000) - F.lit(10_000)).alias(
+            "__h_us"
+        )
+    )
+    per_p = (
+        rows.crossJoin(F.broadcast(horizon))
+        .filter(F.col("p_us") < F.col("__h_us"))
+        .groupBy("purchase_id", "purchase_date")
+        .agg(
+            F.max(F.col("view_id").isNotNull().cast("int")).alias(
+                "__matched"
+            )
+        )
+    )
+    return (
+        per_p.groupBy("purchase_date")
+        .agg(
+            F.sum("__matched").cast("long").alias("n_matched"),
+            F.sum(F.lit(1) - F.col("__matched"))
+            .cast("long")
+            .alias("n_abandoned"),
+        )
+        .select(
+            "purchase_date",
+            "n_matched",
+            "n_abandoned",
+            (
+                F.round(
+                    F.col("n_abandoned").cast("double")
+                    / (F.col("n_matched") + F.col("n_abandoned")).cast(
+                        "double"
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("abandon_rate"),
+        )
+        .orderBy("purchase_date")
+    )
+
+
+def q_diff_in_diff_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of per-purchase value between
+    the parity segments across the mid-window cut (first 15 days =
+    pre, rest = post): DiD = (Ā_post − Ā_pre) − (B̄_post − B̄_pre)
+    with the four-cell pooled SE — the quasi-experimental workhorse
+    when assignment isn't randomized per-exposure.  On this synthetic
+    split the true effect is 0, making the entry a calibration check.
+
+    Purchase values snap to EXACT integer cents first (the CLAUDE.md
+    discipline), so each cell's Σ and Σ² are order-free integer /
+    DECIMAL(38) sums and the estimate, SE, and t are elementwise
+    double arithmetic on identical inputs — bit-stable at round 4."""
+    events = _t(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.to_date("ts")).alias("__d0"))
+    cells = (
+        events.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(d0))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("seg"),
+            F.when(
+                F.to_date("ts") < F.date_add(F.col("__d0"), 15), 0
+            )
+            .otherwise(1)
+            .alias("post"),
+            F.floor(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)), 2) * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    agg = cells.groupBy("seg", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("__s"),
+        F.sum((cd * cd).cast("decimal(38,0)")).alias("__ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    var = (F.col("__ss").cast("double") - nd * mean * mean) / (
+        nd - F.lit(1.0)
+    )
+    stats = agg.select(
+        "seg", "post", "n", mean.alias("__m"), (var / nd).alias("__vn")
+    )
+    wide = stats.groupBy().pivot("seg", [0, 1]).agg(
+        F.max(F.when(F.col("post") == 0, F.col("__m"))).alias("m_pre"),
+        F.max(F.when(F.col("post") == 1, F.col("__m"))).alias("m_post"),
+        F.sum("__vn").alias("vn"),
+        F.sum("n").alias("n"),
+    )
+    did = (F.col("0_m_post") - F.col("0_m_pre")) - (
+        F.col("1_m_post") - F.col("1_m_pre")
+    )
+    se = F.sqrt(F.col("0_vn") + F.col("1_vn"))
+    return wide.select(
+        (F.col("0_n") + F.col("1_n")).cast("long").alias("n_purchases"),
+        (F.round(did / F.lit(100.0), 4) + F.lit(0.0)).alias(
+            "did_estimate"
+        ),
+        (F.round(se / F.lit(100.0), 4) + F.lit(0.0)).alias("did_se"),
+        (F.round(did / se, 4) + F.lit(0.0)).alias("did_t"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8189,6 +8349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dickey_fuller": q_dickey_fuller,
         "vocab_chao1_by_source": q_vocab_chao1_by_source,
         "good_turing_counts": q_good_turing_counts,
+        "streaming_abandoned_purchases": q_streaming_abandoned_purchases,
+        "diff_in_diff_purchases": q_diff_in_diff_purchases,
     })
     # --- round-8 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R8}
@@ -12749,6 +12911,85 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         WHERE nr.c BETWEEN 1 AND 10
         ORDER BY r
+    """
+    sql["streaming_abandoned_purchases"] = """
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id,
+                 CAST(ts AS DATE) AS purchase_date,
+                 epoch_ns(ts) // 1000 AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        v AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS v_us
+          FROM events WHERE event_type = 'view'),
+        mx AS (
+          SELECT least(
+                   (SELECT max(epoch_ns(ts) // 1000) FROM events
+                    WHERE event_type = 'purchase'),
+                   (SELECT max(epoch_ns(ts) // 1000) FROM events
+                    WHERE event_type = 'view'))
+                 - 10800000000 - 10000 AS h_us),
+        below AS (
+          SELECT p.* FROM p, mx WHERE p.p_us < mx.h_us),
+        flags AS (
+          SELECT b.purchase_id, b.purchase_date,
+                 max(CASE WHEN v.user_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS matched
+          FROM below b LEFT JOIN v
+            ON v.user_id = b.user_id
+           AND v.v_us >= b.p_us - 3600000000
+           AND v.v_us < b.p_us
+          GROUP BY 1, 2)
+        SELECT purchase_date,
+               CAST(sum(matched) AS BIGINT) AS n_matched,
+               CAST(sum(1 - matched) AS BIGINT) AS n_abandoned,
+               round(CAST(sum(1 - matched) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS abandon_rate
+        FROM flags GROUP BY 1 ORDER BY 1
+    """
+    sql["diff_in_diff_purchases"] = """
+        WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        cells AS (
+          SELECT CAST(user_id % 2 AS INT) AS seg,
+                 CASE WHEN CAST(ts AS DATE) < d0.d0 + 15
+                      THEN 0 ELSE 1 END AS post,
+                 CAST(floor(round(coalesce(value, CAST(0.0 AS DOUBLE)), 2)
+                            * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+          FROM events, d0 WHERE event_type = 'purchase'),
+        agg AS (
+          SELECT seg, post,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+          FROM cells GROUP BY 1, 2),
+        st AS (
+          SELECT seg, post, n,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                 (CAST(ss AS DOUBLE)
+                  - CAST(n AS DOUBLE)
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS vn
+          FROM agg),
+        w AS (
+          SELECT
+            max(CASE WHEN seg = 0 AND post = 0 THEN m END) AS a_pre,
+            max(CASE WHEN seg = 0 AND post = 1 THEN m END) AS a_post,
+            max(CASE WHEN seg = 1 AND post = 0 THEN m END) AS b_pre,
+            max(CASE WHEN seg = 1 AND post = 1 THEN m END) AS b_post,
+            sum(vn) AS vn,
+            CAST(sum(n) AS BIGINT) AS n_purchases
+          FROM st)
+        SELECT n_purchases,
+               round(((a_post - a_pre) - (b_post - b_pre))
+                     / CAST(100.0 AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS did_estimate,
+               round(sqrt(vn) / CAST(100.0 AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS did_se,
+               round(((a_post - a_pre) - (b_post - b_pre)) / sqrt(vn), 4)
+                 + CAST(0.0 AS DOUBLE) AS did_t
+        FROM w
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

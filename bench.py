@@ -252,6 +252,8 @@ SECONDARY = [
     "dickey_fuller",
     "vocab_chao1_by_source",
     "good_turing_counts",
+    "streaming_abandoned_purchases",
+    "diff_in_diff_purchases",
 ]
 
 
