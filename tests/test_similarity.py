@@ -783,3 +783,18 @@ def test_ivf_delete_then_readd_resurrects(spark, emb, tmp_path):
     ).collect()
     assert still[0].neighbor_id == victim
     assert still[0].cosine_sim == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ivf_assign_preserves_id_type(spark):
+    """Round-7 ADVICE (als auto-ANN routing): ivf_assign's output id
+    column inherits the INPUT id type instead of a hard-coded long, so
+    string/decimal ids survive the ANN path."""
+    rows = [(f"doc-{i}", [float(i % 3), 1.0, 0.5]) for i in range(12)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id string, embedding array<float>"
+    )
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = similarity.ivf_assign(vecs, cents, nprobe=1)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    got = {r.vec_id for r in out.collect()}
+    assert got == {f"doc-{i}" for i in range(12)}
