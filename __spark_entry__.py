@@ -8060,6 +8060,225 @@ def q_diff_in_diff_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_filter_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering: every document scored by its
+    bits/bigram under the corpus-trained Kneser-Ney LM, cut into five
+    explicit-arithmetic quality quintiles — the standard "keep the
+    low-perplexity tail" stage of an LLM data pipeline, reported as
+    the bucket table a mixture planner consumes (doc counts, bits
+    range, token budget per bucket).
+
+    Trained and scored on the same corpus, every bigram is in-vocab.
+    Per-doc bits round at 6 BEFORE ranking (1e-14 summation noise vs
+    the 1e-6 grain, doc_id tiebreak), so the quintile cuts are
+    deterministic cross-engine.  Two bigram explodes (model + per-doc),
+    vocabulary-sized joins — the lm_bits posture; the rank window sorts
+    |docs| skinny rows."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bc = cache.track(ngram_lm.bigram_counts(docs).cache())
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n_follow"),
+    )
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_precede")
+    )
+    types = bc.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id"), text.tokens("text").alias("__t"))
+        .filter(F.size("__t") >= 2)
+    )
+    per_doc_bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), i -> "
+                "struct(element_at(__t, i) AS w1, "
+                "element_at(__t, i + 1) AS w2))"
+            )
+        ).alias("__b"),
+    ).groupBy("doc_id", "__b.w1", "__b.w2").agg(
+        F.count(F.lit(1)).cast("long").alias("ec")
+    )
+    p_kn = (
+        F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0))
+        / F.col("c1").cast("double")
+        + F.lit(0.75)
+        * F.col("n_follow").cast("double")
+        / F.col("c1").cast("double")
+        * (
+            F.col("n_precede").cast("double")
+            / F.col("n_types").cast("double")
+        )
+    )
+    scored = (
+        per_doc_bg.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ec").cast("long").alias("__n_bg"),
+            F.sum(-F.col("ec").cast("double") * F.log(p_kn)).alias(
+                "__nll"
+            ),
+        )
+    )
+    ln2 = 0.6931471805599453
+    bits = F.round(
+        F.col("__nll") / F.lit(ln2) / F.col("__n_bg").cast("double"), 6
+    ) + F.lit(0.0)
+    wr = Window.orderBy(F.asc("__bits"), F.asc("doc_id"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = scored.select(
+        "doc_id", "__n_bg", bits.alias("__bits")
+    ).select(
+        "__n_bg",
+        "__bits",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    return (
+        ranked.groupBy(
+            (((F.col("__rn") - 1) * 5).cast("long") / F.col("__n"))
+            .cast("long")
+            .alias("__q0")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.round(F.min("__bits"), 4) + F.lit(0.0)).alias("min_bits"),
+            (F.round(F.max("__bits"), 4) + F.lit(0.0)).alias("max_bits"),
+            F.sum("__n_bg").cast("long").alias("total_bigrams"),
+        )
+        .select(
+            (F.col("__q0") + 1).cast("int").alias("quintile"),
+            "n_docs",
+            "min_bits",
+            "max_bits",
+            "total_bigrams",
+        )
+        .orderBy("quintile")
+    )
+
+
+def q_centroid_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit over the labeled
+    embeddings: per-label centroids (round-6 snapped — the
+    `embedding_centroids` precedent makes the snap the shared input to
+    both engines), every vector assigned to its max-cosine centroid
+    (round-6 cosine, label tiebreak), reported as the confusion-matrix
+    rows — the quick "are these labels even separable" check before
+    any classifier training.
+
+    The centroid table is 10 labels × 64 dims — broadcast; scoring is
+    one explode + equi-join on dim + per-(vec,label) aggregate: no
+    cartesian over vectors."""
+    configure_runtime(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "__v"),
+    ).select(
+        "vec_id", "label", "dim", F.col("__v").cast("double").alias("v")
+    )
+    cents = cache.track(
+        e.groupBy("label", "dim")
+        .agg((F.round(F.avg("v"), 6) + F.lit(0.0)).alias("cv"))
+        .withColumnRenamed("label", "c_label")
+        .cache()
+    )
+    cnorm = cents.groupBy("c_label").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("__cn")
+    )
+    vnorm = e.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("__vn")
+    )
+    dots = (
+        e.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("__dot"))
+    )
+    cos = (
+        dots.join(F.broadcast(cnorm), "c_label")
+        .join(vnorm, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            (
+                F.round(
+                    F.col("__dot") / (F.col("__cn") * F.col("__vn")), 6
+                )
+                + F.lit(0.0)
+            ).alias("__cos"),
+        )
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(
+        F.desc("__cos"), F.asc("c_label")
+    )
+    assigned = cos.withColumn("__r", F.row_number().over(wbest)).filter(
+        F.col("__r") == 1
+    )
+    return (
+        assigned.groupBy(
+            F.col("label").cast("int").alias("true_label"),
+            F.col("c_label").cast("int").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+def q_mde_for_current_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at CURRENT traffic — the inverse of
+    `ab_power_analysis`: given the observed per-arm n and baseline
+    3-day conversion p̂, the smallest absolute lift detectable at
+    α = 0.05 two-sided for power 0.8 and 0.9, via the pooled-variance
+    approximation MDE = (z_{α/2}+z_β)·√(2·p̂(1−p̂)/n) — the "what CAN
+    this experiment see" row every test-planning doc starts with.
+    Exact integer counts into fixed z literals; elementwise doubles."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.when(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            <= F.min("ts") + F.expr("INTERVAL 3 DAY"),
+            1,
+        )
+        .otherwise(0)
+        .alias("__conv")
+    )
+    base = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("__conv").cast("long").alias("n_conv"),
+    )
+    powers = spark.createDataFrame(
+        [(0.8, 0.841621), (0.9, 1.281552)], "power double, zb double"
+    )
+    g = base.crossJoin(F.broadcast(powers))
+    p = F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+    n_arm = (F.col("n_users") / 2).cast("long")
+    mde = (F.lit(1.959964) + F.col("zb")) * F.sqrt(
+        F.lit(2.0)
+        * p
+        * (F.lit(1.0) - p)
+        / n_arm.cast("double")
+    )
+    return g.select(
+        "power",
+        n_arm.alias("n_per_arm"),
+        (F.round(p, 6) + F.lit(0.0)).alias("baseline_rate"),
+        (F.round(mde, 6) + F.lit(0.0)).alias("mde_abs"),
+        F.when(
+            p > 0, F.round(mde / p, 6) + F.lit(0.0)
+        ).alias("mde_rel"),
+    ).orderBy("power")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8351,6 +8570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing_counts": q_good_turing_counts,
         "streaming_abandoned_purchases": q_streaming_abandoned_purchases,
         "diff_in_diff_purchases": q_diff_in_diff_purchases,
+        "perplexity_filter_buckets": q_perplexity_filter_buckets,
+        "centroid_label_confusion": q_centroid_label_confusion,
+        "mde_for_current_traffic": q_mde_for_current_traffic,
     })
     # --- round-8 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R8}
@@ -12990,6 +13212,144 @@ def oracle_sql() -> dict[str, str]:
                round(((a_post - a_pre) - (b_post - b_pre)) / sqrt(vn), 4)
                  + CAST(0.0 AS DOUBLE) AS did_t
         FROM w
+    """
+    sql["perplexity_filter_buckets"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents
+          WHERE text IS NOT NULL
+            AND len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        e AS (
+          SELECT doc_id, unnest(t) AS w,
+                 generate_subscripts(t, 1) AS i
+          FROM base),
+        bg AS (
+          SELECT a.doc_id, a.w AS w1, b.w AS w2
+          FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        bc AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bg GROUP BY 1, 2),
+        ctx AS (
+          SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS n_follow
+          FROM bc GROUP BY 1),
+        cont AS (
+          SELECT w2, CAST(count(*) AS BIGINT) AS n_precede
+          FROM bc GROUP BY 1),
+        types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc),
+        pd AS (
+          SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS ec
+          FROM bg GROUP BY 1, 2, 3),
+        scored AS (
+          SELECT pd.doc_id,
+                 CAST(sum(ec) AS BIGINT) AS n_bg,
+                 sum(-CAST(ec AS DOUBLE) * ln(
+                   greatest(CAST(bc.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                            CAST(0.0 AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE)
+                     / CAST(ctx.c1 AS DOUBLE)
+                     * (CAST(cont.n_precede AS DOUBLE)
+                        / CAST(types.n_types AS DOUBLE)))) AS nll
+          FROM pd
+          JOIN bc USING (w1, w2)
+          JOIN ctx USING (w1)
+          JOIN cont USING (w2)
+          CROSS JOIN types
+          GROUP BY 1),
+        bits AS (
+          SELECT doc_id, n_bg,
+                 round(nll / CAST('0.6931471805599453' AS DOUBLE)
+                       / CAST(n_bg AS DOUBLE), 6)
+                   + CAST(0.0 AS DOUBLE) AS b
+          FROM scored),
+        ranked AS (
+          SELECT n_bg, b,
+                 row_number() OVER (ORDER BY b ASC, doc_id ASC) AS rn,
+                 count(*) OVER () AS n
+          FROM bits)
+        SELECT CAST((rn - 1) * 5 // n + 1 AS INT) AS quintile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(min(b), 4) + CAST(0.0 AS DOUBLE) AS min_bits,
+               round(max(b), 4) + CAST(0.0 AS DOUBLE) AS max_bits,
+               CAST(sum(n_bg) AS BIGINT) AS total_bigrams
+        FROM ranked GROUP BY 1 ORDER BY 1
+    """
+    sql["centroid_label_confusion"] = """
+        WITH e AS (
+          SELECT vec_id, label,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        cents AS (
+          SELECT label AS c_label, dim,
+                 round(avg(v), 6) + CAST(0.0 AS DOUBLE) AS cv
+          FROM e GROUP BY 1, 2),
+        cnorm AS (
+          SELECT c_label, sqrt(sum(cv * cv)) AS cn
+          FROM cents GROUP BY 1),
+        vnorm AS (
+          SELECT vec_id, sqrt(sum(v * v)) AS vn
+          FROM e GROUP BY 1),
+        dots AS (
+          SELECT e.vec_id, e.label, c.c_label,
+                 sum(e.v * c.cv) AS dot
+          FROM e JOIN cents c USING (dim)
+          GROUP BY 1, 2, 3),
+        cos AS (
+          SELECT d.vec_id, d.label, d.c_label,
+                 round(d.dot / (cn.cn * vn.vn), 6)
+                   + CAST(0.0 AS DOUBLE) AS cs
+          FROM dots d
+          JOIN cnorm cn USING (c_label)
+          JOIN vnorm vn USING (vec_id)),
+        assigned AS (
+          SELECT vec_id, label, c_label,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, c_label ASC) AS r
+          FROM cos)
+        SELECT CAST(label AS INT) AS true_label,
+               CAST(c_label AS INT) AS pred_label,
+               CAST(count(*) AS BIGINT) AS n
+        FROM assigned WHERE r = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    sql["mde_for_current_traffic"] = """
+        WITH per_user AS (
+          SELECT user_id,
+                 CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                    THEN ts END)
+                           <= min(ts) + INTERVAL 3 DAY
+                      THEN 1 ELSE 0 END AS conv
+          FROM events GROUP BY 1),
+        base AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(conv) AS BIGINT) AS n_conv
+          FROM per_user),
+        g AS (
+          SELECT base.*, CAST(power AS DOUBLE) AS power,
+                 CAST(zb AS DOUBLE) AS zb
+          FROM base, (VALUES (0.8, 0.841621), (0.9, 1.281552))
+               t(power, zb)),
+        c AS (
+          SELECT power, n_users // 2 AS n_per_arm,
+                 CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+                 zb
+          FROM g),
+        m AS (
+          SELECT power, n_per_arm, p,
+                 (CAST(1.959964 AS DOUBLE) + zb)
+                   * sqrt(CAST(2.0 AS DOUBLE) * p
+                          * (CAST(1.0 AS DOUBLE) - p)
+                          / CAST(n_per_arm AS DOUBLE)) AS mde
+          FROM c)
+        SELECT power, n_per_arm,
+               round(p, 6) + CAST(0.0 AS DOUBLE) AS baseline_rate,
+               round(mde, 6) + CAST(0.0 AS DOUBLE) AS mde_abs,
+               CASE WHEN p > CAST(0.0 AS DOUBLE)
+                    THEN round(mde / p, 6) + CAST(0.0 AS DOUBLE) END
+                 AS mde_rel
+        FROM m ORDER BY power
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -254,6 +254,9 @@ SECONDARY = [
     "good_turing_counts",
     "streaming_abandoned_purchases",
     "diff_in_diff_purchases",
+    "perplexity_filter_buckets",
+    "centroid_label_confusion",
+    "mde_for_current_traffic",
 ]
 
 

@@ -772,3 +772,30 @@ def test_binseg_single_scan_cached_spine(spark):
     plan = plans.executed_plan(fn(spark, SF_SMOKE))
     assert "InMemoryTableScan" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_round8_entries_no_cartesian(spark):
+    """Round-8 scale posture: none of the pair-heavy round-8 entries
+    may plan a CartesianProduct — item-item cosine goes through the
+    basket-capped equi-join, the centroid classifier joins on dim, the
+    perplexity buckets join on vocabulary keys.  (1-row broadcast
+    cross joins compile to BroadcastNestedLoopJoin, which is fine —
+    only the unbounded CartesianProduct is banned.)"""
+    for name in (
+        "item_item_cosine",
+        "centroid_label_confusion",
+        "perplexity_filter_buckets",
+        "kn_bigram_perplexity",
+        "timed_funnel_conversion",
+        "logrank_purchase_segments",
+    ):
+        df = entrymod.queries()[name](spark, SF_SMOKE)
+        plan = plans.executed_plan(df)
+        assert "CartesianProduct" not in plan, f"{name}: {plan[:2000]}"
+
+
+def test_centroid_confusion_broadcasts_centroids(spark):
+    """The 10x64 centroid table must broadcast — a shuffle join on dim
+    would exchange the exploded vector frame a second time."""
+    df = entrymod.queries()["centroid_label_confusion"](spark, SF_SMOKE)
+    plans.assert_broadcast_join(df)
