@@ -8279,6 +8279,259 @@ def q_mde_for_current_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("power")
 
 
+def q_breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test on the 1995 daily-revenue
+    time trend: OLS cents ~ day-index, then the auxiliary regression of
+    squared residuals on the index; BP = n·R²_aux (χ² on 1 df, 3.841
+    at 5%) — "is the variance itself trending", the check that decides
+    whether the OLS band around `daily_trend_regression` is honest.
+
+    First-stage moments are exact DECIMAL(38)/HUGEINT integer sums (the
+    dickey_fuller pattern), so (a, b) are elementwise-identical doubles;
+    residuals and the auxiliary moments are then identical elementwise
+    arithmetic with ~1e-13 summation noise against round-4 outputs."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    wi = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(wi).cast("long").alias("i"), "cents"
+    )
+    xd = F.col("i").cast("decimal(19,0)")
+    yd = F.col("cents").cast("decimal(19,0)")
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(xd).cast("decimal(38,0)").alias("__sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("__sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("__sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("__sxx"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    beta = (sxy - sx * sy / nd) / (sxx - sx * sx / nd)
+    alpha = sy / nd - beta * (sx / nd)
+    fit = mom.select(
+        "n_days", beta.alias("__b"), alpha.alias("__a"),
+    )
+    aux = idx.crossJoin(F.broadcast(fit)).select(
+        "n_days",
+        F.col("i").cast("double").alias("x"),
+        (
+            (
+                F.col("cents").cast("double")
+                - F.col("__a")
+                - F.col("__b") * F.col("i").cast("double")
+            )
+        ).alias("__e"),
+    ).select(
+        "n_days", "x", (F.col("__e") * F.col("__e")).alias("u")
+    )
+    m2 = aux.agg(
+        F.max("n_days").alias("n_days"),
+        F.sum("x").alias("__ax"),
+        F.sum("u").alias("__au"),
+        F.sum(F.col("x") * F.col("u")).alias("__axu"),
+        F.sum(F.col("x") * F.col("x")).alias("__axx"),
+        F.sum(F.col("u") * F.col("u")).alias("__auu"),
+    )
+    nd2 = F.col("n_days").cast("double")
+    cxx = F.col("__axx") - F.col("__ax") * F.col("__ax") / nd2
+    cxu = F.col("__axu") - F.col("__ax") * F.col("__au") / nd2
+    cuu = F.col("__auu") - F.col("__au") * F.col("__au") / nd2
+    r2 = (cxu / cxx) * cxu / cuu
+    bp = F.round(nd2 * r2, 4) + F.lit(0.0)
+    return m2.select(
+        "n_days",
+        bp.alias("bp_stat"),
+        F.when(bp > 3.841, F.lit("heteroskedastic"))
+        .otherwise(F.lit("homoskedastic"))
+        .alias("verdict_5pct"),
+    )
+
+
+def q_partial_corr_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of daily views and purchases CONTROLLING for
+    daily signups: r_xy·z = (r_xy − r_xz·r_zy) / √((1−r_xz²)(1−r_zy²))
+    — does the view→purchase relationship survive removing the shared
+    traffic driver, the one-line causal sanity check on the funnel
+    correlations `measure_corr_matrix` reports raw.
+
+    Daily counts are exact integers; all three Pearson moments
+    accumulate in DECIMAL(38), so every r and the partial are
+    elementwise-identical doubles (round 6)."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("long")
+        .alias("z"),
+    )
+
+    def dec(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        *[
+            F.sum(dec(c)).cast("decimal(38,0)").alias(f"__s{c}")
+            for c in ("x", "y", "z")
+        ],
+        *[
+            F.sum((dec(a) * dec(b)).cast("decimal(38,0)")).alias(
+                f"__s{a}{b}"
+            )
+            for a, b in (
+                ("x", "x"), ("y", "y"), ("z", "z"),
+                ("x", "y"), ("x", "z"), ("y", "z"),
+            )
+        ],
+    )
+    nd = F.col("n_days").cast("double")
+
+    def cov(a, b):
+        return F.col(f"__s{min(a,b)}{max(a,b)}").cast("double") - F.col(
+            f"__s{a}"
+        ).cast("double") * F.col(f"__s{b}").cast("double") / nd
+
+    rxy = cov("x", "y") / F.sqrt(cov("x", "x") * cov("y", "y"))
+    rxz = cov("x", "z") / F.sqrt(cov("x", "x") * cov("z", "z"))
+    rzy = cov("y", "z") / F.sqrt(cov("y", "y") * cov("z", "z"))
+    partial = (rxy - rxz * rzy) / F.sqrt(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - rzy * rzy)
+    )
+    return mom.select(
+        "n_days",
+        (F.round(rxy, 6) + F.lit(0.0)).alias("r_view_purchase"),
+        (F.round(partial, 6) + F.lit(0.0)).alias(
+            "r_view_purchase_given_signup"
+        ),
+    )
+
+
+def q_var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Conditional VaR (expected shortfall) of the
+    1995 day-over-day revenue CHANGE at the 5% tail — the risk framing
+    of the volatility the anomaly tier flags pointwise.  Changes are
+    exact integer cents; VaR interpolates identical doubles and is
+    ROUNDED to 6 before the tail-selection comparison (the CLAUDE.md
+    computed-threshold rule), so both engines select the same tail
+    rows; CVaR then divides two exact integers."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    wi = Window.orderBy("day")
+    idx = daily.select(F.row_number().over(wi).alias("i"), "cents")
+    chg = (
+        idx.alias("a")
+        .join(idx.alias("b"), F.col("a.i") == F.col("b.i") + 1)
+        .select((F.col("a.cents") - F.col("b.cents")).alias("d"))
+    )
+    chg = cache.track(chg.cache())
+    var5 = chg.agg(
+        (
+            F.round(F.expr("percentile(d, 0.05)") / F.lit(100.0), 6)
+            + F.lit(0.0)
+        ).alias("var_5pct_usd"),
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+    )
+    tail = chg.crossJoin(F.broadcast(var5)).filter(
+        F.col("d").cast("double") / F.lit(100.0)
+        <= F.col("var_5pct_usd")
+    )
+    cv = tail.agg(
+        F.max("var_5pct_usd").alias("var_5pct_usd"),
+        F.max("n_changes").alias("n_changes"),
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum("d").cast("long").alias("__tc"),
+    )
+    return cv.select(
+        "n_changes",
+        "n_tail",
+        "var_5pct_usd",
+        (
+            F.round(
+                F.col("__tc").cast("double")
+                / F.col("n_tail").cast("double")
+                / F.lit(100.0),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("cvar_5pct_usd"),
+    )
+
+
+def q_theil_decomposition_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-T inequality of customer lifetime revenue, decomposed
+    EXACTLY into between-nation and within-nation components
+    (T = T_between + Σ share_g·T_g — the additive decomposability that
+    makes Theil, not Gini, the index you roll up a hierarchy with; the
+    grand-total check is part of the output).  Revenue lands in exact
+    integer cents; every ln argument is a ratio of exact integers;
+    the ≤25-term between sum and per-nation sums round at 6."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("c")
+        )
+        .join(
+            F.broadcast(
+                customer.select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    tot = per_cust.agg(
+        F.sum("c").cast("long").alias("__T"),
+        F.count(F.lit(1)).cast("long").alias("__N"),
+    )
+    g = per_cust.crossJoin(F.broadcast(tot))
+    # per-customer Theil term: (c/T)·ln( (c/T) / (1/N) ) = (c/T)·ln(cN/T)
+    term = (
+        F.col("c").cast("double") / F.col("__T").cast("double")
+    ) * F.log(
+        F.col("c").cast("double")
+        * F.col("__N").cast("double")
+        / F.col("__T").cast("double")
+    )
+    per_nation = g.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("c").cast("long").alias("__cg"),
+        F.max("__T").alias("__T"),
+        F.max("__N").alias("__N"),
+        F.sum(term).alias("__t_total_part"),
+    )
+    share = F.col("__cg").cast("double") / F.col("__T").cast("double")
+    # between term: share_g · ln(share_g / (n_g/N))
+    between = share * F.log(
+        share
+        * F.col("__N").cast("double")
+        / F.col("n_cust").cast("double")
+    )
+    # within contribution of group g = total-part − between part
+    out = per_nation.select(
+        "c_nationkey",
+        "n_cust",
+        (F.round(share, 6) + F.lit(0.0)).alias("revenue_share"),
+        (F.round(between, 6) + F.lit(0.0)).alias("theil_between_part"),
+        (F.round(F.col("__t_total_part") - between, 6) + F.lit(0.0)).alias(
+            "theil_within_part"
+        ),
+    )
+    return out.orderBy("c_nationkey")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8573,6 +8826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter_buckets": q_perplexity_filter_buckets,
         "centroid_label_confusion": q_centroid_label_confusion,
         "mde_for_current_traffic": q_mde_for_current_traffic,
+        "breusch_pagan_daily": q_breusch_pagan_daily,
+        "partial_corr_funnel": q_partial_corr_funnel,
+        "var_cvar_daily": q_var_cvar_daily,
+        "theil_decomposition_nations": q_theil_decomposition_nations,
     })
     # --- round-8 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R8}
@@ -13350,6 +13607,174 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(mde / p, 6) + CAST(0.0 AS DOUBLE) END
                  AS mde_rel
         FROM m ORDER BY power
+    """
+    sql["breusch_pagan_daily"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+          GROUP BY 1),
+        idx AS (
+          SELECT row_number() OVER (ORDER BY day) AS i, cents FROM daily),
+        mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(CAST(i AS HUGEINT)) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(i AS HUGEINT) * cents) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(i AS HUGEINT) * i) AS DOUBLE) AS sxx
+          FROM idx),
+        fit AS (
+          SELECT n_days,
+                 (sxy - sx * sy / CAST(n_days AS DOUBLE))
+                   / (sxx - sx * sx / CAST(n_days AS DOUBLE)) AS b,
+                 sy / CAST(n_days AS DOUBLE)
+                   - (sxy - sx * sy / CAST(n_days AS DOUBLE))
+                     / (sxx - sx * sx / CAST(n_days AS DOUBLE))
+                     * (sx / CAST(n_days AS DOUBLE)) AS a
+          FROM mom),
+        aux AS (
+          SELECT f.n_days,
+                 CAST(i AS DOUBLE) AS x,
+                 (CAST(cents AS DOUBLE) - f.a - f.b * CAST(i AS DOUBLE))
+                 * (CAST(cents AS DOUBLE) - f.a - f.b * CAST(i AS DOUBLE))
+                   AS u
+          FROM idx, fit f),
+        m2 AS (
+          SELECT max(n_days) AS n_days,
+                 sum(x) AS ax, sum(u) AS au,
+                 sum(x * u) AS axu, sum(x * x) AS axx,
+                 sum(u * u) AS auu
+          FROM aux),
+        bp AS (
+          SELECT n_days,
+                 round(CAST(n_days AS DOUBLE)
+                   * ((axu - ax * au / CAST(n_days AS DOUBLE))
+                      / (axx - ax * ax / CAST(n_days AS DOUBLE)))
+                   * (axu - ax * au / CAST(n_days AS DOUBLE))
+                   / (auu - au * au / CAST(n_days AS DOUBLE)), 4)
+                 + CAST(0.0 AS DOUBLE) AS bp_stat
+          FROM m2)
+        SELECT n_days, bp_stat,
+               CASE WHEN bp_stat > CAST(3.841 AS DOUBLE)
+                    THEN 'heteroskedastic' ELSE 'homoskedastic' END
+                 AS verdict_5pct
+        FROM bp
+    """
+    sql["partial_corr_funnel"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS y,
+                 CAST(sum(CASE WHEN event_type = 'signup'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS z
+          FROM events GROUP BY 1),
+        mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(z AS HUGEINT)) AS DOUBLE) AS sz,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+                 CAST(sum(CAST(z AS HUGEINT) * z) AS DOUBLE) AS szz,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * z) AS DOUBLE) AS sxz,
+                 CAST(sum(CAST(y AS HUGEINT) * z) AS DOUBLE) AS syz
+          FROM daily),
+        c AS (
+          SELECT n_days,
+                 sxy - sx * sy / CAST(n_days AS DOUBLE) AS cxy,
+                 sxz - sx * sz / CAST(n_days AS DOUBLE) AS cxz,
+                 syz - sy * sz / CAST(n_days AS DOUBLE) AS cyz,
+                 sxx - sx * sx / CAST(n_days AS DOUBLE) AS cxx,
+                 syy - sy * sy / CAST(n_days AS DOUBLE) AS cyy,
+                 szz - sz * sz / CAST(n_days AS DOUBLE) AS czz
+          FROM mom),
+        r AS (
+          SELECT n_days,
+                 cxy / sqrt(cxx * cyy) AS rxy,
+                 cxz / sqrt(cxx * czz) AS rxz,
+                 cyz / sqrt(cyy * czz) AS rzy
+          FROM c)
+        SELECT n_days,
+               round(rxy, 6) + CAST(0.0 AS DOUBLE) AS r_view_purchase,
+               round((rxy - rxz * rzy)
+                     / sqrt((CAST(1.0 AS DOUBLE) - rxz * rxz)
+                            * (CAST(1.0 AS DOUBLE) - rzy * rzy)), 6)
+                 + CAST(0.0 AS DOUBLE) AS r_view_purchase_given_signup
+        FROM r
+    """
+    sql["var_cvar_daily"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+          GROUP BY 1),
+        idx AS (
+          SELECT row_number() OVER (ORDER BY day) AS i, cents FROM daily),
+        chg AS (
+          SELECT CAST(a.cents - b.cents AS BIGINT) AS d
+          FROM idx a JOIN idx b ON a.i = b.i + 1),
+        v AS (
+          SELECT round(quantile_cont(d, 0.05) / CAST(100.0 AS DOUBLE), 6)
+                   + CAST(0.0 AS DOUBLE) AS var_5pct_usd,
+                 CAST(count(*) AS BIGINT) AS n_changes
+          FROM chg),
+        tail AS (
+          SELECT v.var_5pct_usd, v.n_changes, chg.d
+          FROM chg, v
+          WHERE CAST(chg.d AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                  <= v.var_5pct_usd)
+        SELECT max(n_changes) AS n_changes,
+               CAST(count(*) AS BIGINT) AS n_tail,
+               max(var_5pct_usd) AS var_5pct_usd,
+               round(CAST(sum(d) AS DOUBLE) / count(*)
+                     / CAST(100.0 AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS cvar_5pct_usd
+        FROM tail
+    """
+    sql["theil_decomposition_nations"] = """
+        WITH per_cust AS (
+          SELECT o.o_custkey, c.c_nationkey,
+                 CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cc
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT CAST(sum(cc) AS BIGINT) AS t,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM per_cust),
+        g AS (
+          SELECT p.*, tot.t, tot.n,
+                 (CAST(cc AS DOUBLE) / CAST(t AS DOUBLE))
+                   * ln(CAST(cc AS DOUBLE) * CAST(n AS DOUBLE)
+                        / CAST(t AS DOUBLE)) AS term
+          FROM per_cust p, tot),
+        per_nation AS (
+          SELECT c_nationkey,
+                 CAST(count(*) AS BIGINT) AS n_cust,
+                 CAST(sum(cc) AS BIGINT) AS cg,
+                 max(t) AS t, max(n) AS n,
+                 sum(term) AS t_total_part
+          FROM g GROUP BY 1)
+        SELECT c_nationkey, n_cust,
+               round(CAST(cg AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS revenue_share,
+               round((CAST(cg AS DOUBLE) / CAST(t AS DOUBLE))
+                     * ln((CAST(cg AS DOUBLE) / CAST(t AS DOUBLE))
+                          * CAST(n AS DOUBLE)
+                          / CAST(n_cust AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS theil_between_part,
+               round(t_total_part
+                     - (CAST(cg AS DOUBLE) / CAST(t AS DOUBLE))
+                       * ln((CAST(cg AS DOUBLE) / CAST(t AS DOUBLE))
+                            * CAST(n AS DOUBLE)
+                            / CAST(n_cust AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS theil_within_part
+        FROM per_nation ORDER BY c_nationkey
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -257,6 +257,10 @@ SECONDARY = [
     "perplexity_filter_buckets",
     "centroid_label_confusion",
     "mde_for_current_traffic",
+    "breusch_pagan_daily",
+    "partial_corr_funnel",
+    "var_cvar_daily",
+    "theil_decomposition_nations",
 ]
 
 
