@@ -8532,6 +8532,190 @@ def q_theil_decomposition_nations(
     return out.orderBy("c_nationkey")
 
 
+def q_dedup_cross_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: for each ordered source
+    pair (a < b), how many exact-content fingerprints appear in BOTH —
+    the "who is scraping whom" audit that decides which source to keep
+    in a mixture (within-source dups are `dedup_exact`'s job; leakage
+    ACROSS sources is what contaminates held-out splits).  md5
+    fingerprints (the `doc_fingerprint` normalization), one distinct
+    (source, fp) frame self-joined on fp — bounded by distinct
+    fingerprints, never the pairwise doc count.  The synthetic corpus
+    has no exact cross-source copies at sf≤0.01 (0 rows is the correct
+    answer, like `customers_without_orders`); sf0.1 has size-2
+    clusters."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sf = docs.select(
+        "source", text.fingerprint("text").alias("fp")
+    ).distinct()
+    a = sf.alias("a")
+    b = sf.alias("b")
+    return (
+        a.join(b, F.col("a.fp") == F.col("b.fp"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_docs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q_ngram_coverage_eval_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram coverage of the held-out split by the train split: what
+    share of eval bigram TOKENS (mass) and TYPES the train corpus has
+    seen — the generalization-vs-memorization gauge read next to
+    `kn_bigram_perplexity` (high coverage + low perplexity = the eval
+    split is easy, not the model good).  Exact integer masses; two
+    divisions."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    train_bg = ngram_lm.bigram_counts(
+        docs.filter(F.col("doc_id") % 10 != 0)
+    ).select("w1", "w2")
+    eval_bg = ngram_lm.bigram_counts(
+        docs.filter(F.col("doc_id") % 10 == 0)
+    ).withColumnRenamed("c12", "ec")
+    flagged = eval_bg.join(
+        train_bg.withColumn("__seen", F.lit(1)), ["w1", "w2"], "left"
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("eval_types"),
+        F.sum("ec").cast("long").alias("eval_tokens"),
+        F.sum(F.when(F.col("__seen") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("covered_types"),
+        F.sum(F.when(F.col("__seen") == 1, F.col("ec")).otherwise(0))
+        .cast("long")
+        .alias("covered_tokens"),
+    )
+    return agg.select(
+        "eval_types",
+        "covered_types",
+        "eval_tokens",
+        "covered_tokens",
+        (
+            F.round(
+                F.col("covered_types").cast("double")
+                / F.col("eval_types").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("type_coverage"),
+        (
+            F.round(
+                F.col("covered_tokens").cast("double")
+                / F.col("eval_tokens").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mass_coverage"),
+    )
+
+
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality gate on vector norms: per label, the median
+    and MAD of ||v||, and how many vectors sit further than 3 scaled
+    MADs from the median — degenerate (near-zero or exploded) vectors
+    are the first thing a corpus embedding pass should quarantine.
+    Norms are √(Σv²) over cast-double components (identical elementwise
+    both engines); the outlier comparison uses the round-6-snapped
+    threshold (CLAUDE.md computed-threshold rule)."""
+    configure_runtime(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # norms SNAP to 6 decimals immediately: the 64-term fold order
+    # differs between engines at ~1e-14, and every downstream stat
+    # (median, MAD, outlier compare) must see identical inputs
+    norms = emb.select(
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        "embedding",
+                        lambda v: v.cast("double") * v.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("nrm"),
+    )
+    norms = cache.track(norms.cache())
+    med = norms.groupBy("label").agg(
+        F.expr("percentile(nrm, 0.5)").alias("__med")
+    )
+    with_med = norms.join(F.broadcast(med), "label")
+    mad = with_med.groupBy("label").agg(
+        F.max("__med").alias("__med"),
+        F.expr("percentile(abs(nrm - __med), 0.5)").alias("__mad"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+    )
+    thresh = F.round(
+        F.lit(3.0) * F.lit(1.4826) * F.col("__mad"), 6
+    ) + F.lit(0.0)
+    flagged = (
+        norms.join(F.broadcast(mad.withColumn("__thr", thresh)), "label")
+        .select(
+            "label",
+            "n_vectors",
+            "__med",
+            "__thr",
+            (F.abs(F.col("nrm") - F.col("__med")) > F.col("__thr"))
+            .cast("int")
+            .alias("__out"),
+        )
+    )
+    return (
+        flagged.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.max("n_vectors").alias("n_vectors"),
+            (F.round(F.max("__med"), 6) + F.lit(0.0)).alias(
+                "median_norm"
+            ),
+            F.sum("__out").cast("long").alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: exact-content clusters
+    (fingerprint groups) bucketed by size — the one-table "how bad is
+    the duplication" summary (cluster-size tail decides whether exact
+    dedup suffices or near-dup must run).  Also reports the docs
+    REMOVED per bucket under keep-one dedup.  Exact integer counts.
+    The synthetic corpus is duplicate-free at sf≤0.01 (one all-size-1
+    bucket — the correct degenerate answer); sf0.1 has size-2
+    clusters."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    clusters = docs.select(
+        text.fingerprint("text").alias("fp")
+    ).groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    return (
+        clusters.groupBy(
+            F.when(F.col("sz") >= 5, F.lit(5))
+            .otherwise(F.col("sz"))
+            .cast("int")
+            .alias("cluster_size_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("n_removed_keep_one"),
+        )
+        .orderBy("cluster_size_bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8830,6 +9014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_corr_funnel": q_partial_corr_funnel,
         "var_cvar_daily": q_var_cvar_daily,
         "theil_decomposition_nations": q_theil_decomposition_nations,
+        "dedup_cross_source_report": q_dedup_cross_source_report,
+        "ngram_coverage_eval_train": q_ngram_coverage_eval_train,
+        "embedding_norm_outliers": q_embedding_norm_outliers,
+        "dup_cluster_size_hist": q_dup_cluster_size_hist,
     })
     # --- round-8 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R8}
@@ -13775,6 +13963,98 @@ def oracle_sql() -> dict[str, str]:
                             / CAST(n_cust AS DOUBLE)), 6)
                  + CAST(0.0 AS DOUBLE) AS theil_within_part
         FROM per_nation ORDER BY c_nationkey
+    """
+    sql["dedup_cross_source_report"] = r"""
+        WITH sf AS (
+          SELECT DISTINCT source,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS fp
+          FROM documents WHERE text IS NOT NULL)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_docs
+        FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    sql["ngram_coverage_eval_train"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents
+          WHERE text IS NOT NULL
+            AND len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        e AS (
+          SELECT doc_id, unnest(t) AS w,
+                 generate_subscripts(t, 1) AS i
+          FROM base),
+        bg AS (
+          SELECT a.doc_id, a.w AS w1, b.w AS w2
+          FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        train_bg AS (
+          SELECT DISTINCT w1, w2 FROM bg WHERE doc_id % 10 <> 0),
+        eval_bg AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS ec
+          FROM bg WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+        flagged AS (
+          SELECT e.ec,
+                 CASE WHEN t.w1 IS NOT NULL THEN 1 ELSE 0 END AS seen
+          FROM eval_bg e LEFT JOIN train_bg t USING (w1, w2)),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS eval_types,
+                 CAST(sum(ec) AS BIGINT) AS eval_tokens,
+                 CAST(sum(seen) AS BIGINT) AS covered_types,
+                 CAST(sum(CASE WHEN seen = 1 THEN ec ELSE 0 END)
+                      AS BIGINT) AS covered_tokens
+          FROM flagged)
+        SELECT eval_types, covered_types, eval_tokens, covered_tokens,
+               round(CAST(covered_types AS DOUBLE)
+                     / CAST(eval_types AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS type_coverage,
+               round(CAST(covered_tokens AS DOUBLE)
+                     / CAST(eval_tokens AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS mass_coverage
+        FROM agg
+    """
+    sql["embedding_norm_outliers"] = """
+        WITH norms AS (
+          SELECT label,
+                 round(sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                   AS nrm
+          FROM embeddings),
+        med AS (
+          SELECT label, quantile_cont(nrm, 0.5) AS med
+          FROM norms GROUP BY 1),
+        mad AS (
+          SELECT n.label, max(m.med) AS med,
+                 quantile_cont(abs(n.nrm - m.med), 0.5) AS mad,
+                 CAST(count(*) AS BIGINT) AS n_vectors
+          FROM norms n JOIN med m USING (label)
+          GROUP BY 1),
+        thr AS (
+          SELECT label, med, n_vectors,
+                 round(CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)
+                       * mad, 6) + CAST(0.0 AS DOUBLE) AS t
+          FROM mad)
+        SELECT CAST(n.label AS INT) AS label,
+               max(t.n_vectors) AS n_vectors,
+               round(max(t.med), 6) + CAST(0.0 AS DOUBLE) AS median_norm,
+               CAST(sum(CASE WHEN abs(n.nrm - t.med) > t.t
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM norms n JOIN thr t USING (label)
+        GROUP BY 1 ORDER BY 1
+    """
+    sql["dup_cluster_size_hist"] = r"""
+        WITH clusters AS (
+          SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS fp,
+                 CAST(count(*) AS BIGINT) AS sz
+          FROM documents WHERE text IS NOT NULL GROUP BY 1)
+        SELECT CAST(CASE WHEN sz >= 5 THEN 5 ELSE sz END AS INT)
+                 AS cluster_size_bucket,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(sz) AS BIGINT) AS n_docs,
+               CAST(sum(sz - 1) AS BIGINT) AS n_removed_keep_one
+        FROM clusters GROUP BY 1 ORDER BY 1
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -261,6 +261,10 @@ SECONDARY = [
     "partial_corr_funnel",
     "var_cvar_daily",
     "theil_decomposition_nations",
+    "dedup_cross_source_report",
+    "ngram_coverage_eval_train",
+    "embedding_norm_outliers",
+    "dup_cluster_size_hist",
 ]
 
 
