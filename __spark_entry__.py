@@ -8745,16 +8745,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``pricing_summary`` .. ``latest_order_per_customer``, registry
     order), and position 50 takes the head of the next stale tier
     (``order_value_histogram``).
-    ROTATION PLAN for round 9: front-load (a) any round-8 additions
-    (added after ``_WINDOW_R8`` froze, so never driver-checked), (b)
-    the round-3/4-stale continuation in registry order
+    ROTATION PLAN for round 9: front-load (a) the 31 round-8 additions
+    (added after ``_WINDOW_R8`` froze, so never driver-checked —
+    ``logrank_purchase_segments`` .. ``dup_cluster_size_hist`` in
+    registry order; they fill most of the window), (b) the
+    round-3/4-stale continuation in registry order
     (``above_avg_spenders`` onward: ``part_cooccurrence``,
     ``nations_per_region``, ``view_purchase_conversion``,
     ``key_skew_report``, ``purchase_view_coincidence``, then the
-    mid-round-2 tier ``daily_value_interp`` ..), filling all
-    remaining slots — keep
-    cycling so every oracle-backed entry re-earns a driver green row
-    every ~2-3 rounds.
+    mid-round-2 tier ``daily_value_interp`` ..) for the remaining
+    slots — keep cycling so every oracle-backed entry re-earns a
+    driver green row every ~2-3 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
