@@ -8735,27 +8735,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     git history, both 50/50 driver-green).  Rows-only approximates (no
     oracle by design — see CLAUDE.md) stay at the very end so every
     in-window slot is a full hash-checked comparison.
-    ``_WINDOW_R8`` below executes the round-8 rotation per the round-7
-    VERDICT: position 1 re-checks the re-fixed round-7 red row
-    (``haar_revenue_wavelet``), positions 2-26 are the 25 round-7
-    oracle-backed additions that have never had a driver row
-    (``binseg_changepoints`` .. ``residual_diagnostics``, including
-    streaming shapes five and six), positions 27-49 are the 23
-    round-3-stale entries ``_WINDOW_R7`` could not fit
-    (``pricing_summary`` .. ``latest_order_per_customer``, registry
-    order), and position 50 takes the head of the next stale tier
-    (``order_value_histogram``).
-    ROTATION PLAN for round 9: front-load (a) the 31 round-8 additions
-    (added after ``_WINDOW_R8`` froze, so never driver-checked —
-    ``logrank_purchase_segments`` .. ``dup_cluster_size_hist`` in
-    registry order; they fill most of the window), (b) the
-    round-3/4-stale continuation in registry order
-    (``above_avg_spenders`` onward: ``part_cooccurrence``,
-    ``nations_per_region``, ``view_purchase_conversion``,
-    ``key_skew_report``, ``purchase_view_coincidence``, then the
-    mid-round-2 tier ``daily_value_interp`` ..) for the remaining
-    slots — keep cycling so every oracle-backed entry re-earns a
-    driver green row every ~2-3 rounds.
+    ``_WINDOW_R9`` below executes the round-9 rotation per the round-8
+    VERDICT: positions 1-31 are the 31 round-8 oracle-backed additions
+    that have never had a driver row (``logrank_purchase_segments`` ..
+    ``dup_cluster_size_hist``, registry order — added after
+    ``_WINDOW_R8`` froze), positions 32-37 continue the stale tier
+    (``above_avg_spenders`` .. ``purchase_view_coincidence``, registry
+    order), and positions 38-50 take the mid-round-2 tier head
+    (``daily_value_interp`` .. ``dormant_high_balance``, skipping
+    rows-only entries so every slot is hash-checked).
+    ROTATION PLAN for round 10: front-load (a) any round-9 additions
+    (added after ``_WINDOW_R9`` froze, so never driver-checked), then
+    (b) the mid-round-2/round-3 stale continuation in registry order
+    (``promo_revenue_share`` onward: ``disjunctive_branch_revenue``,
+    ``top_supplier_per_quarter``, ``large_volume_orders``,
+    ``nation_pair_trade``, ``order_count_distribution``,
+    ``late_shipment_rate``, then the round-3 tier
+    ``streaming_sessions`` ..), skipping rows-only entries — keep
+    cycling so every oracle-backed entry re-earns a driver green row
+    every ~2-3 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
@@ -9020,8 +9018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_outliers": q_embedding_norm_outliers,
         "dup_cluster_size_hist": q_dup_cluster_size_hist,
     })
-    # --- round-8 rotation: reorder so the driver's 50-entry window ---
-    ordered = {name: core[name] for name in _WINDOW_R8}
+    # --- round-9 rotation: reorder so the driver's 50-entry window ---
+    ordered = {name: core[name] for name in _WINDOW_R9}
     ordered.update((n, f) for n, f in core.items() if n not in ordered)
     # rows-only approximates (no oracle by design) go last: a window
     # slot spent on them yields only a weak rows-only driver check
@@ -9043,68 +9041,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-8 driver window — executes the rotation the round-7 VERDICT
-#: ordered: the 25 never-driver-checked round-7 oracle-backed
-#: additions plus the re-fixed round-7 red row ``haar_revenue_wavelet``
-#: (1-26, including streaming shapes five and six), the 23
-#: round-3-stale spills ``_WINDOW_R7`` could not fit (27-49,
-#: ``pricing_summary`` .. ``latest_order_per_customer`` in registry
-#: order), and the head of the next stale tier (50).  Round-9
-#: continuation is documented in the ``queries()`` docstring.
-_WINDOW_R8 = [
-    # --- 1-26: haar re-check + never driver-checked r7 additions ---
-    "haar_revenue_wavelet",  # round-7 red row, re-fixed this round
-    "binseg_changepoints",
-    "mann_kendall_trend",
-    "hurst_rs_daily",
-    "sentence_length_stats",
-    "kneser_ney_bigram",
-    "rake_keyphrases",
-    "copurchase_link_prediction",
-    "growth_accounting_weekly",
-    "srm_check",
-    "sprt_conversion_test",
-    "ab_power_analysis",
-    "cochran_armitage_trend",
-    "source_log_odds_words",
-    "bootstrap_ci_daily_revenue",
-    "recsys_eval_popularity",
-    "streaming_dedup_report",
-    "streaming_static_enrich",
-    "revenue_anova_factors",
-    "categorical_mi_matrix",
-    "lexical_diversity_report",
-    "inequality_indices",
-    "views_purchases_ccf",
-    "newsvendor_stock_levels",
-    "user_interarrival_stats",
-    "residual_diagnostics",
-    # --- 26-48: round-3-stale spills from _WINDOW_R7, registry order ---
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "returned_item_report",
-    "asof_prev_order",
-    "session_stats",
-    "dense_daily_purchases",
-    "funnel_view_click_purchase",
-    "pivot_type_daily",
-    "unpivot_type_daily",
-    "viewers_vs_purchasers",
-    "value_percentiles",
-    "stats_report",
-    "value_distribution",
-    "embedding_centroids",
-    "daily_plays_vs_purchases",
-    "grouping_sets_report",
-    "heavy_hitter_users",
-    "union_schema_drift",
-    "cohort_retention",
-    "mom_revenue_growth",
-    "latest_order_per_customer",
-    # --- 50: head of the next stale tier ---
-    "order_value_histogram",
+#: Round-9 driver window — executes the rotation the round-8 VERDICT
+#: ordered: the 31 never-driver-checked round-8 oracle-backed
+#: additions (1-31, ``logrank_purchase_segments`` ..
+#: ``dup_cluster_size_hist`` in registry order), the stale-tier
+#: continuation ``_WINDOW_R8`` could not fit (32-37), and the
+#: mid-round-2 tier head (38-50, skipping rows-only entries).
+#: Round-10 continuation is documented in the ``queries()`` docstring.
+_WINDOW_R9 = [
+    # --- 1-31: never driver-checked round-8 additions, registry order ---
+    "logrank_purchase_segments",
+    "nelson_aalen_hazard",
+    "wilcoxon_halfyear_revenue",
+    "bh_fdr_event_shares",
+    "theil_u2_seasonal_naive",
+    "spectral_entropy_revenue",
+    "seasonal_strength_weekly",
+    "value_drift_jsd",
+    "kn_bigram_perplexity",
+    "curriculum_deciles",
+    "tokenizer_fertility_by_source",
+    "timed_funnel_conversion",
+    "retention_decay_fit",
+    "item_item_cosine",
+    "kpss_stationarity",
+    "dickey_fuller",
+    "vocab_chao1_by_source",
+    "good_turing_counts",
+    "streaming_abandoned_purchases",
+    "diff_in_diff_purchases",
+    "perplexity_filter_buckets",
+    "centroid_label_confusion",
+    "mde_for_current_traffic",
+    "breusch_pagan_daily",
+    "partial_corr_funnel",
+    "var_cvar_daily",
+    "theil_decomposition_nations",
+    "dedup_cross_source_report",
+    "ngram_coverage_eval_train",
+    "embedding_norm_outliers",
+    "dup_cluster_size_hist",
+    # --- 32-37: stale-tier continuation, registry order ---
+    "above_avg_spenders",
+    "part_cooccurrence",
+    "nations_per_region",
+    "view_purchase_conversion",
+    "key_skew_report",
+    "purchase_view_coincidence",
+    # --- 38-50: mid-round-2 tier head (rows-only entries skipped) ---
+    "daily_value_interp",
+    "cdc_orders_snapshot",
+    "rolling_7day_median_revenue",
+    "orders_table_profile",
+    "quality_budget_select",
+    "weekday_adjusted_anomaly",
+    "weekly_active_users",
+    "decayed_engagement",
+    "session_type_cooccurrence",
+    "event_lateness_report",
+    "time_to_purchase",
+    "nation_market_share",
+    "dormant_high_balance",
 ]
 
 
