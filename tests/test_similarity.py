@@ -798,3 +798,67 @@ def test_ivf_assign_preserves_id_type(spark):
     assert dict(out.dtypes)["vec_id"] == "string"
     got = {r.vec_id for r in out.collect()}
     assert got == {f"doc-{i}" for i in range(12)}
+
+
+def test_ivf_meta_torn_write_self_heals(spark, tmp_path):
+    """Round-8 VERDICT item 3: a torn / lost / garbage ``meta.json``
+    must never leave ``next_epoch`` behind existing row or tombstone
+    epochs.  Verify-on-read (sha256) detects corruption and rebuilds
+    the counter from the data itself; a stray ``meta.json.tmp`` from a
+    crash before the atomic rename is ignored."""
+    import json
+    import os
+
+    from wistia_video_analytics_project_spark.operators.similarity import (
+        _ivf_meta_read,
+    )
+    from wistia_video_analytics_project_spark.sources import load_table
+
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    path = str(tmp_path / "ivf_torn")
+    similarity.ivf_write_index(base, path, n_centroids=8)          # next=1
+    batch = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    similarity.ivf_add_to_index(spark, path, batch)                # epoch 1
+    victim = batch.orderBy("vec_id").limit(1).collect()[0]
+    similarity.ivf_delete_from_index(spark, path, [victim.vec_id])  # del 2
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        committed = json.load(f)
+    assert committed["next_epoch"] == 3
+    assert committed["sha"]  # checksum stored
+
+    # 1. torn file (truncated mid-write on a non-atomic filesystem)
+    blob = json.dumps(committed)
+    with open(meta_path, "w") as f:
+        f.write(blob[: len(blob) // 2])
+    assert _ivf_meta_read(path)["next_epoch"] == 3  # rebuilt, not reset
+
+    # 2. valid JSON but stale payload smuggled in (checksum mismatch)
+    with open(meta_path, "w") as f:
+        json.dump({"next_epoch": 1, "sha": committed["sha"]}, f)
+    assert _ivf_meta_read(path)["next_epoch"] == 3
+
+    # 3. meta lost entirely + a garbage .tmp left by a crashed writer
+    os.remove(meta_path)
+    with open(meta_path + ".tmp", "w") as f:
+        f.write("{half a wri")
+    assert _ivf_meta_read(path)["next_epoch"] == 3
+
+    # 4. end-to-end: with meta still lost, re-adding the deleted id
+    # must stamp an epoch >= the tombstone's del_epoch so the row
+    # RESURRECTS (a reset counter would stamp 1 < del_epoch 2 and the
+    # tombstone would silently hide the fresh row)
+    readd = emb.filter(F.col("vec_id") == victim.vec_id)
+    similarity.ivf_add_to_index(spark, path, readd)
+    q = spark.createDataFrame(
+        [(999999, victim.embedding)], "vec_id long, embedding array<float>"
+    )
+    top = similarity.ivf_query_index(spark, path, q, k=1, nprobe=8).collect()
+    assert top and top[0].neighbor_id == victim.vec_id
+    # the heal re-committed a checksummed meta via the add
+    with open(meta_path) as f:
+        healed = json.load(f)
+    assert healed["next_epoch"] == 4 and "sha" in healed
