@@ -265,6 +265,8 @@ SECONDARY = [
     "ngram_coverage_eval_train",
     "embedding_norm_outliers",
     "dup_cluster_size_hist",
+    # round-9 operators
+    "ann_ivf_full_probe",
 ]
 
 

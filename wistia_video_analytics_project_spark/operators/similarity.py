@@ -1785,6 +1785,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(queries_df, emb, k=5, n_centroids=16, nprobe=4)
 
 
+def q_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at ``nprobe == n_centroids``: every cell is probed, so the
+    candidate set is the whole corpus and the result EQUALS brute force
+    (pytest-asserted in tests/test_similarity.py) — which makes this the
+    ANN family's hash-checked driver entry (round-8 VERDICT item 5).
+    Same deterministic ordering contract as :func:`brute_force_topk`
+    (rounded-6 cosine, neighbor-id tiebreak), so the brute-force oracle
+    SQL applies verbatim.  The pruned-probe throughput binding
+    (``ann_ivf``, nprobe 4/16) stays the documented speed point."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf_topk(queries_df, emb, k=5, n_centroids=16, nprobe=16)
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
@@ -1806,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "truncated_dim_recall": q_truncated_dim_recall,
+        "ann_ivf_full_probe": q_ann_ivf_full_probe,
         # approximate; driver records rows-only, recall vs brute force /
         # exact dedup is asserted in tests/test_similarity.py
         "ann_lsh": q_ann_lsh,
@@ -1830,7 +1845,7 @@ _COSINE_CTES = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "ann_brute_force": f"""
             WITH {_COSINE_CTES},
             dots AS (
@@ -1973,3 +1988,8 @@ def oracle_sql() -> dict[str, str]:
               AND vec_id NOT IN (SELECT id_b FROM dropped)
         """,
     }
+    # full-probe IVF == brute force exactly (nprobe == n_centroids: the
+    # candidate set is the whole corpus; same round-6 cosine + id
+    # tiebreak), so the brute-force oracle applies verbatim
+    sql["ann_ivf_full_probe"] = sql["ann_brute_force"]
+    return sql
