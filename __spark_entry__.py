@@ -8717,6 +8717,60 @@ def q_dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-9 tier
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming shape eight: arbitrary-stateful TIMEOUT sessions
+    (``applyInPandasWithState`` + ``EventTimeTimeout``) run to
+    completion — the flatMapGroupsWithState pattern family's first
+    hash-checked entry (round-8 VERDICT item 6).
+
+    Emission set at stream end is deterministic: sessions closed by a
+    successor event always emit (``closed_by='gap'``); the last open
+    session per user emits via its event-time timer once the final
+    watermark (max ts − 1 h) passes ``session_end + gap``
+    (``closed_by='timeout'``).  Both sides restrict to
+    ``session_end + gap + 10 ms margin <= horizon`` in exact integer
+    micros, so the boundary rows the ms-granular watermark could
+    resolve either way are excluded identically (the round-8
+    streaming-join precedent).  Oracle: batch gaps-and-islands with
+    ``closed_by`` derived from successor existence.
+    """
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+        timeout_sessionize,
+    )
+
+    gap_us = 1_800_000_000  # 30 min
+    stream, tag = _staged_event_stream(spark, sf_dir)
+    sess = timeout_sessionize(
+        stream, gap_s=1800.0, watermark="1 hour"
+    )
+    name = f"stream_timeout_sessions_{tag}"
+    run_to_memory_sink(sess, name)
+    max_us = (
+        _t(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")).alias("m"))
+        .collect()[0].m
+    )
+    horizon_us = max_us - 3_600_000_000  # final watermark, micros
+    return (
+        spark.table(name)
+        .filter(
+            F.col("session_end_us") + F.lit(gap_us) + F.lit(10_000)
+            <= F.lit(horizon_us)
+        )
+        .select(
+            "user_id", "session_start_us", "session_end_us",
+            "n_events", "closed_by",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -9017,6 +9071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_coverage_eval_train": q_ngram_coverage_eval_train,
         "embedding_norm_outliers": q_embedding_norm_outliers,
         "dup_cluster_size_hist": q_dup_cluster_size_hist,
+        # round-9 additions (front-load _WINDOW_R10 per the docstring)
+        "streaming_timeout_sessions": q_streaming_timeout_sessions,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -14053,6 +14109,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(sz) AS BIGINT) AS n_docs,
                CAST(sum(sz - 1) AS BIGINT) AS n_removed_keep_one
         FROM clusters GROUP BY 1 ORDER BY 1
+    """
+    # round-9 additions
+    sql["streaming_timeout_sessions"] = """
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us FROM events),
+        mx AS (SELECT max(us) AS max_us FROM ev),
+        marked AS (
+          SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        islands AS (
+          SELECT user_id, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM marked),
+        sess AS (
+          SELECT user_id,
+                 min(us) AS session_start_us,
+                 max(us) AS session_end_us,
+                 CAST(count(*) AS INT) AS n_events
+          FROM islands GROUP BY user_id, grp),
+        tagged AS (
+          SELECT user_id, session_start_us, session_end_us, n_events,
+                 CASE WHEN lead(session_start_us) OVER (
+                        PARTITION BY user_id ORDER BY session_start_us)
+                      IS NOT NULL THEN 'gap' ELSE 'timeout' END
+                   AS closed_by
+          FROM sess)
+        SELECT user_id, session_start_us, session_end_us, n_events,
+               closed_by
+        FROM tagged, mx
+        WHERE session_end_us + 1800000000 + 10000
+              <= max_us - 3600000000
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -267,6 +267,7 @@ SECONDARY = [
     "dup_cluster_size_hist",
     # round-9 operators
     "ann_ivf_full_probe",
+    "streaming_timeout_sessions",
 ]
 
 

@@ -105,3 +105,65 @@ def test_transform_with_state_lifetime_stats(spark, tmp_path):
     assert (1, 1, 10.0) in snapshots
     assert (1, 2, 12.5) in snapshots  # state carried across batches
     assert (2, 1, 1.0) in snapshots
+
+
+def test_timeout_sessionize_flushes_and_bounds_state(spark, tmp_path):
+    """Streaming shape eight (round-8 VERDICT item 6): EventTimeTimeout
+    sessions.  A gap-closed session emits with the batch that closes it
+    ('gap'); open sessions flush via their event-time timer once the
+    watermark passes session_end + gap ('timeout'); flushed keys are
+    REMOVED from the state store, so state stays O(open keys)."""
+    stream = _write_batches(
+        spark,
+        tmp_path,
+        [
+            # user 1: burst (2 events), then a 35-min gap closes it and
+            # opens a second session; user 2: one lone event
+            [
+                (T0, 1, 1.0),
+                (T0 + dt.timedelta(minutes=10), 1, 1.0),
+                (T0 + dt.timedelta(minutes=45), 1, 1.0),
+                (T0, 2, 1.0),
+            ],
+            # user 3 five hours later: watermark (max ts - 1 h) passes
+            # every earlier timer -> users 1 and 2 flush by timeout
+            [(T0 + dt.timedelta(hours=5), 3, 1.0)],
+        ],
+    )
+    out = stateful.timeout_sessionize(stream, gap_s=1800.0, watermark="1 hour")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("timeout_sessions")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            state_rows = [
+                op["numRowsTotal"]
+                for p in q.recentProgress
+                for op in (p.get("stateOperators") or [])
+            ]
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    rows = spark.sql("SELECT * FROM timeout_sessions").collect()
+    got = {
+        (r.user_id, r.closed_by, r.n_events,
+         r.session_end_us - r.session_start_us)
+        for r in rows
+    }
+    assert got == {
+        (1, "gap", 2, 600_000_000),     # T0..T0+10min, closed by successor
+        (1, "timeout", 1, 0),           # the T0+45min singleton, flushed
+        (2, "timeout", 1, 0),           # lone event, flushed
+    }
+    # user 3's open session never emits ...
+    assert not [r for r in rows if r.user_id == 3]
+    # ... and is the ONLY key left in the store after the flush batch
+    assert state_rows and state_rows[-1] == 1
