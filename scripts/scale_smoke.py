@@ -421,10 +421,214 @@ def kn_ladder(spark, release_caches) -> None:
               f"({n / best / 1e3:6.1f} K docs/s)")
 
 
+def itemcos_ladder(spark, release_caches) -> None:
+    """item_item_cosine's heavy stage (round-8 VERDICT item 4): the
+    within-basket pair join + co-count + degree-normalized cosine,
+    under the same ≤50-line basket cap as the driver binding.  Replicas
+    are id-shifted on BOTH order and part keys (disjoint baskets AND
+    disjoint catalogs), so pair volume scales exactly linearly — a
+    super-linear wall curve would flag the join, not the data."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    all_pairs = li.select("l_orderkey", "l_partkey").distinct()
+    small = (
+        all_pairs.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") <= 50)
+        .select("l_orderkey")
+    )
+    base = all_pairs.join(small, "l_orderkey").localCheckpoint(eager=True)
+
+    def run(pairs):
+        deg = pairs.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        a, b = pairs.alias("a"), pairs.alias("b")
+        co = (
+            a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .groupBy(
+                F.col("a.l_partkey").alias("item_a"),
+                F.col("b.l_partkey").alias("item_b"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("co_count"))
+            .filter(F.col("co_count") >= 2)
+        )
+        withdeg = co.join(
+            deg.select(F.col("l_partkey").alias("item_a"),
+                       F.col("deg").alias("deg_a")), "item_a",
+        ).join(
+            deg.select(F.col("l_partkey").alias("item_b"),
+                       F.col("deg").alias("deg_b")), "item_b",
+        )
+        cos = F.col("co_count").cast("double") / F.sqrt(
+            F.col("deg_a").cast("double") * F.col("deg_b").cast("double")
+        )
+        return (
+            withdeg.select("item_a", "item_b", cos.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
+            .limit(20)
+        )
+
+    for k in (1, 4, 8, 16):
+        pp = base
+        for i in range(1, k):
+            pp = pp.unionByName(
+                base.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + i * 100_000_000
+                ).withColumn(
+                    "l_partkey", F.col("l_partkey") + i * 100_000_000
+                )
+            )
+        best = min(_time(lambda: run(pp).count()) for _ in range(2))
+        release_caches()
+        n = pp.count()
+        print(f"x{k:>2} ({n:>9,} basket-lines) item_cosine : {best:6.2f}s "
+              f"({n / best / 1e3:6.1f} K lines/s)")
+
+
+def ppl_ladder(spark, release_caches) -> None:
+    """perplexity_filter_buckets' dominant cost (round-8 VERDICT item
+    4): the KN scoring scan — train bigram stats on the corpus, explode
+    every doc's bigrams, join the vocabulary-sized model tables, reduce
+    to per-doc bits.  Docs are mutated replicas (multiply_docs_mutated)
+    so vocabulary and bigram-type counts grow with the corpus like real
+    data, not k identical shards."""
+    from wistia_video_analytics_project_spark.operators import ngram_lm
+
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.count()
+
+    def run(dd):
+        bc = ngram_lm.bigram_counts(dd).localCheckpoint(eager=True)
+        ctx = bc.groupBy("w1").agg(
+            F.sum("c12").cast("long").alias("c1"),
+            F.count(F.lit(1)).cast("long").alias("n_follow"),
+        )
+        cont = bc.groupBy("w2").agg(
+            F.count(F.lit(1)).cast("long").alias("n_precede")
+        )
+        types = bc.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+        from wistia_video_analytics_project_spark.operators import text
+
+        base = (
+            dd.filter(F.col("text").isNotNull())
+            .select(F.col("doc_id"), text.tokens("text").alias("__t"))
+            .filter(F.size("__t") >= 2)
+        )
+        per_doc = base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1), i -> "
+                    "struct(element_at(__t, i) AS w1, "
+                    "element_at(__t, i + 1) AS w2))"
+                )
+            ).alias("__b"),
+        ).groupBy("doc_id", "__b.w1", "__b.w2").agg(
+            F.count(F.lit(1)).cast("long").alias("ec")
+        )
+        p_kn = (
+            F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0))
+            / F.col("c1").cast("double")
+            + F.lit(0.75)
+            * F.col("n_follow").cast("double") / F.col("c1").cast("double")
+            * F.col("n_precede").cast("double") / F.col("n_types").cast("double")
+        )
+        return (
+            per_doc.join(ctx, "w1")
+            .join(cont, "w2")
+            .join(bc, ["w1", "w2"], "left")
+            .crossJoin(F.broadcast(types))
+            .groupBy("doc_id")
+            .agg(F.sum(-F.col("ec").cast("double") * F.log(p_kn)).alias("nll"))
+        )
+
+    for k in (1, 4, 8, 16):
+        dd = multiply_docs_mutated(docs, k)
+        best = min(_time(lambda: run(dd).count()) for _ in range(2))
+        release_caches()
+        n = dd.count()
+        print(f"x{k:>2} ({n:>9,} docs) kn_doc_bits  : {best:6.2f}s "
+              f"({n / best / 1e3:6.1f} K docs/s)")
+
+
+def abandon_ladder(spark, release_caches) -> None:
+    """streaming_abandoned_purchases' state posture (round-8 VERDICT
+    item 4): the left-outer stream-stream join driven to completion on
+    k-fold replicated events (disjoint users, SAME time span — so event
+    RATE grows k-fold while the watermark window stays fixed).  The
+    claim under test: state is bounded by rate x (window + watermark),
+    never total history — peak state rows should scale ~k while
+    throughput (events/s) RISES as the fixed checkpoint overhead
+    amortizes."""
+    import tempfile
+
+    from wistia_video_analytics_project_spark.streaming import (
+        stream_stream_window_join,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    for k in (1, 4, 8):
+        ev = multiply(events, k)
+        stage = os.path.join(
+            tempfile.gettempdir(), f"abandon_ladder_{os.getpid()}_{k}"
+        )
+        ev.write.mode("overwrite").parquet(stage)
+        n = ev.count()
+
+        def run_once() -> int:
+            stream = spark.readStream.schema(ev.schema).parquet(stage)
+            p = stream.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("event_id").alias("purchase_id"), "ts"
+            )
+            v = stream.filter(F.col("event_type") == "view").select(
+                "user_id", F.col("event_id").alias("view_id"),
+                F.col("ts").alias("vts"),
+            )
+            joined = stream_stream_window_join(
+                p, v, ["user_id"], "ts", "vts",
+                window="1 hour", watermark="2 hours", how="leftOuter",
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                q = (
+                    joined.writeStream.outputMode("append")
+                    .format("memory")
+                    .queryName(f"abandon_ladder_{k}")
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                    peak = max(
+                        (
+                            op["numRowsTotal"]
+                            for pr in q.recentProgress
+                            for op in (pr.get("stateOperators") or [])
+                        ),
+                        default=0,
+                    )
+                finally:
+                    q.stop()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            return peak
+
+        peaks: list[int] = []
+        best = min(_time(lambda: peaks.append(run_once())) for _ in range(2))
+        release_caches()
+        print(f"x{k:>2} ({n:>9,} events) abandon_join : {best:6.2f}s "
+              f"({n / best / 1e3:6.1f} K events/s, peak state rows "
+              f"{max(peaks):,})")
+
+
 def main() -> None:
     from wistia_video_analytics_project_spark.cache import release_caches
 
-    known = {"events", "docs", "lpa", "als", "unigram", "kn"}
+    known = {"events", "docs", "lpa", "als", "unigram", "kn",
+             "itemcos", "ppl", "abandon"}
     sections = set(sys.argv[1:]) or set(known)
     unknown = sections - known
     if unknown:
@@ -439,6 +643,12 @@ def main() -> None:
         unigram_ladder(spark, release_caches)
     if "kn" in sections:
         kn_ladder(spark, release_caches)
+    if "itemcos" in sections:
+        itemcos_ladder(spark, release_caches)
+    if "ppl" in sections:
+        ppl_ladder(spark, release_caches)
+    if "abandon" in sections:
+        abandon_ladder(spark, release_caches)
     if not sections & {"events", "docs", "lpa"}:
         spark.stop()
         return
