@@ -8770,6 +8770,269 @@ def q_streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jarque_bera_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on 1995 daily revenue: JB =
+    n/6·(S² + (K−3)²/4) from EXPLICIT central moments (the
+    higher_moments_report precedent — builtin skewness/kurtosis are
+    not cross-engine comparable).  Mean is the exact integer-cents
+    ratio, deviations are elementwise-identical doubles, the moment
+    ratios are scale-free O(1) and round at 4.  χ²(2) 5% critical =
+    5.991 (fixed literal).  Scale: the fact reduces to the ≤365-row
+    day spine before any moment pass."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    mu = daily.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("__mu")
+    )
+    d = F.col("cents").cast("double") - F.col("__mu")
+    m = daily.crossJoin(F.broadcast(mu)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.avg(d * d).alias("__m2"),
+        F.avg(d * d * d).alias("__m3"),
+        F.avg(d * d * d * d).alias("__m4"),
+    )
+    s = F.col("__m3") / F.pow(F.col("__m2"), 1.5)
+    k = F.col("__m4") / (F.col("__m2") * F.col("__m2"))
+    jb = (
+        F.col("n_days").cast("double") / F.lit(6.0)
+        * (s * s + (k - F.lit(3.0)) * (k - F.lit(3.0)) / F.lit(4.0))
+    )
+    return m.select(
+        "n_days",
+        (F.round(s, 4) + F.lit(0.0)).alias("skewness"),
+        (F.round(k - F.lit(3.0), 4) + F.lit(0.0)).alias("excess_kurtosis"),
+        (F.round(jb, 4) + F.lit(0.0)).alias("jb_stat"),
+        F.when(F.round(jb, 4) > 5.991, F.lit("non_normal"))
+        .otherwise(F.lit("normal"))
+        .alias("verdict_5pct"),
+    )
+
+
+def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation test on the residuals of the 1995
+    daily-revenue time trend: DW = Σ(e_t−e_{t−1})² / Σe_t².  The OLS
+    (a, b) comes from exact DECIMAL(38)/HUGEINT integer moments (the
+    breusch_pagan/dickey_fuller pattern) so residuals are
+    elementwise-identical doubles; the two quadratic sums carry ~1e-13
+    relative noise and DW rounds at 4.  Conventional bands as fixed
+    literals: <1.5 positive, >2.5 negative, else none."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    wi = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(wi).cast("long").alias("i"), "cents"
+    )
+    xd = F.col("i").cast("decimal(19,0)")
+    yd = F.col("cents").cast("decimal(19,0)")
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(xd).cast("decimal(38,0)").alias("__sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("__sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("__sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("__sxx"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    beta = (sxy - sx * sy / nd) / (sxx - sx * sx / nd)
+    alpha = sy / nd - beta * (sx / nd)
+    fit = mom.select("n_days", beta.alias("__b"), alpha.alias("__a"))
+    res = idx.crossJoin(F.broadcast(fit)).select(
+        "n_days",
+        "i",
+        (
+            F.col("cents").cast("double")
+            - F.col("__a")
+            - F.col("__b") * F.col("i").cast("double")
+        ).alias("__e"),
+    )
+    wl = Window.orderBy("i")
+    lagged = res.select(
+        "n_days", "__e", F.lag("__e").over(wl).alias("__ep")
+    )
+    agg = lagged.agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("__ep").isNotNull(),
+                (F.col("__e") - F.col("__ep")) * (F.col("__e") - F.col("__ep")),
+            )
+        ).alias("__num"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__den"),
+    )
+    dw = F.round(F.col("__num") / F.col("__den"), 4) + F.lit(0.0)
+    return agg.select(
+        "n_days",
+        dw.alias("dw_stat"),
+        F.when(dw < 1.5, F.lit("positive_autocorr"))
+        .when(dw > 2.5, F.lit("negative_autocorr"))
+        .otherwise(F.lit("none"))
+        .alias("verdict"),
+    )
+
+
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on 1995 daily revenue vs its LOWER
+    MEDIAN (explicit order statistic at position (n+1) div 2 — no
+    engine-defined even-n averaging), days equal to the median
+    excluded (standard).  Runs/n1/n2 are exact integers; the normal
+    approximation z = (R − μ)/σ uses μ = 2·n1·n2/(n1+n2) + 1 and
+    σ² = 2·n1·n2·(2·n1·n2 − n1 − n2)/((n1+n2)²·(n1+n2−1)) — double
+    arithmetic over exact integers, identical cross-engine; round 4."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    wv = Window.orderBy("cents", "day")
+    med = (
+        daily.select(
+            "cents",
+            F.row_number().over(wv).alias("__rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("__n"),
+        )
+        .filter(F.col("__rn") == F.floor((F.col("__n") + F.lit(1)) / F.lit(2.0)))
+        .select(F.col("cents").alias("__med"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("__med"))
+        .select(
+            "day",
+            F.when(F.col("cents") > F.col("__med"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__s"),
+        )
+    )
+    wd = Window.orderBy("day")
+    runs = signed.select(
+        "__s",
+        F.when(
+            F.lag("__s").over(wd).isNull()
+            | (F.lag("__s").over(wd) != F.col("__s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__brk"),
+    ).agg(
+        F.sum("__brk").cast("long").alias("n_runs"),
+        F.sum("__s").cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("__s")).cast("long").alias("n_below"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    ntot = n1 + n2
+    mu_r = F.lit(2.0) * n1 * n2 / ntot + F.lit(1.0)
+    var_r = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (ntot * ntot * (ntot - F.lit(1.0)))
+    )
+    z = (F.col("n_runs").cast("double") - mu_r) / F.sqrt(var_r)
+    return runs.select(
+        "n_runs",
+        "n_above",
+        "n_below",
+        (F.round(z, 4) + F.lit(0.0)).alias("z_stat"),
+        F.when(F.abs(F.round(z, 4)) > 1.96, F.lit("non_random"))
+        .otherwise(F.lit("random"))
+        .alias("verdict_5pct"),
+    )
+
+
+def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on 1995 daily revenue: Q = n(n+2)·
+    Σ_{k=1..7} ρ_k²/(n−k) — "is there ANY autocorrelation in the first
+    week of lags", the one-number complement to the per-lag ACF entry.
+    Mean is the exact integer-cents ratio; per-lag products are
+    elementwise-identical doubles (the daily_revenue_acf posture);
+    ρ_k are O(1) ratios rounded into Q at 4.  χ²(7) 5% = 14.067.
+    Scale: lags ride 7 window-lag columns over the ≤365-row spine —
+    one pass, no self-join."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    mu = daily.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("__mu")
+    )
+    wd = Window.orderBy("day")
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("cents").cast("double") - F.col("__mu")).alias("__d")
+    )
+    lag_cols = [
+        F.lag("__d", k).over(wd).alias(f"__d{k}") for k in range(1, 8)
+    ]
+    lagged = dev.select("__d", *lag_cols)
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__c0"),
+        *[
+            F.sum(F.col("__d") * F.col(f"__d{k}")).alias(f"__c{k}")
+            for k in range(1, 8)
+        ],
+    )
+    nd = F.col("n_days").cast("double")
+    q_stat = (
+        nd
+        * (nd + F.lit(2.0))
+        * sum(
+            (F.col(f"__c{k}") / F.col("__c0"))
+            * (F.col(f"__c{k}") / F.col("__c0"))
+            / (nd - F.lit(float(k)))
+            for k in range(1, 8)
+        )
+    )
+    return agg.select(
+        "n_days",
+        (F.round(q_stat, 4) + F.lit(0.0)).alias("lb_stat"),
+        F.when(F.round(q_stat, 4) > 14.067, F.lit("autocorrelated"))
+        .otherwise(F.lit("white_noise"))
+        .alias("verdict_5pct"),
+    )
+
+
+def q_grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs-style max-deviation outlier screen on 1995 daily
+    revenue: G = max|x − x̄| / s (sample stddev), reporting the
+    arg-max day (deterministic |dev| desc, day asc tiebreak).  Mean
+    is the exact integer-cents ratio; s² uses the n−1 divisor from
+    the same elementwise deviations.  Verdict against the fixed
+    operational 3.0 threshold (3-sigma rule) rather than the n-dependent
+    t-quantile (no t tables cross-engine).  Scale: two passes over the
+    ≤365-row spine."""
+    daily = cache.track(_daily_cents_1995(spark, sf_dir).cache())
+    mu = daily.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("__mu"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    d = F.col("cents").cast("double") - F.col("__mu")
+    devs = daily.crossJoin(F.broadcast(mu)).select(
+        "day", "n_days", d.alias("__d"), (d * d).alias("__d2")
+    )
+    s2 = devs.agg(
+        F.max("n_days").alias("n_days"),
+        (
+            F.sum("__d2")
+            / (F.max("n_days").cast("double") - F.lit(1.0))
+        ).alias("__s2"),
+    )
+    top = (
+        devs.select("day", F.abs(F.col("__d")).alias("__ad"))
+        .orderBy(F.desc("__ad"), F.asc("day"))
+        .limit(1)
+        .select(F.col("day").alias("outlier_day"), "__ad")
+    )
+    g = F.col("__ad") / F.sqrt(F.col("__s2"))
+    return s2.crossJoin(F.broadcast(top)).select(
+        "n_days",
+        "outlier_day",
+        (F.round(g, 4) + F.lit(0.0)).alias("g_stat"),
+        F.when(F.round(g, 4) > 3.0, F.lit("outlier"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict_3sigma"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9073,6 +9336,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_size_hist": q_dup_cluster_size_hist,
         # round-9 additions (front-load _WINDOW_R10 per the docstring)
         "streaming_timeout_sessions": q_streaming_timeout_sessions,
+        "jarque_bera_daily": q_jarque_bera_daily,
+        "durbin_watson_daily": q_durbin_watson_daily,
+        "runs_test_daily": q_runs_test_daily,
+        "ljung_box_daily": q_ljung_box_daily,
+        "grubbs_outlier_daily": q_grubbs_outlier_daily,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -14145,6 +14413,203 @@ def oracle_sql() -> dict[str, str]:
         FROM tagged, mx
         WHERE session_end_us + 1800000000 + 10000
               <= max_us - 3600000000
+    """
+    #: shared 1995 daily integer-cents spine (DuckDB side of
+    #: _daily_cents_1995)
+    _DAILY_CENTS = """
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+          GROUP BY 1)
+    """
+    sql["jarque_bera_daily"] = f"""
+        WITH {_DAILY_CENTS},
+        mu AS (
+          SELECT CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS m,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM daily),
+        mom AS (
+          SELECT max(n_days) AS n_days,
+                 avg((CAST(cents AS DOUBLE) - m) * (CAST(cents AS DOUBLE) - m))
+                   AS m2,
+                 avg((CAST(cents AS DOUBLE) - m) * (CAST(cents AS DOUBLE) - m)
+                     * (CAST(cents AS DOUBLE) - m)) AS m3,
+                 avg((CAST(cents AS DOUBLE) - m) * (CAST(cents AS DOUBLE) - m)
+                     * (CAST(cents AS DOUBLE) - m) * (CAST(cents AS DOUBLE) - m))
+                   AS m4
+          FROM daily, mu GROUP BY m),
+        stats AS (
+          SELECT n_days,
+                 m3 / (m2 ^ CAST(1.5 AS DOUBLE)) AS s,
+                 m4 / (m2 * m2) AS k
+          FROM mom),
+        jb AS (
+          SELECT n_days, s, k,
+                 CAST(n_days AS DOUBLE) / CAST(6.0 AS DOUBLE)
+                 * (s * s + (k - CAST(3.0 AS DOUBLE))
+                          * (k - CAST(3.0 AS DOUBLE))
+                          / CAST(4.0 AS DOUBLE)) AS q
+          FROM stats)
+        SELECT n_days,
+               round(s, 4) + CAST(0.0 AS DOUBLE) AS skewness,
+               round(k - CAST(3.0 AS DOUBLE), 4) + CAST(0.0 AS DOUBLE)
+                 AS excess_kurtosis,
+               round(q, 4) + CAST(0.0 AS DOUBLE) AS jb_stat,
+               CASE WHEN round(q, 4) > CAST(5.991 AS DOUBLE)
+                    THEN 'non_normal' ELSE 'normal' END AS verdict_5pct
+        FROM jb
+    """
+    sql["durbin_watson_daily"] = f"""
+        WITH {_DAILY_CENTS},
+        idx AS (
+          SELECT row_number() OVER (ORDER BY day) AS i, cents FROM daily),
+        mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(CAST(i AS HUGEINT)) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(i AS HUGEINT) * cents) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(i AS HUGEINT) * i) AS DOUBLE) AS sxx
+          FROM idx),
+        fit AS (
+          SELECT n_days,
+                 (sxy - sx * sy / CAST(n_days AS DOUBLE))
+                   / (sxx - sx * sx / CAST(n_days AS DOUBLE)) AS b,
+                 sy / CAST(n_days AS DOUBLE)
+                   - (sxy - sx * sy / CAST(n_days AS DOUBLE))
+                     / (sxx - sx * sx / CAST(n_days AS DOUBLE))
+                     * (sx / CAST(n_days AS DOUBLE)) AS a
+          FROM mom),
+        res AS (
+          SELECT f.n_days, i,
+                 CAST(cents AS DOUBLE) - f.a - f.b * CAST(i AS DOUBLE) AS e
+          FROM idx, fit f),
+        lagged AS (
+          SELECT n_days, e, lag(e) OVER (ORDER BY i) AS ep FROM res),
+        agg AS (
+          SELECT max(n_days) AS n_days,
+                 sum(CASE WHEN ep IS NOT NULL
+                          THEN (e - ep) * (e - ep) END) AS num,
+                 sum(e * e) AS den
+          FROM lagged)
+        SELECT n_days,
+               round(num / den, 4) + CAST(0.0 AS DOUBLE) AS dw_stat,
+               CASE WHEN round(num / den, 4) + CAST(0.0 AS DOUBLE)
+                         < CAST(1.5 AS DOUBLE) THEN 'positive_autocorr'
+                    WHEN round(num / den, 4) + CAST(0.0 AS DOUBLE)
+                         > CAST(2.5 AS DOUBLE) THEN 'negative_autocorr'
+                    ELSE 'none' END AS verdict
+        FROM agg
+    """
+    sql["runs_test_daily"] = f"""
+        WITH {_DAILY_CENTS},
+        ranked AS (
+          SELECT cents,
+                 row_number() OVER (ORDER BY cents, day) AS rn,
+                 count(*) OVER () AS n
+          FROM daily),
+        med AS (
+          SELECT cents AS m FROM ranked
+          WHERE rn = CAST(floor((n + 1) / CAST(2.0 AS DOUBLE)) AS BIGINT)),
+        signed AS (
+          SELECT day, CASE WHEN cents > m THEN 1 ELSE 0 END AS s
+          FROM daily, med WHERE cents <> m),
+        brk AS (
+          SELECT s,
+                 CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                      OR lag(s) OVER (ORDER BY day) <> s
+                      THEN 1 ELSE 0 END AS b
+          FROM signed),
+        runs AS (
+          SELECT CAST(sum(b) AS BIGINT) AS n_runs,
+                 CAST(sum(s) AS BIGINT) AS n_above,
+                 CAST(sum(1 - s) AS BIGINT) AS n_below
+          FROM brk),
+        z AS (
+          SELECT n_runs, n_above, n_below,
+                 (CAST(n_runs AS DOUBLE)
+                  - (CAST(2.0 AS DOUBLE) * n_above * n_below
+                     / (CAST(n_above AS DOUBLE) + n_below)
+                     + CAST(1.0 AS DOUBLE)))
+                 / sqrt(CAST(2.0 AS DOUBLE) * n_above * n_below
+                        * (CAST(2.0 AS DOUBLE) * n_above * n_below
+                           - n_above - n_below)
+                        / ((CAST(n_above AS DOUBLE) + n_below)
+                           * (CAST(n_above AS DOUBLE) + n_below)
+                           * (CAST(n_above AS DOUBLE) + n_below
+                              - CAST(1.0 AS DOUBLE)))) AS zz
+          FROM runs)
+        SELECT n_runs, n_above, n_below,
+               round(zz, 4) + CAST(0.0 AS DOUBLE) AS z_stat,
+               CASE WHEN abs(round(zz, 4)) > CAST(1.96 AS DOUBLE)
+                    THEN 'non_random' ELSE 'random' END AS verdict_5pct
+        FROM z
+    """
+    _LB_TERMS = " + ".join(
+        f"(c{k} / c0) * (c{k} / c0) "
+        f"/ (CAST(n_days AS DOUBLE) - CAST({k}.0 AS DOUBLE))"
+        for k in range(1, 8)
+    )
+    _LB_LAGS = ", ".join(
+        f"lag(d, {k}) OVER (ORDER BY day) AS d{k}" for k in range(1, 8)
+    )
+    _LB_SUMS = ", ".join(
+        f"sum(d * d{k}) AS c{k}" for k in range(1, 8)
+    )
+    sql["ljung_box_daily"] = f"""
+        WITH {_DAILY_CENTS},
+        mu AS (
+          SELECT CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS m
+          FROM daily),
+        dev AS (
+          SELECT day, CAST(cents AS DOUBLE) - m AS d FROM daily, mu),
+        lagged AS (
+          SELECT d, {_LB_LAGS} FROM dev),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 sum(d * d) AS c0,
+                 {_LB_SUMS}
+          FROM lagged),
+        q AS (
+          SELECT n_days,
+                 CAST(n_days AS DOUBLE)
+                 * (CAST(n_days AS DOUBLE) + CAST(2.0 AS DOUBLE))
+                 * ({_LB_TERMS}) AS lb
+          FROM agg)
+        SELECT n_days,
+               round(lb, 4) + CAST(0.0 AS DOUBLE) AS lb_stat,
+               CASE WHEN round(lb, 4) > CAST(14.067 AS DOUBLE)
+                    THEN 'autocorrelated' ELSE 'white_noise' END
+                 AS verdict_5pct
+        FROM q
+    """
+    sql["grubbs_outlier_daily"] = f"""
+        WITH {_DAILY_CENTS},
+        mu AS (
+          SELECT CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS m,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM daily),
+        devs AS (
+          SELECT day, n_days,
+                 CAST(cents AS DOUBLE) - m AS d
+          FROM daily, mu),
+        s2 AS (
+          SELECT max(n_days) AS n_days,
+                 sum(d * d) / (CAST(max(n_days) AS DOUBLE)
+                               - CAST(1.0 AS DOUBLE)) AS v
+          FROM devs),
+        top AS (
+          SELECT day AS outlier_day, abs(d) AS ad
+          FROM devs ORDER BY abs(d) DESC, day ASC LIMIT 1)
+        SELECT n_days, outlier_day,
+               round(ad / sqrt(v), 4) + CAST(0.0 AS DOUBLE) AS g_stat,
+               CASE WHEN round(ad / sqrt(v), 4) > CAST(3.0 AS DOUBLE)
+                    THEN 'outlier' ELSE 'clean' END AS verdict_3sigma
+        FROM s2, top
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

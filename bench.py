@@ -268,6 +268,11 @@ SECONDARY = [
     # round-9 operators
     "ann_ivf_full_probe",
     "streaming_timeout_sessions",
+    "jarque_bera_daily",
+    "durbin_watson_daily",
+    "runs_test_daily",
+    "ljung_box_daily",
+    "grubbs_outlier_daily",
 ]
 
 
