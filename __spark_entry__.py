@@ -9033,6 +9033,561 @@ def q_grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kruskal_wallis_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA: do order values differ across the
+    customer's region?  Ranks are never materialized per row — the fact
+    reduces to a (region, cents) grouped frame, the global average rank
+    of each tied value comes from a value-level cumulative count, and
+    the doubled rank-sum 2R_j = Σ t_rc·(2·below + t_all + 1) stays an
+    exact BIGINT, so both engines divide identical integers.  H gets
+    the standard tie correction 1 − Σ(t³−t)/(N³−N) from exact integer
+    tie sums.  χ²(4) 5% critical = 9.488 (fixed literal).
+
+    Scale: rank assignment is O(distinct values) after a grouped
+    reduction of the fact — no global row-level sort, no window over
+    the raw orders (the house rule for rank statistics at 100 TB)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    labeled = (
+        orders.select("o_custkey", cents.alias("cents"))
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("r_name", "cents")
+    )
+    by_rc = cache.track(
+        labeled.groupBy("r_name", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t_rc"))
+        .cache()
+    )
+    by_c = by_rc.groupBy("cents").agg(
+        F.sum("t_rc").cast("long").alias("t_all")
+    )
+    wv = Window.orderBy("cents")
+    ranked = by_c.select(
+        "cents",
+        "t_all",
+        (F.sum("t_all").over(wv) - F.col("t_all")).cast("long").alias("below"),
+    )
+    per_region = (
+        by_rc.join(ranked, "cents")
+        .groupBy("r_name")
+        .agg(
+            F.sum("t_rc").cast("long").alias("n_orders"),
+            F.sum(
+                F.col("t_rc")
+                * (F.lit(2) * F.col("below") + F.col("t_all") + F.lit(1))
+            )
+            .cast("long")
+            .alias("__two_r"),
+        )
+    )
+    r_dbl = F.col("__two_r").cast("double") / F.lit(2.0)
+    glob = per_region.agg(
+        F.sum("n_orders").cast("long").alias("__n"),
+        F.sum(r_dbl * r_dbl / F.col("n_orders").cast("double")).alias(
+            "__sum_r2n"
+        ),
+    )
+    tie = by_c.agg(
+        F.sum(
+            F.col("t_all") * F.col("t_all") * F.col("t_all") - F.col("t_all")
+        )
+        .cast("long")
+        .alias("__tie_sum")
+    )
+    nn = F.col("__n").cast("double")
+    h_unadj = (
+        F.lit(12.0) / (nn * (nn + F.lit(1.0))) * F.col("__sum_r2n")
+        - F.lit(3.0) * (nn + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("__tie_sum").cast("double") / (
+        nn * nn * nn - nn
+    )
+    h = h_unadj / corr
+    scalar = glob.crossJoin(F.broadcast(tie)).select(
+        (F.round(h, 4) + F.lit(0.0)).alias("h_stat"),
+        F.when(F.round(h, 4) > 9.488, F.lit("reject_equal"))
+        .otherwise(F.lit("no_difference"))
+        .alias("verdict_5pct"),
+    )
+    return (
+        per_region.crossJoin(F.broadcast(scalar))
+        .select(
+            "r_name",
+            "n_orders",
+            (F.round(r_dbl / F.col("n_orders").cast("double"), 4) + F.lit(0.0))
+            .alias("avg_rank"),
+            "h_stat",
+            "verdict_5pct",
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_brown_forsythe_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test: is daily-revenue
+    spread equal across the seven weekdays?  z = |cents − group
+    median|; medians of exact integer cents interpolate to the .5 grid
+    (< 2^53, so per-group z sums are EXACT in any accumulation order),
+    and the one-way ANOVA F on z uses direct positive-term deviation
+    sums (no cancellation), rounded at 4.  F(6, ~358) 5% critical ≈
+    2.12 (fixed literal).  Day-of-week parity: Spark weekday()+1 ==
+    DuckDB isodow (CLAUDE.md).  Scale: all stages over the ≤365-row
+    day spine."""
+    daily = cache.track(
+        _daily_cents_1995(spark, sf_dir)
+        .select(
+            (F.weekday("day") + F.lit(1)).cast("int").alias("isodow"),
+            "cents",
+        )
+        .cache()
+    )
+    med = daily.groupBy("isodow").agg(
+        F.expr("percentile(cents, 0.5)").alias("__med")
+    )
+    z = cache.track(
+        daily.join(F.broadcast(med), "isodow")
+        .select(
+            "isodow",
+            F.abs(F.col("cents").cast("double") - F.col("__med")).alias("__z"),
+        )
+        .cache()
+    )
+    grp = z.groupBy("isodow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__z").alias("__sz"),
+    )
+    grp = grp.select(
+        "isodow",
+        "n_days",
+        (F.col("__sz") / F.col("n_days").cast("double")).alias("__zbar"),
+    )
+    within = (
+        z.join(F.broadcast(grp), "isodow")
+        .agg(
+            F.sum(
+                (F.col("__z") - F.col("__zbar"))
+                * (F.col("__z") - F.col("__zbar"))
+            ).alias("__ssw")
+        )
+    )
+    tot = grp.agg(
+        F.sum(F.col("__zbar") * F.col("n_days").cast("double")).alias("__tz"),
+        F.sum("n_days").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    gbar = F.col("__tz") / F.col("__n").cast("double")
+    between = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n_days").cast("double")
+                * (F.col("__zbar") - gbar)
+                * (F.col("__zbar") - gbar)
+            ).alias("__ssb"),
+            F.max("__n").alias("__n"),
+            F.max("__k").alias("__k"),
+        )
+    )
+    fstat = (
+        F.col("__ssb")
+        / (F.col("__k").cast("double") - F.lit(1.0))
+        / (
+            F.col("__ssw")
+            / (F.col("__n").cast("double") - F.col("__k").cast("double"))
+        )
+    )
+    scalar = between.crossJoin(F.broadcast(within)).select(
+        (F.round(fstat, 4) + F.lit(0.0)).alias("bf_f_stat"),
+        F.when(F.round(fstat, 4) > 2.12, F.lit("heteroscedastic"))
+        .otherwise(F.lit("homoscedastic"))
+        .alias("verdict_5pct"),
+    )
+    return (
+        grp.crossJoin(F.broadcast(scalar))
+        .select(
+            "isodow",
+            "n_days",
+            (F.round(F.col("__zbar"), 2) + F.lit(0.0)).alias("mean_abs_dev"),
+            "bf_f_stat",
+            "verdict_5pct",
+        )
+        .orderBy("isodow")
+    )
+
+
+def q_overdispersion_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion screen per event type: dispersion index
+    D = var/mean of the observed daily event counts (the
+    count-modelling gate before any Poisson-rate assumption).  Sample
+    variance assembles from EXACT integer moments — n·Σx² − (Σx)² in
+    DECIMAL(38,0)/HUGEINT, divided ONCE by n(n−1) in double (the
+    breusch_pagan precedent) — so both engines divide identical
+    integers.  Defined over observed (type, day) pairs; D > 1.2 flags
+    overdispersed (operational threshold).  Scale: the fact reduces to
+    ≤ types×days rows before any moment pass."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    xd = F.col("x").cast("decimal(19,0)")
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(xd).cast("decimal(38,0)").alias("__sx"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("__sxx"),
+    )
+    n = F.col("n_days").cast("decimal(38,0)")
+    num = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    mean = F.col("__sx").cast("double") / F.col("n_days").cast("double")
+    var = num / (
+        F.col("n_days").cast("double")
+        * (F.col("n_days").cast("double") - F.lit(1.0))
+    )
+    d = var / mean
+    return mom.select(
+        "event_type",
+        "n_days",
+        (F.round(mean, 4) + F.lit(0.0)).alias("mean_daily"),
+        (F.round(var, 4) + F.lit(0.0)).alias("var_daily"),
+        (F.round(d, 4) + F.lit(0.0)).alias("dispersion_index"),
+        F.when(F.round(d, 4) > 1.2, F.lit("overdispersed"))
+        .otherwise(F.lit("poisson_like"))
+        .alias("verdict"),
+    ).orderBy("event_type")
+
+
+def q_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test on 1995 daily revenue: count
+    interior days that are strict local extrema (peak or trough) of
+    the integer-cents series; under i.i.d. randomness E[T] = 2(n−2)/3
+    and var(T) = (16n−29)/90 — z from exact integers, rounded at 4.
+    Strict inequalities make ties deterministic.  Complements the
+    runs/Ljung-Box entries (magnitude-free local-shape randomness).
+    Scale: lag/lead over the ≤365-row day spine."""
+    daily = _daily_cents_1995(spark, sf_dir)
+    wd = Window.orderBy("day")
+    lagged = daily.select(
+        "cents",
+        F.lag("cents").over(wd).alias("__p"),
+        F.lead("cents").over(wd).alias("__f"),
+    )
+    is_tp = (
+        ((F.col("__p") < F.col("cents")) & (F.col("cents") > F.col("__f")))
+        | ((F.col("__p") > F.col("cents")) & (F.col("cents") < F.col("__f")))
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("__p").isNotNull() & F.col("__f").isNotNull() & is_tp,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("turning_points"),
+    )
+    nn = F.col("n_days").cast("double")
+    expd = F.lit(2.0) * (nn - F.lit(2.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * nn - F.lit(29.0)) / F.lit(90.0)
+    zz = (F.col("turning_points").cast("double") - expd) / F.sqrt(var)
+    return agg.select(
+        "n_days",
+        "turning_points",
+        (F.round(expd, 4) + F.lit(0.0)).alias("expected_tp"),
+        (F.round(zz, 4) + F.lit(0.0)).alias("z_stat"),
+        F.when(F.abs(F.round(zz, 4)) > 1.96, F.lit("non_random"))
+        .otherwise(F.lit("random"))
+        .alias("verdict_5pct"),
+    )
+
+
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics stickiness: per calendar month, average daily
+    active users over active days divided by monthly active users
+    (exact COUNT DISTINCT on both sides — the engagement-depth KPI
+    PMs read next to WAU).  avg_dau divides two exact integers; the
+    ratio rounds at 6.  Scale: two grouped exact-distinct passes over
+    the events fact, both keyed on (month[, day]) — partial aggregation
+    does the heavy lifting map-side."""
+    events = _t(spark, sf_dir, "events")
+    month = F.date_trunc("month", F.col("ts")).cast("date")
+    dau = (
+        events.groupBy(
+            month.alias("month"), F.to_date("ts").alias("day")
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("__dau"))
+        .groupBy("month")
+        .agg(
+            F.sum("__dau").cast("long").alias("__dau_sum"),
+            F.count(F.lit(1)).cast("long").alias("active_days"),
+        )
+    )
+    mau = events.groupBy(month.alias("month")).agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    avg_dau = F.col("__dau_sum").cast("double") / F.col(
+        "active_days"
+    ).cast("double")
+    return (
+        dau.join(mau, "month")
+        .select(
+            "month",
+            "active_days",
+            "mau",
+            (F.round(avg_dau, 2) + F.lit(0.0)).alias("avg_dau"),
+            (
+                F.round(avg_dau / F.col("mau").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    year, cumulative revenue per cohort member by account age in years
+    (the LTV complement of cohort_retention, which tracks presence, not
+    value).  Cohort assignment is a window min over the customer key —
+    ONE shuffle on o_custkey serves cohorting, sizing, and the revenue
+    rollup; the cumulative window then runs over the ≤ years² grid.
+    Cents stay exact integers until the single terminal division, with
+    the operand order (cents → /100 → /size) written identically in
+    both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    wcust = Window.partitionBy("o_custkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    o2 = cache.track(
+        orders.select(
+            "o_custkey",
+            F.year("o_orderdate").cast("int").alias("__yr"),
+            cents.alias("__cents"),
+        )
+        .withColumn(
+            "cohort_year", F.min("__yr").over(wcust).cast("int")
+        )
+        .cache()
+    )
+    sizes = o2.groupBy("cohort_year").agg(
+        F.countDistinct("o_custkey").cast("long").alias("cohort_size")
+    )
+    rev = o2.groupBy(
+        "cohort_year",
+        (F.col("__yr") - F.col("cohort_year")).cast("int").alias("age_years"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("__cents").cast("long").alias("__cents"),
+    )
+    wc = Window.partitionBy("cohort_year").orderBy("age_years")
+    cum = F.sum("__cents").over(wc).cast("long")
+    ltv = (
+        cum.cast("double")
+        / F.lit(100.0)
+        / F.col("cohort_size").cast("double")
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_year")
+        .select(
+            "cohort_year",
+            "age_years",
+            "cohort_size",
+            "n_orders",
+            (F.round(cum.cast("double") / F.lit(100.0), 2) + F.lit(0.0))
+            .alias("cum_revenue"),
+            (F.round(ltv, 2) + F.lit(0.0)).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_year", "age_years")
+    )
+
+
+def q_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value migration: monetary quintile in the 1995-1997
+    half vs the 1998+ half (the segment-transition view next to the
+    static rfm_segments).  Quintiles are ntile(5) over the PER-CUSTOMER
+    spend frame with a unique (cents DESC, custkey ASC) ordering —
+    deterministic and identical ntile bucket-split semantics in both
+    engines; quintile 0 marks customers absent from that half.  Scale:
+    the global ntile sorts the customer-level aggregate (≪ fact), never
+    raw orders — the house rank-statistics posture."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def half(pred, out):
+        wq = Window.orderBy(F.desc("__cents"), F.asc("o_custkey"))
+        return (
+            orders.filter(pred)
+            .groupBy("o_custkey")
+            .agg(F.sum(cents).cast("long").alias("__cents"))
+            .select(
+                "o_custkey", F.ntile(5).over(wq).cast("int").alias(out)
+            )
+        )
+
+    h1 = half(F.year("o_orderdate") <= 1997, "q_h1")
+    h2 = half(F.year("o_orderdate") >= 1998, "q_h2")
+    return (
+        h1.join(h2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("q_h1", F.lit(0)).cast("int").alias("q_h1"),
+            F.coalesce("q_h2", F.lit(0)).cast("int").alias("q_h2"),
+        )
+        .groupBy("q_h1", "q_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("q_h1", "q_h2")
+    )
+
+
+def q_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus entropy rate per source: conditional bigram entropy
+    H(w₂|w₁) = Σ c₁₂·ln(c₁/c₁₂) / (N·ln 2) bits — the LM-difficulty
+    number that sits between unigram entropy and the KN model (a
+    low-entropy source is repetitive; curriculum and mixture weights
+    read this).  Tokenization and the ≥2-token gate mirror the KN
+    bigram entries; adjacency comes from a lead window inside each
+    doc (one shuffle on doc_id).  All counts are exact integers; the
+    single log-sum divides once by N·ln2.  Scale: grouped bigram
+    counts, nothing row-level past the first reduction."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.filter(
+        F.col("text").isNotNull() & (F.size(toks) >= 2)
+    ).select("source", "doc_id", toks.alias("__t"))
+    ex = base.select(
+        "source", "doc_id", F.posexplode("__t").alias("__i", "__w")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("__i")
+    bg = ex.select(
+        "source",
+        F.col("__w").alias("__w1"),
+        F.lead("__w").over(wd).alias("__w2"),
+    ).filter(F.col("__w2").isNotNull())
+    c12 = cache.track(
+        bg.groupBy("source", "__w1", "__w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c12"))
+        .cache()
+    )
+    wc1 = Window.partitionBy("source", "__w1")
+    terms = c12.select(
+        "source",
+        "__c12",
+        F.sum("__c12").over(wc1).cast("long").alias("__c1"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("__c12").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_bigrams"),
+        F.sum(
+            F.col("__c12").cast("double")
+            * F.log(
+                F.col("__c1").cast("double") / F.col("__c12").cast("double")
+            )
+        ).alias("__hsum"),
+    )
+    h_bits = F.col("__hsum") / (
+        F.col("n_bigrams").cast("double") * F.log(F.lit(2.0))
+    )
+    return agg.select(
+        "source",
+        "n_bigrams",
+        "distinct_bigrams",
+        (F.round(h_bits, 6) + F.lit(0.0)).alias("cond_entropy_bits"),
+    ).orderBy("source")
+
+
+def q_unigram_sampling_075(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling distribution: p(tok) ∝
+    count^0.75 (the 3/4-power smoothing every embedding trainer uses to
+    damp head tokens).  The 0.75 power is exp(0.75·ln c) in BOTH
+    engines (non-integer pow is not cross-engine safe — CLAUDE.md);
+    ranking uses the exact integer count with a token tiebreak (the
+    power is monotone in c, so the float never orders).  Top 20 with
+    smoothed vs raw probability.  Scale: one grouped count of the
+    corpus, a broadcast scalar for the normalizer."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = cache.track(
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()
+    )
+    wgt = F.exp(F.lit(0.75) * F.log(F.col("c").cast("double")))
+    tot = counts.agg(
+        F.sum(wgt).alias("__wsum"),
+        F.sum("c").cast("long").alias("__csum"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(20)
+        .select(
+            "tok",
+            "c",
+            (F.round(F.col("c").cast("double") / F.col("__csum").cast("double"), 6)
+             + F.lit(0.0)).alias("p_raw"),
+            (F.round(wgt / F.col("__wsum"), 6) + F.lit(0.0)).alias(
+                "p_smoothed"
+            ),
+        )
+    )
+
+
+def q_embedding_isotropy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy probe: the average pairwise cosine of
+    the L2-normalized vectors via the sum-vector identity
+    (‖Σu‖² − n) / (n(n−1)) — O(n·d) with NO pair materialization (the
+    anisotropy smell test run before any cosine-threshold dedup, whose
+    calibration the mean offset silently shifts).  Also reports the
+    mean-vector norm (0 = isotropic, →1 = collapsed).  Scale: one
+    explode + two grouped sums; the identity replaces the O(n²) pair
+    join outright."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("__i", "__v")
+    ).select("vec_id", "__i", F.col("__v").cast("double").alias("__v"))
+    norms = e.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("__v") * F.col("__v"))).alias("__nrm")
+    )
+    u = e.join(norms, "vec_id").select(
+        "__i", (F.col("__v") / F.col("__nrm")).alias("__u")
+    )
+    dims = u.groupBy("__i").agg(
+        F.sum("__u").alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    agg = dims.agg(
+        F.max("__n").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.sum(F.col("__s") * F.col("__s")).alias("__ssq"),
+    )
+    nn = F.col("n_vectors").cast("double")
+    avg_cos = (F.col("__ssq") - nn) / (nn * (nn - F.lit(1.0)))
+    return agg.select(
+        "n_vectors",
+        "n_dims",
+        (F.round(avg_cos, 6) + F.lit(0.0)).alias("avg_pairwise_cosine"),
+        (F.round(F.sqrt(F.col("__ssq")) / nn, 6) + F.lit(0.0)).alias(
+            "mean_vector_norm"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9341,6 +9896,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test_daily": q_runs_test_daily,
         "ljung_box_daily": q_ljung_box_daily,
         "grubbs_outlier_daily": q_grubbs_outlier_daily,
+        "kruskal_wallis_regions": q_kruskal_wallis_regions,
+        "brown_forsythe_weekday": q_brown_forsythe_weekday,
+        "overdispersion_daily_events": q_overdispersion_daily_events,
+        "turning_points_test": q_turning_points_test,
+        "dau_mau_stickiness": q_dau_mau_stickiness,
+        "cohort_ltv_curve": q_cohort_ltv_curve,
+        "rfm_migration_matrix": q_rfm_migration_matrix,
+        "bigram_entropy_rate": q_bigram_entropy_rate,
+        "unigram_sampling_075": q_unigram_sampling_075,
+        "embedding_isotropy_probe": q_embedding_isotropy_probe,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -14610,6 +15175,336 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN round(ad / sqrt(v), 4) > CAST(3.0 AS DOUBLE)
                     THEN 'outlier' ELSE 'clean' END AS verdict_3sigma
         FROM s2, top
+    """
+    sql["kruskal_wallis_regions"] = """
+        WITH labeled AS (
+          SELECT r.r_name,
+                 CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey),
+        by_rc AS (
+          SELECT r_name, cents, CAST(count(*) AS BIGINT) AS t_rc
+          FROM labeled GROUP BY 1, 2),
+        by_c AS (
+          SELECT cents, CAST(sum(t_rc) AS BIGINT) AS t_all
+          FROM by_rc GROUP BY 1),
+        ranked AS (
+          SELECT cents, t_all,
+                 CAST(sum(t_all) OVER (ORDER BY cents) - t_all AS BIGINT)
+                   AS below
+          FROM by_c),
+        per_region AS (
+          SELECT r_name,
+                 CAST(sum(t_rc) AS BIGINT) AS n_orders,
+                 CAST(sum(t_rc * (2 * below + t_all + 1)) AS BIGINT)
+                   AS two_r
+          FROM by_rc JOIN ranked USING (cents)
+          GROUP BY 1),
+        gtot AS (
+          SELECT CAST(sum(n_orders) AS BIGINT) AS n,
+                 sum((CAST(two_r AS DOUBLE) / CAST(2.0 AS DOUBLE))
+                     * (CAST(two_r AS DOUBLE) / CAST(2.0 AS DOUBLE))
+                     / CAST(n_orders AS DOUBLE)) AS sum_r2n
+          FROM per_region),
+        tie AS (
+          SELECT CAST(sum(t_all * t_all * t_all - t_all) AS BIGINT)
+                   AS tie_sum
+          FROM by_c),
+        scalar AS (
+          SELECT (CAST(12.0 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                                          + CAST(1.0 AS DOUBLE)))
+                  * sum_r2n
+                  - CAST(3.0 AS DOUBLE) * (CAST(n AS DOUBLE)
+                                           + CAST(1.0 AS DOUBLE)))
+                 / (CAST(1.0 AS DOUBLE)
+                    - CAST(tie_sum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) AS h
+          FROM gtot, tie)
+        SELECT r_name, n_orders,
+               round(CAST(two_r AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                     / CAST(n_orders AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS avg_rank,
+               round(h, 4) + CAST(0.0 AS DOUBLE) AS h_stat,
+               CASE WHEN round(h, 4) > CAST(9.488 AS DOUBLE)
+                    THEN 'reject_equal' ELSE 'no_difference' END
+                 AS verdict_5pct
+        FROM per_region, scalar
+        ORDER BY r_name
+    """
+    sql["brown_forsythe_weekday"] = f"""
+        WITH {_DAILY_CENTS},
+        dows AS (
+          SELECT CAST(isodow(day) AS INT) AS isodow, cents FROM daily),
+        med AS (
+          SELECT isodow, quantile_cont(cents, 0.5) AS m
+          FROM dows GROUP BY 1),
+        z AS (
+          SELECT d.isodow, abs(CAST(d.cents AS DOUBLE) - m.m) AS z
+          FROM dows d JOIN med m USING (isodow)),
+        grp AS (
+          SELECT isodow, CAST(count(*) AS BIGINT) AS n_days,
+                 sum(z) / CAST(count(*) AS DOUBLE) AS zbar
+          FROM z GROUP BY 1),
+        within AS (
+          SELECT sum((z.z - grp.zbar) * (z.z - grp.zbar)) AS ssw
+          FROM z JOIN grp USING (isodow)),
+        tot AS (
+          SELECT sum(zbar * CAST(n_days AS DOUBLE)) AS tz,
+                 CAST(sum(n_days) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM grp),
+        between_ AS (
+          SELECT sum(CAST(n_days AS DOUBLE)
+                     * (zbar - tz / CAST(n AS DOUBLE))
+                     * (zbar - tz / CAST(n AS DOUBLE))) AS ssb,
+                 max(n) AS n, max(k) AS k
+          FROM grp, tot),
+        scalar AS (
+          SELECT ssb / (CAST(k AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                 / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f
+          FROM between_, within)
+        SELECT isodow, n_days,
+               round(zbar, 2) + CAST(0.0 AS DOUBLE) AS mean_abs_dev,
+               round(f, 4) + CAST(0.0 AS DOUBLE) AS bf_f_stat,
+               CASE WHEN round(f, 4) > CAST(2.12 AS DOUBLE)
+                    THEN 'heteroscedastic' ELSE 'homoscedastic' END
+                 AS verdict_5pct
+        FROM grp, scalar
+        ORDER BY isodow
+    """
+    sql["overdispersion_daily_events"] = """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        mom AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+          FROM daily GROUP BY 1),
+        stats AS (
+          SELECT event_type, n_days,
+                 CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_d,
+                 CAST(CAST(n_days AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                 / (CAST(n_days AS DOUBLE)
+                    * (CAST(n_days AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                   AS var_d
+          FROM mom)
+        SELECT event_type, n_days,
+               round(mean_d, 4) + CAST(0.0 AS DOUBLE) AS mean_daily,
+               round(var_d, 4) + CAST(0.0 AS DOUBLE) AS var_daily,
+               round(var_d / mean_d, 4) + CAST(0.0 AS DOUBLE)
+                 AS dispersion_index,
+               CASE WHEN round(var_d / mean_d, 4) > CAST(1.2 AS DOUBLE)
+                    THEN 'overdispersed' ELSE 'poisson_like' END AS verdict
+        FROM stats
+        ORDER BY event_type
+    """
+    sql["turning_points_test"] = f"""
+        WITH {_DAILY_CENTS},
+        lagged AS (
+          SELECT cents,
+                 lag(cents) OVER (ORDER BY day) AS p,
+                 lead(cents) OVER (ORDER BY day) AS f
+          FROM daily),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(CASE WHEN p IS NOT NULL AND f IS NOT NULL
+                                AND ((p < cents AND cents > f)
+                                     OR (p > cents AND cents < f))
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS turning_points
+          FROM lagged),
+        stats AS (
+          SELECT n_days, turning_points,
+                 CAST(2.0 AS DOUBLE) * (CAST(n_days AS DOUBLE)
+                                        - CAST(2.0 AS DOUBLE))
+                 / CAST(3.0 AS DOUBLE) AS e,
+                 (CAST(16.0 AS DOUBLE) * CAST(n_days AS DOUBLE)
+                  - CAST(29.0 AS DOUBLE)) / CAST(90.0 AS DOUBLE) AS v
+          FROM agg)
+        SELECT n_days, turning_points,
+               round(e, 4) + CAST(0.0 AS DOUBLE) AS expected_tp,
+               round((CAST(turning_points AS DOUBLE) - e) / sqrt(v), 4)
+                 + CAST(0.0 AS DOUBLE) AS z_stat,
+               CASE WHEN abs(round((CAST(turning_points AS DOUBLE) - e)
+                                   / sqrt(v), 4)) > CAST(1.96 AS DOUBLE)
+                    THEN 'non_random' ELSE 'random' END AS verdict_5pct
+        FROM stats
+    """
+    sql["dau_mau_stickiness"] = """
+        WITH dau AS (
+          SELECT date_trunc('month', ts)::DATE AS month,
+                 CAST(ts AS DATE) AS day,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+          FROM events GROUP BY 1, 2),
+        dsum AS (
+          SELECT month, CAST(sum(dau) AS BIGINT) AS dau_sum,
+                 CAST(count(*) AS BIGINT) AS active_days
+          FROM dau GROUP BY 1),
+        mau AS (
+          SELECT date_trunc('month', ts)::DATE AS month,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+          FROM events GROUP BY 1)
+        SELECT month, active_days, mau,
+               round(CAST(dau_sum AS DOUBLE) / CAST(active_days AS DOUBLE), 2)
+                 + CAST(0.0 AS DOUBLE) AS avg_dau,
+               round(CAST(dau_sum AS DOUBLE) / CAST(active_days AS DOUBLE)
+                     / CAST(mau AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS stickiness
+        FROM dsum JOIN mau USING (month)
+        ORDER BY month
+    """
+    sql["cohort_ltv_curve"] = """
+        WITH o2 AS (
+          SELECT o_custkey,
+                 CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(min(year(CAST(o_orderdate AS DATE)))
+                        OVER (PARTITION BY o_custkey) AS INT) AS cohort_year
+          FROM orders),
+        sizes AS (
+          SELECT cohort_year,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS cohort_size
+          FROM o2 GROUP BY 1),
+        rev AS (
+          SELECT cohort_year, CAST(yr - cohort_year AS INT) AS age_years,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS cents
+          FROM o2 GROUP BY 1, 2),
+        cum AS (
+          SELECT cohort_year, age_years, n_orders,
+                 CAST(sum(cents) OVER (PARTITION BY cohort_year
+                                       ORDER BY age_years) AS BIGINT)
+                   AS cum_cents
+          FROM rev)
+        SELECT c.cohort_year, c.age_years, s.cohort_size, c.n_orders,
+               round(CAST(cum_cents AS DOUBLE) / CAST(100.0 AS DOUBLE), 2)
+                 + CAST(0.0 AS DOUBLE) AS cum_revenue,
+               round(CAST(cum_cents AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                     / CAST(s.cohort_size AS DOUBLE), 2)
+                 + CAST(0.0 AS DOUBLE) AS ltv_per_customer
+        FROM cum c JOIN sizes s USING (cohort_year)
+        ORDER BY cohort_year, age_years
+    """
+    sql["rfm_migration_matrix"] = """
+        WITH h1 AS (
+          SELECT o_custkey,
+                 CAST(ntile(5) OVER (
+                   ORDER BY sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) DESC,
+                            o_custkey ASC) AS INT) AS q_h1
+          FROM orders
+          WHERE year(CAST(o_orderdate AS DATE)) <= 1997
+          GROUP BY o_custkey),
+        h2 AS (
+          SELECT o_custkey,
+                 CAST(ntile(5) OVER (
+                   ORDER BY sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) DESC,
+                            o_custkey ASC) AS INT) AS q_h2
+          FROM orders
+          WHERE year(CAST(o_orderdate AS DATE)) >= 1998
+          GROUP BY o_custkey)
+        SELECT CAST(coalesce(q_h1, 0) AS INT) AS q_h1,
+               CAST(coalesce(q_h2, 0) AS INT) AS q_h2,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM h1 FULL OUTER JOIN h2 USING (o_custkey)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+    sql["bigram_entropy_rate"] = """
+        WITH base AS (
+          SELECT source, doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+          WHERE text IS NOT NULL
+            AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 2),
+        e AS (
+          SELECT source, doc_id, unnest(t) AS w,
+                 generate_subscripts(t, 1) AS i
+          FROM base),
+        bg AS (
+          SELECT source, w AS w1,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+          FROM e),
+        c12 AS (
+          SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+        terms AS (
+          SELECT source, c12,
+                 CAST(sum(c12) OVER (PARTITION BY source, w1) AS BIGINT)
+                   AS c1
+          FROM c12),
+        agg AS (
+          SELECT source,
+                 CAST(sum(c12) AS BIGINT) AS n_bigrams,
+                 CAST(count(*) AS BIGINT) AS distinct_bigrams,
+                 sum(CAST(c12 AS DOUBLE)
+                     * ln(CAST(c1 AS DOUBLE) / CAST(c12 AS DOUBLE)))
+                   AS hsum
+          FROM terms GROUP BY 1)
+        SELECT source, n_bigrams, distinct_bigrams,
+               round(hsum / (CAST(n_bigrams AS DOUBLE)
+                             * ln(CAST(2.0 AS DOUBLE))), 6)
+                 + CAST(0.0 AS DOUBLE) AS cond_entropy_bits
+        FROM agg
+        ORDER BY source
+    """
+    sql["unigram_sampling_075"] = """
+        WITH counts AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS tok
+                FROM documents)
+          WHERE tok <> '' GROUP BY 1),
+        tot AS (
+          SELECT sum(exp(CAST(0.75 AS DOUBLE) * ln(CAST(c AS DOUBLE))))
+                   AS wsum,
+                 CAST(sum(c) AS BIGINT) AS csum
+          FROM counts)
+        SELECT tok, c,
+               round(CAST(c AS DOUBLE) / CAST(csum AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS p_raw,
+               round(exp(CAST(0.75 AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                     / wsum, 6)
+                 + CAST(0.0 AS DOUBLE) AS p_smoothed
+        FROM counts, tot
+        ORDER BY c DESC, tok ASC
+        LIMIT 20
+    """
+    sql["embedding_isotropy_probe"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (
+          SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+        u AS (
+          SELECT e.i, e.v / n.nrm AS u
+          FROM e JOIN norms n USING (vec_id)),
+        dims AS (
+          SELECT i, sum(u) AS s, CAST(count(*) AS BIGINT) AS n
+          FROM u GROUP BY 1),
+        agg AS (
+          SELECT CAST(max(n) AS BIGINT) AS n_vectors,
+                 CAST(count(*) AS BIGINT) AS n_dims,
+                 sum(s * s) AS ssq
+          FROM dims)
+        SELECT n_vectors, n_dims,
+               round((ssq - CAST(n_vectors AS DOUBLE))
+                     / (CAST(n_vectors AS DOUBLE)
+                        * (CAST(n_vectors AS DOUBLE)
+                           - CAST(1.0 AS DOUBLE))), 6)
+                 + CAST(0.0 AS DOUBLE) AS avg_pairwise_cosine,
+               round(sqrt(ssq) / CAST(n_vectors AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS mean_vector_norm
+        FROM agg
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -273,6 +273,16 @@ SECONDARY = [
     "runs_test_daily",
     "ljung_box_daily",
     "grubbs_outlier_daily",
+    "kruskal_wallis_regions",
+    "brown_forsythe_weekday",
+    "overdispersion_daily_events",
+    "turning_points_test",
+    "dau_mau_stickiness",
+    "cohort_ltv_curve",
+    "rfm_migration_matrix",
+    "bigram_entropy_rate",
+    "unigram_sampling_075",
+    "embedding_isotropy_probe",
 ]
 
 

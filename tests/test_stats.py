@@ -415,3 +415,277 @@ def test_cuped_reduces_variance_and_matches_numpy(spark):
     # the adjusted per-user metric must genuinely shrink variance
     adj_all = yv - theta * (xv - mx)
     assert adj_all.var() < yv.var()
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions — textbook re-derivations of the new statistics
+# ---------------------------------------------------------------------------
+
+
+def _cents(x) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 100 + 0.5).astype(
+        np.int64
+    )
+
+
+def _daily_cents_1995() -> np.ndarray:
+    o = _orders()
+    o = o[o.o_orderdate.dt.year == 1995].copy()
+    o["cents"] = _cents(o.o_totalprice)
+    daily = o.groupby(o.o_orderdate.dt.normalize()).cents.sum().sort_index()
+    return daily.to_numpy(), daily
+
+
+def test_kruskal_wallis_matches_textbook(spark):
+    o = _orders()
+    cust = pq.read_table(f"{SF_SMOKE}/customer.parquet").to_pandas()
+    nat = pq.read_table(f"{SF_SMOKE}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{SF_SMOKE}/region.parquet").to_pandas()
+    m = (
+        o.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    vals = _cents(m.o_totalprice)
+    groups = m.r_name.to_numpy()
+    uniq, inv, cnt = np.unique(vals, return_inverse=True, return_counts=True)
+    before = np.cumsum(cnt) - cnt
+    midrank = (before + (cnt + 1) / 2.0)[inv]
+    n = len(vals)
+    h = 0.0
+    for gname in np.unique(groups):
+        rj = midrank[groups == gname].sum()
+        nj = (groups == gname).sum()
+        h += rj * rj / nj
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    big_t = float((cnt.astype(np.float64) ** 3 - cnt).sum())
+    h /= 1.0 - big_t / (float(n) ** 3 - n)
+
+    rows = entrymod.queries()["kruskal_wallis_regions"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == len(np.unique(groups))
+    assert rows[0]["h_stat"] == pytest.approx(h, abs=1e-3)
+    for r in rows:
+        mask = groups == r["r_name"]
+        assert r["n_orders"] == int(mask.sum())
+        assert r["avg_rank"] == pytest.approx(midrank[mask].mean(), abs=1e-3)
+
+
+def test_brown_forsythe_matches_textbook(spark):
+    arr, daily = _daily_cents_1995()
+    isodow = daily.index.dayofweek.to_numpy() + 1
+    z = np.empty(len(arr), dtype=np.float64)
+    for d in np.unique(isodow):
+        mask = isodow == d
+        z[mask] = np.abs(arr[mask] - np.median(arr[mask]))
+    k = len(np.unique(isodow))
+    n = len(z)
+    zbar = z.mean()
+    ssb = sum(
+        (isodow == d).sum() * (z[isodow == d].mean() - zbar) ** 2
+        for d in np.unique(isodow)
+    )
+    ssw = sum(
+        ((z[isodow == d] - z[isodow == d].mean()) ** 2).sum()
+        for d in np.unique(isodow)
+    )
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+
+    rows = entrymod.queries()["brown_forsythe_weekday"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == k
+    assert rows[0]["bf_f_stat"] == pytest.approx(f_ref, abs=1e-3)
+    for r in rows:
+        mask = isodow == r["isodow"]
+        assert r["n_days"] == int(mask.sum())
+        assert r["mean_abs_dev"] == pytest.approx(z[mask].mean(), abs=0.02)
+
+
+def test_turning_points_matches_textbook(spark):
+    arr, _ = _daily_cents_1995()
+    t = sum(
+        1
+        for i in range(1, len(arr) - 1)
+        if (arr[i - 1] < arr[i] > arr[i + 1])
+        or (arr[i - 1] > arr[i] < arr[i + 1])
+    )
+    n = len(arr)
+    e = 2.0 * (n - 2) / 3.0
+    v = (16.0 * n - 29.0) / 90.0
+    row = entrymod.queries()["turning_points_test"](spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert row["turning_points"] == t
+    assert row["z_stat"] == pytest.approx((t - e) / np.sqrt(v), abs=1e-3)
+
+
+def test_overdispersion_matches_textbook(spark):
+    ev = _events()
+    daily = (
+        ev.groupby(["event_type", ev.ts.dt.normalize()])
+        .size()
+        .rename("x")
+        .reset_index()
+    )
+    rows = entrymod.queries()["overdispersion_daily_events"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == daily.event_type.nunique()
+    for r in rows:
+        x = daily.loc[daily.event_type == r["event_type"], "x"].to_numpy(
+            dtype=np.float64
+        )
+        assert r["n_days"] == len(x)
+        assert r["mean_daily"] == pytest.approx(x.mean(), abs=1e-3)
+        assert r["var_daily"] == pytest.approx(x.var(ddof=1), abs=1e-3)
+        assert r["dispersion_index"] == pytest.approx(
+            x.var(ddof=1) / x.mean(), abs=1e-3
+        )
+
+
+def test_dau_mau_matches_textbook(spark):
+    ev = _events()
+    month = ev.ts.dt.to_period("M")
+    rows = entrymod.queries()["dau_mau_stickiness"](spark, SF_SMOKE).collect()
+    assert len(rows) == month.nunique()
+    for r in rows:
+        sel = ev[month == pd.Period(r["month"], freq="M")]
+        mau = sel.user_id.nunique()
+        dau = sel.groupby(sel.ts.dt.normalize()).user_id.nunique()
+        assert r["mau"] == mau
+        assert r["active_days"] == len(dau)
+        assert r["avg_dau"] == pytest.approx(dau.mean(), abs=0.01)
+        assert r["stickiness"] == pytest.approx(dau.mean() / mau, abs=1e-5)
+
+
+def test_cohort_ltv_matches_textbook(spark):
+    o = _orders()
+    o = o.copy()
+    o["cents"] = _cents(o.o_totalprice)
+    o["yr"] = o.o_orderdate.dt.year
+    o["cohort"] = o.groupby("o_custkey").yr.transform("min")
+    rows = entrymod.queries()["cohort_ltv_curve"](spark, SF_SMOKE).collect()
+    by_key = {(r["cohort_year"], r["age_years"]): r for r in rows}
+    for cohort, grp in o.groupby("cohort"):
+        size = grp.o_custkey.nunique()
+        cum = 0
+        for age in sorted((grp.yr - grp.cohort).unique()):
+            sel = grp[grp.yr - grp.cohort == age]
+            cum += int(sel.cents.sum())
+            r = by_key[(int(cohort), int(age))]
+            assert r["cohort_size"] == size
+            assert r["n_orders"] == len(sel)
+            assert r["cum_revenue"] == pytest.approx(cum / 100.0, abs=0.01)
+            assert r["ltv_per_customer"] == pytest.approx(
+                cum / 100.0 / size, abs=0.01
+            )
+
+
+def test_rfm_migration_matches_textbook(spark):
+    o = _orders()
+    o = o.copy()
+    o["cents"] = _cents(o.o_totalprice)
+    o["yr"] = o.o_orderdate.dt.year
+
+    def quintile(sub: pd.DataFrame) -> dict[int, int]:
+        spend = sub.groupby("o_custkey").cents.sum().reset_index()
+        spend = spend.sort_values(
+            ["cents", "o_custkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = len(spend)
+        base, extra = divmod(n, 5)
+        out, start = {}, 0
+        for q in range(1, 6):
+            sz = base + (1 if q <= extra else 0)
+            for k in spend.o_custkey.iloc[start : start + sz]:
+                out[int(k)] = q
+            start += sz
+        return out
+
+    q1 = quintile(o[o.yr <= 1997])
+    q2 = quintile(o[o.yr >= 1998])
+    ref: dict[tuple[int, int], int] = {}
+    for cust in set(q1) | set(q2):
+        key = (q1.get(cust, 0), q2.get(cust, 0))
+        ref[key] = ref.get(key, 0) + 1
+    got = {
+        (r["q_h1"], r["q_h2"]): r["n_customers"]
+        for r in entrymod.queries()["rfm_migration_matrix"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_bigram_entropy_matches_textbook(spark):
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    import collections
+    import re as _re
+
+    rows = {
+        r["source"]: r
+        for r in entrymod.queries()["bigram_entropy_rate"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for source, grp in docs.groupby("source"):
+        c12: collections.Counter = collections.Counter()
+        c1: collections.Counter = collections.Counter()
+        for text in grp.text:
+            if text is None:
+                continue
+            t = _re.split(r"\s+", text.strip().lower())
+            if len(t) < 2:
+                continue
+            for a, b in zip(t, t[1:]):
+                c12[(a, b)] += 1
+                c1[a] += 1
+        n = sum(c12.values())
+        h = sum(
+            c * np.log(c1[a] / c) for (a, _b), c in c12.items()
+        ) / (n * np.log(2.0))
+        r = rows[source]
+        assert r["n_bigrams"] == n
+        assert r["distinct_bigrams"] == len(c12)
+        assert r["cond_entropy_bits"] == pytest.approx(h, abs=1e-4)
+
+
+def test_unigram_sampling_matches_textbook(spark):
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    import collections
+    import re as _re
+
+    cnt: collections.Counter = collections.Counter()
+    for text in docs.text:
+        if text is None:
+            continue
+        for tok in _re.split(r"\s+", text.strip().lower()):
+            if tok:
+                cnt[tok] += 1
+    wsum = sum(c**0.75 for c in cnt.values())
+    csum = sum(cnt.values())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = entrymod.queries()["unigram_sampling_075"](spark, SF_SMOKE).collect()
+    assert [(r["tok"], r["c"]) for r in rows] == top
+    for r, (tok, c) in zip(rows, top):
+        assert r["p_raw"] == pytest.approx(c / csum, abs=1e-5)
+        assert r["p_smoothed"] == pytest.approx(c**0.75 / wsum, abs=1e-5)
+
+
+def test_isotropy_probe_matches_bruteforce(spark):
+    emb = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    u = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n = len(u)
+    gram = u @ u.T
+    brute = (gram.sum() - np.trace(gram)) / (n * (n - 1))
+    row = entrymod.queries()["embedding_isotropy_probe"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert row["n_vectors"] == n
+    assert row["n_dims"] == mat.shape[1]
+    assert row["avg_pairwise_cosine"] == pytest.approx(brute, abs=1e-5)
+    assert row["mean_vector_norm"] == pytest.approx(
+        np.linalg.norm(u.mean(axis=0)), abs=1e-5
+    )

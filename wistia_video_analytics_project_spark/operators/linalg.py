@@ -341,6 +341,27 @@ def mahalanobis_scores(
     w = vecs @ np.diag(1.0 / np.sqrt(np.clip(vals, 0.0, None) + ridge)) @ vecs.T
     mu = np.asarray(mean, dtype=np.float64)
 
+    # BLAS gemm blocking varies with the row count of the batch, so a
+    # variable-shape (n×d)@(d×d) can differ by one ulp per row between
+    # partition/Arrow layouts.  Scoring in FIXED-shape slabs (zero-pad
+    # the tail) pins the kernel shape, making each row's score a pure
+    # function of (row, W) — bit-identical across layouts.
+    slab = 1024
+
+    def _scores(mat: np.ndarray) -> np.ndarray:
+        n = mat.shape[0]
+        out = np.empty(n, dtype=np.float64)
+        for s in range(0, n, slab):
+            blk = mat[s : s + slab]
+            r = blk.shape[0]
+            if r != slab:
+                padded = np.zeros((slab, blk.shape[1]), dtype=np.float64)
+                padded[:r] = blk
+                blk = padded
+            z = (blk - mu) @ w.T
+            out[s : s + r] = np.sqrt((z * z).sum(axis=1))[:r]
+        return out
+
     def score(it):
         import pandas as pd
 
@@ -352,9 +373,8 @@ def mahalanobis_scores(
             )
             if mat.shape[1] != d:
                 raise ValueError(f"expected {d}-wide vectors")
-            z = (mat - mu) @ w.T
             pdf = pdf.drop(columns=[vec_col])
-            pdf[out_col] = np.sqrt((z * z).sum(axis=1))
+            pdf[out_col] = _scores(mat)
             yield pdf
 
     fields = [f for f in df.schema.fields if f.name != vec_col]
