@@ -5166,6 +5166,55 @@ def _staged_event_stream(spark: SparkSession, sf_dir: str):
     return spark.readStream.schema(events.schema).parquet(stage), tag
 
 
+def _staged_event_stream_throttled(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int
+):
+    """Like ``_staged_event_stream`` but with ``maxFilesPerTrigger`` so
+    ``processAllAvailable`` genuinely runs MANY microbatches — the
+    incremental-accumulation path a single-batch read never
+    exercises."""
+    import os
+    import re as _re
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
+    stage = os.path.join(
+        tempfile.gettempdir(), f"stream_events_{tag}_{os.getpid()}"
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(stage)
+    reader = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    )
+    return reader.parquet(stage), tag
+
+
+def _staged_event_stream_split(spark: SparkSession, sf_dir: str):
+    """Two disjoint staged event streams (user_id parity split) for the
+    multi-source union shape; same _SUCCESS-gated staging discipline."""
+    import os
+    import re as _re
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
+    streams = []
+    for parity in (0, 1):
+        stage = os.path.join(
+            tempfile.gettempdir(),
+            f"stream_events_p{parity}_{tag}_{os.getpid()}",
+        )
+        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+            events.filter(
+                F.pmod(F.col("user_id"), F.lit(2)) == parity
+            ).write.mode("overwrite").parquet(stage)
+        streams.append(
+            spark.readStream.schema(events.schema).parquet(stage)
+        )
+    return streams[0], streams[1], tag
+
+
 def q_streaming_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLIDING-window traffic (2-day windows sliding 1 day,
     per event type) run to completion — the third streaming window
@@ -9588,6 +9637,107 @@ def q_embedding_isotropy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_running_totals_complete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming shape NINE: COMPLETE output mode — the unwatermarked
+    running-totals family (every prior streaming entry is append-mode
+    closed windows).  The file source is throttled to 4 files per
+    trigger, so the memory sink is rewritten across MANY microbatches
+    and the final table is the incrementally-accumulated global
+    aggregate — which must equal the batch GROUP BY exactly because
+    the value sum is carried as exact integer cents (doubles would
+    drift with accumulation order across batch boundaries).  Scale
+    posture: complete mode is for LOW-cardinality dashboards (per-type
+    totals, k rows); the state is one row per key, not per event."""
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+    )
+
+    stream, tag = _staged_event_stream_throttled(
+        spark, sf_dir, max_files_per_trigger=4
+    )
+    cents = F.floor(
+        F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5)
+    ).cast("long")
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("__cents"),
+    )
+    name = f"stream_totals_{tag}"
+    run_to_memory_sink(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            "event_type",
+            "n_events",
+            (
+                F.round(
+                    F.col("__cents").cast("double") / F.lit(100.0), 2
+                )
+                + F.lit(0.0)
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_streaming_two_source_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming shape TEN: UNION of two streaming sources (the events
+    fact split by user parity into two file streams) merged under one
+    watermark into tumbling daily per-type counts — the multi-source
+    ingestion topology (e.g. two regional kafka topics feeding one
+    fact).  Append mode emits exactly the windows the final global
+    watermark closed (window_end <= max(ts) − 1 h — the union's
+    watermark tracks the max event time across BOTH sources), which
+    the oracle mirrors with the standard HAVING horizon.  Value sums
+    ride as exact integer cents."""
+    configure_runtime(spark)
+    from wistia_video_analytics_project_spark.streaming import (
+        run_to_memory_sink,
+    )
+
+    a, b, tag = _staged_event_stream_split(spark, sf_dir)
+    cents = F.floor(
+        F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents).cast("long").alias("__cents"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("date"),
+            "event_type",
+            "n_events",
+            "__cents",
+        )
+    )
+    name = f"stream_union_{tag}"
+    run_to_memory_sink(agg, name)
+    return (
+        spark.table(name)
+        .select(
+            "date",
+            "event_type",
+            "n_events",
+            (
+                F.round(
+                    F.col("__cents").cast("double") / F.lit(100.0), 2
+                )
+                + F.lit(0.0)
+            ).alias("total_value"),
+        )
+        .orderBy("date", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9906,6 +10056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_entropy_rate": q_bigram_entropy_rate,
         "unigram_sampling_075": q_unigram_sampling_075,
         "embedding_isotropy_probe": q_embedding_isotropy_probe,
+        "streaming_running_totals_complete":
+            q_streaming_running_totals_complete,
+        "streaming_two_source_union": q_streaming_two_source_union,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -15505,6 +15658,30 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(ssq) / CAST(n_vectors AS DOUBLE), 6)
                  + CAST(0.0 AS DOUBLE) AS mean_vector_norm
         FROM agg
+    """
+    sql["streaming_running_totals_complete"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(CAST(floor(coalesce(value, 0.0) * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE)
+                     / CAST(100.0 AS DOUBLE), 2)
+                 + CAST(0.0 AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """
+    sql["streaming_two_source_union"] = """
+        SELECT CAST(ts AS DATE) AS date, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(CAST(floor(coalesce(value, 0.0) * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE)
+                     / CAST(100.0 AS DOUBLE), 2)
+                 + CAST(0.0 AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
+                 <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        ORDER BY 1, 2
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -283,6 +283,8 @@ SECONDARY = [
     "bigram_entropy_rate",
     "unigram_sampling_075",
     "embedding_isotropy_probe",
+    "streaming_running_totals_complete",
+    "streaming_two_source_union",
 ]
 
 

@@ -887,3 +887,57 @@ def test_stream_stream_join_rejects_unknown_mode(spark):
     )
     with pytest.raises(ValueError, match="how"):
         stream_stream_window_join(df, df, ["id"], "ts", "ts", how="cross")
+
+
+def test_complete_mode_totals_match_batch(spark):
+    """Shape nine: the throttled multi-microbatch complete-mode totals
+    must equal the one-shot batch aggregate exactly (integer cents)."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    got = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in entrymod.queries()["streaming_running_totals_complete"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    events = entrymod._t(spark, SF_SMOKE, "events")
+    cents = F.floor(
+        F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5)
+    ).cast("long")
+    ref = {
+        r.event_type: (r.n, round(r.c / 100.0, 2))
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+        .collect()
+    }
+    assert got == ref
+
+
+def test_split_event_streams_disjoint_and_covering(spark):
+    """The parity split behind the union shape partitions the fact."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    a, b, _tag = entrymod._staged_event_stream_split(spark, SF_SMOKE)
+    # read the staged dirs back as batch frames via their plans' paths
+    events = entrymod._t(spark, SF_SMOKE, "events")
+    total = events.count()
+    import glob
+    import os
+    import tempfile
+
+    dirs = sorted(
+        glob.glob(
+            os.path.join(
+                tempfile.gettempdir(), f"stream_events_p*_{_tag}_{os.getpid()}"
+            )
+        )
+    )
+    assert len(dirs) == 2
+    da = spark.read.parquet(dirs[0])
+    db = spark.read.parquet(dirs[1])
+    assert da.count() + db.count() == total
+    # disjoint on user parity
+    assert da.filter(F.pmod("user_id", F.lit(2)) == 1).count() == 0
+    assert db.filter(F.pmod("user_id", F.lit(2)) == 0).count() == 0
