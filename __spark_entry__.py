@@ -9738,6 +9738,347 @@ def q_streaming_two_source_union(
     )
 
 
+def q_pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily purchase revenue at lags 1-4 —
+    the AR-order identification table next to daily_revenue_acf (an
+    AR(p) shows PACF cutting off after p where the ACF tails).  The
+    Durbin-Levinson recursion is UNROLLED to four fixed levels with
+    identical parenthesization in both engines, fed by the unrounded
+    lag correlations; PACF rounds at 5 (one division per level bounds
+    ulp growth).  Scale: everything past the day-spine reduction is
+    scalar algebra on one row."""
+    daily = _daily_purchase_cents(spark, sf_dir)
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cents",
+        *[F.lag("cents", k).over(w).alias(f"l{k}") for k in range(1, 5)],
+    )
+    wide = lagged.agg(
+        *[F.corr("cents", f"l{k}").alias(f"r{k}") for k in range(1, 5)]
+    )
+    r1, r2, r3, r4 = (F.col(f"r{k}") for k in range(1, 5))
+    p1 = r1
+    p2 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    a21 = r1 - p2 * r1
+    p3 = (r3 - (a21 * r2 + p2 * r1)) / (
+        F.lit(1.0) - (a21 * r1 + p2 * r2)
+    )
+    a31 = a21 - p3 * p2
+    a32 = p2 - p3 * a21
+    p4 = (r4 - (a31 * r3 + a32 * r2 + p3 * r1)) / (
+        F.lit(1.0) - (a31 * r1 + a32 * r2 + p3 * r3)
+    )
+    cols = wide.select(
+        *[
+            (F.round(F.col(f"r{k}"), 6) + F.lit(0.0)).alias(f"c{k}")
+            for k in range(1, 5)
+        ],
+        *[
+            (F.round(p, 5) + F.lit(0.0)).alias(f"p{k}")
+            for k, p in ((1, p1), (2, p2), (3, p3), (4, p4))
+        ],
+    )
+    stack = ", ".join(f"{k}, c{k}, p{k}" for k in range(1, 5))
+    return cols.selectExpr(
+        f"stack(4, {stack}) AS (lag, acf, pacf)"
+    ).orderBy("lag")
+
+
+def q_cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect sizes for two categorical pairs on the events fact:
+    Cramér's V = √(χ²/(n·(min(r,c)−1))) for event_type × weekday and
+    event_type × value band (fixed 25-point bands — no global sort at
+    scale, unlike a quantile cut).  χ² from exact integer observed
+    counts against row·col/n expecteds; the magnitude-free V is what
+    makes the two pairs comparable.  Scale: two grouped counts of the
+    fact; the contingency algebra runs on ≤ r·c rows."""
+    events = _t(spark, sf_dir, "events")
+
+    def one(label: str, col):
+        cells = (
+            events.select(
+                F.col("event_type").alias("__a"), col.alias("__b")
+            )
+            .groupBy("__a", "__b")
+            .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+        )
+        cells = cache.track(cells.cache())
+        wa = Window.partitionBy("__a")
+        wb = Window.partitionBy("__b")
+        tot = cells.select(
+            "__o",
+            F.sum("__o").over(wa).cast("long").alias("__ra"),
+            F.sum("__o").over(wb).cast("long").alias("__rb"),
+        )
+        n_expr = cells.agg(
+            F.sum("__o").cast("long").alias("__n"),
+            F.countDistinct("__a").cast("long").alias("__r"),
+            F.countDistinct("__b").cast("long").alias("__c"),
+        )
+        chi = tot.crossJoin(F.broadcast(n_expr)).agg(
+            F.max("__n").alias("__n"),
+            F.max("__r").alias("__r"),
+            F.max("__c").alias("__c"),
+            F.sum(
+                (
+                    F.col("__o").cast("double")
+                    - F.col("__ra").cast("double")
+                    * F.col("__rb").cast("double")
+                    / F.col("__n").cast("double")
+                )
+                * (
+                    F.col("__o").cast("double")
+                    - F.col("__ra").cast("double")
+                    * F.col("__rb").cast("double")
+                    / F.col("__n").cast("double")
+                )
+                / (
+                    F.col("__ra").cast("double")
+                    * F.col("__rb").cast("double")
+                    / F.col("__n").cast("double")
+                )
+            ).alias("__chi2"),
+        )
+        v = F.sqrt(
+            F.col("__chi2")
+            / (
+                F.col("__n").cast("double")
+                * (
+                    F.least(F.col("__r"), F.col("__c")).cast("double")
+                    - F.lit(1.0)
+                )
+            )
+        )
+        return chi.select(
+            F.lit(label).alias("pair"),
+            F.col("__n").alias("n_events"),
+            (F.col("__r") * F.col("__c")).cast("long").alias("n_cells"),
+            (F.round(F.col("__chi2"), 4) + F.lit(0.0)).alias("chi2"),
+            (F.round(v, 6) + F.lit(0.0)).alias("cramers_v"),
+        )
+
+    band = F.least(
+        F.lit(3),
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) / F.lit(25.0)),
+    ).cast("int")
+    return one("type_x_weekday", (F.weekday("ts") + F.lit(1)).cast("int")).unionByName(
+        one("type_x_value_band", band)
+    ).orderBy("pair")
+
+
+def q_kendall_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance: do the seven weekdays agree on the
+    ranking of event types by traffic?  Each weekday ranks the types
+    by its event count (deterministic count DESC, type ASC); W =
+    12·S/(m²(n³−n)) from the EXACT integer rank sums (S is an exact
+    integer times 4 — computed in integer quarters so both engines
+    divide identical integers).  The χ² approximation m(n−1)W gates
+    the verdict.  Scale: one grouped count, then algebra on the
+    ≤ m·n rank grid."""
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("isodow"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    wr = Window.partitionBy("isodow").orderBy(
+        F.desc("__cnt"), F.asc("event_type")
+    )
+    ranked = counts.select(
+        "isodow",
+        "event_type",
+        F.row_number().over(wr).cast("long").alias("__rank"),
+    )
+    sums = cache.track(
+        ranked.groupBy("event_type")
+        .agg(F.sum("__rank").cast("long").alias("rank_sum"))
+        .cache()
+    )
+    tot = sums.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("rank_sum").cast("long").alias("__t"),
+    )
+    # S·n² = Σ(n·R_j − T)² stays exact integer, so W divides exact ints
+    s_n2 = (
+        sums.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("__n") * F.col("rank_sum") - F.col("__t"))
+                * (F.col("__n") * F.col("rank_sum") - F.col("__t"))
+            )
+            .cast("long")
+            .alias("__s_n2"),
+            F.max("__n").alias("__n"),
+        )
+    )
+    m = F.lit(7.0)
+    nn = F.col("__n").cast("double")
+    w_stat = (
+        F.lit(12.0)
+        * (F.col("__s_n2").cast("double") / (nn * nn))
+        / (m * m * (nn * nn * nn - nn))
+    )
+    chi2 = m * (nn - F.lit(1.0)) * w_stat
+    scalar = s_n2.select(
+        (F.round(w_stat, 6) + F.lit(0.0)).alias("kendall_w"),
+        (F.round(chi2, 4) + F.lit(0.0)).alias("chi2_approx"),
+        F.when(F.round(chi2, 4) > 9.488, F.lit("concordant"))
+        .otherwise(F.lit("no_agreement"))
+        .alias("verdict_5pct"),
+    )
+    return (
+        sums.crossJoin(F.broadcast(scalar))
+        .select(
+            "event_type", "rank_sum", "kendall_w", "chi2_approx",
+            "verdict_5pct",
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-level quantile treatment effect: order values split by
+    the customer-parity pseudo-variant (the cuped/ab_test assignment
+    precedent), ntile(10) WITHIN each variant over a deterministic
+    (cents, orderkey) order, and the per-decile mean difference — the
+    distributional view an average treatment effect hides (does the
+    'treatment' move the tails or the middle?).  Means divide exact
+    integer cents once per side.  Scale: the ntile sorts within
+    2 variants — same accepted posture as the percentile family."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.select(
+        F.pmod(F.col("o_custkey"), F.lit(2)).cast("int").alias("__v"),
+        cents.alias("__cents"),
+        "o_orderkey",
+    )
+    wq = Window.partitionBy("__v").orderBy(
+        F.asc("__cents"), F.asc("o_orderkey")
+    )
+    dec = base.select(
+        "__v", "__cents", F.ntile(10).over(wq).cast("int").alias("decile")
+    )
+    per = dec.groupBy("__v", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__cents").cast("long").alias("__s"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double") / F.lit(
+        100.0
+    )
+    a = per.filter(F.col("__v") == 0).select(
+        "decile",
+        F.col("__n").alias("n_control"),
+        mean.alias("__m0"),
+    )
+    b = per.filter(F.col("__v") == 1).select(
+        "decile",
+        F.col("__n").alias("n_treated"),
+        mean.alias("__m1"),
+    )
+    return (
+        a.join(b, "decile")
+        .select(
+            "decile",
+            "n_control",
+            "n_treated",
+            (F.round(F.col("__m0"), 2) + F.lit(0.0)).alias("mean_control"),
+            (F.round(F.col("__m1"), 2) + F.lit(0.0)).alias("mean_treated"),
+            (F.round(F.col("__m1") - F.col("__m0"), 2) + F.lit(0.0)).alias(
+                "qte"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_lift_table_purchase_propensity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gains/lift table for a deterministic propensity score: users
+    scored by first-half-month view count, labeled by ANY second-half
+    purchase, cut into score deciles (ntile over the bounded USER
+    frame, score DESC / user ASC), reporting per-decile conversion,
+    lift, and cumulative capture — the standard model-eval operator,
+    here over a transparent heuristic score.  Lift = pos·total_users /
+    (n·total_pos) is a ratio of exact integer products; capture
+    cumulates exact integers.  Scale: everything past the two grouped
+    passes runs on the user-level frame."""
+    events = _t(spark, sf_dir, "events")
+    obs = events.filter(F.dayofmonth("ts") <= 15)
+    out = events.filter(F.dayofmonth("ts") > 15)
+    score = obs.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("__score")
+    )
+    label = out.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct().withColumn("__pos", F.lit(1).cast("long"))
+    users = score.join(label, "user_id", "left").select(
+        "user_id",
+        "__score",
+        F.coalesce("__pos", F.lit(0)).cast("long").alias("__pos"),
+    )
+    wd = Window.orderBy(F.desc("__score"), F.asc("user_id"))
+    dec = users.select(
+        F.ntile(10).over(wd).cast("int").alias("decile"), "__score", "__pos"
+    )
+    per = cache.track(
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("__pos").cast("long").alias("n_pos"),
+            F.sum("__score").cast("long").alias("__ssum"),
+        )
+        .cache()
+    )
+    tot = per.agg(
+        F.sum("n_users").cast("long").alias("__tu"),
+        F.sum("n_pos").cast("long").alias("__tp"),
+    )
+    wcum = Window.orderBy("decile")
+    cum_pos = F.sum("n_pos").over(wcum).cast("long")
+    lift = (
+        (F.col("n_pos") * F.col("__tu")).cast("double")
+        / (F.col("n_users") * F.col("__tp")).cast("double")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_pos",
+            (
+                F.round(
+                    F.col("__ssum").cast("double")
+                    / F.col("n_users").cast("double"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("avg_score"),
+            (
+                F.round(
+                    F.col("n_pos").cast("double")
+                    / F.col("n_users").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("conversion"),
+            (F.round(lift, 6) + F.lit(0.0)).alias("lift"),
+            (
+                F.round(
+                    cum_pos.cast("double") / F.col("__tp").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10059,6 +10400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_running_totals_complete":
             q_streaming_running_totals_complete,
         "streaming_two_source_union": q_streaming_two_source_union,
+        "pacf_daily_revenue": q_pacf_daily_revenue,
+        "cramers_v_pairs": q_cramers_v_pairs,
+        "kendall_w_concordance": q_kendall_w_concordance,
+        "quantile_treatment_effect": q_quantile_treatment_effect,
+        "lift_table_purchase_propensity": q_lift_table_purchase_propensity,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -15682,6 +16028,239 @@ def oracle_sql() -> dict[str, str]:
         HAVING CAST(ts AS DATE) + INTERVAL 1 DAY
                  <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
         ORDER BY 1, 2
+    """
+    sql["pacf_daily_revenue"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(floor(round(coalesce(sum(value),
+                                           CAST(0.0 AS DOUBLE)), 2) * 100
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        lagged AS (
+          SELECT cents,
+                 lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
+                 lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4
+          FROM daily WINDOW w AS (ORDER BY day)),
+        r AS (
+          SELECT corr(cents, l1) AS r1, corr(cents, l2) AS r2,
+                 corr(cents, l3) AS r3, corr(cents, l4) AS r4
+          FROM lagged),
+        lev1 AS (
+          SELECT r1, r2, r3, r4, r1 AS p1,
+                 (r2 - r1 * r1) / (CAST(1.0 AS DOUBLE) - r1 * r1) AS p2
+          FROM r),
+        lev2 AS (
+          SELECT *, r1 - p2 * r1 AS a21 FROM lev1),
+        lev3 AS (
+          SELECT *,
+                 (r3 - (a21 * r2 + p2 * r1))
+                 / (CAST(1.0 AS DOUBLE) - (a21 * r1 + p2 * r2)) AS p3
+          FROM lev2),
+        lev4 AS (
+          SELECT *, a21 - p3 * p2 AS a31, p2 - p3 * a21 AS a32 FROM lev3),
+        lev5 AS (
+          SELECT *,
+                 (r4 - (a31 * r3 + a32 * r2 + p3 * r1))
+                 / (CAST(1.0 AS DOUBLE)
+                    - (a31 * r1 + a32 * r2 + p3 * r3)) AS p4
+          FROM lev4),
+        final AS (
+          SELECT round(r1, 6) + CAST(0.0 AS DOUBLE) AS c1,
+                 round(r2, 6) + CAST(0.0 AS DOUBLE) AS c2,
+                 round(r3, 6) + CAST(0.0 AS DOUBLE) AS c3,
+                 round(r4, 6) + CAST(0.0 AS DOUBLE) AS c4,
+                 round(p1, 5) + CAST(0.0 AS DOUBLE) AS q1,
+                 round(p2, 5) + CAST(0.0 AS DOUBLE) AS q2,
+                 round(p3, 5) + CAST(0.0 AS DOUBLE) AS q3,
+                 round(p4, 5) + CAST(0.0 AS DOUBLE) AS q4
+          FROM lev5)
+        SELECT 1 AS lag, c1 AS acf, q1 AS pacf FROM final
+        UNION ALL SELECT 2, c2, q2 FROM final
+        UNION ALL SELECT 3, c3, q3 FROM final
+        UNION ALL SELECT 4, c4, q4 FROM final
+        ORDER BY lag
+    """
+    _CRAMERS_ONE = """
+        cells_{t} AS (
+          SELECT {a} AS a, {b} AS b, CAST(count(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2),
+        marg_{t} AS (
+          SELECT o,
+                 CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+                 CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS rb
+          FROM cells_{t}),
+        nrc_{t} AS (
+          SELECT CAST(sum(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT a) AS BIGINT) AS r,
+                 CAST(count(DISTINCT b) AS BIGINT) AS c
+          FROM cells_{t}),
+        chi_{t} AS (
+          SELECT max(n) AS n, max(r) AS r, max(c) AS c,
+                 sum((CAST(o AS DOUBLE)
+                      - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * (CAST(o AS DOUBLE)
+                        - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                     / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+                        / CAST(n AS DOUBLE))) AS chi2
+          FROM marg_{t}, nrc_{t}),
+        row_{t} AS (
+          SELECT '{label}' AS pair,
+                 n AS n_events,
+                 CAST(r * c AS BIGINT) AS n_cells,
+                 round(chi2, 4) + CAST(0.0 AS DOUBLE) AS chi2,
+                 round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                                    * (CAST(least(r, c) AS DOUBLE)
+                                       - CAST(1.0 AS DOUBLE)))), 6)
+                   + CAST(0.0 AS DOUBLE) AS cramers_v
+          FROM chi_{t})
+    """
+    sql["cramers_v_pairs"] = (
+        "WITH "
+        + _CRAMERS_ONE.format(
+            t="w", a="event_type",
+            b="CAST(isodow(CAST(ts AS DATE)) AS INT)",
+            label="type_x_weekday",
+        )
+        + ", "
+        + _CRAMERS_ONE.format(
+            t="v", a="event_type",
+            b="CAST(least(CAST(3 AS DOUBLE), floor(coalesce(value, "
+              "CAST(0.0 AS DOUBLE)) / CAST(25.0 AS DOUBLE))) AS INT)",
+            label="type_x_value_band",
+        )
+        + " SELECT * FROM row_w UNION ALL SELECT * FROM row_v ORDER BY pair"
+    )
+    sql["kendall_w_concordance"] = """
+        WITH counts AS (
+          SELECT CAST(isodow(CAST(ts AS DATE)) AS INT) AS isodow,
+                 event_type, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT isodow, event_type,
+                 CAST(row_number() OVER (PARTITION BY isodow
+                                         ORDER BY cnt DESC,
+                                                  event_type ASC)
+                      AS BIGINT) AS rnk
+          FROM counts),
+        sums AS (
+          SELECT event_type, CAST(sum(rnk) AS BIGINT) AS rank_sum
+          FROM ranked GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rank_sum) AS BIGINT) AS t
+          FROM sums),
+        sn2 AS (
+          SELECT CAST(sum((n * rank_sum - t) * (n * rank_sum - t))
+                      AS BIGINT) AS s_n2,
+                 max(n) AS n
+          FROM sums, tot),
+        scalar AS (
+          SELECT round(CAST(12.0 AS DOUBLE)
+                       * (CAST(s_n2 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                       / (CAST(7.0 AS DOUBLE) * CAST(7.0 AS DOUBLE)
+                          * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+                   + CAST(0.0 AS DOUBLE) AS kendall_w,
+                 round(CAST(7.0 AS DOUBLE)
+                       * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                       * (CAST(12.0 AS DOUBLE)
+                          * (CAST(s_n2 AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                          / (CAST(7.0 AS DOUBLE) * CAST(7.0 AS DOUBLE)
+                             * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE)
+                                - CAST(n AS DOUBLE)))), 4)
+                   + CAST(0.0 AS DOUBLE) AS chi2_approx
+          FROM sn2)
+        SELECT event_type, rank_sum, kendall_w, chi2_approx,
+               CASE WHEN chi2_approx > CAST(9.488 AS DOUBLE)
+                    THEN 'concordant' ELSE 'no_agreement' END
+                 AS verdict_5pct
+        FROM sums, scalar
+        ORDER BY event_type
+    """
+    sql["quantile_treatment_effect"] = """
+        WITH base AS (
+          SELECT CAST(o_custkey % 2 AS INT) AS v,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 o_orderkey
+          FROM orders),
+        dec AS (
+          SELECT v, cents,
+                 CAST(ntile(10) OVER (PARTITION BY v
+                                      ORDER BY cents ASC, o_orderkey ASC)
+                      AS INT) AS decile
+          FROM base),
+        per AS (
+          SELECT v, decile, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s
+          FROM dec GROUP BY 1, 2),
+        a AS (
+          SELECT decile, n AS n_control,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   / CAST(100.0 AS DOUBLE) AS m0
+          FROM per WHERE v = 0),
+        b AS (
+          SELECT decile, n AS n_treated,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   / CAST(100.0 AS DOUBLE) AS m1
+          FROM per WHERE v = 1)
+        SELECT decile, n_control, n_treated,
+               round(m0, 2) + CAST(0.0 AS DOUBLE) AS mean_control,
+               round(m1, 2) + CAST(0.0 AS DOUBLE) AS mean_treated,
+               round(m1 - m0, 2) + CAST(0.0 AS DOUBLE) AS qte
+        FROM a JOIN b USING (decile)
+        ORDER BY decile
+    """
+    sql["lift_table_purchase_propensity"] = """
+        WITH score AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS score
+          FROM events WHERE day(CAST(ts AS DATE)) <= 15
+          GROUP BY 1),
+        label AS (
+          SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS pos
+          FROM events
+          WHERE day(CAST(ts AS DATE)) > 15 AND event_type = 'purchase'),
+        users AS (
+          SELECT s.user_id, s.score,
+                 CAST(coalesce(l.pos, 0) AS BIGINT) AS pos
+          FROM score s LEFT JOIN label l USING (user_id)),
+        dec AS (
+          SELECT CAST(ntile(10) OVER (ORDER BY score DESC, user_id ASC)
+                      AS INT) AS decile,
+                 score, pos
+          FROM users),
+        per AS (
+          SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(score) AS BIGINT) AS ssum
+          FROM dec GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+                 CAST(sum(n_pos) AS BIGINT) AS tp
+          FROM per),
+        cum AS (
+          SELECT decile, n_users, n_pos, ssum,
+                 CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT)
+                   AS cum_pos
+          FROM per)
+        SELECT decile, n_users, n_pos,
+               round(CAST(ssum AS DOUBLE) / CAST(n_users AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS avg_score,
+               round(CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS conversion,
+               round(CAST(n_pos * tu AS DOUBLE)
+                     / CAST(n_users * tp AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS lift,
+               round(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS cum_capture
+        FROM cum, tot
+        ORDER BY decile
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

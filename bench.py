@@ -285,6 +285,11 @@ SECONDARY = [
     "embedding_isotropy_probe",
     "streaming_running_totals_complete",
     "streaming_two_source_union",
+    "pacf_daily_revenue",
+    "cramers_v_pairs",
+    "kendall_w_concordance",
+    "quantile_treatment_effect",
+    "lift_table_purchase_propensity",
 ]
 
 

@@ -689,3 +689,179 @@ def test_isotropy_probe_matches_bruteforce(spark):
     assert row["mean_vector_norm"] == pytest.approx(
         np.linalg.norm(u.mean(axis=0)), abs=1e-5
     )
+
+
+def test_pacf_matches_textbook(spark):
+    ev = _events()
+    daily = (
+        ev[ev.event_type == "purchase"]
+        .groupby(ev.ts.dt.normalize())
+        .value.sum()
+        .sort_index()
+    )
+    cents = np.floor(np.round(daily.to_numpy(), 2) * 100 + 0.5)
+    rho = []
+    for k in range(1, 5):
+        a, b = cents[k:], cents[:-k]
+        rho.append(np.corrcoef(a, b)[0, 1])
+    r1, r2, r3, r4 = rho
+    p1 = r1
+    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    a21 = r1 - p2 * r1
+    p3 = (r3 - (a21 * r2 + p2 * r1)) / (1 - (a21 * r1 + p2 * r2))
+    a31, a32 = a21 - p3 * p2, p2 - p3 * a21
+    p4 = (r4 - (a31 * r3 + a32 * r2 + p3 * r1)) / (
+        1 - (a31 * r1 + a32 * r2 + p3 * r3)
+    )
+    rows = {
+        r["lag"]: r
+        for r in entrymod.queries()["pacf_daily_revenue"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for lag, (ac, pc) in enumerate(
+        zip(rho, [p1, p2, p3, p4]), start=1
+    ):
+        assert rows[lag]["acf"] == pytest.approx(ac, abs=1e-4)
+        assert rows[lag]["pacf"] == pytest.approx(pc, abs=1e-4)
+
+
+def test_cramers_v_matches_textbook(spark):
+    ev = _events()
+    rows = {
+        r["pair"]: r
+        for r in entrymod.queries()["cramers_v_pairs"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+
+    def ref(b):
+        table = pd.crosstab(ev.event_type, b)
+        o = table.to_numpy(dtype=np.float64)
+        e = np.outer(o.sum(axis=1), o.sum(axis=0)) / o.sum()
+        chi2 = ((o - e) ** 2 / e).sum()
+        v = np.sqrt(chi2 / (o.sum() * (min(o.shape) - 1)))
+        return chi2, v, o.size
+
+    chi2, v, cells = ref(ev.ts.dt.dayofweek + 1)
+    r = rows["type_x_weekday"]
+    assert r["n_cells"] == cells
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-3)
+    assert r["cramers_v"] == pytest.approx(v, abs=1e-5)
+    band = np.minimum(3, np.floor(ev.value.fillna(0.0) / 25.0)).astype(int)
+    chi2, v, cells = ref(band)
+    r = rows["type_x_value_band"]
+    assert r["n_cells"] == cells
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-3)
+    assert r["cramers_v"] == pytest.approx(v, abs=1e-5)
+
+
+def test_kendall_w_matches_textbook(spark):
+    ev = _events()
+    counts = (
+        ev.groupby([ev.ts.dt.dayofweek + 1, "event_type"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+        .rename(columns={"ts": "isodow"})
+    )
+    counts["rnk"] = counts.sort_values(
+        ["cnt", "event_type"], ascending=[False, True]
+    ).groupby("isodow").cumcount()
+    # textbook rank per judge: order by count desc, name asc
+    ranks = {}
+    for dow, grp in counts.groupby("isodow"):
+        ordered = grp.sort_values(
+            ["cnt", "event_type"], ascending=[False, True]
+        ).event_type.tolist()
+        for i, t in enumerate(ordered, start=1):
+            ranks.setdefault(t, []).append(i)
+    rank_sums = {t: sum(v) for t, v in ranks.items()}
+    n, m = len(rank_sums), 7
+    mean_r = sum(rank_sums.values()) / n
+    s = sum((v - mean_r) ** 2 for v in rank_sums.values())
+    w = 12.0 * s / (m * m * (n**3 - n))
+    rows = entrymod.queries()["kendall_w_concordance"](
+        spark, SF_SMOKE
+    ).collect()
+    assert {r["event_type"]: r["rank_sum"] for r in rows} == rank_sums
+    assert rows[0]["kendall_w"] == pytest.approx(w, abs=1e-5)
+    assert rows[0]["chi2_approx"] == pytest.approx(
+        m * (n - 1) * w, abs=1e-3
+    )
+
+
+def test_qte_matches_textbook(spark):
+    o = _orders()
+    o = o.copy()
+    o["cents"] = _cents(o.o_totalprice)
+    o["v"] = (o.o_custkey % 2).astype(int)
+    rows = {
+        r["decile"]: r
+        for r in entrymod.queries()["quantile_treatment_effect"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for v in (0, 1):
+        sub = o[o.v == v].sort_values(
+            ["cents", "o_orderkey"], ascending=[True, True]
+        ).reset_index(drop=True)
+        n = len(sub)
+        base, extra = divmod(n, 10)
+        start = 0
+        for q in range(1, 11):
+            sz = base + (1 if q <= extra else 0)
+            sel = sub.iloc[start : start + sz]
+            start += sz
+            r = rows[q]
+            key_n = "n_control" if v == 0 else "n_treated"
+            key_m = "mean_control" if v == 0 else "mean_treated"
+            assert r[key_n] == sz
+            assert r[key_m] == pytest.approx(
+                sel.cents.mean() / 100.0, abs=0.01
+            )
+    for q, r in rows.items():
+        assert r["qte"] == pytest.approx(
+            r["mean_treated"] - r["mean_control"], abs=0.011
+        )
+
+
+def test_lift_table_matches_textbook(spark):
+    ev = _events()
+    obs = ev[ev.ts.dt.day <= 15]
+    out = ev[ev.ts.dt.day > 15]
+    score = (
+        obs.assign(isview=(obs.event_type == "view").astype(int))
+        .groupby("user_id")
+        .isview.sum()
+    )
+    buyers = set(out.loc[out.event_type == "purchase", "user_id"])
+    users = pd.DataFrame(
+        {"score": score, "pos": [int(u in buyers) for u in score.index]}
+    ).reset_index()
+    users = users.sort_values(
+        ["score", "user_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    n = len(users)
+    base, extra = divmod(n, 10)
+    tp = users.pos.sum()
+    rows = {
+        r["decile"]: r
+        for r in entrymod.queries()["lift_table_purchase_propensity"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    start, cum = 0, 0
+    for q in range(1, 11):
+        sz = base + (1 if q <= extra else 0)
+        sel = users.iloc[start : start + sz]
+        start += sz
+        cum += sel.pos.sum()
+        r = rows[q]
+        assert r["n_users"] == sz
+        assert r["n_pos"] == sel.pos.sum()
+        assert r["conversion"] == pytest.approx(sel.pos.mean(), abs=1e-5)
+        assert r["lift"] == pytest.approx(
+            sel.pos.mean() / (tp / n), abs=1e-4
+        )
+        assert r["cum_capture"] == pytest.approx(cum / tp, abs=1e-5)
