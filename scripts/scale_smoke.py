@@ -624,11 +624,60 @@ def abandon_ladder(spark, release_caches) -> None:
               f"{max(peaks):,})")
 
 
+def bigram_entropy_ladder(spark, release_caches) -> None:
+    """bigram_entropy_rate's corpus-wide stage (round-9 addition): the
+    per-source bigram count + windowed conditional-entropy reduce, on
+    letter-mutated replicas so the bigram vocabulary grows with the
+    corpus (the adversarial case for the grouped-count posture)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.count()
+
+    def run(dd):
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\\s+")
+        base = dd.filter(
+            F.col("text").isNotNull() & (F.size(toks) >= 2)
+        ).select("source", "doc_id", toks.alias("t"))
+        ex = base.select(
+            "source", "doc_id", F.posexplode("t").alias("i", "w")
+        )
+        wd = Window.partitionBy("doc_id").orderBy("i")
+        bg = ex.select(
+            "source",
+            F.col("w").alias("w1"),
+            F.lead("w").over(wd).alias("w2"),
+        ).filter(F.col("w2").isNotNull())
+        c12 = bg.groupBy("source", "w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("c12")
+        )
+        wc1 = Window.partitionBy("source", "w1")
+        terms = c12.select(
+            "source", "c12",
+            F.sum("c12").over(wc1).cast("long").alias("c1"),
+        )
+        return terms.groupBy("source").agg(
+            F.sum(
+                F.col("c12").cast("double")
+                * F.log(F.col("c1").cast("double")
+                        / F.col("c12").cast("double"))
+            ).alias("hsum")
+        )
+
+    for k in (1, 4, 16):
+        dd = multiply_docs_mutated(docs, k)
+        best = min(_time(lambda: run(dd).count()) for _ in range(2))
+        release_caches()
+        n = dd.count()
+        print(f"x{k:>2} ({n:>9,} docs) bigram_ent   : {best:6.2f}s "
+              f"({n / best / 1e3:6.1f} K docs/s)")
+
+
 def main() -> None:
     from wistia_video_analytics_project_spark.cache import release_caches
 
     known = {"events", "docs", "lpa", "als", "unigram", "kn",
-             "itemcos", "ppl", "abandon"}
+             "itemcos", "ppl", "abandon", "bigram"}
     sections = set(sys.argv[1:]) or set(known)
     unknown = sections - known
     if unknown:
@@ -649,6 +698,8 @@ def main() -> None:
         ppl_ladder(spark, release_caches)
     if "abandon" in sections:
         abandon_ladder(spark, release_caches)
+    if "bigram" in sections:
+        bigram_entropy_ladder(spark, release_caches)
     if not sections & {"events", "docs", "lpa"}:
         spark.stop()
         return
