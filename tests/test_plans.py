@@ -799,3 +799,55 @@ def test_centroid_confusion_broadcasts_centroids(spark):
     would exchange the exploded vector frame a second time."""
     df = entrymod.queries()["centroid_label_confusion"](spark, SF_SMOKE)
     plans.assert_broadcast_join(df)
+
+
+def test_round9_entries_no_cartesian(spark):
+    """Round-9 scale posture: the new rank/contingency/decile entries
+    must never plan a CartesianProduct (1-row broadcast cross joins
+    compile to BroadcastNestedLoopJoin, which is fine)."""
+    for name in (
+        "kruskal_wallis_regions",
+        "brown_forsythe_weekday",
+        "cohort_ltv_curve",
+        "rfm_migration_matrix",
+        "bigram_entropy_rate",
+        "cramers_v_pairs",
+        "kendall_w_concordance",
+        "quantile_treatment_effect",
+        "lift_table_purchase_propensity",
+        "embedding_isotropy_probe",
+    ):
+        df = entrymod.queries()[name](spark, SF_SMOKE)
+        plan = plans.executed_plan(df)
+        assert "CartesianProduct" not in plan, f"{name}: {plan[:2000]}"
+
+
+def test_kruskal_dims_broadcast_and_no_row_level_rank(spark):
+    """Kruskal-Wallis: nation/region broadcast, and the only Window in
+    the plan runs over the VALUE-level frame (rank from cumulative
+    counts), never a row-number over raw orders."""
+    df = entrymod.queries()["kruskal_wallis_regions"](spark, SF_SMOKE)
+    plans.assert_broadcast_join(df)
+    plan = plans.executed_plan(df)
+    # the window's input must already be an aggregate (HashAggregate
+    # between the scan and the Window) — no rank assignment at row level
+    assert "row_number" not in plan.lower(), plan[:2000]
+
+
+def test_isotropy_probe_no_pair_join(spark):
+    """The isotropy probe must stay O(n·d): no self-join of the
+    embeddings relation (the identity replaces the pair enumeration)."""
+    df = entrymod.queries()["embedding_isotropy_probe"](spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert plan.count("embeddings.parquet") <= 2, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_ltv_single_fact_shuffle_key(spark):
+    """Cohort LTV: orders scan feeds ONE exchange keyed on o_custkey
+    (window min); the cohort grid work downstream is bounded."""
+    df = entrymod.queries()["cohort_ltv_curve"](spark, SF_SMOKE)
+    plans.assert_read_columns_at_most(
+        df, "orders.parquet",
+        {"o_custkey", "o_orderdate", "o_totalprice"},
+    )
