@@ -10079,6 +10079,223 @@ def q_lift_table_purchase_propensity(
     )
 
 
+def q_er_blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking PLANNER: block-size distribution for
+    the (brand, size) key fuzzy_part_names compares under — per size
+    bucket, how many blocks / records / candidate pairs Σb(b−1)/2 the
+    key yields (the number that decides whether a blocking key is
+    usable before anyone runs the quadratic comparison).  Exact
+    integers throughout.  Scale: one grouped count of the dim, then a
+    ≤distinct-sizes frame."""
+    part = _t(spark, sf_dir, "part")
+    blocks = part.groupBy("p_brand", "p_size").agg(
+        F.count(F.lit(1)).cast("long").alias("__b")
+    )
+    bucket = (
+        F.when(F.col("__b") >= 5, F.lit(5)).otherwise(F.col("__b"))
+    ).cast("int")
+    return (
+        blocks.groupBy(bucket.alias("block_size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("__b").cast("long").alias("n_records"),
+            F.sum(F.col("__b") * (F.col("__b") - F.lit(1)) / F.lit(2))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+        )
+        .orderBy("block_size_bucket")
+    )
+
+
+def q_doc_outlier_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence length outliers per source: q1/q3 of n_chars (exact
+    interpolated percentiles over integers — both engines land on the
+    same exact .25-grid doubles), 1.5·IQR fences, and the outlier
+    counts each side — the length screen run before any quality model
+    sees the corpus.  Scale: percentile over the per-source grouped
+    column, one pass to count violations."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("__q1"),
+        F.expr("percentile(n_chars, 0.75)").alias("__q3"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    lo = F.col("__q1") - F.lit(1.5) * iqr
+    hi = F.col("__q3") + F.lit(1.5) * iqr
+    joined = docs.join(F.broadcast(q), "source")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            (F.round(F.max("__q1"), 2) + F.lit(0.0)).alias("q1_chars"),
+            (F.round(F.max("__q3"), 2) + F.lit(0.0)).alias("q3_chars"),
+            F.sum(
+                F.when(F.col("n_chars").cast("double") < lo, F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_short_outliers"),
+            F.sum(
+                F.when(F.col("n_chars").cast("double") > hi, F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_long_outliers"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_embedding_dim_variance_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-zero-variance dimension screen over the embedding matrix:
+    per dimension, mean and sample variance (direct positive-term
+    deviation sums), flagged against 0.5× the average dimension
+    variance — the feature-pruning pass before PQ/IVF codebooks waste
+    bits on dead dimensions.  Scale: one explode + grouped moments;
+    the flag threshold is a broadcast scalar."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode("embedding").alias("dim", "__v")
+    ).select("dim", F.col("__v").cast("double").alias("__v"))
+    mom = e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.avg("__v").alias("__mu"),
+    )
+    dev = e.join(F.broadcast(mom), "dim")
+    var_col = (
+        F.sum(
+            (F.col("__v") - F.col("__mu")) * (F.col("__v") - F.col("__mu"))
+        )
+        / (F.max("__n").cast("double") - F.lit(1.0))
+    )
+    per_dim = cache.track(
+        dev.groupBy("dim")
+        .agg(
+            F.max("__n").cast("long").alias("n_vectors"),
+            F.max("__mu").alias("__mu"),
+            var_col.alias("__var"),
+        )
+        .cache()
+    )
+    thr = per_dim.agg(
+        (
+            F.sum("__var") / F.count(F.lit(1)).cast("double") * F.lit(0.5)
+        ).alias("__thr")
+    )
+    return (
+        per_dim.crossJoin(F.broadcast(thr))
+        .select(
+            "dim",
+            "n_vectors",
+            (F.round(F.col("__mu"), 6) + F.lit(0.0)).alias("mean"),
+            (F.round(F.col("__var"), 6) + F.lit(0.0)).alias("variance"),
+            F.when(
+                F.col("__var") < F.col("__thr"), F.lit("low_variance")
+            )
+            .otherwise(F.lit("ok"))
+            .alias("flag"),
+        )
+        .orderBy("dim")
+    )
+
+
+def q_shingle_df_stopword_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stop-shingle planner for the Jaccard dedup family: the top-15
+    4-gram shingles by DOCUMENT frequency with their df ratio and the
+    max_df=0.5 stop flag — the table that justifies dedup_ngram's
+    stop-shingle guard (a shingle in half the corpus carries no dedup
+    signal but quadratic join cost).  Shingles form from three lead
+    windows inside each doc; df counts distinct docs.  Scale: grouped
+    distinct count per shingle, top-k via deterministic (df, shingle)
+    order."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.filter(
+        F.col("text").isNotNull() & (F.size(toks) >= 4)
+    ).select("doc_id", toks.alias("__t"))
+    ex = base.select("doc_id", F.posexplode("__t").alias("__i", "__w"))
+    wd = Window.partitionBy("doc_id").orderBy("__i")
+    sh = ex.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("__w"),
+            F.lead("__w", 1).over(wd),
+            F.lead("__w", 2).over(wd),
+            F.lead("__w", 3).over(wd),
+        ).alias("shingle"),
+        F.lead("__w", 3).over(wd).alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    df_counts = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = base.agg(F.count(F.lit(1)).cast("long").alias("__nd"))
+    return (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(15)
+        .select(
+            "shingle",
+            "df",
+            (
+                F.round(
+                    F.col("df").cast("double") / F.col("__nd").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("df_ratio"),
+            F.when(
+                F.col("df").cast("double")
+                > F.lit(0.5) * F.col("__nd").cast("double"),
+                F.lit("stop_shingle"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("verdict_maxdf_05"),
+        )
+    )
+
+
+def q_sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per session date: share of 30-minute-gap sessions
+    containing a single event — the engagement-quality KPI on top of
+    the sessionizer (same gap/tiebreak discipline as session_stats).
+    Counts are exact integers; the rate divides once.  Scale: one
+    shuffle on user_id for the gaps-and-islands pass, then a grouped
+    reduce on session_date."""
+    events = _t(spark, sf_dir, "events")
+    stats = temporal.session_stats(
+        events, "user_id", "ts", gap="30 minutes", tiebreakers=["event_id"]
+    )
+    per_day = stats.groupBy(
+        F.to_date("session_start_ts").alias("session_date")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(
+            F.when(F.col("n_events") == 1, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_bounces"),
+    )
+    return per_day.select(
+        "session_date",
+        "n_sessions",
+        "n_bounces",
+        (
+            F.round(
+                F.col("n_bounces").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("bounce_rate"),
+    ).orderBy("session_date")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10405,6 +10622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_w_concordance": q_kendall_w_concordance,
         "quantile_treatment_effect": q_quantile_treatment_effect,
         "lift_table_purchase_propensity": q_lift_table_purchase_propensity,
+        "er_blocking_report": q_er_blocking_report,
+        "doc_outlier_lengths": q_doc_outlier_lengths,
+        "embedding_dim_variance_screen": q_embedding_dim_variance_screen,
+        "shingle_df_stopword_report": q_shingle_df_stopword_report,
+        "sessionized_bounce_rate": q_sessionized_bounce_rate,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -16261,6 +16483,137 @@ def oracle_sql() -> dict[str, str]:
                  + CAST(0.0 AS DOUBLE) AS cum_capture
         FROM cum, tot
         ORDER BY decile
+    """
+    sql["er_blocking_report"] = """
+        WITH blocks AS (
+          SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS b
+          FROM part GROUP BY 1, 2)
+        SELECT CAST(CASE WHEN b >= 5 THEN 5 ELSE b END AS INT)
+                 AS block_size_bucket,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(b) AS BIGINT) AS n_records,
+               CAST(sum(b * (b - 1) / 2) AS BIGINT) AS n_candidate_pairs
+        FROM blocks
+        GROUP BY 1
+        ORDER BY 1
+    """
+    sql["doc_outlier_lengths"] = """
+        WITH q AS (
+          SELECT source,
+                 quantile_cont(n_chars, 0.25) AS q1,
+                 quantile_cont(n_chars, 0.75) AS q3,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1)
+        SELECT d.source,
+               max(q.n_docs) AS n_docs,
+               round(max(q.q1), 2) + CAST(0.0 AS DOUBLE) AS q1_chars,
+               round(max(q.q3), 2) + CAST(0.0 AS DOUBLE) AS q3_chars,
+               CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE)
+                                  < q.q1 - CAST(1.5 AS DOUBLE)
+                                           * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_short_outliers,
+               CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE)
+                                  > q.q3 + CAST(1.5 AS DOUBLE)
+                                           * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_long_outliers
+        FROM documents d JOIN q USING (source)
+        GROUP BY 1
+        ORDER BY 1
+    """
+    sql["embedding_dim_variance_screen"] = """
+        WITH e AS (
+          SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings),
+        mom AS (
+          SELECT dim, CAST(count(*) AS BIGINT) AS n, avg(v) AS mu
+          FROM e GROUP BY 1),
+        per_dim AS (
+          SELECT e.dim,
+                 CAST(max(m.n) AS BIGINT) AS n_vectors,
+                 max(m.mu) AS mu,
+                 sum((e.v - m.mu) * (e.v - m.mu))
+                   / (CAST(max(m.n) AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                   AS var
+          FROM e JOIN mom m USING (dim)
+          GROUP BY 1),
+        thr AS (
+          SELECT sum(var) / CAST(count(*) AS DOUBLE)
+                 * CAST(0.5 AS DOUBLE) AS t
+          FROM per_dim)
+        SELECT dim, n_vectors,
+               round(mu, 6) + CAST(0.0 AS DOUBLE) AS mean,
+               round(var, 6) + CAST(0.0 AS DOUBLE) AS variance,
+               CASE WHEN var < t THEN 'low_variance' ELSE 'ok' END AS flag
+        FROM per_dim, thr
+        ORDER BY dim
+    """
+    sql["shingle_df_stopword_report"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+          WHERE text IS NOT NULL
+            AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 4),
+        e AS (
+          SELECT doc_id, unnest(t) AS w,
+                 generate_subscripts(t, 1) AS i
+          FROM base),
+        sh AS (
+          SELECT doc_id,
+                 w || ' ' || lead(w, 1) OVER wd || ' '
+                   || lead(w, 2) OVER wd || ' '
+                   || lead(w, 3) OVER wd AS shingle,
+                 lead(w, 3) OVER wd AS lst
+          FROM e WINDOW wd AS (PARTITION BY doc_id ORDER BY i)),
+        df_counts AS (
+          SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM sh WHERE lst IS NOT NULL GROUP BY 1),
+        nd AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        SELECT shingle, df,
+               round(CAST(df AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS df_ratio,
+               CASE WHEN CAST(df AS DOUBLE)
+                         > CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)
+                    THEN 'stop_shingle' ELSE 'keep' END
+                 AS verdict_maxdf_05
+        FROM df_counts, nd
+        ORDER BY df DESC, shingle ASC
+        LIMIT 15
+    """
+    sql["sessionized_bounce_rate"] = """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS session_start
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(session_start) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, session_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(min(ts) AS DATE) AS session_date
+          FROM sessions GROUP BY 1, 2)
+        SELECT session_date,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
+               round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS bounce_rate
+        FROM per_session
+        GROUP BY 1
+        ORDER BY 1
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -290,6 +290,11 @@ SECONDARY = [
     "kendall_w_concordance",
     "quantile_treatment_effect",
     "lift_table_purchase_propensity",
+    "er_blocking_report",
+    "doc_outlier_lengths",
+    "embedding_dim_variance_screen",
+    "shingle_df_stopword_report",
+    "sessionized_bounce_rate",
 ]
 
 
