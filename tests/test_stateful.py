@@ -167,3 +167,40 @@ def test_timeout_sessionize_flushes_and_bounds_state(spark, tmp_path):
     assert not [r for r in rows if r.user_id == 3]
     # ... and is the ONLY key left in the store after the flush batch
     assert state_rows and state_rows[-1] == 1
+
+
+def test_stateful_ops_run_on_rocksdb_state_store(spark, tmp_path):
+    """Production state backend: the same sessionizer must run (and
+    emit identical results) on RocksDBStateStoreProvider — the store
+    every large-state deployment uses instead of the default HDFS-
+    backed in-memory provider (rocksdbjni ships with Spark 4)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _write_batches(
+            spark,
+            tmp_path,
+            [
+                [(T0, 1, 1.0), (T0 + dt.timedelta(minutes=10), 1, 1.0)],
+                [(T0 + dt.timedelta(minutes=50), 1, 1.0)],
+            ],
+        )
+        out = stateful.streaming_sessionize(stream, gap_s=1800.0)
+        jobs.run_to_memory_sink(out, "sessions_rocksdb", output_mode="append")
+        rows = spark.sql("SELECT * FROM sessions_rocksdb").collect()
+        assert len(rows) == 1
+        assert rows[0].n_events == 2
+        assert rows[0].session_start == T0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
