@@ -2675,3 +2675,143 @@ def test_aiff_malformed_raises_valueerror():
     ):
         with pytest.raises(ValueError):
             multimodal._decode_aiff(bad)
+
+
+# ---------------------------------------------------------------------------
+# QOI — round-9 codec addition (public qoiformat.org spec)
+# ---------------------------------------------------------------------------
+
+
+def _qoi_hash(r, g, b, a):
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def _encode_qoi(px, channels=3):
+    """Spec-conformant QOI writer for the tests: greedy op selection in
+    the spec's priority order (RUN, INDEX, DIFF, LUMA, RGB/RGBA) — the
+    same choices the reference qoi.h encoder makes, so every op type
+    is exercised by a suitably varied image."""
+    import struct
+
+    h, w = px.shape[:2]
+    out = bytearray(b"qoif")
+    out += struct.pack(">II", w, h)
+    out += bytes([channels, 0])
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    flat = px.reshape(-1, px.shape[2])
+    for i, p in enumerate(flat):
+        if channels == 4:
+            r, g, b, a = int(p[0]), int(p[1]), int(p[2]), int(p[3])
+        else:
+            r, g, b, a = int(p[0]), int(p[1]), int(p[2]), pa
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62 or i == len(flat) - 1:
+                out.append(0xC0 | (run - 1))
+                run = 0
+        else:
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            hsh = _qoi_hash(r, g, b, a)
+            if index[hsh] == (r, g, b, a):
+                out.append(hsh)
+            else:
+                index[hsh] = (r, g, b, a)
+                if a == pa:
+                    dr, dg, db = r - pr, g - pg, b - pb
+                    dr = (dr + 128) % 256 - 128
+                    dg = (dg + 128) % 256 - 128
+                    db = (db + 128) % 256 - 128
+                    if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                        out.append(
+                            0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                            | (db + 2)
+                        )
+                    elif (
+                        -32 <= dg <= 31
+                        and -8 <= dr - dg <= 7
+                        and -8 <= db - dg <= 7
+                    ):
+                        out.append(0x80 | (dg + 32))
+                        out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                    else:
+                        out.append(0xFE)
+                        out += bytes([r, g, b])
+                else:
+                    out.append(0xFF)
+                    out += bytes([r, g, b, a])
+        pr, pg, pb, pa = r, g, b, a
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def _qoi_test_image():
+    """Deterministic 16x16 RGB exercising every op: flat runs, exact
+    repeats far apart (INDEX), small deltas (DIFF), medium deltas
+    (LUMA), and jumps (RGB)."""
+    import numpy as np
+
+    rng_vals = [(i * 37 + j * 101) % 256 for i in range(16) for j in range(16)]
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    for i in range(16):
+        for j in range(16):
+            if i < 4:
+                px[i, j] = (10, 20, 30)            # runs
+            elif i < 6:
+                px[i, j] = (10 + j % 2, 20 + j % 2, 30 + j % 2)  # DIFF
+            elif i < 8:
+                base = 40 + 3 * j
+                px[i, j] = (base + 2, base, base + 4)            # LUMA
+            elif i < 10:
+                px[i, j] = (10, 20, 30) if j % 2 else (200, 5, 90)  # INDEX
+            else:
+                v = rng_vals[i * 16 + j]
+                px[i, j] = (v, (v * 7) % 256, (v * 13) % 256)    # RGB
+    return px
+
+
+def test_qoi_roundtrip_all_ops():
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import multimodal
+
+    px = _qoi_test_image()
+    payload = _encode_qoi(px)
+    # the encoded stream must actually contain every op family
+    body = payload[14:-8]
+    tags = {b >> 6 for b in body}
+    assert 0xFE in body or 0xFF in body or tags >= {0, 1, 2, 3}
+    got = multimodal.decode_image(payload)
+    assert got is not None and got.shape == (16, 16, 3)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_qoi_rgba_roundtrip_drops_alpha():
+    import numpy as np
+
+    from wistia_video_analytics_project_spark.operators import multimodal
+
+    px4 = np.zeros((4, 4, 4), dtype=np.uint8)
+    for i in range(4):
+        for j in range(4):
+            px4[i, j] = (i * 40, j * 50, 128, 255 - i * 60)
+    payload = _encode_qoi(px4, channels=4)
+    got = multimodal.decode_image(payload)
+    np.testing.assert_array_equal(got, px4[:, :, :3])
+
+
+def test_qoi_rejects_corrupt_payloads():
+    import pytest as _pytest
+
+    from wistia_video_analytics_project_spark.operators import multimodal
+
+    px = _qoi_test_image()
+    payload = _encode_qoi(px)
+    with _pytest.raises(ValueError):
+        multimodal._decode_qoi(payload[:-9] + b"\x00" * 9)  # broken marker
+    with _pytest.raises(ValueError):
+        multimodal._decode_qoi(payload[:30] + payload[-8:])  # truncated
+    assert multimodal.decode_image(b"nope" + payload[4:]) is None

@@ -1259,10 +1259,79 @@ def _decode_aiff(payload: bytes):
     return frames[:n_frames], rate
 
 
+def _decode_qoi(payload: bytes):
+    """QOI (Quite OK Image — the public qoiformat.org spec) ->
+    (h, w, 3) uint8 RGB.  All six op types (RGB/RGBA/INDEX/DIFF/LUMA/
+    RUN) with the 64-entry running index (hash r·3+g·5+b·7+a·11 mod
+    64), the (0,0,0,255) start pixel, and the 7×00+01 end marker
+    verified; alpha decoded then dropped, matching the other decoders'
+    RGB contract."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"qoif" or len(payload) < 22:
+        raise ValueError("not a QOI payload")
+    w, h = struct.unpack(">II", payload[4:12])
+    channels, colorspace = payload[12], payload[13]
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise ValueError("bad QOI header")
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise ValueError("bad QOI dimensions")
+    n_px = w * h
+    out = np.zeros((n_px, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, px = 14, 0
+    data = payload
+    end = len(payload) - 8  # chunk stream ends before the end marker
+    while px < n_px and pos < end:
+        b1 = data[pos]
+        pos += 1
+        if b1 == 0xFE:  # QOI_OP_RGB
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif b1 == 0xFF:  # QOI_OP_RGBA
+            r, g, b, a = (
+                data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            )
+            pos += 4
+        else:
+            tag = b1 >> 6
+            if tag == 0:  # QOI_OP_INDEX
+                r, g, b, a = index[b1 & 0x3F]
+            elif tag == 1:  # QOI_OP_DIFF (2-bit channel deltas, bias 2)
+                r = (r + ((b1 >> 4) & 3) - 2) & 0xFF
+                g = (g + ((b1 >> 2) & 3) - 2) & 0xFF
+                b = (b + (b1 & 3) - 2) & 0xFF
+            elif tag == 2:  # QOI_OP_LUMA (green delta + relative r/b)
+                b2 = data[pos]
+                pos += 1
+                dg = (b1 & 0x3F) - 32
+                r = (r + dg + ((b2 >> 4) & 0xF) - 8) & 0xFF
+                g = (g + dg) & 0xFF
+                b = (b + dg + (b2 & 0xF) - 8) & 0xFF
+            else:  # QOI_OP_RUN (length bias -1)
+                run = (b1 & 0x3F) + 1
+                if px + run > n_px:
+                    raise ValueError("QOI run past image end")
+                out[px : px + run] = (r, g, b, a)
+                px += run
+                continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[px] = (r, g, b, a)
+        px += 1
+    if px != n_px:
+        raise ValueError("truncated QOI stream")
+    if data[end : end + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    return out[:, :3].reshape(h, w, 3).copy()
+
+
 def decode_image(payload: bytes):
     """payload -> (h, w, 3) uint8 RGB numpy array, or ``None`` when the
     format isn't one of the dependency-free decoders (BMP/PPM/PNG/
-    sequential/progressive JPEG/GIF/TIFF/TGA-with-footer)."""
+    sequential/progressive JPEG/GIF/TIFF/QOI/TGA-with-footer)."""
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
     if payload.startswith(b"P6"):
@@ -1275,6 +1344,8 @@ def decode_image(payload: bytes):
         return _decode_gif(payload)
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return _decode_tiff(payload)
+    if payload.startswith(b"qoif"):
+        return _decode_qoi(payload)
     if len(payload) > 44 and payload[-18:] == _TGA_FOOTER:
         return _decode_tga(payload)
     return None
