@@ -10296,6 +10296,246 @@ def q_sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("session_date")
 
 
+def q_mmd_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy per label vs the rest of
+    the corpus: MMD² = ‖μ_label − μ_rest‖² — the distribution-shift
+    number behind "did this class drift away from the corpus?", exact
+    under the linear kernel with NO pair enumeration (mean embeddings
+    only, the same O(n·d) posture as the isotropy probe).  Rest-means
+    come from global-minus-label sums, so the fact is scanned once.
+    Scale: one explode + one grouped sum per (label, dim)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "__v")
+    ).select("label", "dim", F.col("__v").cast("double").alias("__v"))
+    per = cache.track(
+        e.groupBy("label", "dim")
+        .agg(
+            F.sum("__v").alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+        .cache()
+    )
+    glob = per.groupBy("dim").agg(
+        F.sum("__s").alias("__gs"),
+        F.sum("__n").cast("long").alias("__gn"),
+    )
+    j = per.join(glob, "dim")
+    mu_l = F.col("__s") / F.col("__n").cast("double")
+    mu_r = (F.col("__gs") - F.col("__s")) / (
+        F.col("__gn") - F.col("__n")
+    ).cast("double")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.max("__n").cast("long").alias("n_vectors"),
+            F.sum((mu_l - mu_r) * (mu_l - mu_r)).alias("__mmd2"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            (F.round(F.col("__mmd2"), 6) + F.lit(0.0)).alias(
+                "mmd2_linear"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index over the top
+    k=100 order statistics: γ̂ = (1/k)Σ ln(x_(i)/x_(k+1)), α̂ = 1/γ̂ —
+    the heavy-tail gate before anyone assumes finite variance of
+    revenue (α ≤ 2 breaks CLT-based CIs; the VaR/newsvendor entries
+    care).  Order statistics come from a deterministic TakeOrdered
+    (cents DESC, orderkey ASC); logs are unary over exact integer
+    ratios and average once.  Scale: top-k of the fact, everything
+    after is a 101-row frame."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    top = (
+        orders.select(cents.alias("__cents"), "o_orderkey")
+        .orderBy(F.desc("__cents"), F.asc("o_orderkey"))
+        .limit(101)
+    )
+    wr = Window.orderBy(F.desc("__cents"), F.asc("o_orderkey"))
+    ranked = top.select(
+        "__cents", F.row_number().over(wr).cast("int").alias("__r")
+    )
+    thr = ranked.filter(F.col("__r") == 101).select(
+        F.col("__cents").alias("__thr")
+    )
+    gamma = (
+        ranked.filter(F.col("__r") <= 100)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_top"),
+            F.avg(
+                F.log(
+                    F.col("__cents").cast("double")
+                    / F.col("__thr").cast("double")
+                )
+            ).alias("__gamma"),
+            F.max(F.col("__thr")).alias("__thr"),
+        )
+    )
+    return gamma.select(
+        "k_top",
+        (
+            F.round(F.col("__thr").cast("double") / F.lit(100.0), 2)
+            + F.lit(0.0)
+        ).alias("threshold_value"),
+        (F.round(F.col("__gamma"), 6) + F.lit(0.0)).alias("hill_gamma"),
+        (F.round(F.lit(1.0) / F.col("__gamma"), 4) + F.lit(0.0)).alias(
+            "tail_alpha"
+        ),
+        F.when(
+            F.round(F.lit(1.0) / F.col("__gamma"), 4) <= 2.0,
+            F.lit("infinite_variance_regime"),
+        )
+        .otherwise(F.lit("finite_variance"))
+        .alias("verdict"),
+    )
+
+
+def q_capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture estimate of the
+    true user population from the two month halves: N̂ = n₁n₂/m and
+    the bias-corrected Chapman (n₁+1)(n₂+1)/(m+1) − 1 — the estimator
+    for "how many users exist that we never saw" (the audience-sizing
+    twin of Chao1, which the vocab entries use for tokens).  All
+    inputs are exact distinct counts; each estimate divides once.
+    Scale: two grouped distincts + one semi-join-shaped overlap
+    count."""
+    events = _t(spark, sf_dir, "events")
+    h1 = events.filter(F.dayofmonth("ts") <= 15).select("user_id").distinct()
+    h2 = events.filter(F.dayofmonth("ts") > 15).select("user_id").distinct()
+    n1 = h1.agg(F.count(F.lit(1)).cast("long").alias("n1_first_half"))
+    n2 = h2.agg(F.count(F.lit(1)).cast("long").alias("n2_second_half"))
+    m = (
+        h1.join(h2, "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("m_recaptured"))
+    )
+    seen = events.agg(
+        F.countDistinct("user_id").cast("long").alias("n_observed")
+    )
+    base = (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(seen))
+    )
+    lp = (
+        F.col("n1_first_half") * F.col("n2_second_half")
+    ).cast("double") / F.col("m_recaptured").cast("double")
+    chap = (
+        (F.col("n1_first_half") + F.lit(1))
+        * (F.col("n2_second_half") + F.lit(1))
+    ).cast("double") / (F.col("m_recaptured") + F.lit(1)).cast(
+        "double"
+    ) - F.lit(1.0)
+    return base.select(
+        "n1_first_half",
+        "n2_second_half",
+        "m_recaptured",
+        "n_observed",
+        (F.round(lp, 2) + F.lit(0.0)).alias("lincoln_petersen_n"),
+        (F.round(chap, 2) + F.lit(0.0)).alias("chapman_n"),
+    )
+
+
+def q_shapley_channel_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley-value conversion attribution over the four
+    non-purchase channels (view/click/signup/error): users reduce to
+    a 16-row coalition lattice (touch-set bitmask → conversion rate,
+    absent coalitions valued 0), and each channel's Shapley value is
+    the weighted sum of its 8 marginal contributions with the exact
+    k=4 weights {1/4, 1/12, 1/12, 1/4} — the game-theoretic
+    attribution the last-touch entry (touch_attribution) approximates.
+    Rates divide exact integers; weights are written as identical
+    literal expressions in both engines.  Scale: ONE grouped pass over
+    the fact; the lattice algebra is 16 rows."""
+    events = _t(spark, sf_dir, "events")
+
+    def has(t):
+        return F.max(
+            F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0))
+        )
+
+    per_user = events.groupBy("user_id").agg(
+        has("view").alias("__v"),
+        has("click").alias("__c"),
+        has("signup").alias("__s"),
+        has("error").alias("__e"),
+        has("purchase").alias("__p"),
+    )
+    mask = (
+        F.col("__v")
+        + F.col("__c") * 2
+        + F.col("__s") * 4
+        + F.col("__e") * 8
+    ).cast("int")
+    counts = per_user.groupBy(mask.alias("mask")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__p").cast("long").alias("__conv"),
+    )
+    spine = spark.range(16).select(F.col("id").cast("int").alias("mask"))
+    full = cache.track(
+        spine.join(F.broadcast(counts), "mask", "left")
+        .select(
+            "mask",
+            F.coalesce("__n", F.lit(0)).cast("long").alias("__n"),
+            F.when(
+                F.coalesce("__n", F.lit(0)) > 0,
+                F.coalesce("__conv", F.lit(0)).cast("double")
+                / F.col("__n").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__rate"),
+        )
+        .cache()
+    )
+    chans = [(1, "view"), (2, "click"), (4, "signup"), (8, "error")]
+    out = None
+    for bit, name in chans:
+        a = full.filter(
+            F.col("mask").bitwiseAND(F.lit(bit)) == 0
+        ).select(
+            F.col("mask").alias("__ma"), F.col("__rate").alias("__ra")
+        )
+        b = full.select(
+            F.col("mask").alias("__mb"), F.col("__rate").alias("__rb")
+        )
+        pairs = a.join(
+            F.broadcast(b), F.col("__mb") == F.col("__ma") + F.lit(bit)
+        )
+        sz = F.bit_count(F.col("__ma"))
+        wgt = F.when(
+            (sz == 0) | (sz == 3), F.lit(0.25)
+        ).otherwise(F.lit(1.0) / F.lit(12.0))
+        phi = pairs.agg(
+            F.sum(wgt * (F.col("__rb") - F.col("__ra"))).alias("__phi")
+        ).select(
+            F.lit(name).alias("channel"),
+            (F.round(F.col("__phi"), 6) + F.lit(0.0)).alias(
+                "shapley_value"
+            ),
+        )
+        out = phi if out is None else out.unionByName(phi)
+    overall = per_user.agg(
+        (
+            F.sum("__p").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__oc")
+    ).select((F.round(F.col("__oc"), 6) + F.lit(0.0)).alias("overall_conv"))
+    return (
+        out.crossJoin(F.broadcast(overall))
+        .select("channel", "shapley_value", "overall_conv")
+        .orderBy("channel")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10627,6 +10867,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_variance_screen": q_embedding_dim_variance_screen,
         "shingle_df_stopword_report": q_shingle_df_stopword_report,
         "sessionized_bounce_rate": q_sessionized_bounce_rate,
+        "mmd_drift_embeddings": q_mmd_drift_embeddings,
+        "hill_tail_index": q_hill_tail_index,
+        "capture_recapture_users": q_capture_recapture_users,
+        "shapley_channel_attribution": q_shapley_channel_attribution,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -16614,6 +16858,146 @@ def oracle_sql() -> dict[str, str]:
         FROM per_session
         GROUP BY 1
         ORDER BY 1
+    """
+    sql["mmd_drift_embeddings"] = """
+        WITH e AS (
+          SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings),
+        per AS (
+          SELECT label, dim, sum(v) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2),
+        gtot AS (
+          SELECT dim, sum(s) AS gs, CAST(sum(n) AS BIGINT) AS gn
+          FROM per GROUP BY 1)
+        SELECT label,
+               CAST(max(n) AS BIGINT) AS n_vectors,
+               round(sum((s / CAST(n AS DOUBLE)
+                          - (gs - s) / CAST(gn - n AS DOUBLE))
+                         * (s / CAST(n AS DOUBLE)
+                            - (gs - s) / CAST(gn - n AS DOUBLE))), 6)
+                 + CAST(0.0 AS DOUBLE) AS mmd2_linear
+        FROM per JOIN gtot USING (dim)
+        GROUP BY 1
+        ORDER BY 1
+    """
+    sql["hill_tail_index"] = """
+        WITH top AS (
+          SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 o_orderkey
+          FROM orders
+          ORDER BY cents DESC, o_orderkey ASC
+          LIMIT 101),
+        ranked AS (
+          SELECT cents,
+                 CAST(row_number() OVER (ORDER BY cents DESC,
+                                         o_orderkey ASC) AS INT) AS r
+          FROM top),
+        thr AS (
+          SELECT cents AS t FROM ranked WHERE r = 101),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_top,
+                 avg(ln(CAST(cents AS DOUBLE) / CAST(t AS DOUBLE)))
+                   AS gamma,
+                 max(t) AS t
+          FROM ranked, thr WHERE r <= 100)
+        SELECT k_top,
+               round(CAST(t AS DOUBLE) / CAST(100.0 AS DOUBLE), 2)
+                 + CAST(0.0 AS DOUBLE) AS threshold_value,
+               round(gamma, 6) + CAST(0.0 AS DOUBLE) AS hill_gamma,
+               round(CAST(1.0 AS DOUBLE) / gamma, 4)
+                 + CAST(0.0 AS DOUBLE) AS tail_alpha,
+               CASE WHEN round(CAST(1.0 AS DOUBLE) / gamma, 4)
+                         <= CAST(2.0 AS DOUBLE)
+                    THEN 'infinite_variance_regime'
+                    ELSE 'finite_variance' END AS verdict
+        FROM g
+    """
+    sql["capture_recapture_users"] = """
+        WITH h1 AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE day(CAST(ts AS DATE)) <= 15),
+        h2 AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE day(CAST(ts AS DATE)) > 15),
+        base AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM h1)
+                   AS n1_first_half,
+                 (SELECT CAST(count(*) AS BIGINT) FROM h2)
+                   AS n2_second_half,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM h1 JOIN h2 USING (user_id)) AS m_recaptured,
+                 (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                  FROM events) AS n_observed)
+        SELECT n1_first_half, n2_second_half, m_recaptured, n_observed,
+               round(CAST(n1_first_half * n2_second_half AS DOUBLE)
+                     / CAST(m_recaptured AS DOUBLE), 2)
+                 + CAST(0.0 AS DOUBLE) AS lincoln_petersen_n,
+               round(CAST((n1_first_half + 1) * (n2_second_half + 1)
+                          AS DOUBLE)
+                     / CAST(m_recaptured + 1 AS DOUBLE)
+                     - CAST(1.0 AS DOUBLE), 2)
+                 + CAST(0.0 AS DOUBLE) AS chapman_n
+        FROM base
+    """
+    sql["shapley_channel_attribution"] = """
+        WITH per_user AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS v,
+                 max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS c,
+                 max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS s,
+                 max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS e,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS p
+          FROM events GROUP BY 1),
+        counts AS (
+          SELECT CAST(v + c * 2 + s * 4 + e * 8 AS INT) AS mask,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(p) AS BIGINT) AS conv
+          FROM per_user GROUP BY 1),
+        spine AS (
+          SELECT CAST(range AS INT) AS mask FROM range(0, 16)),
+        full_l AS (
+          SELECT sp.mask,
+                 CAST(coalesce(co.n, 0) AS BIGINT) AS n,
+                 CASE WHEN coalesce(co.n, 0) > 0
+                      THEN CAST(coalesce(co.conv, 0) AS DOUBLE)
+                           / CAST(co.n AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS rate
+          FROM spine sp LEFT JOIN counts co USING (mask)),
+        chans AS (
+          SELECT 1 AS bit, 'view' AS channel
+          UNION ALL SELECT 2, 'click'
+          UNION ALL SELECT 4, 'signup'
+          UNION ALL SELECT 8, 'error'),
+        pairs AS (
+          SELECT ch.channel, a.mask AS ma, a.rate AS ra, b.rate AS rb
+          FROM chans ch
+          JOIN full_l a ON (a.mask & ch.bit) = 0
+          JOIN full_l b ON b.mask = a.mask + ch.bit),
+        phi AS (
+          SELECT channel,
+                 sum((CASE WHEN bit_count(CAST(ma AS BIGINT)) IN (0, 3)
+                           THEN CAST(0.25 AS DOUBLE)
+                           ELSE CAST(1.0 AS DOUBLE)
+                                / CAST(12.0 AS DOUBLE) END)
+                     * (rb - ra)) AS shapley
+          FROM pairs GROUP BY 1),
+        overall AS (
+          SELECT round(CAST(sum(p) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6)
+                   + CAST(0.0 AS DOUBLE) AS overall_conv
+          FROM per_user)
+        SELECT channel,
+               round(shapley, 6) + CAST(0.0 AS DOUBLE) AS shapley_value,
+               overall_conv
+        FROM phi, overall
+        ORDER BY channel
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -295,6 +295,10 @@ SECONDARY = [
     "embedding_dim_variance_screen",
     "shingle_df_stopword_report",
     "sessionized_bounce_rate",
+    "mmd_drift_embeddings",
+    "hill_tail_index",
+    "capture_recapture_users",
+    "shapley_channel_attribution",
 ]
 
 

@@ -865,3 +865,102 @@ def test_lift_table_matches_textbook(spark):
             sel.pos.mean() / (tp / n), abs=1e-4
         )
         assert r["cum_capture"] == pytest.approx(cum / tp, abs=1e-5)
+
+
+def test_mmd_matches_bruteforce(spark):
+    emb = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    labels = emb.label.to_numpy()
+    rows = {
+        r["label"]: r
+        for r in entrymod.queries()["mmd_drift_embeddings"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for lab in np.unique(labels):
+        a = mat[labels == lab]
+        b = mat[labels != lab]
+        ref = float(((a.mean(axis=0) - b.mean(axis=0)) ** 2).sum())
+        r = rows[int(lab)]
+        assert r["n_vectors"] == len(a)
+        assert r["mmd2_linear"] == pytest.approx(ref, abs=1e-5)
+
+
+def test_hill_matches_textbook(spark):
+    o = _orders()
+    cents = np.sort(_cents(o.o_totalprice))[::-1]
+    top, thr = cents[:100].astype(np.float64), float(cents[100])
+    gamma = float(np.log(top / thr).mean())
+    row = entrymod.queries()["hill_tail_index"](spark, SF_SMOKE).collect()[0]
+    assert row["k_top"] == 100
+    assert row["threshold_value"] == pytest.approx(thr / 100.0, abs=0.01)
+    assert row["hill_gamma"] == pytest.approx(gamma, abs=1e-5)
+    assert row["tail_alpha"] == pytest.approx(1.0 / gamma, abs=1e-3)
+
+
+def test_capture_recapture_matches_textbook(spark):
+    ev = _events()
+    u1 = set(ev.loc[ev.ts.dt.day <= 15, "user_id"])
+    u2 = set(ev.loc[ev.ts.dt.day > 15, "user_id"])
+    n1, n2, m = len(u1), len(u2), len(u1 & u2)
+    row = entrymod.queries()["capture_recapture_users"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert (row["n1_first_half"], row["n2_second_half"]) == (n1, n2)
+    assert row["m_recaptured"] == m
+    assert row["n_observed"] == ev.user_id.nunique()
+    assert row["lincoln_petersen_n"] == pytest.approx(n1 * n2 / m, abs=0.01)
+    assert row["chapman_n"] == pytest.approx(
+        (n1 + 1) * (n2 + 1) / (m + 1) - 1, abs=0.01
+    )
+
+
+def test_shapley_attribution_efficiency_and_values(spark):
+    """Shapley axioms on the coalition lattice: the four values must
+    sum to v(grand coalition) − v(empty), and each must match a direct
+    lattice computation."""
+    ev = _events()
+    flags = (
+        ev.assign(
+            v=(ev.event_type == "view"),
+            c=(ev.event_type == "click"),
+            s=(ev.event_type == "signup"),
+            e=(ev.event_type == "error"),
+            p=(ev.event_type == "purchase"),
+        )
+        .groupby("user_id")[["v", "c", "s", "e", "p"]]
+        .max()
+        .astype(int)
+    )
+    mask = flags.v + flags.c * 2 + flags.s * 4 + flags.e * 8
+    rate = {}
+    for mk in range(16):
+        sel = flags[mask == mk]
+        rate[mk] = sel.p.mean() if len(sel) else 0.0
+    import math
+
+    k = 4
+    ref = {}
+    for bit, name in ((1, "view"), (2, "click"), (4, "signup"), (8, "error")):
+        phi = 0.0
+        for mk in range(16):
+            if mk & bit:
+                continue
+            sz = bin(mk).count("1")
+            w = (
+                math.factorial(sz)
+                * math.factorial(k - sz - 1)
+                / math.factorial(k)
+            )
+            phi += w * (rate[mk + bit] - rate[mk])
+        ref[name] = phi
+    rows = {
+        r["channel"]: r
+        for r in entrymod.queries()["shapley_channel_attribution"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for name, phi in ref.items():
+        assert rows[name]["shapley_value"] == pytest.approx(phi, abs=1e-5)
+    total = sum(r["shapley_value"] for r in rows.values())
+    assert total == pytest.approx(rate[15] - rate[0], abs=1e-4)
