@@ -10536,6 +10536,161 @@ def q_shapley_channel_attribution(
     )
 
 
+def q_weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric Weibull fit of the time-to-purchase survival curve by
+    the ln(−ln S) ~ ln t regression over the Kaplan-Meier points
+    (0 < S < 1, t > 0): slope = shape k̂ (k < 1 ⇒ decreasing hazard),
+    scale λ̂ = exp(−intercept/k̂) — the parametric summary the KM
+    table can't give (extrapolation, hazard shape).  Both engines
+    regress the SAME rounded KM survival values with regr_* (the
+    zipf_slope precedent).  Scale: regression over the ≤31-row risk
+    table."""
+    km = q_purchase_survival_km(spark, sf_dir)
+    pts = km.filter(
+        (F.col("survival") > 0) & (F.col("survival") < 1) & (F.col("t") > 0)
+    ).select(
+        F.log(F.col("t").cast("double")).alias("__x"),
+        F.log(-F.log(F.col("survival"))).alias("__y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.regr_slope(F.col("__y"), F.col("__x")).alias("__k"),
+        F.regr_intercept(F.col("__y"), F.col("__x")).alias("__b"),
+        F.regr_r2(F.col("__y"), F.col("__x")).alias("__r2"),
+    )
+    lam = F.exp(-F.col("__b") / F.col("__k"))
+    return agg.select(
+        "n_points",
+        (F.round(F.col("__k"), 4) + F.lit(0.0)).alias("weibull_shape"),
+        (F.round(lam, 2) + F.lit(0.0)).alias("weibull_scale_days"),
+        (F.round(F.col("__r2"), 4) + F.lit(0.0)).alias("fit_r2"),
+        F.when(F.round(F.col("__k"), 4) < 1.0, F.lit("decreasing_hazard"))
+        .otherwise(F.lit("increasing_hazard"))
+        .alias("hazard_shape"),
+    )
+
+
+def q_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution over per-customer revenue —
+    the curve behind the Gini already in revenue_concentration (which
+    point of the distribution carries the inequality).  Deciles are
+    ntile(10) over the CUSTOMER-level frame (cents ASC, custkey ASC);
+    shares divide exact integer cents by the exact total.  Scale: the
+    sort runs on the customer aggregate, never raw orders."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(cents).cast("long").alias("__cents")
+    )
+    wd = Window.orderBy(F.asc("__cents"), F.asc("o_custkey"))
+    dec = per.select(
+        F.ntile(10).over(wd).cast("int").alias("decile"), "__cents"
+    )
+    agg = cache.track(
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("__cents").cast("long").alias("__s"),
+        )
+        .cache()
+    )
+    tot = agg.agg(F.sum("__s").cast("long").alias("__t"))
+    wc = Window.orderBy("decile")
+    cum = F.sum("__s").over(wc).cast("long")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            (
+                F.round(
+                    F.col("__s").cast("double") / F.col("__t").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("revenue_share"),
+            (
+                F.round(cum.cast("double") / F.col("__t").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("cum_revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_granger_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger causality test — do yesterday's views help
+    predict today's purchases beyond yesterday's purchases?  Restricted
+    (y ~ y₋₁) vs unrestricted (y ~ y₋₁ + x₋₁) OLS, F = ΔRSS/(RSS_u/
+    (n−3)).  Daily counts are exact integers, the centered moment
+    matrix assembles in DECIMAL(38) n-scaled exact integers, and both
+    engines cast the SAME exact decimals to double before the identical
+    closed-form 2-regressor algebra — no engine-side covariance
+    algorithm in the loop.  F(1, n−3) 5% critical ≈ 4.21 (fixed
+    literal).  Scale: the fact reduces to the ≤days-row spine before
+    any lag or product."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("__x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("__y"),
+    )
+    wd = Window.orderBy("day")
+    lagged = daily.select(
+        "__y",
+        F.lag("__y").over(wd).alias("__y1"),
+        F.lag("__x").over(wd).alias("__x1"),
+    ).filter(F.col("__y1").isNotNull())
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(d("__y")).cast("decimal(38,0)").alias("__sy"),
+        F.sum(d("__y1")).cast("decimal(38,0)").alias("__s1"),
+        F.sum(d("__x1")).cast("decimal(38,0)").alias("__s2"),
+        F.sum(d("__y") * d("__y")).cast("decimal(38,0)").alias("__syy"),
+        F.sum(d("__y1") * d("__y1")).cast("decimal(38,0)").alias("__s11"),
+        F.sum(d("__x1") * d("__x1")).cast("decimal(38,0)").alias("__s22"),
+        F.sum(d("__y1") * d("__x1")).cast("decimal(38,0)").alias("__s12"),
+        F.sum(d("__y") * d("__y1")).cast("decimal(38,0)").alias("__s1y"),
+        F.sum(d("__y") * d("__x1")).cast("decimal(38,0)").alias("__s2y"),
+    )
+    n = F.col("n_days").cast("decimal(38,0)")
+    # n-scaled centered moments, exact DECIMAL(38) -> double once
+    c11 = (n * F.col("__s11") - F.col("__s1") * F.col("__s1")).cast("double")
+    c22 = (n * F.col("__s22") - F.col("__s2") * F.col("__s2")).cast("double")
+    c12 = (n * F.col("__s12") - F.col("__s1") * F.col("__s2")).cast("double")
+    c1y = (n * F.col("__s1y") - F.col("__s1") * F.col("__sy")).cast("double")
+    c2y = (n * F.col("__s2y") - F.col("__s2") * F.col("__sy")).cast("double")
+    cyy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    det = c11 * c22 - c12 * c12
+    b_u = (c1y * c22 - c2y * c12) / det
+    c_u = (c2y * c11 - c1y * c12) / det
+    rss_u = cyy - b_u * c1y - c_u * c2y  # n-scaled
+    rss_r = cyy - c1y * c1y / c11
+    nn = F.col("n_days").cast("double")
+    f_stat = (rss_r - rss_u) / (rss_u / (nn - F.lit(3.0)))
+    return mom.select(
+        "n_days",
+        (F.round(b_u, 6) + F.lit(0.0)).alias("coef_lag_purchases"),
+        (F.round(c_u, 6) + F.lit(0.0)).alias("coef_lag_views"),
+        (F.round(f_stat, 4) + F.lit(0.0)).alias("granger_f"),
+        F.when(F.round(f_stat, 4) > 4.21, F.lit("views_granger_cause"))
+        .otherwise(F.lit("no_evidence"))
+        .alias("verdict_5pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10871,6 +11026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail_index": q_hill_tail_index,
         "capture_recapture_users": q_capture_recapture_users,
         "shapley_channel_attribution": q_shapley_channel_attribution,
+        "weibull_survival_fit": q_weibull_survival_fit,
+        "lorenz_curve_deciles": q_lorenz_curve_deciles,
+        "granger_views_purchases": q_granger_views_purchases,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -16998,6 +17156,121 @@ def oracle_sql() -> dict[str, str]:
                overall_conv
         FROM phi, overall
         ORDER BY channel
+    """
+    sql["weibull_survival_fit"] = f"""
+        WITH km AS ({sql["purchase_survival_km"]}),
+        pts AS (
+          SELECT ln(CAST(t AS DOUBLE)) AS x,
+                 ln(-ln(survival)) AS y
+          FROM km
+          WHERE survival > CAST(0.0 AS DOUBLE)
+            AND survival < CAST(1.0 AS DOUBLE) AND t > 0),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_points,
+                 regr_slope(y, x) AS k,
+                 regr_intercept(y, x) AS b,
+                 regr_r2(y, x) AS r2
+          FROM pts)
+        SELECT n_points,
+               round(k, 4) + CAST(0.0 AS DOUBLE) AS weibull_shape,
+               round(exp(-b / k), 2) + CAST(0.0 AS DOUBLE)
+                 AS weibull_scale_days,
+               round(r2, 4) + CAST(0.0 AS DOUBLE) AS fit_r2,
+               CASE WHEN round(k, 4) < CAST(1.0 AS DOUBLE)
+                    THEN 'decreasing_hazard'
+                    ELSE 'increasing_hazard' END AS hazard_shape
+        FROM agg
+    """
+    sql["lorenz_curve_deciles"] = """
+        WITH per AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        dec AS (
+          SELECT CAST(ntile(10) OVER (ORDER BY cents ASC, o_custkey ASC)
+                      AS INT) AS decile,
+                 cents
+          FROM per),
+        agg AS (
+          SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(cents) AS BIGINT) AS s
+          FROM dec GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(s) AS BIGINT) AS t FROM agg),
+        cum AS (
+          SELECT decile, n_customers, s,
+                 CAST(sum(s) OVER (ORDER BY decile) AS BIGINT) AS cs
+          FROM agg)
+        SELECT decile, n_customers,
+               round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS revenue_share,
+               round(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS cum_revenue_share
+        FROM cum, tot
+        ORDER BY decile
+    """
+    sql["granger_views_purchases"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        lagged AS (
+          SELECT y,
+                 lag(y) OVER (ORDER BY day) AS y1,
+                 lag(x) OVER (ORDER BY day) AS x1
+          FROM daily),
+        mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(y1 AS HUGEINT)) AS s1,
+                 sum(CAST(x1 AS HUGEINT)) AS s2,
+                 sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                 sum(CAST(y1 AS HUGEINT) * CAST(y1 AS HUGEINT)) AS s11,
+                 sum(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS s22,
+                 sum(CAST(y1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS s12,
+                 sum(CAST(y AS HUGEINT) * CAST(y1 AS HUGEINT)) AS s1y,
+                 sum(CAST(y AS HUGEINT) * CAST(x1 AS HUGEINT)) AS s2y
+          FROM lagged WHERE y1 IS NOT NULL),
+        cmom AS (
+          SELECT n_days,
+                 CAST(CAST(n_days AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)
+                   AS c11,
+                 CAST(CAST(n_days AS HUGEINT) * s22 - s2 * s2 AS DOUBLE)
+                   AS c22,
+                 CAST(CAST(n_days AS HUGEINT) * s12 - s1 * s2 AS DOUBLE)
+                   AS c12,
+                 CAST(CAST(n_days AS HUGEINT) * s1y - s1 * sy AS DOUBLE)
+                   AS c1y,
+                 CAST(CAST(n_days AS HUGEINT) * s2y - s2 * sy AS DOUBLE)
+                   AS c2y,
+                 CAST(CAST(n_days AS HUGEINT) * syy - sy * sy AS DOUBLE)
+                   AS cyy
+          FROM mom),
+        fit AS (
+          SELECT n_days, c1y, c2y, cyy, c11,
+                 (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b_u,
+                 (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS c_u
+          FROM cmom),
+        stats AS (
+          SELECT n_days, b_u, c_u,
+                 ((cyy - c1y * c1y / c11)
+                  - (cyy - b_u * c1y - c_u * c2y))
+                 / ((cyy - b_u * c1y - c_u * c2y)
+                    / (CAST(n_days AS DOUBLE) - CAST(3.0 AS DOUBLE)))
+                   AS f
+          FROM fit)
+        SELECT n_days,
+               round(b_u, 6) + CAST(0.0 AS DOUBLE) AS coef_lag_purchases,
+               round(c_u, 6) + CAST(0.0 AS DOUBLE) AS coef_lag_views,
+               round(f, 4) + CAST(0.0 AS DOUBLE) AS granger_f,
+               CASE WHEN round(f, 4) > CAST(4.21 AS DOUBLE)
+                    THEN 'views_granger_cause' ELSE 'no_evidence' END
+                 AS verdict_5pct
+        FROM stats
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

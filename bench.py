@@ -299,6 +299,9 @@ SECONDARY = [
     "hill_tail_index",
     "capture_recapture_users",
     "shapley_channel_attribution",
+    "weibull_survival_fit",
+    "lorenz_curve_deciles",
+    "granger_views_purchases",
 ]
 
 

@@ -964,3 +964,93 @@ def test_shapley_attribution_efficiency_and_values(spark):
         assert rows[name]["shapley_value"] == pytest.approx(phi, abs=1e-5)
     total = sum(r["shapley_value"] for r in rows.values())
     assert total == pytest.approx(rate[15] - rate[0], abs=1e-4)
+
+
+def test_lorenz_matches_textbook(spark):
+    o = _orders()
+    per = (
+        o.assign(cents=_cents(o.o_totalprice))
+        .groupby("o_custkey")
+        .cents.sum()
+        .reset_index()
+        .sort_values(["cents", "o_custkey"], ascending=[True, True])
+        .reset_index(drop=True)
+    )
+    n = len(per)
+    base, extra = divmod(n, 10)
+    total = per.cents.sum()
+    rows = {
+        r["decile"]: r
+        for r in entrymod.queries()["lorenz_curve_deciles"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    start, cum = 0, 0
+    for q in range(1, 11):
+        sz = base + (1 if q <= extra else 0)
+        s = per.cents.iloc[start : start + sz].sum()
+        start += sz
+        cum += s
+        r = rows[q]
+        assert r["n_customers"] == sz
+        assert r["revenue_share"] == pytest.approx(s / total, abs=1e-5)
+        assert r["cum_revenue_share"] == pytest.approx(cum / total, abs=1e-5)
+    # Lorenz curve must be convex-ish: shares non-decreasing
+    shares = [rows[q]["revenue_share"] for q in range(1, 11)]
+    assert shares == sorted(shares)
+
+
+def test_granger_matches_textbook(spark):
+    ev = _events()
+    daily = (
+        ev.assign(
+            x=(ev.event_type == "view").astype(int),
+            y=(ev.event_type == "purchase").astype(int),
+        )
+        .groupby(ev.ts.dt.normalize())[["x", "y"]]
+        .sum()
+        .sort_index()
+    )
+    y = daily.y.to_numpy(dtype=np.float64)[1:]
+    y1 = daily.y.to_numpy(dtype=np.float64)[:-1]
+    x1 = daily.x.to_numpy(dtype=np.float64)[:-1]
+    n = len(y)
+    xu = np.column_stack([np.ones(n), y1, x1])
+    bu, rss_u = np.linalg.lstsq(xu, y, rcond=None)[0], None
+    rss_u = float(((y - xu @ bu) ** 2).sum())
+    xr = np.column_stack([np.ones(n), y1])
+    br = np.linalg.lstsq(xr, y, rcond=None)[0]
+    rss_r = float(((y - xr @ br) ** 2).sum())
+    f_ref = (rss_r - rss_u) / (rss_u / (n - 3))
+    row = entrymod.queries()["granger_views_purchases"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert row["n_days"] == n
+    assert row["coef_lag_purchases"] == pytest.approx(bu[1], abs=1e-4)
+    assert row["coef_lag_views"] == pytest.approx(bu[2], abs=1e-4)
+    assert row["granger_f"] == pytest.approx(f_ref, abs=1e-3)
+
+
+def test_weibull_fit_matches_textbook(spark):
+    km = {
+        r["t"]: r["survival"]
+        for r in entrymod.queries()["purchase_survival_km"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    pts = [
+        (np.log(t), np.log(-np.log(s)))
+        for t, s in km.items()
+        if 0.0 < s < 1.0 and t > 0
+    ]
+    x = np.array([p[0] for p in pts])
+    yv = np.array([p[1] for p in pts])
+    k, b = np.polyfit(x, yv, 1)
+    row = entrymod.queries()["weibull_survival_fit"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert row["n_points"] == len(pts)
+    assert row["weibull_shape"] == pytest.approx(k, abs=1e-3)
+    assert row["weibull_scale_days"] == pytest.approx(
+        np.exp(-b / k), abs=0.05
+    )
