@@ -10719,16 +10719,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order), and positions 38-50 take the mid-round-2 tier head
     (``daily_value_interp`` .. ``dormant_high_balance``, skipping
     rows-only entries so every slot is hash-checked).
-    ROTATION PLAN for round 10: front-load (a) any round-9 additions
-    (added after ``_WINDOW_R9`` froze, so never driver-checked), then
-    (b) the mid-round-2/round-3 stale continuation in registry order
-    (``promo_revenue_share`` onward: ``disjunctive_branch_revenue``,
-    ``top_supplier_per_quarter``, ``large_volume_orders``,
-    ``nation_pair_trade``, ``order_count_distribution``,
-    ``late_shipment_rate``, then the round-3 tier
-    ``streaming_sessions`` ..), skipping rows-only entries — keep
-    cycling so every oracle-backed entry re-earns a driver green row
-    every ~2-3 rounds.
+    ROTATION PLAN for round 10: front-load the round-9 additions,
+    which were all added after ``_WINDOW_R9`` froze and so have never
+    had a driver row — 36 oracle-backed entries in registry order:
+    ``ann_ivf_full_probe``, ``streaming_timeout_sessions``, the five
+    residual diagnostics (``jarque_bera_daily`` ..
+    ``grubbs_outlier_daily``), then the round-9 session tier
+    (``kruskal_wallis_regions`` .. ``granger_views_purchases``).
+    Fill the remaining ~14 slots from the stale continuation in
+    registry order (``promo_revenue_share``,
+    ``disjunctive_branch_revenue``, ``top_supplier_per_quarter``,
+    ``large_volume_orders``, ``nation_pair_trade``,
+    ``order_count_distribution``, ``late_shipment_rate``, then the
+    round-3 tier ``streaming_sessions`` ..), skipping rows-only
+    entries — keep cycling so every oracle-backed entry re-earns a
+    driver green row every ~2-3 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
