@@ -3602,9 +3602,11 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = scd.scd2_apply(cur, updates, "c_custkey", ["c_acctbal"], t1)
     probes = customer.select("c_custkey").crossJoin(
-        spark.createDataFrame(
-            [("2024-01-15",), ("2024-02-15",)], "as_of_str string"
-        ).select(F.to_timestamp("as_of_str").alias("as_of"))
+        F.broadcast(
+            spark.createDataFrame(
+                [("2024-01-15",), ("2024-02-15",)], "as_of_str string"
+            ).select(F.to_timestamp("as_of_str").alias("as_of"))
+        )
     )
     return (
         probes.join(dim, "c_custkey")
@@ -10691,6 +10693,301 @@ def q_granger_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs_04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base for the dedup-tuning entries: exact 3-gram Jaccard
+    pairs at the low 0.05 floor (so the planner sees the low-similarity
+    tail), max_df=100 stop-shingle guard — same machinery as the
+    headline dedup_ngram_jaccard, jaccard rounded at 4 on both
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.0, n=3, max_df=100
+    )
+    return pairs.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("__j")
+    ).filter(F.col("__j") >= 0.05)
+
+
+#: DuckDB twin of _jaccard_pairs_04 (the dedup_ngram_jaccard oracle's
+#: CTE chain at the 0.05 floor)
+_JACCARD_PAIRS_04_SQL = """
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(lower(text)),
+                                                    '\\s+'), 1) AS i
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             concat_ws(' ', tok,
+                       lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i),
+                       lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i))
+               AS shingle,
+             lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t3
+      FROM tok),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE t3 IS NOT NULL),
+    shf AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= 100),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             count(*) AS n_common
+      FROM shf a JOIN shf b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jpairs AS (
+      SELECT doc_id_a, doc_id_b,
+             round(CAST(n_common AS DOUBLE)
+                   / (sa.sz + sb.sz - n_common), 4) AS j
+      FROM inter
+      JOIN sizes sa ON doc_id_a = sa.doc_id
+      JOIN sizes sb ON doc_id_b = sb.doc_id
+      WHERE round(CAST(n_common AS DOUBLE)
+                  / (sa.sz + sb.sz - n_common), 4) >= 0.05)
+"""
+
+
+def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-tuning curve: the exact Jaccard pair
+    distribution bucketed at the operating thresholds (0.05-0.3-0.5-
+    0.7-0.9), with the pairs-at-or-above cumulative — the table that
+    decides where the near-dup cut goes before anyone pays for a
+    threshold change.  Buckets cut on the ROUNDED jaccard so boundary
+    pairs land identically in both engines.  Scale: same guarded
+    single-pass pair generation as the headline jaccard entry."""
+    pairs = _jaccard_pairs_04(spark, sf_dir)
+    bucket = (
+        F.when(F.col("__j") >= 0.9, F.lit("0.9+"))
+        .when(F.col("__j") >= 0.7, F.lit("0.7-0.9"))
+        .when(F.col("__j") >= 0.5, F.lit("0.5-0.7"))
+        .when(F.col("__j") >= 0.3, F.lit("0.3-0.5"))
+        .otherwise(F.lit("0.05-0.3"))
+    )
+    agg = pairs.groupBy(bucket.alias("jaccard_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    wc = Window.orderBy(F.desc("jaccard_bucket"))
+    return agg.select(
+        "jaccard_bucket",
+        "n_pairs",
+        F.sum("n_pairs").over(wc).cast("long").alias("n_pairs_at_or_above"),
+    ).orderBy("jaccard_bucket")
+
+
+def q_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH band planner grounded in the OBSERVED similarity
+    distribution: for each (bands, rows) config, the S-curve catch
+    probability p(s) = 1−(1−s^r)^b evaluated over the exact Jaccard
+    pairs — expected candidate count, recall among true near-dups
+    (s ≥ 0.7), and leakage among clear non-dups (s < 0.3).  The powers
+    unroll to explicit multiplication chains (identical in both
+    engines; no non-integer pow).  This turns the usual rule-of-thumb
+    (b, r) choice into a measured trade-off.  Scale: one pass over the
+    guarded pair frame per config (3 configs, unioned plans)."""
+    pairs = cache.track(_jaccard_pairs_04(spark, sf_dir).cache())
+    s = F.col("__j")
+    s2 = s * s
+    s4 = s2 * s2
+    s8 = s4 * s4
+    s16 = s8 * s8
+
+    def curve(sr, b):
+        t = F.lit(1.0) - sr
+        t2 = t * t
+        t4 = t2 * t2
+        t8 = t4 * t4
+        t16 = t8 * t8
+        t32 = t16 * t16
+        tb = {8: t8, 16: t16, 32: t32}[b]
+        return F.lit(1.0) - tb
+
+    configs = [("b32_r4", curve(s4, 32)), ("b16_r8", curve(s8, 16)),
+               ("b8_r16", curve(s16, 8))]
+    out = None
+    for name, p in configs:
+        row = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (F.round(F.sum(p), 2) + F.lit(0.0)).alias(
+                "expected_candidates"
+            ),
+            (
+                F.round(
+                    F.sum(F.when(s >= 0.7, p).otherwise(F.lit(0.0)))
+                    / F.sum(
+                        F.when(s >= 0.7, F.lit(1.0)).otherwise(F.lit(0.0))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("recall_near_dups"),
+            (
+                F.round(
+                    F.sum(F.when(s < 0.3, p).otherwise(F.lit(0.0)))
+                    / F.sum(
+                        F.when(s < 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("leakage_non_dups"),
+        ).select(
+            F.lit(name).alias("config"),
+            "n_pairs",
+            "expected_candidates",
+            "recall_near_dups",
+            "leakage_non_dups",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("config")
+
+
+def q_interpurchase_gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments Gamma fit of the inter-purchase gap
+    distribution: k̂ = μ²/s², θ̂ = s²/μ over per-user consecutive
+    purchase gaps in EXACT integer seconds (micros div 10⁶ — integer
+    division, identical both engines; squares stay < 2⁵³ because gaps
+    are bounded by the observed span, not data volume).  k < 1 ⇒
+    bursty (clustered purchases), k ≈ 1 ⇒ memoryless.  Scale: one
+    shuffle on user_id for the lag, then exact integer moments."""
+    events = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    gaps = (
+        p.select(
+            F.floor(
+                (
+                    F.unix_micros("ts")
+                    - F.unix_micros(F.lag("ts").over(wu))
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("__gap_s")
+        )
+        .filter(F.col("__gap_s").isNotNull())
+    )
+    gd = F.col("__gap_s").cast("decimal(19,0)")
+    mom = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(gd).cast("decimal(38,0)").alias("__s"),
+        F.sum(gd * gd).cast("decimal(38,0)").alias("__ss"),
+    )
+    n = F.col("n_gaps").cast("decimal(38,0)")
+    mu = F.col("__s").cast("double") / F.col("n_gaps").cast("double")
+    var = (n * F.col("__ss") - F.col("__s") * F.col("__s")).cast(
+        "double"
+    ) / (
+        F.col("n_gaps").cast("double")
+        * (F.col("n_gaps").cast("double") - F.lit(1.0))
+    )
+    k = mu * mu / var
+    theta = var / mu
+    return mom.select(
+        "n_gaps",
+        (F.round(mu, 2) + F.lit(0.0)).alias("mean_gap_s"),
+        (F.round(k, 4) + F.lit(0.0)).alias("gamma_shape"),
+        (F.round(theta, 2) + F.lit(0.0)).alias("gamma_scale_s"),
+        F.when(F.round(k, 4) < 1.0, F.lit("bursty"))
+        .otherwise(F.lit("regular"))
+        .alias("arrival_pattern"),
+    )
+
+
+def q_hhi_yearly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration TREND: yearly Herfindahl-Hirschman index of
+    brand revenue (Σ share²) with the year-over-year delta — the
+    dynamic view of the static HHI in revenue_concentration (is the
+    brand market concentrating?).  Shares divide exact integer cents;
+    HHI sums ≤ |brands| squared doubles.  Scale: one lineitem⋈part
+    equi-join, then a grouped reduce to the (year, brand) frame."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    by_brand = (
+        lineitem.select("l_partkey", F.year("l_shipdate").alias("yr"),
+                        cents.alias("__c"))
+        .join(part.select("p_partkey", "p_brand"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("yr", "p_brand")
+        .agg(F.sum("__c").cast("long").alias("__bc"))
+    )
+    wy = Window.partitionBy("yr")
+    shares = by_brand.select(
+        "yr",
+        (
+            F.col("__bc").cast("double")
+            / F.sum("__bc").over(wy).cast("double")
+        ).alias("__sh"),
+    )
+    hhi = shares.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.sum(F.col("__sh") * F.col("__sh")).alias("__hhi"),
+    )
+    wt = Window.orderBy("yr")
+    return hhi.select(
+        "yr",
+        "n_brands",
+        (F.round(F.col("__hhi"), 6) + F.lit(0.0)).alias("hhi"),
+        (
+            F.round(
+                F.col("__hhi") - F.lag("__hhi").over(wt), 6
+            )
+            + F.lit(0.0)
+        ).alias("hhi_delta"),
+    ).orderBy("yr")
+
+
+def q_forecast_skill_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast skill as MASE: MAE of the seasonal-naive (d−7)
+    forecast scaled by MAE of the one-step naive (d−1) over the SAME
+    evaluation days — the scale-free skill score that says whether
+    weekly seasonality actually beats persistence (MASE < 1 ⇒ it
+    does).  Absolute errors are exact integer cents; the two means
+    snap through DECIMAL(18,6) (few-fixed-decimal averages) and the
+    ratio divides the exact integer error sums directly.  Scale: two
+    self-equi-joins on the shifted day spine."""
+    daily = cache.track(_daily_purchase_cents(spark, sf_dir).cache())
+    s7 = daily.select(
+        F.date_add("day", 7).alias("day"), F.col("cents").alias("__f7")
+    )
+    s1 = daily.select(
+        F.date_add("day", 1).alias("day"), F.col("cents").alias("__f1")
+    )
+    j = daily.join(s7, "day").join(s1, "day")
+    ae7 = F.abs(F.col("cents") - F.col("__f7"))
+    ae1 = F.abs(F.col("cents") - F.col("__f1"))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(ae7).cast("long").alias("__e7"),
+        F.sum(ae1).cast("long").alias("__e1"),
+    )
+    mase = F.col("__e7").cast("double") / F.col("__e1").cast("double")
+    snap = lambda c: (  # noqa: E731
+        F.round(
+            (c.cast("double") / F.col("n_days").cast("double")).cast(
+                "decimal(18,6)"
+            ),
+            2,
+        )
+        .cast("double")
+    )
+    return agg.select(
+        "n_days",
+        snap(F.col("__e7")).alias("mae_seasonal_cents"),
+        snap(F.col("__e1")).alias("mae_naive_cents"),
+        (F.round(mase, 4) + F.lit(0.0)).alias("mase"),
+        F.when(F.round(mase, 4) < 1.0, F.lit("seasonal_skillful"))
+        .otherwise(F.lit("persistence_wins"))
+        .alias("verdict"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11034,6 +11331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weibull_survival_fit": q_weibull_survival_fit,
         "lorenz_curve_deciles": q_lorenz_curve_deciles,
         "granger_views_purchases": q_granger_views_purchases,
+        "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
+        "lsh_band_planner": q_lsh_band_planner,
+        "interpurchase_gamma_fit": q_interpurchase_gamma_fit,
+        "hhi_yearly_trend": q_hhi_yearly_trend,
+        "forecast_skill_mase": q_forecast_skill_mase,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -17276,6 +17578,235 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'views_granger_cause' ELSE 'no_evidence' END
                  AS verdict_5pct
         FROM stats
+    """
+    sql["jaccard_threshold_sweep"] = f"""
+        WITH {_JACCARD_PAIRS_04_SQL},
+        bucketed AS (
+          SELECT CASE WHEN j >= CAST(0.9 AS DOUBLE) THEN '0.9+'
+                      WHEN j >= CAST(0.7 AS DOUBLE) THEN '0.7-0.9'
+                      WHEN j >= CAST(0.5 AS DOUBLE) THEN '0.5-0.7'
+                      WHEN j >= CAST(0.3 AS DOUBLE) THEN '0.3-0.5'
+                      ELSE '0.05-0.3' END AS jaccard_bucket
+          FROM jpairs),
+        agg AS (
+          SELECT jaccard_bucket, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM bucketed GROUP BY 1)
+        SELECT jaccard_bucket, n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY jaccard_bucket DESC)
+                    AS BIGINT) AS n_pairs_at_or_above
+        FROM agg
+        ORDER BY jaccard_bucket
+    """
+    sql["lsh_band_planner"] = f"""
+        WITH {_JACCARD_PAIRS_04_SQL},
+        powers AS (
+          SELECT j, j * j AS s2 FROM jpairs),
+        powers2 AS (
+          SELECT j, s2, s2 * s2 AS s4 FROM powers),
+        powers3 AS (
+          SELECT j, s4, s4 * s4 AS s8 FROM powers2),
+        powers4 AS (
+          SELECT j, s4, s8, s8 * s8 AS s16 FROM powers3),
+        curves AS (
+          SELECT j,
+                 CAST(1.0 AS DOUBLE)
+                 - ((((CAST(1.0 AS DOUBLE) - s4)
+                      * (CAST(1.0 AS DOUBLE) - s4))
+                     * ((CAST(1.0 AS DOUBLE) - s4)
+                        * (CAST(1.0 AS DOUBLE) - s4)))
+                    * (((CAST(1.0 AS DOUBLE) - s4)
+                        * (CAST(1.0 AS DOUBLE) - s4))
+                       * ((CAST(1.0 AS DOUBLE) - s4)
+                          * (CAST(1.0 AS DOUBLE) - s4)))) AS p_b8_r4_x,
+                 s4, s8, s16
+          FROM powers4),
+        final AS (
+          SELECT j,
+                 s4 AS sr_b32, s8 AS sr_b16, s16 AS sr_b8
+          FROM curves)
+        SELECT config, n_pairs,
+               round(expected_candidates, 2) + CAST(0.0 AS DOUBLE)
+                 AS expected_candidates,
+               round(recall_near_dups, 6) + CAST(0.0 AS DOUBLE)
+                 AS recall_near_dups,
+               round(leakage_non_dups, 6) + CAST(0.0 AS DOUBLE)
+                 AS leakage_non_dups
+        FROM (
+          SELECT 'b32_r4' AS config,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 sum(p) AS expected_candidates,
+                 sum(CASE WHEN j >= CAST(0.7 AS DOUBLE) THEN p
+                          ELSE CAST(0.0 AS DOUBLE) END)
+                 / sum(CASE WHEN j >= CAST(0.7 AS DOUBLE)
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                   AS recall_near_dups,
+                 sum(CASE WHEN j < CAST(0.3 AS DOUBLE) THEN p
+                          ELSE CAST(0.0 AS DOUBLE) END)
+                 / sum(CASE WHEN j < CAST(0.3 AS DOUBLE)
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                   AS leakage_non_dups
+          FROM (
+            SELECT j,
+                   CAST(1.0 AS DOUBLE) - t16 * t16 AS p
+            FROM (
+              SELECT j, t8 * t8 AS t16
+              FROM (
+                SELECT j, t4 * t4 AS t8
+                FROM (
+                  SELECT j, t2 * t2 AS t4
+                  FROM (
+                    SELECT j, t * t AS t2
+                    FROM (
+                      SELECT j, CAST(1.0 AS DOUBLE) - sr_b32 AS t
+                      FROM final) z1) z2) z3) z4) z5)
+          UNION ALL
+          SELECT 'b16_r8',
+                 CAST(count(*) AS BIGINT),
+                 sum(p),
+                 sum(CASE WHEN j >= CAST(0.7 AS DOUBLE) THEN p
+                          ELSE CAST(0.0 AS DOUBLE) END)
+                 / sum(CASE WHEN j >= CAST(0.7 AS DOUBLE)
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END),
+                 sum(CASE WHEN j < CAST(0.3 AS DOUBLE) THEN p
+                          ELSE CAST(0.0 AS DOUBLE) END)
+                 / sum(CASE WHEN j < CAST(0.3 AS DOUBLE)
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+          FROM (
+            SELECT j,
+                   CAST(1.0 AS DOUBLE) - t8 * t8 AS p
+            FROM (
+              SELECT j, t4 * t4 AS t8
+              FROM (
+                SELECT j, t2 * t2 AS t4
+                FROM (
+                  SELECT j, t * t AS t2
+                  FROM (
+                    SELECT j, CAST(1.0 AS DOUBLE) - sr_b16 AS t
+                    FROM final) y1) y2) y3) y4)
+          UNION ALL
+          SELECT 'b8_r16',
+                 CAST(count(*) AS BIGINT),
+                 sum(p),
+                 sum(CASE WHEN j >= CAST(0.7 AS DOUBLE) THEN p
+                          ELSE CAST(0.0 AS DOUBLE) END)
+                 / sum(CASE WHEN j >= CAST(0.7 AS DOUBLE)
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END),
+                 sum(CASE WHEN j < CAST(0.3 AS DOUBLE) THEN p
+                          ELSE CAST(0.0 AS DOUBLE) END)
+                 / sum(CASE WHEN j < CAST(0.3 AS DOUBLE)
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+          FROM (
+            SELECT j,
+                   CAST(1.0 AS DOUBLE) - t4 * t4 AS p
+            FROM (
+              SELECT j, t2 * t2 AS t4
+              FROM (
+                SELECT j, t * t AS t2
+                FROM (
+                  SELECT j, CAST(1.0 AS DOUBLE) - sr_b8 AS t
+                  FROM final) x1) x2) x3)
+        ) u
+        ORDER BY config
+    """
+    sql["interpurchase_gamma_fit"] = """
+        WITH p AS (
+          SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'),
+        gaps AS (
+          SELECT CAST(floor(CAST(epoch_us(ts)
+                                 - epoch_us(lag(ts) OVER (
+                                     PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS DOUBLE)
+                            / CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                   AS gap_s
+          FROM p),
+        g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL),
+        mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+                 sum(CAST(gap_s AS HUGEINT)) AS s,
+                 sum(CAST(gap_s AS HUGEINT) * CAST(gap_s AS HUGEINT))
+                   AS ss
+          FROM g),
+        stats AS (
+          SELECT n_gaps,
+                 CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+                 CAST(CAST(n_gaps AS HUGEINT) * ss - s * s AS DOUBLE)
+                 / (CAST(n_gaps AS DOUBLE)
+                    * (CAST(n_gaps AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                   AS var
+          FROM mom)
+        SELECT n_gaps,
+               round(mu, 2) + CAST(0.0 AS DOUBLE) AS mean_gap_s,
+               round(mu * mu / var, 4) + CAST(0.0 AS DOUBLE)
+                 AS gamma_shape,
+               round(var / mu, 2) + CAST(0.0 AS DOUBLE) AS gamma_scale_s,
+               CASE WHEN round(mu * mu / var, 4) < CAST(1.0 AS DOUBLE)
+                    THEN 'bursty' ELSE 'regular' END AS arrival_pattern
+        FROM stats
+    """
+    sql["hhi_yearly_trend"] = """
+        WITH by_brand AS (
+          SELECT year(CAST(l_shipdate AS DATE)) AS yr, p.p_brand,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS bc
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY 1, 2),
+        shares AS (
+          SELECT yr,
+                 CAST(bc AS DOUBLE)
+                 / CAST(sum(bc) OVER (PARTITION BY yr) AS DOUBLE) AS sh
+          FROM by_brand),
+        hhi AS (
+          SELECT yr, CAST(count(*) AS BIGINT) AS n_brands,
+                 sum(sh * sh) AS h
+          FROM shares GROUP BY 1)
+        SELECT yr, n_brands,
+               round(h, 6) + CAST(0.0 AS DOUBLE) AS hhi,
+               round(h - lag(h) OVER (ORDER BY yr), 6)
+                 + CAST(0.0 AS DOUBLE) AS hhi_delta
+        FROM hhi
+        ORDER BY yr
+    """
+    sql["forecast_skill_mase"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(floor(round(coalesce(sum(value),
+                                           CAST(0.0 AS DOUBLE)), 2) * 100
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        j AS (
+          SELECT d.cents, s7.cents AS f7, s1.cents AS f1
+          FROM daily d
+          JOIN daily s7 ON d.day = s7.day + INTERVAL 7 DAY
+          JOIN daily s1 ON d.day = s1.day + INTERVAL 1 DAY),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(abs(cents - f7)) AS BIGINT) AS e7,
+                 CAST(sum(abs(cents - f1)) AS BIGINT) AS e1
+          FROM j)
+        SELECT n_days,
+               CAST(round(CAST(CAST(e7 AS DOUBLE)
+                               / CAST(n_days AS DOUBLE)
+                               AS DECIMAL(18,6)), 2) AS DOUBLE)
+                 AS mae_seasonal_cents,
+               CAST(round(CAST(CAST(e1 AS DOUBLE)
+                               / CAST(n_days AS DOUBLE)
+                               AS DECIMAL(18,6)), 2) AS DOUBLE)
+                 AS mae_naive_cents,
+               round(CAST(e7 AS DOUBLE) / CAST(e1 AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS mase,
+               CASE WHEN round(CAST(e7 AS DOUBLE) / CAST(e1 AS DOUBLE), 4)
+                         < CAST(1.0 AS DOUBLE)
+                    THEN 'seasonal_skillful' ELSE 'persistence_wins' END
+                 AS verdict
+        FROM agg
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -302,6 +302,11 @@ SECONDARY = [
     "weibull_survival_fit",
     "lorenz_curve_deciles",
     "granger_views_purchases",
+    "jaccard_threshold_sweep",
+    "lsh_band_planner",
+    "interpurchase_gamma_fit",
+    "hhi_yearly_trend",
+    "forecast_skill_mase",
 ]
 
 

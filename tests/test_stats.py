@@ -1054,3 +1054,88 @@ def test_weibull_fit_matches_textbook(spark):
     assert row["weibull_scale_days"] == pytest.approx(
         np.exp(-b / k), abs=0.05
     )
+
+
+def test_interpurchase_gamma_matches_textbook(spark):
+    ev = _events()
+    p = ev[ev.event_type == "purchase"].sort_values(["ts", "event_id"])
+    gaps = []
+    for _, grp in p.groupby("user_id"):
+        t = grp.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        d = np.diff(t)
+        gaps.extend(np.floor(d / 1_000_000.0).astype(np.int64))
+    gaps = np.array(gaps, dtype=np.float64)
+    mu, var = gaps.mean(), gaps.var(ddof=1)
+    row = entrymod.queries()["interpurchase_gamma_fit"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert row["n_gaps"] == len(gaps)
+    assert row["mean_gap_s"] == pytest.approx(mu, abs=0.01)
+    assert row["gamma_shape"] == pytest.approx(mu * mu / var, abs=1e-3)
+    assert row["gamma_scale_s"] == pytest.approx(var / mu, abs=0.01)
+
+
+def test_mase_matches_textbook(spark):
+    ev = _events()
+    daily = (
+        ev[ev.event_type == "purchase"]
+        .groupby(ev.ts.dt.normalize())
+        .value.sum()
+        .sort_index()
+    )
+    cents = pd.Series(
+        np.floor(np.round(daily.to_numpy(), 2) * 100 + 0.5),
+        index=daily.index,
+    )
+    e7 = e1 = n = 0
+    for day, v in cents.items():
+        d7, d1 = day - pd.Timedelta(days=7), day - pd.Timedelta(days=1)
+        if d7 in cents.index and d1 in cents.index:
+            n += 1
+            e7 += abs(v - cents[d7])
+            e1 += abs(v - cents[d1])
+    row = entrymod.queries()["forecast_skill_mase"](spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert row["mase"] == pytest.approx(e7 / e1, abs=1e-3)
+
+
+def test_lsh_band_planner_scurve_properties(spark):
+    rows = {
+        r["config"]: r
+        for r in entrymod.queries()["lsh_band_planner"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(rows) == {"b32_r4", "b16_r8", "b8_r16"}
+    # more bands with shorter rows -> laxer curve: recall and leakage
+    # both weakly higher than the strictest (few wide bands) config
+    for col in ("recall_near_dups", "leakage_non_dups"):
+        vals = [rows[c][col] for c in ("b32_r4", "b16_r8", "b8_r16")]
+        assert vals[0] >= vals[1] >= vals[2] or any(
+            v is None for v in vals
+        )
+    # catch probability is a probability
+    for r in rows.values():
+        assert 0 <= r["expected_candidates"] <= r["n_pairs"] + 0.01
+
+
+def test_hhi_yearly_matches_textbook(spark):
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    part = pq.read_table(f"{SF_SMOKE}/part.parquet").to_pandas()
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    m["cents"] = np.floor(
+        m.l_extendedprice * (1 - m.l_discount) * 100 + 0.5
+    ).astype(np.int64)
+    m["yr"] = m.l_shipdate.dt.year
+    rows = {
+        r["yr"]: r
+        for r in entrymod.queries()["hhi_yearly_trend"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for yr, grp in m.groupby("yr"):
+        by_brand = grp.groupby("p_brand").cents.sum()
+        sh = by_brand / by_brand.sum()
+        r = rows[int(yr)]
+        assert r["n_brands"] == len(by_brand)
+        assert r["hhi"] == pytest.approx(float((sh**2).sum()), abs=1e-5)
