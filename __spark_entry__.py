@@ -10988,6 +10988,197 @@ def q_forecast_skill_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recsys_ndcg_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 for the popularity baseline on the leave-last-order-out
+    split — the GRADED ranking metric next to recsys_eval_popularity's
+    hit-rate (a hit at rank 1 should beat a hit at rank 19).  Per
+    customer DCG sums 1/log2(1+rank) over holdout items found in the
+    ranked top-20; IDCG normalizes by the ideal min(|holdout|, 20)
+    prefix; customers with zero hits stay in the mean.  Deterministic
+    popularity ranking (count DESC, partkey ASC); logs are unary over
+    exact integer ranks.  Scale: same bounded top-k + user-frame joins
+    as the hit-rate entry."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    wc = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(wc).alias("__r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .alias("__n"),
+    ).filter(F.col("__n") >= 2)
+    holdout = ranked.filter(F.col("__r") == 1).select(
+        "o_custkey", "o_orderkey"
+    )
+    train = ranked.filter(F.col("__r") > 1).select("o_orderkey")
+    pairs = li.select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey"
+    ).distinct()
+    wt = Window.orderBy(F.desc("__c"), F.asc("l_partkey"))
+    top20 = (
+        train.join(pairs, "o_orderkey")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("l_partkey"))
+        .limit(20)
+        .select(
+            "l_partkey", F.row_number().over(wt).cast("int").alias("__rank")
+        )
+    )
+    test_items = cache.track(
+        holdout.join(pairs, "o_orderkey")
+        .select("o_custkey", "l_partkey")
+        .cache()
+    )
+    gain = F.lit(1.0) / (
+        F.log(F.col("__rank").cast("double") + F.lit(1.0))
+        / F.log(F.lit(2.0))
+    )
+    dcg = (
+        test_items.join(F.broadcast(top20), "l_partkey")
+        .groupBy("o_custkey")
+        .agg(F.sum(gain).alias("__dcg"))
+    )
+    igain = F.lit(1.0) / (
+        F.log(F.col("__i").cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))
+    )
+    wh = Window.partitionBy("o_custkey").orderBy("l_partkey")
+    idcg = (
+        test_items.select(
+            "o_custkey", F.row_number().over(wh).cast("long").alias("__i")
+        )
+        .filter(F.col("__i") <= 20)
+        .groupBy("o_custkey")
+        .agg(F.sum(igain).alias("__idcg"))
+    )
+    per_user = idcg.join(dcg, "o_custkey", "left").select(
+        (
+            F.coalesce("__dcg", F.lit(0.0)) / F.col("__idcg")
+        ).alias("__ndcg")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.round(F.avg("__ndcg"), 6) + F.lit(0.0)).alias("mean_ndcg_20"),
+        F.sum(F.when(F.col("__ndcg") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_with_hits"),
+    )
+
+
+def q_markov_next_event_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Next-event prediction eval: train a first-order Markov argmax
+    predictor on first-half transitions (count DESC, type ASC
+    tiebreak), score top-1 accuracy on second-half transitions — the
+    sequence-model baseline every session-LSTM/transformer must beat,
+    with the same train/eval discipline as the recsys entries.
+    Transitions build within each half (no cross-boundary pair).
+    Exact integer counts; accuracy divides once.  Scale: one shuffle
+    per half on user_id, then vocabulary-sized frames."""
+    events = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def transitions(half):
+        return (
+            half.select(
+                "user_id",
+                F.col("event_type").alias("__prev"),
+                F.lead("event_type").over(wu).alias("__next"),
+            )
+            .filter(F.col("__next").isNotNull())
+            .select("__prev", "__next")
+        )
+
+    train = transitions(events.filter(F.dayofmonth("ts") <= 15))
+    evalh = transitions(events.filter(F.dayofmonth("ts") > 15))
+    wp = Window.partitionBy("__prev").orderBy(
+        F.desc("__cnt"), F.asc("__next")
+    )
+    model = (
+        train.groupBy("__prev", "__next")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        .select(
+            "__prev",
+            "__next",
+            F.row_number().over(wp).cast("int").alias("__r"),
+        )
+        .filter(F.col("__r") == 1)
+        .select("__prev", F.col("__next").alias("predicted_next"))
+    )
+    scored = evalh.join(F.broadcast(model), "__prev", "left")
+    return (
+        scored.groupBy(F.col("__prev").alias("prev_event"))
+        .agg(
+            F.max("predicted_next").alias("predicted_next"),
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum(
+                F.when(
+                    F.col("__next") == F.col("predicted_next"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "prev_event",
+            "predicted_next",
+            "n_transitions",
+            "n_correct",
+            (
+                F.round(
+                    F.col("n_correct").cast("double")
+                    / F.col("n_transitions").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("top1_accuracy"),
+        )
+        .orderBy("prev_event")
+    )
+
+
+def q_dp_laplace_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy utility planner: for per-type event counts
+    (sensitivity 1) at ε ∈ {0.1, 1.0}, the Laplace scale b = 1/ε, the
+    expected absolute noise (= b), the 95th-percentile noise bound
+    b·ln(1/0.05), and the relative error b/count — the table that says
+    which published counts survive which privacy budget (the planning
+    complement to the k-anonymity gate).  Counts are exact; every
+    derived column is a literal-over-exact-integer expression.  Scale:
+    one grouped count + a 2-row broadcast."""
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    eps = spark.createDataFrame(
+        [("0.1",), ("1.0",)], "eps_str string"
+    ).select(F.col("eps_str").cast("double").alias("epsilon"))
+    b = F.lit(1.0) / F.col("epsilon")
+    return (
+        counts.crossJoin(F.broadcast(eps))
+        .select(
+            "event_type",
+            "epsilon",
+            "true_count",
+            (F.round(b, 2) + F.lit(0.0)).alias("laplace_scale"),
+            (
+                F.round(b * F.log(F.lit(1.0) / F.lit(0.05)), 4)
+                + F.lit(0.0)
+            ).alias("noise_p95"),
+            (
+                F.round(b / F.col("true_count").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("relative_error"),
+        )
+        .orderBy("event_type", "epsilon")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11336,6 +11527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpurchase_gamma_fit": q_interpurchase_gamma_fit,
         "hhi_yearly_trend": q_hhi_yearly_trend,
         "forecast_skill_mase": q_forecast_skill_mase,
+        "recsys_ndcg_popularity": q_recsys_ndcg_popularity,
+        "markov_next_event_accuracy": q_markov_next_event_accuracy,
+        "dp_laplace_utility": q_dp_laplace_utility,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -17807,6 +18001,120 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'seasonal_skillful' ELSE 'persistence_wins' END
                  AS verdict
         FROM agg
+    """
+    sql["recsys_ndcg_popularity"] = """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC,
+                                             o_orderkey DESC) AS r,
+                 count(*) OVER (PARTITION BY o_custkey) AS n
+          FROM orders),
+        eligible AS (SELECT * FROM ranked WHERE n >= 2),
+        holdout AS (
+          SELECT o_custkey, o_orderkey FROM eligible WHERE r = 1),
+        train AS (
+          SELECT o_orderkey FROM eligible WHERE r > 1),
+        pairs AS (
+          SELECT DISTINCT l_orderkey AS o_orderkey, l_partkey
+          FROM lineitem),
+        pop AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+          FROM train JOIN pairs USING (o_orderkey)
+          GROUP BY 1),
+        top20 AS (
+          SELECT l_partkey,
+                 CAST(row_number() OVER (ORDER BY c DESC,
+                                         l_partkey ASC) AS INT) AS rnk
+          FROM pop
+          ORDER BY c DESC, l_partkey ASC
+          LIMIT 20),
+        test_items AS (
+          SELECT h.o_custkey, p.l_partkey
+          FROM holdout h JOIN pairs p USING (o_orderkey)),
+        dcg AS (
+          SELECT o_custkey,
+                 sum(CAST(1.0 AS DOUBLE)
+                     / (ln(CAST(rnk AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                        / ln(CAST(2.0 AS DOUBLE)))) AS dcg
+          FROM test_items JOIN top20 USING (l_partkey)
+          GROUP BY 1),
+        idcg AS (
+          SELECT o_custkey,
+                 sum(CAST(1.0 AS DOUBLE)
+                     / (ln(CAST(i AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                        / ln(CAST(2.0 AS DOUBLE)))) AS idcg
+          FROM (
+            SELECT o_custkey,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY l_partkey)
+                        AS BIGINT) AS i
+            FROM test_items) z
+          WHERE i <= 20
+          GROUP BY 1),
+        per_user AS (
+          SELECT coalesce(d.dcg, CAST(0.0 AS DOUBLE)) / i.idcg AS ndcg
+          FROM idcg i LEFT JOIN dcg d USING (o_custkey))
+        SELECT CAST(count(*) AS BIGINT) AS n_customers,
+               round(avg(ndcg), 6) + CAST(0.0 AS DOUBLE) AS mean_ndcg_20,
+               CAST(sum(CASE WHEN ndcg > CAST(0.0 AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_with_hits
+        FROM per_user
+    """
+    sql["markov_next_event_accuracy"] = """
+        WITH tr AS (
+          SELECT prev, nxt FROM (
+            SELECT event_type AS prev,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events WHERE day(CAST(ts AS DATE)) <= 15) z
+          WHERE nxt IS NOT NULL),
+        ev AS (
+          SELECT prev, nxt FROM (
+            SELECT event_type AS prev,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events WHERE day(CAST(ts AS DATE)) > 15) z
+          WHERE nxt IS NOT NULL),
+        model AS (
+          SELECT prev, nxt AS predicted_next FROM (
+            SELECT prev, nxt,
+                   row_number() OVER (PARTITION BY prev
+                                      ORDER BY count(*) DESC,
+                                               nxt ASC) AS r
+            FROM tr GROUP BY prev, nxt) z
+          WHERE r = 1)
+        SELECT ev.prev AS prev_event,
+               max(m.predicted_next) AS predicted_next,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               CAST(sum(CASE WHEN ev.nxt = m.predicted_next
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               round(CAST(sum(CASE WHEN ev.nxt = m.predicted_next
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS top1_accuracy
+        FROM ev LEFT JOIN model m USING (prev)
+        GROUP BY 1
+        ORDER BY 1
+    """
+    sql["dp_laplace_utility"] = """
+        WITH counts AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+          FROM events GROUP BY 1),
+        eps AS (
+          SELECT CAST(0.1 AS DOUBLE) AS epsilon
+          UNION ALL SELECT CAST(1.0 AS DOUBLE))
+        SELECT event_type, epsilon, true_count,
+               round(CAST(1.0 AS DOUBLE) / epsilon, 2)
+                 + CAST(0.0 AS DOUBLE) AS laplace_scale,
+               round(CAST(1.0 AS DOUBLE) / epsilon
+                     * ln(CAST(1.0 AS DOUBLE) / CAST(0.05 AS DOUBLE)), 4)
+                 + CAST(0.0 AS DOUBLE) AS noise_p95,
+               round(CAST(1.0 AS DOUBLE) / epsilon
+                     / CAST(true_count AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS relative_error
+        FROM counts, eps
+        ORDER BY event_type, epsilon
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -307,6 +307,9 @@ SECONDARY = [
     "interpurchase_gamma_fit",
     "hhi_yearly_trend",
     "forecast_skill_mase",
+    "recsys_ndcg_popularity",
+    "markov_next_event_accuracy",
+    "dp_laplace_utility",
 ]
 
 

@@ -1139,3 +1139,85 @@ def test_hhi_yearly_matches_textbook(spark):
         r = rows[int(yr)]
         assert r["n_brands"] == len(by_brand)
         assert r["hhi"] == pytest.approx(float((sh**2).sum()), abs=1e-5)
+
+
+def test_ndcg_matches_textbook(spark):
+    o = _orders()
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    o = o.sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"],
+        ascending=[True, False, False],
+    )
+    o["r"] = o.groupby("o_custkey").cumcount() + 1
+    o["n"] = o.groupby("o_custkey").o_orderkey.transform("size")
+    elig = o[o.n >= 2]
+    hold = elig[elig.r == 1][["o_custkey", "o_orderkey"]]
+    train_keys = set(elig.loc[elig.r > 1, "o_orderkey"])
+    pairs = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    pop = (
+        pairs[pairs.l_orderkey.isin(train_keys)]
+        .groupby("l_partkey")
+        .size()
+        .reset_index(name="c")
+        .sort_values(["c", "l_partkey"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    rank = {k: i + 1 for i, k in enumerate(pop.l_partkey)}
+    test = hold.merge(
+        pairs, left_on="o_orderkey", right_on="l_orderkey"
+    )
+    ndcgs = []
+    for cust, grp in test.groupby("o_custkey"):
+        items = sorted(grp.l_partkey)
+        dcg = sum(
+            1.0 / np.log2(rank[k] + 1) for k in items if k in rank
+        )
+        idcg = sum(
+            1.0 / np.log2(i + 1)
+            for i in range(1, min(len(items), 20) + 1)
+        )
+        ndcgs.append(dcg / idcg)
+    row = entrymod.queries()["recsys_ndcg_popularity"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert row["n_customers"] == len(ndcgs)
+    assert row["mean_ndcg_20"] == pytest.approx(np.mean(ndcgs), abs=1e-5)
+    assert row["n_with_hits"] == sum(1 for v in ndcgs if v > 0)
+
+
+def test_markov_accuracy_matches_textbook(spark):
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    import collections
+
+    def transitions(sub):
+        out = []
+        for _, grp in sub.groupby("user_id"):
+            t = grp.event_type.tolist()
+            out.extend(zip(t, t[1:]))
+        return out
+
+    tr = transitions(ev[ev.ts.dt.day <= 15])
+    te = transitions(ev[ev.ts.dt.day > 15])
+    counts = collections.Counter(tr)
+    model = {}
+    for (p, nx), c in sorted(
+        counts.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1])
+    ):
+        model.setdefault(p, nx)
+    rows = {
+        r["prev_event"]: r
+        for r in entrymod.queries()["markov_next_event_accuracy"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    per_prev = collections.defaultdict(lambda: [0, 0])
+    for p, nx in te:
+        per_prev[p][0] += 1
+        per_prev[p][1] += int(model.get(p) == nx)
+    assert set(rows) == set(per_prev)
+    for p, (n, c) in per_prev.items():
+        r = rows[p]
+        assert r["predicted_next"] == model[p]
+        assert r["n_transitions"] == n and r["n_correct"] == c
+        assert r["top1_accuracy"] == pytest.approx(c / n, abs=1e-5)
