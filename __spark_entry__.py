@@ -11213,8 +11213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``ann_ivf_full_probe``, ``streaming_timeout_sessions``, the five
     residual diagnostics (``jarque_bera_daily`` ..
     ``grubbs_outlier_daily``), then the round-9 session tier
-    (``kruskal_wallis_regions`` .. ``granger_views_purchases``).
-    Fill the remaining ~14 slots from the stale continuation in
+    (``kruskal_wallis_regions`` .. ``dp_laplace_utility`` — more than
+    fill one window; spill the tail into round 11's).
+    Fill any remaining slots from the stale continuation in
     registry order (``promo_revenue_share``,
     ``disjunctive_branch_revenue``, ``top_supplier_per_quarter``,
     ``large_volume_orders``, ``nation_pair_trade``,
