@@ -11179,6 +11179,242 @@ def q_dp_laplace_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time + median survival from the KM
+    curve: RMST(τ) = Σ S(tᵢ)·(t_{i+1}−tᵢ) over the step function up to
+    the last observed event time, and the first time S ≤ 0.5 — the two
+    scalar summaries regulators ask for when hazards aren't
+    proportional.  Both reduce the already-deterministic KM table
+    (survival rounded at 6 identically in both engines) with exact
+    integer day-widths.  Scale: arithmetic over the ≤31-row KM
+    frame."""
+    km = cache.track(q_purchase_survival_km(spark, sf_dir).cache())
+    wt = Window.orderBy("t")
+    steps = km.select(
+        "t",
+        "survival",
+        (F.lead("t").over(wt) - F.col("t")).cast("long").alias("__w"),
+    )
+    rmst = steps.agg(
+        F.sum(
+            F.col("survival") * F.col("__w").cast("double")
+        ).alias("__rmst"),
+        F.max("t").cast("long").alias("horizon_days"),
+    )
+    med = (
+        km.filter(F.col("survival") <= 0.5)
+        .orderBy("t")
+        .limit(1)
+        .select(F.col("t").cast("long").alias("median_survival_days"))
+    )
+    return rmst.crossJoin(F.broadcast(med)).select(
+        "horizon_days",
+        "median_survival_days",
+        (F.round(F.col("__rmst"), 4) + F.lit(0.0)).alias(
+            "rmst_days"
+        ),
+    )
+
+
+def q_stump_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature selection: information gain of three
+    binary user features (has_view, has_click, has_signup) against the
+    purchase label — IG = H(y) − Σ p(side)·H(y|side) from EXACT
+    integer counts, the split-quality primitive under every tree
+    ensemble.  Entropies use ln over exact integer ratios and divide
+    by ln 2 once.  Scale: one grouped pass to the user frame, then an
+    8-row lattice per feature."""
+    events = _t(spark, sf_dir, "events")
+
+    def has(t):
+        return F.max(
+            F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0))
+        )
+
+    users = cache.track(
+        events.groupBy("user_id")
+        .agg(
+            has("view").alias("__fv"),
+            has("click").alias("__fc"),
+            has("signup").alias("__fs"),
+            has("purchase").alias("__y"),
+        )
+        .cache()
+    )
+
+    def h_bits(pos, n):
+        p = pos.cast("double") / n.cast("double")
+        q = F.lit(1.0) - p
+        term = lambda x: F.when(  # noqa: E731
+            (x > 0) & (x < 1), -x * F.log(x)
+        ).otherwise(F.lit(0.0))
+        return (term(p) + term(q)) / F.log(F.lit(2.0))
+
+    out = None
+    for col, name in (("__fv", "has_view"), ("__fc", "has_click"),
+                      ("__fs", "has_signup")):
+        sides = users.groupBy(F.col(col).alias("__side")).agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__y").cast("long").alias("__pos"),
+        )
+        tot = sides.agg(
+            F.sum("__n").cast("long").alias("__tn"),
+            F.sum("__pos").cast("long").alias("__tpos"),
+        )
+        cond = (
+            sides.crossJoin(F.broadcast(tot))
+            .agg(
+                F.max("__tn").alias("__tn"),
+                F.max("__tpos").alias("__tpos"),
+                F.sum(
+                    F.col("__n").cast("double")
+                    / F.col("__tn").cast("double")
+                    * h_bits(F.col("__pos"), F.col("__n"))
+                ).alias("__hcond"),
+            )
+        )
+        ig = h_bits(F.col("__tpos"), F.col("__tn")) - F.col("__hcond")
+        row = cond.select(
+            F.lit(name).alias("feature"),
+            (F.round(h_bits(F.col("__tpos"), F.col("__tn")), 6)
+             + F.lit(0.0)).alias("label_entropy_bits"),
+            (F.round(ig, 6) + F.lit(0.0)).alias("information_gain_bits"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("feature")
+
+
+def q_priority_return_odds_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """2x2 odds ratio with the Woolf confidence interval: do
+    high-priority orders change the odds of a returned line?
+    OR = (a.d)/(b.c) from exact cell counts, ln OR +/- 1.96.sqrt(Sum 1/n)
+    -- the epidemiology-standard effect report next to the chi-square
+    tests.  (The user-level signup x purchase pair saturates in the
+    synthetic events -- every user has both -- so the fact-side pair
+    carries the operator.)  Scale: one equi-join + a 4-cell
+    aggregate."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    flags = (
+        lineitem.select("l_orderkey", "l_returnflag")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("__hp"),
+            F.when(F.col("l_returnflag") == "R", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__ret"),
+        )
+    )
+    cells = flags.agg(
+        F.sum(
+            F.when((F.col("__hp") == 1) & (F.col("__ret") == 1), F.lit(1))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("a_hp_ret"),
+        F.sum(
+            F.when((F.col("__hp") == 1) & (F.col("__ret") == 0), F.lit(1))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("b_hp"),
+        F.sum(
+            F.when((F.col("__hp") == 0) & (F.col("__ret") == 1), F.lit(1))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("c_ret"),
+        F.sum(
+            F.when((F.col("__hp") == 0) & (F.col("__ret") == 0), F.lit(1))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("d_none"),
+    )
+    a, b = F.col("a_hp_ret").cast("double"), F.col("b_hp").cast("double")
+    c, dd = F.col("c_ret").cast("double"), F.col("d_none").cast("double")
+    orr = (a * dd) / (b * c)
+    se = F.sqrt(
+        F.lit(1.0) / a + F.lit(1.0) / b + F.lit(1.0) / c + F.lit(1.0) / dd
+    )
+    return cells.select(
+        "a_hp_ret",
+        "b_hp",
+        "c_ret",
+        "d_none",
+        (F.round(orr, 4) + F.lit(0.0)).alias("odds_ratio"),
+        (F.round(F.exp(F.log(orr) - F.lit(1.96) * se), 4) + F.lit(0.0))
+        .alias("ci_low"),
+        (F.round(F.exp(F.log(orr) + F.lit(1.96) * se), 4) + F.lit(0.0))
+        .alias("ci_high"),
+        F.when(
+            (F.round(F.exp(F.log(orr) - F.lit(1.96) * se), 4) > 1.0)
+            | (F.round(F.exp(F.log(orr) + F.lit(1.96) * se), 4) < 1.0),
+            F.lit("significant"),
+        )
+        .otherwise(F.lit("not_significant"))
+        .alias("verdict_5pct"),
+    )
+
+
+def q_quasi_id_uniqueness_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Re-identification risk ladder: the share of customers UNIQUE on
+    each successively finer quasi-identifier (nation → +balance
+    bucket → +market segment) — the uniqueness curve behind the
+    k-anonymity gate (it shows WHICH attribute blows the anonymity
+    budget).  Exact integer counts throughout.  Scale: three grouped
+    counts of the dim."""
+    customer = _t(spark, sf_dir, "customer")
+    base = cache.track(
+        customer.select(
+            "c_custkey",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("__bal"),
+            "c_mktsegment",
+        ).cache()
+    )
+    levels = [
+        ("nation", ["c_nationkey"]),
+        ("nation+bal_bucket", ["c_nationkey", "__bal"]),
+        ("nation+bal_bucket+segment",
+         ["c_nationkey", "__bal", "c_mktsegment"]),
+    ]
+    out = None
+    for name, keys in levels:
+        grp = base.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("__sz")
+        )
+        row = grp.agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(
+                F.when(F.col("__sz") == 1, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_unique"),
+            F.sum("__sz").cast("long").alias("__n"),
+            F.min("__sz").cast("long").alias("min_class_size"),
+        ).select(
+            F.lit(name).alias("quasi_id"),
+            "n_classes",
+            "n_unique",
+            "min_class_size",
+            (
+                F.round(
+                    F.col("n_unique").cast("double")
+                    / F.col("__n").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("unique_share"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("quasi_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11531,6 +11767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recsys_ndcg_popularity": q_recsys_ndcg_popularity,
         "markov_next_event_accuracy": q_markov_next_event_accuracy,
         "dp_laplace_utility": q_dp_laplace_utility,
+        "survival_rmst": q_survival_rmst,
+        "stump_information_gain": q_stump_information_gain,
+        "priority_return_odds_ratio": q_priority_return_odds_ratio,
+        "quasi_id_uniqueness_ladder": q_quasi_id_uniqueness_ladder,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -18116,6 +18356,197 @@ def oracle_sql() -> dict[str, str]:
                  + CAST(0.0 AS DOUBLE) AS relative_error
         FROM counts, eps
         ORDER BY event_type, epsilon
+    """
+    sql["survival_rmst"] = f"""
+        WITH km AS ({sql["purchase_survival_km"]}),
+        steps AS (
+          SELECT t, survival,
+                 CAST(lead(t) OVER (ORDER BY t) - t AS BIGINT) AS w
+          FROM km),
+        rmst AS (
+          SELECT sum(survival * CAST(w AS DOUBLE)) AS r,
+                 CAST(max(t) AS BIGINT) AS horizon_days
+          FROM steps),
+        med AS (
+          SELECT CAST(t AS BIGINT) AS median_survival_days
+          FROM km WHERE survival <= CAST(0.5 AS DOUBLE)
+          ORDER BY t LIMIT 1)
+        SELECT horizon_days, median_survival_days,
+               round(r, 4) + CAST(0.0 AS DOUBLE) AS rmst_days
+        FROM rmst, med
+    """
+    sql["stump_information_gain"] = """
+        WITH users AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS fv,
+                 max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS fc,
+                 max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS fs,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+          FROM events GROUP BY 1),
+        feats AS (
+          SELECT 'has_view' AS feature, fv AS side, y FROM users
+          UNION ALL SELECT 'has_click', fc, y FROM users
+          UNION ALL SELECT 'has_signup', fs, y FROM users),
+        sides AS (
+          SELECT feature, side, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM feats GROUP BY 1, 2),
+        tot AS (
+          SELECT feature, CAST(sum(n) AS BIGINT) AS tn,
+                 CAST(sum(pos) AS BIGINT) AS tpos
+          FROM sides GROUP BY 1),
+        hfun AS (
+          SELECT s.feature,
+                 max(t.tn) AS tn, max(t.tpos) AS tpos,
+                 sum(CAST(s.n AS DOUBLE) / CAST(t.tn AS DOUBLE)
+                     * ((CASE WHEN CAST(s.pos AS DOUBLE)
+                                   / CAST(s.n AS DOUBLE)
+                                   > CAST(0.0 AS DOUBLE)
+                              AND CAST(s.pos AS DOUBLE)
+                                  / CAST(s.n AS DOUBLE)
+                                  < CAST(1.0 AS DOUBLE)
+                         THEN -(CAST(s.pos AS DOUBLE)
+                                / CAST(s.n AS DOUBLE))
+                              * ln(CAST(s.pos AS DOUBLE)
+                                   / CAST(s.n AS DOUBLE))
+                         ELSE CAST(0.0 AS DOUBLE) END
+                         + CASE WHEN CAST(1.0 AS DOUBLE)
+                                     - CAST(s.pos AS DOUBLE)
+                                       / CAST(s.n AS DOUBLE)
+                                     > CAST(0.0 AS DOUBLE)
+                                AND CAST(1.0 AS DOUBLE)
+                                    - CAST(s.pos AS DOUBLE)
+                                      / CAST(s.n AS DOUBLE)
+                                    < CAST(1.0 AS DOUBLE)
+                         THEN -(CAST(1.0 AS DOUBLE)
+                                - CAST(s.pos AS DOUBLE)
+                                  / CAST(s.n AS DOUBLE))
+                              * ln(CAST(1.0 AS DOUBLE)
+                                   - CAST(s.pos AS DOUBLE)
+                                     / CAST(s.n AS DOUBLE))
+                         ELSE CAST(0.0 AS DOUBLE) END)
+                        / ln(CAST(2.0 AS DOUBLE)))) AS hcond
+          FROM sides s JOIN tot t USING (feature)
+          GROUP BY 1),
+        final AS (
+          SELECT feature,
+                 (CASE WHEN CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE)
+                            > CAST(0.0 AS DOUBLE)
+                       AND CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE)
+                           < CAST(1.0 AS DOUBLE)
+                  THEN -(CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE))
+                       * ln(CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE))
+                  ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN CAST(1.0 AS DOUBLE)
+                              - CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE)
+                              > CAST(0.0 AS DOUBLE)
+                         AND CAST(1.0 AS DOUBLE)
+                             - CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE)
+                             < CAST(1.0 AS DOUBLE)
+                  THEN -(CAST(1.0 AS DOUBLE)
+                         - CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE))
+                       * ln(CAST(1.0 AS DOUBLE)
+                            - CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE))
+                  ELSE CAST(0.0 AS DOUBLE) END)
+                 / ln(CAST(2.0 AS DOUBLE)) AS hy,
+                 hcond
+          FROM hfun)
+        SELECT feature,
+               round(hy, 6) + CAST(0.0 AS DOUBLE) AS label_entropy_bits,
+               round(hy - hcond, 6) + CAST(0.0 AS DOUBLE)
+                 AS information_gain_bits
+        FROM final
+        ORDER BY feature
+    """
+    sql["priority_return_odds_ratio"] = """
+        WITH flags AS (
+          SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END AS hp,
+                 CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        cells AS (
+          SELECT
+            CAST(sum(CASE WHEN hp = 1 AND ret = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a_hp_ret,
+            CAST(sum(CASE WHEN hp = 1 AND ret = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b_hp,
+            CAST(sum(CASE WHEN hp = 0 AND ret = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c_ret,
+            CAST(sum(CASE WHEN hp = 0 AND ret = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d_none
+          FROM flags),
+        stats AS (
+          SELECT a_hp_ret, b_hp, c_ret, d_none,
+                 (CAST(a_hp_ret AS DOUBLE) * CAST(d_none AS DOUBLE))
+                 / (CAST(b_hp AS DOUBLE) * CAST(c_ret AS DOUBLE)) AS orr,
+                 sqrt(CAST(1.0 AS DOUBLE) / CAST(a_hp_ret AS DOUBLE)
+                      + CAST(1.0 AS DOUBLE) / CAST(b_hp AS DOUBLE)
+                      + CAST(1.0 AS DOUBLE) / CAST(c_ret AS DOUBLE)
+                      + CAST(1.0 AS DOUBLE) / CAST(d_none AS DOUBLE))
+                   AS se
+          FROM cells)
+        SELECT a_hp_ret, b_hp, c_ret, d_none,
+               round(orr, 4) + CAST(0.0 AS DOUBLE) AS odds_ratio,
+               round(exp(ln(orr) - CAST(1.96 AS DOUBLE) * se), 4)
+                 + CAST(0.0 AS DOUBLE) AS ci_low,
+               round(exp(ln(orr) + CAST(1.96 AS DOUBLE) * se), 4)
+                 + CAST(0.0 AS DOUBLE) AS ci_high,
+               CASE WHEN round(exp(ln(orr) - CAST(1.96 AS DOUBLE) * se), 4)
+                         > CAST(1.0 AS DOUBLE)
+                      OR round(exp(ln(orr) + CAST(1.96 AS DOUBLE) * se), 4)
+                         < CAST(1.0 AS DOUBLE)
+                    THEN 'significant' ELSE 'not_significant' END
+                 AS verdict_5pct
+        FROM stats
+    """
+    sql["quasi_id_uniqueness_ladder"] = """
+        WITH base AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal,
+                 c_mktsegment
+          FROM customer),
+        l1 AS (
+          SELECT CAST(count(*) AS BIGINT) AS sz
+          FROM base GROUP BY c_nationkey),
+        l2 AS (
+          SELECT CAST(count(*) AS BIGINT) AS sz
+          FROM base GROUP BY c_nationkey, bal),
+        l3 AS (
+          SELECT CAST(count(*) AS BIGINT) AS sz
+          FROM base GROUP BY c_nationkey, bal, c_mktsegment)
+        SELECT 'nation' AS quasi_id,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unique,
+               CAST(min(sz) AS BIGINT) AS min_class_size,
+               round(CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(sum(sz) AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE) AS unique_share
+        FROM l1
+        UNION ALL
+        SELECT 'nation+bal_bucket',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(min(sz) AS BIGINT),
+               round(CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(sum(sz) AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE)
+        FROM l2
+        UNION ALL
+        SELECT 'nation+bal_bucket+segment',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(min(sz) AS BIGINT),
+               round(CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(sum(sz) AS DOUBLE), 6)
+                 + CAST(0.0 AS DOUBLE)
+        FROM l3
+        ORDER BY quasi_id
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

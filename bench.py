@@ -310,6 +310,10 @@ SECONDARY = [
     "recsys_ndcg_popularity",
     "markov_next_event_accuracy",
     "dp_laplace_utility",
+    "survival_rmst",
+    "stump_information_gain",
+    "priority_return_odds_ratio",
+    "quasi_id_uniqueness_ladder",
 ]
 
 

@@ -1221,3 +1221,115 @@ def test_markov_accuracy_matches_textbook(spark):
         assert r["predicted_next"] == model[p]
         assert r["n_transitions"] == n and r["n_correct"] == c
         assert r["top1_accuracy"] == pytest.approx(c / n, abs=1e-5)
+
+
+def test_rmst_matches_textbook(spark):
+    km = sorted(
+        (r["t"], r["survival"])
+        for r in entrymod.queries()["purchase_survival_km"](
+            spark, SF_SMOKE
+        ).collect()
+    )
+    rmst = sum(
+        s * (km[i + 1][0] - t) for i, (t, s) in enumerate(km[:-1])
+    )
+    med = next((t for t, s in km if s <= 0.5), None)
+    row = entrymod.queries()["survival_rmst"](spark, SF_SMOKE).collect()[0]
+    assert row["horizon_days"] == km[-1][0]
+    assert row["rmst_days"] == pytest.approx(rmst, abs=1e-3)
+    if med is not None:
+        assert row["median_survival_days"] == med
+
+
+def test_information_gain_matches_textbook(spark):
+    ev = _events()
+    flags = (
+        ev.assign(
+            fv=(ev.event_type == "view"),
+            fc=(ev.event_type == "click"),
+            fs=(ev.event_type == "signup"),
+            y=(ev.event_type == "purchase"),
+        )
+        .groupby("user_id")[["fv", "fc", "fs", "y"]]
+        .max()
+        .astype(int)
+    )
+
+    def h(p):
+        if p <= 0 or p >= 1:
+            return 0.0
+        return float(-p * np.log2(p) - (1 - p) * np.log2(1 - p))
+
+    hy = h(flags.y.mean())
+    rows = {
+        r["feature"]: r
+        for r in entrymod.queries()["stump_information_gain"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for col, name in (("fv", "has_view"), ("fc", "has_click"),
+                      ("fs", "has_signup")):
+        cond = sum(
+            len(g) / len(flags) * h(g.y.mean())
+            for _, g in flags.groupby(col)
+        )
+        r = rows[name]
+        assert r["label_entropy_bits"] == pytest.approx(hy, abs=1e-5)
+        assert r["information_gain_bits"] == pytest.approx(
+            hy - cond, abs=1e-5
+        )
+
+
+def test_odds_ratio_matches_textbook(spark):
+    o = _orders()
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    hp = m.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    ret = m.l_returnflag == "R"
+    a = int((hp & ret).sum())
+    b = int((hp & ~ret).sum())
+    c = int((~hp & ret).sum())
+    d = int((~hp & ~ret).sum())
+    orr = a * d / (b * c)
+    se = np.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    row = entrymod.queries()["priority_return_odds_ratio"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert (row["a_hp_ret"], row["b_hp"], row["c_ret"], row["d_none"]) == (
+        a, b, c, d,
+    )
+    assert row["odds_ratio"] == pytest.approx(orr, abs=1e-3)
+    assert row["ci_low"] == pytest.approx(
+        np.exp(np.log(orr) - 1.96 * se), abs=1e-3
+    )
+    assert row["ci_high"] == pytest.approx(
+        np.exp(np.log(orr) + 1.96 * se), abs=1e-3
+    )
+
+
+def test_uniqueness_ladder_matches_textbook(spark):
+    cust = pq.read_table(f"{SF_SMOKE}/customer.parquet").to_pandas()
+    cust["bal"] = np.floor(cust.c_acctbal / 1000).astype(np.int64)
+    rows = {
+        r["quasi_id"]: r
+        for r in entrymod.queries()["quasi_id_uniqueness_ladder"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    ladders = {
+        "nation": ["c_nationkey"],
+        "nation+bal_bucket": ["c_nationkey", "bal"],
+        "nation+bal_bucket+segment": ["c_nationkey", "bal", "c_mktsegment"],
+    }
+    for name, keys in ladders.items():
+        sz = cust.groupby(keys).size()
+        r = rows[name]
+        assert r["n_classes"] == len(sz)
+        assert r["n_unique"] == int((sz == 1).sum())
+        assert r["min_class_size"] == int(sz.min())
+        assert r["unique_share"] == pytest.approx(
+            (sz == 1).sum() / len(cust), abs=1e-5
+        )
+    # finer quasi-identifiers can only increase uniqueness
+    u = [rows[n]["unique_share"] for n in ladders]
+    assert u[0] <= u[1] <= u[2]
