@@ -11415,6 +11415,159 @@ def q_quasi_id_uniqueness_ladder(
     return out.orderBy("quasi_id")
 
 
+def q_kfold_balance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation split diagnostics: deterministic 5-fold
+    assignment (custkey mod 5) with per-fold size, mean order value,
+    and the fold-mean coefficient of variation — the pre-training gate
+    that catches a skewed split before it poisons every CV score.
+    Means divide exact integer cents; the between-fold CV reduces the
+    5-row fold frame.  Scale: one grouped pass over orders."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    folds = cache.track(
+        orders.groupBy(
+            F.pmod(F.col("o_custkey"), F.lit(5)).cast("int").alias("fold")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("__s"),
+        )
+        .cache()
+    )
+    mean = F.col("__s").cast("double") / F.col("n_orders").cast("double") / F.lit(100.0)
+    spread = folds.select(mean.alias("__m")).agg(
+        F.avg("__m").alias("__mm"),
+        F.stddev_samp("__m").alias("__sd"),
+    )
+    cv = F.col("__sd") / F.col("__mm")
+    scalar = spread.select(
+        (F.round(cv, 6) + F.lit(0.0)).alias("fold_mean_cv"),
+        F.when(F.round(cv, 6) < 0.05, F.lit("balanced"))
+        .otherwise(F.lit("skewed"))
+        .alias("verdict"),
+    )
+    return (
+        folds.crossJoin(F.broadcast(scalar))
+        .select(
+            "fold",
+            "n_orders",
+            (F.round(mean, 2) + F.lit(0.0)).alias("mean_order_value"),
+            "fold_mean_cv",
+            "verdict",
+        )
+        .orderBy("fold")
+    )
+
+
+def q_bloom_fpp_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing table for the contamination path: with the
+    OBSERVED distinct 3-gram count n, the expected false-positive rate
+    (1 − e^{−kn/m})^k and total megabytes for the standard
+    (bits-per-key, optimal-k) ladder {8→k5, 12→k8, 16→k11} — the
+    capacity plan behind `contamination` at 100 TB (the exact set is
+    the small side; the Bloom swap is the big-side story, and this is
+    its cost/accuracy curve).  Powers unroll to explicit multiply
+    chains over the identical exp expression.  Scale: one distinct
+    count, then a 3-row literal frame."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.filter(
+        F.col("text").isNotNull() & (F.size(toks) >= 3)
+    ).select("doc_id", toks.alias("__t"))
+    ex = base.select("doc_id", F.posexplode("__t").alias("__i", "__w"))
+    wd = Window.partitionBy("doc_id").orderBy("__i")
+    sh = ex.select(
+        F.concat_ws(
+            " ",
+            F.col("__w"),
+            F.lead("__w", 1).over(wd),
+            F.lead("__w", 2).over(wd),
+        ).alias("__sh"),
+        F.lead("__w", 2).over(wd).alias("__l"),
+    ).filter(F.col("__l").isNotNull())
+    n = sh.agg(F.countDistinct("__sh").cast("long").alias("n_distinct"))
+    configs = spark.createDataFrame(
+        [(8, 5), (12, 8), (16, 11)], "bits_per_key int, k_hashes int"
+    )
+    m_over_n = F.col("bits_per_key").cast("double")
+    kk = F.col("k_hashes").cast("double")
+    base_p = F.lit(1.0) - F.exp(-kk / m_over_n)
+
+    def powi(x):
+        # x^k by explicit squaring chain for k in {5, 8, 11}
+        x2 = x * x
+        x4 = x2 * x2
+        x8 = x4 * x4
+        return (
+            F.when(F.col("k_hashes") == 5, x4 * x)
+            .when(F.col("k_hashes") == 8, x8)
+            .otherwise(x8 * x2 * x)
+        )
+
+    fpp = powi(base_p)
+    return (
+        n.crossJoin(F.broadcast(configs))
+        .select(
+            "n_distinct",
+            "bits_per_key",
+            "k_hashes",
+            (F.round(fpp, 8) + F.lit(0.0)).alias("expected_fpp"),
+            (
+                F.round(
+                    F.col("n_distinct").cast("double")
+                    * m_over_n
+                    / F.lit(8.0)
+                    / F.lit(1048576.0),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("filter_mb"),
+        )
+        .orderBy("bits_per_key")
+    )
+
+
+def q_topk_stability_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-stability drift check: Jaccard overlap of the top-20
+    revenue parts between the 1995-1997 and 1998+ halves — the cheap
+    canary that says whether a 'top sellers' surface is stable enough
+    to cache (and the set-overlap twin of the PSI/JSD value-drift
+    entries).  Deterministic top-k (cents DESC, partkey ASC) on both
+    halves; counts are exact.  Scale: two grouped top-k reductions."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+
+    def topk(pred):
+        return (
+            lineitem.filter(pred)
+            .groupBy("l_partkey")
+            .agg(F.sum(cents).cast("long").alias("__c"))
+            .orderBy(F.desc("__c"), F.asc("l_partkey"))
+            .limit(20)
+            .select("l_partkey")
+        )
+
+    h1 = topk(F.year("l_shipdate") <= 1997)
+    h2 = topk(F.year("l_shipdate") >= 1998)
+    common = h1.join(h2, "l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.lit(40.0) - F.col("n_common").cast("double")
+    )
+    return common.select(
+        F.lit(20).cast("int").alias("k"),
+        "n_common",
+        (F.round(jac, 6) + F.lit(0.0)).alias("topk_jaccard"),
+        F.when(F.round(jac, 6) >= 0.5, F.lit("stable"))
+        .otherwise(F.lit("churning"))
+        .alias("verdict"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11771,6 +11924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_information_gain": q_stump_information_gain,
         "priority_return_odds_ratio": q_priority_return_odds_ratio,
         "quasi_id_uniqueness_ladder": q_quasi_id_uniqueness_ladder,
+        "kfold_balance_check": q_kfold_balance_check,
+        "bloom_fpp_planner": q_bloom_fpp_planner,
+        "topk_stability_halves": q_topk_stability_halves,
     })
     # --- round-9 rotation: reorder so the driver's 50-entry window ---
     ordered = {name: core[name] for name in _WINDOW_R9}
@@ -18547,6 +18703,115 @@ def oracle_sql() -> dict[str, str]:
                  + CAST(0.0 AS DOUBLE)
         FROM l3
         ORDER BY quasi_id
+    """
+    sql["kfold_balance_check"] = """
+        WITH folds AS (
+          SELECT CAST(o_custkey % 5 AS INT) AS fold,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM orders GROUP BY 1),
+        means AS (
+          SELECT fold, n_orders,
+                 CAST(s AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                   / CAST(100.0 AS DOUBLE) AS m
+          FROM folds),
+        spread AS (
+          SELECT avg(m) AS mm, stddev_samp(m) AS sd FROM means),
+        scalar AS (
+          SELECT round(sd / mm, 6) + CAST(0.0 AS DOUBLE) AS fold_mean_cv,
+                 CASE WHEN round(sd / mm, 6) < CAST(0.05 AS DOUBLE)
+                      THEN 'balanced' ELSE 'skewed' END AS verdict
+          FROM spread)
+        SELECT fold, n_orders,
+               round(m, 2) + CAST(0.0 AS DOUBLE) AS mean_order_value,
+               fold_mean_cv, verdict
+        FROM means, scalar
+        ORDER BY fold
+    """
+    sql["bloom_fpp_planner"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+          WHERE text IS NOT NULL
+            AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+        e AS (
+          SELECT doc_id, unnest(t) AS w,
+                 generate_subscripts(t, 1) AS i
+          FROM base),
+        sh AS (
+          SELECT w || ' ' || lead(w, 1) OVER wd || ' '
+                   || lead(w, 2) OVER wd AS shingle,
+                 lead(w, 2) OVER wd AS l
+          FROM e WINDOW wd AS (PARTITION BY doc_id ORDER BY i)),
+        n AS (
+          SELECT CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct
+          FROM sh WHERE l IS NOT NULL),
+        configs AS (
+          SELECT CAST(8 AS INT) AS bits_per_key, CAST(5 AS INT) AS k_hashes
+          UNION ALL SELECT 12, 8
+          UNION ALL SELECT 16, 11),
+        curves AS (
+          SELECT n_distinct, bits_per_key, k_hashes,
+                 CAST(1.0 AS DOUBLE)
+                 - exp(-CAST(k_hashes AS DOUBLE)
+                       / CAST(bits_per_key AS DOUBLE)) AS x
+          FROM n, configs),
+        pw AS (
+          SELECT n_distinct, bits_per_key, k_hashes, x,
+                 x * x AS x2, (x * x) * (x * x) AS x4,
+                 ((x * x) * (x * x)) * ((x * x) * (x * x)) AS x8
+          FROM curves)
+        SELECT n_distinct, bits_per_key, k_hashes,
+               round(CASE WHEN k_hashes = 5 THEN x4 * x
+                          WHEN k_hashes = 8 THEN x8
+                          ELSE x8 * x2 * x END, 8)
+                 + CAST(0.0 AS DOUBLE) AS expected_fpp,
+               round(CAST(n_distinct AS DOUBLE)
+                     * CAST(bits_per_key AS DOUBLE)
+                     / CAST(8.0 AS DOUBLE) / CAST(1048576.0 AS DOUBLE), 4)
+                 + CAST(0.0 AS DOUBLE) AS filter_mb
+        FROM pw
+        ORDER BY bits_per_key
+    """
+    sql["topk_stability_halves"] = """
+        WITH h1 AS (
+          SELECT l_partkey FROM (
+            SELECT l_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS c
+            FROM lineitem
+            WHERE year(CAST(l_shipdate AS DATE)) <= 1997
+            GROUP BY 1
+            ORDER BY c DESC, l_partkey ASC
+            LIMIT 20) z),
+        h2 AS (
+          SELECT l_partkey FROM (
+            SELECT l_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS c
+            FROM lineitem
+            WHERE year(CAST(l_shipdate AS DATE)) >= 1998
+            GROUP BY 1
+            ORDER BY c DESC, l_partkey ASC
+            LIMIT 20) z),
+        common AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_common
+          FROM h1 JOIN h2 USING (l_partkey))
+        SELECT CAST(20 AS INT) AS k, n_common,
+               round(CAST(n_common AS DOUBLE)
+                     / (CAST(40.0 AS DOUBLE)
+                        - CAST(n_common AS DOUBLE)), 6)
+                 + CAST(0.0 AS DOUBLE) AS topk_jaccard,
+               CASE WHEN round(CAST(n_common AS DOUBLE)
+                               / (CAST(40.0 AS DOUBLE)
+                                  - CAST(n_common AS DOUBLE)), 6)
+                         >= CAST(0.5 AS DOUBLE)
+                    THEN 'stable' ELSE 'churning' END AS verdict
+        FROM common
     """
     sql.update(keyphrase.oracle_sql())
     sql.update(dedup.oracle_sql())

@@ -314,6 +314,9 @@ SECONDARY = [
     "stump_information_gain",
     "priority_return_odds_ratio",
     "quasi_id_uniqueness_ladder",
+    "kfold_balance_check",
+    "bloom_fpp_planner",
+    "topk_stability_halves",
 ]
 
 

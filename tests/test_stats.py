@@ -1333,3 +1333,82 @@ def test_uniqueness_ladder_matches_textbook(spark):
     # finer quasi-identifiers can only increase uniqueness
     u = [rows[n]["unique_share"] for n in ladders]
     assert u[0] <= u[1] <= u[2]
+
+
+def test_kfold_balance_matches_textbook(spark):
+    o = _orders()
+    o = o.assign(cents=_cents(o.o_totalprice), fold=(o.o_custkey % 5))
+    rows = {
+        r["fold"]: r
+        for r in entrymod.queries()["kfold_balance_check"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    means = []
+    for f, grp in o.groupby("fold"):
+        m = grp.cents.sum() / len(grp) / 100.0
+        means.append(m)
+        r = rows[int(f)]
+        assert r["n_orders"] == len(grp)
+        assert r["mean_order_value"] == pytest.approx(m, abs=0.01)
+    cv = np.std(means, ddof=1) / np.mean(means)
+    assert rows[0]["fold_mean_cv"] == pytest.approx(cv, abs=1e-5)
+
+
+def test_bloom_planner_matches_textbook(spark):
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    import re as _re
+
+    shingles = set()
+    for text in docs.text:
+        if text is None:
+            continue
+        t = _re.split(r"\s+", text.strip().lower())
+        if len(t) < 3:
+            continue
+        for i in range(len(t) - 2):
+            shingles.add(" ".join(t[i : i + 3]))
+    n = len(shingles)
+    rows = {
+        r["bits_per_key"]: r
+        for r in entrymod.queries()["bloom_fpp_planner"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for bits, k in ((8, 5), (12, 8), (16, 11)):
+        r = rows[bits]
+        assert r["n_distinct"] == n
+        assert r["k_hashes"] == k
+        fpp = (1 - np.exp(-k / bits)) ** k
+        assert r["expected_fpp"] == pytest.approx(fpp, abs=1e-7)
+        assert r["filter_mb"] == pytest.approx(
+            n * bits / 8 / 1048576, abs=1e-3
+        )
+
+
+def test_topk_stability_matches_textbook(spark):
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    li = li.assign(
+        cents=np.floor(
+            li.l_extendedprice * (1 - li.l_discount) * 100 + 0.5
+        ).astype(np.int64),
+        yr=li.l_shipdate.dt.year,
+    )
+
+    def topk(sub):
+        agg = (
+            sub.groupby("l_partkey").cents.sum().reset_index()
+            .sort_values(["cents", "l_partkey"], ascending=[False, True])
+            .head(20)
+        )
+        return set(agg.l_partkey)
+
+    a, b = topk(li[li.yr <= 1997]), topk(li[li.yr >= 1998])
+    common = len(a & b)
+    row = entrymod.queries()["topk_stability_halves"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert row["n_common"] == common
+    assert row["topk_jaccard"] == pytest.approx(
+        common / (40 - common), abs=1e-5
+    )
