@@ -11602,8 +11602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``ann_ivf_full_probe``, ``streaming_timeout_sessions``, the five
     residual diagnostics (``jarque_bera_daily`` ..
     ``grubbs_outlier_daily``), then the round-9 session tier
-    (``kruskal_wallis_regions`` .. ``dp_laplace_utility`` — more than
-    fill one window; spill the tail into round 11's).
+    (``kruskal_wallis_regions`` .. ``topk_stability_halves``, 46
+    entries — more than fill one window; spill the tail into round
+    11's).
     Fill any remaining slots from the stale continuation in
     registry order (``promo_revenue_share``,
     ``disjunctive_branch_revenue``, ``top_supplier_per_quarter``,
