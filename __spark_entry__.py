@@ -7453,10 +7453,16 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     placement is engine-defined.  Per decile: doc count, density range,
     token budget — what a staged-training data loader consumes.
 
-    The global rank window sorts |docs| skinny rows on one partition —
-    bounded by corpus row count, not bytes (tokens come from one
-    size(split()) pass, no explode).  Ordering is fully deterministic
-    (density, doc_id)."""
+    The exact global rank is computed DISTRIBUTED (round-10 plan-audit
+    fix — the earlier single-task rank window collapsed the whole
+    corpus into one partition): density maps monotonically onto 4096
+    fixed domain buckets (whitespace-token density is in (0, 1]), a
+    grouped count over the <=4096-row bucket spine yields each
+    bucket's global offset, and the per-doc rank is offset +
+    row_number PARTITIONED by bucket — identical to the global
+    row_number over (density, doc_id) because the bucket function is
+    monotone and equal densities share a bucket.  Ordering is fully
+    deterministic (density, doc_id)."""
     configure_runtime(spark)
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.col("n_chars") > 0)
@@ -7469,15 +7475,31 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_chars").cast("double")
         ).alias("__density"),
     )
-    wr = Window.orderBy(F.asc("__density"), F.asc("doc_id"))
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    b = scored.withColumn(
+        "__b",
+        F.least(F.floor(F.col("__density") * 4096), F.lit(4095))
+        .cast("long"),
     )
-    ranked = scored.select(
-        "__toks",
-        "__density",
-        F.row_number().over(wr).alias("__rn"),
-        F.count(F.lit(1)).over(wall).alias("__n"),
+    counts = b.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__bc")
+    )
+    wb = Window.orderBy("__b")
+    offsets = counts.select(
+        "__b",
+        (F.sum("__bc").over(wb) - F.col("__bc")).cast("long").alias("__off"),
+    )
+    total = counts.agg(F.sum("__bc").cast("long").alias("__n"))
+    win_b = Window.partitionBy("__b").orderBy(
+        F.asc("__density"), F.asc("doc_id")
+    )
+    ranked = (
+        b.join(F.broadcast(offsets), "__b")
+        .select(
+            "__toks",
+            "__density",
+            (F.col("__off") + F.row_number().over(win_b)).alias("__rn"),
+        )
+        .crossJoin(F.broadcast(total))
     )
     return (
         ranked.groupBy(
@@ -9132,16 +9154,19 @@ def q_kruskal_wallis_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_all",
         (F.sum("t_all").over(wv) - F.col("t_all")).cast("long").alias("below"),
     )
+    # rank-sum accumulates in DECIMAL(38,0): at the 100 TB posture a
+    # region's doubled rank-sum is ~5e19 and would silently overflow
+    # int64 (round-9 ADVICE) — same pattern as q_granger's moment matrix
     per_region = (
         by_rc.join(ranked, "cents")
         .groupBy("r_name")
         .agg(
             F.sum("t_rc").cast("long").alias("n_orders"),
             F.sum(
-                F.col("t_rc")
+                F.col("t_rc").cast("decimal(38,0)")
                 * (F.lit(2) * F.col("below") + F.col("t_all") + F.lit(1))
             )
-            .cast("long")
+            .cast("decimal(38,0)")
             .alias("__two_r"),
         )
     )
@@ -9152,11 +9177,12 @@ def q_kruskal_wallis_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__sum_r2n"
         ),
     )
+    # t³ exceeds int64 once a tie group passes ~2.1M rows — keep the
+    # whole tie sum in DECIMAL(38,0) (HUGEINT on the DuckDB side)
+    t_dec = F.col("t_all").cast("decimal(38,0)")
     tie = by_c.agg(
-        F.sum(
-            F.col("t_all") * F.col("t_all") * F.col("t_all") - F.col("t_all")
-        )
-        .cast("long")
+        F.sum(t_dec * t_dec * t_dec - t_dec)
+        .cast("decimal(38,0)")
         .alias("__tie_sum")
     )
     nn = F.col("__n").cast("double")
@@ -11587,25 +11613,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     git history, both 50/50 driver-green).  Rows-only approximates (no
     oracle by design — see CLAUDE.md) stay at the very end so every
     in-window slot is a full hash-checked comparison.
-    ``_WINDOW_R9`` below executes the round-9 rotation per the round-8
-    VERDICT: positions 1-31 are the 31 round-8 oracle-backed additions
-    that have never had a driver row (``logrank_purchase_segments`` ..
-    ``dup_cluster_size_hist``, registry order — added after
-    ``_WINDOW_R8`` froze), positions 32-37 continue the stale tier
-    (``above_avg_spenders`` .. ``purchase_view_coincidence``, registry
-    order), and positions 38-50 take the mid-round-2 tier head
-    (``daily_value_interp`` .. ``dormant_high_balance``, skipping
-    rows-only entries so every slot is hash-checked).
-    ROTATION PLAN for round 10: front-load the round-9 additions,
-    which were all added after ``_WINDOW_R9`` froze and so have never
-    had a driver row — 36 oracle-backed entries in registry order:
+    ``_WINDOW_R10`` below executes the round-10 rotation per the
+    round-9 VERDICT: all 51 round-9 additions are oracle-backed and
+    were added after ``_WINDOW_R9`` froze, so none has a driver row.
+    Positions 1-50 take them in VERDICT-prescribed order —
     ``ann_ivf_full_probe``, ``streaming_timeout_sessions``, the five
     residual diagnostics (``jarque_bera_daily`` ..
-    ``grubbs_outlier_daily``), then the round-9 session tier
-    (``kruskal_wallis_regions`` .. ``topk_stability_halves``, 46
-    entries — more than fill one window; spill the tail into round
-    11's).
-    Fill any remaining slots from the stale continuation in
+    ``grubbs_outlier_daily``), then the round-9 session/stats tier
+    (``kruskal_wallis_regions`` .. ``bloom_fpp_planner``) — exactly
+    filling the window; the one spill is ``topk_stability_halves``.
+    ROTATION PLAN for round 11: position 1 = ``topk_stability_halves``
+    (the round-10 spill), then resume the stale continuation in
     registry order (``promo_revenue_share``,
     ``disjunctive_branch_revenue``, ``top_supplier_per_quarter``,
     ``large_volume_orders``, ``nation_pair_trade``,
@@ -11929,8 +11947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpp_planner": q_bloom_fpp_planner,
         "topk_stability_halves": q_topk_stability_halves,
     })
-    # --- round-9 rotation: reorder so the driver's 50-entry window ---
-    ordered = {name: core[name] for name in _WINDOW_R9}
+    # --- round-10 rotation: reorder so the driver's 50-entry window ---
+    ordered = {name: core[name] for name in _WINDOW_R10}
     ordered.update((n, f) for n, f in core.items() if n not in ordered)
     # rows-only approximates (no oracle by design) go last: a window
     # slot spent on them yields only a weak rows-only driver check
@@ -11952,67 +11970,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-9 driver window — executes the rotation the round-8 VERDICT
-#: ordered: the 31 never-driver-checked round-8 oracle-backed
-#: additions (1-31, ``logrank_purchase_segments`` ..
-#: ``dup_cluster_size_hist`` in registry order), the stale-tier
-#: continuation ``_WINDOW_R8`` could not fit (32-37), and the
-#: mid-round-2 tier head (38-50, skipping rows-only entries).
-#: Round-10 continuation is documented in the ``queries()`` docstring.
-_WINDOW_R9 = [
-    # --- 1-31: never driver-checked round-8 additions, registry order ---
-    "logrank_purchase_segments",
-    "nelson_aalen_hazard",
-    "wilcoxon_halfyear_revenue",
-    "bh_fdr_event_shares",
-    "theil_u2_seasonal_naive",
-    "spectral_entropy_revenue",
-    "seasonal_strength_weekly",
-    "value_drift_jsd",
-    "kn_bigram_perplexity",
-    "curriculum_deciles",
-    "tokenizer_fertility_by_source",
-    "timed_funnel_conversion",
-    "retention_decay_fit",
-    "item_item_cosine",
-    "kpss_stationarity",
-    "dickey_fuller",
-    "vocab_chao1_by_source",
-    "good_turing_counts",
-    "streaming_abandoned_purchases",
-    "diff_in_diff_purchases",
-    "perplexity_filter_buckets",
-    "centroid_label_confusion",
-    "mde_for_current_traffic",
-    "breusch_pagan_daily",
-    "partial_corr_funnel",
-    "var_cvar_daily",
-    "theil_decomposition_nations",
-    "dedup_cross_source_report",
-    "ngram_coverage_eval_train",
-    "embedding_norm_outliers",
-    "dup_cluster_size_hist",
-    # --- 32-37: stale-tier continuation, registry order ---
-    "above_avg_spenders",
-    "part_cooccurrence",
-    "nations_per_region",
-    "view_purchase_conversion",
-    "key_skew_report",
-    "purchase_view_coincidence",
-    # --- 38-50: mid-round-2 tier head (rows-only entries skipped) ---
-    "daily_value_interp",
-    "cdc_orders_snapshot",
-    "rolling_7day_median_revenue",
-    "orders_table_profile",
-    "quality_budget_select",
-    "weekday_adjusted_anomaly",
-    "weekly_active_users",
-    "decayed_engagement",
-    "session_type_cooccurrence",
-    "event_lateness_report",
-    "time_to_purchase",
-    "nation_market_share",
-    "dormant_high_balance",
+#: Round-10 driver window — executes the rotation the round-9 VERDICT
+#: ordered: the 50 head entries of the 51 never-driver-checked round-9
+#: oracle-backed additions (``ann_ivf_full_probe``,
+#: ``streaming_timeout_sessions``, the five residual diagnostics, then
+#: the round-9 session/stats tier in registry order); the single spill
+#: ``topk_stability_halves`` leads round 11's window.
+#: Round-11 continuation is documented in the ``queries()`` docstring.
+_WINDOW_R10 = [
+    # --- 1-2: IVF full-probe (oracle == brute force) + timeout sessions ---
+    "ann_ivf_full_probe",
+    "streaming_timeout_sessions",
+    # --- 3-7: round-9 residual diagnostics, registry order ---
+    "jarque_bera_daily",
+    "durbin_watson_daily",
+    "runs_test_daily",
+    "ljung_box_daily",
+    "grubbs_outlier_daily",
+    # --- 8-50: round-9 session/stats tier, registry order ---
+    "kruskal_wallis_regions",
+    "brown_forsythe_weekday",
+    "overdispersion_daily_events",
+    "turning_points_test",
+    "dau_mau_stickiness",
+    "cohort_ltv_curve",
+    "rfm_migration_matrix",
+    "bigram_entropy_rate",
+    "unigram_sampling_075",
+    "embedding_isotropy_probe",
+    "streaming_running_totals_complete",
+    "streaming_two_source_union",
+    "pacf_daily_revenue",
+    "cramers_v_pairs",
+    "kendall_w_concordance",
+    "quantile_treatment_effect",
+    "lift_table_purchase_propensity",
+    "er_blocking_report",
+    "doc_outlier_lengths",
+    "embedding_dim_variance_screen",
+    "shingle_df_stopword_report",
+    "sessionized_bounce_rate",
+    "mmd_drift_embeddings",
+    "hill_tail_index",
+    "capture_recapture_users",
+    "shapley_channel_attribution",
+    "weibull_survival_fit",
+    "lorenz_curve_deciles",
+    "granger_views_purchases",
+    "jaccard_threshold_sweep",
+    "lsh_band_planner",
+    "interpurchase_gamma_fit",
+    "hhi_yearly_trend",
+    "forecast_skill_mase",
+    "recsys_ndcg_popularity",
+    "markov_next_event_accuracy",
+    "dp_laplace_utility",
+    "survival_rmst",
+    "stump_information_gain",
+    "priority_return_odds_ratio",
+    "quasi_id_uniqueness_ladder",
+    "kfold_balance_check",
+    "bloom_fpp_planner",
 ]
 
 
@@ -17218,9 +17236,12 @@ def oracle_sql() -> dict[str, str]:
                    AS below
           FROM by_c),
         per_region AS (
+          -- rank-sum in HUGEINT (mirrors Spark's DECIMAL(38,0)): a
+          -- region rank-sum overflows int64 at the 100 TB posture
           SELECT r_name,
                  CAST(sum(t_rc) AS BIGINT) AS n_orders,
-                 CAST(sum(t_rc * (2 * below + t_all + 1)) AS BIGINT)
+                 CAST(sum(CAST(t_rc AS HUGEINT)
+                          * (2 * below + t_all + 1)) AS HUGEINT)
                    AS two_r
           FROM by_rc JOIN ranked USING (cents)
           GROUP BY 1),
@@ -17231,8 +17252,8 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_orders AS DOUBLE)) AS sum_r2n
           FROM per_region),
         tie AS (
-          SELECT CAST(sum(t_all * t_all * t_all - t_all) AS BIGINT)
-                   AS tie_sum
+          SELECT CAST(sum(CAST(t_all AS HUGEINT) * t_all * t_all - t_all)
+                      AS HUGEINT) AS tie_sum
           FROM by_c),
         scalar AS (
           SELECT (CAST(12.0 AS DOUBLE)

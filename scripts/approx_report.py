@@ -237,6 +237,38 @@ def main() -> int:
         "bound_holds": gap <= budget + 1e-6,
     }
 
+    # --- bloom contamination: observed vs planner-predicted FPP --------
+    # (the bloom_fpp_planner query predicts (1-e^{-kn/m})^k; measure the
+    # filter's actual false-positive rate on probes disjoint from the
+    # benchmark — mirrors tests/test_cleaning.py::
+    # test_contamination_bloom_fpp_matches_planner_prediction)
+    import math
+
+    from wistia_video_analytics_project_spark.operators import cleaning
+
+    bench = spark.createDataFrame(
+        [(1, " ".join(f"b{i}" for i in range(2004)))],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(2, " ".join(f"p{i}" for i in range(8004)))],
+        "doc_id long, text string",
+    )
+    expected_items, bits_per_key, k = 2000, 8, 5
+    n_bits = ((expected_items * bits_per_key + 63) // 64) * 64
+    row = cleaning.ngram_contamination_bloom(
+        probes, bench, n=5, expected_items=expected_items,
+        bits_per_item=bits_per_key, k_hashes=k,
+    ).collect()[0]
+    predicted = (1.0 - math.exp(-k * 2000 / n_bits)) ** k
+    report["bloom_fpp"] = {
+        "predicted": round(predicted, 4),
+        "observed": round(row.n_contaminated / row.n_ngrams, 4),
+        "n_probes": int(row.n_ngrams),
+        "bits_per_key": bits_per_key,
+        "k_hashes": k,
+    }
+
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "APPROX_REPORT.json",

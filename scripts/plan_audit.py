@@ -8,12 +8,22 @@ viability:
 - ``exchanges``      shuffle count (every one is a full network pass)
 - ``scans``          parquet scan count (re-reads of the same fact)
 - ``cartesian``      unbounded CartesianProduct (banned — a plan bug)
-- ``bnlj``           BroadcastNestedLoopJoin (fine for 1-row scalars)
+- ``bnlj``           BroadcastNestedLoopJoin presence
+- ``bnlj_classes``   per-build-side classification of every BNLJ
+                     broadcast: ``scalar`` (provably <=1024 rows —
+                     no-key aggregate, small limit, literal relation),
+                     ``spine`` (keyed aggregate — must be named in
+                     BNLJ_SPINE_ALLOWLIST with a domain-bounded key),
+                     ``raw`` (scan-fed — must be named in
+                     BNLJ_SMALL_BUILD_ALLOWLIST). Off-allowlist spine/
+                     raw builds fail the audit.
 - ``python_stages``  Arrow/Pandas UDF stages (slow path — only the
                      documented vector/multimodal operators may carry
                      them)
-- ``row_sorts``      global Sort without a partition bound (top-k via
-                     TakeOrderedAndProject does NOT count)
+- ``row_sorts``      global Sort count (``Sort [...], true`` — top-k
+                     via TakeOrderedAndProject does NOT count; ordered
+                     outputs on aggregated spines legitimately carry
+                     one, so this is a reported metric, not a gate)
 
 Writes ``PLAN_AUDIT.json`` (per-query metrics + run metadata) and
 prints a summary.  ``tests/test_plan_audit.py`` asserts the global
@@ -60,6 +70,255 @@ PYTHON_STAGE_ALLOWLIST = {
 }
 
 
+#: nodes that bound their output to at most one row (anything stacked
+#: above them — Filter/Project/Exchange — keeps the bound)
+_ONE_ROW_RE = re.compile(
+    r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys?=\[\]"
+)
+#: nodes that (re)introduce unbounded cardinality when seen ABOVE the
+#: first row-bounding node in a broadcast build subtree
+#: (InMemoryTableScan/InMemoryRelation are deliberately absent: the
+#: relation prints its cached plan as a subtree, so the walk descends
+#: into it and judges the underlying shape)
+_UNBOUNDED_RE = re.compile(
+    r"\b(?:FileScan|Scan parquet|Join\b|CartesianProduct|Union|Generate"
+    r"|Expand|Range\b)"
+)
+_LIMIT_RE = re.compile(
+    r"\b(?:GlobalLimit (\d+)|TakeOrderedAndProject\(limit=(\d+))"
+)
+#: a broadcast of up to this many rows is trivially fine
+_BROADCAST_ROW_BOUND = 1024
+
+
+def _indent(line: str) -> int:
+    """Tree depth of a node in explain-tree text: length of the
+    ``:-``/``+-``/``:  `` scaffolding prefix. ``*(n)`` codegen markers
+    are part of the operator text, not the scaffold, so they do not
+    shift depth."""
+    m = re.match(r"^[\s:+|-]*", line)
+    return m.end()
+
+
+#: queries whose BNLJ build side is a KEYED aggregate over a
+#: domain-bounded key (calendar day / isodow / month offset /
+#: duration-in-days / fixed block-size lattice) — a spine that does not
+#: grow with fact rows, so broadcasting it is safe at any data scale.
+#: Plan text cannot prove key boundedness, so membership is by name;
+#: a new keyed-spine BNLJ fails the audit until reviewed + added here.
+BNLJ_SPINE_ALLOWLIST = {
+    "binseg_changepoints",       # keys = day spine segment lattice
+    "chi_square_type_weekday",   # keys = isodow (7)
+    "ewma_daily_revenue",        # keys = day
+    "grubbs_outlier_daily",      # keys = day
+    "kendall_tau_daily",         # keys = day
+    "mann_kendall_trend",        # keys = day
+    "residual_diagnostics",      # keys = day
+    "retention_decay_fit",       # keys = month_offset (<=#months)
+    "runs_test_daily",           # keys = day
+    "survival_rmst",             # keys = t (duration days <= span)
+    "theilsen_revenue_trend",    # keys = day
+    "weekly_active_users",       # keys = week-start day
+    "weekly_active_users_hll",   # keys = week-start day
+}
+
+#: queries whose BNLJ build side reads a deliberately tiny slice of a
+#: table (ANN probe sets `vec_id < 10`, exact-verification slices
+#: `vec_id < 200`) — small by an explicit pushed filter the plan cannot
+#: row-bound. Membership is by name; see each query's docstring.
+BNLJ_SMALL_BUILD_ALLOWLIST = {
+    "ann_brute_force",        # 10-vector query probe vs corpus
+    "ann_mmr",                # 10-vector query probe
+    "embedding_cosine_pairs",  # vec_id < 200 exact-oracle slice
+    "hard_negative_pairs",    # bounded query probe
+    "semantic_dedup_keep",    # vec_id < 200 exact-oracle slice
+}
+
+#: driver-side literal relations (createDataFrame of a parameter grid,
+#: lit-array explodes) — bounded by construction
+_LOCAL_REL_RE = re.compile(
+    r"\b(?:LocalTableScan|Scan ExistingRDD|Scan OneRowRelation)\b"
+)
+#: Generate over a LITERAL array (explode(lit([...])) prints the
+#: catalyst UnsafeArrayData/GenericArrayData object) — rows = array
+#: length, a code literal; pass through to the child
+_LITERAL_GENERATE_RE = re.compile(
+    r"Generate (?:explode|posexplode)\((?:org\.apache\.spark\.sql"
+    r"\.catalyst\.expressions\.\w*ArrayData@|\[)"
+)
+#: keyed aggregate — a grouped spine; bounded iff the keys are
+#: domain-bounded (calendar days, fixed bands), which plan text cannot
+#: prove, so these queries must be named in BNLJ_SPINE_ALLOWLIST
+_KEYED_AGG_RE = re.compile(
+    r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys?=\[[^\]]"
+)
+
+
+def bnlj_build_classes(plan: str) -> set[str]:
+    """Classify every BroadcastNestedLoopJoin build side in the plan.
+
+    Each ``BroadcastExchange IdentityBroadcastMode`` subtree (the BNLJ
+    build side) is walked top-down past pass-through nodes
+    (Filter/Project/Exchange/...) to its first row-producing node:
+
+    - ``scalar``   no-key aggregate / GlobalLimit<=100 / driver-side
+                   literal relation — provably tiny, always allowed
+    - ``spine``    keyed aggregate — a grouped spine; bounded only if
+                   the keys are domain-bounded (calendar days, fixed
+                   bands), so the query must be named in
+                   BNLJ_SPINE_ALLOWLIST
+    - ``raw``      scan/join/generate reached first — potentially the
+                   whole input; allowed only via
+                   BNLJ_SMALL_BUILD_ALLOWLIST (deliberate small query
+                   sets, e.g. ANN probes)
+
+    ``ReusedExchange`` references are covered by their originals.
+    """
+    classes: set[str] = set()
+    if "BroadcastNestedLoopJoin" not in plan:
+        return classes
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in line:
+            continue
+        d = _indent(line)
+        verdict = "raw"  # fell off the subtree with no row producer
+        for sub in lines[i + 1:]:
+            if _indent(sub) <= d:  # left the subtree
+                break
+            lim = _LIMIT_RE.search(sub)
+            if (
+                _ONE_ROW_RE.search(sub)
+                or (
+                    lim
+                    and int(lim.group(1) or lim.group(2))
+                    <= _BROADCAST_ROW_BOUND
+                )
+                or _LOCAL_REL_RE.search(sub)
+            ):
+                verdict = "scalar"
+                break
+            if _LITERAL_GENERATE_RE.search(sub):
+                continue  # literal-array explode: judge its child
+            if _KEYED_AGG_RE.search(sub):
+                verdict = "spine"
+                break
+            if _UNBOUNDED_RE.search(sub):
+                verdict = "raw"
+                break
+        classes.add(verdict)
+    return classes
+
+
+#: pass-through / 1:1 operators a boundedness walk may skip over
+_PASS_THROUGH_RE = re.compile(
+    r"^(?:Sort\b|Exchange\b|AQEShuffleRead|ShuffleQueryStage|Project\b"
+    r"|Filter\b|Window\b|WindowGroupLimit|ColumnarToRow|InputAdapter"
+    r"|WholeStageCodegen|CollectMetrics|Coalesce\b|LocalLimit"
+    r"|RunningWindowFunction|Subquery|ReusedSubquery|AdaptiveSparkPlan"
+    r"|ResultQueryStage|==|$)"
+)
+#: operators that reduce their input to a grouped spine (any keys) or a
+#: bounded row count — a window over these is safe at any data scale
+_SPINE_RE = re.compile(
+    r"^(?:\S*HashAggregate|SortAggregate|AggregateInPandas"
+    r"|FlatMapGroupsInPandas|GlobalLimit|TakeOrderedAndProject"
+    r"|LocalTableScan|BroadcastNestedLoopJoin|HashJoin\b)"
+)
+
+
+def _tree(plan: str) -> list[tuple[int, str, int]]:
+    """(indent, operator-text, line-no) per plan line, codegen markers
+    stripped from the operator text."""
+    out = []
+    for i, line in enumerate(plan.splitlines()):
+        d = _indent(line)
+        op = re.sub(r"^\*\(\d+\) ", "", line[d:])
+        out.append((d, op, i))
+    return out
+
+
+def unpart_window_unbounded(plan: str) -> bool:
+    """True iff some UNPARTITIONED Window node can see raw-scan rows.
+
+    An unpartitioned window (``Window [exprs], [order]`` — two
+    top-level bracket groups, no partition spec) collapses its input to
+    a single task, which is only viable over a post-aggregation spine
+    (days/groups), never over an unreduced fact (SCALE.md's standing
+    argument; this makes it machine-checked).  The walk descends the
+    node's subtree skipping 1:1 operators and join scaffolding; every
+    branch must hit an aggregate/limit/local-relation before any
+    FileScan / Range / Generate / InMemoryTableScan leaf.
+    """
+    nodes = _tree(plan)
+    flagged = False
+    for idx, (d, op, _) in enumerate(nodes):
+        if not op.startswith("Window ") or not _window_is_unpartitioned(op):
+            continue
+        # subtree = following nodes strictly deeper than the window
+        sub = []
+        for d2, op2, _ in nodes[idx + 1:]:
+            if d2 <= d:
+                break
+            sub.append((d2, op2))
+        # walk: a leaf-ward path that reaches a scan with no spine node
+        # above it means the single-task window sees unbounded rows
+        bound_depths: list[int] = []  # depths at which a spine node cut the path
+        for d2, op2 in sub:
+            while bound_depths and d2 <= bound_depths[-1]:
+                bound_depths.pop()
+            if bound_depths:
+                continue  # inside an already-bounded branch
+            if _SPINE_RE.match(op2):
+                bound_depths.append(d2)
+                continue
+            if re.match(r"^Generate (?:pos)?explode\(sequence\(", op2):
+                continue  # calendar/series spine: bounded by the value
+                # domain (date span), judge the lo/hi child instead
+            if re.match(
+                r"^(?:FileScan|Scan parquet|Range\b|Generate\b"
+                r"|MapInPandas|ArrowEvalPython|BatchEvalPython)", op2
+            ):
+                flagged = True
+            # joins/unions and pass-through nodes: keep walking children
+        if flagged:
+            return True
+    return False
+
+
+def _bracket_groups(op: str) -> list[str]:
+    """Top-level ``[...]`` group contents of a plan-node line."""
+    depth = 0
+    groups: list[str] = []
+    start = 0
+    for i, ch in enumerate(op):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(op[start:i])
+            depth = max(0, depth)
+    return groups
+
+
+def _window_is_unpartitioned(op: str) -> bool:
+    """Window plan lines print ``Window [exprs]`` (global, no order),
+    ``Window [exprs], [partition]`` / ``Window [exprs], [order]``
+    (exactly one spec list — an order list carries ASC/DESC markers, a
+    partition list does not), or ``Window [exprs], [partition],
+    [order]``. Only the global and order-only forms collapse to a
+    single task."""
+    groups = _bracket_groups(op)
+    if len(groups) >= 3:
+        return False
+    if len(groups) <= 1:
+        return True
+    return bool(re.search(r"\b(?:ASC|DESC)\b", groups[1]))
+
+
 def audit_one(plan: str) -> dict:
     lines = plan.splitlines()
     return {
@@ -69,6 +328,7 @@ def audit_one(plan: str) -> dict:
         ),
         "cartesian": "CartesianProduct" in plan,
         "bnlj": "BroadcastNestedLoopJoin" in plan,
+        "bnlj_classes": sorted(bnlj_build_classes(plan)),
         "python_stages": len(
             re.findall(
                 r"BatchEvalPython|ArrowEvalPython|MapInPandas"
@@ -76,6 +336,8 @@ def audit_one(plan: str) -> dict:
             )
         ),
         "row_at_a_time_python": "BatchEvalPython" in plan,
+        "row_sorts": len(re.findall(r"\bSort \[[^\n]*\], true,", plan)),
+        "unpart_window_unbounded": unpart_window_unbounded(plan),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "take_ordered": "TakeOrderedAndProject" in plan,
@@ -111,6 +373,16 @@ def main() -> int:
         for n, m in out.items()
         if m["python_stages"] and n not in PYTHON_STAGE_ALLOWLIST
     )
+    bnlj_bad = sorted(
+        n
+        for n, m in out.items()
+        if ("spine" in m["bnlj_classes"] and n not in BNLJ_SPINE_ALLOWLIST)
+        or ("raw" in m["bnlj_classes"]
+            and n not in BNLJ_SMALL_BUILD_ALLOWLIST)
+    )
+    win_bad = sorted(
+        n for n, m in out.items() if m["unpart_window_unbounded"]
+    )
     heavy = sorted(out.items(), key=lambda kv: -kv[1]["exchanges"])[:10]
     doc = {
         "sf_dir": SF_DIR,
@@ -119,6 +391,8 @@ def main() -> int:
         "cartesian_products": cart,
         "row_at_a_time_python": row_py,
         "python_stages_off_allowlist": off_list,
+        "bnlj_unsafe": bnlj_bad,
+        "unpart_window_unbounded": win_bad,
         "max_exchanges": heavy[0][1]["exchanges"] if heavy else 0,
         "queries": out,
     }
@@ -130,11 +404,14 @@ def main() -> int:
         f"audited {len(out)} queries: cartesians={cart or 'none'}, "
         f"row-at-a-time python={row_py or 'none'}, "
         f"python off-allowlist={off_list or 'none'}, "
+        f"bnlj-unsafe={bnlj_bad or 'none'}, "
+        f"unpart-window-unbounded={win_bad or 'none'}, "
         f"errors={len(errors)}"
     )
     print("top exchanges: " + ", ".join(f"{n}={m['exchanges']}" for n, m in heavy))
     spark.stop()
-    return 1 if (cart or row_py or errors) else 0
+    return 1 if (cart or row_py or off_list or bnlj_bad or win_bad
+                 or errors) else 0
 
 
 if __name__ == "__main__":

@@ -635,7 +635,7 @@ def bigram_entropy_ladder(spark, release_caches) -> None:
     docs.count()
 
     def run(dd):
-        toks = F.split(F.trim(F.lower(F.col("text"))), r"\\s+")
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
         base = dd.filter(
             F.col("text").isNotNull() & (F.size(toks) >= 2)
         ).select("source", "doc_id", toks.alias("t"))
@@ -673,11 +673,107 @@ def bigram_entropy_ladder(spark, release_caches) -> None:
               f"({n / best / 1e3:6.1f} K docs/s)")
 
 
+def stats9_ladder(spark, release_caches) -> None:
+    """Round-9 heavy-stats tier (round-9 VERDICT item 7): the grouped-
+    pass cores of shapley_channel_attribution, weibull_survival_fit
+    (KM risk-table build), granger_views_purchases and
+    pacf_daily_revenue, on id-shifted event replicas.  All four reduce
+    the fact to a per-user or per-day spine in ONE grouped pass; the
+    downstream algebra (16-row lattice, <=31-row regression, moment
+    matrix, Durbin-Levinson) is constant-size — so wall-clock must
+    stay scan-bound as events grow."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, SF_DIR, "events")
+    events.count()
+
+    def shapley_core(ev):
+        def has(t):
+            return F.max(
+                F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0))
+            )
+
+        per_user = ev.groupBy("user_id").agg(
+            has("view").alias("v"), has("click").alias("c"),
+            has("signup").alias("s"), has("error").alias("e"),
+            has("purchase").alias("p"),
+        )
+        mask = (F.col("v") + F.col("c") * 2 + F.col("s") * 4
+                + F.col("e") * 8).cast("int")
+        return per_user.groupBy(mask.alias("mask")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("p").alias("conv")
+        )
+
+    def km_risk_core(ev):
+        per_user = ev.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("first"),
+            F.max(F.to_date("ts")).alias("last"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+            ).alias("purchase"),
+        )
+        durations = per_user.select(
+            F.coalesce(
+                F.datediff("purchase", "first"), F.datediff("last", "first")
+            ).alias("t"),
+            F.col("purchase").isNotNull().alias("observed"),
+        )
+        return durations.groupBy("t").agg(
+            F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+            F.count(F.lit(1)).alias("exits"),
+        )
+
+    def granger_core(ev):
+        daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long").alias("y"),
+        )
+        wd = Window.orderBy("day")
+        lagged = daily.select(
+            "y",
+            F.lag("y").over(wd).alias("y1"),
+            F.lag("x").over(wd).alias("x1"),
+        ).filter(F.col("y1").isNotNull())
+        d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+        return lagged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d("y") * d("y1")).cast("decimal(38,0)").alias("s1y"),
+            F.sum(d("y") * d("x1")).cast("decimal(38,0)").alias("s2y"),
+            F.sum(d("y1") * d("x1")).cast("decimal(38,0)").alias("s12"),
+        )
+
+    def pacf_core(ev):
+        daily = ev.filter(F.col("event_type") == "purchase").groupBy(
+            F.to_date("ts").alias("day")
+        ).agg(F.sum("value").alias("rev"))
+        w = Window.orderBy("day")
+        lagged = daily.select(
+            "rev",
+            *[F.lag("rev", k).over(w).alias(f"l{k}") for k in range(1, 5)],
+        )
+        return lagged.agg(
+            *[F.corr("rev", f"l{k}").alias(f"r{k}") for k in range(1, 5)]
+        )
+
+    cores = [("shapley_mask", shapley_core), ("km_risk", km_risk_core),
+             ("granger_mom", granger_core), ("pacf_corr", pacf_core)]
+    for k in (1, 4, 16):
+        ev = multiply(events, k)
+        n = ev.count()
+        for name, fn in cores:
+            best = min(_time(lambda: fn(ev).count()) for _ in range(2))
+            release_caches()
+            print(f"x{k:>2} ({n:>9,} rows) {name:12s}: {best:6.2f}s "
+                  f"({n / best / 1e6:6.1f} M rows/s)")
+
+
 def main() -> None:
     from wistia_video_analytics_project_spark.cache import release_caches
 
     known = {"events", "docs", "lpa", "als", "unigram", "kn",
-             "itemcos", "ppl", "abandon", "bigram"}
+             "itemcos", "ppl", "abandon", "bigram", "stats9"}
     sections = set(sys.argv[1:]) or set(known)
     unknown = sections - known
     if unknown:
@@ -700,6 +796,8 @@ def main() -> None:
         abandon_ladder(spark, release_caches)
     if "bigram" in sections:
         bigram_entropy_ladder(spark, release_caches)
+    if "stats9" in sections:
+        stats9_ladder(spark, release_caches)
     if not sections & {"events", "docs", "lpa"}:
         spark.stop()
         return

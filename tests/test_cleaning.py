@@ -106,6 +106,37 @@ def test_contamination_bloom_is_superset_of_exact(spark):
     assert total_bloom <= total_exact + max(10, total_exact // 10)
 
 
+def test_contamination_bloom_fpp_matches_planner_prediction(spark):
+    """The bloom_fpp_planner capacity table predicts
+    (1 − e^{−k·n/m})^k; the filter itself must OBSERVE that rate on
+    probes disjoint from the benchmark (round-9 VERDICT item 5).
+    n=2000 inserted 5-grams at 8 bits/key, k=5 → predicted ≈ 2.2%;
+    8000 disjoint probes give σ ≈ 0.17%, so the ±50% band is ~6σ."""
+    import math
+
+    bench_text = " ".join(f"b{i}" for i in range(2004))  # 2000 5-grams
+    probe_text = " ".join(f"p{i}" for i in range(8004))  # 8000 5-grams
+    bench = spark.createDataFrame(
+        [(1, bench_text)], "doc_id long, text string"
+    )
+    probes = spark.createDataFrame(
+        [(2, probe_text)], "doc_id long, text string"
+    )
+    expected_items, bits_per_key, k = 2000, 8, 5
+    n_bits = ((expected_items * bits_per_key + 63) // 64) * 64
+    row = cleaning.ngram_contamination_bloom(
+        probes, bench, n=5,
+        expected_items=expected_items, bits_per_item=bits_per_key,
+        k_hashes=k,
+    ).collect()[0]
+    observed = row.n_contaminated / row.n_ngrams
+    predicted = (1.0 - math.exp(-k * 2000 / n_bits)) ** k
+    assert row.n_ngrams == 8000
+    assert 0.5 * predicted <= observed <= 1.5 * predicted, (
+        f"observed FPP {observed:.4f} vs predicted {predicted:.4f}"
+    )
+
+
 def test_similar_documents_finds_planted_overlap(spark):
     from wistia_video_analytics_project_spark.operators import text as text_ops
 

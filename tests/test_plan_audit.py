@@ -42,6 +42,22 @@ def test_python_stages_only_on_allowlist():
     assert _doc()["python_stages_off_allowlist"] == []
 
 
+def test_no_unsafe_bnlj_anywhere():
+    """Every BroadcastNestedLoopJoin build side must be provably tiny
+    (scalar class) or explicitly allowlisted as a domain-bounded spine
+    / deliberate small probe set (round-9 VERDICT item 2) — a genuine
+    nested-loop join over unbounded inputs is a plan bug."""
+    assert _doc()["bnlj_unsafe"] == []
+
+
+def test_no_unbounded_unpartitioned_windows_anywhere():
+    """SCALE.md's standing claim — every Window.orderBy without a
+    partitionBy runs over a post-aggregation spine (days/groups), never
+    an unreduced fact — is machine-checked by the audit's subtree walk
+    (round-9 VERDICT item 3)."""
+    assert _doc()["unpart_window_unbounded"] == []
+
+
 def test_audit_parser_detects_shapes():
     from scripts.plan_audit import audit_one
 
@@ -52,3 +68,108 @@ def test_audit_parser_detects_shapes():
     m = audit_one(plan)
     assert m["exchanges"] == 1 and m["cartesian"] and m["scans"] == 1
     assert m["row_at_a_time_python"] and m["broadcast_joins"] == 1
+
+
+def test_audit_parser_distinguishes_scalar_bnlj_from_real_nested_loop():
+    from scripts.plan_audit import audit_one
+
+    scalar = (
+        "+- BroadcastNestedLoopJoin BuildRight, Cross, (a#1 > avg#2)\n"
+        "   :- FileScan parquet [a#1]\n"
+        "   +- BroadcastExchange IdentityBroadcastMode, [plan_id=5]\n"
+        "      +- Filter isnotnull(avg#2)\n"
+        "         +- *(2) HashAggregate(keys=[], functions=[avg(x#3)])\n"
+        "            +- Exchange SinglePartition\n"
+        "               +- FileScan parquet [x#3]\n"
+    )
+    m = audit_one(scalar)
+    assert m["bnlj"] and m["bnlj_classes"] == ["scalar"]
+
+    nested = (
+        "+- BroadcastNestedLoopJoin BuildRight, Inner, (a#1 < b#2)\n"
+        "   :- FileScan parquet [a#1]\n"
+        "   +- BroadcastExchange IdentityBroadcastMode, [plan_id=5]\n"
+        "      +- Filter isnotnull(b#2)\n"
+        "         +- FileScan parquet [b#2]\n"
+    )
+    m = audit_one(nested)
+    assert m["bnlj"] and m["bnlj_classes"] == ["raw"]
+
+    # a small GlobalLimit / TakeOrdered bounds the broadcast side
+    limited = nested.replace("Filter isnotnull(b#2)", "GlobalLimit 1")
+    assert audit_one(limited)["bnlj_classes"] == ["scalar"]
+    topk = nested.replace(
+        "Filter isnotnull(b#2)", "TakeOrderedAndProject(limit=101, x)"
+    )
+    assert audit_one(topk)["bnlj_classes"] == ["scalar"]
+
+    # keyed aggregate = spine class (allowed only via allowlist)
+    keyed = nested.replace(
+        "Filter isnotnull(b#2)",
+        "HashAggregate(keys=[day#7], functions=[sum(v#8)])",
+    )
+    assert audit_one(keyed)["bnlj_classes"] == ["spine"]
+
+    # driver-side literal relations are scalar class
+    local = nested.replace(
+        "      +- Filter isnotnull(b#2)\n"
+        "         +- FileScan parquet [b#2]\n",
+        "      +- Scan ExistingRDD[b#2]\n",
+    )
+    assert audit_one(local)["bnlj_classes"] == ["scalar"]
+
+
+def test_audit_parser_judges_unpartitioned_windows():
+    from scripts.plan_audit import unpart_window_unbounded
+
+    over_fact = (
+        "+- Window [row_number() windowspecdefinition(k#1 ASC)"
+        " AS rn#9], [k#1 ASC NULLS FIRST]\n"
+        "   +- Sort [k#1 ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange SinglePartition\n"
+        "         +- FileScan parquet [k#1]\n"
+    )
+    assert unpart_window_unbounded(over_fact)
+
+    over_spine = over_fact.replace(
+        "         +- FileScan parquet [k#1]\n",
+        "         +- HashAggregate(keys=[k#1], functions=[count(1)])\n"
+        "            +- Exchange hashpartitioning(k#1, 32)\n"
+        "               +- FileScan parquet [k#1]\n",
+    )
+    assert not unpart_window_unbounded(over_spine)
+
+    # PARTITIONED window over the raw fact is fine (no single-task
+    # collapse) — three bracket groups on the Window line
+    partitioned = (
+        "+- Window [row_number() windowspecdefinition(g#2, k#1 ASC)"
+        " AS rn#9], [g#2], [k#1 ASC NULLS FIRST]\n"
+        "   +- Sort [g#2 ASC, k#1 ASC], false, 0\n"
+        "      +- Exchange hashpartitioning(g#2, 32)\n"
+        "         +- FileScan parquet [g#2,k#1]\n"
+    )
+    assert not unpart_window_unbounded(partitioned)
+
+    # cached spine: the walk descends through InMemoryRelation into the
+    # cached plan and finds the aggregate there
+    cached = (
+        "+- Window [sum(c#3L) windowspecdefinition(k#1 ASC) AS s#9L],"
+        " [k#1 ASC NULLS FIRST]\n"
+        "   +- Exchange SinglePartition\n"
+        "      +- InMemoryTableScan [k#1, c#3L]\n"
+        "            +- InMemoryRelation [k#1, c#3L], StorageLevel(...)\n"
+        "                  +- HashAggregate(keys=[k#1], functions=[count(1)])\n"
+        "                     +- FileScan parquet [k#1]\n"
+    )
+    assert not unpart_window_unbounded(cached)
+
+
+def test_audit_parser_counts_global_sorts():
+    from scripts.plan_audit import audit_one
+
+    plan = (
+        "+- Sort [d#1 ASC NULLS FIRST], true, 0\n"
+        "   +- Exchange rangepartitioning(d#1 ASC NULLS FIRST, 32)\n"
+        "      +- Sort [d#1 ASC NULLS FIRST], false, 0\n"
+    )
+    assert audit_one(plan)["row_sorts"] == 1

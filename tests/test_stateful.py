@@ -194,11 +194,26 @@ def test_stateful_ops_run_on_rocksdb_state_store(spark, tmp_path):
             ],
         )
         out = stateful.streaming_sessionize(stream, gap_s=1800.0)
-        jobs.run_to_memory_sink(out, "sessions_rocksdb", output_mode="append")
+        progress = jobs.run_to_memory_sink(
+            out, "sessions_rocksdb", output_mode="append"
+        )
         rows = spark.sql("SELECT * FROM sessions_rocksdb").collect()
         assert len(rows) == 1
         assert rows[0].n_events == 2
         assert rows[0].session_start == T0
+        # a silent fallback to the default HDFS-backed provider must
+        # FAIL here: only RocksDB emits rocksdb* custom state metrics
+        rocksdb_metrics = {
+            k
+            for p in progress
+            for op in (p.get("stateOperators") or [])
+            for k in (op.get("customMetrics") or {})
+            if k.startswith("rocksdb")
+        }
+        assert rocksdb_metrics, (
+            "stateful query did not run on RocksDBStateStoreProvider "
+            f"(no rocksdb* custom metrics in progress: {progress})"
+        )
     finally:
         if prev is None:
             spark.conf.unset(key)

@@ -379,10 +379,12 @@ def run_to_memory_sink(
     query_name: str,
     output_mode: str = "append",
     state_partitions: int | None = 8,
-) -> None:
+) -> list[dict]:
     """Drive a streaming frame to completion against the memory sink
     (test/demo helper): processAllAvailable() then stop. Results land in
-    ``SELECT * FROM <query_name>``.
+    ``SELECT * FROM <query_name>``; returns the query's recentProgress
+    dicts (captured before stop) so callers can assert on state-store
+    metrics — e.g. that the configured provider actually ran.
 
     ``state_partitions`` bounds ``spark.sql.shuffle.partitions`` for
     the streaming query only (restored after stop): every stateful
@@ -409,11 +411,13 @@ def run_to_memory_sink(
         )
         try:
             q.processAllAvailable()
+            progress = [p for p in q.recentProgress if p is not None]
         finally:
             q.stop()
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return progress
 
 
 def run_foreach_batch(
