@@ -7475,10 +7475,14 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_chars").cast("double")
         ).alias("__density"),
     )
-    b = scored.withColumn(
-        "__b",
-        F.least(F.floor(F.col("__density") * 4096), F.lit(4095))
-        .cast("long"),
+    # cached: consumed twice (bucket counts + rank join) — without it
+    # the corpus is scanned and tokenized twice
+    b = cache.track(
+        scored.withColumn(
+            "__b",
+            F.least(F.floor(F.col("__density") * 4096), F.lit(4095))
+            .cast("long"),
+        ).cache()
     )
     counts = b.groupBy("__b").agg(
         F.count(F.lit(1)).cast("long").alias("__bc")
