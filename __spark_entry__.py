@@ -3925,44 +3925,44 @@ def q_mann_whitney_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_a, 0).otherwise(1)).cast("bigint").alias("nb_v"),
     )
     w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    # 2U and the t³−t tie sum accumulate in DECIMAL(38,0) (HUGEINT on
+    # the oracle side): at ~1e10 orders U is ~2.5e19 — a double
+    # accumulation differs in the last ulp between engines (and a long
+    # overflows), the same class as kruskal_wallis' rank sum. Doubling
+    # clears the midrank half so every term is an exact integer.
+    cum_b = F.coalesce(F.sum("nb_v").over(w_before), F.lit(0))
+    t_dec = (F.col("na_v") + F.col("nb_v")).cast("decimal(38,0)")
     contrib = per_val.select(
         "na_v",
         "nb_v",
         (
-            F.col("na_v").cast("double")
-            * (
-                F.coalesce(F.sum("nb_v").over(w_before), F.lit(0)).cast("double")
-                + F.col("nb_v").cast("double") / F.lit(2.0)
-            )
-        ).alias("__u"),
+            F.col("na_v").cast("decimal(38,0)")
+            * (F.lit(2) * cum_b + F.col("nb_v"))
+        ).alias("__u2"),
         # t*t*t, not pow(t, 3): pow is not guaranteed correctly rounded
         # for exact-integer inputs on every libm
-        (
-            (F.col("na_v") + F.col("nb_v")).cast("double")
-            * (F.col("na_v") + F.col("nb_v")).cast("double")
-            * (F.col("na_v") + F.col("nb_v")).cast("double")
-            - (F.col("na_v") + F.col("nb_v")).cast("double")
-        ).alias("__t3t"),
+        (t_dec * t_dec * t_dec - t_dec).alias("__t3t"),
     )
     agg = contrib.agg(
         F.sum("na_v").cast("bigint").alias("n_a"),
         F.sum("nb_v").cast("bigint").alias("n_b"),
-        F.sum("__u").alias("__u1"),
-        F.sum("__t3t").alias("__T"),
+        F.sum("__u2").cast("decimal(38,0)").alias("__u2s"),
+        F.sum("__t3t").cast("decimal(38,0)").alias("__T"),
     )
+    u1 = F.col("__u2s").cast("double") / F.lit(2.0)
     n1 = F.col("n_a").cast("double")
     n2 = F.col("n_b").cast("double")
     nn = n1 + n2
     mu = n1 * n2 / F.lit(2.0)
     sigma = F.sqrt(
         n1 * n2 / F.lit(12.0)
-        * ((nn + F.lit(1.0)) - F.col("__T") / (nn * (nn - F.lit(1.0))))
+        * ((nn + F.lit(1.0)) - F.col("__T").cast("double") / (nn * (nn - F.lit(1.0))))
     )
-    z = F.round((F.col("__u1") - mu) / sigma, 4) + F.lit(0.0)
+    z = F.round((u1 - mu) / sigma, 4) + F.lit(0.0)
     return agg.select(
         "n_a",
         "n_b",
-        F.round(F.col("__u1"), 1).alias("u_statistic"),
+        F.round(u1, 1).alias("u_statistic"),
         F.round(sigma, 4).alias("sigma_u"),
         z.alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
@@ -14359,23 +14359,29 @@ def oracle_sql() -> dict[str, str]:
                                    THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
               FROM orders GROUP BY 1),
             contrib AS (
+              -- 2U and t³−t in HUGEINT (mirrors Spark's DECIMAL(38,0)):
+              -- exact at any scale, doubled to clear the midrank half
               SELECT na_v, nb_v,
-                     CAST(na_v AS DOUBLE) * (
-                       CAST(coalesce(sum(nb_v) OVER (ORDER BY v
+                     CAST(na_v AS HUGEINT) * (
+                       2 * coalesce(sum(nb_v) OVER (ORDER BY v
                               ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND 1 PRECEDING), 0) AS DOUBLE)
-                       + CAST(nb_v AS DOUBLE) / CAST(2.0 AS DOUBLE)) AS u,
-                     CAST(na_v + nb_v AS DOUBLE) * CAST(na_v + nb_v AS DOUBLE)
-                       * CAST(na_v + nb_v AS DOUBLE)
-                       - CAST(na_v + nb_v AS DOUBLE) AS t3t
+                                       AND 1 PRECEDING), 0)
+                       + nb_v) AS u2,
+                     CAST(na_v + nb_v AS HUGEINT)
+                       * CAST(na_v + nb_v AS HUGEINT)
+                       * CAST(na_v + nb_v AS HUGEINT)
+                       - CAST(na_v + nb_v AS HUGEINT) AS t3t
               FROM per_val),
             agg AS (
               SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
                      CAST(sum(nb_v) AS BIGINT) AS n_b,
-                     sum(u) AS u1, sum(t3t) AS tt
+                     CAST(sum(u2) AS HUGEINT) AS u2s,
+                     CAST(sum(t3t) AS HUGEINT) AS t3ts
               FROM contrib),
             f AS (
-              SELECT n_a, n_b, u1, tt,
+              SELECT n_a, n_b,
+                     CAST(u2s AS DOUBLE) / CAST(2.0 AS DOUBLE) AS u1,
+                     CAST(t3ts AS DOUBLE) AS tt,
                      CAST(n_a AS DOUBLE) AS n1, CAST(n_b AS DOUBLE) AS n2
               FROM agg),
             s AS (
