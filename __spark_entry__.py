@@ -2106,29 +2106,41 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: each customer quartiled on Recency (days since
     last order), Frequency (order count), and Monetary (total spend),
-    concatenated into the classic segment code. ntile windows run on the
-    per-customer aggregate (O(customers) rows); every ORDER BY ends in
-    the customer key so quartile boundaries are deterministic."""
+    concatenated into the classic segment code. Quartiles come from the
+    distributed ``binned_ntile`` ladder (round 10 — the per-customer
+    frame grows with data, so no single-task ntile windows); every
+    ordering ends in the customer key so boundaries are deterministic,
+    and DESC recency rides the negated key."""
     orders = _t(spark, sf_dir, "orders")
     anchor = F.to_timestamp(F.lit("2001-09-01 00:00:00"))
     per_cust = orders.groupBy("o_custkey").agg(
         F.datediff(anchor, F.max("o_orderdate")).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
+    ).withColumn("__neg_rec", -F.col("recency_days"))
     # classic scoring: quartile 4 = best on each axis (most recent, most
-    # frequent, biggest spender) — hence the orderings below
-    r = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
-    f = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
-    m = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
-    scored = per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(r).alias("r_score"),
-        F.ntile(4).over(f).alias("f_score"),
-        F.ntile(4).over(m).alias("m_score"),
+    # frequent, biggest spender) — hence the orderings below. The three
+    # ntile ladders run as SIBLINGS over one externally cached frame
+    # (chaining them would nest their internal caches three deep —
+    # the CLAUDE.md nested-InMemoryRelation hazard) and join back on
+    # the customer key.
+    per_cust = cache.track(per_cust.cache())
+
+    def tile(lead: str, out: str) -> DataFrame:
+        return scale.binned_ntile(
+            per_cust.select("o_custkey", lead), [lead, "o_custkey"], 4,
+            out_col=out,
+        ).select("o_custkey", out)
+
+    scored = (
+        per_cust
+        .join(tile("__neg_rec", "r_score"), "o_custkey")
+        .join(tile("frequency", "f_score"), "o_custkey")
+        .join(tile("monetary", "m_score"), "o_custkey")
+        .select(
+            "o_custkey", "recency_days", "frequency", "monetary",
+            "r_score", "f_score", "m_score",
+        )
     )
     return scored.withColumn(
         "segment",
@@ -2621,16 +2633,24 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = per_cust.select(
         "o_custkey", F.round(F.col("rev") * 100).cast("long").alias("__c")
     )
-    w = Window.orderBy(F.asc("__c"), F.asc("o_custkey"))
-    ranked = cents.withColumn("__i", F.row_number().over(w))
+    # distributed rank ladder (round 10): no single-task sort of the
+    # per-customer frame, and the rank-weighted sum accumulates in
+    # DECIMAL(38,0) — i*c is ~1e15 per term at ~1e9 customers, so a
+    # long sum wraps (the DuckDB side already widens to HUGEINT)
+    ranked = scale.binned_row_number(
+        cents, ["__c", "o_custkey"], out_col="__i"
+    )
     gini_row = ranked.agg(
-        F.sum(F.col("__i") * F.col("__c")).alias("__s"),
+        F.sum(F.col("__i").cast("decimal(38,0)") * F.col("__c"))
+        .cast("decimal(38,0)")
+        .alias("__s"),
         F.sum("__c").alias("__t"),
         F.count(F.lit(1)).alias("__n"),
     ).select(
         F.lit("gini_customer_revenue").alias("metric"),
         F.round(
-            2 * F.col("__s") / (F.col("__n") * F.col("__t"))
+            F.lit(2.0) * F.col("__s").cast("double")
+            / (F.col("__n") * F.col("__t").cast("double"))
             - (F.col("__n") + 1) / F.col("__n").cast("double"),
             6,
         ).alias("value"),
@@ -2829,12 +2849,15 @@ def q_abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__c", F.round(F.col("revenue") * 100).cast("long")
     )
     total = cents.agg(F.sum("__c").alias("__total_c"))
-    w = Window.orderBy(F.desc("__c"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = cents.crossJoin(F.broadcast(total)).withColumn(
-        "__cum_c", F.sum("__c").over(w)
-    )
+    # distributed cumulative ladder (round 10): DESC revenue order ==
+    # ASC on the negated key; no single-task window over the
+    # per-customer frame
+    ranked = scale.binned_running_sum(
+        cents.withColumn("__negc", -F.col("__c")),
+        ["__negc", "o_custkey"],
+        "__c",
+        out_col="__cum_c",
+    ).crossJoin(F.broadcast(total))
     cls = (
         F.when(F.col("__cum_c") * 100 <= F.col("__total_c") * 80, "A")
         .when(F.col("__cum_c") * 100 <= F.col("__total_c") * 95, "B")
@@ -6292,12 +6315,13 @@ def q_inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("__xt").cast("double") / F.col("n_customers").cast("double")
     sq_mean = F.col("__sqrt_sum") / F.col("n_customers").cast("double")
     atkinson = F.lit(1.0) - (sq_mean * sq_mean) / mean
-    # unpartitioned window over the per-CUSTOMER aggregate — the
-    # spearman/ks precedent: bounded by entity cardinality, never raw
-    # fact rows; floor(n/10) rank cut gives engine-identical ties
-    wt = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    deciled = per.select(
-        "cents", F.row_number().over(wt).alias("__r")
+    # distributed rank ladder (round 10) over the per-customer frame —
+    # DESC revenue order == ASC on the negated key; floor(n/10) rank
+    # cut gives engine-identical ties
+    deciled = scale.binned_row_number(
+        per.withColumn("__negc", -F.col("cents")),
+        ["__negc", "o_custkey"],
+        out_col="__r",
     ).crossJoin(F.broadcast(tot.select(F.col("n").alias("__n"))))
     top_share = deciled.agg(
         (
@@ -7455,14 +7479,13 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exact global rank is computed DISTRIBUTED (round-10 plan-audit
     fix — the earlier single-task rank window collapsed the whole
-    corpus into one partition): density maps monotonically onto 4096
-    fixed domain buckets (whitespace-token density is in (0, 1]), a
-    grouped count over the <=4096-row bucket spine yields each
-    bucket's global offset, and the per-doc rank is offset +
-    row_number PARTITIONED by bucket — identical to the global
-    row_number over (density, doc_id) because the bucket function is
-    monotone and equal densities share a bucket.  Ordering is fully
-    deterministic (density, doc_id)."""
+    corpus into one partition) via ``scale.binned_row_number``: density
+    maps monotonically onto 4096 range buckets, a grouped count over
+    the <=4096-row bucket spine yields each bucket's global offset,
+    and the per-doc rank is offset + row_number PARTITIONED by
+    bucket — identical to the global row_number over (density, doc_id)
+    because the bucket function is monotone and equal densities share
+    a bucket.  Ordering is fully deterministic (density, doc_id)."""
     configure_runtime(spark)
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.col("n_chars") > 0)
@@ -7475,35 +7498,22 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_chars").cast("double")
         ).alias("__density"),
     )
-    # cached: consumed twice (bucket counts + rank join) — without it
-    # the corpus is scanned and tokenized twice
-    b = cache.track(
-        scored.withColumn(
-            "__b",
-            F.least(F.floor(F.col("__density") * 4096), F.lit(4095))
-            .cast("long"),
-        ).cache()
-    )
-    counts = b.groupBy("__b").agg(
-        F.count(F.lit(1)).cast("long").alias("__bc")
-    )
-    wb = Window.orderBy("__b")
-    offsets = counts.select(
-        "__b",
-        (F.sum("__bc").over(wb) - F.col("__bc")).cast("long").alias("__off"),
-    )
-    total = counts.agg(F.sum("__bc").cast("long").alias("__n"))
-    win_b = Window.partitionBy("__b").orderBy(
-        F.asc("__density"), F.asc("doc_id")
-    )
+    # shared distributed-rank ladder (caches its input, so the corpus
+    # is scanned and tokenized once)
+    total = scored.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     ranked = (
-        b.join(F.broadcast(offsets), "__b")
-        .select(
-            "__toks",
-            "__density",
-            (F.col("__off") + F.row_number().over(win_b)).alias("__rn"),
+        scale.binned_row_number(
+            scored,
+            ["__density", "doc_id"],
+            n_buckets=4096,
+            out_col="__rn",
+            # whitespace-token density is in (0, 1]: known bounds skip
+            # the observed-min/max pass (out-of-range values would just
+            # land in width_bucket's monotone 0 / n+1 overflow buckets)
+            bounds=(0.0, 1.0),
         )
         .crossJoin(F.broadcast(total))
+        .select("__toks", "__density", "__rn", "__n")
     )
     return (
         ranked.groupBy(
@@ -8207,17 +8217,15 @@ def q_perplexity_filter_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = F.round(
         F.col("__nll") / F.lit(ln2) / F.col("__n_bg").cast("double"), 6
     ) + F.lit(0.0)
-    wr = Window.orderBy(F.asc("__bits"), F.asc("doc_id"))
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = scored.select(
-        "doc_id", "__n_bg", bits.alias("__bits")
-    ).select(
-        "__n_bg",
-        "__bits",
-        F.row_number().over(wr).alias("__rn"),
-        F.count(F.lit(1)).over(wall).alias("__n"),
+    # distributed rank ladder (round 10): per-doc scores grow with the
+    # corpus, so the quintile rank comes from binned_row_number, the
+    # total from a scalar aggregate — no single-task sort
+    per = scored.select("doc_id", "__n_bg", bits.alias("__bits"))
+    n_tot = per.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranked = (
+        scale.binned_row_number(per, ["__bits", "doc_id"], out_col="__rn")
+        .crossJoin(F.broadcast(n_tot))
+        .select("__n_bg", "__bits", "__rn", "__n")
     )
     return (
         ranked.groupBy(
@@ -9500,22 +9508,23 @@ def q_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     static rfm_segments).  Quintiles are ntile(5) over the PER-CUSTOMER
     spend frame with a unique (cents DESC, custkey ASC) ordering —
     deterministic and identical ntile bucket-split semantics in both
-    engines; quintile 0 marks customers absent from that half.  Scale:
-    the global ntile sorts the customer-level aggregate (≪ fact), never
-    raw orders — the house rank-statistics posture."""
+    engines; quintile 0 marks customers absent from that half.  Scale
+    (round 10): quintiles come from the distributed ``binned_ntile``
+    ladder (DESC spend rides the negated key) — the customer frame
+    grows with data, so no single-task ntile window."""
     orders = _t(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
 
     def half(pred, out):
-        wq = Window.orderBy(F.desc("__cents"), F.asc("o_custkey"))
-        return (
+        per = (
             orders.filter(pred)
             .groupBy("o_custkey")
             .agg(F.sum(cents).cast("long").alias("__cents"))
-            .select(
-                "o_custkey", F.ntile(5).over(wq).cast("int").alias(out)
-            )
+            .withColumn("__negc", -F.col("__cents"))
         )
+        return scale.binned_ntile(
+            per, ["__negc", "o_custkey"], 5, out_col=out
+        ).select("o_custkey", F.col(out).cast("int").alias(out))
 
     h1 = half(F.year("o_orderdate") <= 1997, "q_h1")
     h2 = half(F.year("o_orderdate") >= 1998, "q_h2")
@@ -10054,9 +10063,15 @@ def q_lift_table_purchase_propensity(
         "__score",
         F.coalesce("__pos", F.lit(0)).cast("long").alias("__pos"),
     )
-    wd = Window.orderBy(F.desc("__score"), F.asc("user_id"))
-    dec = users.select(
-        F.ntile(10).over(wd).cast("int").alias("decile"), "__score", "__pos"
+    # distributed ntile ladder (round 10): DESC score on the negated
+    # key — the user frame grows with data, no single-task window
+    dec = scale.binned_ntile(
+        users.withColumn("__negs", -F.col("__score")),
+        ["__negs", "user_id"],
+        10,
+        out_col="decile",
+    ).select(
+        F.col("decile").cast("int").alias("decile"), "__score", "__pos"
     )
     per = cache.track(
         dec.groupBy("decile")
@@ -10607,17 +10622,20 @@ def q_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the curve behind the Gini already in revenue_concentration (which
     point of the distribution carries the inequality).  Deciles are
     ntile(10) over the CUSTOMER-level frame (cents ASC, custkey ASC);
-    shares divide exact integer cents by the exact total.  Scale: the
-    sort runs on the customer aggregate, never raw orders."""
+    shares divide exact integer cents by the exact total.  Scale
+    (round 10): the customer frame grows with data, so the decile cut
+    uses the distributed ``binned_row_number`` ladder plus explicit
+    integer arithmetic that REPLICATES ntile's remainder rule (the
+    first n%10 buckets get one extra row) — output identical to the
+    single-task ntile window, no single-task sort."""
     orders = _t(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     per = orders.groupBy("o_custkey").agg(
         F.sum(cents).cast("long").alias("__cents")
     )
-    wd = Window.orderBy(F.asc("__cents"), F.asc("o_custkey"))
-    dec = per.select(
-        F.ntile(10).over(wd).cast("int").alias("decile"), "__cents"
-    )
+    dec = scale.binned_ntile(
+        per, ["__cents", "o_custkey"], 10, out_col="decile"
+    ).select("decile", "__cents")
     agg = cache.track(
         dec.groupBy("decile")
         .agg(

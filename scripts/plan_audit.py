@@ -139,6 +139,17 @@ BNLJ_SMALL_BUILD_ALLOWLIST = {
 _LOCAL_REL_RE = re.compile(
     r"\b(?:LocalTableScan|Scan ExistingRDD|Scan OneRowRelation)\b"
 )
+#: Range with literal bounds: row count is (end - start)/step, known at
+#: plan time — small ranges (spark.range(1, 11) parameter spines) are
+#: scalar-class
+_RANGE_RE = re.compile(r"\bRange \((-?\d+), (-?\d+)")
+
+
+def _small_literal_range(line: str) -> bool:
+    m = _RANGE_RE.search(line)
+    return bool(m) and (
+        int(m.group(2)) - int(m.group(1)) <= _BROADCAST_ROW_BOUND
+    )
 #: Generate over a LITERAL array (explode(lit([...])) prints the
 #: catalyst UnsafeArrayData/GenericArrayData object) — rows = array
 #: length, a code literal; pass through to the child
@@ -195,6 +206,7 @@ def bnlj_build_classes(plan: str) -> set[str]:
                     <= _BROADCAST_ROW_BOUND
                 )
                 or _LOCAL_REL_RE.search(sub)
+                or _small_literal_range(sub)
             ):
                 verdict = "scalar"
                 break
@@ -322,7 +334,13 @@ def _window_is_unpartitioned(op: str) -> bool:
 def audit_one(plan: str) -> dict:
     lines = plan.splitlines()
     return {
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        # distinct plan_ids, not raw text hits: AQE prints Initial AND
+        # Final plans, and InMemoryRelation reprints its cached plan —
+        # the same physical Exchange can appear many times in the text
+        "exchanges": len(
+            set(re.findall(r"\bExchange [^\n]*?plan_id=(\d+)", plan))
+        )
+        + len(re.findall(r"\bExchange\b(?![^\n]*plan_id=)", plan)),
         "scans": sum(
             1 for l in lines if "FileScan" in l or "Scan parquet" in l
         ),

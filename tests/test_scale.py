@@ -247,3 +247,106 @@ def test_binned_running_sum_null_lead_keys(spark):
     assert got.count() == 4
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_binned_row_number_equals_global_window(spark):
+    """The rank ladder must reproduce the single-partition row_number
+    exactly — ties on the lead column broken by the tiebreaker, bucket
+    boundaries included."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from wistia_video_analytics_project_spark.sources.readers import load_table
+    from conftest import SF_SMOKE
+    from pyspark.sql import Window, functions as F
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        F.floor(F.round("o_totalprice", 2) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    got = scale.binned_row_number(
+        orders, ["cents", "o_orderkey"], n_buckets=16, out_col="rn"
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_orderkey").asc())
+    ref = orders.withColumn("rn", F.row_number().over(w))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_binned_row_number_null_and_degenerate(spark):
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import Window, functions as F
+
+    # NULL lead keys rank first (ASC NULLS FIRST parity)
+    df = spark.createDataFrame(
+        [(None, 0), (None, 1), (3, 2), (7, 3)], "k int, tie int"
+    )
+    got = {
+        r["tie"]: r["rn"]
+        for r in scale.binned_row_number(
+            df, ["k", "tie"], n_buckets=4, out_col="rn"
+        ).collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 3, 3: 4}
+    # min == max on the lead column: single bucket, still exact
+    df2 = spark.createDataFrame(
+        [(5, i) for i in range(10)], "k int, tie int"
+    )
+    got2 = {
+        r["tie"]: r["rn"]
+        for r in scale.binned_row_number(
+            df2, ["k", "tie"], n_buckets=4, out_col="rn"
+        ).collect()
+    }
+    assert got2 == {i: i + 1 for i in range(10)}
+
+
+def test_binned_ntile_equals_global_ntile(spark):
+    """The tile ladder must replicate ntile's remainder placement
+    exactly — including n % k != 0 and n < k frames."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import Window, functions as F
+
+    for n_rows, k in ((1003, 4), (37, 10), (7, 10), (40, 4)):
+        df = spark.range(n_rows).select(
+            F.col("id"), (F.xxhash64("id") % 1000).alias("v")
+        )
+        got = scale.binned_ntile(
+            df, ["v", "id"], k, n_buckets=8, out_col="t"
+        )
+        w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+        ref = df.withColumn("t", F.ntile(k).over(w))
+        assert got.exceptAll(ref).count() == 0, (n_rows, k)
+        assert ref.exceptAll(got).count() == 0, (n_rows, k)
+
+
+def test_binned_prefix_ops_matches_single_op_ladders(spark):
+    """The fused ladder (one bucketing, several prefix ops) must equal
+    the global windows for every output it carries."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(500).select(
+        (F.xxhash64("id") % 97).alias("k"),
+        F.col("id").alias("tie"),
+        (F.col("id") % 5 + 1).alias("a"),
+        (F.col("id") % 3).alias("b"),
+    )
+    got = scale.binned_prefix_ops(
+        df,
+        ["k", "tie"],
+        sum_cols={"cum_a": "a", "cum_b": "b"},
+        rank_col="rn",
+        n_buckets=8,
+    )
+    w_run = Window.orderBy(F.col("k").asc(), F.col("tie").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_rank = Window.orderBy(F.col("k").asc(), F.col("tie").asc())
+    ref = (
+        df.withColumn("cum_a", F.sum("a").over(w_run))
+        .withColumn("cum_b", F.sum("b").over(w_run))
+        .withColumn("rn", F.row_number().over(w_rank))
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0

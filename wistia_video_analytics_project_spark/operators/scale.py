@@ -364,12 +364,60 @@ def incremental_join_delta(
     return part1.unionByName(part2).unionByName(part3)
 
 
+def _range_bucketed(
+    df: DataFrame,
+    lead: str,
+    n_buckets: int,
+    bounds: tuple[float, float] | None,
+) -> DataFrame:
+    """Attach the ladder's ``__bucket`` column: range buckets over the
+    lead column, from caller-known ``bounds`` literals (no extra pass)
+    or from an observed min/max 1-row broadcast. NULL leads land in
+    bucket 0 (ASC NULLS FIRST parity); a degenerate lo == hi range
+    collapses to bucket 1."""
+    if bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
+        bucket = (
+            F.when(F.col(lead).isNull(), F.lit(0))
+            .when(F.lit(lo) == F.lit(hi), F.lit(1))
+            .otherwise(
+                F.width_bucket(
+                    F.col(lead).cast("double"),
+                    F.lit(lo),
+                    F.lit(hi),
+                    F.lit(int(n_buckets)),
+                )
+            )
+        )
+        return df.withColumn("__bucket", bucket).withColumn(
+            "__lo", F.lit(lo)
+        ).withColumn("__hi", F.lit(hi))
+    b = df.agg(
+        F.min(lead).cast("double").alias("__lo"),
+        F.max(lead).cast("double").alias("__hi"),
+    )
+    return df.crossJoin(F.broadcast(b)).withColumn(
+        "__bucket",
+        F.when(F.col(lead).isNull(), F.lit(0))
+        .when(F.col("__lo") == F.col("__hi"), F.lit(1))
+        .otherwise(
+            F.width_bucket(
+                F.col(lead).cast("double"),
+                F.col("__lo"),
+                F.col("__hi"),
+                F.lit(int(n_buckets)),
+            )
+        ),
+    )
+
+
 def binned_running_sum(
     df: DataFrame,
     order_cols: Sequence[str],
     value_col: str,
     n_buckets: int = 64,
     out_col: str = "running_sum",
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Global running (cumulative) sum WITHOUT a single-partition window.
 
@@ -396,26 +444,11 @@ def binned_running_sum(
     only to accumulation noise — run money in integer cents (CLAUDE.md).
     """
     lead = order_cols[0]
-    bounds = df.agg(
-        F.min(lead).cast("double").alias("__lo"),
-        F.max(lead).cast("double").alias("__hi"),
-    )
-    bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "__bucket",
-        # NULL lead keys sort FIRST under an ascending window order, so
-        # they get bucket 0 (before every real bucket) instead of a
-        # NULL bucket that would silently drop out of the offsets join
-        F.when(F.col(lead).isNull(), F.lit(0))
-        .when(F.col("__lo") == F.col("__hi"), F.lit(1))
-        .otherwise(
-            F.width_bucket(
-                F.col(lead).cast("double"),
-                F.col("__lo"),
-                F.col("__hi"),
-                F.lit(int(n_buckets)),
-            )
-        ),
-    )
+    # the ladder consumes df three times (bounds, bucket counts, the
+    # join-back) — cache it so a non-trivial input plan computes once;
+    # inputs are entity-level aggregates by contract (never raw facts)
+    df = track(df.cache())
+    bucketed = _range_bucketed(df, lead, n_buckets, bounds)
     per_bucket = bucketed.groupBy("__bucket").agg(
         F.sum(value_col).alias("__btotal")
     )
@@ -434,3 +467,174 @@ def binned_running_sum(
         .withColumn(out_col, F.col("__offset") + F.sum(value_col).over(w_in))
         .drop("__bucket", "__lo", "__hi", "__offset")
     )
+
+
+def binned_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_buckets: int = 64,
+    out_col: str = "row_num",
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Exact global ``row_number()`` WITHOUT a single-partition sort.
+
+    The ranking sibling of :func:`binned_running_sum`, and the house
+    pattern behind the round-10 ``curriculum_deciles`` rewrite: a bare
+    ``row_number().over(Window.orderBy(...))`` collapses the frame into
+    one task, which the plan audit now rejects on corpus/entity-sized
+    inputs. Instead:
+
+    1. bucket rows by range over the leading order column (monotone, so
+       bucket order == rank order; equal keys share a bucket);
+    2. the <=``n_buckets``-row count spine yields each bucket's
+       exclusive global offset;
+    3. rank = offset + ``row_number`` PARTITIONED by bucket.
+
+    Output is row-identical to the global window (asserted in tests)
+    provided ``order_cols`` is a UNIQUE total order — the determinism
+    contract every ranked query in this repo carries. The leading order
+    column must be numeric (range-bucketable); NULL leads rank first,
+    matching ASC NULLS FIRST. Value skew concentrates rows in few
+    buckets (worst case one fat task — same as the global window);
+    domain-spread keys get the full ``n_buckets``-way parallelism.
+    """
+    lead = order_cols[0]
+    # cached for the same three-consumer reason as binned_running_sum
+    df = track(df.cache())
+    bucketed = _range_bucketed(df, lead, n_buckets, bounds)
+    per_bucket = bucketed.groupBy("__bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("__bcount")
+    )
+    w_b = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "__bucket",
+        F.coalesce(F.sum("__bcount").over(w_b), F.lit(0))
+        .cast("long")
+        .alias("__offset"),
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            out_col, F.col("__offset") + F.row_number().over(w_in)
+        )
+        .drop("__bucket", "__lo", "__hi", "__offset")
+    )
+
+
+def binned_prefix_ops(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Mapping[str, str] | None = None,
+    rank_col: str | None = None,
+    n_buckets: int = 64,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Several global prefix operations over ONE shared bucketing.
+
+    Chaining :func:`binned_running_sum` / :func:`binned_row_number`
+    calls that share the same ``order_cols`` pays the ladder's fixed
+    cost (bounds pass, bucket counts, broadcast join, cache) once per
+    call; this fused form pays it once total — one bucketing, one
+    per-bucket aggregate carrying every partial, one broadcast offsets
+    join, and all the within-bucket windows ride a single window spec.
+
+    ``sum_cols`` maps output column -> value column (each becomes a
+    global running sum); ``rank_col`` names a global row_number output.
+    Same exactness and unique-total-order contract as the single-op
+    ladders (asserted in tests).
+    """
+    sum_cols = dict(sum_cols or {})
+    if not sum_cols and rank_col is None:
+        raise ValueError("binned_prefix_ops: nothing to compute")
+    lead = order_cols[0]
+    df = track(df.cache())
+    bucketed = _range_bucketed(df, lead, n_buckets, bounds)
+    partials = [
+        F.sum(vcol).alias(f"__bt_{out}") for out, vcol in sum_cols.items()
+    ]
+    if rank_col is not None:
+        partials.append(F.count(F.lit(1)).cast("long").alias("__bt__rn"))
+    per_bucket = bucketed.groupBy("__bucket").agg(*partials)
+    w_b = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_cols = [
+        F.coalesce(F.sum(f"__bt_{out}").over(w_b), F.lit(0)).alias(
+            f"__off_{out}"
+        )
+        for out in sum_cols
+    ]
+    if rank_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("__bt__rn").over(w_b), F.lit(0))
+            .cast("long")
+            .alias("__off__rn")
+        )
+    offsets = per_bucket.select("__bucket", *off_cols)
+    order = [F.col(c).asc() for c in order_cols]
+    w_run = Window.partitionBy("__bucket").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_rank = Window.partitionBy("__bucket").orderBy(*order)
+    out = bucketed.join(F.broadcast(offsets), "__bucket")
+    drop = ["__bucket", "__lo", "__hi"]
+    for o, vcol in sum_cols.items():
+        out = out.withColumn(
+            o, F.col(f"__off_{o}") + F.sum(vcol).over(w_run)
+        )
+        drop.append(f"__off_{o}")
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col, F.col("__off__rn") + F.row_number().over(w_rank)
+        )
+        drop.append("__off__rn")
+    return out.drop(*drop)
+
+
+def binned_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_tiles: int,
+    n_buckets: int = 64,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact global ``ntile(n)`` WITHOUT a single-task sort.
+
+    Built on :func:`binned_row_number` plus the integer arithmetic that
+    REPLICATES ntile's remainder rule — with ``r = n % k`` and
+    ``q = n div k``, the first ``r`` tiles hold ``q+1`` rows:
+
+    - rank <= r·(q+1):  tile = (rank−1) div (q+1) + 1
+    - otherwise:        tile = r + (rank − r·(q+1) − 1) div q + 1
+
+    Output is row-identical to ``ntile(k).over(Window.orderBy(...))``
+    (asserted in tests) under the same unique-total-order contract.
+    The q = 0 case (fewer rows than tiles) never reaches the second
+    branch; ``greatest`` keeps its divisor nonzero under ANSI anyway.
+    """
+    k = int(n_tiles)
+    ranked = binned_row_number(
+        df, order_cols, n_buckets=n_buckets, out_col="__bn_rn"
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("__bn_n"))
+    j = ranked.crossJoin(F.broadcast(tot))
+    tile = (
+        F.when(
+            F.col("__bn_rn")
+            <= (F.col("__bn_n") % k) * (F.expr(f"__bn_n div {k}") + 1),
+            F.expr(f"(__bn_rn - 1) div (__bn_n div {k} + 1)"),
+        ).otherwise(
+            F.col("__bn_n") % k
+            + F.expr(
+                f"(__bn_rn - (__bn_n % {k}) * (__bn_n div {k} + 1) - 1)"
+                f" div greatest(__bn_n div {k}, 1L)"
+            )
+        )
+        + 1
+    ).cast("int")
+    return j.withColumn(out_col, tile).drop("__bn_rn", "__bn_n")

@@ -874,51 +874,70 @@ def heaps_law_fit(docs: DataFrame) -> DataFrame:
     Exact integer counts throughout: per-doc token counts and each
     type's first-seen doc feed cumulative sums over the doc order; the
     10 checkpoint rows are picked by row_number, and only the final
-    2-parameter regression touches floats.  The cumulative window runs
-    over the per-DOC frame (not tokens); at 100 TB the same query runs
-    on a doc-id-bucketed pre-aggregate (sum per bucket + tiny
-    cumulative over buckets — the peak_concurrency two-phase shape)."""
+    2-parameter regression touches floats.  Round 10: the cumulative
+    sums and the rank come from the distributed ``binned_running_sum``
+    / ``binned_row_number`` ladders over the per-DOC frame — the doc
+    frame grows with the corpus, so no single-task window (the old SQL
+    form's ``OVER (ORDER BY doc_id)`` collapsed it)."""
+    from .scale import binned_prefix_ops
+
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("__docs_heaps")
-    return spark.sql(r"""
-        WITH tok AS (
-          SELECT doc_id, explode(split(trim(lower(text)), '\\s+')) AS t
-          FROM __docs_heaps),
-        tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
-        per_doc AS (
-          SELECT doc_id, count(*) AS n FROM tok2 GROUP BY 1),
-        first_seen AS (
-          SELECT t, min(doc_id) AS fd FROM tok2 GROUP BY 1),
-        new_types AS (
-          SELECT fd AS doc_id, count(*) AS nt FROM first_seen GROUP BY 1),
-        ord AS (
-          SELECT d.doc_id,
-                 sum(d.n) OVER (ORDER BY d.doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum_tokens,
-                 sum(coalesce(t.nt, 0)) OVER (ORDER BY d.doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum_types,
-                 row_number() OVER (ORDER BY d.doc_id) AS rn,
-                 count(*) OVER () AS nd
-          FROM per_doc d LEFT JOIN new_types t ON d.doc_id = t.doc_id),
-        pts AS (
-          SELECT DISTINCT CAST(cum_tokens AS BIGINT) AS cum_tokens,
-                 CAST(cum_types AS BIGINT) AS cum_types, rn
-          FROM ord JOIN (SELECT explode(sequence(1, 10)) AS k)
-            ON rn = greatest(CAST(1 AS BIGINT),
-                   CAST(floor(nd * k / CAST(10 AS DOUBLE)) AS BIGINT)))
-        SELECT CAST(count(*) AS BIGINT) AS n_points,
-               CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
-               CAST(max(cum_types) AS BIGINT) AS total_types,
-               round(regr_slope(ln(CAST(cum_types AS DOUBLE)),
-                                ln(CAST(cum_tokens AS DOUBLE))), 6)
-                 + CAST(0.0 AS DOUBLE) AS heaps_beta,
-               round(exp(regr_intercept(ln(CAST(cum_types AS DOUBLE)),
-                                        ln(CAST(cum_tokens AS DOUBLE)))), 2)
-                 + CAST(0.0 AS DOUBLE) AS heaps_k
-        FROM pts
-    """)
+    tok2 = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "t"
+        ),
+    ).filter(F.col("t") != "")
+    per_doc = tok2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    new_types = (
+        tok2.groupBy("t")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nt0"))
+    )
+    d = per_doc.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        "n",
+        F.coalesce("__nt0", F.lit(0)).cast("long").alias("nt"),
+    )
+    ord_df = binned_prefix_ops(
+        d,
+        ["doc_id"],
+        sum_cols={"cum_tokens": "n", "cum_types": "nt"},
+        rank_col="rn",
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("__nd"))
+    ks = spark.range(1, 11).select(F.col("id").cast("long").alias("__k"))
+    checkpoint = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("__nd") * F.col("__k") / F.lit(10.0)).cast("long"),
+    )
+    pts = (
+        ord_df.crossJoin(F.broadcast(nd))
+        .join(F.broadcast(ks), F.col("rn") == checkpoint)
+        .select(
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("cum_types").cast("long").alias("cum_types"),
+            "rn",
+        )
+        .distinct()
+    )
+    ln_types = F.log(F.col("cum_types").cast("double"))
+    ln_tokens = F.log(F.col("cum_tokens").cast("double"))
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("cum_tokens").cast("long").alias("total_tokens"),
+        F.max("cum_types").cast("long").alias("total_types"),
+        (F.round(F.regr_slope(ln_types, ln_tokens), 6) + F.lit(0.0)).alias(
+            "heaps_beta"
+        ),
+        (
+            F.round(F.exp(F.regr_intercept(ln_types, ln_tokens)), 2)
+            + F.lit(0.0)
+        ).alias("heaps_k"),
+    )
 
 
 def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
