@@ -2882,23 +2882,18 @@ def q_event_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The testdata id axis is dense, so the binding drops ids divisible
     by 997 first (a deterministic synthetic outage, mirrored in the
-    oracle) — the detector then has real gaps to find."""
+    oracle) — the detector then has real gaps to find.  Round 10: the
+    lead runs through ``scale.binned_id_gaps`` — within-bucket leads
+    PARTITIONED by range bucket plus a seam check on the bucket
+    spine — because the distinct-id frame grows with the fact and a
+    global lead window would collapse it into one task."""
     events = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
     ids = (
         events.select("event_id")
         .filter(F.col("event_id") % 997 != 0)
         .distinct()
     )
-    return (
-        ids.withColumn("__next", F.lead("event_id").over(w))
-        .filter(F.col("__next") > F.col("event_id") + 1)
-        .select(
-            (F.col("event_id") + 1).alias("gap_start"),
-            (F.col("__next") - 1).alias("gap_end"),
-            (F.col("__next") - F.col("event_id") - 1).alias("n_missing"),
-        )
-    )
+    return scale.binned_id_gaps(ids, "event_id")
 
 
 def q_safe_arithmetic_report(spark: SparkSession, sf_dir: str) -> DataFrame:

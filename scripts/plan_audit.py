@@ -20,6 +20,13 @@ viability:
 - ``python_stages``  Arrow/Pandas UDF stages (slow path — only the
                      documented vector/multimodal operators may carry
                      them)
+- ``unpart_window_unbounded``  an unpartitioned (single-task) window
+                     whose input is a raw scan (``raw``) or an
+                     aggregate keyed on an ENTITY id (``entity`` —
+                     customers/users/docs/...: frames that grow with
+                     data; only domain-bounded spines may feed a
+                     single-task window — use the scale.binned_*
+                     ladders otherwise). Both classes fail the audit.
 - ``row_sorts``      global Sort count (``Sort [...], true`` — top-k
                      via TakeOrderedAndProject does NOT count; ordered
                      outputs on aggregated spines legitimately carry
@@ -262,8 +269,35 @@ def unpart_window_unbounded(plan: str) -> bool:
     branch must hit an aggregate/limit/local-relation before any
     FileScan / Range / Generate / InMemoryTableScan leaf.
     """
+    return bool(unpart_window_findings(plan) & {"raw", "entity"})
+
+
+#: entity-id columns whose aggregates grow with the data (unlike day /
+#: weekday / value-band spines): an unpartitioned window bounded ONLY
+#: by such an aggregate still collapses the whole entity population
+#: into one task — use the scale.binned_* ladders instead (round-10
+#: sweep converted all nine offenders)
+_ENTITY_KEY_RE = re.compile(
+    r"keys=\[[^\]]*\b(?:\w*custkey|user_id|doc_id|\w*orderkey|vec_id"
+    r"|\w*partkey|\w*suppkey|event_id)",
+    re.I,
+)
+
+
+def unpart_window_findings(plan: str) -> set[str]:
+    """Classes of unsafe single-task windows found in the plan:
+
+    - ``raw``     an unpartitioned window reaches a scan/generate with
+                  no row-bounding node on the path (sees the unreduced
+                  fact)
+    - ``entity``  the bounding node is an aggregate KEYED on an entity
+                  id (customers/users/docs/orders/parts/vectors/events)
+                  — a frame that grows with data; only domain-bounded
+                  spines (days, value bands) may feed a single-task
+                  window
+    """
+    findings: set[str] = set()
     nodes = _tree(plan)
-    flagged = False
     for idx, (d, op, _) in enumerate(nodes):
         if not op.startswith("Window ") or not _window_is_unpartitioned(op):
             continue
@@ -282,6 +316,8 @@ def unpart_window_unbounded(plan: str) -> bool:
             if bound_depths:
                 continue  # inside an already-bounded branch
             if _SPINE_RE.match(op2):
+                if _KEYED_AGG_RE.search(op2) and _ENTITY_KEY_RE.search(op2):
+                    findings.add("entity")
                 bound_depths.append(d2)
                 continue
             if re.match(r"^Generate (?:pos)?explode\(sequence\(", op2):
@@ -291,11 +327,9 @@ def unpart_window_unbounded(plan: str) -> bool:
                 r"^(?:FileScan|Scan parquet|Range\b|Generate\b"
                 r"|MapInPandas|ArrowEvalPython|BatchEvalPython)", op2
             ):
-                flagged = True
+                findings.add("raw")
             # joins/unions and pass-through nodes: keep walking children
-        if flagged:
-            return True
-    return False
+    return findings
 
 
 def _bracket_groups(op: str) -> list[str]:

@@ -164,6 +164,27 @@ def test_audit_parser_judges_unpartitioned_windows():
     assert not unpart_window_unbounded(cached)
 
 
+def test_audit_parser_flags_entity_keyed_single_task_windows():
+    from scripts.plan_audit import unpart_window_findings
+
+    base = (
+        "+- Window [sum(c#3L) windowspecdefinition(k#1 ASC) AS s#9L],"
+        " [k#1 ASC NULLS FIRST]\n"
+        "   +- Exchange SinglePartition\n"
+        "      +- HashAggregate(keys=[{key}], functions=[count(1)])\n"
+        "         +- FileScan parquet [{key}]\n"
+    )
+    # entity-keyed aggregate: grows with data -> flagged
+    assert unpart_window_findings(base.format(key="o_custkey#5L")) == {
+        "entity"
+    }
+    assert unpart_window_findings(base.format(key="user_id#5L")) == {
+        "entity"
+    }
+    # domain-bounded spine (day) -> clean
+    assert unpart_window_findings(base.format(key="day#5")) == set()
+
+
 def test_audit_parser_counts_global_sorts():
     from scripts.plan_audit import audit_one
 

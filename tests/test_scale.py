@@ -350,3 +350,31 @@ def test_binned_prefix_ops_matches_single_op_ladders(spark):
     )
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_binned_id_gaps_equals_global_lead(spark):
+    """The seam-aware bucketed gaps must equal the single-task
+    lead-window form, including gaps that span bucket boundaries."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import Window, functions as F
+
+    # ids 0..999 minus multiples of 7 and a large hole (gaps of runs
+    # >= 1, some crossing the 8 range buckets)
+    df = (
+        spark.range(1000)
+        .filter((F.col("id") % 7 != 0) & ~F.col("id").between(400, 520))
+        .select(F.col("id"))
+    )
+    got = scale.binned_id_gaps(df, "id", n_buckets=8)
+    w = Window.orderBy("id")
+    ref = (
+        df.withColumn("__n", F.lead("id").over(w))
+        .filter(F.col("__n") > F.col("id") + 1)
+        .select(
+            (F.col("id") + 1).alias("gap_start"),
+            (F.col("__n") - 1).alias("gap_end"),
+            (F.col("__n") - F.col("id") - 1).alias("n_missing"),
+        )
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0

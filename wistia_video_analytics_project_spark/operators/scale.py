@@ -596,6 +596,53 @@ def binned_prefix_ops(
     return out.drop(*drop)
 
 
+def binned_id_gaps(
+    df: DataFrame,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Gaps-and-islands over a numeric id axis WITHOUT a single-task
+    lead window.
+
+    The classic form — ``lead(id).over(Window.orderBy(id))`` on the
+    distinct-id frame — collapses every id into one task. Here the id
+    axis range-buckets like the other ladders: the within-bucket lead
+    runs PARTITIONED by bucket, and the only pairs a partitioned lead
+    cannot see — each bucket's last id vs the NEXT non-empty bucket's
+    first id — come from a lead over the <=``n_buckets``-row
+    (min, max) bucket spine. Union of the two is row-identical to the
+    global-window form (asserted in tests).
+
+    Returns ``(gap_start, gap_end, n_missing)`` per maximal missing
+    run. ``df`` should be the distinct non-null id frame.
+    """
+    df = track(df.cache())  # consumed by bounds, the lead, and the spine
+    bucketed = _range_bucketed(df, id_col, n_buckets, None).select(
+        "__bucket", id_col
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(id_col)
+    within = bucketed.withColumn(
+        "__next", F.lead(id_col).over(w_in)
+    ).filter(F.col("__next") > F.col(id_col) + 1)
+    spine = bucketed.groupBy("__bucket").agg(
+        F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx")
+    )
+    w_b = Window.orderBy("__bucket")
+    seams = (
+        spine.withColumn("__nextmn", F.lead("__mn").over(w_b))
+        .filter(F.col("__nextmn") > F.col("__mx") + 1)
+        .select(
+            F.col("__mx").alias(id_col), F.col("__nextmn").alias("__next")
+        )
+    )
+    pairs = within.select(id_col, "__next").unionByName(seams)
+    return pairs.select(
+        (F.col(id_col) + 1).alias("gap_start"),
+        (F.col("__next") - 1).alias("gap_end"),
+        (F.col("__next") - F.col(id_col) - 1).alias("n_missing"),
+    )
+
+
 def binned_ntile(
     df: DataFrame,
     order_cols: Sequence[str],
