@@ -678,22 +678,29 @@ def q_ks_test_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_a, 0).otherwise(1)).cast("bigint").alias("nb_v"),
         )
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_val.select(
-        F.sum("na_v").over(w_cum).alias("cum_a"),
-        F.sum("nb_v").over(w_cum).alias("cum_b"),
-    )
+    # distributed prefix ladder (round 10): the per-distinct-value
+    # frame is ~|orders| at scale (prices are near-unique), so the
+    # cumulative sums ride one shared range bucketing, not a
+    # single-task window
+    cum = scale.binned_prefix_ops(
+        per_val, ["v"], sum_cols={"cum_a": "na_v", "cum_b": "nb_v"}
+    ).select("cum_a", "cum_b")
     tot = per_val.agg(
         F.sum("na_v").cast("bigint").alias("n_a"),
         F.sum("nb_v").cast("bigint").alias("n_b"),
     )
     joined = cum.crossJoin(F.broadcast(tot))
+    # D numerator in DECIMAL(38,0)/HUGEINT: cum*n is ~1e20 at 1e10
+    # orders — int64 wraps (Spark) or errors (DuckDB)
     res = joined.agg(
         F.max(
             F.abs(
-                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+                F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+                - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
             )
-        ).alias("d_num"),
+        )
+        .cast("decimal(38,0)")
+        .alias("d_num"),
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
     )
@@ -792,16 +799,18 @@ def q_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
 
     def rank_map(col: str, alias: str) -> DataFrame:
+        # distributed prefix ladder (round 10): distinct line prices
+        # are ~|lineitem| at scale — the midrank cumulative rides the
+        # range-bucket ladder, not a single-task window
         per = li.groupBy(col).agg(
             F.count(F.lit(1)).cast("long").alias("__c")
         )
-        w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        return per.select(
+        return scale.binned_running_sum(
+            per, [col], "__c", out_col="__cum_incl"
+        ).select(
             F.col(col),
             (
-                (F.sum("__c").over(w) - F.col("__c")).cast("double")
+                (F.col("__cum_incl") - F.col("__c")).cast("double")
                 + (F.col("__c").cast("double") + 1.0) / 2.0
             ).alias(alias),
         )
@@ -2374,15 +2383,21 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("word") != "")
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
     total = counts.agg(F.sum("n_occurrences").cast("double").alias("__total"))
+    # top-k FIRST (TakeOrderedAndProject — distributed heaps), THEN the
+    # rank/cumulative window over the 20-row frame: the cumulative at
+    # rank r only depends on rows <= r, so the result is identical to
+    # windowing the full vocab (which grows ~N^0.5 and would collapse
+    # into one task at corpus scale)
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("word")).limit(20)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
-    ranked = counts.select(
+    ranked = top.select(
         F.row_number().over(w).alias("rank"),
         "word",
         "n_occurrences",
         F.sum("n_occurrences")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("__cum"),
-    ).filter(F.col("rank") <= 20)
+    )
     return ranked.crossJoin(F.broadcast(total)).select(
         "rank",
         "word",
@@ -3942,13 +3957,18 @@ def q_mann_whitney_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("na_v"),
         F.sum(F.when(is_a, 0).otherwise(1)).cast("bigint").alias("nb_v"),
     )
-    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    # distributed prefix ladder (round 10): the per-distinct-value
+    # frame is ~|orders| at scale — no single-task window; the
+    # exclusive below-count is the inclusive ladder sum minus own count
     # 2U and the t³−t tie sum accumulate in DECIMAL(38,0) (HUGEINT on
     # the oracle side): at ~1e10 orders U is ~2.5e19 — a double
     # accumulation differs in the last ulp between engines (and a long
     # overflows), the same class as kruskal_wallis' rank sum. Doubling
     # clears the midrank half so every term is an exact integer.
-    cum_b = F.coalesce(F.sum("nb_v").over(w_before), F.lit(0))
+    per_val = scale.binned_running_sum(
+        per_val, ["v"], "nb_v", out_col="__cb_incl"
+    )
+    cum_b = F.col("__cb_incl") - F.col("nb_v")
     t_dec = (F.col("na_v") + F.col("nb_v")).cast("decimal(38,0)")
     contrib = per_val.select(
         "na_v",
@@ -9155,11 +9175,15 @@ def q_kruskal_wallis_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_c = by_rc.groupBy("cents").agg(
         F.sum("t_rc").cast("long").alias("t_all")
     )
-    wv = Window.orderBy("cents")
-    ranked = by_c.select(
+    # distributed prefix ladder (round 10): distinct order cents are
+    # ~|orders| at scale — the below-count rides the range-bucket
+    # ladder, not a single-task window
+    ranked = scale.binned_running_sum(
+        by_c, ["cents"], "t_all", out_col="__cum_incl"
+    ).select(
         "cents",
         "t_all",
-        (F.sum("t_all").over(wv) - F.col("t_all")).cast("long").alias("below"),
+        (F.col("__cum_incl") - F.col("t_all")).cast("long").alias("below"),
     )
     # rank-sum accumulates in DECIMAL(38,0): at the 100 TB posture a
     # region's doubled rank-sum is ~5e19 and would silently overflow
@@ -14146,8 +14170,11 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(nb_v) AS BIGINT) AS n_b
               FROM per_val),
             agg AS (
-              SELECT CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
-                       AS d_num,
+              -- HUGEINT numerator (mirrors Spark's DECIMAL(38,0)):
+              -- cum*n overflows int64 at the 100 TB posture
+              SELECT CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+                                  - CAST(cum_b AS HUGEINT) * n_a))
+                          AS HUGEINT) AS d_num,
                      max(n_a) AS n_a, max(n_b) AS n_b
               FROM cum CROSS JOIN tot)
             SELECT n_a, n_b,

@@ -279,7 +279,12 @@ def unpart_window_unbounded(plan: str) -> bool:
 #: sweep converted all nine offenders)
 _ENTITY_KEY_RE = re.compile(
     r"keys=\[[^\]]*\b(?:\w*custkey|user_id|doc_id|\w*orderkey|vec_id"
-    r"|\w*partkey|\w*suppkey|event_id)",
+    r"|\w*partkey|\w*suppkey|event_id"
+    # per-distinct-VALUE frames of continuous measures are ~row count
+    # at scale (near-unique prices) — rank machinery must use the
+    # scale.binned_* ladders; 2-decimal bounded domains (events.value)
+    # and calendar/grouping keys stay allowed
+    r"|\w*totalprice|\w*extendedprice|cents|word|\w*shingle|tok)\b",
     re.I,
 )
 
