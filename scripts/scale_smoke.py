@@ -769,11 +769,55 @@ def stats9_ladder(spark, release_caches) -> None:
                   f"({n / best / 1e6:6.1f} M rows/s)")
 
 
+def ladder_ladder(spark, release_caches) -> None:
+    """Round-10 distributed-rank crossover: exact global row_number via
+    the single-task window vs scale.binned_row_number, on per-entity
+    aggregates of growing event replicas. The ladder pays fixed
+    small-shuffle overhead at x1; the window's one task holds the
+    whole entity population, so its wall grows with the data while
+    the ladder's stays flat-ish — this section MEASURES the crossover
+    the round-10 conversions are built on."""
+    from pyspark.sql import Window
+
+    from wistia_video_analytics_project_spark.operators.scale import (
+        binned_row_number,
+    )
+
+    for n in (1_000_000, 4_000_000, 16_000_000):
+        per_user = spark.range(n).select(
+            F.col("id").alias("user_id"),
+            (F.xxhash64("id") % 1_000_003).cast("double").alias("v"),
+        ).localCheckpoint(eager=True)  # freeze: time the rank, not the gen
+        w = Window.orderBy(F.asc("v"), F.asc("user_id"))
+        best_w = min(
+            _time(
+                lambda: per_user.withColumn(
+                    "rn", F.row_number().over(w)
+                ).agg(F.sum("rn")).collect()
+            )
+            for _ in range(2)
+        )
+        release_caches()
+        best_l = min(
+            _time(
+                lambda: binned_row_number(
+                    per_user, ["v", "user_id"], out_col="rn"
+                ).agg(F.sum("rn")).collect()
+            )
+            for _ in range(2)
+        )
+        release_caches()
+        print(
+            f"({n:>10,} entities) global_rank : window {best_w:6.2f}s"
+            f" vs ladder {best_l:6.2f}s ({best_w / best_l:4.2f}x)"
+        )
+
+
 def main() -> None:
     from wistia_video_analytics_project_spark.cache import release_caches
 
     known = {"events", "docs", "lpa", "als", "unigram", "kn",
-             "itemcos", "ppl", "abandon", "bigram", "stats9"}
+             "itemcos", "ppl", "abandon", "bigram", "stats9", "ladder"}
     sections = set(sys.argv[1:]) or set(known)
     unknown = sections - known
     if unknown:
@@ -798,6 +842,8 @@ def main() -> None:
         bigram_entropy_ladder(spark, release_caches)
     if "stats9" in sections:
         stats9_ladder(spark, release_caches)
+    if "ladder" in sections:
+        ladder_ladder(spark, release_caches)
     if not sections & {"events", "docs", "lpa"}:
         spark.stop()
         return
