@@ -378,3 +378,24 @@ def test_binned_id_gaps_equals_global_lead(spark):
     )
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_binned_row_number_nan_leads_rank_last(spark):
+    """width_bucket(NaN) is NULL — without the NaN-bucket guard those
+    rows would silently drop out of the offsets equi-join. Spark sorts
+    NaN as the largest double, so they must rank last, like the global
+    window ranks them."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import Window, functions as F
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (float("nan"), 1), (2.0, 2), (float("nan"), 3),
+         (None, 4)],
+        "k double, tie int",
+    )
+    got = scale.binned_row_number(df, ["k", "tie"], n_buckets=4, out_col="rn")
+    assert got.count() == 5  # nothing dropped
+    w = Window.orderBy(F.col("k").asc(), F.col("tie").asc())
+    ref = df.withColumn("rn", F.row_number().over(w))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0

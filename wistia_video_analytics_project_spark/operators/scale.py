@@ -375,17 +375,25 @@ def _range_bucketed(
     or from an observed min/max 1-row broadcast. NULL leads land in
     bucket 0 (ASC NULLS FIRST parity); a degenerate lo == hi range
     collapses to bucket 1."""
+    # width_bucket returns NULL for NaN input; a NULL bucket key would
+    # silently DROP those rows in the offsets equi-join. Spark orders
+    # NaN as the LARGEST double, so NaN leads belong in a trailing
+    # bucket past the n+1 overflow bucket.
+    nan_bucket = F.lit(int(n_buckets) + 2)
     if bounds is not None:
         lo, hi = float(bounds[0]), float(bounds[1])
         bucket = (
             F.when(F.col(lead).isNull(), F.lit(0))
             .when(F.lit(lo) == F.lit(hi), F.lit(1))
             .otherwise(
-                F.width_bucket(
-                    F.col(lead).cast("double"),
-                    F.lit(lo),
-                    F.lit(hi),
-                    F.lit(int(n_buckets)),
+                F.coalesce(
+                    F.width_bucket(
+                        F.col(lead).cast("double"),
+                        F.lit(lo),
+                        F.lit(hi),
+                        F.lit(int(n_buckets)),
+                    ),
+                    nan_bucket,
                 )
             )
         )
@@ -401,11 +409,14 @@ def _range_bucketed(
         F.when(F.col(lead).isNull(), F.lit(0))
         .when(F.col("__lo") == F.col("__hi"), F.lit(1))
         .otherwise(
-            F.width_bucket(
-                F.col(lead).cast("double"),
-                F.col("__lo"),
-                F.col("__hi"),
-                F.lit(int(n_buckets)),
+            F.coalesce(
+                F.width_bucket(
+                    F.col(lead).cast("double"),
+                    F.col("__lo"),
+                    F.col("__hi"),
+                    F.lit(int(n_buckets)),
+                ),
+                nan_bucket,
             )
         ),
     )
