@@ -290,7 +290,17 @@ _ENTITY_KEY_RE = re.compile(
 
 
 def unpart_window_findings(plan: str) -> set[str]:
-    """Classes of unsafe single-task windows found in the plan:
+    """Classes of unsafe single-task windows found in the plan.
+
+    KNOWN LIMITATION: a grouping key wrapped in an expression prints as
+    the opaque ``_groupingexpression`` alias, which this gate cannot
+    attribute to an entity column — an entity key laundered through a
+    cast/concat would slip past. Every current ``_groupingexpression``
+    site is a calendar cast (``to_date``/``weekday``), and new rank
+    machinery should group on the raw column (the converted queries'
+    style) so the gate can see it.
+
+    Classes:
 
     - ``raw``     an unpartitioned window reaches a scan/generate with
                   no row-bounding node on the path (sees the unreduced
