@@ -399,3 +399,24 @@ def test_binned_row_number_nan_leads_rank_last(spark):
     ref = df.withColumn("rn", F.row_number().over(w))
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_binned_rank_ladders_layout_independent(spark):
+    """Ladder outputs must not depend on physical partition layout —
+    the same contract the running-sum ladder carries."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        (F.xxhash64("id") % 131).alias("k"), F.col("id").alias("tie")
+    )
+    a = scale.binned_row_number(df, ["k", "tie"], n_buckets=8, out_col="rn")
+    b = scale.binned_row_number(
+        df.repartition(17), ["k", "tie"], n_buckets=8, out_col="rn"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = scale.binned_ntile(df, ["k", "tie"], 7, n_buckets=8, out_col="t")
+    d = scale.binned_ntile(
+        df.repartition(17), ["k", "tie"], 7, n_buckets=8, out_col="t"
+    )
+    assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
