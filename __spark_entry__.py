@@ -11654,22 +11654,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     git history, both 50/50 driver-green).  Rows-only approximates (no
     oracle by design — see CLAUDE.md) stay at the very end so every
     in-window slot is a full hash-checked comparison.
-    ``_WINDOW_R10`` below executes the round-10 rotation per the
-    round-9 VERDICT: all 51 round-9 additions are oracle-backed and
-    were added after ``_WINDOW_R9`` froze, so none has a driver row.
-    Positions 1-50 take them in VERDICT-prescribed order —
-    ``ann_ivf_full_probe``, ``streaming_timeout_sessions``, the five
-    residual diagnostics (``jarque_bera_daily`` ..
-    ``grubbs_outlier_daily``), then the round-9 session/stats tier
-    (``kruskal_wallis_regions`` .. ``bloom_fpp_planner``) — exactly
-    filling the window; the one spill is ``topk_stability_halves``.
-    ROTATION PLAN for round 11: position 1 = ``topk_stability_halves``
-    (the round-10 spill), then resume the stale continuation in
-    registry order (``promo_revenue_share``,
-    ``disjunctive_branch_revenue``, ``top_supplier_per_quarter``,
-    ``large_volume_orders``, ``nation_pair_trade``,
-    ``order_count_distribution``, ``late_shipment_rate``, then the
-    round-3 tier ``streaming_sessions`` ..), skipping rows-only
+    ``_WINDOW_R11`` below executes the round-11 rotation exactly as the
+    round-10 VERDICT prescribed (item 1): position 1 =
+    ``topk_stability_halves`` — the ONLY oracle-backed query (1 of 330)
+    with no driver CORRECTNESS row after round 10 — then the stale
+    continuation in registry order (``promo_revenue_share`` ..
+    ``late_shipment_rate`` from the round-2/3 tier, last driver-green in
+    round 3, then ``streaming_sessions`` onward, last green rounds 4-5),
+    skipping rows-only entries.  Verified against all ten CORRECTNESS
+    artifacts: every window entry's last green row is round <=5.
+    ROTATION PLAN for round 12: continue the registry-order walk from
+    ``top_nations_with_other``'s successor (``purchase_survival_km``,
+    ``ab_test_report``, ``mann_whitney_order_values``,
+    ``chi_square_type_weekday``, ..), still skipping rows-only
     entries — keep cycling so every oracle-backed entry re-earns a
     driver green row every ~2-3 rounds.
     """
@@ -11988,8 +11985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpp_planner": q_bloom_fpp_planner,
         "topk_stability_halves": q_topk_stability_halves,
     })
-    # --- round-10 rotation: reorder so the driver's 50-entry window ---
-    ordered = {name: core[name] for name in _WINDOW_R10}
+    # --- round-11 rotation: reorder so the driver's 50-entry window ---
+    ordered = {name: core[name] for name in _WINDOW_R11}
     ordered.update((n, f) for n, f in core.items() if n not in ordered)
     # rows-only approximates (no oracle by design) go last: a window
     # slot spent on them yields only a weak rows-only driver check
@@ -12011,67 +12008,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-10 driver window — executes the rotation the round-9 VERDICT
-#: ordered: the 50 head entries of the 51 never-driver-checked round-9
-#: oracle-backed additions (``ann_ivf_full_probe``,
-#: ``streaming_timeout_sessions``, the five residual diagnostics, then
-#: the round-9 session/stats tier in registry order); the single spill
-#: ``topk_stability_halves`` leads round 11's window.
-#: Round-11 continuation is documented in the ``queries()`` docstring.
-_WINDOW_R10 = [
-    # --- 1-2: IVF full-probe (oracle == brute force) + timeout sessions ---
-    "ann_ivf_full_probe",
-    "streaming_timeout_sessions",
-    # --- 3-7: round-9 residual diagnostics, registry order ---
-    "jarque_bera_daily",
-    "durbin_watson_daily",
-    "runs_test_daily",
-    "ljung_box_daily",
-    "grubbs_outlier_daily",
-    # --- 8-50: round-9 session/stats tier, registry order ---
-    "kruskal_wallis_regions",
-    "brown_forsythe_weekday",
-    "overdispersion_daily_events",
-    "turning_points_test",
-    "dau_mau_stickiness",
-    "cohort_ltv_curve",
-    "rfm_migration_matrix",
-    "bigram_entropy_rate",
-    "unigram_sampling_075",
-    "embedding_isotropy_probe",
-    "streaming_running_totals_complete",
-    "streaming_two_source_union",
-    "pacf_daily_revenue",
-    "cramers_v_pairs",
-    "kendall_w_concordance",
-    "quantile_treatment_effect",
-    "lift_table_purchase_propensity",
-    "er_blocking_report",
-    "doc_outlier_lengths",
-    "embedding_dim_variance_screen",
-    "shingle_df_stopword_report",
-    "sessionized_bounce_rate",
-    "mmd_drift_embeddings",
-    "hill_tail_index",
-    "capture_recapture_users",
-    "shapley_channel_attribution",
-    "weibull_survival_fit",
-    "lorenz_curve_deciles",
-    "granger_views_purchases",
-    "jaccard_threshold_sweep",
-    "lsh_band_planner",
-    "interpurchase_gamma_fit",
-    "hhi_yearly_trend",
-    "forecast_skill_mase",
-    "recsys_ndcg_popularity",
-    "markov_next_event_accuracy",
-    "dp_laplace_utility",
-    "survival_rmst",
-    "stump_information_gain",
-    "priority_return_odds_ratio",
-    "quasi_id_uniqueness_ladder",
-    "kfold_balance_check",
-    "bloom_fpp_planner",
+#: Round-11 driver window — executes the rotation the round-10 VERDICT
+#: prescribed (item 1): the round-10 spill ``topk_stability_halves``
+#: first (the only oracle-backed entry with no driver row), then the
+#: stale round-2/3 tier resuming the registry-order walk at
+#: ``promo_revenue_share`` (everything here last earned a driver green
+#: row in rounds 3-5).  Round-12 continuation is documented in the
+#: ``queries()`` docstring; ``_WINDOW_R3``..``_WINDOW_R10`` are in git
+#: history, each 50/50 driver-green in its round.
+_WINDOW_R11 = [
+    # --- 1: the round-10 window spill — never driver-checked ---
+    "topk_stability_halves",
+    # --- 2-8: round-2 tier, last green round 3 ---
+    "promo_revenue_share",
+    "disjunctive_branch_revenue",
+    "top_supplier_per_quarter",
+    "large_volume_orders",
+    "nation_pair_trade",
+    "order_count_distribution",
+    "late_shipment_rate",
+    # --- 9-50: round-3 tier onward, registry order, last green r4-r5 ---
+    "streaming_sessions",
+    "nation_year_profit",
+    "small_quantity_revenue",
+    "sole_late_supplier",
+    "event_pattern_match",
+    "cusum_changepoint",
+    "daily_trend_regression",
+    "null_safe_join",
+    "trimmed_mean_order_value",
+    "yearly_customer_setops",
+    "variant_props_extract",
+    "lateral_top_customers",
+    "event_id_gaps",
+    "safe_arithmetic_report",
+    "abc_customer_classes",
+    "mad_outlier_days",
+    "nation_share_of_region",
+    "value_psi_report",
+    "rolling_view_purchase_corr",
+    "revenue_concentration",
+    "min_cost_supplier",
+    "important_part_stock",
+    "ship_latency_priority",
+    "supplier_count_by_part",
+    "excess_shipped_suppliers",
+    "clamped_quarterly_balance",
+    "priority_status_listagg",
+    "daily_unique_users_bitmap",
+    "value_percentile_disc",
+    "incremental_kpi_refresh",
+    "ewma_daily_revenue",
+    "higher_moments_report",
+    "centroid_drift",
+    "activity_streaks",
+    "user_event_histogram_map",
+    "user_behavior_entropy",
+    "measure_corr_matrix",
+    "scd2_point_in_time",
+    "touch_attribution",
+    "winsorized_order_stats",
+    "token_pmi",
+    "top_nations_with_other",
 ]
 
 

@@ -352,6 +352,31 @@ def calibration_probe(spark) -> float:
     return round(min(once() for _ in range(3)), 3)
 
 
+def scheduling_probe(spark) -> float:
+    """Per-job scheduling-constant probe (round-10 VERDICT item 3):
+    seconds per TRIVIAL job, measured by timing K single-task,
+    no-compute jobs back-to-back, best-of-3 after one warm lap.
+
+    The compute probe above is blind to the per-job scheduling
+    constant: in the round-10 driver run the compute probe moved only
+    1.25x while job-count-dominated entries (recursive-CTE ladders,
+    ALS sweeps — 40-141 jobs each) moved 3-4.4x, because the box's
+    DAGScheduler submit/collect latency had drifted independently of
+    its compute speed.  scripts/check_bench.py normalizes entries
+    whose recorded ``jobs`` count exceeds its threshold by THIS
+    probe's current/recorded ratio instead of the compute probe's."""
+
+    def lap() -> float:
+        k = 20
+        t0 = time.perf_counter()
+        for _ in range(k):
+            spark.range(0, 1, 1, 1).count()
+        return (time.perf_counter() - t0) / k
+
+    lap()  # warm the count() plan + scheduler path
+    return round(min(lap() for _ in range(3)), 4)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from wistia_video_analytics_project_spark.session import get_spark
@@ -364,6 +389,8 @@ def main() -> None:
     qs[HEADLINE[0]](spark, "/root/testdata/sf0.001").count()
     calibration = calibration_probe(spark)
     print(f"# calibration_probe: {calibration:.3f}s", file=sys.stderr)
+    sched = scheduling_probe(spark)
+    print(f"# scheduling_probe: {sched:.4f}s/job", file=sys.stderr)
 
     from wistia_video_analytics_project_spark.cache import release_caches
 
@@ -447,6 +474,7 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "run_id": run_id,
         "calibration": calibration,
+        "scheduling": sched,
         "jobs": jobs_per_query,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -468,6 +496,7 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "run_id": run_id,
                 "calibration": calibration,
+                "scheduling": sched,
             }
         )
     )

@@ -260,7 +260,7 @@ def main() -> int:
         probes, bench, n=5, expected_items=expected_items,
         bits_per_item=bits_per_key, k_hashes=k,
     ).collect()[0]
-    predicted = (1.0 - math.exp(-k * 2000 / n_bits)) ** k
+    predicted = (1.0 - math.exp(-k * expected_items / n_bits)) ** k
     report["bloom_fpp"] = {
         "predicted": round(predicted, 4),
         "observed": round(row.n_contaminated / row.n_ngrams, 4),

@@ -24,6 +24,18 @@ captured at sf0.1 on this box.  Comparison rules:
   a uniformly slower box (round 6 measured -40%) cancels out, while a
   single-query plan regression does not (the probe moved, the query
   moved MORE);
+- **scheduling-constant normalization** (round-10 VERDICT item 3): the
+  compute probe is blind to per-job scheduling drift — round 10's
+  driver run had the compute probe at 1.25x while 40-141-job entries
+  (recursive-CTE ladders, ALS sweeps) sat 3-4.4x. bench.py therefore
+  also runs a scheduling probe (seconds per trivial single-task job,
+  best-of-3) and stamps it as ``scheduling``; entries whose RECORDED
+  ``jobs`` count exceeds the threshold (default 12,
+  ``BENCH_GUARD_JOBS_THRESHOLD``) are normalized by
+  ``clamp(sched_current / sched_recorded, 0.5, 5.0)`` instead of the
+  compute ratio (the wider clamp matches the wider observed drift).
+  Entries recorded before jobs/scheduling stamping fall back to the
+  compute ratio;
 - flag when ``normalized > ratio * recorded`` AND ``normalized >
   floor`` (default ratio 2.0, floor 0.5 s — sub-floor queries are
   dominated by the ~0.3 s/job scheduling constant, where a 2x swing is
@@ -55,19 +67,33 @@ def compare(
     ratio: float = 2.0,
     floor: float = 0.5,
     cal_ratio: float = 1.0,
+    sched_ratio: float | None = None,
+    jobs_recorded: dict[str, int] | None = None,
+    jobs_threshold: int = 12,
 ) -> tuple[list[tuple[str, float, float]], list[str], list[str]]:
     """Return (regressions, only_recorded, only_current).
 
     A regression is (name, recorded_s, current_s) where the
-    box-normalized current time (``current / cal_ratio``) exceeds both
-    ``ratio * recorded`` and the absolute ``floor``.  ``cal_ratio`` is
-    the calibration probe's current/recorded ratio (1.0 = same box
-    speed, >1 = current box slower).
+    box-normalized current time exceeds both ``ratio * recorded`` and
+    the absolute ``floor``.  The normalizing denominator is
+    ``cal_ratio`` (the compute probe's current/recorded ratio; 1.0 =
+    same box speed, >1 = current box slower) — except for entries whose
+    RECORDED ``jobs`` count exceeds ``jobs_threshold``, which divide by
+    ``sched_ratio`` (the scheduling probe's current/recorded ratio)
+    instead: their wall-clock is jobs x scheduling-constant, an axis
+    the compute probe does not see.  ``sched_ratio=None`` (no probe on
+    one side) falls back to ``cal_ratio`` for every entry.
     """
+    jobs_recorded = jobs_recorded or {}
     regressions = []
     for name in sorted(set(recorded) & set(current)):
         rec, cur = float(recorded[name]), float(current[name])
-        ncur = cur / cal_ratio
+        denom = cal_ratio
+        if sched_ratio is not None and (
+            int(jobs_recorded.get(name, 0)) > jobs_threshold
+        ):
+            denom = sched_ratio
+        ncur = cur / denom
         if ncur > floor and ncur > ratio * rec:
             regressions.append((name, rec, cur))
     only_recorded = sorted(set(recorded) - set(current))
@@ -87,6 +113,21 @@ def calibration_ratio(
     if recorded_cal <= 0 or current_cal <= 0:
         return 1.0
     return min(3.0, max(0.5, float(current_cal) / float(recorded_cal)))
+
+
+def scheduling_ratio(
+    recorded_sched: float | None, current_sched: float | None
+) -> float | None:
+    """Scheduling-constant current/recorded ratio, clamped to
+    [0.5, 5.0] — wider than the compute clamp because the observed
+    drift is wider (round-10: 3-4.4x on job-count-dominated entries at
+    a 1.25x compute probe).  Returns None (caller falls back to the
+    compute ratio) when either side lacks a probe value."""
+    if not recorded_sched or not current_sched:
+        return None
+    if recorded_sched <= 0 or current_sched <= 0:
+        return None
+    return min(5.0, max(0.5, float(current_sched) / float(recorded_sched)))
 
 
 def _flatten_run(headline_line: dict, *sidecars: dict | None) -> dict:
@@ -164,6 +205,16 @@ def main(argv: list[str]) -> int:
     if not current:
         raise SystemExit("no per-query timings in the current run")
 
+    # per-query jobs + the scheduling probe ride the merged ALLQ
+    # sidecar; same run_id discipline as the timing fill above
+    cur_jobs: dict[str, int] = {}
+    cur_sched = headline.get("scheduling")
+    for sc in sidecars:
+        if sc and sc.get("run_id") == headline.get("run_id"):
+            cur_jobs.update(sc.get("jobs", {}))
+            if cur_sched is None:
+                cur_sched = sc.get("scheduling")
+
     if record:
         with open(RECORDED_PATH, "w") as f:
             json.dump(
@@ -172,6 +223,8 @@ def main(argv: list[str]) -> int:
                     "scripts/check_bench.py (sf0.1, local[32])",
                     "sf": headline.get("sf"),
                     "calibration": headline.get("calibration"),
+                    "scheduling": cur_sched,
+                    "jobs": cur_jobs,
                     "queries": current,
                 },
                 f,
@@ -196,11 +249,12 @@ def main(argv: list[str]) -> int:
         )
 
     if os.environ.get("BENCH_GUARD_NO_CAL"):
-        cal = 1.0
+        cal, sched = 1.0, None
     else:
         cal = calibration_ratio(
             rec_doc.get("calibration"), headline.get("calibration")
         )
+        sched = scheduling_ratio(rec_doc.get("scheduling"), cur_sched)
     if cal != 1.0:
         print(
             f"note  box-speed normalization: probe "
@@ -208,17 +262,40 @@ def main(argv: list[str]) -> int:
             f"{headline.get('calibration')}s current -> dividing current "
             f"timings by {cal:.2f}"
         )
+    jobs_threshold = int(os.environ.get("BENCH_GUARD_JOBS_THRESHOLD", "12"))
+    rec_jobs = rec_doc.get("jobs") or {}
+    if sched is not None:
+        n_sched = sum(
+            1 for n in set(recorded) & set(current)
+            if int(rec_jobs.get(n, 0)) > jobs_threshold
+        )
+        print(
+            f"note  scheduling normalization: probe "
+            f"{rec_doc.get('scheduling')}s/job recorded vs "
+            f"{cur_sched}s/job current -> dividing the {n_sched} "
+            f">{jobs_threshold}-job entries by {sched:.2f}"
+        )
 
-    regs, only_rec, only_cur = compare(recorded, current, ratio, floor, cal)
+    regs, only_rec, only_cur = compare(
+        recorded, current, ratio, floor, cal,
+        sched_ratio=sched, jobs_recorded=rec_jobs,
+        jobs_threshold=jobs_threshold,
+    )
     for name in only_rec:
         print(f"note  {name}: recorded but not in current run")
     for name in only_cur:
         print(f"note  {name}: new (unrecorded) — {current[name]:.3f}s")
     for name, rec, cur in regs:
+        use_sched = (
+            sched is not None
+            and int(rec_jobs.get(name, 0)) > jobs_threshold
+        )
+        denom = sched if use_sched else cal
+        axis = "sched" if use_sched else "box"
         print(
             f"REGRESSION  {name}: {rec:.3f}s -> {cur:.3f}s "
-            f"({cur / rec:.1f}x raw, {cur / cal / rec:.1f}x box-normalized, "
-            f"ratio {ratio:g}, floor {floor:g}s)"
+            f"({cur / rec:.1f}x raw, {cur / denom / rec:.1f}x "
+            f"{axis}-normalized, ratio {ratio:g}, floor {floor:g}s)"
         )
     if regs:
         print(f"{len(regs)} per-query regression(s)")

@@ -229,20 +229,20 @@ def bnlj_build_classes(plan: str) -> set[str]:
     return classes
 
 
-#: pass-through / 1:1 operators a boundedness walk may skip over
-_PASS_THROUGH_RE = re.compile(
-    r"^(?:Sort\b|Exchange\b|AQEShuffleRead|ShuffleQueryStage|Project\b"
-    r"|Filter\b|Window\b|WindowGroupLimit|ColumnarToRow|InputAdapter"
-    r"|WholeStageCodegen|CollectMetrics|Coalesce\b|LocalLimit"
-    r"|RunningWindowFunction|Subquery|ReusedSubquery|AdaptiveSparkPlan"
-    r"|ResultQueryStage|==|$)"
-)
 #: operators that reduce their input to a grouped spine (any keys) or a
-#: bounded row count — a window over these is safe at any data scale
+#: bounded row count — a window over these is safe at any data scale.
+#: Every operator NOT matched here (and not a leaf per the raw-leaf
+#: regex) is treated as pass-through: the walk keeps descending, so a
+#: new/unknown plan node type fails toward "raw" (its scan children
+#: stay visible), never toward "bounded".  Joins are deliberately
+#: pass-through too — a join's output cardinality is NOT bounded by its
+#: inputs being walked separately (a BroadcastNestedLoopJoin multiplies
+#: left*right — the round-10 ADVICE hole), but every branch must still
+#: independently hit an aggregate/limit before any scan.
 _SPINE_RE = re.compile(
     r"^(?:\S*HashAggregate|SortAggregate|AggregateInPandas"
     r"|FlatMapGroupsInPandas|GlobalLimit|TakeOrderedAndProject"
-    r"|LocalTableScan|BroadcastNestedLoopJoin|HashJoin\b)"
+    r"|LocalTableScan)"
 )
 
 
@@ -277,8 +277,8 @@ def unpart_window_unbounded(plan: str) -> bool:
 #: by such an aggregate still collapses the whole entity population
 #: into one task — use the scale.binned_* ladders instead (round-10
 #: sweep converted all nine offenders)
-_ENTITY_KEY_RE = re.compile(
-    r"keys=\[[^\]]*\b(?:\w*custkey|user_id|doc_id|\w*orderkey|vec_id"
+_ENTITY_COL_RE = re.compile(
+    r"\b(?:\w*custkey|user_id|doc_id|\w*orderkey|vec_id"
     r"|\w*partkey|\w*suppkey|event_id"
     # per-distinct-VALUE frames of continuous measures are ~row count
     # at scale (near-unique prices) — rank machinery must use the
@@ -287,18 +287,75 @@ _ENTITY_KEY_RE = re.compile(
     r"|\w*totalprice|\w*extendedprice|cents|word|\w*shingle|tok)\b",
     re.I,
 )
+_KEYS_LIST_RE = re.compile(r"keys=\[([^\]]*)\]")
+_GEXP_RE = re.compile(r"_groupingexpression#\d+")
+
+
+def _gexp_defs(plan: str) -> dict[str, str]:
+    """Map every ``_groupingexpression#N`` alias in the plan to its
+    defining expression text (round-10 VERDICT item 2).
+
+    When ``groupBy`` keys on an expression, Catalyst hoists it into the
+    child Project as ``<expr> AS _groupingexpression#N`` and the
+    aggregate's ``keys=[...]`` prints only the opaque alias — so an
+    entity key laundered through ``cast``/``concat`` was invisible to
+    the entity gate.  The defining Project line is ALWAYS in the same
+    plan text (physical plans print whole subtrees, including cached
+    InMemoryRelation bodies), so the map is recoverable textually: for
+    each `` AS _groupingexpression#N`` walk backwards over balanced
+    parens to the start of the expression."""
+    defs: dict[str, str] = {}
+    for m in re.finditer(r" AS (_groupingexpression#\d+)", plan):
+        alias, i = m.group(1), m.start()
+        depth = 0
+        j = i
+        while j > 0:
+            ch = plan[j - 1]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch in ",[\n" and depth == 0:
+                break
+            j -= 1
+        defs[alias] = plan[j:i].strip()
+    return defs
+
+
+def _entity_keyed_agg(op: str, gexp: dict[str, str]) -> bool:
+    """True iff an aggregate node's grouping keys touch an entity-id
+    column, resolving ``_groupingexpression`` aliases to their defining
+    expressions first.  An alias with NO recoverable definition counts
+    as entity (fail closed): the gate must never pass a key it cannot
+    attribute."""
+    m = _KEYS_LIST_RE.search(op)
+    if not m:
+        return False
+    keys = m.group(1)
+    for _ in range(4):  # aliases can nest one level; fixpoint cheaply
+        if not _GEXP_RE.search(keys):
+            break
+        keys = _GEXP_RE.sub(
+            lambda mm: gexp.get(mm.group(0), "__unresolved_gexp__"), keys
+        )
+        if "__unresolved_gexp__" in keys:
+            return True
+    else:
+        return True  # still unresolved after fixpoint: fail closed
+    return bool(_ENTITY_COL_RE.search(keys))
 
 
 def unpart_window_findings(plan: str) -> set[str]:
     """Classes of unsafe single-task windows found in the plan.
 
-    KNOWN LIMITATION: a grouping key wrapped in an expression prints as
-    the opaque ``_groupingexpression`` alias, which this gate cannot
-    attribute to an entity column — an entity key laundered through a
-    cast/concat would slip past. Every current ``_groupingexpression``
-    site is a calendar cast (``to_date``/``weekday``), and new rank
-    machinery should group on the raw column (the converted queries'
-    style) so the gate can see it.
+    Grouping keys wrapped in expressions (the opaque
+    ``_groupingexpression`` alias) are resolved back to their defining
+    expressions via :func:`_gexp_defs` before the entity test, so an
+    entity key laundered through ``cast``/``concat`` is still
+    attributed to its source column; an alias the plan text cannot
+    resolve fails closed as ``entity`` (round-10 VERDICT item 2).
 
     Classes:
 
@@ -313,6 +370,7 @@ def unpart_window_findings(plan: str) -> set[str]:
     """
     findings: set[str] = set()
     nodes = _tree(plan)
+    gexp = _gexp_defs(plan)
     for idx, (d, op, _) in enumerate(nodes):
         if not op.startswith("Window ") or not _window_is_unpartitioned(op):
             continue
@@ -331,7 +389,7 @@ def unpart_window_findings(plan: str) -> set[str]:
             if bound_depths:
                 continue  # inside an already-bounded branch
             if _SPINE_RE.match(op2):
-                if _KEYED_AGG_RE.search(op2) and _ENTITY_KEY_RE.search(op2):
+                if _KEYED_AGG_RE.search(op2) and _entity_keyed_agg(op2, gexp):
                     findings.add("entity")
                 bound_depths.append(d2)
                 continue

@@ -783,6 +783,11 @@ def ladder_ladder(spark, release_caches) -> None:
         binned_row_number,
     )
 
+    from wistia_video_analytics_project_spark.operators.scale import (
+        binned_id_gaps,
+        binned_prefix_ops,
+    )
+
     for n in (1_000_000, 4_000_000, 16_000_000):
         per_user = spark.range(n).select(
             F.col("id").alias("user_id"),
@@ -811,13 +816,117 @@ def ladder_ladder(spark, release_caches) -> None:
             f"({n:>10,} entities) global_rank : window {best_w:6.2f}s"
             f" vs ladder {best_l:6.2f}s ({best_w / best_l:4.2f}x)"
         )
+        # fused prefix ops (running sum + rank over one bucketing) vs
+        # the same two ops as one single-task window pass
+        w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        best_w2 = min(
+            _time(
+                lambda: per_user.withColumn("rn", F.row_number().over(w))
+                .withColumn("cs", F.sum("v").over(w_run))
+                .agg(F.sum("rn"), F.sum("cs")).collect()
+            )
+            for _ in range(2)
+        )
+        release_caches()
+        best_l2 = min(
+            _time(
+                lambda: binned_prefix_ops(
+                    per_user, ["v", "user_id"],
+                    sum_cols={"cs": "v"}, rank_col="rn",
+                ).agg(F.sum("rn"), F.sum("cs")).collect()
+            )
+            for _ in range(2)
+        )
+        release_caches()
+        print(
+            f"({n:>10,} entities) prefix_fused: window {best_w2:6.2f}s"
+            f" vs ladder {best_l2:6.2f}s ({best_w2 / best_l2:4.2f}x)"
+        )
+        # id-gap scan (seam-aware lead) vs the global lead window
+        ids = per_user.filter(F.pmod(F.xxhash64("user_id"), F.lit(10)) < 9
+                              ).select("user_id")
+        w_id = Window.orderBy("user_id")
+
+        def gaps_window():
+            nxt = ids.withColumn("nxt", F.lead("user_id").over(w_id))
+            return (
+                nxt.filter(F.col("nxt") > F.col("user_id") + 1)
+                .agg(F.count(F.lit(1)), F.sum("nxt")).collect()
+            )
+
+        best_w3 = min(_time(gaps_window) for _ in range(2))
+        release_caches()
+        best_l3 = min(
+            _time(
+                lambda: binned_id_gaps(ids, "user_id")
+                .agg(F.count(F.lit(1)), F.sum("gap_end")).collect()
+            )
+            for _ in range(2)
+        )
+        release_caches()
+        print(
+            f"({n:>10,} entities) id_gaps     : window {best_w3:6.2f}s"
+            f" vs ladder {best_l3:6.2f}s ({best_w3 / best_l3:4.2f}x)"
+        )
+
+
+def skew_ladder(spark, release_caches) -> None:
+    """Round-10 VERDICT item 4: on a Zipf/power-law lead key the
+    fixed-width bucketing concentrates nearly every row into one fat
+    bucket — correct output, but the within-bucket window is one task
+    again.  ``bounds="quantile"`` (equi-depth edges from
+    approx_percentile) restores ~n_buckets-way parallelism.  This rung
+    measures both variants' wall and their fattest-bucket share on the
+    same frame."""
+    from wistia_video_analytics_project_spark.operators.scale import (
+        _range_bucketed,
+        binned_row_number,
+    )
+
+    for n in (1_000_000, 4_000_000, 16_000_000):
+        # floor(1e9/(id+1)): power-law mass at the bottom of a huge
+        # range; largest single-value tie stays a tiny share
+        df = spark.range(n).select(
+            F.floor(F.lit(1_000_000_000) / (F.col("id") + 1)).alias("k"),
+            F.col("id").alias("tie"),
+        ).localCheckpoint(eager=True)
+        shares = {}
+        for label, bounds in (("fixed", None), ("qtile", "quantile")):
+            per = (
+                _range_bucketed(df, "k", 64, bounds)
+                .groupBy("__bucket")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            shares[label] = per / n
+            release_caches()
+        best = {}
+        for label, bounds in (("fixed", None), ("qtile", "quantile")):
+            best[label] = min(
+                _time(
+                    lambda: binned_row_number(
+                        df, ["k", "tie"], bounds=bounds, out_col="rn"
+                    ).agg(F.sum("rn")).collect()
+                )
+                for _ in range(2)
+            )
+            release_caches()
+        print(
+            f"({n:>10,} rows) zipf_rank  : fixed {best['fixed']:6.2f}s"
+            f" (fat bucket {shares['fixed']:5.1%})"
+            f" vs equi-depth {best['qtile']:6.2f}s"
+            f" (fat bucket {shares['qtile']:5.1%})"
+            f" ({best['fixed'] / best['qtile']:4.2f}x)"
+        )
 
 
 def main() -> None:
     from wistia_video_analytics_project_spark.cache import release_caches
 
     known = {"events", "docs", "lpa", "als", "unigram", "kn",
-             "itemcos", "ppl", "abandon", "bigram", "stats9", "ladder"}
+             "itemcos", "ppl", "abandon", "bigram", "stats9", "ladder",
+             "skew"}
     sections = set(sys.argv[1:]) or set(known)
     unknown = sections - known
     if unknown:
@@ -844,6 +953,8 @@ def main() -> None:
         stats9_ladder(spark, release_caches)
     if "ladder" in sections:
         ladder_ladder(spark, release_caches)
+    if "skew" in sections:
+        skew_ladder(spark, release_caches)
     if not sections & {"events", "docs", "lpa"}:
         spark.stop()
         return

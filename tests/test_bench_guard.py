@@ -123,6 +123,78 @@ def test_calibration_ratio_clamps_and_defaults():
     assert check_bench.calibration_ratio(2.0, 2.8) == 1.4
 
 
+def test_scheduling_probe_normalizes_job_dominated_entries():
+    """Replay of the round-10 driver-run shape (VERDICT item 3): the
+    compute probe moved only 1.25x but the per-job scheduling constant
+    moved 4x — job-count-dominated entries (recursive-CTE ladder at 141
+    jobs, ALS at 50) drifted 3-4.4x while compute-bound queries tracked
+    the compute probe.  The compute-only guard false-flags them; the
+    scheduling axis must cancel the drift."""
+    recorded = {"cte_ladder": 3.0, "als": 4.4, "scan_heavy": 2.0}
+    jobs = {"cte_ladder": 141, "als": 50, "scan_heavy": 4}
+    current = {"cte_ladder": 13.2, "als": 13.0, "scan_heavy": 2.5}
+    cal = check_bench.calibration_ratio(0.476, 0.595)  # 1.25x compute
+    # compute-only normalization (the round-10 gap): false flags
+    raw, _, _ = check_bench.compare(recorded, current, cal_ratio=cal)
+    assert {n for n, _, _ in raw} == {"cte_ladder", "als"}
+    # scheduling-normalized: the drift cancels, nothing flags
+    sched = check_bench.scheduling_ratio(0.02, 0.08)  # 4x per-job
+    regs, _, _ = check_bench.compare(
+        recorded, current, cal_ratio=cal,
+        sched_ratio=sched, jobs_recorded=jobs,
+    )
+    assert regs == [], regs
+
+
+def test_scheduling_probe_keeps_real_regression_on_job_heavy_entry():
+    """A genuine 3x regression in a job-heavy entry still flags when
+    the scheduling constant itself has not moved."""
+    recorded = {"cte_ladder": 3.0}
+    jobs = {"cte_ladder": 141}
+    current = {"cte_ladder": 9.0}
+    sched = check_bench.scheduling_ratio(0.02, 0.021)  # flat
+    regs, _, _ = check_bench.compare(
+        recorded, current, sched_ratio=sched, jobs_recorded=jobs
+    )
+    assert [n for n, _, _ in regs] == ["cte_ladder"]
+
+
+def test_scheduling_axis_only_applies_above_jobs_threshold():
+    """A compute-bound query (few jobs) must NOT get the scheduling
+    normalization — a real 3x plan regression on it flags even when
+    the box's scheduling constant also drifted 3x."""
+    recorded = {"scan_q": 2.0}
+    current = {"scan_q": 6.0}
+    sched = check_bench.scheduling_ratio(0.02, 0.06)  # 3x per-job
+    regs, _, _ = check_bench.compare(
+        recorded, current, sched_ratio=sched,
+        jobs_recorded={"scan_q": 4},
+    )
+    assert [n for n, _, _ in regs] == ["scan_q"]
+
+
+def test_scheduling_ratio_clamps_and_defaults():
+    assert check_bench.scheduling_ratio(None, 0.02) is None
+    assert check_bench.scheduling_ratio(0.02, None) is None
+    assert check_bench.scheduling_ratio(0.0, 0.02) is None
+    assert check_bench.scheduling_ratio(0.02, 0.5) == 5.0   # clamp high
+    assert check_bench.scheduling_ratio(0.5, 0.02) == 0.5   # clamp low
+    assert check_bench.scheduling_ratio(0.02, 0.08) == 4.0
+
+
+def test_no_sched_probe_falls_back_to_compute_ratio():
+    """Entries recorded before jobs/scheduling stamping get the old
+    behavior: compute-probe normalization for everything."""
+    recorded = {"cte_ladder": 3.0}
+    current = {"cte_ladder": 9.5}
+    cal = check_bench.calibration_ratio(1.0, 1.4)
+    regs, _, _ = check_bench.compare(
+        recorded, current, cal_ratio=cal,
+        sched_ratio=None, jobs_recorded={"cte_ladder": 141},
+    )
+    assert [n for n, _, _ in regs] == ["cte_ladder"]
+
+
 def test_faster_box_tightens_the_guard():
     """cal < 1 (current box faster) normalizes current timings UP, so a
     regression masked by a faster box is still caught."""

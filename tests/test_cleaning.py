@@ -130,7 +130,7 @@ def test_contamination_bloom_fpp_matches_planner_prediction(spark):
         k_hashes=k,
     ).collect()[0]
     observed = row.n_contaminated / row.n_ngrams
-    predicted = (1.0 - math.exp(-k * 2000 / n_bits)) ** k
+    predicted = (1.0 - math.exp(-k * expected_items / n_bits)) ** k
     assert row.n_ngrams == 8000
     assert 0.5 * predicted <= observed <= 1.5 * predicted, (
         f"observed FPP {observed:.4f} vs predicted {predicted:.4f}"

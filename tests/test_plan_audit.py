@@ -164,6 +164,70 @@ def test_audit_parser_judges_unpartitioned_windows():
     assert not unpart_window_unbounded(cached)
 
 
+def test_audit_parser_treats_bnlj_as_pass_through_in_window_walk():
+    """A BNLJ's output cardinality is left*right, so it must NOT bound
+    the window walk (round-10 ADVICE): the streamed side still has to
+    hit an aggregate/limit before any scan."""
+    from scripts.plan_audit import unpart_window_findings
+
+    over_bnlj_raw = (
+        "+- Window [sum(v#3) windowspecdefinition(k#1 ASC) AS s#9],"
+        " [k#1 ASC NULLS FIRST]\n"
+        "   +- Sort [k#1 ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange SinglePartition\n"
+        "         +- BroadcastNestedLoopJoin BuildRight, Cross\n"
+        "            :- FileScan parquet [k#1,v#3]\n"
+        "            +- BroadcastExchange IdentityBroadcastMode\n"
+        "               +- HashAggregate(keys=[], functions=[sum(v#3)])\n"
+        "                  +- FileScan parquet [v#3]\n"
+    )
+    assert unpart_window_findings(over_bnlj_raw) == {"raw"}
+
+    # the legitimate cum-share shape: BOTH branches bounded (day-spine
+    # aggregate x scalar broadcast) stays clean
+    over_bnlj_ok = over_bnlj_raw.replace(
+        "            :- FileScan parquet [k#1,v#3]\n",
+        "            :- HashAggregate(keys=[day#7], functions=[sum(v#3)])\n"
+        "            :  +- FileScan parquet [v#3]\n",
+    )
+    assert unpart_window_findings(over_bnlj_ok) == set()
+
+
+def test_audit_parser_resolves_grouping_expressions_to_entity_keys():
+    """Round-10 VERDICT item 2: an entity key laundered through a
+    cast/concat prints as the opaque ``_groupingexpression`` alias —
+    the gate must resolve it back to the source column and flag."""
+    from scripts.plan_audit import unpart_window_findings
+
+    laundered = (
+        "+- Window [sum(s#7) windowspecdefinition(s#7 ASC) AS cum#16],"
+        " [s#7 ASC NULLS FIRST]\n"
+        "   +- Sort [s#7 ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange SinglePartition\n"
+        "         +- HashAggregate(keys=[_groupingexpression#18],"
+        " functions=[sum(p#3)], output=[k#6, s#7])\n"
+        "            +- Project [p#3, concat(u, cast(o_custkey#1L as"
+        " string)) AS _groupingexpression#18]\n"
+        "               +- FileScan parquet [o_custkey#1L,p#3]\n"
+    )
+    assert unpart_window_findings(laundered) == {"entity"}
+
+    # a calendar cast through the same alias machinery stays clean
+    calendar = laundered.replace(
+        "concat(u, cast(o_custkey#1L as string))", "cast(ts#1 as date)"
+    )
+    assert unpart_window_findings(calendar) == set()
+
+    # an alias the plan text cannot resolve fails CLOSED (entity)
+    unresolved = laundered.replace(
+        "            +- Project [p#3, concat(u, cast(o_custkey#1L as"
+        " string)) AS _groupingexpression#18]\n"
+        "               +- FileScan parquet [o_custkey#1L,p#3]\n",
+        "            +- FileScan parquet [p#3]\n",
+    )
+    assert unpart_window_findings(unresolved) == {"entity"}
+
+
 def test_audit_parser_flags_entity_keyed_single_task_windows():
     from scripts.plan_audit import unpart_window_findings
 

