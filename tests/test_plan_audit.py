@@ -228,6 +228,41 @@ def test_audit_parser_resolves_grouping_expressions_to_entity_keys():
     assert unpart_window_findings(unresolved) == {"entity"}
 
 
+def test_gexp_resolution_flags_live_laundered_plan(spark):
+    """End-to-end on a REAL executed plan (not synthetic text): an
+    entity key hidden inside concat() under an unpartitioned window
+    must flag ``entity``; the same shape grouped on a calendar cast
+    must stay clean."""
+    from pyspark.sql import Window, functions as F
+
+    from scripts.plan_audit import unpart_window_findings
+    from wistia_video_analytics_project_spark.plans import executed_plan
+    from conftest import SF_SMOKE
+    from wistia_video_analytics_project_spark.sources.readers import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    w = Window.orderBy("s")
+    laundered = (
+        orders.groupBy(
+            F.concat(F.lit("u"), F.col("o_custkey")).alias("k")
+        )
+        .agg(F.sum("o_totalprice").alias("s"))
+        .withColumn("cum", F.sum("s").over(w))
+    )
+    assert unpart_window_findings(executed_plan(laundered)) == {"entity"}
+
+    calendar = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("m")
+        )
+        .agg(F.sum("o_totalprice").alias("s"))
+        .withColumn("cum", F.sum("s").over(w))
+    )
+    assert unpart_window_findings(executed_plan(calendar)) == set()
+
+
 def test_audit_parser_flags_entity_keyed_single_task_windows():
     from scripts.plan_audit import unpart_window_findings
 
