@@ -347,6 +347,31 @@ def _entity_keyed_agg(op: str, gexp: dict[str, str]) -> bool:
     return bool(_ENTITY_COL_RE.search(keys))
 
 
+def _entity_grouped_pandas(op: str, gexp: dict[str, str]) -> bool:
+    """Entity test for the Arrow-grouped operators, which print their
+    grouping keys as the FIRST bracket group instead of ``keys=[...]``
+    (``FlatMapGroupsInPandas [o_custkey#1L], f(...)``) — without this,
+    an entity-grouped ``applyInPandas`` feeding a single-task window
+    would bound the walk unclassified."""
+    if not re.match(r"^(?:FlatMapGroupsInPandas|AggregateInPandas)\b", op):
+        return False
+    groups = _bracket_groups(op)
+    if not groups:
+        return False
+    keys = groups[0]
+    for _ in range(4):
+        if not _GEXP_RE.search(keys):
+            break
+        keys = _GEXP_RE.sub(
+            lambda mm: gexp.get(mm.group(0), "__unresolved_gexp__"), keys
+        )
+        if "__unresolved_gexp__" in keys:
+            return True
+    else:
+        return True
+    return bool(_ENTITY_COL_RE.search(keys))
+
+
 def unpart_window_findings(plan: str) -> set[str]:
     """Classes of unsafe single-task windows found in the plan.
 
@@ -389,7 +414,10 @@ def unpart_window_findings(plan: str) -> set[str]:
             if bound_depths:
                 continue  # inside an already-bounded branch
             if _SPINE_RE.match(op2):
-                if _KEYED_AGG_RE.search(op2) and _entity_keyed_agg(op2, gexp):
+                if (
+                    _KEYED_AGG_RE.search(op2)
+                    and _entity_keyed_agg(op2, gexp)
+                ) or _entity_grouped_pandas(op2, gexp):
                     findings.add("entity")
                 bound_depths.append(d2)
                 continue

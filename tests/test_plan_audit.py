@@ -228,6 +228,54 @@ def test_audit_parser_resolves_grouping_expressions_to_entity_keys():
     assert unpart_window_findings(unresolved) == {"entity"}
 
 
+def test_audit_parser_classifies_pandas_grouped_spines():
+    """FlatMapGroupsInPandas / AggregateInPandas print their grouping
+    keys as the FIRST bracket group (no ``keys=[...]``): an
+    entity-grouped applyInPandas under a single-task window must flag
+    ``entity``; a day-grouped one stays a clean spine."""
+    from scripts.plan_audit import unpart_window_findings
+
+    base = (
+        "+- Window [sum(v#3) windowspecdefinition(v#3 ASC) AS s#9],"
+        " [v#3 ASC NULLS FIRST]\n"
+        "   +- Sort [v#3 ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange SinglePartition\n"
+        "         +- FlatMapGroupsInPandas [{key}], f(v#3)#6, [v#3]\n"
+        "            +- Exchange hashpartitioning({key}, 32)\n"
+        "               +- FileScan parquet [v#3]\n"
+    )
+    assert unpart_window_findings(base.format(key="o_custkey#1L")) == {
+        "entity"
+    }
+    assert unpart_window_findings(base.format(key="day#1")) == set()
+
+
+def test_live_entity_grouped_apply_in_pandas_flags(spark):
+    """End-to-end: a real applyInPandas grouped on an entity id feeding
+    an unpartitioned window flags ``entity`` on the executed plan."""
+    import pandas as pd
+    from pyspark.sql import Window, functions as F
+
+    from scripts.plan_audit import unpart_window_findings
+    from wistia_video_analytics_project_spark.plans import executed_plan
+    from conftest import SF_SMOKE
+    from wistia_video_analytics_project_spark.sources.readers import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+
+    def head1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.head(1)
+
+    per_cust = orders.groupBy("o_custkey").applyInPandas(
+        head1, schema=orders.schema
+    )
+    w = Window.orderBy("o_totalprice")
+    out = per_cust.withColumn("cum", F.sum("o_totalprice").over(w))
+    assert unpart_window_findings(executed_plan(out)) == {"entity"}
+
+
 def test_gexp_resolution_flags_live_laundered_plan(spark):
     """End-to-end on a REAL executed plan (not synthetic text): an
     entity key hidden inside concat() under an unpartitioned window
