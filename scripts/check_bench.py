@@ -170,6 +170,25 @@ def _flatten_run(headline_line: dict, *sidecars: dict | None) -> dict:
     return flat
 
 
+def _sidecar_meta(
+    headline: dict, *sidecars: dict | None
+) -> tuple[dict[str, int], float | None]:
+    """(jobs map, scheduling probe) for a run: the per-query ``jobs``
+    counts and the scheduling probe ride the merged ALLQ sidecar; the
+    same run_id discipline as the timing fill applies (a sidecar from a
+    different run must not attribute its jobs/probe to this artifact).
+    The headline's own ``scheduling`` stamp, when present, wins."""
+    jobs: dict[str, int] = {}
+    sched = headline.get("scheduling")
+    for sc in sidecars:
+        if sc and sc.get("run_id") == headline.get("run_id") \
+                and headline.get("run_id") is not None:
+            jobs.update(sc.get("jobs", {}))
+            if sched is None:
+                sched = sc.get("scheduling")
+    return jobs, sched
+
+
 def _run_bench() -> dict:
     print("# running bench.py (a few minutes at sf0.1)...", file=sys.stderr)
     out = subprocess.run(
@@ -204,16 +223,7 @@ def main(argv: list[str]) -> int:
     current = _flatten_run(headline, *sidecars)
     if not current:
         raise SystemExit("no per-query timings in the current run")
-
-    # per-query jobs + the scheduling probe ride the merged ALLQ
-    # sidecar; same run_id discipline as the timing fill above
-    cur_jobs: dict[str, int] = {}
-    cur_sched = headline.get("scheduling")
-    for sc in sidecars:
-        if sc and sc.get("run_id") == headline.get("run_id"):
-            cur_jobs.update(sc.get("jobs", {}))
-            if cur_sched is None:
-                cur_sched = sc.get("scheduling")
+    cur_jobs, cur_sched = _sidecar_meta(headline, *sidecars)
 
     if record:
         with open(RECORDED_PATH, "w") as f:

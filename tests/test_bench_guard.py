@@ -203,3 +203,22 @@ def test_faster_box_tightens_the_guard():
     cal = check_bench.calibration_ratio(1.0, 0.6)  # box 40% faster
     regs, _, _ = check_bench.compare(recorded, current, cal_ratio=cal)
     assert [n for n, _, _ in regs] == ["q1"], regs
+
+
+def test_sidecar_meta_respects_run_identity():
+    """jobs/scheduling ride the ALLQ sidecar but must only attach to
+    the run that wrote them — and a pre-run_id artifact gets none."""
+    head = {"sf": 0.1, "run_id": "r1", "queries": {"a": 1.0}}
+    side = {"sf": 0.1, "run_id": "r1", "queries": {},
+            "jobs": {"a": 141}, "scheduling": 0.04}
+    other = {"sf": 0.1, "run_id": "r2", "queries": {},
+             "jobs": {"a": 9}, "scheduling": 0.9}
+    jobs, sched = check_bench._sidecar_meta(head, side, other)
+    assert jobs == {"a": 141} and sched == 0.04
+    # headline's own stamp wins over the sidecar's
+    head2 = dict(head, scheduling=0.05)
+    _, sched2 = check_bench._sidecar_meta(head2, side)
+    assert sched2 == 0.05
+    legacy = {"sf": 0.1, "queries": {"a": 1.0}}  # no run_id
+    jobs3, sched3 = check_bench._sidecar_meta(legacy, side)
+    assert jobs3 == {} and sched3 is None

@@ -521,3 +521,42 @@ def test_observed_bounds_exclude_nan_from_bucket_range(spark):
     assert counts.pop(8 + 2) == 1  # the NaN row, alone in the trailing bucket
     assert len(counts) >= 8  # real values spread over the full range
     assert max(counts.values()) < 1000 / 4
+
+
+def test_quantile_bounds_pass_through_ntile_and_id_gaps(spark):
+    """binned_ntile and binned_id_gaps accept bounds="quantile" and
+    stay row-identical to the global windows on a skewed axis."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import Window, functions as F
+
+    n = 5_000
+    df = spark.range(n).select(
+        F.floor(F.lit(1_000_000) / (F.col("id") + 1)).alias("k"),
+        F.col("id").alias("tie"),
+    )
+    got = scale.binned_ntile(
+        df, ["k", "tie"], 7, n_buckets=16, bounds="quantile", out_col="t"
+    )
+    w = Window.orderBy(F.col("k").asc(), F.col("tie").asc())
+    ref = df.withColumn("t", F.ntile(7).over(w))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+    # clustered id axis (ids crowd near 0 after the reciprocal), holes
+    # punched deterministically
+    ids = df.select(F.col("k").alias("id")).distinct().filter(
+        F.pmod(F.col("id"), F.lit(7)) != 3
+    )
+    got_g = scale.binned_id_gaps(ids, "id", n_buckets=8, bounds="quantile")
+    wg = Window.orderBy("id")
+    ref_g = (
+        ids.withColumn("nxt", F.lead("id").over(wg))
+        .filter(F.col("nxt") > F.col("id") + 1)
+        .select(
+            (F.col("id") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("id") - 1).alias("n_missing"),
+        )
+    )
+    assert got_g.exceptAll(ref_g).count() == 0
+    assert ref_g.exceptAll(got_g).count() == 0

@@ -677,6 +677,7 @@ def binned_id_gaps(
     df: DataFrame,
     id_col: str,
     n_buckets: int = 64,
+    bounds: tuple[float, float] | str | None = None,
 ) -> DataFrame:
     """Gaps-and-islands over a numeric id axis WITHOUT a single-task
     lead window.
@@ -691,10 +692,13 @@ def binned_id_gaps(
     global-window form (asserted in tests).
 
     Returns ``(gap_start, gap_end, n_missing)`` per maximal missing
-    run. ``df`` should be the distinct non-null id frame.
+    run. ``df`` should be the distinct non-null id frame. ``bounds``
+    follows :func:`_range_bucketed` (``"quantile"`` for id axes so
+    sparse/clustered that fixed-width buckets go fat — rare for dense
+    surrogate ids, common for timestamps-as-ids).
     """
     df = track(df.cache())  # consumed by bounds, the lead, and the spine
-    bucketed = _range_bucketed(df, id_col, n_buckets, None).select(
+    bucketed = _range_bucketed(df, id_col, n_buckets, bounds).select(
         "__bucket", id_col
     )
     w_in = Window.partitionBy("__bucket").orderBy(id_col)
@@ -726,6 +730,7 @@ def binned_ntile(
     n_tiles: int,
     n_buckets: int = 64,
     out_col: str = "tile",
+    bounds: tuple[float, float] | str | None = None,
 ) -> DataFrame:
     """Exact global ``ntile(n)`` WITHOUT a single-task sort.
 
@@ -743,7 +748,8 @@ def binned_ntile(
     """
     k = int(n_tiles)
     ranked = binned_row_number(
-        df, order_cols, n_buckets=n_buckets, out_col="__bn_rn"
+        df, order_cols, n_buckets=n_buckets, out_col="__bn_rn",
+        bounds=bounds,
     )
     tot = df.agg(F.count(F.lit(1)).cast("long").alias("__bn_n"))
     j = ranked.crossJoin(F.broadcast(tot))
