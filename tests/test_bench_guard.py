@@ -222,3 +222,46 @@ def test_sidecar_meta_respects_run_identity():
     legacy = {"sf": 0.1, "queries": {"a": 1.0}}  # no run_id
     jobs3, sched3 = check_bench._sidecar_meta(legacy, side)
     assert jobs3 == {} and sched3 is None
+
+
+def test_record_persists_scheduling_and_jobs(tmp_path, monkeypatch):
+    """--record must carry the scheduling probe and per-query jobs map
+    into the reference — that is the handoff that activates the
+    scheduling axis at the next natural re-record."""
+    import json
+
+    artifact = tmp_path / "run.json"
+    artifact.write_text(json.dumps({
+        "metric": "headline_query_wall_clock_total", "value": 1.0,
+        "unit": "sec", "queries": {"a": 1.0}, "sf": 0.1,
+        "run_id": "rX", "calibration": 0.5, "scheduling": 0.04,
+    }))
+    allq = tmp_path / "BENCH_ALLQ.json"
+    allq.write_text(json.dumps({
+        "metric": "all_query_wall_clock", "unit": "sec",
+        "queries": {"a": 1.0, "b": 2.0}, "sf": 0.1, "run_id": "rX",
+        "calibration": 0.5, "scheduling": 0.04, "jobs": {"a": 4, "b": 44},
+    }))
+    recorded = tmp_path / "BENCH_RECORDED.json"
+    monkeypatch.setattr(check_bench, "RECORDED_PATH", str(recorded))
+    monkeypatch.setattr(check_bench, "ALLQ_PATH", str(allq))
+    monkeypatch.setattr(
+        check_bench, "SECONDARY_PATH", str(tmp_path / "missing.json")
+    )
+    assert check_bench.main(["--record", str(artifact)]) == 0
+    doc = json.loads(recorded.read_text())
+    assert doc["scheduling"] == 0.04
+    assert doc["jobs"] == {"a": 4, "b": 44}
+    assert doc["queries"] == {"a": 1.0, "b": 2.0}
+    assert doc["calibration"] == 0.5
+
+    # and a comparison against that reference uses the scheduling axis
+    # for the 44-job entry: sched flat, compute probe 2x -> the b entry
+    # regressing 3x raw still flags on the scheduling axis
+    current = tmp_path / "run2.json"
+    current.write_text(json.dumps({
+        "metric": "headline_query_wall_clock_total", "value": 1.0,
+        "unit": "sec", "queries": {"a": 1.0, "b": 6.0}, "sf": 0.1,
+        "run_id": "rY", "calibration": 1.0, "scheduling": 0.041,
+    }))
+    assert check_bench.main([str(current)]) == 1
