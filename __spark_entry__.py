@@ -11654,21 +11654,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     git history, both 50/50 driver-green).  Rows-only approximates (no
     oracle by design — see CLAUDE.md) stay at the very end so every
     in-window slot is a full hash-checked comparison.
-    ``_WINDOW_R11`` below executes the round-11 rotation exactly as the
-    round-10 VERDICT prescribed (item 1): position 1 =
-    ``topk_stability_halves`` — the ONLY oracle-backed query (1 of 330)
-    with no driver CORRECTNESS row after round 10 — then the stale
-    continuation in registry order (``promo_revenue_share`` ..
-    ``late_shipment_rate`` from the round-2/3 tier, last driver-green in
-    round 3, then ``streaming_sessions`` onward, last green rounds 4-5),
-    skipping rows-only entries.  Verified against all ten CORRECTNESS
-    artifacts: every window entry's last green row is round <=5.
-    ROTATION PLAN for round 12: continue the registry-order walk from
-    ``top_nations_with_other``'s successor (``purchase_survival_km``,
-    ``ab_test_report``, ``mann_whitney_order_values``,
-    ``chi_square_type_weekday``, ..), still skipping rows-only
-    entries — keep cycling so every oracle-backed entry re-earns a
-    driver green row every ~2-3 rounds.
+    ``_WINDOW_R12`` below executes the round-12 rotation exactly as the
+    round-11 VERDICT prescribed (item 3): the 34 stalest driver rows
+    first — the 18 oracle-backed entries whose last green driver row is
+    round 4 (``duplicated_spans`` .. ``event_association_rules``), then
+    the 16 last green in round 5 (``text_readability`` ..
+    ``region_balance_boxplot``), then the 16 remaining slots filled from
+    the round-6 tier in registry order (``priority_value_spread`` ..
+    ``rfm_segments``).  Recomputed this round from all eleven
+    CORRECTNESS artifacts against the live registry: after round 12 no
+    oracle-backed entry's last green row is older than round 5, and the
+    recency histogram floor moves 4 -> 6 for 34 entries.
+    ROTATION PLAN for round 13: continue the staleness-ordered walk —
+    the remaining 31 round-6-tier entries (``top_entry_paths`` ..
+    ``late_shipment_rate``) plus the freshest 19 of the round-7 tier,
+    skipping rows-only entries — keep cycling so every oracle-backed
+    entry re-earns a driver green row every ~2-3 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
@@ -11985,8 +11986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpp_planner": q_bloom_fpp_planner,
         "topk_stability_halves": q_topk_stability_halves,
     })
-    # --- round-11 rotation: reorder so the driver's 50-entry window ---
-    ordered = {name: core[name] for name in _WINDOW_R11}
+    # --- round-12 rotation: reorder so the driver's 50-entry window ---
+    ordered = {name: core[name] for name in _WINDOW_R12}
     ordered.update((n, f) for n, f in core.items() if n not in ordered)
     # rows-only approximates (no oracle by design) go last: a window
     # slot spent on them yields only a weak rows-only driver check
@@ -12008,68 +12009,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-11 driver window — executes the rotation the round-10 VERDICT
-#: prescribed (item 1): the round-10 spill ``topk_stability_halves``
-#: first (the only oracle-backed entry with no driver row), then the
-#: stale round-2/3 tier resuming the registry-order walk at
-#: ``promo_revenue_share`` (everything here last earned a driver green
-#: row in rounds 3-5).  Round-12 continuation is documented in the
-#: ``queries()`` docstring; ``_WINDOW_R3``..``_WINDOW_R10`` are in git
-#: history, each 50/50 driver-green in its round.
-_WINDOW_R11 = [
-    # --- 1: the round-10 window spill — never driver-checked ---
-    "topk_stability_halves",
-    # --- 2-8: round-2 tier, last green round 3 ---
-    "promo_revenue_share",
-    "disjunctive_branch_revenue",
-    "top_supplier_per_quarter",
-    "large_volume_orders",
-    "nation_pair_trade",
-    "order_count_distribution",
-    "late_shipment_rate",
-    # --- 9-50: round-3 tier onward, registry order, last green r4-r5 ---
-    "streaming_sessions",
-    "nation_year_profit",
-    "small_quantity_revenue",
-    "sole_late_supplier",
-    "event_pattern_match",
-    "cusum_changepoint",
-    "daily_trend_regression",
-    "null_safe_join",
-    "trimmed_mean_order_value",
-    "yearly_customer_setops",
-    "variant_props_extract",
-    "lateral_top_customers",
-    "event_id_gaps",
-    "safe_arithmetic_report",
-    "abc_customer_classes",
-    "mad_outlier_days",
-    "nation_share_of_region",
-    "value_psi_report",
-    "rolling_view_purchase_corr",
-    "revenue_concentration",
-    "min_cost_supplier",
-    "important_part_stock",
-    "ship_latency_priority",
-    "supplier_count_by_part",
-    "excess_shipped_suppliers",
-    "clamped_quarterly_balance",
-    "priority_status_listagg",
-    "daily_unique_users_bitmap",
-    "value_percentile_disc",
-    "incremental_kpi_refresh",
-    "ewma_daily_revenue",
-    "higher_moments_report",
-    "centroid_drift",
-    "activity_streaks",
-    "user_event_histogram_map",
-    "user_behavior_entropy",
-    "measure_corr_matrix",
-    "scd2_point_in_time",
-    "touch_attribution",
-    "winsorized_order_stats",
-    "token_pmi",
-    "top_nations_with_other",
+#: Round-12 driver window — executes the rotation the round-11 VERDICT
+#: prescribed (item 3): the 34 stalest driver rows front-loaded (18
+#: entries last green in round 4, then 16 last green in round 5), the
+#: remaining 16 slots filled from the round-6 tier in registry order.
+#: Recomputed from all eleven CORRECTNESS artifacts against the live
+#: registry; ``_WINDOW_R3``..``_WINDOW_R11`` are in git history, each
+#: 50/50 driver-green in its round.
+_WINDOW_R12 = [
+    # --- 1-18: last driver-green round 4 ---
+    "duplicated_spans",
+    "dedup_winnow",
+    "dedup_winnow_incremental",
+    "dedup_containment",
+    "lm_bits_per_token",
+    "source_divergence",
+    "bm25_search",
+    "doc_novelty",
+    "purchase_survival_km",
+    "ab_test_report",
+    "mann_whitney_order_values",
+    "chi_square_type_weekday",
+    "daily_revenue_decomposition",
+    "incremental_join_view",
+    "k_anonymity_customers",
+    "daily_revenue_acf",
+    "seasonal_naive_backtest",
+    "event_association_rules",
+    # --- 19-34: last driver-green round 5 ---
+    "text_readability",
+    "dsir_importance",
+    "hard_negative_pairs",
+    "weighted_sample_wor",
+    "stratified_sample_wor",
+    "part_pagerank",
+    "brand_part_ppr",
+    "part_authority_hits",
+    "copurchase_powerlaw",
+    "copurchase_assortativity",
+    "copurchase_triangles",
+    "copurchase_core3",
+    "streaming_sliding_traffic",
+    "ship_business_days",
+    "ar2_revenue_forecast",
+    "region_balance_boxplot",
+    # --- 35-50: round-6 tier, registry order ---
+    "priority_value_spread",
+    "regional_revenue",
+    "orders_above_customer_avg",
+    "user_event_type_sets",
+    "top_event_type_per_user",
+    "balance_segment_report",
+    "customers_no_final_orders",
+    "order_value_percent_rank",
+    "doc_split_assignment",
+    "user_first_last_event",
+    "vocab_coverage",
+    "rolling_7day_range_revenue",
+    "daily_value_locf",
+    "orders_rerun_diff",
+    "benford_first_digit",
+    "rfm_segments",
 ]
 
 
