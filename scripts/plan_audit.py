@@ -303,23 +303,42 @@ def _gexp_defs(plan: str) -> dict[str, str]:
     plan text (physical plans print whole subtrees, including cached
     InMemoryRelation bodies), so the map is recoverable textually: for
     each `` AS _groupingexpression#N`` walk backwards over balanced
-    parens to the start of the expression."""
+    parens AND balanced square brackets to the start of the expression.
+    Brackets matter (round-11 ADVICE): GetArrayItem prints as
+    ``col#3[0]``, so a paren-only walk truncated at the ``[`` and lost
+    the source column — an entity key inside such an expression slipped
+    the gate fail-OPEN.  A ``[`` at bracket depth 0 is a Project-list
+    opener and still terminates the walk; and any recovery that ends on
+    a dangling bracket/paren is DISCARDED so the alias stays
+    unresolved, which :func:`_entity_keyed_agg` treats as entity (fail
+    closed)."""
     defs: dict[str, str] = {}
     for m in re.finditer(r" AS (_groupingexpression#\d+)", plan):
         alias, i = m.group(1), m.start()
-        depth = 0
+        pdepth = bdepth = 0
         j = i
         while j > 0:
             ch = plan[j - 1]
             if ch == ")":
-                depth += 1
+                pdepth += 1
             elif ch == "(":
-                if depth == 0:
+                if pdepth == 0:
                     break
-                depth -= 1
-            elif ch in ",[\n" and depth == 0:
+                pdepth -= 1
+            elif ch == "]":
+                bdepth += 1
+            elif ch == "[":
+                if bdepth == 0:
+                    break
+                bdepth -= 1
+            elif ch in ",\n" and pdepth == 0 and bdepth == 0:
                 break
             j -= 1
+        if pdepth or bdepth:
+            # walked off the start of the line/plan with an unmatched
+            # delimiter: the recovery is mid-token — fail closed by NOT
+            # recording a definition for this alias
+            continue
         defs[alias] = plan[j:i].strip()
     return defs
 

@@ -224,6 +224,141 @@ def test_sidecar_meta_respects_run_identity():
     assert jobs3 == {} and sched3 is None
 
 
+def test_combined_denominator_for_job_heavy_compute_dominated():
+    """Round-11 ADVICE replay: a job-heavy but compute-DOMINATED entry
+    (clamped_quarterly_balance shape, 141 jobs) on a uniformly
+    compute-slower box (compute probe 2.5x, scheduling flat) used to
+    false-flag — the sched-only denominator discarded the compute probe
+    entirely.  Same-direction drift must divide by max(cal, sched)."""
+    recorded = {"cqb": 2.0}
+    jobs = {"cqb": 141}
+    current = {"cqb": 4.8}  # 2.4x raw — pure box drift, within the probe
+    cal = check_bench.calibration_ratio(0.5, 1.25)  # 2.5x compute
+    sched = check_bench.scheduling_ratio(0.02, 0.021)  # flat
+    regs, _, _ = check_bench.compare(
+        recorded, current, cal_ratio=cal,
+        sched_ratio=sched, jobs_recorded=jobs,
+    )
+    assert regs == [], regs
+    # ...but a genuine regression beyond BOTH axes still flags
+    regs, _, _ = check_bench.compare(
+        recorded, {"cqb": 11.0}, cal_ratio=cal,
+        sched_ratio=sched, jobs_recorded=jobs,
+    )
+    assert [n for n, _, _ in regs] == ["cqb"]
+    # opposite-direction drift keeps the sched-only routing (no
+    # coherent combined model): compute faster, scheduling 4x slower,
+    # a job-dominated 4x raw move cancels on the sched axis
+    cal_f = check_bench.calibration_ratio(1.0, 0.8)
+    sched_s = check_bench.scheduling_ratio(0.02, 0.08)
+    regs, _, _ = check_bench.compare(
+        {"cqb": 2.0}, {"cqb": 7.8}, cal_ratio=cal_f,
+        sched_ratio=sched_s, jobs_recorded=jobs,
+    )
+    assert regs == [], regs
+
+
+def test_effective_denom_routing():
+    # few jobs -> compute axis regardless of sched
+    assert check_bench.effective_denom(1.4, 4.0, 4) == (1.4, "box")
+    # no sched probe -> compute axis
+    assert check_bench.effective_denom(1.4, None, 141) == (1.4, "box")
+    # job-heavy, same direction -> max of the axes
+    assert check_bench.effective_denom(1.2, 4.0, 141) == (4.0, "sched")
+    assert check_bench.effective_denom(2.5, 1.1, 141) == (2.5, "box(max)")
+    # job-heavy, opposite directions -> sched only (pre-round-12 rule)
+    assert check_bench.effective_denom(0.8, 4.0, 141) == (4.0, "sched")
+
+
+def test_run_drift_reads_stamp_with_run_identity():
+    head = {"run_id": "r1", "probe_spread": {"calibration": 1.8,
+                                             "scheduling": 1.1}}
+    assert check_bench.run_drift(head) == {"calibration": 1.8,
+                                           "scheduling": 1.1}
+    # falls back to a same-run sidecar; ignores other runs' stamps
+    head2 = {"run_id": "r1"}
+    side = {"run_id": "r1", "probe_spread": {"calibration": 1.6}}
+    other = {"run_id": "r2", "probe_spread": {"calibration": 9.9}}
+    assert check_bench.run_drift(head2, other, side) == {"calibration": 1.6}
+    # pre-stamp artifacts: no annotation
+    assert check_bench.run_drift({"run_id": "r0"}, other) == {}
+    assert check_bench.run_drift({}) == {}
+
+
+def test_record_refuses_drifty_run(tmp_path, monkeypatch, capsys):
+    """Round-11 VERDICT item 2: --record from a run whose intra-run
+    probe spread exceeds the limit must refuse (the box changed speed
+    DURING the run), and BENCH_GUARD_ALLOW_DRIFT=1 overrides."""
+    import json
+
+    artifact = tmp_path / "run.json"
+    artifact.write_text(json.dumps({
+        "metric": "headline_query_wall_clock_total", "value": 1.0,
+        "unit": "sec", "queries": {"a": 1.0}, "sf": 0.1,
+        "run_id": "rD", "calibration": 0.5, "scheduling": 0.04,
+        "calibration_samples": [0.5, 0.9, 0.6],
+        "scheduling_samples": [0.04, 0.041, 0.042],
+        "probe_spread": {"calibration": 1.8, "scheduling": 1.05},
+    }))
+    recorded = tmp_path / "BENCH_RECORDED.json"
+    monkeypatch.setattr(check_bench, "RECORDED_PATH", str(recorded))
+    monkeypatch.setattr(
+        check_bench, "ALLQ_PATH", str(tmp_path / "m1.json")
+    )
+    monkeypatch.setattr(
+        check_bench, "SECONDARY_PATH", str(tmp_path / "m2.json")
+    )
+    monkeypatch.delenv("BENCH_GUARD_ALLOW_DRIFT", raising=False)
+    import pytest
+    with pytest.raises(SystemExit, match="refusing --record"):
+        check_bench.main(["--record", str(artifact)])
+    assert not recorded.exists()
+    # override records, and persists the probe samples + spread
+    monkeypatch.setenv("BENCH_GUARD_ALLOW_DRIFT", "1")
+    assert check_bench.main(["--record", str(artifact)]) == 0
+    doc = json.loads(recorded.read_text())
+    assert doc["probe_spread"] == {"calibration": 1.8, "scheduling": 1.05}
+    assert doc["calibration_samples"] == [0.5, 0.9, 0.6]
+
+
+def test_drifty_comparison_is_annotated(tmp_path, monkeypatch, capsys):
+    """A comparison fed a drifty run still runs, but stderr carries the
+    INTRA-RUN PROBE DRIFT annotation so a human discounts its flags."""
+    import json
+
+    recorded = tmp_path / "BENCH_RECORDED.json"
+    recorded.write_text(json.dumps({
+        "sf": 0.1, "calibration": 0.5, "queries": {"a": 1.0},
+    }))
+    artifact = tmp_path / "run.json"
+    artifact.write_text(json.dumps({
+        "metric": "headline_query_wall_clock_total", "value": 1.0,
+        "unit": "sec", "queries": {"a": 1.1}, "sf": 0.1,
+        "run_id": "rD", "calibration": 0.55,
+        "probe_spread": {"calibration": 2.1, "scheduling": 1.0},
+    }))
+    monkeypatch.setattr(check_bench, "RECORDED_PATH", str(recorded))
+    monkeypatch.setattr(
+        check_bench, "ALLQ_PATH", str(tmp_path / "m1.json")
+    )
+    monkeypatch.setattr(
+        check_bench, "SECONDARY_PATH", str(tmp_path / "m2.json")
+    )
+    assert check_bench.main([str(artifact)]) == 0
+    err = capsys.readouterr().err
+    assert "INTRA-RUN PROBE DRIFT" in err
+    assert "calibration spread 2.10x" in err
+
+
+def test_bench_probe_spread_helper():
+    import bench
+
+    assert bench.probe_spread([0.5, 0.9, 0.6]) == 1.8
+    assert bench.probe_spread([0.5]) is None
+    assert bench.probe_spread([0.0, None]) is None
+    assert bench.probe_spread([0.04, 0.041, 0.042]) == 1.05
+
+
 def test_record_persists_scheduling_and_jobs(tmp_path, monkeypatch):
     """--record must carry the scheduling probe and per-query jobs map
     into the reference — that is the handoff that activates the
@@ -256,12 +391,22 @@ def test_record_persists_scheduling_and_jobs(tmp_path, monkeypatch):
     assert doc["calibration"] == 0.5
 
     # and a comparison against that reference uses the scheduling axis
-    # for the 44-job entry: sched flat, compute probe 2x -> the b entry
-    # regressing 3x raw still flags on the scheduling axis
+    # for the 44-job entry: compute probe flat, scheduling 4x -> the b
+    # entry moving 3x raw CANCELS on the sched axis (compute-only
+    # normalization would have flagged it — exit 0 proves the handoff
+    # activated the axis)
     current = tmp_path / "run2.json"
     current.write_text(json.dumps({
         "metric": "headline_query_wall_clock_total", "value": 1.0,
         "unit": "sec", "queries": {"a": 1.0, "b": 6.0}, "sf": 0.1,
-        "run_id": "rY", "calibration": 1.0, "scheduling": 0.041,
+        "run_id": "rY", "calibration": 0.5, "scheduling": 0.16,
     }))
-    assert check_bench.main([str(current)]) == 1
+    assert check_bench.main([str(current)]) == 0
+    # with BOTH probes flat the same 3x move is a real regression
+    flat = tmp_path / "run3.json"
+    flat.write_text(json.dumps({
+        "metric": "headline_query_wall_clock_total", "value": 1.0,
+        "unit": "sec", "queries": {"a": 1.0, "b": 6.0}, "sf": 0.1,
+        "run_id": "rZ", "calibration": 0.5, "scheduling": 0.041,
+    }))
+    assert check_bench.main([str(flat)]) == 1

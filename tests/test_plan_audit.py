@@ -228,6 +228,42 @@ def test_audit_parser_resolves_grouping_expressions_to_entity_keys():
     assert unpart_window_findings(unresolved) == {"entity"}
 
 
+def test_gexp_walk_balances_square_brackets():
+    """Round-11 ADVICE: the backward walk balanced only parentheses, so
+    a grouping expression with a top-level array index (GetArrayItem
+    prints as ``col#3[0]``) truncated at the ``[`` and lost the source
+    column — an entity key inside such an expression slipped the entity
+    gate fail-OPEN.  The walk must recover the full expression, and a
+    recovery that dangles on an unmatched bracket must be discarded
+    (alias stays unresolved -> fail closed)."""
+    from scripts.plan_audit import _gexp_defs, unpart_window_findings
+
+    indexed = (
+        "+- Window [sum(s#7) windowspecdefinition(s#7 ASC) AS cum#16],"
+        " [s#7 ASC NULLS FIRST]\n"
+        "   +- Sort [s#7 ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange SinglePartition\n"
+        "         +- HashAggregate(keys=[_groupingexpression#18],"
+        " functions=[sum(p#3)], output=[k#6, s#7])\n"
+        "            +- Project [p#3, split(doc_id#5, -, -1)[0] AS"
+        " _groupingexpression#18]\n"
+        "               +- FileScan parquet [doc_id#5,p#3]\n"
+    )
+    defs = _gexp_defs(indexed)
+    assert defs["_groupingexpression#18"] == "split(doc_id#5, -, -1)[0]"
+    assert unpart_window_findings(indexed) == {"entity"}
+
+    # same shape over a calendar column stays clean (proves the flag
+    # above comes from the recovered doc_id, not from failing closed)
+    calendar = indexed.replace("doc_id#5", "day#5")
+    assert unpart_window_findings(calendar) == set()
+
+    # a recovery that walks off the plan start with an unmatched ']'
+    # must be discarded, leaving the alias unresolved -> entity
+    dangling = "0] AS _groupingexpression#18"
+    assert "_groupingexpression#18" not in _gexp_defs(dangling)
+
+
 def test_audit_parser_classifies_pandas_grouped_spines():
     """FlatMapGroupsInPandas / AggregateInPandas print their grouping
     keys as the FIRST bracket group (no ``keys=[...]``): an

@@ -496,6 +496,44 @@ def test_quantile_bounds_null_nan_and_degenerate(spark):
     assert got2 == {i: i + 1 for i in range(7)}
 
 
+def test_quantile_bounds_single_bucket_routes_to_observed(spark):
+    """Round-11 ADVICE: bounds="quantile" with n_buckets=1 used to build
+    percentile_approx(col, [], 2000) — an EMPTY percentage array —
+    before the degenerate case was short-circuited, leaving behavior to
+    Spark's handling of the empty foldable array rather than the
+    documented 'collapses to bucket 1' contract.  nb == 1 must route to
+    the observed-min/max path (still exact), and nb < 1 must raise."""
+    import pytest
+    from wistia_video_analytics_project_spark.operators import scale
+    from wistia_video_analytics_project_spark.operators.scale import (
+        _range_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(3.0, 0), (1.0, 1), (2.0, 2), (None, 3)], "k double, tie int"
+    )
+    # contract: observed-path bucket ids (NULL lead 0, width_bucket 1,
+    # the max value in the n+1 overflow bucket — monotone, so the
+    # ladder stays exact), and no percentile_approx node in the plan
+    bucketed = _range_bucketed(df, "k", 1, "quantile")
+    got = {r["tie"]: r["__bucket"] for r in bucketed.collect()}
+    assert got == {0: 2, 1: 1, 2: 1, 3: 0}
+    plan = bucketed._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" not in plan
+
+    # the full ladder stays exact through the degenerate request
+    got_rn = {
+        r["tie"]: r["rn"]
+        for r in scale.binned_row_number(
+            df, ["k", "tie"], n_buckets=1, bounds="quantile", out_col="rn"
+        ).collect()
+    }
+    assert got_rn == {3: 1, 1: 2, 2: 3, 0: 4}
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        _range_bucketed(df, "k", 0, "quantile")
+
+
 def test_observed_bounds_exclude_nan_from_bucket_range(spark):
     """Round-10 ADVICE: a single NaN lead used to poison F.max (Spark
     orders NaN largest), making __hi NaN and width_bucket NULL for

@@ -22,12 +22,9 @@ from __future__ import annotations
 
 import ast
 import os
-import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "wistia_video_analytics_project_spark")
-
-_WINDOW_RE = re.compile(r"Window(\(\))?\.orderBy\(")
 
 #: reviewed unpartitioned-window sites.  Every entry is one of:
 #:   - a calendar/day/quarter spine window (daily aggregates: frame
@@ -89,8 +86,10 @@ ALLOWED: dict[str, set[str]] = {
     },
     "wistia_video_analytics_project_spark/operators/scale.py": {
         # ladder internals: windows over the <=n_buckets-row spine
+        # (binned_ntile delegates to binned_row_number — the old line
+        # regex listed it from a DOCSTRING mention; the AST detector
+        # sees only real calls)
         "binned_id_gaps",
-        "binned_ntile",
         "binned_prefix_ops",
         "binned_row_number",
         "binned_running_sum",
@@ -98,18 +97,61 @@ ALLOWED: dict[str, set[str]] = {
 }
 
 
+def _window_aliases(tree: ast.Module) -> set[str]:
+    """Every local name the file binds to ``pyspark``'s ``Window``
+    (handles ``from pyspark.sql import Window as W`` — round-11
+    ADVICE: the old line regex missed aliased imports)."""
+    aliases: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module in (
+            "pyspark.sql",
+            "pyspark.sql.window",
+        ):
+            for a in node.names:
+                if a.name == "Window":
+                    aliases.add(a.asname or a.name)
+    return aliases
+
+
+def _is_window_ref(node: ast.expr, aliases: set[str]) -> bool:
+    """True iff the expression resolves to the Window class: a bound
+    name (possibly aliased), an instantiation ``Window()``, or an
+    attribute chain ending ``.Window`` (``pyspark.sql.Window``)."""
+    if isinstance(node, ast.Name):
+        return node.id in aliases
+    if isinstance(node, ast.Call):  # Window().orderBy(
+        return _is_window_ref(node.func, aliases)
+    if isinstance(node, ast.Attribute):
+        return node.attr == "Window"
+    return False
+
+
 def _sites(path: str) -> set[str]:
-    """Enclosing-function names of every unpartitioned-window hit."""
+    """Enclosing-function names of every unpartitioned-window hit.
+
+    AST-based (round-11 ADVICE): matches any ``orderBy`` call whose
+    receiver resolves to the Window class — line-wrapped chains,
+    aliased imports, and parenthesized receivers all count, where the
+    old single-line regex saw nothing.  A ``Window.partitionBy(...)
+    .orderBy(...)`` chain does NOT hit (the receiver is the
+    partitionBy call, not Window), same as the regex it replaces."""
     with open(path) as f:
-        src = f.read()
+        tree = ast.parse(f.read())
+    aliases = _window_aliases(tree) | {"Window"}
     spans = [
         (node.lineno, node.end_lineno, node.name)
-        for node in ast.walk(ast.parse(src))
+        for node in ast.walk(tree)
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
     ]
     names: set[str] = set()
-    for i, line in enumerate(src.splitlines(), 1):
-        if _WINDOW_RE.search(line):
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "orderBy"
+            and _is_window_ref(node.func.value, aliases)
+        ):
+            i = node.lineno
             encl = sorted(a for a, b, _ in spans if a <= i <= b)
             if encl:
                 start = encl[-1]  # innermost def
@@ -126,6 +168,35 @@ def _all_files() -> list[str]:
             os.path.join(root, f) for f in fs if f.endswith(".py")
         )
     return files
+
+
+def test_lint_detector_catches_wrapped_and_aliased_forms(tmp_path):
+    """Pin the round-11 ADVICE evasions: a line-wrapped chain, an
+    aliased import, and a parenthesized receiver must all hit; a
+    partitioned window and an unrelated DataFrame .orderBy must not."""
+    src = (
+        "from pyspark.sql import Window as W\n"
+        "from pyspark.sql.window import Window\n"
+        "def wrapped():\n"
+        "    return (Window\n"
+        "            .orderBy('x'))\n"
+        "def aliased():\n"
+        "    return W.orderBy('x')\n"
+        "def instantiated():\n"
+        "    return Window().orderBy('x')\n"
+        "def qualified():\n"
+        "    import pyspark.sql as psql\n"
+        "    return psql.Window.orderBy('x')\n"
+        "def partitioned():\n"
+        "    return Window.partitionBy('g').orderBy('x')\n"
+        "def dataframe_sort(df):\n"
+        "    return df.orderBy('x')\n"
+    )
+    p = tmp_path / "snippet.py"
+    p.write_text(src)
+    assert _sites(str(p)) == {
+        "wrapped", "aliased", "instantiated", "qualified"
+    }
 
 
 def test_no_unreviewed_single_task_windows():

@@ -364,6 +364,63 @@ def incremental_join_delta(
     return part1.unionByName(part2).unionByName(part3)
 
 
+def _quantile_bucketed(df, lead, dbl, nb, nan_bucket) -> DataFrame:
+    """Equi-depth ``__bucket`` assignment for :func:`_range_bucketed`'s
+    ``bounds="quantile"`` mode.  Requires ``nb >= 2`` — the caller
+    routes the degenerate single-bucket case to the observed-min/max
+    path (round-11 ADVICE: ``nb == 1`` would build
+    ``percentile_approx(col, [], 2000)``, an empty percentage array
+    whose behavior is engine-defined rather than contractual)."""
+    probs = [i / nb for i in range(1, nb)]
+    # NaN is excluded from the sketch the same way as from the
+    # observed min/max: QuantileSummaries has no NaN ordering.
+    # Accuracy 2000 bounds the rank error at 0.05% — two orders
+    # below the 1/n_buckets bucket width, at a fraction of the
+    # default sketch's merge cost.
+    edges = df.agg(
+        F.percentile_approx(
+            F.when(~F.isnan(dbl), dbl), probs, 2_000
+        ).alias("__edges")
+    )
+    # bucket id = 1 + |{edges e : e < v}| — computed by binary
+    # lifting (lower_bound) over the sorted edge array: log2(B)
+    # element_at probes per row instead of an O(B) per-row filter
+    # HOF (measured 2x wall on 16M rows before this rewrite).
+    # Each lift level lands in its own projected column — inlining
+    # the accumulator into one expression doubles the tree per
+    # level (the accumulator is referenced twice), exploding
+    # analysis/codegen cost exponentially.
+    n_edges = nb - 1
+    out = df.crossJoin(F.broadcast(edges)).withColumn(
+        "__bl", F.lit(0)
+    )
+    step = 1
+    while step * 2 <= n_edges:
+        step *= 2
+    while step >= 1:
+        probe = F.col("__bl") + F.lit(step)
+        out = out.withColumn(
+            "__bl",
+            F.col("__bl")
+            + F.when(
+                (probe <= F.lit(n_edges))
+                & (F.element_at(F.col("__edges"), probe) < dbl),
+                F.lit(step),
+            ).otherwise(F.lit(0)),
+        )
+        step //= 2
+    return (
+        out.withColumn(
+            "__bucket",
+            F.when(F.col(lead).isNull(), F.lit(0))
+            .when(F.isnan(dbl), nan_bucket)
+            .when(F.col("__edges").isNull(), F.lit(1))
+            .otherwise(F.col("__bl") + F.lit(1)),
+        )
+        .drop("__edges", "__bl")
+    )
+
+
 def _range_bucketed(
     df: DataFrame,
     lead: str,
@@ -388,6 +445,8 @@ def _range_bucketed(
       approx-percentile pass. Bucket ids stay monotone in the lead
       (id = #edges strictly below the value + 1), so rank order is
       preserved and the ladders' output is identical either way.
+      ``n_buckets == 1`` routes to the observed-min/max path (the edge
+      list would be empty — round-11 ADVICE); ``n_buckets < 1`` raises.
 
     NULL leads land in bucket 0 (ASC NULLS FIRST parity); a degenerate
     lo == hi range collapses to bucket 1; NaN leads go to a trailing
@@ -402,54 +461,17 @@ def _range_bucketed(
         if bounds != "quantile":
             raise ValueError(f"unknown bounds mode {bounds!r}")
         nb = int(n_buckets)
-        probs = [i / nb for i in range(1, nb)]
-        # NaN is excluded from the sketch the same way as from the
-        # observed min/max: QuantileSummaries has no NaN ordering.
-        # Accuracy 2000 bounds the rank error at 0.05% — two orders
-        # below the 1/n_buckets bucket width, at a fraction of the
-        # default sketch's merge cost.
-        edges = df.agg(
-            F.percentile_approx(
-                F.when(~F.isnan(dbl), dbl), probs, 2_000
-            ).alias("__edges")
-        )
-        # bucket id = 1 + |{edges e : e < v}| — computed by binary
-        # lifting (lower_bound) over the sorted edge array: log2(B)
-        # element_at probes per row instead of an O(B) per-row filter
-        # HOF (measured 2x wall on 16M rows before this rewrite).
-        # Each lift level lands in its own projected column — inlining
-        # the accumulator into one expression doubles the tree per
-        # level (the accumulator is referenced twice), exploding
-        # analysis/codegen cost exponentially.
-        n_edges = nb - 1
-        out = df.crossJoin(F.broadcast(edges)).withColumn(
-            "__bl", F.lit(0)
-        )
-        step = 1
-        while step * 2 <= n_edges:
-            step *= 2
-        while step >= 1:
-            probe = F.col("__bl") + F.lit(step)
-            out = out.withColumn(
-                "__bl",
-                F.col("__bl")
-                + F.when(
-                    (probe <= F.lit(n_edges))
-                    & (F.element_at(F.col("__edges"), probe) < dbl),
-                    F.lit(step),
-                ).otherwise(F.lit(0)),
-            )
-            step //= 2
-        return (
-            out.withColumn(
-                "__bucket",
-                F.when(F.col(lead).isNull(), F.lit(0))
-                .when(F.isnan(dbl), nan_bucket)
-                .when(F.col("__edges").isNull(), F.lit(1))
-                .otherwise(F.col("__bl") + F.lit(1)),
-            )
-            .drop("__edges", "__bl")
-        )
+        if nb < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {nb}")
+        if nb == 1:
+            # Degenerate single-bucket request: the edge list would be
+            # EMPTY (percentile_approx with an empty percentage array —
+            # engine-defined behavior, round-11 ADVICE). The observed
+            # min/max path below implements the documented "collapses
+            # to bucket 1" contract directly, so route there.
+            bounds = None
+        else:
+            return _quantile_bucketed(df, lead, dbl, nb, nan_bucket)
     if bounds is not None:
         lo, hi = float(bounds[0]), float(bounds[1])
         bucket = (
