@@ -30,6 +30,18 @@ def test_audit_artifact_is_fresh():
     assert not doc["errors"]
 
 
+def test_audit_artifact_matches_gate_version():
+    """The committed artifact must have been regenerated under the gate
+    logic at HEAD (round-11 VERDICT item 4: the round-11 gate extensions
+    shipped with the round-10 artifact still committed)."""
+    from scripts.plan_audit import GATE_VERSION
+
+    assert _doc().get("gate_version") == GATE_VERSION, (
+        "PLAN_AUDIT.json predates the current gate version — re-run"
+        " scripts/plan_audit.py and commit the refreshed artifact"
+    )
+
+
 def test_no_cartesian_products_anywhere():
     assert _doc()["cartesian_products"] == []
 
