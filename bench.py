@@ -377,6 +377,51 @@ def scheduling_probe(spark) -> float:
     return round(min(lap() for _ in range(3)), 4)
 
 
+def io_probe(spark) -> float | None:
+    """Staging-latency probe (round-11 VERDICT item 2, the third axis):
+    write a fixed ~70 MB low-compressibility parquet frame to a fresh
+    tmp dir, read it back, delete — the file-staging / page-cache path
+    the compute and scheduling probes never touch, which is exactly the
+    axis the round-11 driver run's four false flags drifted on
+    (checkpoint/cache/staging-shaped entries moved 2-2.4x while both
+    probes sat flat).  STAMP-ONLY: it feeds the intra-run
+    ``probe_spread`` annotation and the per-run record, but no
+    normalization routes through it — routing would need a per-entry
+    I/O classification, and a wrong one creates the same
+    false-flag/false-pass modes the scheduling axis was added to fix.
+    Best-of-2 after one warm lap; returns None instead of failing the
+    bench when tmp staging is unavailable."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        d = tempfile.mkdtemp(prefix="bench_io_probe_")
+        try:
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 1_000_000, 1, 8)
+                .select(
+                    "id",
+                    (F.col("id") % 97).alias("k"),
+                    F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(d, "t"))
+            )
+            spark.read.parquet(os.path.join(d, "t")).count()
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    try:
+        once()  # warm the write path + codegen
+        return round(min(once() for _ in range(2)), 3)
+    except Exception:
+        return None
+
+
 def probe_spread(samples: list[float]) -> float | None:
     """max/min over the positive probe samples — the intra-run drift
     figure ``check_bench.py`` annotates (round-11 VERDICT item 2: a
@@ -403,6 +448,8 @@ def main() -> None:
     print(f"# calibration_probe: {calibration:.3f}s", file=sys.stderr)
     sched = scheduling_probe(spark)
     print(f"# scheduling_probe: {sched:.4f}s/job", file=sys.stderr)
+    io = io_probe(spark)
+    print(f"# io_probe: {io}s", file=sys.stderr)
     # Probes are RE-SAMPLED mid-run (after the headline set) and at the
     # end; the spread (max/min) is stamped so the guard can tell "the
     # box changed speed DURING the run" apart from a code regression.
@@ -410,6 +457,7 @@ def main() -> None:
     # sample — the value every prior recorded reference used.
     cal_samples = [calibration]
     sched_samples = [sched]
+    io_samples = [io]
 
     from wistia_video_analytics_project_spark.cache import release_caches
 
@@ -461,22 +509,25 @@ def main() -> None:
     timings = run_set(HEADLINE)
     cal_samples.append(calibration_probe(spark))
     sched_samples.append(scheduling_probe(spark))
+    io_samples.append(io_probe(spark))
     print(
         f"# mid-run probes: {cal_samples[-1]:.3f}s compute,"
-        f" {sched_samples[-1]:.4f}s/job",
+        f" {sched_samples[-1]:.4f}s/job, {io_samples[-1]}s io",
         file=sys.stderr,
     )
     secondary = run_set(SECONDARY)
     cal_samples.append(calibration_probe(spark))
     sched_samples.append(scheduling_probe(spark))
+    io_samples.append(io_probe(spark))
     print(
         f"# end-run probes: {cal_samples[-1]:.3f}s compute,"
-        f" {sched_samples[-1]:.4f}s/job",
+        f" {sched_samples[-1]:.4f}s/job, {io_samples[-1]}s io",
         file=sys.stderr,
     )
     spread = {
         "calibration": probe_spread(cal_samples),
         "scheduling": probe_spread(sched_samples),
+        "io": probe_spread(io_samples),
     }
 
     total = round(sum(timings.values()), 3)
@@ -512,8 +563,10 @@ def main() -> None:
         "run_id": run_id,
         "calibration": calibration,
         "scheduling": sched,
+        "io": io,
         "calibration_samples": cal_samples,
         "scheduling_samples": sched_samples,
+        "io_samples": io_samples,
         "probe_spread": spread,
         "jobs": jobs_per_query,
     }
@@ -551,8 +604,10 @@ def main() -> None:
                 "run_id": run_id,
                 "calibration": calibration,
                 "scheduling": sched,
+                "io": io,
                 "calibration_samples": cal_samples,
                 "scheduling_samples": sched_samples,
+                "io_samples": io_samples,
                 "probe_spread": spread,
                 "jobs_threshold": jobs_threshold,
                 "jobs": jobs_mirror,

@@ -41,12 +41,18 @@ captured at sf0.1 on this box.  Comparison rules:
   Entries recorded before jobs/scheduling stamping fall back to the
   compute ratio;
 - **intra-run drift** (round-11 VERDICT item 2): bench.py re-samples
-  both probes at start/mid/end and stamps ``probe_spread`` (max/min
+  its probes at start/mid/end and stamps ``probe_spread`` (max/min
   per probe); a spread above ``BENCH_GUARD_DRIFT_SPREAD`` (default
   1.5) annotates the comparison as unreliable, and ``--record``
   REFUSES such a run (override: ``BENCH_GUARD_ALLOW_DRIFT=1``) — a
   reference captured while the box is changing speed poisons every
-  future comparison;
+  future comparison.  A third, I/O-shaped probe (fixed tmp-parquet
+  write+read) rides the same stamps as ``io`` — STAMP-ONLY, no
+  normalization routes through it (routing would need a per-entry I/O
+  classification, whose misclassification re-creates the failure modes
+  the other axes fixed), but it makes staging-latency drift — the axis
+  the round-11 driver run's four false flags moved on while both other
+  probes sat flat — visible in every artifact;
 - flag when ``normalized > ratio * recorded`` AND ``normalized >
   floor`` (default ratio 2.0, floor 0.5 s — sub-floor queries are
   dominated by the ~0.3 s/job scheduling constant, where a 2x swing is
@@ -293,6 +299,11 @@ def main(argv: list[str]) -> int:
         )
 
     if record:
+        # io is a stamp-only DIAGNOSTIC axis: nothing normalizes by it,
+        # so its spread annotates but does not veto a record (its start
+        # sample also carries a known warm-up inflation — measured 2.6x
+        # start-vs-settled on an otherwise-stable box)
+        drifty = {k: v for k, v in drifty.items() if k != "io"}
         if drifty and not os.environ.get("BENCH_GUARD_ALLOW_DRIFT"):
             raise SystemExit(
                 "refusing --record: intra-run probe spread "
@@ -310,9 +321,11 @@ def main(argv: list[str]) -> int:
                     "sf": headline.get("sf"),
                     "calibration": headline.get("calibration"),
                     "scheduling": cur_sched,
+                    "io": headline.get("io"),
                     "calibration_samples":
                         headline.get("calibration_samples"),
                     "scheduling_samples": headline.get("scheduling_samples"),
+                    "io_samples": headline.get("io_samples"),
                     "probe_spread": headline.get("probe_spread"),
                     "jobs": cur_jobs,
                     "queries": current,

@@ -321,6 +321,39 @@ def test_record_refuses_drifty_run(tmp_path, monkeypatch, capsys):
     assert doc["calibration_samples"] == [0.5, 0.9, 0.6]
 
 
+def test_io_spread_annotates_but_does_not_veto_record(
+    tmp_path, monkeypatch, capsys
+):
+    """The io probe is stamp-only (no normalization routes through it,
+    and its start sample carries warm-up inflation): an io-only spread
+    above the limit must still allow --record, while the annotation
+    names it."""
+    import json
+
+    artifact = tmp_path / "run.json"
+    artifact.write_text(json.dumps({
+        "metric": "headline_query_wall_clock_total", "value": 1.0,
+        "unit": "sec", "queries": {"a": 1.0}, "sf": 0.1,
+        "run_id": "rI", "calibration": 0.5, "scheduling": 0.04,
+        "io": 1.1, "io_samples": [1.1, 0.45, 0.46],
+        "probe_spread": {"calibration": 1.1, "scheduling": 1.2,
+                         "io": 2.4},
+    }))
+    recorded = tmp_path / "BENCH_RECORDED.json"
+    monkeypatch.setattr(check_bench, "RECORDED_PATH", str(recorded))
+    monkeypatch.setattr(check_bench, "ALLQ_PATH", str(tmp_path / "m1"))
+    monkeypatch.setattr(
+        check_bench, "SECONDARY_PATH", str(tmp_path / "m2")
+    )
+    monkeypatch.delenv("BENCH_GUARD_ALLOW_DRIFT", raising=False)
+    assert check_bench.main(["--record", str(artifact)]) == 0
+    err = capsys.readouterr().err
+    assert "INTRA-RUN PROBE DRIFT" in err and "io spread 2.40x" in err
+    doc = json.loads(recorded.read_text())
+    assert doc["io"] == 1.1
+    assert doc["io_samples"] == [1.1, 0.45, 0.46]
+
+
 def test_drifty_comparison_is_annotated(tmp_path, monkeypatch, capsys):
     """A comparison fed a drifty run still runs, but stderr carries the
     INTRA-RUN PROBE DRIFT annotation so a human discounts its flags."""
