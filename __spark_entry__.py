@@ -11667,9 +11667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recency histogram floor moves 4 -> 6 for 34 entries.
     ROTATION PLAN for round 13: continue the staleness-ordered walk —
     the remaining 31 round-6-tier entries (``top_entry_paths`` ..
-    ``late_shipment_rate``) plus the freshest 19 of the round-7 tier,
-    skipping rows-only entries — keep cycling so every oracle-backed
-    entry re-earns a driver green row every ~2-3 rounds.
+    ``ks_test_order_values``, staleness order) plus the first 19 of the
+    round-7 tier (``gold_fact_decimal`` onward), skipping rows-only
+    entries — keep cycling so every oracle-backed entry re-earns a
+    driver green row every ~2-3 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---

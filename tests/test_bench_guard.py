@@ -392,6 +392,31 @@ def test_bench_probe_spread_helper():
     assert bench.probe_spread([0.04, 0.041, 0.042]) == 1.05
 
 
+def test_adjudicate_verdict_logic():
+    """scripts/adjudicate.py's pure verdict function: box-normalized
+    ratio vs the recorded reference, reproduce iff above the ratio."""
+    spec2 = importlib.util.spec_from_file_location(
+        "adjudicate",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "adjudicate.py",
+        ),
+    )
+    adj = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(adj)
+
+    recorded = {"a": 1.0, "b": 2.0}
+    # box at parity (cal_ratio 1.0): a at 2.5x reproduces, b at 1.5x clears
+    v = adj.verdicts({"a": 2.5, "b": 3.0}, recorded, 1.0)
+    assert v == {"a": (2.5, True), "b": (1.5, False)}
+    # the same raw numbers on a 2x-slower box all clear
+    v = adj.verdicts({"a": 2.5, "b": 3.0}, recorded, 2.0)
+    assert v == {"a": (1.25, False), "b": (0.75, False)}
+    # entries missing from the reference are skipped, not crashed on
+    assert adj.verdicts({"new": 9.0}, recorded, 1.0) == {}
+
+
 def test_record_persists_scheduling_and_jobs(tmp_path, monkeypatch):
     """--record must carry the scheduling probe and per-query jobs map
     into the reference — that is the handoff that activates the
