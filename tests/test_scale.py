@@ -534,6 +534,125 @@ def test_quantile_bounds_single_bucket_routes_to_observed(spark):
         _range_bucketed(df, "k", 0, "quantile")
 
 
+def test_quantile_ties_splits_heavy_tied_lead(spark):
+    """SCALE.md round-11 caveat, now reducible: equal lead VALUES merge
+    adjacent equi-depth buckets, so a 50%-tie key degenerates
+    bounds="quantile" to one fat task.  bounds="quantile-ties" gives
+    each heavy value an exclusive bucket sub-split by the TIEBREAKER's
+    quantile edges (valid exactly because the lead is constant there) —
+    row-identical output, fat share collapsed."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from wistia_video_analytics_project_spark.operators.scale import (
+        _range_bucketed,
+    )
+    from pyspark.sql import Window, functions as F
+
+    n = 20_000
+    # half the rows tie on lead value 7; the rest spread over 1..1000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7.0))
+        .otherwise((F.col("id") % 1000 + 1).cast("double"))
+        .alias("k"),
+        F.col("id").alias("tie"),
+    )
+    # row-identity vs the global window
+    got = scale.binned_row_number(
+        df, ["k", "tie"], n_buckets=16, bounds="quantile-ties",
+        out_col="rn",
+    )
+    w = Window.orderBy(F.col("k").asc(), F.col("tie").asc())
+    ref = df.withColumn("rn", F.row_number().over(w))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+    # task-spread: plain quantile leaves >50% in one bucket; ties mode
+    # caps the fattest bucket near the equi-depth ideal
+    def max_share(bounds):
+        per = (
+            _range_bucketed(df, "k", 16, bounds, tie="tie")
+            .groupBy("__bucket").count().collect()
+        )
+        return max(r["count"] for r in per) / n
+
+    assert max_share("quantile") > 0.5
+    assert max_share("quantile-ties") < 4 / 16
+
+
+def test_quantile_ties_null_nan_and_no_heavy(spark):
+    """Edge contracts: NULL lead first, NaN lead last, NULL tie first
+    and NaN tie last WITHIN a heavy value; and on a tie-free lead the
+    mode degrades gracefully to plain equi-depth behavior."""
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import Window, functions as F
+
+    nan = float("nan")
+    rows = (
+        [(7.0, float(t), t) for t in range(8)]          # heavy value
+        + [(7.0, None, 100), (7.0, nan, 101)]           # tie edges
+        + [(1.0, 0.0, 102), (9.0, 0.0, 103),
+           (None, 0.0, 104), (nan, 0.0, 105)]           # lead edges
+    )
+    df = spark.createDataFrame(rows, "k double, t double, u int")
+    got = scale.binned_row_number(
+        df, ["k", "t", "u"], n_buckets=4, bounds="quantile-ties",
+        out_col="rn",
+    )
+    w = Window.orderBy(
+        F.col("k").asc(), F.col("t").asc(), F.col("u").asc()
+    )
+    ref = df.withColumn("rn", F.row_number().over(w))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+    # no heavy values at all: still exact
+    df2 = spark.range(500).select(
+        (F.col("id") % 97).cast("double").alias("k"),
+        F.col("id").alias("tie"),
+    )
+    got2 = scale.binned_running_sum(
+        df2.withColumn("v", F.lit(1).cast("long")),
+        ["k", "tie"], "v", n_buckets=8, bounds="quantile-ties",
+        out_col="rs",
+    )
+    w2 = Window.orderBy(F.col("k").asc(), F.col("tie").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref2 = df2.withColumn("v", F.lit(1).cast("long")).withColumn(
+        "rs", F.sum("v").over(w2)
+    )
+    assert got2.exceptAll(ref2).count() == 0
+    assert ref2.exceptAll(got2).count() == 0
+
+
+def test_quantile_ties_requires_tiebreaker_and_passes_through(spark):
+    """Single-column callers (binned_id_gaps) must reject the mode with
+    a clear error; binned_ntile rides binned_row_number and stays exact
+    on a heavy-tied lead."""
+    import pytest
+    from wistia_video_analytics_project_spark.operators import scale
+    from pyspark.sql import Window, functions as F
+
+    ids = spark.range(100).select(F.col("id"))
+    with pytest.raises(ValueError, match="tiebreaker"):
+        scale.binned_id_gaps(ids, "id", n_buckets=4,
+                             bounds="quantile-ties").collect()
+
+    df = spark.range(3_000).select(
+        F.when(F.col("id") % 3 != 0, F.lit(5.0))
+        .otherwise((F.col("id") % 50).cast("double"))
+        .alias("k"),
+        F.col("id").alias("tie"),
+    )
+    got = scale.binned_ntile(
+        df, ["k", "tie"], 7, n_buckets=8, bounds="quantile-ties",
+        out_col="t",
+    )
+    w = Window.orderBy(F.col("k").asc(), F.col("tie").asc())
+    ref = df.withColumn("t", F.ntile(7).over(w))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
 def test_observed_bounds_exclude_nan_from_bucket_range(spark):
     """Round-10 ADVICE: a single NaN lead used to poison F.max (Spark
     orders NaN largest), making __hi NaN and width_bucket NULL for

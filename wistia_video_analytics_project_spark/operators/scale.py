@@ -364,6 +364,138 @@ def incremental_join_delta(
     return part1.unionByName(part2).unionByName(part3)
 
 
+def _lb_lift(df, arr_col, val, max_steps, out_col) -> DataFrame:
+    """Append ``out_col`` = |{a in arr_col : a < val}| via binary
+    lifting over the sorted array column — O(log B) ``element_at``
+    probes per row with a DYNAMIC length guard (``size(arr)``), for
+    arrays whose length is only bounded, not fixed, at plan time.  Same
+    named-column-per-level discipline as the fixed-length lift in
+    :func:`_quantile_bucketed` (inlining the accumulator doubles the
+    expression tree per level)."""
+    out = df.withColumn(out_col, F.lit(0))
+    step = 1
+    while step * 2 <= max_steps:
+        step *= 2
+    while step >= 1:
+        probe = F.col(out_col) + F.lit(step)
+        out = out.withColumn(
+            out_col,
+            F.col(out_col)
+            + F.when(
+                (probe <= F.size(arr_col))
+                & (F.element_at(arr_col, probe) < val),
+                F.lit(step),
+            ).otherwise(F.lit(0)),
+        )
+        step //= 2
+    return out
+
+
+def _quantile_tie_bucketed(df, lead, tie, nb, nan_int) -> DataFrame:
+    """Two-level equi-depth ``__bucket`` (a struct, totally ordered and
+    join/group/window-compatible) that survives HEAVY-TIED lead keys —
+    the one degeneration ``bounds="quantile"`` shares with the global
+    window (SCALE.md round-11: equal lead VALUES merge adjacent
+    equi-depth buckets, so a 50%-tie key still collapses to one fat
+    task).
+
+    Mechanism: lead values holding more than ``1/nb`` of the rows are
+    HEAVY.  Each heavy value becomes its own breakpoint in the combined
+    breakpoint list ``P = sort(quantile_edges ∪ heavy_values)``, and
+
+        level1 = 2·|{p ∈ P : p < k}| + (k is heavy)
+
+    gives every heavy value an EXCLUSIVE odd bucket (monotone in k:
+    rows between breakpoints get even ids, and a heavy value's own
+    breakpoint separates it from everything above).  Inside a heavy
+    bucket the lead is CONSTANT, so sub-bucketing by the TIEBREAKER's
+    per-heavy-value quantile edges preserves the (lead, tie) total
+    order — which is exactly why naive two-level bucketing on mixed
+    buckets would be wrong (sub is a function of tie alone and may
+    invert against the lead).  Non-heavy rows take sub = 0.
+
+    Costs two extra passes over ``df`` (heavy detection is a map-side
+    combined ``groupBy(lead).count()``; per-heavy-value tie edges scan
+    the heavy rows), so it is OPT-IN via ``bounds="quantile-ties"`` —
+    pay it when the lead is known low-cardinality/heavy-tied.  The
+    tiebreaker must be numeric (quantile-sketchable); NULL leads sort
+    first (level1 -1), NaN leads last (level1 4·nb), NULL ties first
+    within a heavy bucket (sub 0), NaN ties last (sub nb+2) — the same
+    ASC NULLS FIRST / NaN-largest parity the other paths keep."""
+    dbl = F.col(lead).cast("double")
+    tdb = F.col(tie).cast("double")
+    probs = [i / nb for i in range(1, nb)]
+    empty = F.array().cast("array<double>")
+    stats = df.agg(
+        F.percentile_approx(
+            F.when(~F.isnan(dbl), dbl), probs, 2_000
+        ).alias("__edges"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # heavy values: > |df|/nb rows each -> at most nb-1 of them, so
+    # every frame below is broadcast-sized by construction
+    heavy = (
+        df.where(F.col(lead).isNotNull() & ~F.isnan(dbl))
+        .groupBy(dbl.alias("__hv"))
+        .agg(F.count(F.lit(1)).alias("__hc"))
+        .join(F.broadcast(stats.select("__n")), how="cross")
+        .where(F.col("__hc") * nb > F.col("__n"))
+    )
+    heavy_edges = (
+        df.join(F.broadcast(heavy.select("__hv")), dbl == F.col("__hv"))
+        .groupBy("__hv")
+        .agg(
+            F.percentile_approx(
+                F.when(~F.isnan(tdb), tdb), probs, 2_000
+            ).alias("__tedges")
+        )
+    )
+    breakpoints = (
+        stats.join(
+            F.broadcast(
+                heavy.agg(
+                    F.sort_array(F.collect_list("__hv")).alias("__hvals")
+                )
+            ),
+            how="cross",
+        ).select(
+            F.array_sort(
+                F.concat(
+                    F.coalesce(F.col("__edges"), empty),
+                    F.coalesce(F.col("__hvals"), empty),
+                )
+            ).alias("__bp"),
+            F.coalesce(F.col("__hvals"), empty).alias("__hvals"),
+        )
+    )
+    out = df.join(F.broadcast(breakpoints), how="cross")
+    # |P| <= 2*nb - 2 (nb-1 edges + nb-1 heavy values)
+    out = _lb_lift(out, F.col("__bp"), dbl, 2 * nb, "__lb1")
+    out = out.join(
+        F.broadcast(heavy_edges), dbl == F.col("__hv"), "left"
+    )
+    out = _lb_lift(out, F.col("__tedges"), tdb, nb, "__lb2")
+    is_heavy = F.array_contains(F.col("__hvals"), dbl)
+    level1 = (
+        F.when(F.col(lead).isNull(), F.lit(-1))
+        .when(F.isnan(dbl), F.lit(4 * nb))
+        .otherwise(
+            F.col("__lb1") * 2
+            + F.when(is_heavy, F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    sub = (
+        F.when(
+            F.col("__tedges").isNull() | F.col(tie).isNull(), F.lit(0)
+        )
+        .when(F.isnan(tdb), F.lit(int(nan_int)))
+        .otherwise(F.col("__lb2") + 1)
+    )
+    return out.withColumn(
+        "__bucket", F.struct(level1.alias("l1"), sub.alias("sub"))
+    ).drop("__bp", "__hvals", "__hv", "__tedges", "__lb1", "__lb2")
+
+
 def _quantile_bucketed(df, lead, dbl, nb, nan_bucket) -> DataFrame:
     """Equi-depth ``__bucket`` assignment for :func:`_range_bucketed`'s
     ``bounds="quantile"`` mode.  Requires ``nb >= 2`` — the caller
@@ -426,6 +558,7 @@ def _range_bucketed(
     lead: str,
     n_buckets: int,
     bounds: tuple[float, float] | str | None,
+    tie: str | None = None,
 ) -> DataFrame:
     """Attach the ladder's ``__bucket`` column.
 
@@ -447,6 +580,15 @@ def _range_bucketed(
       preserved and the ladders' output is identical either way.
       ``n_buckets == 1`` routes to the observed-min/max path (the edge
       list would be empty — round-11 ADVICE); ``n_buckets < 1`` raises.
+    - ``"quantile-ties"`` — equi-depth PLUS heavy-value tie-splitting
+      (round 12): lead values holding > 1/n_buckets of the rows get an
+      exclusive bucket sub-split by the ``tie`` column's quantile edges
+      (sound because the lead is constant there — see
+      :func:`_quantile_tie_bucketed`). Requires ``tie``; costs two
+      extra passes; for leads where equal VALUES would merge the
+      equi-depth buckets back into one fat task (SCALE.md round-12:
+      fat share 50.4% -> 1.6% on a 50%-tie key; wins only at the scale
+      where one task's rows exceed a core's budget).
 
     NULL leads land in bucket 0 (ASC NULLS FIRST parity); a degenerate
     lo == hi range collapses to bucket 1; NaN leads go to a trailing
@@ -458,11 +600,23 @@ def _range_bucketed(
     nan_bucket = F.lit(int(n_buckets) + 2)
     dbl = F.col(lead).cast("double")
     if isinstance(bounds, str):
-        if bounds != "quantile":
+        if bounds not in ("quantile", "quantile-ties"):
             raise ValueError(f"unknown bounds mode {bounds!r}")
         nb = int(n_buckets)
         if nb < 1:
             raise ValueError(f"n_buckets must be >= 1, got {nb}")
+        if bounds == "quantile-ties":
+            if tie is None:
+                raise ValueError(
+                    "bounds='quantile-ties' needs a tiebreaker column —"
+                    " pass >=2 order columns (the mode exists to split"
+                    " heavy-tied leads BY the tiebreaker)"
+                )
+            if nb >= 2:
+                return _quantile_tie_bucketed(
+                    df, lead, tie, nb, int(n_buckets) + 2
+                )
+            bounds = None  # degenerate single bucket: observed path
         if nb == 1:
             # Degenerate single-bucket request: the edge list would be
             # EMPTY (percentile_approx with an empty percentage array —
@@ -547,7 +701,8 @@ def binned_running_sum(
     # join-back) — cache it so a non-trivial input plan computes once;
     # inputs are entity-level aggregates by contract (never raw facts)
     df = track(df.cache())
-    bucketed = _range_bucketed(df, lead, n_buckets, bounds)
+    tie = order_cols[1] if len(order_cols) > 1 else None
+    bucketed = _range_bucketed(df, lead, n_buckets, bounds, tie=tie)
     per_bucket = bucketed.groupBy("__bucket").agg(
         F.sum(value_col).alias("__btotal")
     )
@@ -600,7 +755,8 @@ def binned_row_number(
     lead = order_cols[0]
     # cached for the same three-consumer reason as binned_running_sum
     df = track(df.cache())
-    bucketed = _range_bucketed(df, lead, n_buckets, bounds)
+    tie = order_cols[1] if len(order_cols) > 1 else None
+    bucketed = _range_bucketed(df, lead, n_buckets, bounds, tie=tie)
     per_bucket = bucketed.groupBy("__bucket").agg(
         F.count(F.lit(1)).cast("long").alias("__bcount")
     )
@@ -652,7 +808,8 @@ def binned_prefix_ops(
         raise ValueError("binned_prefix_ops: nothing to compute")
     lead = order_cols[0]
     df = track(df.cache())
-    bucketed = _range_bucketed(df, lead, n_buckets, bounds)
+    tie = order_cols[1] if len(order_cols) > 1 else None
+    bucketed = _range_bucketed(df, lead, n_buckets, bounds, tie=tie)
     partials = [
         F.sum(vcol).alias(f"__bt_{out}") for out, vcol in sum_cols.items()
     ]
