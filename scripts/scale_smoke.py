@@ -921,12 +921,66 @@ def skew_ladder(spark, release_caches) -> None:
         )
 
 
+def ties_ladder(spark, release_caches) -> None:
+    """Round 12: a HEAVY-TIED lead (one value holding 50% of rows)
+    merges equi-depth buckets back into one fat task — the degeneration
+    SCALE.md round-11 called irreducible.  ``bounds="quantile-ties"``
+    splits each heavy value by the tiebreaker's quantile edges.  This
+    rung reproduces the SCALE.md round-12 table: read the fat-share
+    column as the scale story (1 task -> ~n_buckets over the tied
+    mass) and the wall column honestly (the mode pays two extra passes,
+    which only amortize once a single task's rows exceed a core's
+    budget — it LOSES at local 16M scale)."""
+    from wistia_video_analytics_project_spark.operators.scale import (
+        _range_bucketed,
+        binned_row_number,
+    )
+
+    for n in (1_000_000, 4_000_000, 16_000_000):
+        # 50% of rows tie on one lead value; the rest spread over 100k
+        df = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(777.0))
+            .otherwise((F.col("id") % 100_000).cast("double"))
+            .alias("k"),
+            F.col("id").alias("tie"),
+        ).localCheckpoint(eager=True)
+        shares, best = {}, {}
+        for label, bounds in (
+            ("qtile", "quantile"), ("ties", "quantile-ties")
+        ):
+            per = (
+                _range_bucketed(df, "k", 64, bounds, tie="tie")
+                .groupBy("__bucket")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            shares[label] = per / n
+            release_caches()
+            best[label] = min(
+                _time(
+                    lambda: binned_row_number(
+                        df, ["k", "tie"], bounds=bounds, out_col="rn"
+                    ).agg(F.sum("rn")).collect()
+                )
+                for _ in range(2)
+            )
+            release_caches()
+        print(
+            f"({n:>10,} rows) tied_rank  : equi-depth"
+            f" {best['qtile']:6.2f}s (fat bucket {shares['qtile']:5.1%})"
+            f" vs tie-split {best['ties']:6.2f}s"
+            f" (fat bucket {shares['ties']:5.1%})"
+            f" ({best['qtile'] / best['ties']:4.2f}x)"
+        )
+
+
 def main() -> None:
     from wistia_video_analytics_project_spark.cache import release_caches
 
     known = {"events", "docs", "lpa", "als", "unigram", "kn",
              "itemcos", "ppl", "abandon", "bigram", "stats9", "ladder",
-             "skew"}
+             "skew", "ties"}
     sections = set(sys.argv[1:]) or set(known)
     unknown = sections - known
     if unknown:
@@ -955,6 +1009,8 @@ def main() -> None:
         ladder_ladder(spark, release_caches)
     if "skew" in sections:
         skew_ladder(spark, release_caches)
+    if "ties" in sections:
+        ties_ladder(spark, release_caches)
     if not sections & {"events", "docs", "lpa"}:
         spark.stop()
         return
