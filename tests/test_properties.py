@@ -435,3 +435,48 @@ def test_fd_shrink_psd_sandwich_property(n, d, ell, seed):
     delta = s[ell - 1] ** 2 if len(s) >= ell and n > ell else 0.0
     assert eig.min() >= -1e-8 * max(1.0, eig.max()), eig.min()
     assert eig.max() <= delta + 1e-6 * max(1.0, delta), (eig.max(), delta)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            # lead drawn from a TINY value pool so heavy ties are the
+            # norm, plus None/NaN edges
+            st.one_of(
+                st.none(),
+                st.just(float("nan")),
+                st.sampled_from([1.0, 2.0, 7.0]),
+            ),
+            st.one_of(st.none(), st.just(float("nan")),
+                      st.floats(-100, 100, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_buckets=st.integers(1, 9),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+def test_quantile_ties_row_identity_property(spark, rows, n_buckets):
+    """For ANY frame (heavy ties by construction, NULL/NaN in both the
+    lead and the tiebreaker, any bucket count incl. the degenerate 1),
+    bounds="quantile-ties" row_number equals the global window's."""
+    from pyspark.sql import Window
+    from wistia_video_analytics_project_spark.operators import scale
+
+    # third column makes the total order unique regardless of draws
+    uniq = [(k, t, i) for i, (k, t) in enumerate(rows)]
+    df = spark.createDataFrame(uniq, "k double, t double, u long")
+    got = scale.binned_row_number(
+        df, ["k", "t", "u"], n_buckets=n_buckets,
+        bounds="quantile-ties", out_col="rn",
+    )
+    w = Window.orderBy(F.col("k").asc(), F.col("t").asc(),
+                       F.col("u").asc())
+    ref = df.withColumn("rn", F.row_number().over(w))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
