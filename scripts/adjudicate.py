@@ -9,14 +9,25 @@ parity with the recorded reference, beside untouched same-session
 controls.  This script runs exactly that and prints a verdict table::
 
     python scripts/adjudicate.py QUERY [QUERY ...]
+    python scripts/adjudicate.py --from-check BENCH_FLAGS.json
     ADJ_REPEAT=4 ADJ_SF_DIR=/root/testdata/sf0.1 python scripts/adjudicate.py ...
+
+``--from-check`` consumes the machine-readable flags artifact every
+``check_bench.py`` comparison writes (``BENCH_FLAGS.json``), so the
+guard's flag set flows here verbatim — no hand-typed entry lists
+(round-12 VERDICT item 5).
 
 Rules encoded (from BASELINE.md's adjudication history):
 
 - probe parity: the compute probe must be within ``ADJ_PARITY``
-  (default 1.25x either way) of the recorded reference's, or the run
-  cannot clear OR convict a flag (exit 2 — re-run when the box is
-  closer to parity);
+  (default 1.25x either way) of the recorded reference's — measured at
+  BOTH the start (cal0) AND the end (cal1) of the run, with the
+  cal1/cal0 spread under ``ADJ_SPREAD`` (default 1.5x): a box that
+  drifts DURING the adjudication run is the exact intra-run failure
+  mode the round-12 bench guard instruments, and must not clear or
+  convict a flag at nominal start-probe parity (round-12 ADVICE).
+  Otherwise the run cannot clear OR convict (exit 2 — re-run when the
+  box is closer to parity);
 - controls: a fixed set of untouched entries runs in the SAME session;
   if the controls are elevated too, the elevation is box-shaped, not
   code-shaped (printed per control, not part of the exit code);
@@ -67,10 +78,66 @@ def verdicts(
     return out
 
 
+def parity_ok(
+    cal0: float,
+    cal1: float,
+    rec_cal: float | None,
+    parity: float = 1.25,
+    spread_limit: float = 1.5,
+) -> tuple[bool, str]:
+    """(at_parity, reason) — a verdict-bearing run needs the compute
+    probe inside the parity band at BOTH ends AND a bounded intra-run
+    spread; gating only on the start probe lets a box that drifts
+    mid-run clear or convict at nominal parity (round-12 ADVICE).
+    Pure function — pinned in tests/test_bench_guard.py."""
+    if not rec_cal or rec_cal <= 0:
+        return False, "no recorded probe to compare against"
+    if not cal0 or not cal1 or cal0 <= 0 or cal1 <= 0:
+        return False, "missing/non-positive probe sample"
+    spread = max(cal0, cal1) / min(cal0, cal1)
+    if spread > spread_limit:
+        return False, (
+            f"intra-run probe spread {spread:.2f}x exceeds"
+            f" {spread_limit:g}x — box changed speed during the run"
+        )
+    for label, cal in (("start", cal0), ("end", cal1)):
+        r = cal / rec_cal
+        if not (1 / parity) <= r <= parity:
+            return False, (
+                f"{label} probe {cal}s is {r:.2f}x the recorded"
+                f" {rec_cal}s (band {1 / parity:.2f}-{parity:g}x)"
+            )
+    return True, "both probes in band, spread bounded"
+
+
+def read_flags(path: str) -> list[str]:
+    """Flag names from a ``check_bench.py`` flags artifact
+    (``BENCH_FLAGS.json``) — the ``--from-check`` handoff.  Prints the
+    artifact's drift annotation so an unreliable source run is visible
+    at adjudication time."""
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("drift_unreliable"):
+        print(
+            f"# source run {doc.get('run_id')} stamped drift on probes "
+            f"{doc['drift_unreliable']} — its flags are unreliable"
+            " either way; this solo run is the arbiter",
+            file=sys.stderr,
+        )
+    return [f["name"] for f in doc.get("flags", [])]
+
+
 def main(argv: list[str]) -> int:
     if not argv:
         print(__doc__)
         return 2
+    if argv[0] == "--from-check":
+        if len(argv) != 2:
+            raise SystemExit("--from-check takes exactly one artifact path")
+        argv = read_flags(argv[1])
+        if not argv:
+            print("no flags in the artifact — nothing to adjudicate")
+            return 0
     repeat = int(os.environ.get("ADJ_REPEAT", "3"))
     sf_dir = os.environ.get("ADJ_SF_DIR", "/root/testdata/sf0.1")
     ratio = float(os.environ.get("ADJ_RATIO", "2.0"))
@@ -113,10 +180,14 @@ def main(argv: list[str]) -> int:
     spark.stop()
 
     cal_ratio = (cal0 / rec_cal) if rec_cal else 1.0
-    at_parity = rec_cal and (1 / parity) <= cal_ratio <= parity
+    spread_limit = float(os.environ.get("ADJ_SPREAD", "1.5"))
+    at_parity, parity_reason = parity_ok(
+        cal0, cal1, rec_cal, parity, spread_limit
+    )
     print(f"probes: start cal {cal0}s, end cal {cal1}s, recorded "
           f"{rec_cal}s -> cal_ratio {cal_ratio:.2f} "
-          f"({'PARITY' if at_parity else 'NOT AT PARITY'})")
+          f"({'PARITY' if at_parity else 'NOT AT PARITY'}: "
+          f"{parity_reason})")
 
     v_flag = verdicts({q: timings[q] for q in argv}, recorded,
                       cal_ratio, ratio)
@@ -133,9 +204,9 @@ def main(argv: list[str]) -> int:
         if rep:
             bad.append(name)
     if not at_parity:
-        print("verdict: INCONCLUSIVE — compute probe not at parity with"
-              f" the reference (|log ratio| > {parity:g}x); re-run when"
-              " the box is closer to the recorded probe")
+        print("verdict: INCONCLUSIVE — not at probe parity with the"
+              f" reference ({parity_reason}); re-run when the box is"
+              " closer to the recorded probe and stable through the run")
         return 2
     if bad:
         print(f"verdict: {len(bad)} flag(s) reproduce at parity — treat"

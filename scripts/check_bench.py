@@ -59,6 +59,11 @@ captured at sf0.1 on this box.  Comparison rules:
   noise);
 - queries present only on one side are reported informationally, never
   fatal (new operators land before they're recorded);
+- every comparison also writes ``BENCH_FLAGS.json`` — a
+  machine-readable flags block (entry, raw/normalized ratio, axis,
+  drift annotation) that ``scripts/adjudicate.py --from-check``
+  consumes directly, so a flag can never sit un-adjudicated because
+  entry names had to be re-typed (round-12 VERDICT item 5);
 - exit 1 iff at least one query is flagged.
 
 Env knobs: ``BENCH_GUARD_RATIO``, ``BENCH_GUARD_FLOOR``,
@@ -76,6 +81,50 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RECORDED_PATH = os.path.join(REPO, "BENCH_RECORDED.json")
 SECONDARY_PATH = os.path.join(REPO, "BENCH_SECONDARY.json")
 ALLQ_PATH = os.path.join(REPO, "BENCH_ALLQ.json")
+FLAGS_PATH = os.path.join(REPO, "BENCH_FLAGS.json")
+
+
+def flags_block(
+    regs: list[tuple[str, float, float]],
+    rec_jobs: dict[str, int],
+    cal: float,
+    sched: float | None,
+    jobs_threshold: int,
+    headline: dict,
+    drifty: dict[str, float],
+    ratio: float,
+    floor: float,
+) -> dict:
+    """Machine-readable flags artifact (round-12 VERDICT item 5): every
+    comparison writes this beside its printed output so
+    ``adjudicate.py --from-check`` consumes the EXACT flag set the
+    guard computed — a driver-run flag can no longer sit un-adjudicated
+    for a round because someone had to re-type entry names.  Pure
+    function, pinned in tests/test_bench_guard.py."""
+    flags = []
+    for name, rec, cur in regs:
+        njobs = int(rec_jobs.get(name, 0))
+        denom, axis = effective_denom(cal, sched, njobs, jobs_threshold)
+        flags.append({
+            "name": name,
+            "recorded": rec,
+            "current": cur,
+            "raw_ratio": round(cur / rec, 3),
+            "normalized": round(cur / denom / rec, 3),
+            "axis": axis,
+            "jobs": njobs,
+        })
+    return {
+        "note": "bench-guard flags for scripts/adjudicate.py --from-check",
+        "run_id": headline.get("run_id"),
+        "sf": headline.get("sf"),
+        "ratio": ratio,
+        "floor": floor,
+        "cal_ratio": round(cal, 4),
+        "sched_ratio": round(sched, 4) if sched is not None else None,
+        "drift_unreliable": sorted(drifty),
+        "flags": flags,
+    }
 
 
 def effective_denom(
@@ -404,8 +453,17 @@ def main(argv: list[str]) -> int:
                 f" {cur / sched / rec:.1f}x sched, jobs={njobs}"
             )
         print(line + ")")
+    block = flags_block(
+        regs, rec_jobs, cal, sched, jobs_threshold, headline, drifty,
+        ratio, floor,
+    )
+    with open(FLAGS_PATH, "w") as f:
+        json.dump(block, f, indent=1, sort_keys=True)
     if regs:
-        print(f"{len(regs)} per-query regression(s)")
+        print(
+            f"{len(regs)} per-query regression(s) — adjudicate with: "
+            f"python scripts/adjudicate.py --from-check {FLAGS_PATH}"
+        )
         return 1
     print(
         f"OK: {len(set(recorded) & set(current))} compared, "

@@ -377,10 +377,18 @@ def test_drifty_comparison_is_annotated(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(
         check_bench, "SECONDARY_PATH", str(tmp_path / "m2.json")
     )
+    monkeypatch.setattr(
+        check_bench, "FLAGS_PATH", str(tmp_path / "BENCH_FLAGS.json")
+    )
     assert check_bench.main([str(artifact)]) == 0
     err = capsys.readouterr().err
     assert "INTRA-RUN PROBE DRIFT" in err
     assert "calibration spread 2.10x" in err
+    # ... and even a clean comparison stamps the drift annotation into
+    # the flags artifact, so --from-check sees the unreliability
+    flags = json.loads((tmp_path / "BENCH_FLAGS.json").read_text())
+    assert flags["drift_unreliable"] == ["calibration"]
+    assert flags["flags"] == []
 
 
 def test_bench_probe_spread_helper():
@@ -441,6 +449,9 @@ def test_record_persists_scheduling_and_jobs(tmp_path, monkeypatch):
     monkeypatch.setattr(
         check_bench, "SECONDARY_PATH", str(tmp_path / "missing.json")
     )
+    monkeypatch.setattr(
+        check_bench, "FLAGS_PATH", str(tmp_path / "BENCH_FLAGS.json")
+    )
     assert check_bench.main(["--record", str(artifact)]) == 0
     doc = json.loads(recorded.read_text())
     assert doc["scheduling"] == 0.04
@@ -468,3 +479,94 @@ def test_record_persists_scheduling_and_jobs(tmp_path, monkeypatch):
         "run_id": "rZ", "calibration": 0.5, "scheduling": 0.041,
     }))
     assert check_bench.main([str(flat)]) == 1
+
+
+def _load_adjudicate():
+    spec2 = importlib.util.spec_from_file_location(
+        "adjudicate",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "adjudicate.py",
+        ),
+    )
+    adj = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(adj)
+    return adj
+
+
+def test_flags_block_shapes_the_handoff():
+    """flags_block carries entry, raw/normalized ratio, axis, jobs and
+    the drift annotation — everything adjudication needs, nothing
+    hand-typed (round-12 VERDICT item 5)."""
+    block = check_bench.flags_block(
+        regs=[("q_fast", 1.0, 3.0), ("q_jobs", 2.0, 9.0)],
+        rec_jobs={"q_jobs": 44},
+        cal=1.1,
+        sched=1.0,
+        jobs_threshold=12,
+        headline={"run_id": "r13", "sf": 0.1},
+        drifty={"scheduling": 1.89},
+        ratio=2.0,
+        floor=0.5,
+    )
+    assert block["run_id"] == "r13"
+    assert block["drift_unreliable"] == ["scheduling"]
+    by_name = {f["name"]: f for f in block["flags"]}
+    # few-job entry normalizes on the compute axis
+    assert by_name["q_fast"]["axis"] == "box"
+    assert by_name["q_fast"]["raw_ratio"] == 3.0
+    assert by_name["q_fast"]["normalized"] == round(3.0 / 1.1, 3)
+    # job-heavy entry with same-direction probes -> max(cal, sched)
+    assert by_name["q_jobs"]["jobs"] == 44
+    assert by_name["q_jobs"]["normalized"] == round(9.0 / 1.1 / 2.0, 3)
+
+
+def test_from_check_roundtrip(tmp_path, monkeypatch):
+    """check_bench writes BENCH_FLAGS.json on a flagging comparison and
+    adjudicate.read_flags returns exactly the flagged entry names —
+    the mechanical handoff that replaces hand-typed flag lists."""
+    import json
+
+    recorded = tmp_path / "BENCH_RECORDED.json"
+    recorded.write_text(json.dumps({
+        "sf": 0.1, "calibration": 0.5,
+        "queries": {"a": 1.0, "b": 2.0, "c": 0.8},
+    }))
+    artifact = tmp_path / "run.json"
+    artifact.write_text(json.dumps({
+        "metric": "headline_query_wall_clock_total", "value": 1.0,
+        "unit": "sec", "queries": {"a": 3.0, "b": 2.1, "c": 2.5},
+        "sf": 0.1, "run_id": "rQ", "calibration": 0.5,
+    }))
+    flags_path = tmp_path / "BENCH_FLAGS.json"
+    monkeypatch.setattr(check_bench, "RECORDED_PATH", str(recorded))
+    monkeypatch.setattr(check_bench, "ALLQ_PATH", str(tmp_path / "m1"))
+    monkeypatch.setattr(check_bench, "SECONDARY_PATH", str(tmp_path / "m2"))
+    monkeypatch.setattr(check_bench, "FLAGS_PATH", str(flags_path))
+    assert check_bench.main([str(artifact)]) == 1
+
+    adj = _load_adjudicate()
+    assert adj.read_flags(str(flags_path)) == ["a", "c"]
+
+
+def test_adjudicate_parity_gates_on_both_probes():
+    """round-12 ADVICE: the verdict must not rest on the start probe
+    alone — an end probe out of band or a >1.5x intra-run spread makes
+    the run inconclusive."""
+    adj = _load_adjudicate()
+    ok, _ = adj.parity_ok(0.5, 0.52, 0.5)
+    assert ok
+    # start at parity, end drifted out of the 1.25x band -> not parity
+    ok, why = adj.parity_ok(0.5, 0.9, 0.5)
+    assert not ok and "spread" in why
+    # both ends inside the band but spread > 1.5x is impossible with
+    # the default band; widen the band to isolate the spread gate
+    ok, why = adj.parity_ok(0.4, 0.7, 0.5, parity=2.0)
+    assert not ok and "spread" in why
+    # end probe out of band at a bounded spread
+    ok, why = adj.parity_ok(0.55, 0.75, 0.5, parity=1.25, spread_limit=2.0)
+    assert not ok and "end probe" in why
+    # missing recorded probe can never produce a verdict
+    ok, why = adj.parity_ok(0.5, 0.5, None)
+    assert not ok

@@ -637,6 +637,19 @@ def test_quantile_ties_requires_tiebreaker_and_passes_through(spark):
         scale.binned_id_gaps(ids, "id", n_buckets=4,
                              bounds="quantile-ties").collect()
 
+    # round-12 ADVICE: a NON-NUMERIC tiebreaker must error, not
+    # silently cast-to-NULL in the sub-bucket sketch while the window
+    # orders by the raw string (which would corrupt global row order)
+    strs = spark.range(100).select(
+        (F.col("id") % 5).cast("double").alias("k"),
+        F.col("id").cast("string").alias("tie"),
+    )
+    with pytest.raises(ValueError, match="NUMERIC"):
+        scale.binned_row_number(
+            strs, ["k", "tie"], n_buckets=4, bounds="quantile-ties",
+            out_col="rn",
+        ).collect()
+
     df = spark.range(3_000).select(
         F.when(F.col("id") % 3 != 0, F.lit(5.0))
         .otherwise((F.col("id") % 50).cast("double"))

@@ -612,6 +612,21 @@ def _range_bucketed(
                     " pass >=2 order columns (the mode exists to split"
                     " heavy-tied leads BY the tiebreaker)"
                 )
+            # The sub-bucket edges sketch tie via cast('double') but the
+            # within-bucket window orders by the RAW column — a
+            # string/partially-castable tie would silently cast to
+            # NULL/garbage and bucket in an order that disagrees with
+            # the window's, corrupting the global row order instead of
+            # erroring (round-12 ADVICE).  Enforce the documented
+            # numeric-tiebreaker contract up front.
+            from pyspark.sql.types import NumericType
+
+            tie_type = df.schema[tie].dataType
+            if not isinstance(tie_type, NumericType):
+                raise ValueError(
+                    "bounds='quantile-ties' needs a NUMERIC tiebreaker"
+                    f" (quantile-sketchable); {tie!r} is {tie_type}"
+                )
             if nb >= 2:
                 return _quantile_tie_bucketed(
                     df, lead, tie, nb, int(n_buckets) + 2
