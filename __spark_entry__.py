@@ -11654,23 +11654,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     git history, both 50/50 driver-green).  Rows-only approximates (no
     oracle by design — see CLAUDE.md) stay at the very end so every
     in-window slot is a full hash-checked comparison.
-    ``_WINDOW_R12`` below executes the round-12 rotation exactly as the
-    round-11 VERDICT prescribed (item 3): the 34 stalest driver rows
-    first — the 18 oracle-backed entries whose last green driver row is
-    round 4 (``duplicated_spans`` .. ``event_association_rules``), then
-    the 16 last green in round 5 (``text_readability`` ..
-    ``region_balance_boxplot``), then the 16 remaining slots filled from
-    the round-6 tier in registry order (``priority_value_spread`` ..
-    ``rfm_segments``).  Recomputed this round from all eleven
-    CORRECTNESS artifacts against the live registry: after round 12 no
-    oracle-backed entry's last green row is older than round 5, and the
-    recency histogram floor moves 4 -> 6 for 34 entries.
-    ROTATION PLAN for round 13: continue the staleness-ordered walk —
-    the remaining 31 round-6-tier entries (``top_entry_paths`` ..
+    ``_WINDOW_R13`` below executes the round-13 rotation exactly as the
+    round-12 VERDICT prescribed (item 3), continuing the
+    staleness-ordered walk: the 31 oracle-backed entries whose last
+    green driver row is round 6 (``top_entry_paths`` ..
     ``ks_test_order_values``, staleness order) plus the first 19 of the
-    round-7 tier (``gold_fact_decimal`` onward), skipping rows-only
-    entries — keep cycling so every oracle-backed entry re-earns a
-    driver green row every ~2-3 rounds.
+    round-7 tier (``gold_fact_decimal`` .. ``daily_plays_trend``),
+    skipping rows-only entries.  Recomputed this round from all twelve
+    CORRECTNESS artifacts against the live registry: after round 12 the
+    recency histogram over the 330 oracle-backed entries is
+    {round 6: 31, round 7: 49, rounds 8-12: 50 each}; this window moves
+    the floor to round 7.  ``_WINDOW_R12`` (the round-12 window, 50/50
+    driver-green in CORRECTNESS_r12) is in git history with
+    ``_WINDOW_R3``..``_WINDOW_R11``.
+    ROTATION PLAN for round 14: the remaining 30 round-7-tier entries
+    (``fact_engagement_build`` onward in staleness order) plus the
+    first 20 of the round-8 tier, skipping rows-only — keep cycling so
+    every oracle-backed entry re-earns a driver green row every ~2-3
+    rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
@@ -11987,8 +11988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpp_planner": q_bloom_fpp_planner,
         "topk_stability_halves": q_topk_stability_halves,
     })
-    # --- round-12 rotation: reorder so the driver's 50-entry window ---
-    ordered = {name: core[name] for name in _WINDOW_R12}
+    # --- round-13 rotation: reorder so the driver's 50-entry window ---
+    ordered = {name: core[name] for name in _WINDOW_R13}
     ordered.update((n, f) for n, f in core.items() if n not in ordered)
     # rows-only approximates (no oracle by design) go last: a window
     # slot spent on them yields only a weak rows-only driver check
@@ -12010,67 +12011,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-12 driver window — executes the rotation the round-11 VERDICT
-#: prescribed (item 3): the 34 stalest driver rows front-loaded (18
-#: entries last green in round 4, then 16 last green in round 5), the
-#: remaining 16 slots filled from the round-6 tier in registry order.
-#: Recomputed from all eleven CORRECTNESS artifacts against the live
-#: registry; ``_WINDOW_R3``..``_WINDOW_R11`` are in git history, each
-#: 50/50 driver-green in its round.
-_WINDOW_R12 = [
-    # --- 1-18: last driver-green round 4 ---
-    "duplicated_spans",
-    "dedup_winnow",
-    "dedup_winnow_incremental",
-    "dedup_containment",
-    "lm_bits_per_token",
-    "source_divergence",
-    "bm25_search",
-    "doc_novelty",
-    "purchase_survival_km",
-    "ab_test_report",
-    "mann_whitney_order_values",
-    "chi_square_type_weekday",
-    "daily_revenue_decomposition",
-    "incremental_join_view",
-    "k_anonymity_customers",
-    "daily_revenue_acf",
-    "seasonal_naive_backtest",
-    "event_association_rules",
-    # --- 19-34: last driver-green round 5 ---
-    "text_readability",
-    "dsir_importance",
-    "hard_negative_pairs",
-    "weighted_sample_wor",
-    "stratified_sample_wor",
-    "part_pagerank",
-    "brand_part_ppr",
-    "part_authority_hits",
-    "copurchase_powerlaw",
-    "copurchase_assortativity",
-    "copurchase_triangles",
-    "copurchase_core3",
-    "streaming_sliding_traffic",
-    "ship_business_days",
-    "ar2_revenue_forecast",
-    "region_balance_boxplot",
-    # --- 35-50: round-6 tier, registry order ---
-    "priority_value_spread",
-    "regional_revenue",
-    "orders_above_customer_avg",
-    "user_event_type_sets",
-    "top_event_type_per_user",
-    "balance_segment_report",
-    "customers_no_final_orders",
-    "order_value_percent_rank",
-    "doc_split_assignment",
-    "user_first_last_event",
-    "vocab_coverage",
-    "rolling_7day_range_revenue",
-    "daily_value_locf",
-    "orders_rerun_diff",
-    "benford_first_digit",
-    "rfm_segments",
+#: Round-13 driver window — executes the rotation the round-12 VERDICT
+#: prescribed (item 3): the 31 remaining round-6-tier entries in
+#: staleness order, then the first 19 of the round-7 tier.  Recomputed
+#: from all twelve CORRECTNESS artifacts against the live registry;
+#: ``_WINDOW_R3``..``_WINDOW_R12`` are in git history, each 50/50
+#: driver-green in its round.
+_WINDOW_R13 = [
+    # --- 1-31: last driver-green round 6, staleness order ---
+    "top_entry_paths",
+    "weekday_profile",
+    "event_expectations",
+    "event_transitions",
+    "fuzzy_part_names",
+    "revenue_share_by_brand",
+    "daily_anomaly_zscore",
+    "cumulative_unique_users",
+    "scd2_customer_batch",
+    "multimodal_metadata",
+    "frame_grid",
+    "streaming_daily_engagement",
+    "dedup_exact",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_cluster_keep",
+    "text_profile",
+    "text_lang_id",
+    "text_quality",
+    "doc_fingerprint",
+    "top_keywords",
+    "token_counts",
+    "doc_chunks",
+    "ann_brute_force",
+    "embedding_cosine_pairs",
+    "contamination_report",
+    "text_repetition",
+    "gopher_quality_report",
+    "streaming_view_purchase_join",
+    "ks_test_order_values",
+    # --- 32-50: round-7 tier, staleness order ---
+    "gold_fact_decimal",
+    "embedding_quantize",
+    "dedup_incremental",
+    "similar_documents",
+    "char_entropy_report",
+    "hapax_legomena_report",
+    "zipf_slope_tokens",
+    "token_burstiness",
+    "heaps_law_fit",
+    "vocab_overlap_sources",
+    "semantic_dedup_keep",
+    "truncated_dim_recall",
+    "pii_scrub_report",
+    "line_dedup_report",
+    "stratified_sample",
+    "weighted_sample",
+    "mixture_sample",
+    "temperature_mixture",
+    "daily_plays_trend",
 ]
 
 

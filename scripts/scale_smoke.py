@@ -930,13 +930,24 @@ def ties_ladder(spark, release_caches) -> None:
     column as the scale story (1 task -> ~n_buckets over the tied
     mass) and the wall column honestly (the mode pays two extra passes,
     which only amortize once a single task's rows exceed a core's
-    budget — it LOSES at local 16M scale)."""
+    budget — it LOSES at local 16M scale).
+
+    Row counts default to the round-12 rungs; ``TIES_ROWS`` (comma
+    list) overrides — the round-13 crossover measurement runs
+    ``TIES_ROWS=64000000`` (and narrower-core variants via
+    ``SPARK_GRAFT_CPUS``) to find where the wall ratio crosses 1x
+    instead of extrapolating the 1M->16M monotone trend."""
     from wistia_video_analytics_project_spark.operators.scale import (
         _range_bucketed,
         binned_row_number,
     )
 
-    for n in (1_000_000, 4_000_000, 16_000_000):
+    rows = tuple(
+        int(r) for r in os.environ.get(
+            "TIES_ROWS", "1000000,4000000,16000000"
+        ).split(",")
+    )
+    for n in rows:
         # 50% of rows tie on one lead value; the rest spread over 100k
         df = spark.range(n).select(
             F.when(F.col("id") % 2 == 0, F.lit(777.0))

@@ -296,7 +296,9 @@ def test_record_refuses_drifty_run(tmp_path, monkeypatch, capsys):
         "metric": "headline_query_wall_clock_total", "value": 1.0,
         "unit": "sec", "queries": {"a": 1.0}, "sf": 0.1,
         "run_id": "rD", "calibration": 0.5, "scheduling": 0.04,
-        "calibration_samples": [0.5, 0.9, 0.6],
+        # settled (mid/end) spread 0.9/0.55 = 1.64x: the box genuinely
+        # changed speed after warm-up — the refusal case
+        "calibration_samples": [0.5, 0.9, 0.55],
         "scheduling_samples": [0.04, 0.041, 0.042],
         "probe_spread": {"calibration": 1.8, "scheduling": 1.05},
     }))
@@ -318,7 +320,7 @@ def test_record_refuses_drifty_run(tmp_path, monkeypatch, capsys):
     assert check_bench.main(["--record", str(artifact)]) == 0
     doc = json.loads(recorded.read_text())
     assert doc["probe_spread"] == {"calibration": 1.8, "scheduling": 1.05}
-    assert doc["calibration_samples"] == [0.5, 0.9, 0.6]
+    assert doc["calibration_samples"] == [0.5, 0.9, 0.55]
 
 
 def test_io_spread_annotates_but_does_not_veto_record(
@@ -335,7 +337,9 @@ def test_io_spread_annotates_but_does_not_veto_record(
         "metric": "headline_query_wall_clock_total", "value": 1.0,
         "unit": "sec", "queries": {"a": 1.0}, "sf": 0.1,
         "run_id": "rI", "calibration": 0.5, "scheduling": 0.04,
-        "io": 1.1, "io_samples": [1.1, 0.45, 0.46],
+        # io settled spread 0.95/0.45 = 2.11x — genuinely drifty on the
+        # stamp-only axis, which annotates but must not veto
+        "io": 1.1, "io_samples": [1.1, 0.45, 0.95],
         "probe_spread": {"calibration": 1.1, "scheduling": 1.2,
                          "io": 2.4},
     }))
@@ -348,10 +352,10 @@ def test_io_spread_annotates_but_does_not_veto_record(
     monkeypatch.delenv("BENCH_GUARD_ALLOW_DRIFT", raising=False)
     assert check_bench.main(["--record", str(artifact)]) == 0
     err = capsys.readouterr().err
-    assert "INTRA-RUN PROBE DRIFT" in err and "io spread 2.40x" in err
+    assert "INTRA-RUN PROBE DRIFT" in err and "io spread 2.11x" in err
     doc = json.loads(recorded.read_text())
     assert doc["io"] == 1.1
-    assert doc["io_samples"] == [1.1, 0.45, 0.46]
+    assert doc["io_samples"] == [1.1, 0.45, 0.95]
 
 
 def test_drifty_comparison_is_annotated(tmp_path, monkeypatch, capsys):
@@ -570,3 +574,78 @@ def test_adjudicate_parity_gates_on_both_probes():
     # missing recorded probe can never produce a verdict
     ok, why = adj.parity_ok(0.5, 0.5, None)
     assert not ok
+
+
+def test_adjudicate_settled_reference():
+    """A record with calibration_samples compares settled-to-settled
+    (min sample); a legacy scalar-only record keeps start-vs-start —
+    the comparability rule behind the round-13 deep-warm."""
+    adj = _load_adjudicate()
+    assert adj.settled_reference(
+        {"calibration": 0.549,
+         "calibration_samples": [0.549, 0.415, 0.379]}
+    ) == (0.379, True)
+    assert adj.settled_reference({"calibration": 0.598}) == (0.598, False)
+    # zero/None samples are junk, not a settled basis
+    assert adj.settled_reference(
+        {"calibration": 0.5, "calibration_samples": [0.0, None]}
+    ) == (0.5, False)
+
+
+def test_settled_drift_excludes_warmup_sample():
+    """Round-13: the start probe sample rides systematic JIT warm-up
+    (~1.4-2.3x, measured in four independent runs) — drift is the
+    spread over the SETTLED samples only."""
+    doc = {
+        "calibration_samples": [0.598, 0.424, 0.348],  # full 1.72x
+        "scheduling_samples": [0.0405, 0.0262, 0.0206],  # full 1.97x
+        "io_samples": [0.645, 0.471, 0.409],
+    }
+    d = check_bench.settled_drift(doc)
+    assert d["calibration"] == round(0.424 / 0.348, 3)  # 1.22x
+    assert d["scheduling"] == round(0.0262 / 0.0206, 3)
+    assert d["io"] == round(0.471 / 0.409, 3)
+    # fewer than 2 settled samples -> no basis
+    assert check_bench.settled_drift({"calibration_samples": [0.5, 0.4]}) \
+        == {}
+    assert check_bench.settled_drift({}) == {}
+
+
+def test_run_drift_prefers_settled_over_stamped_spread():
+    head = {
+        "run_id": "r1",
+        "probe_spread": {"calibration": 1.72},
+        "calibration_samples": [0.598, 0.424, 0.348],
+    }
+    assert check_bench.run_drift(head) == {
+        "calibration": round(0.424 / 0.348, 3)
+    }
+    # legacy artifact without samples falls back to the stamp
+    legacy = {"run_id": "r2", "probe_spread": {"calibration": 1.72}}
+    assert check_bench.run_drift(legacy) == {"calibration": 1.72}
+
+
+def test_record_allowed_when_only_warmup_decay(tmp_path, monkeypatch):
+    """A run whose full probe spread exceeds 1.5x purely from the
+    start-sample warm-up decay (settled spread small) must be
+    recordable — otherwise every honest run on this box is refused."""
+    import json
+
+    artifact = tmp_path / "run.json"
+    artifact.write_text(json.dumps({
+        "metric": "headline_query_wall_clock_total", "value": 1.0,
+        "unit": "sec", "queries": {"a": 1.0}, "sf": 0.1,
+        "run_id": "rW", "calibration": 0.598,
+        "calibration_samples": [0.598, 0.424, 0.348],
+        "probe_spread": {"calibration": 1.718},
+    }))
+    recorded = tmp_path / "BENCH_RECORDED.json"
+    monkeypatch.setattr(check_bench, "RECORDED_PATH", str(recorded))
+    monkeypatch.setattr(check_bench, "ALLQ_PATH", str(tmp_path / "m1"))
+    monkeypatch.setattr(check_bench, "SECONDARY_PATH", str(tmp_path / "m2"))
+    monkeypatch.setattr(
+        check_bench, "FLAGS_PATH", str(tmp_path / "BENCH_FLAGS.json")
+    )
+    assert check_bench.main(["--record", str(artifact)]) == 0
+    doc = json.loads(recorded.read_text())
+    assert doc["calibration_samples"] == [0.598, 0.424, 0.348]
