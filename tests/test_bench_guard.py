@@ -95,8 +95,8 @@ def test_calibration_cancels_uniform_box_slowdown():
     the normalized guard must NOT flag, while the raw guard would."""
     recorded = {"q1": 1.0, "q2": 3.0, "q3": 0.8}
     current = {"q1": 1.45, "q2": 4.1, "q3": 1.15}  # ~1.4x across the board
-    # raw: q3 0.8 -> 1.15 is under 2x; but make one cross 2x raw
-    current["q1"] = 2.3  # 2.3x raw — the false-flag case
+    # raw: q3 0.8 -> 1.15 is under 2x; but make one cross 2x+slack raw
+    current["q1"] = 2.5  # 2.5x raw — the false-flag case
     raw, _, _ = check_bench.compare(recorded, current)
     assert raw, "sanity: raw guard would flag"
     cal = check_bench.calibration_ratio(1.0, 1.4)
@@ -649,3 +649,21 @@ def test_record_allowed_when_only_warmup_decay(tmp_path, monkeypatch):
     assert check_bench.main(["--record", str(artifact)]) == 0
     doc = json.loads(recorded.read_text())
     assert doc["calibration_samples"] == [0.598, 0.424, 0.348]
+
+
+def test_additive_slack_absorbs_scheduling_jitter_on_tiny_entries():
+    """Round-13: entries recorded near the floor are scheduling-bound;
+    ~0.3s of per-run jitter must not read as a 2x regression, while a
+    real blow-up on the same entry still flags."""
+    # the round-13 run-3 false-flag shapes: 0.301 -> 0.573, 0.446 -> 0.786
+    regs, _, _ = check_bench.compare(
+        {"centroid": 0.301, "moments": 0.446},
+        {"centroid": 0.573, "moments": 0.786},
+    )
+    assert regs == []
+    # a genuine 10x regression on the same tiny entry still flags
+    regs, _, _ = check_bench.compare({"centroid": 0.301}, {"centroid": 3.0})
+    assert regs == [("centroid", 0.301, 3.0)]
+    # slack is negligible for normal-sized entries: 2.2x on a 2 s entry
+    regs, _, _ = check_bench.compare({"big": 2.0}, {"big": 4.5})
+    assert regs == [("big", 2.0, 4.5)]
