@@ -3283,15 +3283,23 @@ def q_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_clamped_quarterly_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive CTE (Spark 4 WITH RECURSIVE): clamped running balance —
-    each quarter a fixed inflow lands and that quarter's order spend
-    drains, with the balance floored at zero (overdraft forgiven).  The
-    floor-at-zero makes this inherently sequential: no window frame
-    expresses it, which is exactly the recursion-requiring shape.  All
-    arithmetic in exact integer cents, so both engines recurse over
-    identical integers.  27 quarters — each recursion level costs a
-    scheduled mini-job (~0.3 s), which is why the grain is quarterly,
-    not monthly; the only distributed work is the aggregate underneath."""
+    """Clamped running balance — each quarter a fixed inflow lands and
+    that quarter's order spend drains, with the balance floored at zero
+    (overdraft forgiven).  The floor-at-zero makes this inherently
+    sequential: no window frame expresses it.  All arithmetic in exact
+    integer cents, so both engines fold over identical integers.
+
+    Optimization (r13): the sequential fold runs as ONE ``aggregate``
+    HOF over the ``array_sort``-collected quarter spine instead of a
+    Spark 4 recursive CTE — the recursion scheduled a ~0.3 s mini-job
+    PER LEVEL (141 jobs, ~2.6 s of pure DAGScheduler constant at 27
+    quarters; guide §1.2 "remove unnecessary passes"), while the fold
+    is a single job over the same ≤~30-row aggregate.  Same recurrence
+    ``bal_k = greatest(0, bal_{k-1} + inflow − spend_k)`` on the same
+    BIGINT cents, so the output is bit-identical (oracle keeps the
+    recursive-CTE formulation and hash-matches).  The quarter spine is
+    domain-bounded, so the single-row collect_list state is ≤~30
+    structs no matter the SF."""
     configure_runtime(spark)
     orders = _t(spark, sf_dir, "orders")
     monthly = (
@@ -3303,34 +3311,48 @@ def q_clamped_quarterly_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("quarter")
         .agg(F.sum("__cents").alias("spend_cents"))
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy("quarter"))
-        )
     )
-    # each recursion step re-reads the anchor view: cache the 80-row
-    # aggregate once so the recursion doesn't re-scan parquet per level
-    from wistia_video_analytics_project_spark.cache import track
-
-    monthly = track(monthly.cache())
-    monthly.createOrReplaceTempView("__monthly_spend")
     inflow = 14_100_000_000  # cents; ~avg quarterly spend so the clamp bites
-    return spark.sql(f"""
-        WITH RECURSIVE bal AS (
-          SELECT rn, quarter, spend_cents,
-                 CAST(greatest(0, {inflow} - spend_cents) AS BIGINT)
-                   AS balance_cents
-          FROM __monthly_spend WHERE rn = 1
-          UNION ALL
-          SELECT m.rn, m.quarter, m.spend_cents,
-                 CAST(greatest(0, b.balance_cents + {inflow} - m.spend_cents)
-                      AS BIGINT)
-          FROM bal b JOIN __monthly_spend m ON m.rn = b.rn + 1
+    spine = monthly.agg(
+        F.array_sort(
+            F.collect_list(F.struct("quarter", "spend_cents"))
+        ).alias("__qs")
+    )
+    # left fold: append struct(quarter, spend, clamped balance); the
+    # previous balance reads via get(acc, size-1) — NULL (not an ANSI
+    # error) on the first element, coalesced to the 0 opening balance
+    def _step(acc, x):
+        prev = F.coalesce(
+            F.get(acc, F.size(acc) - F.lit(1))["balance_cents"],
+            F.lit(0).cast("long"),
         )
-        SELECT quarter,
-               round(spend_cents / CAST(100.0 AS DOUBLE), 2) AS spend,
-               round(balance_cents / CAST(100.0 AS DOUBLE), 2) AS balance
-        FROM bal ORDER BY quarter
-    """)
+        bal = F.greatest(
+            F.lit(0).cast("long"),
+            prev + F.lit(inflow) - x["spend_cents"],
+        ).cast("long")
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["quarter"].alias("quarter"),
+                    x["spend_cents"].alias("spend_cents"),
+                    bal.alias("balance_cents"),
+                )
+            ),
+        )
+
+    zero = F.expr(
+        "CAST(array() AS"
+        " array<struct<quarter:date,spend_cents:bigint,balance_cents:bigint>>)"
+    )
+    folded = spine.select(
+        F.explode(F.aggregate("__qs", zero, _step)).alias("__r")
+    )
+    return folded.select(
+        F.col("__r.quarter").alias("quarter"),
+        F.round(F.col("__r.spend_cents") / F.lit(100.0), 2).alias("spend"),
+        F.round(F.col("__r.balance_cents") / F.lit(100.0), 2).alias("balance"),
+    ).orderBy("quarter")
 
 
 def q_priority_status_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,7 +41,6 @@ ALLOWED: dict[str, set[str]] = {
         "q_binseg_changepoints",
         "q_bootstrap_ci_daily_revenue",
         "q_breusch_pagan_daily",
-        "q_clamped_quarterly_balance",    # quarter spine
         "q_cumulative_unique_users",
         "q_cusum_changepoint",
         "q_daily_revenue_acf",
