@@ -1510,13 +1510,26 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # single pass: when exactly one supplier is late, max(late supplier)
     # IS that supplier — no second consumer of the joined frame, so the
-    # lineitem⋈orders join runs once with no cache needed
-    per_order = lo.groupBy("o_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("__n_supp"),
-        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
-            "__n_late"
+    # lineitem⋈orders join runs once with no cache needed.
+    # r13: the distinct-supplier counts run as TWO chained aggregates
+    # instead of count_distinct — the multi-distinct aggregate planned
+    # an Expand (3x the rows through the exchange) plus an extra
+    # shuffle. One explicit o_orderkey repartition establishes a
+    # partitioning BOTH groupBys satisfy (hash(o_orderkey) clusters
+    # (o_orderkey, l_suppkey) too — guide §2.4 "share one exchange"):
+    # the whole reduction runs on a single shuffle, identical integers
+    # out.
+    per_supp = (
+        lo.repartition("o_orderkey")
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(F.max("__late").alias("__any_late"))
+    )
+    per_order = per_supp.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum(F.col("__any_late").cast("long")).alias("__n_late"),
+        F.max(F.when(F.col("__any_late"), F.col("l_suppkey"))).alias(
+            "__sole"
         ),
-        F.max(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__sole"),
     )
     sole_late = per_order.filter(
         (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)

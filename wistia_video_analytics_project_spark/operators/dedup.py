@@ -800,6 +800,17 @@ def containment_pairs(
     stop-shingle guard bounding join fan-out, one intersection
     aggregate; emits pairs where either direction reaches
     ``threshold``.
+
+    r13: with ``max_df`` set this uses the SAME grouped in-place
+    pair generation as :func:`ngram_jaccard_pairs` ``strategy=
+    'grouped'`` — groupBy(shingle) collects each shingle's sorted doc
+    list (bounded by ``max_df``) and emits its C(df,2) pairs with
+    array HOFs, ONE corpus pass instead of the shingle self-join that
+    re-derived the explode subtree three times (the ~6x sf0.1 win
+    measured for the Jaccard port in round 3 applies identically).
+    ``max_df=None`` keeps the streaming self-join (a pathologically
+    hot shingle must not materialize its whole doc list in one
+    aggregation state).  Both shapes produce identical pairs.
     """
     arr = _shingle_arrays(docs, text_col, id_col, n).withColumn(
         "__h", F.expr("transform(__shingles, s -> xxhash64(s))")
@@ -808,22 +819,40 @@ def containment_pairs(
         "doc_id", F.explode_outer("__h").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
     if max_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("shingle")
+        grouped = sh.groupBy("shingle").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("__ms")
+        ).filter(F.size("__ms") <= max_df)
+        pairs = grouped.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(__ms, (x, i) ->
+                      transform(slice(__ms, i + 2, size(__ms)),
+                                y -> struct(x AS a, y AS b))))
+                    """
+                )
+            ).alias("__p")
+        ).select("__p.a", "__p.b")
+        inter = pairs.groupBy(
+            F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b")
+        ).agg(F.count(F.lit(1)).alias("n_common"))
+        # post-filter doc sizes off the SAME grouped frame (shares its
+        # exchange), exactly as the Jaccard grouped path does
+        sizes = (
+            grouped.select(F.explode("__ms").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("sz"))
         )
-        sh = sh.join(keep, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    else:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+        inter = (
+            a.join(b, ["shingle"])
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("__sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("__szb"))
     c_ab = F.round(F.col("n_common") / F.col("__sza"), 4)

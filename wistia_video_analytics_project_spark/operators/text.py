@@ -608,13 +608,24 @@ def doc_novelty(
     thresholds can miss; the complement (1 - novelty) reads as
     memorization risk for LLM training.
 
-    One shingle pass -> distinct (doc, gram) -> gram df table joined
-    back (partial-agg both sides).  ``hashed=True`` is the 100 TB
-    path: the gram never reaches the output, so the distinct + df
-    shuffles can key on 8-byte ``xxhash64(gram)`` instead of the full
-    n-gram string — same plan shape, ~10x lighter exchange.  Output is
-    identical modulo hash collisions (~n_grams²/2⁶⁴); rows-only in the
-    registry, with an equality-vs-string-path pytest."""
+    ONE shingle pass; per-doc dedup happens INSIDE the row with
+    ``array_distinct`` (narrow — the old global distinct shuffle does
+    not exist at all), and the gram df rides a count window over the
+    gram partitioning instead of an aggregate + join-back (the r12
+    shape paid four exchanges and TWO explode passes — the optimizer
+    broadcast the df table and re-derived its subtree from the scan;
+    guide §2.4): the whole query is scan → explode → Exchange(gram) →
+    window → Exchange(doc_id) → agg.  ``hashed=True`` is the 100 TB
+    path: the gram never reaches the output, so the gram exchange can
+    key on 8-byte ``xxhash64(gram)`` instead of the full n-gram string
+    — same plan shape, ~10x lighter exchange.  Output is identical
+    modulo hash collisions (~n_grams²/2⁶⁴); rows-only in the registry,
+    with an equality-vs-string-path pytest.  Skew note: the window
+    buffers one gram's (doc, gram) rows per group (spillable array);
+    n-gram df is zipfian with max df ≪ corpus size, and the prior
+    shape funneled the same hot gram through one df-aggregate task."""
+    from pyspark.sql import Window
+
     words = tokens(F.col(text_col))
 
     def _gram(i):
@@ -625,27 +636,27 @@ def doc_novelty(
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.when(
-                F.size(words) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-                    _gram,
-                ),
-            ).otherwise(F.array().cast(gram_t))
+            F.array_distinct(
+                F.when(
+                    F.size(words) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+                        _gram,
+                    ),
+                ).otherwise(F.array().cast(gram_t))
+            )
         ).alias("gram"),
-    ).distinct()
-    df_tbl = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
-    return (
-        grams.join(df_tbl, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.round(
-                F.sum((F.col("__df") == 1).cast("long"))
-                / F.count(F.lit(1)).cast("double"),
-                4,
-            ).alias("novelty"),
-        )
+    )
+    with_df = grams.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
+    return with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(
+            F.sum((F.col("__df") == 1).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("novelty"),
     )
 
 
@@ -669,27 +680,84 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bits_corpus − bits_target`` is the importance signal — positive
     means the doc looks more target-like than the corpus average, and
     feeding ``2^(n·llr)`` weights to the existing weighted sampler IS
-    importance resampling.  Two passes of the same LM machinery
-    (cross-scoring via ``train_docs``), one join; top-100 by (llr desc,
-    doc_id) after round-4 on both bit scores.  Known cost: the two LM
-    calls each rebuild the corpus bigram stream (the heaviest stage) —
-    a shared-stream multi-model scorer would halve the scan+explode
-    work (round-5 item)."""
+    importance resampling.  Top-100 by (llr desc, doc_id) after round-4
+    on both bit scores.
+
+    r13 (closes the round-5 "shared-stream multi-model scorer" item):
+    ONE bigram stream carries a per-doc target flag, so BOTH models'
+    counts come from conditional aggregates over the same pass —
+    ``c_target = count(when(is_en, ...))`` — and scoring joins the
+    count tables once instead of running the whole LM machinery twice.
+    The target-LM counts/vocab are exactly the counts of the en-only
+    stream (same integers), the smoothed probabilities divide the same
+    doubles, and the per-doc bit scores round at 4 before the llr
+    subtraction, so the output is identical to the two-pass shape."""
     docs = _docs(spark, sf_dir)
-    target = docs.filter(F.col("lang") == "en")
-    corpus_bits = lm_bits_per_token(docs)
-    target_bits = (
-        lm_bits_per_token(docs, train_docs=target)
-        .withColumnRenamed("bits_per_token", "bits_target")
-        .drop("n_bigrams")
+    k = 0.5
+    toks = tokens("text")
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").alias("__tgt"),
+            toks.alias("__t"),
+        )
+        .filter(F.size("__t") >= 2)
+    )
+    # fail fast on an empty effective target corpus (same guard, same
+    # single bounded job as the two-pass shape)
+    if base.filter(F.col("__tgt")).limit(1).count() == 0:
+        raise ValueError(
+            "target corpus has no document with >= 2 tokens — "
+            "cannot train the scoring LM"
+        )
+    bg = base.select(
+        "doc_id",
+        "__tgt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), i -> "
+                "struct(element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2))"
+            )
+        ).alias("__b"),
+    ).select("doc_id", "__tgt", "__b.w1", "__b.w2")
+    tgt1 = F.when(F.col("__tgt"), F.lit(1))
+    bigram_counts = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("__cb"), F.count(tgt1).alias("__cbt")
+    )
+    context_counts = bg.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("__cc"), F.count(tgt1).alias("__cct")
+    )
+    vocab = base.select("__tgt", F.explode("__t").alias("w")).agg(
+        F.count_distinct("w").cast("double").alias("__v"),
+        F.count_distinct(F.when(F.col("__tgt"), F.col("w")))
+        .cast("double")
+        .alias("__vt"),
+    )
+    p_all = (F.col("__cb").cast("double") + F.lit(k)) / (
+        F.col("__cc").cast("double") + F.lit(k) * F.col("__v")
+    )
+    p_tgt = (F.col("__cbt").cast("double") + F.lit(k)) / (
+        F.col("__cct").cast("double") + F.lit(k) * F.col("__vt")
+    )
+    n = F.count(F.lit(1))
+    per_doc = (
+        bg.join(bigram_counts, ["w1", "w2"])
+        .join(context_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_bigrams"),
+            F.round(-F.sum(F.log2(p_all)) / n, 4).alias("__bits_all"),
+            F.round(-F.sum(F.log2(p_tgt)) / n, 4).alias("__bits_tgt"),
+        )
     )
     return (
-        corpus_bits.join(target_bits, "doc_id")
-        .select(
+        per_doc.select(
             "doc_id",
             "n_bigrams",
             F.round(
-                F.col("bits_per_token") - F.col("bits_target"), 4
+                F.col("__bits_all") - F.col("__bits_tgt"), 4
             ).alias("llr_per_token"),
         )
         .orderBy(F.desc("llr_per_token"), F.asc("doc_id"))
