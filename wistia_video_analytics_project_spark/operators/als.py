@@ -268,24 +268,33 @@ def als_train(
         F.col(user_col).alias("user"),
         F.col(item_col).alias("item"),
         F.col("rating").cast("double"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     if accumulation == "auto":
-        deg = r.groupBy("user").count().agg(F.max("count")).collect()[0][0]
-        deg_i = r.groupBy("item").count().agg(F.max("count")).collect()[0][0]
-        max_deg = max(int(deg or 0), int(deg_i or 0))
+        # ONE probe job (r13): both max degrees ride a single action —
+        # a cross join of two 1-row aggregates — instead of two
+        # collects (and it doubles as the materializing action for the
+        # lazy ratings checkpoint above)
+        du = r.groupBy("user").count().agg(F.max("count").alias("du"))
+        di = r.groupBy("item").count().agg(F.max("count").alias("di"))
+        row = du.crossJoin(di).collect()[0]
+        max_deg = max(int(row["du"] or 0), int(row["di"] or 0))
         accumulation = (
             "sum" if max_deg > int(skew_degree_threshold) else "sorted"
         )
+    # lazy checkpoints (r13): each factor frame is consumed exactly
+    # once by the next half-step's join, which materializes it inside
+    # that half-step's job — one scheduled job per half-step instead
+    # of two; the logical plan still truncates at every checkpoint
     item_f = init_factors(
         r.select("item").distinct(), "item", k
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     user_f = init_factors(r.select("user").distinct(), "user", k)
     losses: list[float] = []
     for _ in range(int(iterations)):
         user_f = _solve_side(r, item_f, "user", "item", k, reg, accumulation)
-        user_f = user_f.localCheckpoint(eager=True)
+        user_f = user_f.localCheckpoint(eager=False)
         item_f = _solve_side(r, user_f, "item", "user", k, reg, accumulation)
-        item_f = item_f.localCheckpoint(eager=True)
+        item_f = item_f.localCheckpoint(eager=False)
         if track_loss:
             losses.append(als_loss(r, user_f, item_f, reg))
     return user_f, item_f, losses
@@ -494,7 +503,11 @@ def q_als_ann_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py."""
     ratings = _bounded_ratings(spark, sf_dir)
     user_f, item_f, _ = als_train(
-        ratings, k=8, iterations=2, reg=0.1, track_loss=False
+        # accumulation pinned: the id slice bounds every degree by
+        # construction (<=5000 items/user, <=1000 users/item), so the
+        # auto-probe job is provably redundant here (r13)
+        ratings, k=8, iterations=2, reg=0.1, track_loss=False,
+        accumulation="sorted",
     )
     return recommend_topk_ann(
         user_f, item_f, ratings, n=3, n_centroids=16, nprobe=8
@@ -512,7 +525,10 @@ def q_als_part_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_als.py)."""
     ratings = _bounded_ratings(spark, sf_dir)
     user_f, item_f, _ = als_train(
-        ratings, k=8, iterations=2, reg=0.1, track_loss=False
+        # accumulation pinned — same degree-bound argument as the ANN
+        # binding above (r13)
+        ratings, k=8, iterations=2, reg=0.1, track_loss=False,
+        accumulation="sorted",
     )
     return recommend_topk(
         user_f, item_f, ratings, n=3, method="exact"

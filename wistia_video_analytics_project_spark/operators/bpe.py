@@ -86,27 +86,44 @@ def _pair_counts(word_table: DataFrame) -> DataFrame:
 
 def _apply_merge(word_table: DataFrame, left: str, right: str) -> DataFrame:
     """Rewrite every symbol sequence, replacing adjacent (left, right)
-    with their concatenation.  Arrow-batched; runs over the word table
-    only."""
-    merged = left + right
+    with their concatenation — pure JVM (r13).
 
-    @pandas_udf("array<string>")
-    def merge_one(col: pd.Series) -> pd.Series:
-        def m(seq):
-            out = []
-            i, n = 0, len(seq)
-            while i < n:
-                if i < n - 1 and seq[i] == left and seq[i + 1] == right:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(seq[i])
-                    i += 1
-            return out
-
-        return col.map(m)
-
-    return word_table.withColumn("symbols", merge_one("symbols"))
+    The left-to-right scan-with-skip is a linear ``aggregate`` fold
+    over the symbol array: the accumulator carries the rewritten
+    prefix plus a skip flag for the element just consumed by a merge.
+    Per-element array append copies the prefix, so one word costs
+    O(len²) element copies — symbols per word are bounded by word
+    length (tens), making that trivial, while dropping the per-
+    iteration Python stage removes a JVM→Python→JVM round trip and a
+    fresh Arrow-UDF spin-up from EVERY merge (guide §4.1: the loop ran
+    30 of them).  Exact same semantics as the Python loop it replaces
+    (left-to-right, overlapping occurrences consume greedily), pinned
+    by tests/test_bpe.py's pure-Python reference parity."""
+    l_, r_, m_ = (
+        left.replace("\\", "\\\\").replace("'", "\\'"),
+        right.replace("\\", "\\\\").replace("'", "\\'"),
+        (left + right).replace("\\", "\\\\").replace("'", "\\'"),
+    )
+    merged_col = F.expr(
+        f"""
+        aggregate(
+          sequence(1, size(symbols)),
+          struct(CAST(array() AS array<string>) AS out, false AS skip),
+          (acc, i) -> CASE
+            WHEN acc.skip THEN struct(acc.out AS out, false AS skip)
+            WHEN i < size(symbols)
+                 AND element_at(symbols, i) = '{l_}'
+                 AND element_at(symbols, i + 1) = '{r_}'
+              THEN struct(concat(acc.out, array('{m_}')) AS out,
+                          true AS skip)
+            ELSE struct(concat(acc.out, array(element_at(symbols, i)))
+                          AS out,
+                        false AS skip)
+          END,
+          acc -> acc.out)
+        """
+    )
+    return word_table.withColumn("symbols", merged_col)
 
 
 def train_bpe(
@@ -153,7 +170,12 @@ def train_bpe(
             break
         left, right, n = best[0]["p"]["left"], best[0]["p"]["right"], best[0]["n"]
         merges.append((left, right, int(n)))
-        wt = _apply_merge(wt, left, right).localCheckpoint(eager=True)
+        # LAZY checkpoint (r13): the rewrite materializes inside the
+        # NEXT iteration's pair-count job instead of a dedicated eager
+        # job — one scheduled job per merge instead of two (the
+        # lineage still truncates at the checkpoint, so plans stay
+        # constant-size; the final table materializes on first use)
+        wt = _apply_merge(wt, left, right).localCheckpoint(eager=False)
     return merges, wt
 
 

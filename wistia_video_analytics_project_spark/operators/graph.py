@@ -182,8 +182,13 @@ def pagerank(
                     ).alias("rank"),
                 )
                 # ranks is read TWICE next iteration (contrib + dangling
-                # mass): materialize to keep the plan linear in iterations
-                .localCheckpoint(eager=True)
+                # mass): checkpoint to keep the plan linear in
+                # iterations.  LAZY since r13 — the next iteration's
+                # broadcast-build job materializes it (block-manager
+                # locking computes each partition once even with two
+                # readers), one scheduled job per iteration instead of
+                # two
+                .localCheckpoint(eager=False)
             )
         else:
             # symmetric contract: contrib already contains every node
@@ -228,8 +233,12 @@ def k_core(
     partially-peeled edge set; the flag lets callers distinguish a true
     k-core from a truncated peel (round-4 ADVICE) without changing the
     deterministic unrolled contract the oracle mirrors."""
+    # lazy checkpoints throughout (r13): the count() that every round
+    # already runs is the materializing action, so each round schedules
+    # ONE job instead of two (eager=True ran an internal count first,
+    # then the user count again over the blocks)
     e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint(
-        eager=True
+        eager=False
     )
     n_edges = e.count()
     converged = n_edges == 0
@@ -249,7 +258,7 @@ def k_core(
             e.join(keep.select(F.col("node").alias("u")), "u")
             .join(keep.select(F.col("node").alias("v")), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n2 = e2.count()
         e = e2
