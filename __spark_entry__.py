@@ -3782,11 +3782,16 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals."""
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    words = docs.select(
+    # per-doc dedup rides INSIDE the row (r13): doc_id is unique, so
+    # array_distinct before the explode is row-identical to the old
+    # explode->distinct but removes the (doc_id, word) distinct
+    # exchange entirely (the doc_novelty precedent)
+    doc_word = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("word"),
     ).filter(F.col("word") != "")
-    doc_word = words.distinct()
     df_counts = doc_word.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     kept = doc_word.join(
         F.broadcast(df_counts.filter(F.col("df") >= 5)), "word"

@@ -156,7 +156,9 @@ def train_bpe(
     wt = (
         word_frequencies(docs, text_col, min_freq)
         .withColumn("symbols", _char_symbols(F.col("word")))
-        .localCheckpoint(eager=True)
+        # lazy like the per-merge checkpoints: the first pair-count
+        # job materializes it (r13)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):

@@ -290,18 +290,22 @@ def q_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, langs, dim=_TRAIN_DIM, iterations=_TRAIN_ITERS
     )
     scored = langid_score(feats, langs, w, b)
-    agg = scored.agg(
+    # ONE report job (r13): the accuracy aggregate and the
+    # majority-baseline aggregate cross-join into a single action over
+    # the cached features instead of two back-to-back collects
+    acc_agg = scored.agg(
         F.round(
             F.avg((F.col("lang_pred") == F.col("lang")).cast("double")), 4
         ).alias("acc"),
         F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    majority = (
+    )
+    maj_agg = (
         feats.groupBy("lang")
         .count()
         .agg(F.max("count").alias("m"), F.sum("count").alias("t"))
-        .collect()[0]
     )
+    row = acc_agg.crossJoin(maj_agg).collect()[0]
+    agg, majority = row, row
     rows = [
         ("train_accuracy", float(agg["acc"])),
         ("majority_baseline", round(majority["m"] / majority["t"], 4)),

@@ -308,10 +308,25 @@ def train_unigram(
     iterations: int = 4,
     prune_min_prob: float = 1e-6,
     min_word_freq: int = 1,
+    word_freqs: DataFrame | None = None,
 ) -> tuple[dict[str, float], list[float]]:
     """End-to-end: word table -> candidate vocab -> EM -> prune ->
-    one consolidation EM pass.  Returns (probs, logliks)."""
-    wf = word_frequencies(docs, text_col, min_freq=min_word_freq)
+    one consolidation EM pass.  Returns (probs, logliks).
+
+    ``word_freqs`` (optional) is a prebuilt UNFILTERED (word, freq)
+    table — callers that already materialized one (e.g. to also
+    compute fertility) pass it in and the ``min_word_freq`` filter
+    applies here, avoiding a duplicate corpus pass."""
+    # ONE corpus pass, enforced (r13): the word table is consumed by
+    # candidate_vocab plus every EM pass — without materialization each
+    # consumer lazily re-derived the tokenize+explode+groupBy corpus
+    # scan (the module contract said one pass; the plan ran four).
+    # Lazy checkpoint: the candidate collect below materializes it.
+    if word_freqs is not None:
+        wf = word_freqs.filter(F.col("freq") >= int(min_word_freq))
+    else:
+        wf = word_frequencies(docs, text_col, min_freq=min_word_freq)
+    wf = wf.localCheckpoint(eager=False)
     cand = candidate_vocab(wf, max_piece_len, max_vocab)
     init = {r["piece"]: float(r["count"]) for r in cand.collect()}
     probs, logliks = unigram_em(wf, init, iterations, max_piece_len)
@@ -333,17 +348,51 @@ def q_unigram_tokenizer_train(
 
     configure_runtime(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus pass total (r13): the unfiltered word table feeds both
+    # training (min_word_freq filter applied inside train_unigram) and
+    # the fertility report below — the old shape ran a SECOND full
+    # corpus pass that Viterbi-segmented every word OCCURRENCE in
+    # Python; fertility is Σ freq and Σ freq·|segment(word)|, so
+    # segmenting each DISTINCT word once is arithmetically identical
+    # (guide §4.1: shrink what crosses the Python boundary).
+    wf_full = word_frequencies(docs, "text", min_freq=1).localCheckpoint(
+        eager=False
+    )
     probs, _ = train_unigram(
-        docs, max_vocab=400, iterations=2, min_word_freq=2
+        docs, max_vocab=400, iterations=2, min_word_freq=2,
+        word_freqs=wf_full,
     )
     top = sorted(
         ((p, v) for p, v in probs.items() if len(p) > 1),
         key=lambda kv: (-kv[1], kv[0]),
     )[:30]
-    enc = unigram_encode(docs, probs)
-    fert = enc.agg(
-        F.sum("n_words").alias("w"), F.sum("n_pieces").alias("p")
-    ).collect()[0]
+    logp = {k: math.log(v) for k, v in probs.items() if v > 0.0}
+    bc = spark.sparkContext.broadcast(logp)
+
+    def pieces_per_word(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        lp = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "freq": pdf["freq"],
+                    "np": [
+                        len(unigram_viterbi_segment(str(w), lp, 6))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    fert = (
+        wf_full.select("word", "freq")
+        .mapInPandas(pieces_per_word, "freq long, np long")
+        .agg(
+            F.sum("freq").alias("w"),
+            F.sum(F.col("freq") * F.col("np")).alias("p"),
+        )
+        .collect()[0]
+    )
     rows = [
         (i + 1, p, round(v, 6), int(fert["w"]), int(fert["p"]))
         for i, (p, v) in enumerate(top)
