@@ -956,11 +956,17 @@ def duplicated_spans(
     ever materialize.  Two scans of ``docs``, but the exchange — the
     actual 100 TB bottleneck — carries longs, not 10-gram text.
     Rows-only in the registry (no DuckDB xxhash64), with an
-    equality-vs-string-path pytest."""
-    words = tokens(F.col(text_col))
+    equality-vs-string-path pytest.
+
+    r13: the token array is materialized as a COLUMN before the span
+    transform — referencing the raw ``tokens()`` expression inside the
+    lambda re-ran the regex split once PER POSITION (measured 3.2 s →
+    0.5 s for the span build alone at sf0.1; the same trap
+    ``shingles()`` documents for InferFiltersFromGenerate)."""
+    words = F.col("__toks")
 
     def span_stream(expr):
-        return docs.select(
+        return docs.withColumn("__toks", tokens(F.col(text_col))).select(
             F.col(id_col).alias("doc_id"),
             F.explode(
                 F.when(

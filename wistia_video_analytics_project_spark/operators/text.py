@@ -626,14 +626,18 @@ def doc_novelty(
     shape funneled the same hot gram through one df-aggregate task."""
     from pyspark.sql import Window
 
-    words = tokens(F.col(text_col))
+    # token array materialized as a column BEFORE the gram transform:
+    # an inlined tokens() expression re-runs the regex split once per
+    # position inside the lambda (r13; the duplicated_spans/shingles
+    # trap — measured 6x on the span build)
+    words = F.col("__toks")
 
     def _gram(i):
         g = F.array_join(F.slice(words, i, n), " ")
         return F.xxhash64(g) if hashed else g
 
     gram_t = "array<bigint>" if hashed else "array<string>"
-    grams = docs.select(
+    grams = docs.withColumn("__toks", tokens(F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(
