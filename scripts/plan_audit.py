@@ -150,6 +150,10 @@ BNLJ_SMALL_BUILD_ALLOWLIST = {
     "embedding_cosine_pairs",  # vec_id < 200 exact-oracle slice
     "hard_negative_pairs",    # bounded query probe
     "semantic_dedup_keep",    # vec_id < 200 exact-oracle slice
+    # r13: the ablation now probes the corpus with the <=20-row query
+    # side broadcast (same bounded shape as ann_brute_force) instead of
+    # the 64-way element-explode position self-join
+    "truncated_dim_recall",   # vec_id < 20 query probe vs corpus
 }
 
 #: driver-side literal relations (createDataFrame of a parameter grid,

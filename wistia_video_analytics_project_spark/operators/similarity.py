@@ -1645,57 +1645,74 @@ def truncated_dim_recall(
     shipping truncated vectors at serving time (a 4x smaller index for
     a known recall cost).
 
-    One element-explode self-join computes ALL truncation levels'
-    dot products and norms as conditional sums in a single aggregation
-    (no per-dim rescan); ranking uses the rounded-6 cosine with
-    neighbor-id tiebreak exactly like :func:`brute_force_topk`, so the
-    result is engine-exact and oracle-checkable.  Scale: the pair
-    stage is bounded by ``n_queries x corpus``, the same shape as the
-    exact ANN baseline — the corpus-scale swap is running the same
-    ablation over an IVF shortlist."""
+    All truncation levels' cosines come from whole-vector ``zip_with``
+    folds on ONE bounded broadcast join (the ≤``n_queries``-row query
+    side vs the corpus) — r13: the previous shape exploded every vector
+    into 64 element rows and self-joined on position, shuffling
+    64x the pair rows into a wide conditional aggregate, and then
+    re-derived that subtree for every ranking pass; norms are now pure
+    row-local folds (no aggregation at all), and the bounded
+    (n_queries x corpus) sims frame is cached once for the ranking
+    passes.  Ranking uses the rounded-6 cosine with neighbor-id
+    tiebreak exactly like :func:`brute_force_topk`, so the result is
+    engine-exact and oracle-checkable.  Scale: the pair stage is
+    bounded by ``n_queries x corpus``, the same shape as the exact ANN
+    baseline — the corpus-scale swap is running the same ablation over
+    an IVF shortlist."""
     from pyspark.sql import Window
 
-    e = emb.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(vec_col).alias("pos", "v"),
-    ).select(
-        "vid", (F.col("pos") + 1).alias("i"), F.col("v").cast("double")
-    )
-    qe = e.filter(F.col("vid") < n_queries)
-    dots = (
-        qe.alias("a")
-        .join(e.alias("b"), F.expr("a.i = b.i AND a.vid <> b.vid"))
-        .groupBy(
-            F.col("a.vid").alias("query_id"),
-            F.col("b.vid").alias("neighbor_id"),
+    from .. import cache as _cache
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _nrm(v, d: int):
+        return F.sqrt(
+            F.aggregate(
+                F.slice(v, 1, d),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
         )
-        .agg(
-            *[
-                F.sum(
-                    F.when(F.col("a.i") <= d, F.col("a.v") * F.col("b.v"))
-                ).alias(f"dp{d}")
-                for d in dims
-            ]
-        )
-    )
-    norms = e.groupBy(F.col("vid")).agg(
-        *[
-            F.sqrt(
-                F.sum(F.when(F.col("i") <= d, F.col("v") * F.col("v")))
-            ).alias(f"nrm{d}")
-            for d in dims
-        ]
-    )
-    na = norms.select(
-        F.col("vid").alias("query_id"),
-        *[F.col(f"nrm{d}").alias(f"na{d}") for d in dims],
-    )
-    nb = norms.select(
+
+    base = emb.select(F.col(id_col).alias("vid"), vec.alias("__v"))
+    corpus = base.select(
         F.col("vid").alias("neighbor_id"),
-        *[F.col(f"nrm{d}").alias(f"nb{d}") for d in dims],
+        F.col("__v").alias("__nv"),
+        *[_nrm(F.col("__v"), d).alias(f"nb{d}") for d in dims],
     )
-    sims = dots.join(F.broadcast(na), "query_id").join(
-        F.broadcast(nb), "neighbor_id"
+    queries_side = base.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        *[_nrm(F.col("__v"), d).alias(f"na{d}") for d in dims],
+    )
+
+    def _dp(d: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__qv"), 1, d),
+                F.slice(F.col("__nv"), 1, d),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sims = _cache.track(
+        corpus.join(
+            F.broadcast(queries_side),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            *[
+                F.round(
+                    _dp(d) / (F.col(f"na{d}") * F.col(f"nb{d}")), 6
+                ).alias(f"cos{d}")
+                for d in dims
+            ],
+        )
+        .cache()
     )
     full = dims[-1]
 
@@ -1707,9 +1724,7 @@ def truncated_dim_recall(
             sims.select(
                 "query_id",
                 "neighbor_id",
-                F.round(
-                    F.col(f"dp{d}") / (F.col(f"na{d}") * F.col(f"nb{d}")), 6
-                ).alias("cos"),
+                F.col(f"cos{d}").alias("cos"),
             )
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
