@@ -5678,23 +5678,32 @@ def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket (a 10⁵-line B2B order) from detonating into 10¹⁰ pairs at
     100× data (round-7 VERDICT item; same guard as the PMI binding)."""
     li = _t(spark, sf_dir, "lineitem")
-    all_pairs = li.select("l_orderkey", "l_partkey").distinct()
-    small = (
-        all_pairs.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__bs"))
-        .filter(F.col("__bs") <= 50)
-        .select("l_orderkey")
+    # r13: grouped in-place pair generation replaces the basket
+    # self-join, same rewrite as item_item_cosine (one o_orderkey
+    # repartition feeds the distinct and the basket collect
+    # exchange-free; drop-baskets-over-50 semantics unchanged)
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.lit(1))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("__items"))
+        .filter(F.size("__items") <= 50)
     )
-    pairs = all_pairs.join(small, "l_orderkey")
-    a = pairs.alias("a")
-    b = pairs.alias("b")
     edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(__items, (x, i) ->
+                      transform(slice(__items, i + 2, size(__items)),
+                                y -> struct(x AS a, y AS b))))
+                    """
+                )
+            ).alias("__p")
         )
+        .groupBy(F.col("__p.a").alias("u"), F.col("__p.b").alias("v"))
         .agg(F.count(F.lit(1)).alias("__pc"))
         .filter(F.col("__pc") >= 2)
         .select("u", "v")
@@ -7778,25 +7787,43 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets are capped at 50 lines before the pair join (no-op at
     TPC-H basket sizes, survival at skewed real-world ones)."""
     li = _t(spark, sf_dir, "lineitem")
-    all_pairs = li.select("l_orderkey", "l_partkey").distinct()
-    small = (
-        all_pairs.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__bs"))
-        .filter(F.col("__bs") <= 50)
-        .select("l_orderkey")
+    # r13: grouped in-place pair generation (the cooccurrence_pairs
+    # strategy) replaces the basket self-join — one o_orderkey
+    # repartition feeds the distinct, the basket collect (both
+    # exchange-free on it, guide §2.4), and the ≤50-item baskets then
+    # emit their C(k,2) pairs and per-part degrees without re-joining
+    # the pair table against itself.  Basket-size semantics unchanged:
+    # baskets over 50 DISTINCT parts are dropped entirely (a filter,
+    # not the truncation cooccurrence_pairs' cap applies).
+    baskets = cache.track(
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.lit(1))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("__items"))
+        .filter(F.size("__items") <= 50)
+        .cache()
     )
-    pairs = cache.track(all_pairs.join(small, "l_orderkey").cache())
-    deg = pairs.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
+    deg = (
+        baskets.select(F.explode("__items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
-    a = pairs.alias("a")
-    b = pairs.alias("b")
     co = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(__items, (x, i) ->
+                      transform(slice(__items, i + 2, size(__items)),
+                                y -> struct(x AS a, y AS b))))
+                    """
+                )
+            ).alias("__p")
+        )
         .groupBy(
-            F.col("a.l_partkey").alias("item_a"),
-            F.col("b.l_partkey").alias("item_b"),
+            F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("co_count"))
         .filter(F.col("co_count") >= 2)

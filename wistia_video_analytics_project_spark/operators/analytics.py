@@ -464,6 +464,7 @@ def cooccurrence_pairs(
     item_col: str,
     strategy: str = "grouped",
     max_basket_size: int | None = None,
+    distinct_items: bool = False,
 ) -> DataFrame:
     """Market-basket co-occurrence: for every unordered item pair that
     appears in the same basket, the number of shared baskets (duplicate
@@ -491,6 +492,8 @@ def cooccurrence_pairs(
     multiset selection, so both strategies stay result-identical.
     """
     if strategy == "join":
+        if distinct_items:
+            df = df.select(basket_col, item_col).distinct()
         a = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("item_a"))
         if max_basket_size is not None:
             w = Window.partitionBy("__b").orderBy(F.col("item_a").asc())
@@ -507,6 +510,18 @@ def cooccurrence_pairs(
     items = F.array_sort(F.collect_list(F.col(item_col)))
     if max_basket_size is not None:
         items = F.slice(items, 1, max_basket_size)
+    if distinct_items:
+        # fused caller-distinct (r13): one basket-key repartition feeds
+        # the (basket, item) dedup aggregate AND the basket collect —
+        # both satisfy their clustering from it (guide §2.4) — instead
+        # of the caller paying a separate distinct() exchange on
+        # (basket, item) before the basket shuffle here
+        df = (
+            df.select(basket_col, item_col)
+            .repartition(basket_col)
+            .groupBy(basket_col, item_col)
+            .agg(F.lit(1))
+        )
     baskets = df.groupBy(basket_col).agg(items.alias("__items"))
     pairs = baskets.select(
         F.explode(

@@ -297,13 +297,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
     already collects it internally for the teleport literal and hands it
     back via its ``stats`` out-param, so the bindings reuse that instead
     of paying a duplicate distinct+count job (round-4 ADVICE)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
     pairs = cache.track(
-        cooccurrence_pairs(li, "l_orderkey", "l_partkey").cache()
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey", distinct_items=True).cache()
     )
     half = pairs.select(
         F.col("item_a").alias("src"),
@@ -413,12 +411,10 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (out-degree bounded by O(sqrt(m)) — the hub-skew guard that
     makes triangle counting survive power-law graphs at scale)."""
     configure_runtime(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey").filter(
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey", distinct_items=True).filter(
         F.col("pair_count") >= 2
     )
     return triangle_stats(pairs, a="item_a", b="item_b")
@@ -479,12 +475,10 @@ def q_copurchase_core3(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent, so the fixed-round contract matches the unrolled-CTE
     oracle exactly).  Top-50 surviving parts by in-core degree."""
     configure_runtime(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey").filter(
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey", distinct_items=True).filter(
         F.col("pair_count") >= 2
     )
     core = k_core(pairs, _CORE_K, a="item_a", b="item_b",
@@ -791,12 +785,10 @@ def q_copurchase_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-skew diagnostic of the co-purchase graph: CSN power-law
     MLE exponent over the degree->=2 tail plus degree summary."""
     configure_runtime(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey", distinct_items=True)
     return degree_powerlaw(pairs, a="item_a", b="item_b", dmin=2)
 
 
@@ -877,12 +869,10 @@ def degree_assortativity(
 def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-mixing diagnostic of the co-purchase graph."""
     configure_runtime(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey", distinct_items=True)
     return degree_assortativity(pairs, a="item_a", b="item_b")
 
 
@@ -1033,15 +1023,13 @@ def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     communities by size with their modularity contribution.  Rows-only
     (iterative heuristic — see label_propagation)."""
     configure_runtime(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
     # the pair build (basket self-join + count agg) feeds BOTH the
     # propagation's edge frame and the summary's — cache it once
     pairs = cache.track(
-        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey", distinct_items=True)
         .filter(F.col("pair_count") >= 2)
         .cache()
     )
