@@ -4249,13 +4249,18 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent; numpy-reference parity (1e-7) and layout independence
     are pinned in ``tests/test_linalg.py``."""
     emb = _t(spark, sf_dir, "embeddings")
-    labeled = emb.withColumn("y", (F.col("label") >= 5).cast("double"))
+    # cached once (r14): the IRLS passes AND the post-train scoring
+    # read the same (embedding, y) projection — uncached, the scoring
+    # aggregate re-scanned the parquet a second time
+    labeled = cache.track(
+        emb.select(
+            "embedding", (F.col("label") >= 5).cast("double").alias("y")
+        ).cache()
+    )
     w, b, losses = linalg.logistic_train(
         labeled, "embedding", "y", 64, iterations=4, ridge=1e-3
     )
-    scored = linalg.logistic_margin(
-        labeled.select("vec_id", "embedding", "y"), "embedding", w, b
-    )
+    scored = linalg.logistic_margin(labeled, "embedding", w, b)
     acc = scored.agg(
         F.round(
             F.avg(
@@ -11721,24 +11726,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     git history, both 50/50 driver-green).  Rows-only approximates (no
     oracle by design — see CLAUDE.md) stay at the very end so every
     in-window slot is a full hash-checked comparison.
-    ``_WINDOW_R13`` below executes the round-13 rotation exactly as the
-    round-12 VERDICT prescribed (item 3), continuing the
-    staleness-ordered walk: the 31 oracle-backed entries whose last
-    green driver row is round 6 (``top_entry_paths`` ..
-    ``ks_test_order_values``, staleness order) plus the first 19 of the
-    round-7 tier (``gold_fact_decimal`` .. ``daily_plays_trend``),
-    skipping rows-only entries.  Recomputed this round from all twelve
-    CORRECTNESS artifacts against the live registry: after round 12 the
-    recency histogram over the 330 oracle-backed entries is
-    {round 6: 31, round 7: 49, rounds 8-12: 50 each}; this window moves
-    the floor to round 7.  ``_WINDOW_R12`` (the round-12 window, 50/50
-    driver-green in CORRECTNESS_r12) is in git history with
-    ``_WINDOW_R3``..``_WINDOW_R11``.
-    ROTATION PLAN for round 14: the remaining 30 round-7-tier entries
-    (``fact_engagement_build`` onward in staleness order) plus the
-    first 20 of the round-8 tier, skipping rows-only — keep cycling so
-    every oracle-backed entry re-earns a driver green row every ~2-3
-    rounds.
+    ``_WINDOW_R14`` below executes the round-13 VERDICT's item 1
+    (override of the plain staleness walk): slots 1-19 are the
+    oracle-backed query paths REWRITTEN in the r13/r14 optimization
+    rounds whose post-rewrite outputs the driver oracle has not yet
+    (re-)checked — the 16 r13 rewrites (doc_novelty .. brand_part_ppr,
+    plus truncated_dim_recall for continuity) and the 3 r14-touched
+    entries (dedup_winnow, dedup_winnow_incremental,
+    jaccard_threshold_sweep) — and slots 20-50 continue the staleness
+    rotation exactly as round 13's plan prescribed: the remaining 30
+    round-7-tier entries (``fact_engagement_build`` onward, staleness
+    order) plus the first 1 of the round-8 tier (``pricing_summary``).
+    Recomputed from all thirteen CORRECTNESS artifacts against the live
+    registry: after round 13 the recency histogram over the 330
+    oracle-backed entries is {round 7: 30, rounds 8-13: 50 each}.
+    ``_WINDOW_R3``..``_WINDOW_R13`` are in git history, each 50/50
+    driver-green in its round.
+    ROTATION PLAN for round 15: the remaining 49 round-8-tier entries
+    (staleness order) plus 1 of the round-9 tier, skipping rows-only —
+    keep cycling so every oracle-backed entry re-earns a driver green
+    row every ~2-3 rounds.
     """
     core = {
         # --- round-2 additions + round-1 driver-UNVERIFIED tier (window) ---
@@ -12055,8 +12062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpp_planner": q_bloom_fpp_planner,
         "topk_stability_halves": q_topk_stability_halves,
     })
-    # --- round-13 rotation: reorder so the driver's 50-entry window ---
-    ordered = {name: core[name] for name in _WINDOW_R13}
+    # --- round-14 rotation: reorder so the driver's 50-entry window ---
+    ordered = {name: core[name] for name in _WINDOW_R14}
     ordered.update((n, f) for n, f in core.items() if n not in ordered)
     # rows-only approximates (no oracle by design) go last: a window
     # slot spent on them yields only a weak rows-only driver check
@@ -12078,65 +12085,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-13 driver window — executes the rotation the round-12 VERDICT
-#: prescribed (item 3): the 31 remaining round-6-tier entries in
-#: staleness order, then the first 19 of the round-7 tier.  Recomputed
-#: from all twelve CORRECTNESS artifacts against the live registry;
-#: ``_WINDOW_R3``..``_WINDOW_R12`` are in git history, each 50/50
+#: Round-14 driver window — executes round-13 VERDICT item 1: the
+#: oracle-backed entries rewritten in the r13/r14 optimization rounds
+#: first (post-rewrite driver re-verification), then the staleness
+#: rotation (remaining round-7 tier + 1 of round-8).  Recomputed from
+#: all thirteen CORRECTNESS artifacts against the live registry;
+#: ``_WINDOW_R3``..``_WINDOW_R13`` are in git history, each 50/50
 #: driver-green in its round.
-_WINDOW_R13 = [
-    # --- 1-31: last driver-green round 6, staleness order ---
-    "top_entry_paths",
-    "weekday_profile",
-    "event_expectations",
-    "event_transitions",
-    "fuzzy_part_names",
-    "revenue_share_by_brand",
-    "daily_anomaly_zscore",
-    "cumulative_unique_users",
-    "scd2_customer_batch",
-    "multimodal_metadata",
-    "frame_grid",
-    "streaming_daily_engagement",
-    "dedup_exact",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_cluster_keep",
-    "text_profile",
-    "text_lang_id",
-    "text_quality",
-    "doc_fingerprint",
-    "top_keywords",
-    "token_counts",
-    "doc_chunks",
-    "ann_brute_force",
-    "embedding_cosine_pairs",
-    "contamination_report",
-    "text_repetition",
-    "gopher_quality_report",
-    "streaming_view_purchase_join",
-    "ks_test_order_values",
-    # --- 32-50: round-7 tier, staleness order ---
-    "gold_fact_decimal",
-    "embedding_quantize",
-    "dedup_incremental",
-    "similar_documents",
-    "char_entropy_report",
-    "hapax_legomena_report",
-    "zipf_slope_tokens",
-    "token_burstiness",
-    "heaps_law_fit",
-    "vocab_overlap_sources",
-    "semantic_dedup_keep",
+_WINDOW_R14 = [
+    # --- 1-19: r13/r14 optimization rewrites, oracle-backed ---
+    "doc_novelty",
+    "dedup_containment",
+    "dsir_importance",
+    "duplicated_spans",
+    "token_pmi",
+    "clamped_quarterly_balance",
+    "sole_late_supplier",
+    "item_item_cosine",
+    "copurchase_link_prediction",
+    "copurchase_triangles",
+    "copurchase_core3",
+    "copurchase_powerlaw",
+    "copurchase_assortativity",
+    "part_pagerank",
+    "brand_part_ppr",
     "truncated_dim_recall",
-    "pii_scrub_report",
-    "line_dedup_report",
-    "stratified_sample",
-    "weighted_sample",
-    "mixture_sample",
-    "temperature_mixture",
-    "daily_plays_trend",
+    "dedup_winnow",
+    "dedup_winnow_incremental",
+    "jaccard_threshold_sweep",
+    # --- 20-49: round-7 tier remainder, staleness order ---
+    "fact_engagement_build",
+    "engagement_kpis",
+    "tumbling_hourly",
+    "rollup_type_daily",
+    "cube_type_daily",
+    "json_props_extract",
+    "dim_media_conform",
+    "dim_visitor_conform",
+    "pk_repair",
+    "null_empty_audit",
+    "keep_first_dedup",
+    "duplicate_audit",
+    "uniqueness_report",
+    "plays_by_channel",
+    "customers_without_orders",
+    "order_priority_counts",
+    "top10_media",
+    "rank_in_channel",
+    "trailing_7day_plays",
+    "new_vs_returning",
+    "theilsen_revenue_trend",
+    "spearman_price_qty",
+    "kendall_tau_daily",
+    "sequential_pattern_support",
+    "revenue_periodogram",
+    "brand_price_elasticity",
+    "conformal_revenue_interval",
+    "peak_concurrency_daily",
+    "circadian_profile",
+    "cuped_adjusted_ab",
+    # --- 50: round-8 tier, staleness order ---
+    "pricing_summary",
 ]
 
 

@@ -5,9 +5,12 @@ For each named query (default: none — pass names or @topN to take the
 N slowest entries of BENCH_RECORDED.json):
 
 - builds the DataFrame at $SF_DIR (default sf0.1),
-- dumps ``explain("formatted")`` to ``plans/r13/<name>_<tag>.txt``,
+- dumps ``explain("formatted")`` to ``plans/$PLANS_ROUND/<name>_<tag>.txt``
+  (``PLANS_ROUND`` defaults to r14),
 - times ``count()`` best-of-$BENCH_REPEAT (the bench methodology) and
-  reports the per-query Spark job delta,
+  reports the Spark job delta OF THE BEST repeat (round-13 ADVICE: the
+  last repeat's job count can misattribute deltas when caches/AQE
+  change job counts between repeats),
 - prints a one-line summary per query: seconds, jobs, #Exchange,
   #scans, join strategies, Python-eval nodes.
 
@@ -55,7 +58,9 @@ def main() -> int:
 
     spark = get_spark("profile")
     qs = entrymod.queries()
-    plans_dir = os.path.join(HERE, "plans", "r13")
+    plans_dir = os.path.join(
+        HERE, "plans", os.environ.get("PLANS_ROUND", "r14")
+    )
     os.makedirs(plans_dir, exist_ok=True)
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
 
@@ -75,8 +80,12 @@ def main() -> int:
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
-            jobs = njobs() - j0
+            lap = time.perf_counter() - t0
+            if lap < best:
+                # jobs from the SAME repeat that produced the best time
+                # (round-13 ADVICE: last-repeat jobs misattribute when
+                # caches/AQE change counts between repeats)
+                best, jobs = lap, njobs() - j0
         # plan AFTER the timed runs (it can trigger extra jobs itself)
         df = fn(spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]

@@ -284,17 +284,26 @@ def als_train(
     # lazy checkpoints (r13): each factor frame is consumed exactly
     # once by the next half-step's join, which materializes it inside
     # that half-step's job — one scheduled job per half-step instead
-    # of two; the logical plan still truncates at every checkpoint
+    # of two; the logical plan still truncates at every checkpoint.
+    # With track_loss the per-iteration loss collect materializes the
+    # chain anyway; WITHOUT it no action runs inside the loop, so the
+    # lazy checkpoints would chain unmaterialized RDD dependencies
+    # ``2*iterations`` deep until the caller's first action — bounded
+    # here by an eager checkpoint every ``_EAGER_EVERY`` iterations
+    # (round-13 ADVICE; no extra job at the small iteration counts the
+    # registry bindings use)
+    _EAGER_EVERY = 4
     item_f = init_factors(
         r.select("item").distinct(), "item", k
     ).localCheckpoint(eager=False)
     user_f = init_factors(r.select("user").distinct(), "user", k)
     losses: list[float] = []
-    for _ in range(int(iterations)):
+    for it in range(int(iterations)):
         user_f = _solve_side(r, item_f, "user", "item", k, reg, accumulation)
         user_f = user_f.localCheckpoint(eager=False)
         item_f = _solve_side(r, user_f, "item", "user", k, reg, accumulation)
-        item_f = item_f.localCheckpoint(eager=False)
+        eager = (not track_loss) and (it + 1) % _EAGER_EVERY == 0
+        item_f = item_f.localCheckpoint(eager=eager)
         if track_loss:
             losses.append(als_loss(r, user_f, item_f, reg))
     return user_f, item_f, losses
@@ -408,12 +417,34 @@ def recommend_topk_ann(
     tests/test_plans.py).  Recall loss comes only from cell probing:
     ``nprobe == n_centroids`` reproduces the exact path bit-for-bit
     (asserted in tests/test_als.py)."""
-    from .similarity import ivf_assign, ivf_centroids
+    import math
+
+    from .similarity import ivf_assign
 
     norm2 = F.aggregate("factors", F.lit(0.0), lambda a, v: a + v * v)
-    m2 = float(
-        item_f.agg(F.max(norm2).alias("m2")).collect()[0]["m2"] or 0.0
+    # ONE collect builds the quantizer (r14): the n_centroids seed rows
+    # (smallest xxhash64(id) — ivf_centroids' deterministic sample) ride
+    # the same job as the broadcast global max-norm aggregate, and the
+    # norm augmentation of the seeds happens on the driver with the
+    # SAME float ops (IEEE sqrt of the same doubles) the previous
+    # two-job shape computed JVM-side.
+    seed_rows = (
+        item_f.select(F.col(item_col).alias("__id"), "factors",
+                      norm2.alias("__n2"))
+        .orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+        .limit(n_centroids)
+        .crossJoin(F.broadcast(item_f.agg(F.max(norm2).alias("__m2"))))
+        .collect()
     )
+    m2 = float(seed_rows[0]["__m2"] or 0.0) if seed_rows else 0.0
+    cents = [
+        (
+            i,
+            [float(x) for x in r["factors"]]
+            + [math.sqrt(max(m2 - float(r["__n2"]), 0.0))],
+        )
+        for i, r in enumerate(seed_rows)
+    ]
     aug_item = item_f.select(
         F.col(item_col),
         F.col("factors"),
@@ -427,26 +458,20 @@ def recommend_topk_ann(
         F.col("factors"),
         F.concat("factors", F.array(F.lit(0.0))).alias("__aug"),
     )
-    cents = ivf_centroids(
-        aug_item.select(
-            F.col(item_col).alias("vec_id"), F.col("__aug").alias("embedding")
-        ),
-        n_centroids,
-    )
-    item_cells = ivf_assign(
-        aug_item, cents, nprobe=1, id_col=item_col, vec_col="__aug"
-    )
-    user_cells = ivf_assign(
-        aug_user, cents, nprobe=nprobe, id_col=user_col, vec_col="__aug"
-    )
     # items carry ONE cell each, users nprobe cells -> the cell equi-join
-    # yields each (user, item) candidate at most once
-    items_c = item_f.select(
-        F.col(item_col), F.col("factors").alias("__yi")
-    ).join(item_cells, item_col)
-    users_c = user_f.select(
-        F.col(user_col), F.col("factors").alias("__xu")
-    ).join(user_cells, user_col)
+    # yields each (user, item) candidate at most once.  The raw factor
+    # arrays ride THROUGH the assignment map (``carry``) instead of
+    # being joined back on the id afterwards — two fewer shuffling
+    # joins on the serving path (r14, guide §2.4).
+    items_c = ivf_assign(
+        aug_item.withColumnRenamed("factors", "__yi"),
+        cents, nprobe=1, id_col=item_col, vec_col="__aug", carry=["__yi"],
+    )
+    users_c = ivf_assign(
+        aug_user.withColumnRenamed("factors", "__xu"),
+        cents, nprobe=nprobe, id_col=user_col, vec_col="__aug",
+        carry=["__xu"],
+    )
     scores = (
         users_c.join(items_c, "cell")
         .select(
@@ -501,7 +526,12 @@ def q_als_ann_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe == n_centroids plus clustered-factor recall are pinned in
     tests/test_als.py, and the no-cartesian plan shape in
     tests/test_plans.py."""
-    ratings = _bounded_ratings(spark, sf_dir)
+    from .. import cache
+
+    # consumed twice — the training select and the serve-time ``seen``
+    # anti-join; uncached, serving re-ran the full lineitem/orders
+    # join+aggregate subtree (r14)
+    ratings = cache.track(_bounded_ratings(spark, sf_dir).cache())
     user_f, item_f, _ = als_train(
         # accumulation pinned: the id slice bounds every degree by
         # construction (<=5000 items/user, <=1000 users/item), so the
@@ -523,7 +553,10 @@ def q_als_part_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: alternating solves have no SQL equivalent
     (numpy-reference parity + loss monotonicity pinned in
     tests/test_als.py)."""
-    ratings = _bounded_ratings(spark, sf_dir)
+    from .. import cache
+
+    # same two-consumer caching as the ANN binding (r14)
+    ratings = cache.track(_bounded_ratings(spark, sf_dir).cache())
     user_f, item_f, _ = als_train(
         # accumulation pinned — same degree-bound argument as the ANN
         # binding above (r13)

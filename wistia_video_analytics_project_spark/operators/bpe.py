@@ -104,8 +104,14 @@ def _apply_merge(word_table: DataFrame, left: str, right: str) -> DataFrame:
         right.replace("\\", "\\\\").replace("'", "\\'"),
         (left + right).replace("\\", "\\\\").replace("'", "\\'"),
     )
+    # size guard: sequence(1, 0) auto-reverses to [1, 0] on an empty
+    # symbols array and the fold's element_at(symbols, 1) would throw
+    # INVALID_ARRAY_INDEX under ANSI mode — unreachable today only
+    # because word_frequencies filters empty words upstream (an
+    # implicit cross-module invariant; round-13 ADVICE)
     merged_col = F.expr(
         f"""
+        CASE WHEN size(symbols) = 0 THEN symbols ELSE
         aggregate(
           sequence(1, size(symbols)),
           struct(CAST(array() AS array<string>) AS out, false AS skip),
@@ -121,6 +127,7 @@ def _apply_merge(word_table: DataFrame, left: str, right: str) -> DataFrame:
                         false AS skip)
           END,
           acc -> acc.out)
+        END
         """
     )
     return word_table.withColumn("symbols", merged_col)

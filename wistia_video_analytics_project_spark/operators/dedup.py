@@ -759,26 +759,40 @@ def winnow_candidate_pairs(
     distinct fingerprints both documents selected.
 
     Scale shape: fingerprints are ~|tokens|·2/(w+1) rows; the stop-
-    fingerprint guard (``max_df``) caps every bucket's join fan-out the
-    same way ``max_df`` guards the shingle self-join, so pair volume is
-    bounded by Σ C(df≤max_df, 2) per fingerprint — never all-pairs.
+    fingerprint guard (``max_df``) caps every bucket's pair fan-out the
+    same way ``max_df`` guards the shingle strategies, so pair volume
+    is bounded by Σ C(df≤max_df, 2) per fingerprint — never all-pairs.
+
+    r14: grouped in-place pair generation (the ``ngram_jaccard_pairs``
+    /``containment_pairs`` strategy) — groupBy(fp) collects each
+    fingerprint's sorted doc list (``2 <= size <= max_df``, one buffer
+    per fp bounded by ``max_df``) and emits its C(df, 2) pairs with
+    array HOFs.  ONE pass over the fingerprint stream instead of the
+    previous df-count + join-back + self-join, which re-derived the
+    md5 explode subtree three times; row-identical because
+    ``winnow_fingerprints`` emits each (doc_id, fp) once
+    (``array_distinct`` per doc), so each fp's doc list is a set.
     """
     e = winnow_fingerprints(docs, k, w, text_col, id_col)
-    keep = (
+    grouped = (
         e.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
-        .select("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("__ms"))
+        .filter((F.size("__ms") >= 2) & (F.size("__ms") <= max_df))
     )
-    e2 = e.join(keep, "fp")
-    a = e2.select(F.col("doc_id").alias("doc_id_a"), "fp")
-    b = e2.select(F.col("doc_id").alias("doc_id_b"), "fp")
-    return (
-        a.join(b, ["fp"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(__ms, (x, i) ->
+                  transform(slice(__ms, i + 2, size(__ms)),
+                            y -> struct(x AS a, y AS b))))
+                """
+            )
+        ).alias("__p")
+    ).select("__p.a", "__p.b")
+    return pairs.groupBy(
+        F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared"))
 
 
 def containment_pairs(

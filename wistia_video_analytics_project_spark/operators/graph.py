@@ -87,25 +87,47 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w")
     )
-    nodes = cache.track(
-        e.select(F.col("__src").alias("node"))
-        .union(e.select(F.col("__dst").alias("node")))
-        .distinct()
-        .cache()
-    )
-    outw = e.groupBy("__src").agg(F.sum("__w").alias("__out"))
-    # normalized transition fractions — reused every iteration, cached
-    # PRE-PARTITIONED on the join key so the per-iteration rank join
-    # never re-exchanges the (large) edge side; only the (node-sized)
-    # rank frame moves each iteration
+    # normalized transition fractions — reused every iteration.  ONE
+    # exchange builds them (r14): the out-weight rides a
+    # ``sum().over(partitionBy(__src))`` window on the single __src
+    # exchange (the doc_novelty r13 shape) instead of a separate
+    # aggregate + join-back, which paid the edge shuffle twice (the
+    # pruned aggregate subtree differs from the probe subtree, so
+    # ReusedExchange never fires on the agg+join form).  The cache then
+    # pins hash(__src) partitioning AND the window sort's __src order,
+    # so every per-iteration rank join is exchange-free and SORT-free
+    # on the (large) edge side; only the (node-sized) rank frame is
+    # sorted and shuffled each iteration.  (The previous shape paid
+    # separate exchanges for out-weights, the join, and a redundant
+    # repartition, then re-SORTED the cached frame inside every
+    # iteration's SortMergeJoin — 6-10 sorts of the full edge set per
+    # query.)
+    from pyspark.sql import Window
+
     norm = cache.track(
-        e.join(outw, "__src")
+        e.repartition("__src")
+        .withColumn(
+            "__out", F.sum("__w").over(Window.partitionBy("__src"))
+        )
         .select(
             "__src", "__dst", (F.col("__w") / F.col("__out")).alias("__frac")
         )
-        .repartition("__src")
         .cache()
     )
+    if handle_dangling:
+        nodes = cache.track(
+            e.select(F.col("__src").alias("node"))
+            .union(e.select(F.col("__dst").alias("node")))
+            .distinct()
+            .cache()
+        )
+    else:
+        # symmetric contract: every node has an out-edge, so the node
+        # set IS the distinct __src set — ride the cached norm layout
+        # (partial dedup per partition, no union/distinct exchange over
+        # the doubled edge frame) and keep hash(node) partitioning for
+        # the first iteration's join
+        nodes = norm.select(F.col("__src").alias("node")).distinct()
     # bounded driver scalar, one job; inlined as a literal below so no
     # iteration carries a broadcast of the 1-row count frame
     n_nodes = nodes.count()
@@ -130,6 +152,9 @@ def pagerank(
                 "left",
             )
             .select("node", F.coalesce(F.col("__tu"), F.lit(0.0)).alias("__tu"))
+            # pin node order in the cache: the per-iteration contrib
+            # join then sort-merges against it without re-sorting (r14)
+            .sortWithinPartitions("node")
             .cache()
         )
         ranks = tele.select("node", F.col("__tu").alias("rank"))
@@ -142,7 +167,10 @@ def pagerank(
     dangling_nodes = (
         cache.track(
             nodes.join(
-                outw.select(F.col("__src").alias("node")), "node", "left_anti"
+                # distinct out-edge sources, off the cached norm layout
+                norm.select(F.col("__src").alias("node")).distinct(),
+                "node",
+                "left_anti",
             ).cache()
         )
         if handle_dangling
@@ -922,12 +950,17 @@ def label_propagation(
     in tests/test_graph.py).
 
     Each round: one edge->label equi-join + one (node, label) weight
-    aggregate + one max_by per node — two shuffles on integer keys.
-    The label chain is LINEAR (each round's frame is referenced exactly
-    once by the next), so the whole propagation stays lazily chained
-    into ONE action, the pagerank idiom — no per-round materialization
-    jobs; only the static edge frame (referenced every round) is
-    cached.
+    aggregate + one max_by per node — ONE shuffle on an integer key
+    (r14): the edge cache pins hash(src) partitioning and src order, so
+    the per-round label join adds no exchange and no edge-side sort,
+    and the contributions are explicitly repartitioned on the dst node
+    alone — hash(node) satisfies BOTH the (node, label) tally and the
+    per-node max (subset clustering), so the two aggregates ride one
+    exchange instead of paying one each.  The label chain is LINEAR
+    (each round's frame is referenced exactly once by the next), so the
+    whole propagation stays lazily chained into ONE action, the
+    pagerank idiom — no per-round materialization jobs; only the static
+    edge frame (referenced every round) is cached.
 
     Returns (node, community) — community is the final label.
     """
@@ -942,7 +975,10 @@ def label_propagation(
             half.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
             )
-        ).cache()
+        )
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .cache()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -958,7 +994,11 @@ def label_propagation(
                 ),
                 "src",
             )
-            .groupBy(F.col("dst").alias("node"), "nbr_label")
+            .select(
+                F.col("dst").alias("node"), F.col("nbr_label"), F.col("w")
+            )
+            .repartition("node")
+            .groupBy("node", "nbr_label")
             .agg(F.sum("w").alias("wsum"))
         )
         # max struct = (highest weight, then smallest label via negation)

@@ -555,10 +555,18 @@ def ivf_assign(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: "list[str] | None" = None,
 ) -> DataFrame:
     """(id, cell) rows: each vector's ``nprobe`` nearest centroid cells
     by cosine. Vectorized numpy: one (batch x dim) @ (dim x k) matmul per
-    Arrow batch. ``nprobe=1`` builds the index; ``nprobe>1`` probes."""
+    Arrow batch. ``nprobe=1`` builds the index; ``nprobe>1`` probes.
+
+    ``carry`` names extra input columns to pass through unchanged
+    (repeated per probed cell) — callers that need a payload next to
+    the cell id then skip the id-keyed join-back they previously paid
+    (r14: the ALS ANN serving path re-joined both factor frames onto
+    the assignments; guide §2.4 — that join is removable by carrying
+    the column through the opaque map)."""
     import numpy as np
     import pandas as pd
 
@@ -567,6 +575,7 @@ def ivf_assign(
     cnorm[cnorm == 0] = 1.0
     cells = np.array([cid for cid, _ in centroids], dtype=np.int64)
     k = min(nprobe, len(centroids))
+    carry = list(carry or [])
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -577,15 +586,21 @@ def ivf_assign(
             # top-k cells per row, deterministic tie-break on cell id
             order = np.lexsort((cells[None, :].repeat(len(mat), 0), -sims), axis=1)
             top = order[:, :k]
-            ids = np.repeat(pdf[id_col].values, k)
-            yield pd.DataFrame({"id": ids, "cell": cells[top].ravel()})
+            out = {"id": np.repeat(pdf[id_col].values, k),
+                   "cell": cells[top].ravel()}
+            for c in carry:
+                out[c] = np.repeat(pdf[c].values, k)
+            yield pd.DataFrame(out)
 
     # the output id column inherits the INPUT id type (round-7 ADVICE:
     # a hard-coded "id long" broke string/decimal ids the moment the
     # ALS auto-router switched a catalog onto the ANN path)
     id_type = vecs.schema[id_col].dataType.simpleString()
-    out = vecs.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"id {id_type}, cell long"
+    carry_schema = "".join(
+        f", {c} {vecs.schema[c].dataType.simpleString()}" for c in carry
+    )
+    out = vecs.select(id_col, vec_col, *carry).mapInPandas(
+        assign, schema=f"id {id_type}, cell long{carry_schema}"
     )
     return out.withColumnRenamed("id", id_col)
 
