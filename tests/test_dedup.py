@@ -376,3 +376,37 @@ def test_duplicated_spans_hashed_matches_string_path(spark, docs):
                    dedup.duplicated_spans(docs, n=10, top=k,
                                           hashed=True).collect())
     assert got_k == want_k
+
+
+def test_winnow_grouped_pairs_match_join_form(spark, docs):
+    """r14 internals pin: the grouped in-place C(df,2) pair generation
+    must be row-identical to the df-filter + fp self-join it replaced
+    (the join form reconstructed here as the reference)."""
+    from pyspark.sql import functions as F
+
+    k, w, max_df = 4, 4, 10
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.n_shared)
+        for r in dedup.winnow_candidate_pairs(
+            docs, k=k, w=w, max_df=max_df
+        ).collect()
+    }
+    e = dedup.winnow_fingerprints(docs, k, w)
+    keep = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("fp")
+    )
+    e2 = e.join(keep, "fp")
+    a = e2.select(F.col("doc_id").alias("doc_id_a"), "fp")
+    b = e2.select(F.col("doc_id").alias("doc_id_b"), "fp")
+    want = {
+        (r.doc_id_a, r.doc_id_b, r.n_shared)
+        for r in a.join(b, ["fp"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .collect()
+    }
+    assert got == want and got

@@ -862,3 +862,36 @@ def test_ivf_meta_torn_write_self_heals(spark, tmp_path):
     with open(meta_path) as f:
         healed = json.load(f)
     assert healed["next_epoch"] == 4 and "sha" in healed
+
+
+def test_ivf_assign_carry_passthrough(spark):
+    """r14 internals pin: ``carry`` columns ride through the assignment
+    map unchanged (repeated per probed cell), and the (id, cell)
+    assignments are identical to the carry-free call."""
+    from pyspark.sql import functions as F
+
+    from wistia_video_analytics_project_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(4)],
+         [float(i), float(i + 1)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, payload array<double>"
+    )
+    cents = ivf_centroids(vecs, 4)
+    plain = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign(vecs, cents, nprobe=2).collect()
+    }
+    carried = ivf_assign(vecs, cents, nprobe=2, carry=["payload"]).collect()
+    assert {(r.vec_id, r.cell) for r in carried} == plain
+    # every carried row holds ITS id's payload, on every probed cell
+    for r in carried:
+        assert [float(x) for x in r.payload] == [
+            float(r.vec_id), float(r.vec_id + 1)
+        ]
